@@ -1,0 +1,149 @@
+"""Apply-changes: materialize a CDC stream into a table snapshot.
+
+The reference library stops at emitting ordered change events
+(``src/logical-replication-service.ts:151-163``); its consumers' implied
+job — keeping a replica table current — is this operator. Semantics
+follow PostgreSQL logical replication apply:
+
+* per-key, the newest event wins (total order per slot → per-key order
+  suffices for a correct snapshot — SURVEY §4 "sequential per-message
+  ordering" is re-derived as a per-key window, the engine's one
+  unavoidable shuffle);
+* ``delete`` is a tombstone;
+* an ``update`` whose key image differs from its new row's key projection
+  (pgoutput 'K' submessage — key change, ``pgoutput-parser.ts:174-188``)
+  is split into delete(old key) + insert(new row);
+* ``truncate`` clears the table at its stream position; only later
+  events survive (``pgoutput-parser.ts:271-290`` truncate semantics).
+
+Scale notes (100 TB): one hash shuffle on the key; skewed hot keys are
+handled by AQE skew-join/partition splitting; the per-key window is a
+partial aggregation-friendly ``max_by`` pattern — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.model import typed_view  # noqa: F401  (re-export)
+
+
+def _order_col(events: DataFrame) -> Column:
+    """Composite stream position: lsn_long, then intra-txn pos/seq.
+
+    wal2json carries intra-transaction order in meta['pos']
+    (one changeset = one txn); pgoutput carries wire order in `seq`.
+    """
+    parts = [F.coalesce(F.col("lsn_long"), F.lit(0))]
+    if "seq" in events.columns:
+        parts.append(F.col("seq").cast("long"))
+    else:
+        parts.append(F.lit(0))
+    meta_pos = (
+        F.coalesce(F.col("meta").getItem("pos").cast("long"), F.lit(0))
+        if "meta" in events.columns
+        else F.lit(0)
+    )
+    return F.struct(*parts, meta_pos)
+
+
+def latest_image(
+    events: DataFrame,
+    key_columns: list[str],
+    table: str | None = None,
+    order: Column | None = None,
+) -> DataFrame:
+    """Newest ChangeEvent per key (tombstones included) — the CDC-native
+    'as of end of stream' view. Returns the input schema + ``_ord``."""
+    ev = events
+    if table is not None:
+        ev = ev.filter(F.col("table") == table)
+    ev = ev.filter(F.col("op").isin("insert", "update", "delete", "truncate"))
+    ev = ev.withColumn("_ord", order if order is not None else _order_col(ev))
+
+    # Truncate barrier: events at-or-before the newest truncate are dead.
+    # One tiny aggregate (truncates are rare), broadcast back via cross
+    # join — no shuffle of the big side.
+    trunc = ev.filter(F.col("op") == "truncate").agg(F.max("_ord").alias("_trunc_ord"))
+    ev = ev.crossJoin(F.broadcast(trunc)).filter(
+        F.col("_trunc_ord").isNull() | (F.col("_ord") > F.col("_trunc_ord"))
+    )
+    ev = ev.filter(F.col("op") != "truncate").drop("_trunc_ord")
+
+    # Key-change updates (key image ≠ new row's key projection) split into
+    # a tombstone for the old identity + an upsert for the new identity.
+    new_key = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in key_columns]),
+        F.array(*[F.col("after").getItem(k) for k in key_columns]),
+    )
+    is_dml_upsert = F.col("op").isin("insert", "update")
+    key_changed = (
+        (F.col("op") == "update")
+        & F.col("key").isNotNull()
+        & ~F.col("key").eqNullSafe(new_key)
+    )
+    tombstones = (
+        ev.filter(key_changed)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("after", F.lit(None).cast("map<string,string>"))
+    )
+    ev = ev.unionByName(tombstones)
+
+    # Row identity: key columns from the new image for upserts, from the
+    # key image for deletes. Array groups fine (maps don't).
+    identity = F.when(
+        is_dml_upsert & F.col("after").isNotNull(),
+        F.array(*[F.col("after").getItem(k) for k in key_columns]),
+    ).otherwise(F.array(*[F.col("key").getItem(k) for k in key_columns]))
+    ev = ev.withColumn("_identity", identity)
+
+    w = Window.partitionBy("table", "_identity").orderBy(F.col("_ord").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(
+    events: DataFrame,
+    key_columns: list[str],
+    table: str | None = None,
+    columns: dict[str, str] | None = None,
+    order: Column | None = None,
+) -> DataFrame:
+    """CDC events → current table snapshot.
+
+    ``columns`` optionally maps column name → PG type name to produce a
+    typed snapshot (otherwise string columns from the ``after`` map,
+    limited to keys present in the newest images).
+    """
+    latest = latest_image(events, key_columns, table=table, order=order)
+    live = latest.filter(F.col("op") != "delete")
+
+    if columns:
+        from pg_logical_replication_spark.model import pg_type_to_spark
+
+        cols = []
+        for name, pg_t in columns.items():
+            raw = F.col("after").getItem(name)
+            spark_t = pg_type_to_spark(pg_t)
+            if spark_t == "boolean":
+                raw = F.when(raw.isin("t", "true", "True"), True).when(
+                    raw.isin("f", "false", "False"), False
+                )
+            cols.append(raw.cast(spark_t).alias(name))
+        return live.select(*cols)
+
+    # Untyped: one string column per key seen in the surviving images.
+    names = sorted(
+        {
+            k
+            for row in live.select(F.explode(F.map_keys("after")).alias("k"))
+            .distinct()
+            .collect()
+            for k in [row["k"]]
+        }
+    )
+    return live.select(*[F.col("after").getItem(n).alias(n) for n in names])

@@ -1,0 +1,159 @@
+"""pgoutput decoder — Spark integration over the pure-Python codec.
+
+Decode strategy (vs. the reference's sequential per-message parse,
+``src/output-plugins/pgoutput/pgoutput-parser.ts``):
+
+1. **Relation pre-scan** — Relation ('R') / Type ('Y') messages are a
+   vanishing fraction of the stream (one per table per schema-change;
+   ``pgoutput-parser.ts:86-110`` caches them by OID). We filter them
+   JVM-side on the first byte of the binary payload — predicate pushdown
+   keeps the Python worker out of this pass — collect, and build the
+   relation cache on the driver.
+2. **Broadcast + parallel decode** — the cache rides the ``mapInPandas``
+   closure (broadcast to every task). Each task decodes its partition's
+   messages independently; per-message order inside a transaction is
+   preserved by the carried ``seq``/``lsn`` columns, not by processing
+   order — which is what lets this scale to 1000 executors while the
+   reference is bound to one socket.
+
+Schema evolution mid-stream is handled by versioning the cache per OID on
+``seq`` (the wire order): each DML resolves the newest relation message
+with ``seq <= its own seq``.
+"""
+
+from __future__ import annotations
+
+import bisect
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.model import CHANGE_EVENT_SCHEMA, lsn_long_expr
+from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+
+def _collect_relations(
+    raw: DataFrame, data_col: str, seq_col: str
+) -> dict[int, list[tuple[int, fmt.RelationInfo]]]:
+    """Pass 1: oid → [(valid_from_seq, RelationInfo)], seq-ascending."""
+    rel_rows = (
+        raw.filter(F.substring(F.col(data_col), 1, 1) == F.lit(b"R"))
+        .select(seq_col, data_col)
+        .collect()
+    )
+    cache: dict[int, list[tuple[int, fmt.RelationInfo]]] = {}
+    for row in sorted(rel_rows, key=lambda r: r[seq_col]):
+        tmp: dict[int, fmt.RelationInfo] = {}
+        fmt.parse_message(bytes(row[data_col]), tmp)
+        for oid, info in tmp.items():
+            cache.setdefault(oid, []).append((row[seq_col], info))
+    return cache
+
+
+class _VersionedRelations(dict):
+    """dict-like view resolving an OID to its newest schema ≤ current seq."""
+
+    def __init__(self, versions: dict[int, list[tuple[int, fmt.RelationInfo]]]):
+        super().__init__()
+        self._versions = versions
+        self.seq = 0
+
+    def get(self, oid: int, default=None):
+        versions = self._versions.get(oid)
+        if not versions:
+            return super().get(oid, default)
+        idx = bisect.bisect_right([s for s, _ in versions], self.seq) - 1
+        if idx < 0:
+            return super().get(oid, default)
+        return versions[idx][1]
+
+
+def decode_pgoutput(
+    raw: DataFrame,
+    data_col: str = "data",
+    lsn_col: str = "lsn",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Raw binary pgoutput messages → normalized ChangeEvent rows.
+
+    Input contract: one row per XLogData payload with its wire LSN
+    (``lsn_col``, the hex pair the reference extracts from bytes 1-8 of
+    the COPY chunk, ``logical-replication-service.ts:151-152``) and a
+    global sequence number (``seq_col``) giving wire order.
+    """
+    versions = _collect_relations(raw, data_col, seq_col)
+
+    out_schema = CHANGE_EVENT_SCHEMA.add("seq", "long")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        relations = _VersionedRelations(versions)
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for data, lsn, seq in zip(pdf[data_col], pdf[lsn_col], pdf[seq_col]):
+                relations.seq = seq
+                ev = fmt.parse_message(bytes(data), relations)
+                ts_us = ev.get("commit_ts_us")
+                rows.append(
+                    {
+                        "op": ev["op"],
+                        "lsn": ev.get("lsn") or lsn,
+                        "lsn_long": None,
+                        "xid": ev.get("xid"),
+                        "commit_ts": pd.Timestamp(ts_us, unit="us") if ts_us else None,
+                        "schema": ev.get("schema"),
+                        "table": ev.get("table"),
+                        "key": ev.get("key"),
+                        "before": ev.get("before"),
+                        "after": ev.get("after"),
+                        "meta": ev.get("meta"),
+                        "seq": seq,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            ) if rows else pd.DataFrame(columns=[f.name for f in out_schema.fields])
+
+    decoded = raw.mapInPandas(decode, schema=out_schema)
+    return decoded.withColumn("lsn_long", lsn_long_expr("lsn"))
+
+
+def assign_transactions(events: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Attach xid/commit_ts to DML rows via begin→commit framing.
+
+    pgoutput carries xid only on Begin and commit_ts only on Begin/Commit
+    (protocol v1; ``pgoutput-parser.ts:54-73``); DML rows inherit them
+    from their enclosing transaction. Transactions are contiguous in wire
+    order, so each DML belongs to the greatest ``begin.seq <= dml.seq`` —
+    an interval join against the (small: one row per transaction) begin
+    set, NOT a global window: the begins DF is tiny relative to the
+    stream, its lead() window is cheap, and the interval join
+    broadcast/AQE-plans without a global sort of the full stream.
+    """
+    from pyspark.sql import Window as W
+
+    begins = (
+        events.filter(F.col("op") == "begin")
+        .select(
+            F.col(seq_col).alias("_bseq"),
+            F.col("xid").alias("_bxid"),
+            F.col("commit_ts").alias("_bts"),
+        )
+        .withColumn(
+            "_next_bseq",
+            F.lead("_bseq").over(W.orderBy("_bseq")),
+        )
+    )
+    joined = events.join(
+        begins,
+        (F.col(seq_col) >= F.col("_bseq"))
+        & (F.col("_next_bseq").isNull() | (F.col(seq_col) < F.col("_next_bseq"))),
+        "left",
+    )
+    return (
+        joined.withColumn("xid", F.coalesce("xid", "_bxid"))
+        .withColumn("commit_ts", F.coalesce("commit_ts", "_bts"))
+        .drop("_bseq", "_bxid", "_bts", "_next_bseq")
+    )

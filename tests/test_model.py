@@ -1,0 +1,33 @@
+"""LSN arithmetic — mirrors the reference's hex-pair formatting
+(binary-reader.ts:75-86) and ack carry (logical-replication-service.ts:258-272)."""
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from pg_logical_replication_spark.model import ack_lsn, long_to_lsn, lsn_to_long
+
+
+def test_lsn_roundtrip_known():
+    assert lsn_to_long("0/16B3D88") == 0x16B3D88
+    assert lsn_to_long("00000001/00000000") == 1 << 32
+    assert long_to_lsn(0x16B3D88) == "00000000/016B3D88"
+    assert long_to_lsn((0xAB << 32) | 0xCD) == "000000AB/000000CD"
+
+
+def test_ack_carry():
+    # lower word 0xFFFFFFFF carries into the upper word — the edge case
+    # the reference handles at logical-replication-service.ts:266-272
+    assert ack_lsn("00000001/FFFFFFFF") == "00000002/00000000"
+    assert ack_lsn("00000000/00000000") == "00000000/00000001"
+    assert ack_lsn("0/16B3D88") == "00000000/016B3D89"
+
+
+@given(st.integers(min_value=0, max_value=(1 << 62) - 1))
+def test_lsn_roundtrip_property(v):
+    assert lsn_to_long(long_to_lsn(v)) == v
+
+
+def test_negative_rejected():
+    with pytest.raises(ValueError):
+        long_to_lsn(-1)

@@ -1,0 +1,150 @@
+"""pgoutput binary codec unit tests — pure Python, no SparkSession.
+
+Mirrors the reference's message-shape assertions
+(decoder-pgoutput.spec.ts:47-233) and the 'missing relation' contract
+(pgoutput-parser.ts:151-153) against our encoder-built golden bytes
+(FIXTURES.md §3c)."""
+
+import pytest
+
+from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+USERS_COLS = [
+    ("id", 20),
+    ("firstname", 25),
+    ("lastname", 25),
+    ("email", 1043),
+    ("phone", 1043),
+    ("deleted", 16),
+    ("created", 1184),
+]
+
+
+def _relation(oid=16385, identity="default"):
+    return fmt.encode_relation(
+        oid, "public", "users", USERS_COLS, key_columns=["id"], replica_identity=identity
+    )
+
+
+def test_begin_commit_roundtrip():
+    cache = {}
+    b = fmt.parse_message(fmt.encode_begin("00000000/016B3D88", 1_755_000_000_000_000, 771), cache)
+    assert b == {
+        "op": "begin",
+        "lsn": "00000000/016B3D88",
+        "commit_ts_us": 1_755_000_000_000_000,
+        "xid": 771,
+    }
+    c = fmt.parse_message(
+        fmt.encode_commit("00000000/016B3D88", "00000000/016B3DFF", 1_755_000_000_000_000),
+        cache,
+    )
+    assert c["op"] == "commit"
+    assert c["meta"]["end_lsn"] == "00000000/016B3DFF"
+
+
+def test_relation_caches_and_key_flags():
+    cache = {}
+    ev = fmt.parse_message(_relation(), cache)
+    assert ev["op"] == "relation"
+    assert ev["meta"]["key_columns"] == "id"
+    assert ev["meta"]["replica_identity"] == "default"
+    assert 16385 in cache
+    assert cache[16385].key_columns == ["id"]
+
+
+def test_insert_tuple_kinds():
+    cache = {}
+    fmt.parse_message(_relation(), cache)
+    ins = fmt.encode_insert(
+        16385,
+        [
+            ("t", "1"),
+            ("t", "alice"),
+            ("t", "smith"),
+            ("n", None),
+            ("b", b"\x01\x02"),
+            ("t", "f"),
+            ("t", "2026-08-13 00:00:00+00"),
+        ],
+    )
+    ev = fmt.parse_message(ins, cache)
+    assert ev["op"] == "insert"
+    assert ev["table"] == "users"
+    assert ev["after"]["id"] == "1"
+    assert ev["after"]["email"] is None
+    assert ev["after"]["phone"] == "\\x0102"  # bytea hex text form
+
+
+def test_missing_relation_raises():
+    with pytest.raises(ValueError, match="missing relation"):
+        fmt.parse_message(fmt.encode_insert(999, [("t", "1")]), {})
+
+
+def test_delete_key_vs_full_identity():
+    """Identity default → key only, before null; full → before populated
+    (asserted by the reference at decoder-pgoutput.spec.ts:146-159)."""
+    cache = {}
+    fmt.parse_message(_relation(), cache)
+    key_tuple = [("t", "1"), ("n", None), ("n", None), ("n", None), ("n", None), ("n", None), ("n", None)]
+    ev = fmt.parse_message(fmt.encode_delete(16385, key_tuple, kind="K"), cache)
+    assert ev["key"] == {"id": "1"}
+    assert ev["before"] is None
+
+    full = [("t", "1"), ("t", "a"), ("t", "b"), ("n", None), ("n", None), ("t", "f"), ("t", "x")]
+    ev2 = fmt.parse_message(fmt.encode_delete(16385, full, kind="O"), cache)
+    assert ev2["key"] == {"id": "1"}
+    assert ev2["before"]["firstname"] == "a"
+
+
+def test_update_submessages():
+    cache = {}
+    fmt.parse_message(_relation(), cache)
+    new = [("t", "2"), ("t", "a2"), ("t", "b2"), ("n", None), ("n", None), ("t", "f"), ("t", "x")]
+    # N only: no key/old
+    ev = fmt.parse_message(fmt.encode_update(16385, new), cache)
+    assert ev["key"] is None and ev["before"] is None and ev["after"]["id"] == "2"
+    # K: old key (key changed)
+    old_key = [("t", "1"), ("n", None), ("n", None), ("n", None), ("n", None), ("n", None), ("n", None)]
+    ev2 = fmt.parse_message(fmt.encode_update(16385, new, old=old_key, old_kind="K"), cache)
+    assert ev2["key"] == {"id": "1"} and ev2["before"] is None
+    # O: full old row
+    old_full = [("t", "1"), ("t", "a"), ("t", "b"), ("n", None), ("n", None), ("t", "f"), ("t", "x")]
+    ev3 = fmt.parse_message(fmt.encode_update(16385, new, old=old_full, old_kind="O"), cache)
+    assert ev3["before"]["firstname"] == "a" and ev3["key"] == {"id": "1"}
+
+
+def test_unchanged_toast_fallback():
+    """'u' kind falls back to the old image when present
+    (pgoutput-parser.ts:260-261), else null + meta marker."""
+    cache = {}
+    fmt.parse_message(_relation(), cache)
+    new = [("t", "1"), ("u", None), ("t", "b2"), ("n", None), ("n", None), ("t", "f"), ("t", "x")]
+    old_full = [("t", "1"), ("t", "BIGVALUE"), ("t", "b"), ("n", None), ("n", None), ("t", "f"), ("t", "x")]
+    ev = fmt.parse_message(fmt.encode_update(16385, new, old=old_full, old_kind="O"), cache)
+    assert ev["after"]["firstname"] == "BIGVALUE"
+    ev2 = fmt.parse_message(fmt.encode_update(16385, new), cache)
+    assert ev2["after"]["firstname"] is None
+    assert ev2["meta"]["unchanged_toast"] == "firstname"
+
+
+def test_truncate_and_message_and_origin_and_type():
+    cache = {}
+    fmt.parse_message(_relation(), cache)
+    t = fmt.parse_message(fmt.encode_truncate([16385], cascade=True), cache)
+    assert t["op"] == "truncate" and t["meta"]["cascade"] == "true" and t["table"] == "users"
+    m = fmt.parse_message(
+        fmt.encode_logical_message("00000000/00000010", "audit", b"hello", transactional=True),
+        cache,
+    )
+    assert m["op"] == "message" and m["meta"]["prefix"] == "audit"
+    assert m["meta"]["content"] == "\\x" + b"hello".hex()
+    o = fmt.parse_message(fmt.encode_origin("00000000/00000001", "origin1"), cache)
+    assert o["op"] == "origin" and o["meta"]["origin"] == "origin1"
+    y = fmt.parse_message(fmt.encode_type(99999, "public", "mood"), cache)
+    assert y["op"] == "type" and y["meta"]["type_name"] == "mood"
+
+
+def test_unknown_tag_raises():
+    with pytest.raises(ValueError, match="unknown pgoutput"):
+        fmt.parse_message(b"Z\x00", {})
