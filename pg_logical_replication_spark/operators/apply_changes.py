@@ -73,15 +73,14 @@ def latest_image(
 
     # Key-change updates (key image ≠ new row's key projection) split into
     # a tombstone for the old identity + an upsert for the new identity.
-    new_key = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in key_columns]),
-        F.array(*[F.col("after").getItem(k) for k in key_columns]),
-    )
+    # Arrays are orderable/comparable; maps are not.
+    old_identity = F.array(*[F.col("key").getItem(k) for k in key_columns])
+    new_identity = F.array(*[F.col("after").getItem(k) for k in key_columns])
     is_dml_upsert = F.col("op").isin("insert", "update")
     key_changed = (
         (F.col("op") == "update")
         & F.col("key").isNotNull()
-        & ~F.col("key").eqNullSafe(new_key)
+        & ~old_identity.eqNullSafe(new_identity)
     )
     tombstones = (
         ev.filter(key_changed)

@@ -70,6 +70,15 @@ class _VersionedRelations(dict):
             return super().get(oid, default)
         return versions[idx][1]
 
+    def __contains__(self, oid) -> bool:
+        return self.get(oid) is not None
+
+    def __getitem__(self, oid):
+        rel = self.get(oid)
+        if rel is None:
+            raise KeyError(oid)
+        return rel
+
 
 def decode_pgoutput(
     raw: DataFrame,
@@ -86,7 +95,12 @@ def decode_pgoutput(
     """
     versions = _collect_relations(raw, data_col, seq_col)
 
-    out_schema = CHANGE_EVENT_SCHEMA.add("seq", "long")
+    # fresh StructType — StructType.add would mutate the shared schema
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(CHANGE_EVENT_SCHEMA.fields) + [T.StructField("seq", T.LongType())]
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         relations = _VersionedRelations(versions)
@@ -120,40 +134,9 @@ def decode_pgoutput(
     return decoded.withColumn("lsn_long", lsn_long_expr("lsn"))
 
 
-def assign_transactions(events: DataFrame, seq_col: str = "seq") -> DataFrame:
-    """Attach xid/commit_ts to DML rows via begin→commit framing.
-
-    pgoutput carries xid only on Begin and commit_ts only on Begin/Commit
-    (protocol v1; ``pgoutput-parser.ts:54-73``); DML rows inherit them
-    from their enclosing transaction. Transactions are contiguous in wire
-    order, so each DML belongs to the greatest ``begin.seq <= dml.seq`` —
-    an interval join against the (small: one row per transaction) begin
-    set, NOT a global window: the begins DF is tiny relative to the
-    stream, its lead() window is cheap, and the interval join
-    broadcast/AQE-plans without a global sort of the full stream.
-    """
-    from pyspark.sql import Window as W
-
-    begins = (
-        events.filter(F.col("op") == "begin")
-        .select(
-            F.col(seq_col).alias("_bseq"),
-            F.col("xid").alias("_bxid"),
-            F.col("commit_ts").alias("_bts"),
-        )
-        .withColumn(
-            "_next_bseq",
-            F.lead("_bseq").over(W.orderBy("_bseq")),
-        )
-    )
-    joined = events.join(
-        begins,
-        (F.col(seq_col) >= F.col("_bseq"))
-        & (F.col("_next_bseq").isNull() | (F.col(seq_col) < F.col("_next_bseq"))),
-        "left",
-    )
-    return (
-        joined.withColumn("xid", F.coalesce("xid", "_bxid"))
-        .withColumn("commit_ts", F.coalesce("commit_ts", "_bts"))
-        .drop("_bseq", "_bxid", "_bts", "_next_bseq")
-    )
+# Re-export: transaction framing is format-agnostic (shared with
+# test_decoding); see operators/transactions.py for the interval-join
+# strategy and its 100 TB scale notes.
+from pg_logical_replication_spark.operators.transactions import (  # noqa: E402,F401
+    assign_transactions,
+)

@@ -234,7 +234,7 @@ def parse_message(buf: bytes, relations: dict[int, RelationInfo] | None = None) 
             nrels = r.i32()
             flags = r.u8()
             oids = [r.i32() for _ in range(nrels)]
-            rels = [relations[o] for o in oids if o in relations]
+            rels = [rel for rel in (relations.get(o) for o in oids) if rel is not None]
             return {
                 "op": "truncate",
                 "schema": rels[0].schema if rels else None,

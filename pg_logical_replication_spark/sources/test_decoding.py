@@ -75,19 +75,21 @@ def decode_test_decoding(
     raw: DataFrame,
     value_col: str = "value",
     lsn_col: str | None = None,
-    attach_commit_ts: bool = True,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Raw test_decoding lines → normalized ChangeEvent rows.
 
-    One input row per line. ``lsn_col`` optionally carries the wire LSN;
-    without it, ``lsn``/``lsn_long`` are null and downstream ordering uses
-    transaction framing (xid). ``attach_commit_ts`` joins each change to
-    its transaction's COMMIT timestamp via xid — test_decoding emits the
-    timestamp only on the COMMIT line (grammar trx_commit, decoder.ts:17).
+    One input row per line. ``lsn_col`` optionally carries the wire LSN.
+    ``seq_col`` optionally carries wire order; when present, DML rows are
+    framed into their transactions (xid + COMMIT timestamp attached —
+    test_decoding emits both only on BEGIN/COMMIT lines, grammar
+    trx_begin/trx_commit, decoder.ts:16-17) via
+    ``operators.transactions.assign_transactions``.
     """
     line = F.col(value_col)
     lsn = F.col(lsn_col) if lsn_col else F.lit(None).cast("string")
 
+    passthrough = [F.col(seq_col).alias("seq")] if seq_col else []
     parsed = raw.select(
         line.alias("_line"),
         lsn.alias("lsn"),
@@ -95,6 +97,7 @@ def decode_test_decoding(
         .when(line.rlike(_COMMIT_RE), "commit")
         .when(line.rlike(_QUAL_RE), F.lower(F.regexp_extract(line, _QUAL_RE, 3)))
         .alias("op"),
+        *passthrough,
     ).filter(F.col("op").isNotNull())
 
     data = F.regexp_extract(F.col("_line"), _QUAL_RE, 4)
@@ -133,20 +136,12 @@ def decode_test_decoding(
             F.col("op").isin("insert", "update", "delete"),
             F.create_map(F.lit("coltypes"), _datum_types(new_part)),
         ).alias("meta"),
+        *([F.col("seq")] if seq_col else []),
     )
 
-    if not attach_commit_ts:
+    if not seq_col:
         return out
 
-    commits = (
-        out.filter((F.col("op") == "commit") & F.col("xid").isNotNull())
-        .select(F.col("xid").alias("_cxid"), F.col("commit_ts").alias("_cts"))
-        .dropDuplicates(["_cxid"])
-    )
-    # xid cardinality ≈ #transactions in the batch — broadcast when small;
-    # Catalyst/AQE decides based on size, we only declare the join.
-    return (
-        out.join(commits, out["xid"] == commits["_cxid"], "left")
-        .withColumn("commit_ts", F.coalesce("commit_ts", "_cts"))
-        .drop("_cxid", "_cts")
-    )
+    from pg_logical_replication_spark.operators.transactions import assign_transactions
+
+    return assign_transactions(out, "seq")

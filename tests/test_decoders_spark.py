@@ -1,0 +1,233 @@
+"""Decoder DataFrame transforms E2E — the scenario matrix of the
+reference's decoder specs (insert / update / delete / cascade / rollback
+invisibility / truncate) over engine-encoded fixtures, normalized to
+CHANGE_EVENT_SCHEMA and applied to a snapshot."""
+
+import pandas as pd
+
+from pg_logical_replication_spark.operators import apply_changes
+from pg_logical_replication_spark.sources import (
+    decode,
+    pgoutput_format as pg,
+    decoderbufs_format as dbuf,
+)
+
+
+def _wal2json_lines():
+    # 2 inserts, 1 update, 1 delete on users; one child-table insert.
+    return [
+        (
+            '{"change":[{"kind":"insert","schema":"public","table":"users",'
+            '"columnnames":["id","firstname","deleted"],"columntypes":["bigint","text","boolean"],'
+            '"columnvalues":[1,"alice",false]},'
+            '{"kind":"insert","schema":"public","table":"users",'
+            '"columnnames":["id","firstname","deleted"],"columntypes":["bigint","text","boolean"],'
+            '"columnvalues":[2,"bob",false]}],'
+            '"xid":771,"nextlsn":"0/16B3D88","timestamp":"2026-08-13 00:00:00.000000+00"}'
+        ),
+        (
+            '{"change":[{"kind":"update","schema":"public","table":"users",'
+            '"columnnames":["id","firstname","deleted"],"columntypes":["bigint","text","boolean"],'
+            '"columnvalues":[1,"alice2",false],'
+            '"oldkeys":{"keynames":["id"],"keytypes":["bigint"],"keyvalues":[1]}}],'
+            '"xid":772,"nextlsn":"0/16B3E00","timestamp":"2026-08-13 00:00:01.000000+00"}'
+        ),
+        (
+            '{"change":[{"kind":"delete","schema":"public","table":"users",'
+            '"oldkeys":{"keynames":["id"],"keytypes":["bigint"],"keyvalues":[2]}}],'
+            '"xid":773,"nextlsn":"0/16B3F00","timestamp":"2026-08-13 00:00:02.000000+00"}'
+        ),
+        (
+            '{"change":[{"kind":"insert","schema":"public","table":"user_contents",'
+            '"columnnames":["id","user_id","title"],"columntypes":["bigint","bigint","text"],'
+            '"columnvalues":[10,1,"hi"]}],'
+            '"xid":774,"nextlsn":"0/16B4000","timestamp":"2026-08-13 00:00:03.000000+00"}'
+        ),
+    ]
+
+
+def test_wal2json_decode_and_counts(spark):
+    raw = spark.createDataFrame([(line,) for line in _wal2json_lines()], "value string")
+    ev = decode(raw, "wal2json")
+    # per-kind counts ≙ decoder-wal2json.spec.ts:40-42 filter(kind).length
+    counts = {r["op"]: r["n"] for r in ev.groupBy("op").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"insert": 3, "update": 1, "delete": 1}
+    row = ev.filter("op = 'update'").first()
+    assert row["after"]["firstname"] == "alice2"
+    assert row["key"] == {"id": "1"}
+    assert row["xid"] == 772
+    assert row["lsn_long"] == 0x16B3E00
+    assert row["meta"]["pos"] == "0"
+    # JSON false/numbers stringified into the text-format value domain
+    assert row["after"]["deleted"] == "false"
+
+
+def test_wal2json_apply_changes_snapshot(spark):
+    raw = spark.createDataFrame([(line,) for line in _wal2json_lines()], "value string")
+    snap = apply_changes(
+        decode(raw, "wal2json"),
+        key_columns=["id"],
+        table="users",
+        columns={"id": "bigint", "firstname": "text", "deleted": "boolean"},
+    )
+    rows = {r["id"]: r for r in snap.collect()}
+    assert set(rows) == {1}  # id=2 deleted
+    assert rows[1]["firstname"] == "alice2"
+    assert rows[1]["deleted"] is False
+
+
+def test_wal2json_transaction_markers(spark):
+    raw = spark.createDataFrame([(line,) for line in _wal2json_lines()], "value string")
+    ev = decode(raw, "wal2json", include_transaction_markers=True)
+    assert ev.filter("op = 'begin'").count() == 4
+    assert ev.filter("op = 'commit'").count() == 4
+
+
+TEST_DECODING_LINES = [
+    "BEGIN 771",
+    "table public.users: INSERT: id[bigint]:1 firstname[text]:'al ice' deleted[boolean]:false",
+    "table public.users: INSERT: id[bigint]:2 firstname[text]:'o''brien' email[character varying(1000)]:null",
+    "COMMIT 771 (at 2026-08-13 00:00:00.000000+00)",
+    "BEGIN 772",
+    "table public.users: UPDATE: id[bigint]:1 firstname[text]:'alice2' deleted[boolean]:false",
+    "table public.users: DELETE: id[bigint]:2",
+    "COMMIT 772 (at 2026-08-13 00:00:01.000000+00)",
+]
+
+
+def test_test_decoding_decode(spark):
+    raw = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(TEST_DECODING_LINES)], "seq long, value string"
+    )
+    ev = decode(raw, "test_decoding", seq_col="seq")
+    assert ev.filter("op = 'begin'").count() == 2
+    ins = ev.filter("op = 'insert'").orderBy("after.id").collect()
+    # quote-escaping: '' → ' (grammar single_quote_escaped_string)
+    assert ins[0]["after"]["firstname"] == "al ice"
+    assert ins[1]["after"]["firstname"] == "o'brien"
+    assert ins[1]["after"]["email"] is None  # literal null
+    assert ins[0]["xid"] == 771
+    # commit_ts joined from COMMIT line via xid
+    assert str(ins[0]["commit_ts"]).startswith("2026-08-13 00:00:00")
+    dele = ev.filter("op = 'delete'").first()
+    assert dele["key"] == {"id": "2"}
+    assert dele["after"] is None
+
+
+def test_test_decoding_quoted_identifiers_and_update_old_key(spark):
+    lines = [
+        'table "My Schema"."my""table": INSERT: "user id"[bigint]:7 v[text]:\'x\'',
+        "table public.users: UPDATE: old-key: id[bigint]:1 new-tuple: id[bigint]:9 v[text]:'moved'",
+    ]
+    ev = decode(spark.createDataFrame([(l,) for l in lines], "value string"), "test_decoding")
+    r = ev.filter("op = 'insert'").first()
+    assert r["schema"] == "My Schema"
+    assert r["table"] == 'my"table'
+    assert r["after"]["user id"] == "7"
+    u = ev.filter("op = 'update'").first()
+    assert u["key"] == {"id": "1"}
+    assert u["after"] == {"id": "9", "v": "moved"}
+
+
+def _pgoutput_stream():
+    """begin → relation → 2 inserts → update → delete → commit, second
+    txn truncate + reinsert. Returns [(lsn, seq, bytes)]."""
+    cols = [("id", 20), ("name", 25)]
+    rel = pg.encode_relation(1001, "public", "users", cols, key_columns=["id"])
+    ts = 1_755_000_000_000_000
+    msgs = [
+        pg.encode_begin("00000000/00001000", ts, 700),
+        rel,
+        pg.encode_insert(1001, [("t", "1"), ("t", "alice")]),
+        pg.encode_insert(1001, [("t", "2"), ("t", "bob")]),
+        pg.encode_update(1001, [("t", "1"), ("t", "alice2")]),
+        pg.encode_delete(1001, [("t", "2"), ("n", None)], kind="K"),
+        pg.encode_commit("00000000/00001100", "00000000/00001101", ts),
+        pg.encode_begin("00000000/00002000", ts + 1_000_000, 701),
+        pg.encode_insert(1001, [("t", "3"), ("t", "carol")]),
+        pg.encode_commit("00000000/00002100", "00000000/00002101", ts + 1_000_000),
+    ]
+    return [(f"00000000/{0x1000 + i:08X}", i, m) for i, m in enumerate(msgs)]
+
+
+def test_pgoutput_decode_spark(spark):
+    raw = spark.createDataFrame(
+        _pgoutput_stream(), "lsn string, seq long, data binary"
+    )
+    ev = decode(raw, "pgoutput")
+    ops = {r["op"]: r["n"] for r in ev.groupBy("op").count().withColumnRenamed("count", "n").collect()}
+    assert ops == {"begin": 2, "relation": 1, "insert": 3, "update": 1, "delete": 1, "commit": 2}
+    up = ev.filter("op = 'update'").first()
+    assert up["after"] == {"id": "1", "name": "alice2"}
+    assert up["table"] == "users"
+    snap = apply_changes(
+        ev, key_columns=["id"], table="users", columns={"id": "bigint", "name": "text"}
+    )
+    rows = {r["id"]: r["name"] for r in snap.collect()}
+    assert rows == {1: "alice2", 3: "carol"}
+
+
+def test_pgoutput_transaction_assignment(spark):
+    from pg_logical_replication_spark.sources.pgoutput import assign_transactions
+
+    raw = spark.createDataFrame(_pgoutput_stream(), "lsn string, seq long, data binary")
+    ev = assign_transactions(decode(raw, "pgoutput"))
+    ins = ev.filter("op = 'insert'").orderBy("seq").collect()
+    assert [r["xid"] for r in ins] == [700, 700, 701]
+    assert ins[0]["commit_ts"] is not None
+
+
+def test_pgoutput_truncate_apply(spark):
+    cols = [("id", 20), ("name", 25)]
+    rel = pg.encode_relation(1001, "public", "users", cols, key_columns=["id"])
+    msgs = [
+        rel,
+        pg.encode_insert(1001, [("t", "1"), ("t", "a")]),
+        pg.encode_insert(1001, [("t", "2"), ("t", "b")]),
+        pg.encode_truncate([1001]),
+        pg.encode_insert(1001, [("t", "5"), ("t", "after")]),
+    ]
+    raw = spark.createDataFrame(
+        [(f"00000000/{i:08X}", i, m) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    )
+    snap = apply_changes(
+        decode(raw, "pgoutput"), key_columns=["id"], table="users",
+        columns={"id": "bigint", "name": "text"},
+    )
+    rows = {r["id"]: r["name"] for r in snap.collect()}
+    assert rows == {5: "after"}
+
+
+def test_decoderbufs_decode_spark(spark):
+    msgs = [
+        dbuf.encode_row_message("begin", xid=9),
+        dbuf.encode_row_message(
+            "insert",
+            xid=9,
+            commit_time_us=1_755_000_000_000_000,
+            table="public.users",
+            new_tuple=[dbuf.encode_datum("id", 20, int64=1), dbuf.encode_datum("n", 25, string="x")],
+        ),
+        dbuf.encode_row_message(
+            "delete", xid=9, table="public.users",
+            old_tuple=[dbuf.encode_datum("id", 20, int64=1)],
+        ),
+        dbuf.encode_row_message("commit", xid=9),
+    ]
+    raw = spark.createDataFrame(
+        [(f"00000000/{i:08X}", bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, data binary",
+    )
+    ev = decode(raw, "decoderbufs")
+    assert ev.filter("op = 'insert'").first()["after"] == {"id": "1", "n": "x"}
+    assert ev.filter("op = 'delete'").first()["key"] == {"id": "1"}
+    assert ev.count() == 4
+
+
+def test_unknown_format_raises(spark):
+    import pytest
+
+    raw = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(ValueError, match="unknown output plugin"):
+        decode(raw, "nope")
