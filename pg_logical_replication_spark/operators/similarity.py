@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+BASELINE.json mandates ANN over ``embeddings.parquet``. Two paths:
+
+* ``cosine_topk`` — brute-force exact top-k: queries broadcast against
+  the corpus, dot products via ``zip_with``+``aggregate`` (JVM-side,
+  sequential summation order — matches DuckDB's list_dot_product for the
+  oracle). The right baseline, and the right answer when |queries| is
+  small: one corpus scan, no shuffle of the corpus.
+* ``lsh_cosine_topk`` — random-hyperplane LSH bucketing (signs of
+  md5-derived ±1 projections): candidates share a bucket, exact cosine
+  re-ranks. Sub-linear candidate sets at 100 TB; deterministic
+  (hash-derived hyperplanes, no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self excluded).
+
+    Rank on (rounded cosine desc, neighbor id asc) — the rounding makes
+    rank deterministic across engines; id breaks residual ties.
+
+    Scale: broadcast(queries) ⋈ corpus = one pass over the corpus,
+    per-partition partial top-k via the row_number window on the
+    (small) query partition count.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def hyperplane_signs(vec_col: str, dims: int, planes: int) -> Column:
+    """LSH bucket key: sign bits of `planes` pseudo-random projections.
+
+    Hyperplane p's weight for dimension d is ±1 from the parity of the
+    first hex char of md5('p:d') — deterministic, no RNG, reproducible in
+    SQL for the oracle.
+    """
+    bits = []
+    for p in range(planes):
+        proj = None
+        for d in range(dims):
+            w = 1 if int(hashlib_md5_hex(f"{p}:{d}")[0], 16) % 2 == 0 else -1
+            term = F.get(F.col(vec_col), d).cast("double") * F.lit(float(w))
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hashlib_md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine re-rank within hyperplane buckets.
+
+    Recall < 1 by construction (that's the point); 2^planes buckets →
+    candidate set ~N/2^planes per query. At 100 TB: bucket the corpus
+    once (write-time partitioning), probe per query.
+    """
+    sig = hyperplane_signs(vec_col, dims, planes)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("q_bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), c["bucket"] == q["q_bucket"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b) with cosine ≥ threshold.
+
+    Brute all-pairs — correct baseline; the LSH bucket join above is the
+    scale path (restrict pairs to same-bucket before exact cosine).
+    """
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(b, a["a_id"] < b["b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

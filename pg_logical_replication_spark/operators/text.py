@@ -1,0 +1,91 @@
+"""Text-analysis operators for corpus curation (BASELINE.json north star).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting. All JVM-side expressions (split / regexp /
+aggregate / md5) — vectorized, codegen-friendly, no Python in the hot
+path; each has an exact SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators.dedup import tokens_expr
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "de", "los", "que"),
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token count, char count, avg token length (stable division)."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.round(total_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, punct ratio, stopword ratio,
+    uppercase ratio — the usual pre-training corpus filters."""
+    toks = tokens_expr(text_col)
+    text = F.col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    en_stops = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*en_stops)))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: the language whose stopword list scores
+    the most token hits wins; ties/no-hits → 'und' (undetermined).
+
+    Deterministic tie-break: language order as listed. (A real system
+    uses char n-gram models; the heuristic is the SQL-expressible core.)
+    """
+    toks = tokens_expr(text_col)
+    out = df.select(F.col(id_col), toks.alias("_toks"))
+    for lang, stops in LANG_STOPWORDS.items():
+        out = out.withColumn(
+            f"_hits_{lang}",
+            F.size(F.filter(F.col("_toks"), lambda x: F.lower(x).isin(*stops))),
+        )
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        guess = F.when(
+            (F.col(f"_hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — catches shuffled/reordered copies exact-hash misses."""
+    toks = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )

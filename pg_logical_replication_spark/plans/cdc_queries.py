@@ -1,0 +1,181 @@
+"""CDC-layer queries over the driver's `events` table.
+
+`events` is the CDC-shaped fixture (FIXTURES.md §4): `event_type` ≙ op,
+`(ts, event_id)` ≙ LSN order, `user_id` ≙ key. These queries express the
+reference's actual consumer surface — per-kind counts
+(decoder-wal2json.spec.ts:40-42), apply-changes materialization, LSN
+arithmetic — and push two decoders THROUGH the DuckDB oracle gate by
+encoding events into wire format in-query and decoding with the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.model import lsn_long_expr, lsn_str_expr
+from pg_logical_replication_spark.plans.registry import register, t
+
+_OP_CASE = (
+    "CASE WHEN event_type = 'signup' THEN 'insert' "
+    "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+)
+
+
+@register(
+    "q_cdc_op_counts",
+    "SELECT event_type AS op, COUNT(*) AS n FROM events GROUP BY event_type",
+    "per-kind event counts — the reference's own consumer query "
+    "(decoder-wal2json.spec.ts:40-42 filter(kind).length)",
+)
+def q_cdc_op_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("op"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_cdc_apply_events",
+    """
+    SELECT user_id, event_type AS last_op, value AS last_value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "apply-changes over the event stream: newest-per-key wins, "
+    "'error' ≙ delete tombstone (operators/apply_changes.py semantics)",
+)
+def q_cdc_apply_events(spark, sf_dir):
+    """Same per-key window as apply_changes.latest_image — one shuffle
+    on the key, newest event wins, tombstones drop."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q_cdc_wal2json_roundtrip",
+    f"""
+    SELECT {_OP_CASE} AS op,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(event_id * 8 + 16) AS BIGINT) AS sum_lsn_long
+    FROM events GROUP BY 1
+    """,
+    "wal2json ENCODE→DECODE round-trip through the oracle gate: events "
+    "are serialized to wal2json changesets in-query, decoded by "
+    "sources/wal2json.py, and the aggregate must match DuckDB computing "
+    "directly on the source rows — proves decoder + LSN math end-to-end",
+)
+def q_cdc_wal2json_roundtrip(spark, sf_dir):
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = t(spark, sf_dir, "events")
+    kind = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    lsn = lsn_str_expr(F.col("event_id") * 8 + 16)
+    change = F.struct(
+        kind.alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("events").alias("table"),
+        F.array(F.lit("event_id"), F.lit("user_id")).alias("columnnames"),
+        F.array(F.lit("bigint"), F.lit("bigint")).alias("columntypes"),
+        F.array(
+            F.col("event_id").cast("string"), F.col("user_id").cast("string")
+        ).alias("columnvalues"),
+        F.when(
+            kind == "delete",
+            F.struct(
+                F.array(F.lit("event_id")).alias("keynames"),
+                F.array(F.lit("bigint")).alias("keytypes"),
+                F.array(F.col("event_id").cast("string")).alias("keyvalues"),
+            ),
+        ).alias("oldkeys"),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.array(change).alias("change"),
+                F.col("event_id").alias("xid"),
+                lsn.alias("nextlsn"),
+            )
+        ).alias("value")
+    )
+    decoded = decode_wal2json(raw)
+    eid = F.coalesce(
+        F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
+    ).cast("bigint")
+    return decoded.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum(eid).alias("sum_eid"),
+        F.sum("lsn_long").alias("sum_lsn_long"),
+    )
+
+
+@register(
+    "q_cdc_test_decoding_roundtrip",
+    """
+    SELECT event_type AS etype, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM events GROUP BY event_type
+    """,
+    "test_decoding ENCODE→DECODE round-trip: events serialized to the "
+    "text format (with quote-escaping) and decoded by "
+    "sources/test_decoding.py's regex grammar",
+)
+def q_cdc_test_decoding_roundtrip(spark, sf_dir):
+    from pg_logical_replication_spark.sources.test_decoding import decode_test_decoding
+
+    ev = t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("table public.events: INSERT: event_id[bigint]:"),
+        F.col("event_id").cast("string"),
+        F.lit(" user_id[bigint]:"),
+        F.col("user_id").cast("string"),
+        F.lit(" etype[text]:'"),
+        F.replace(F.col("event_type"), F.lit("'"), F.lit("''")),
+        F.lit("'"),
+    )
+    decoded = decode_test_decoding(ev.select(line.alias("value")))
+    return decoded.groupBy(F.col("after").getItem("etype").alias("etype")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+    )
+
+
+@register(
+    "q_lsn_roundtrip",
+    """
+    SELECT event_id % 50 AS g,
+           CAST(SUM(event_id * 268435456 + 17) AS BIGINT) AS sum_lsn_long
+    FROM events GROUP BY 1
+    """,
+    "LSN hex-pair ↔ long round-trip across the 32-bit word boundary "
+    "(model.lsn_str_expr/lsn_long_expr ≙ binary-reader.ts:75-86), "
+    "JVM-side conv/hex only",
+)
+def q_lsn_roundtrip(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    # event_id << 28 pushes into the upper LSN word for ids ≥ 16
+    v = F.col("event_id") * F.lit(268435456).cast("long") + 17
+    roundtripped = lsn_long_expr(lsn_str_expr(v))
+    return (
+        ev.select((F.col("event_id") % 50).alias("g"), roundtripped.alias("rt"))
+        .groupBy("g")
+        .agg(F.sum("rt").alias("sum_lsn_long"))
+    )

@@ -1,0 +1,293 @@
+"""LLM-data-pipeline queries: dedup / similarity / text analysis.
+
+Thin wrappers binding the generic operators (operators/dedup.py,
+similarity.py, text.py) to the driver tables, each with a DuckDB oracle
+that replays the exact same md5-based arithmetic — the determinism
+contract is described in operators/dedup.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators import dedup as D
+from pg_logical_replication_spark.operators import similarity as S
+from pg_logical_replication_spark.operators import text as TX
+from pg_logical_replication_spark.plans.registry import register, t
+
+# DuckDB building blocks mirroring operators/dedup.py expressions
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 1)), "
+    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
+)
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact dedup: representative per content digest (shuffles 32-byte "
+    "hashes, not documents)",
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled)
+    SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM ({bands})
+    """
+
+
+@register(
+    "q_dedup_minhash_bands",
+    _minhash_oracle(),
+    "MinHash-LSH band keys per document (md5-hash-family signatures, "
+    "4 bands × 2 hashes) — the sub-quadratic near-dup index",
+)
+def q_dedup_minhash_bands(spark, sf_dir):
+    sig = D.minhash_signature(t(spark, sf_dir, "documents"))
+    return D.minhash_bands(sig).withColumn("band_idx", F.col("band_idx").cast("int"))
+
+
+def _minhash_pairs_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "q_dedup_minhash_pairs",
+    _minhash_pairs_oracle(),
+    "LSH candidate pairs (band-key equality join)",
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return D.minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_jaccard_top",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+                 FROM (SELECT doc_id, tk FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+              FROM shingled a JOIN shingled b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id,
+           ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    ORDER BY jaccard DESC, a_id, b_id LIMIT 20
+    """,
+    "exact 3-gram Jaccard on inverted-index candidates, top-20 pairs",
+)
+def q_dedup_jaccard_top(spark, sf_dir):
+    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.0)
+    return pairs.orderBy(F.col("jaccard").desc(), "a_id", "b_id").limit(20)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    vals = ", ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR(h, {c + 1}, 1)) - 1) AS v_{c}"
+        for c in range(bits // 4)
+    )
+    votes = ", ".join(
+        f"SUM((CAST(FLOOR(v_{i // 4} / {2 ** (i % 4)}) AS BIGINT) % 2) * 2 - 1) AS vote_{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN vote_{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    v AS (SELECT doc_id, {vals} FROM h),
+    votes AS (SELECT doc_id, {votes} FROM v GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    _simhash_oracle(),
+    "16-bit SimHash signature per document (token-vote sign bits)",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- similarity
+_COS = (
+    "ROUND(list_dot_product(qv, cv) / "
+    "(SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "q_ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS n_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    s AS (SELECT q_id, n_id, {_COS} AS cosine
+          FROM c CROSS JOIN q WHERE n_id <> q_id)
+    SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rnk
+      FROM s) WHERE rnk <= 5
+    """,
+    "brute-force exact cosine top-5 per query vector (broadcast-query scan)",
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+@register(
+    "q_embed_near_dup_top",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, a_id, b_id LIMIT 20
+    """,
+    "embedding near-duplicate: top-20 all-pairs cosine (LSH-bucketed "
+    "variant in operators/similarity.py is the 100 TB path)",
+)
+def q_embed_near_dup_top(spark, sf_dir):
+    pairs = S.cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=-1.0)
+    return pairs.orderBy(F.col("cosine").desc(), "a_id", "b_id").limit(20)
+
+
+@register(
+    "q_ann_lsh_topk",
+    None,  # bucket recall is engine-arranged; rows-only check
+    "LSH-bucketed ANN (random-hyperplane signs): the sub-linear scale path",
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ------------------------------------------------------------------- text
+@register(
+    "q_text_token_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+    SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6)
+             AS avg_token_len
+    FROM toks
+    """,
+    "token counting + length stats per document",
+)
+def q_text_token_stats(spark, sf_dir):
+    out = TX.token_stats(t(spark, sf_dir, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long")).withColumn(
+        "n_chars_measured", F.col("n_chars_measured").cast("long")
+    )
+
+
+@register(
+    "q_text_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+    SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / length(text), 6) AS punct_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                 / length(text), 6) AS upper_ratio,
+           ROUND(len(list_filter(tk, x -> lower(x) IN ('the','a','of','and','to')))
+                 / len(tk), 6) AS stopword_ratio
+    FROM toks
+    """,
+    "quality scoring: punct/upper/stopword ratios (corpus filters)",
+)
+def q_text_quality(spark, sf_dir):
+    out = TX.quality_score(t(spark, sf_dir, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _lang_oracle() -> str:
+    hit = {
+        lang: f"len(list_filter(tk, x -> lower(x) IN ({', '.join(repr(s) for s in stops)})))"
+        for lang, stops in TX.LANG_STOPWORDS.items()
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    cases = " ".join(
+        f"WHEN {h} = best AND best > 0 THEN '{lang}'" for lang, h in hit.items()
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, tk, {best} AS best FROM toks)
+    SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_guess FROM scored
+    """
+
+
+@register(
+    "q_text_lang_guess",
+    _lang_oracle(),
+    "language ID heuristic (stopword-hit argmax with deterministic ties)",
+)
+def q_text_lang_guess(spark, sf_dir):
+    return TX.language_guess(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+    FROM toks
+    """,
+    "order-insensitive document fingerprint (md5 of sorted token set)",
+)
+def q_text_fingerprint(spark, sf_dir):
+    return TX.fingerprint(t(spark, sf_dir, "documents"))

@@ -1,0 +1,79 @@
+"""Query registry + determinism helpers for the DuckDB-oracle gate.
+
+The driver compares each Spark query with its oracle SQL by row count,
+schema, and an order-insensitive value hash — so every query here must be
+**bit-deterministic across engines**. The two tools for that:
+
+* ``ssum`` — sums of doubles are order-dependent in IEEE float; both
+  engines therefore sum in ``DECIMAL(38,4)`` (exact, associative) and
+  cast the result back to double. Same trick in the oracle SQL.
+* explicit tie-breaks on unique keys before any LIMIT / rank.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@dataclass
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views; None → rows-only check
+    description: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided table (TESTDATA.md).
+
+    ``events.ts`` is nanosecond-precision parquet, which Spark's
+    vectorized reader rejects; read it as long (legacy conf) and convert
+    ns → µs with integer division (double division would lose precision
+    at 1.7e18). DuckDB reads the same column as TIMESTAMP_NS and floors
+    to µs on cast — identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Scale 6: every measure in the test schema is exact at ≤6 decimals (prices
+# ×2dp, products of up to three 2dp factors), so the double→decimal cast
+# never lands on a rounding tie — where Spark (HALF_UP) and DuckDB would
+# disagree. At scale 4 the q1 charge column DID hit exact .5 ties.
+def ssum(col: Column | str, scale: int = 6) -> Column:
+    """Order-stable cross-engine sum: DECIMAL(38,scale) accumulate → double.
+
+    Oracle counterpart: ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def savg(col: Column | str, scale: int = 6) -> Column:
+    """Order-stable average: stable sum ÷ count (double division of
+    identical operands is deterministic across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ssum(c, scale) / F.count(c)

@@ -1,0 +1,550 @@
+"""Relational query layer — SURVEY §2.2's capability matrix, Spark-first.
+
+Each query is expressed with the DataFrame API (Catalyst handles pushdown,
+pruning, join strategy; AQE rewrites at runtime) and paired with ANSI SQL
+for the DuckDB oracle. Aggregates use the registry's stable-sum pattern so
+values hash identically across engines.
+
+Scale notes are in each docstring — the design point is 100 TB / 1000
+executors even though tests run local (BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.plans.registry import register, savg, ssum, t
+
+_SSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+_SAVG = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x})"
+
+
+# --------------------------------------------------------------- aggregates
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_SSUM.format(x='l_quantity')} AS sum_qty,
+           {_SSUM.format(x='l_extendedprice')} AS sum_base_price,
+           {_SSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_SSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_SAVG.format(x='l_quantity')} AS avg_qty,
+           {_SAVG.format(x='l_extendedprice')} AS avg_price,
+           {_SAVG.format(x='l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: scan + partial/final hash agg",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Scale: map-side partial agg on 6 groups → final agg is tiny;
+    filter + 7-column pruning pushed to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            ssum("l_quantity").alias("sum_qty"),
+            ssum("l_extendedprice").alias("sum_base_price"),
+            ssum(disc_price).alias("sum_disc_price"),
+            ssum(charge).alias("sum_charge"),
+            savg("l_quantity").alias("avg_qty"),
+            savg("l_extendedprice").alias("avg_price"),
+            savg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT o.o_orderkey, {_SSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+    """,
+    "TPC-H Q3: 3-way join + agg + deterministic top-10",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Scale: customer (filtered) broadcasts under AQE; orders⋈lineitem is
+    the one big shuffle, on the join key both sides. Top-10 is a
+    TakeOrdered — no global sort materialization."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(ssum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    f"""
+    SELECT n.n_name, {_SSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                                   AND c.c_nationkey = s.s_nationkey
+                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5: 6-way join with small-dim broadcasts",
+)
+def q5_local_supplier(spark, sf_dir):
+    """Scale: region/nation/supplier broadcast (tiny dims); the only
+    shuffles are orders⋈lineitem and customer⋈orders, both key-aligned."""
+    c, o, li = (t(spark, sf_dir, x) for x in ("customer", "orders", "lineitem"))
+    s, n, r = (t(spark, sf_dir, x) for x in ("supplier", "nation", "region"))
+    r = r.filter(F.col("r_name") == "ASIA")
+    o = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(ssum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_agg_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact distinct aggregation (expand + two-phase agg)",
+)
+def q_agg_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_approx_distinct",
+    None,  # HLL sketches are engine-specific — rows-only check by design
+    "approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct path",
+)
+def q_approx_distinct(spark, sf_dir):
+    """Scale: HLL sketch merges are associative — no expand, constant
+    memory per group; THE way to count distincts at 100 TB."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+@register(
+    "q_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_SSUM.format(x='l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP grouping hierarchy",
+)
+def q_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), ssum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over two dimensions",
+)
+def q_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_SSUM.format(x='l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "explicit GROUPING SETS via SQL",
+)
+def q_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ----------------------------------------------------------------- windows
+@register(
+    "q_window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+    "top-k per group via row_number window",
+)
+def q_window_topk(spark, sf_dir):
+    """Scale: one shuffle on o_custkey; rank truncation happens inside
+    each partition (no global sort)."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "q_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    "running aggregate per key (cumulative customer spend)",
+)
+def q_window_running(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q_window_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+    "lag(): previous-row image per key — the CDC old/new reconstruction primitive",
+)
+def q_window_lag(spark, sf_dir):
+    """lag() is how the engine reconstructs old/new images from a change
+    stream (SURVEY §2.2 'window functions' row)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# ------------------------------------------------------------ sorts / sets
+@register(
+    "q_topk_global",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+    "global top-k with unique tie-break",
+)
+def q_topk_global(spark, sf_dir):
+    """Scale: ORDER BY+LIMIT compiles to TakeOrderedAndProject — per-
+    partition heaps + driver merge, never a full sort."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
+    "q_set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "INTERSECT (distinct) of two key sets",
+)
+def q_set_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "EXCEPT (distinct): snapshot diffing primitive",
+)
+def q_set_except(spark, sf_dir):
+    """exceptAll both ways = snapshot diff (SURVEY §2.2 set-ops row)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "q_set_union",
+    """
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    """,
+    "UNION + DISTINCT",
+)
+def q_set_union(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ------------------------------------------------------------------- joins
+@register(
+    "q_semi_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_active FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    "left-semi join (EXISTS)",
+)
+def q_semi_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    "left-anti join (NOT EXISTS)",
+)
+def q_anti_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM part p
+    JOIN (VALUES ('low', 900.0, 935.0), ('mid', 935.0, 970.0), ('high', 970.0, 1000.0))
+         AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    "range (interval) join against a band table",
+)
+def q_range_join(spark, sf_dir):
+    """Scale: inequality join with a small build side → broadcast nested
+    loop over 3 rows — constant per-row work; for large band tables the
+    engine buckets the range (see operators/asof.py)."""
+    p = t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 935.0), ("mid", 935.0, 970.0), ("high", 970.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p["p_retailprice"] >= bands["lo"]) & (p["p_retailprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            ssum("p_retailprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+    SELECT event_id, user_id, purchase_value, last_click_value FROM (
+      SELECT event_id, user_id, event_type, value AS purchase_value,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_value
+      FROM events) WHERE event_type = 'purchase'
+    """,
+    "as-of join: latest click strictly before each purchase, per user",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of ('most recent prior fact') is CDC-native — same shape as
+    'row image as of LSN'. One shuffle on user_id; last(ignorenulls) over
+    an unbounded-preceding frame avoids a per-row range scan."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_click_value",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", F.col("value").alias("purchase_value"), "last_click_value"
+        )
+    )
+
+
+# ---------------------------------------------------- events: json / time
+@register(
+    "q_json_extract",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n, {_SSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+    "JSON path extraction + aggregation",
+)
+def q_json_extract(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), ssum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "q_tumbling_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, {_SSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling time window aggregation (batch form of streaming window())",
+)
+def q_tumbling_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"), ssum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "q_sessionize",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM g)
+    SELECT user_id, session_idx, COUNT(*) AS n_events, {_SSUM.format(x='value')} AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+    "sessionization: 30-min-gap sessions via lag + cumulative sum",
+)
+def q_sessionize(spark, sf_dir):
+    """Batch equivalent of streaming session_window(); one shuffle on
+    user_id, two window passes in the same partitioning."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    g = ev.select(
+        "user_id", "ts", "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = g.withColumn("session_idx", F.sum("new_session").over(w2))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"), ssum("value").alias("sum_value")
+    )

@@ -1,0 +1,84 @@
+"""Oracle parity harness — mimics the driver's correctness gate locally.
+
+For every registered query: run the Spark builder AND the DuckDB oracle
+on the same sf0.001 parquet, compare row count, column names, and an
+order-insensitive value multiset (columns sorted by name, rows sorted,
+floats pre-rounded by the queries themselves)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from pg_logical_replication_spark.plans.registry import QUERIES, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(_norm(row[i]) for i in order) for row in data],
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in QUERIES.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec.builder(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(spec.oracle)
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    left, right = _rows(scols, srows), _rows(dcols, drows)
+    mismatches = [i for i, (a, b) in enumerate(zip(left, right)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first: "
+        f"{left[mismatches[0]]} vs {right[mismatches[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name].builder(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
