@@ -1,0 +1,26 @@
+"""Structured Streaming layer — the reference's live surface, Spark-first.
+
+Mapping (SURVEY §2.1 → here):
+
+* ``subscribe(plugin, slot)``      → ``LogicalReplicationService.subscribe``
+  (readStream over an event-log directory + decode transform + sink)
+* acknowledge / auto-ack (#17-18)  → the checkpoint commit log (offsets
+  commit after each successful micro-batch — at-least-once at the source,
+  exactly-once end-to-end with an idempotent sink, strictly stronger than
+  the reference's manual ack)
+* resume-from-LSN / replay (#22)   → restart with the same
+  ``checkpointLocation`` (uncommitted offsets replay); delete the
+  checkpoint ≙ re-subscribe from ``0/00000000``
+* flow control / backpressure (#21)→ ``maxFilesPerTrigger`` micro-batch
+  sizing (pull-based, no pause/resume machinery needed)
+* stop()/destroy() (#23)           → ``StreamingQuery.stop()``
+* apply-changes materialization    → ``foreachBatch`` merge-on-read log
+  (``streaming/apply.py``)
+"""
+
+from pg_logical_replication_spark.streaming.service import (  # noqa: F401
+    LogicalReplicationService,
+)
+from pg_logical_replication_spark.streaming.apply import (  # noqa: F401
+    MergeOnReadTable,
+)

@@ -1,0 +1,163 @@
+"""LogicalReplicationService — the reference's live API, on Structured
+Streaming.
+
+Reference surface (``src/logical-replication-service.ts``):
+
+* ``subscribe(plugin, slot, uptoLsn?)`` (:126-185) — open the stream and
+  start emitting decoded messages.
+* ``acknowledge(lsn)`` (:254-300) — commit position; auto-ack (:187-192)
+  commits after every message.
+* ``lastLsn()`` (:65-68) — newest seen position.
+* ``stop()`` / ``destroy()`` (:98-124) — lifecycle.
+* flow control (:198-229) — bounded, ordered delivery.
+
+Spark-first realization: a "slot" is a checkpointed streaming query over
+an event-log directory (files of encoded changesets — the durable form
+of the COPY stream; a live PG endpoint would be a thin relay appending
+to it, or a Python DataSource, neither needed for correctness here).
+
+* subscribe  → ``readStream`` file source + format decode transform +
+  user sink (``foreachBatch`` or a ``MergeOnReadTable``).
+* acknowledge → the checkpoint offset log: offsets commit only after a
+  micro-batch's sink completes, which IS auto-ack; manual-ack mode is
+  ``foreachBatch`` raising before its side effect is durable (batch
+  replays — ``acknowledge.spec.ts:32-76`` replay-from-zero semantics).
+* resume     → same ``checkpointLocation`` ⇒ uncommitted offsets replay;
+  ``replay_all()`` (delete checkpoint) ≙ restart from ``0/00000000``.
+* flow control → ``maxFilesPerTrigger`` bounds each micro-batch; within
+  a batch, apply-changes re-derives order per key from ``lsn_long`` (the
+  engine never needs the reference's pause/resume socket machinery —
+  the pull-based micro-batch model is backpressure by construction).
+
+Scale: the event-log directory is listed incrementally by the file
+source (compact metadata log); decode is JVM-side for wal2json /
+test_decoding and Arrow-batched for pgoutput, so a 1000-executor
+cluster partitions by file with no coordination beyond offset planning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pg_logical_replication_spark.sources import decode
+
+
+class LogicalReplicationService:
+    """One instance ≙ one replication consumer; ``subscribe`` per slot.
+
+    ``event_log_dir`` holds the encoded stream (one changeset per line
+    for text formats); ``checkpoint_root`` holds per-slot commit logs.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        event_log_dir: str,
+        checkpoint_root: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.event_log_dir = event_log_dir
+        self.checkpoint_root = checkpoint_root
+        self.max_files_per_trigger = max_files_per_trigger
+        self._queries: dict[str, StreamingQuery] = {}
+        self._last_lsn: dict[str, str] = {}
+
+    # ------------------------------------------------------------ source
+    def changes(self, fmt: str, **decode_options) -> DataFrame:
+        """The decoded, unbounded ChangeEvent DataFrame (no sink yet)."""
+        reader = self.spark.readStream.format("text")
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        raw = reader.load(self.event_log_dir)
+        return decode(raw, fmt, **decode_options)
+
+    # --------------------------------------------------------- subscribe
+    def subscribe(
+        self,
+        fmt: str,
+        slot_name: str,
+        sink: Callable[[DataFrame, int], Any],
+        decode_options: dict[str, Any] | None = None,
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        """Start streaming decoded changes into ``sink`` (foreachBatch).
+
+        ``available_now=True`` processes everything currently in the log
+        then stops — the hermetic-test / batch-catchup trigger; pass
+        False for a continuously running query (micro-batch default
+        trigger). The checkpoint under ``<root>/<slot_name>`` is the
+        slot: re-subscribing with the same name resumes from the last
+        committed offset (≙ ``uptoLsn`` resume, reference :134-137).
+        """
+        ev = self.changes(fmt, **(decode_options or {}))
+
+        def tracked_sink(batch_df: DataFrame, batch_id: int) -> None:
+            sink(batch_df, batch_id)
+            # ≙ `_lastLsn = lsn` after each delivered message (reference
+            # :173): recorded only after the sink succeeds, i.e. at the
+            # moment the reference would auto-ack (:187-192).
+            lsn = max_lsn(batch_df)
+            if lsn is not None:
+                self._last_lsn[slot_name] = lsn
+
+        writer = (
+            ev.writeStream.foreachBatch(tracked_sink)
+            .option("checkpointLocation", self._checkpoint(slot_name))
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        self._queries[slot_name] = q
+        return q
+
+    def subscribe_and_wait(self, *args, **kwargs) -> None:
+        """subscribe(availableNow) + awaitTermination — drain the log."""
+        self.subscribe(*args, **kwargs).awaitTermination()
+
+    # ----------------------------------------------------- slot position
+    def _checkpoint(self, slot_name: str) -> str:
+        return os.path.join(self.checkpoint_root, slot_name)
+
+    def last_lsn(self, slot_name: str) -> str | None:
+        """Newest LSN whose batch the slot's sink has completed
+        (≙ ``lastLsn()``, reference :65-68); None before any data."""
+        return self._last_lsn.get(slot_name)
+
+    def replay_all(self, slot_name: str) -> None:
+        """Drop the slot's checkpoint ⇒ next subscribe replays the whole
+        log (≙ re-subscribing from ``0/00000000``,
+        ``acknowledge.spec.ts:70-75``)."""
+        cp = self._checkpoint(slot_name)
+        if os.path.exists(cp):
+            shutil.rmtree(cp)
+
+    # ---------------------------------------------------------- lifecycle
+    def stop(self) -> None:
+        """Stop all live queries; checkpoints survive for re-subscribe
+        (≙ ``stop()`` keeping listeners, reference :98-118)."""
+        for q in self._queries.values():
+            if q.isActive:
+                q.stop()
+
+    def destroy(self) -> None:
+        """stop + forget query handles (≙ ``destroy()``, :120-124).
+        Checkpoints are durable state and are NOT deleted — that is
+        ``replay_all``'s explicit job."""
+        self.stop()
+        self._queries.clear()
+
+
+def max_lsn(events: DataFrame) -> str | None:
+    """Newest LSN in a (micro-)batch of ChangeEvents — the position a
+    manual acknowledger would commit (``acknowledge(lsn)``, :254-300)."""
+    row = events.agg(F.max("lsn_long").alias("m"), F.max_by("lsn", "lsn_long").alias("s")).first()
+    return None if row is None or row["m"] is None else row["s"]

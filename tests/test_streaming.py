@@ -1,0 +1,191 @@
+"""Structured Streaming layer E2E — the behavioral matrix of the
+reference's lifecycle specs, hermetic over a file event log:
+
+* drain + apply        ≙ decoder specs' insert/update/delete scenarios
+* resume from slot     ≙ acknowledge.spec.ts:32-69 (stop/continue keeps
+                         position; no double-delivery)
+* replay_all           ≙ acknowledge.spec.ts:70-75 (re-subscribe from
+                         0/00000000 re-delivers everything) — and the MOR
+                         sink's idempotent partition overwrite means the
+                         snapshot is STILL correct after full replay
+                         (at-least-once source + idempotent sink).
+* bounded micro-batches≙ flow-control.spec.ts (maxFilesPerTrigger=1 ⇒
+                         one changeset per batch, applied in order)
+"""
+
+import json
+import os
+
+import pytest
+
+from pg_logical_replication_spark.streaming import (
+    LogicalReplicationService,
+    MergeOnReadTable,
+)
+
+
+def _changeset(xid: int, lsn: str, ts_sec: int, changes: list[dict]) -> str:
+    return json.dumps(
+        {
+            "change": changes,
+            "xid": xid,
+            "nextlsn": lsn,
+            "timestamp": f"2026-08-13 00:00:{ts_sec:02d}.000000+00",
+        }
+    )
+
+
+def _ins(table: str, row: dict) -> dict:
+    return {
+        "kind": "insert",
+        "schema": "public",
+        "table": table,
+        "columnnames": list(row),
+        "columntypes": ["bigint" if isinstance(v, int) else "text" for v in row.values()],
+        "columnvalues": list(row.values()),
+    }
+
+
+def _upd(table: str, row: dict, key: dict) -> dict:
+    d = _ins(table, row)
+    d["kind"] = "update"
+    d["oldkeys"] = {
+        "keynames": list(key),
+        "keytypes": ["bigint"],
+        "keyvalues": list(key.values()),
+    }
+    return d
+
+
+def _del(table: str, key: dict) -> dict:
+    return {
+        "kind": "delete",
+        "schema": "public",
+        "table": table,
+        "oldkeys": {
+            "keynames": list(key),
+            "keytypes": ["bigint"],
+            "keyvalues": list(key.values()),
+        },
+    }
+
+
+BATCH1 = [
+    _changeset(701, "0/1000100", 0, [_ins("users", {"id": 1, "name": "alice"}),
+                                     _ins("users", {"id": 2, "name": "bob"})]),
+    _changeset(702, "0/1000200", 1, [_upd("users", {"id": 1, "name": "alice2"}, {"id": 1})]),
+]
+BATCH2 = [
+    _changeset(703, "0/1000300", 2, [_del("users", {"id": 2})]),
+    _changeset(704, "0/1000400", 3, [_ins("users", {"id": 3, "name": "carol"})]),
+]
+
+
+@pytest.fixture()
+def log_dirs(tmp_path):
+    log = tmp_path / "wal"
+    log.mkdir()
+    return str(log), str(tmp_path / "ckpt"), str(tmp_path / "mor")
+
+
+def _append(log_dir: str, name: str, lines: list[str]) -> None:
+    with open(os.path.join(log_dir, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _names(table: MergeOnReadTable) -> set[str]:
+    snap = table.snapshot()
+    return {r["after"]["name"] for r in snap.collect()} if snap is not None else set()
+
+
+def test_stream_drain_apply_and_resume(spark, log_dirs):
+    log, ckpt, mor = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+
+    _append(log, "000.jsonl", BATCH1)
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+    assert _names(table) == {"alice2", "bob"}
+    assert svc.last_lsn("slot1") == "0/1000200"
+
+    # resume: only the new file is processed (offsets committed ≙ acked)
+    _append(log, "001.jsonl", BATCH2)
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+    assert _names(table) == {"alice2", "carol"}
+    assert svc.last_lsn("slot1") == "0/1000400"
+
+
+def test_replay_all_is_idempotent_through_mor_sink(spark, log_dirs):
+    log, ckpt, mor = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+
+    _append(log, "000.jsonl", BATCH1)
+    _append(log, "001.jsonl", BATCH2)
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+    before = _names(table)
+
+    # ≙ acknowledge.spec.ts:70-75 — replay from 0/00000000 re-delivers
+    # all changes; the idempotent sink keeps the snapshot identical.
+    svc.replay_all("slot1")
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+    assert _names(table) == before == {"alice2", "carol"}
+
+
+def test_bounded_microbatches_preserve_order(spark, log_dirs):
+    log, ckpt, mor = log_dirs
+    # flow control: one file per trigger ⇒ ordered single-changeset batches
+    svc = LogicalReplicationService(spark, log, ckpt, max_files_per_trigger=1)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+    seen: list[int] = []
+
+    def sink(df, batch_id):
+        table.apply_batch(df, batch_id)
+        seen.append(batch_id)
+
+    _append(log, "000.jsonl", BATCH1[:1])
+    _append(log, "001.jsonl", BATCH1[1:])
+    _append(log, "002.jsonl", BATCH2)
+    svc.subscribe_and_wait("wal2json", "slot1", sink)
+    assert seen == sorted(seen) and len(seen) >= 3
+    assert _names(table) == {"alice2", "carol"}
+
+
+def test_compact_preserves_snapshot(spark, log_dirs):
+    log, ckpt, mor = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+    _append(log, "000.jsonl", BATCH1)
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+
+    table.compact()
+    assert _names(table) == {"alice2", "bob"}
+
+    # post-compact stream continues to apply on top of the folded base
+    _append(log, "001.jsonl", BATCH2)
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+    assert _names(table) == {"alice2", "carol"}
+
+
+def test_typed_snapshot_columns(spark, log_dirs):
+    log, ckpt, mor = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+    _append(log, "000.jsonl", BATCH1)
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+
+    typed = table.snapshot_columns({"id": "bigint", "name": "text"})
+    rows = {r["id"]: r["name"] for r in typed.collect()}
+    assert rows == {1: "alice2", 2: "bob"}
+    assert dict(typed.dtypes) == {"id": "bigint", "name": "string"}
+
+
+def test_stop_and_destroy_are_safe(spark, log_dirs):
+    log, ckpt, _ = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt)
+    _append(log, "000.jsonl", BATCH1)
+    q = svc.subscribe("wal2json", "slot1", lambda df, bid: None)
+    q.awaitTermination()
+    svc.stop()
+    svc.destroy()  # ≙ destroy(): idempotent, keeps the checkpoint
+    assert os.path.exists(os.path.join(ckpt, "slot1"))
