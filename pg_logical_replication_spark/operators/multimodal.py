@@ -1,0 +1,193 @@
+"""Multimodal (image/audio/video) columns as binary + typed metadata.
+
+A 100 TB training-data pipeline carries media as opaque ``binary``
+columns with structured metadata, decoded lazily on executors. This
+module provides that plumbing Spark-first:
+
+* an assets schema: ``payload: binary`` + ``meta: struct`` (typed,
+  per-kind fields nullable);
+* deterministic asset synthesis from the ``documents`` table (this
+  container ships no media codecs or fixtures) — payloads are
+  ``unhex(repeat(sha2(text, 256), k))``, reproducible bit-for-bit in
+  DuckDB (``unhex(repeat(sha256(text), k))``) so every downstream
+  operator keeps a value-level oracle;
+* decode / feature-extract / frame-sample / resize as Arrow-batched
+  ``mapInPandas`` stages — the real executor-side shape (batch in,
+  variable rows out, no driver involvement);
+* REAL codec paths (jpeg/png/wav/h264...) are STUBBED with
+  ``NotImplementedError`` — the Spark-side plumbing (schema,
+  partitioning, UDF signature, batch shape) is real and tested; only
+  the byte→pixels step is a deterministic fake, clearly marked.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow record batches per partition, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × max payload size.
+Feature extraction keeps narrow outputs (drop the payload column as
+early as possible — column pruning cannot remove a column the UDF
+yields). Frame sampling fans out rows; partition count is inherited,
+so repartition upstream by asset_id if frames-per-asset is skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+KINDS = ["image", "audio", "video"]
+
+#: Codecs whose real decoders would be used in production. Not in this
+#: container — requesting one raises NotImplementedError (STUB).
+REAL_CODECS = frozenset({"jpeg", "png", "webp", "wav", "mp3", "flac", "h264", "vp9"})
+
+ASSET_SCHEMA = (
+    "asset_id bigint, kind string, payload binary, "
+    "meta struct<codec: string, width: int, height: int, "
+    "sample_rate: int, duration_ms: int>"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id bigint, kind string, n_bytes int, n_frames int, hexmean double"
+)
+
+FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_bytes int"
+
+FRAME_SIZE = 32  # synthetic frame = one sha256 digest
+
+
+def synthesize_assets(documents: DataFrame) -> DataFrame:
+    """documents → deterministic multimodal assets (JVM-side, no UDF).
+
+    kind cycles image/audio/video by doc_id; payload is 1-4 sha256
+    digests of the text (32-128 bytes); meta fields are arithmetic on
+    doc_id. Oracle (DuckDB):
+    ``unhex(repeat(sha256(text), 1 + doc_id % 4))``.
+    """
+    k = (F.col("doc_id") % 3).cast("int")
+    reps = (F.lit(1) + F.col("doc_id") % 4).cast("int")
+    kind = F.element_at(F.array(*[F.lit(s) for s in KINDS]), k + 1)
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.unhex(F.repeat(F.sha2(F.col("text").cast("binary"), 256), reps)).alias(
+            "payload"
+        ),
+        F.struct(
+            F.lit("fake").alias("codec"),
+            F.when(k == 0, (16 + F.col("doc_id") % 64).cast("int")).alias("width"),
+            F.when(k == 0, (16 + F.col("doc_id") % 48).cast("int")).alias("height"),
+            F.when(k == 1, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(k != 0, (1000 + F.col("doc_id") % 9000).cast("int")).alias(
+                "duration_ms"
+            ),
+        ).alias("meta"),
+    )
+
+
+def _require_fake(codec: str) -> None:
+    if codec in REAL_CODECS:
+        raise NotImplementedError(
+            f"STUB: real {codec!r} decode needs a media codec library not "
+            "present in this environment; only the deterministic 'fake' "
+            "codec is implemented (Spark plumbing is real)"
+        )
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_features(assets: DataFrame, codec: str = "fake") -> DataFrame:
+    """Per-asset decoded features via Arrow-batched ``mapInPandas``.
+
+    Features are chosen to be DuckDB-mirrorable on the synthesized
+    payloads: byte length, frame count (⌈bytes/32⌉), and ``hexmean`` —
+    mean ASCII code of the payload's hex form (a stand-in for a pixel
+    statistic that a real decoder would emit).
+    """
+    _require_fake(codec)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payload = pdf["payload"]
+            hexes = payload.map(bytes.hex)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payload.map(len),
+                    "n_frames": payload.map(
+                        lambda b: (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+                    ),
+                    "hexmean": hexes.map(
+                        lambda h: sum(map(ord, h)) / len(h) if h else None
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, every_k: int = 2, codec: str = "fake"
+) -> DataFrame:
+    """Frame sampling: one asset row → rows for frames 0, k, 2k, …
+
+    The one-to-many batch shape of a real video frame sampler; frames
+    are fixed 32-byte synthetic GOPs. Keeps only narrow columns out.
+    """
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    _require_fake(codec)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, sizes = [], [], []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                n = (len(buf) + FRAME_SIZE - 1) // FRAME_SIZE
+                for i in range(0, n, every_k):
+                    ids.append(aid)
+                    idxs.append(i)
+                    sizes.append(min(FRAME_SIZE, len(buf) - i * FRAME_SIZE))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_bytes": sizes}
+            )
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Image resize plumbing: payload → payload' with updated meta.
+
+    Fake resize = truncate/cycle payload to width×height bytes (a real
+    implementation decodes, interpolates, re-encodes — STUBBED; see
+    ``_require_fake``). Output keeps ASSET_SCHEMA so stages compose.
+    """
+    _require_fake(codec)
+    target = width * height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda b: (b * (target // len(b) + 1))[:target] if len(b) else b
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=ASSET_SCHEMA
+    )

@@ -10,3 +10,4 @@ from pg_logical_replication_spark.plans.registry import QUERIES, QuerySpec  # no
 from pg_logical_replication_spark.plans import relational  # noqa: F401
 from pg_logical_replication_spark.plans import cdc_queries  # noqa: F401
 from pg_logical_replication_spark.plans import pipeline  # noqa: F401
+from pg_logical_replication_spark.plans import multimodal  # noqa: F401

@@ -1,0 +1,108 @@
+"""Multimodal pipeline queries: binary asset synthesis, decode features,
+frame sampling, resize — each with a full DuckDB value oracle.
+
+The synthesis arithmetic (``unhex(repeat(sha256(text), 1 + doc_id % 4))``)
+is chosen so DuckDB reproduces the payload bytes exactly; the oracles
+then verify the mapInPandas stages value-for-value, not just row counts
+(operators/multimodal.py documents the determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators import multimodal as MM
+from pg_logical_replication_spark.plans.registry import register, t
+
+# DuckDB twin of multimodal.synthesize_assets (payload + kind only)
+_ASSETS = (
+    "SELECT doc_id AS asset_id,"
+    " ['image','audio','video'][(doc_id % 3)::int + 1] AS kind,"
+    " unhex(repeat(sha256(text), (1 + doc_id % 4)::int)) AS payload,"
+    " repeat(sha256(text), (1 + doc_id % 4)::int) AS payload_hex"
+    " FROM documents"
+)
+
+
+@register(
+    "q_mm_payload_stats",
+    f"""
+    WITH assets AS ({_ASSETS})
+    SELECT kind, COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(payload)) AS bigint) AS total_bytes,
+           CAST(MIN(octet_length(payload)) AS int) AS min_bytes,
+           CAST(MAX(octet_length(payload)) AS int) AS max_bytes
+    FROM assets GROUP BY kind
+    """,
+    "multimodal asset inventory: per-kind payload volume (JVM-side "
+    "synthesis, metadata-only agg — payloads never hit Python)",
+)
+def q_mm_payload_stats(spark, sf_dir):
+    assets = MM.synthesize_assets(t(spark, sf_dir, "documents"))
+    return assets.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min(F.length("payload")).cast("int").alias("min_bytes"),
+        F.max(F.length("payload")).cast("int").alias("max_bytes"),
+    )
+
+
+@register(
+    "q_mm_decode_features",
+    f"""
+    WITH assets AS ({_ASSETS})
+    SELECT asset_id, kind,
+           CAST(octet_length(payload) AS int) AS n_bytes,
+           CAST(ceil(octet_length(payload) / 32.0) AS int) AS n_frames,
+           list_avg(list_transform(string_split(payload_hex, ''),
+                                   x -> ord(x))) AS hexmean
+    FROM assets
+    """,
+    "Arrow-batched decode: per-asset byte/frame counts + a pixel-stat "
+    "stand-in (hexmean), verified value-for-value against SQL",
+)
+def q_mm_decode_features(spark, sf_dir):
+    assets = MM.synthesize_assets(t(spark, sf_dir, "documents"))
+    return MM.decode_features(assets)
+
+
+@register(
+    "q_mm_frame_sample",
+    f"""
+    WITH assets AS ({_ASSETS}),
+    v AS (SELECT asset_id, CAST(octet_length(payload) / 32 AS int) AS n_frames
+          FROM assets WHERE kind = 'video')
+    SELECT asset_id,
+           CAST(unnest(generate_series(0, n_frames - 1, 2)) AS int) AS frame_idx,
+           32 AS frame_bytes
+    FROM v
+    """,
+    "video frame sampling: every-2nd 32-byte frame, one-to-many "
+    "mapInPandas fan-out",
+)
+def q_mm_frame_sample(spark, sf_dir):
+    assets = MM.synthesize_assets(t(spark, sf_dir, "documents"))
+    return MM.sample_frames(assets, every_k=2).withColumn(
+        "frame_bytes", F.col("frame_bytes").cast("int")
+    )
+
+
+@register(
+    "q_mm_resize",
+    f"""
+    WITH assets AS ({_ASSETS})
+    SELECT asset_id, 576 AS n_bytes, 24 AS width, 24 AS height
+    FROM assets WHERE kind = 'image'
+    """,
+    "image resize plumbing: payload rewritten to 24x24 bytes with meta "
+    "updated (codec step stubbed, pipeline shape real)",
+)
+def q_mm_resize(spark, sf_dir):
+    assets = MM.synthesize_assets(t(spark, sf_dir, "documents"))
+    resized = MM.resize_images(assets, width=24, height=24)
+    return resized.select(
+        "asset_id",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )

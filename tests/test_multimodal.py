@@ -1,0 +1,81 @@
+"""Multimodal operators: schema/batch-shape/determinism tests plus the
+codec-stub contract (real codecs raise, plumbing works on 'fake')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators import multimodal as MM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return MM.synthesize_assets(docs).cache()
+
+
+def test_asset_schema_and_determinism(spark, assets):
+    assert dict(assets.dtypes)["payload"] == "binary"
+    assert dict(assets.dtypes)["meta"].startswith("struct<codec:string,width:int")
+    row = assets.filter("asset_id = 3").first()
+    # doc_id=3 → kind=image (3%3=0), payload = 4 sha256 digests = 128 B
+    assert row["kind"] == "image" and len(row["payload"]) == 128
+    # deterministic: same input → same bytes on re-run
+    again = MM.synthesize_assets(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    ).filter("asset_id = 3").first()
+    assert again["payload"] == row["payload"]
+    # image meta populated, audio/video fields null
+    assert row["meta"]["width"] == 16 + 3 % 64 and row["meta"]["sample_rate"] is None
+
+
+def test_decode_features_matches_payload(assets):
+    feats = MM.decode_features(assets)
+    joined = (
+        feats.join(assets, "asset_id")
+        .withColumn("real_bytes", F.length("payload"))
+        .filter("n_bytes <> real_bytes")
+    )
+    assert joined.count() == 0
+    f3 = feats.filter("asset_id = 3").first()
+    assert f3["n_frames"] == 4 and 48 <= f3["hexmean"] <= 103  # hex chars 0-9a-f
+
+
+def test_frame_sample_fanout(assets):
+    frames = MM.sample_frames(assets, every_k=2)
+    rows = frames.filter("asset_id = 5").collect()  # 5%3=2 → video, 2 frames
+    assert [(r["frame_idx"], r["frame_bytes"]) for r in rows] == [(0, 32)]
+    # every video asset yields ceil(n_frames/2) sampled frames
+    got = frames.groupBy("asset_id").count()
+    expect = assets.filter("kind = 'video'").select(
+        "asset_id",
+        F.ceil((F.ceil(F.length("payload") / 32) / 2)).cast("long").alias("want"),
+    )
+    assert got.join(expect, "asset_id").filter("count <> want").count() == 0
+    assert frames.count() > 0
+
+
+def test_resize_rewrites_payload_and_meta(assets):
+    out = MM.resize_images(assets, width=8, height=8)
+    assert dict(out.dtypes) == dict(assets.dtypes)  # composable stage
+    bad = out.filter(
+        (F.length("payload") != 64)
+        | (F.col("meta.width") != 8)
+        | (F.col("meta.height") != 8)
+    )
+    assert bad.count() == 0 and out.count() > 0
+
+
+def test_real_codecs_are_stubbed(assets):
+    for fn in (
+        lambda: MM.decode_features(assets, codec="jpeg"),
+        lambda: MM.sample_frames(assets, codec="h264"),
+        lambda: MM.resize_images(assets, 8, 8, codec="png"),
+    ):
+        with pytest.raises(NotImplementedError, match="STUB"):
+            fn()
+    with pytest.raises(ValueError, match="unknown codec"):
+        MM.decode_features(assets, codec="nope")
+    with pytest.raises(ValueError):
+        MM.sample_frames(assets, every_k=0)
