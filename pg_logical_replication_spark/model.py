@@ -160,16 +160,14 @@ def typed_view(events, columns: dict[str, str], image: str = "after"):
     """Project a ChangeEvent DF's string-map image into typed columns.
 
     ``columns`` maps column name → PG type name. Stays entirely JVM-side:
-    map extraction + cast, no UDF. Boolean text arrives as 't'/'f' or
-    'true'/'false' depending on plugin; normalize before cast.
+    map extraction + per-type parse expression (functions.pg_value — the
+    OID-registry equivalent), no UDF.
     """
-    cols = []
-    for name, pg_t in columns.items():
-        spark_t = pg_type_to_spark(pg_t)
-        raw = F.col(image).getItem(name)
-        if spark_t == "boolean":
-            raw = F.when(raw.isin("t", "true", "True"), True).when(
-                raw.isin("f", "false", "False"), False
-            )
-        cols.append(raw.cast(spark_t).alias(name))
+    # runtime import: functions depends on model for the type-name map
+    from pg_logical_replication_spark.functions import pg_value
+
+    cols = [
+        pg_value(F.col(image).getItem(name), pg_t).alias(name)
+        for name, pg_t in columns.items()
+    ]
     return events.select("op", "lsn_long", "schema", "table", *cols)

@@ -116,18 +116,14 @@ class MergeOnReadTable:
         snap = self.snapshot()
         if snap is None:
             return None
-        from pg_logical_replication_spark.model import pg_type_to_spark
+        from pg_logical_replication_spark.functions import pg_value
 
-        cols = []
-        for name, pg_t in columns.items():
-            raw = F.col("after").getItem(name)
-            spark_t = pg_type_to_spark(pg_t)
-            if spark_t == "boolean":
-                raw = F.when(raw.isin("t", "true", "True"), True).when(
-                    raw.isin("f", "false", "False"), False
-                )
-            cols.append(raw.cast(spark_t).alias(name))
-        return snap.select(*cols)
+        return snap.select(
+            *[
+                pg_value(F.col("after").getItem(name), pg_t).alias(name)
+                for name, pg_t in columns.items()
+            ]
+        )
 
     # --------------------------------------------------------- maintenance
     def compact(self) -> None:
