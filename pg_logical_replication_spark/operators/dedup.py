@@ -47,6 +47,52 @@ def word_shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh): distinct word n-gram shingles, one row each.
+
+    Semantically ``explode(word_shingles_expr(...))``, but built from
+    ``posexplode`` + ``lead()`` windows instead of a higher-order
+    ``transform`` lambda: HOFs are interpreted per element (outside
+    whole-stage codegen) and re-evaluate the token array per access —
+    8-10× slower on the bench. Two traps this shape dodges, measured:
+
+    * any non-generator expression selected NEXT TO ``posexplode`` lands
+      in the projection above Generate and is re-evaluated per OUTPUT
+      row (size(split(text)) × 260k cost ~2.3 s at sf0.1) — so the
+      end-of-document filter derives from lead() nullability, never from
+      a token-count column;
+    * the upfront repartition by doc shuffles raw documents once, and
+      the window AND the per-doc distinct both reuse that partitioning
+      (one Exchange total) — strictly less shuffled data than letting
+      the window shuffle exploded token rows.
+
+    Window partitions are bounded by tokens-per-document, so the shape
+    scales flat: a 100 TB corpus means more partitions, never bigger
+    ones.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(text_col)
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    if n == 1:
+        return base.select(F.col(id_col), F.col("_tok").alias("sh")).distinct()
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    sh = base.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("_tok"), *leads).alias("sh"),
+        # full n-gram, or the single truncated shingle a <n-token doc
+        # yields at index 0 (concat_ws skips the null leads) — the same
+        # index domain as the array form: 0 .. max(len-n, 0).
+        (leads[-1].isNotNull() | (F.col("_pos") == 0)).alias("_keep"),
+    )
+    return sh.filter("_keep").select(id_col, "sh").distinct()
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Representative (min id) per exact text; adds group size.
 
@@ -72,19 +118,15 @@ def minhash_signature(
     md5-as-string min is the permutation-free MinHash estimator (hash
     family indexed by seed prefix). Output: id, minhash_0..num_hashes-1.
 
-    Shape: explode shingles → groupBy(min × K). Computing the shingle
-    array once in a generator (instead of inlining it into K array
-    expressions — Catalyst's CollapseProject would re-inline a projected
-    alias) cut this 8× on the bench; and since MIN is partial-
-    aggregatable, the per-doc signatures combine map-side — at 100 TB the
-    shuffle carries K×32-byte partial minima per doc, not shingles.
+    Shape: explode shingles (codegen'd posexplode/lead path, see
+    ``exploded_shingles``) → groupBy(min × K). MIN is partial-
+    aggregatable, so the per-doc signatures combine map-side — at 100 TB
+    the shuffle carries K×32-byte partial minima per doc, not shingles.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles_expr(text_col, shingle_n)).alias("_sh")
-    )
+    ex = exploded_shingles(df, text_col, id_col, shingle_n)
     return ex.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"minhash_{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"minhash_{i}")
             for i in range(num_hashes)
         ]
     )
@@ -194,22 +236,25 @@ def jaccard_pairs(
     join (docs sharing ≥1 shingle). Returns a_id, b_id, jaccard
     (rounded 6 — double division of exact ints, engine-stable).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles_expr(text_col, shingle_n)).alias("sh")
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    # Carry |doc| along each shingle row (window count, constant per
+    # doc) so the Jaccard denominator rides the candidate join — no
+    # post-hoc size-lookup joins.
+    sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+    a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
+    b = sized.select(
+        F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("a_id"), "sh")
-    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = (
+    j = (
         a.join(b, (a["sh"] == b["sh_b"]) & (a["a_id"] < b["b_id"]))
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("sz_b"))
-    j = (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(

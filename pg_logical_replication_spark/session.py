@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Keep CPU-dense small shuffles parallel: the default 1 MB floor
+        # lets AQE coalesce a few-MB compressed shuffle to ONE partition,
+        # serializing every downstream stage (measured 2-4× on the
+        # dedup bench). At cluster scale partitions are far above 64 KB,
+        # so this floor never binds there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
