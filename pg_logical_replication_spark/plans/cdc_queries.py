@@ -116,7 +116,10 @@ def q_cdc_wal2json_roundtrip(spark, sf_dir):
             )
         ).alias("value")
     )
-    decoded = decode_wal2json(raw)
+    # The testdata parquet is one row group ⇒ one input split; decode is
+    # CPU-bound, so spread the encoded lines across all cores first (at
+    # scale the event log is many files and arrives pre-parallel).
+    decoded = decode_wal2json(raw.repartition(spark.sparkContext.defaultParallelism))
     eid = F.coalesce(
         F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
     ).cast("bigint")
@@ -151,7 +154,10 @@ def q_cdc_test_decoding_roundtrip(spark, sf_dir):
         F.replace(F.col("event_type"), F.lit("'"), F.lit("''")),
         F.lit("'"),
     )
-    decoded = decode_test_decoding(ev.select(line.alias("value")))
+    decoded = decode_test_decoding(
+        # single-row-group input ⇒ pre-spread the CPU-bound regex decode
+        ev.select(line.alias("value")).repartition(spark.sparkContext.defaultParallelism)
+    )
     return decoded.groupBy(F.col("after").getItem("etype").alias("etype")).agg(
         F.count("*").alias("n"),
         F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
