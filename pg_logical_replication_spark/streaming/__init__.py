@@ -24,3 +24,6 @@ from pg_logical_replication_spark.streaming.service import (  # noqa: F401
 from pg_logical_replication_spark.streaming.apply import (  # noqa: F401
     MergeOnReadTable,
 )
+from pg_logical_replication_spark.streaming.stateful import (  # noqa: F401
+    assemble_transactions_stream,
+)

@@ -1,0 +1,151 @@
+"""Stateful streaming transaction assembly — commit-gated emission.
+
+The reference's stream is transactionally framed and **rolled-back
+transactions are never streamed at all** (asserted by the reference's
+pgoutput spec, ``decoder-pgoutput.spec.ts:260-274``) — PostgreSQL only
+decodes committed WAL. When the engine's *input* is a raw message log
+where a transaction's changes may arrive in a different micro-batch than
+its COMMIT (or a crash leaves an unterminated transaction), that
+guarantee has to be re-established engine-side. This operator does it
+with ``applyInPandasWithState``:
+
+* key = ``xid``; state = the transaction's buffered change rows;
+* DML rows buffer; a ``commit`` row flushes the buffer downstream with
+  ``commit_ts``/commit LSN stamped on every row (wire order preserved
+  via ``lsn_long``/``seq`` sort);
+* a transaction whose commit never arrives times out
+  (``ProcessingTimeTimeout``) and its state is dropped — the streaming
+  equivalent of rollback invisibility.
+
+Scale: state per in-flight transaction is bounded by that transaction's
+size; PG's ``logical_decoding_work_mem`` (64 MB default, reference
+``postgresql-16.conf:145``) bounds the server side the same way. Keys
+(xids) hash-distribute across executors; a mega-transaction is one hot
+key — the same constraint the reference has (single connection), minus
+everything else running in parallel around it.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
+
+# Buffered/emitted event shape (JSON-serialized in state; state schemas
+# cannot hold maps).
+_EVENT_FIELDS = [
+    "op", "lsn", "lsn_long", "seq", "schema", "table", "key", "before", "after",
+]
+
+TXN_OUTPUT_SCHEMA = (
+    "op string, lsn string, lsn_long long, seq long, xid long, "
+    "commit_ts timestamp, schema string, table string, "
+    "key map<string,string>, before map<string,string>, "
+    "after map<string,string>"
+)
+
+STATE_SCHEMA = "buffered array<string>"
+
+_DML_OPS = ("insert", "update", "delete", "truncate")
+
+
+_OUT_COLUMNS = [
+    "op", "lsn", "lsn_long", "seq", "xid", "commit_ts", "schema", "table",
+    "key", "before", "after",
+]
+
+
+def _make_assemble(timeout_ms: int | None):
+    """Closure over the timeout so executors see the configured value."""
+
+    def _assemble(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
+        (xid,) = key
+        if state.hasTimedOut:
+            # abandoned (aborted/crashed) txn — rollback invisibility
+            state.remove()
+            return
+
+        buffered: list[str] = list(state.get[0]) if state.exists else []
+        commit: dict[str, Any] | None = None
+
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                op = row["op"]
+                if op == "commit":
+                    ts = row.get("commit_ts")
+                    commit = {"commit_ts": None if ts is None or pd.isna(ts) else ts}
+                elif op in _DML_OPS:
+                    ev = {f: row.get(f) for f in _EVENT_FIELDS}
+                    for f in ("lsn_long", "seq"):
+                        v = ev.get(f)
+                        ev[f] = None if v is None or pd.isna(v) else int(v)
+                    buffered.append(json.dumps(ev))
+                # 'begin' rows only open the frame; nothing to buffer
+
+        if commit is not None:
+            rows = [json.loads(s) for s in buffered]
+            rows.sort(key=lambda r: (r.get("lsn_long") or 0, r.get("seq") or 0))
+            for r in rows:
+                r["xid"] = xid
+                r["commit_ts"] = commit["commit_ts"]
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=_OUT_COLUMNS)
+        else:
+            state.update((buffered,))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    return _assemble
+
+
+def assemble_transactions_stream(
+    events: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming ChangeEvents → committed-transaction rows only.
+
+    Input: the decoded stream including ``begin``/``commit`` markers
+    (e.g. ``decode_wal2json(..., include_transaction_markers=True)``).
+    Output: DML rows of committed transactions, stamped with xid +
+    commit_ts, in commit order within each transaction. Uncommitted
+    transactions are withheld (never emitted — rollback invisibility
+    holds regardless of timeout config).
+
+    ``timeout_ms`` additionally GARBAGE-COLLECTS abandoned transactions'
+    state after that much processing-time silence. Leave it ``None``
+    for drain-and-stop (``availableNow``) runs: registering a
+    processing-time timeout keeps the query alive waiting to fire it,
+    so the trigger never terminates. Set it only for continuously
+    running queries.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = ["op", "lsn", "lsn_long", "xid", "commit_ts", "schema", "table",
+            "key", "before", "after"]
+    ev = events.select(
+        *[F.col(c) for c in cols if c in events.columns],
+        *(
+            [F.col("seq").cast("long").alias("seq")]
+            if "seq" in events.columns
+            else [F.coalesce(F.col("meta").getItem("pos").cast("long"), F.lit(0)).alias("seq")]
+        ),
+    )
+    return ev.groupBy("xid").applyInPandasWithState(
+        _make_assemble(timeout_ms),
+        outputStructType=TXN_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

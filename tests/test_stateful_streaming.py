@@ -1,0 +1,103 @@
+"""Stateful streaming transaction assembly: commit-gated emission across
+micro-batch boundaries (≙ the reference's framing guarantee,
+decoder-pgoutput.spec.ts:260-274 rollback invisibility) for streams
+whose rows carry xid (pgoutput protoVersion>=2 in-progress streaming)."""
+
+import json
+import os
+
+from pg_logical_replication_spark.streaming.stateful import (
+    assemble_transactions_stream,
+)
+
+EVENT_SCHEMA = (
+    "op string, lsn string, lsn_long long, seq long, xid long, "
+    "commit_ts string, schema string, table string, "
+    "key map<string,string>, before map<string,string>, "
+    "after map<string,string>"
+)
+
+
+def _ev(op, lsn_long, seq, xid, table=None, after=None, commit_ts=None):
+    return {
+        "op": op, "lsn": f"0/{lsn_long:X}", "lsn_long": lsn_long, "seq": seq,
+        "xid": xid, "commit_ts": commit_ts, "schema": "public", "table": table,
+        "key": None, "before": None, "after": after,
+    }
+
+
+def test_cross_batch_assembly_and_rollback_invisibility(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    # txn 1 spans two micro-batches; txn 2 never commits
+    batch1 = [
+        _ev("begin", 0x100, 0, 1),
+        _ev("insert", 0x101, 1, 1, "users", {"id": "1", "v": "a"}),
+        _ev("insert", 0x102, 2, 1, "users", {"id": "2", "v": "b"}),
+    ]
+    batch2 = [
+        _ev("insert", 0x103, 3, 1, "users", {"id": "3", "v": "c"}),
+        _ev("commit", 0x104, 4, 1, commit_ts="2026-08-13 00:00:05.000000"),
+        _ev("begin", 0x200, 5, 2),
+        _ev("insert", 0x201, 6, 2, "users", {"id": "9", "v": "never"}),
+    ]
+    for i, batch in enumerate([batch1, batch2]):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("commit_ts", __import__("pyspark").sql.functions.to_timestamp("commit_ts"))
+    )
+    out = assemble_transactions_stream(raw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txn_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from txn_out order by lsn_long").collect()
+
+    # only txn 1's three inserts, in wire order, commit_ts stamped
+    assert [r["after"]["v"] for r in rows] == ["a", "b", "c"]
+    assert all(r["xid"] == 1 for r in rows)
+    assert all(r["commit_ts"] is not None for r in rows)
+    assert all(r["commit_ts"].second == 5 for r in rows)
+    # txn 2 (no commit) is withheld — rollback invisibility
+    assert all(r["after"]["v"] != "never" for r in rows)
+
+
+def test_single_batch_multi_txn(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    evs = [
+        _ev("begin", 0x10, 0, 7),
+        _ev("insert", 0x11, 1, 7, "t", {"k": "x"}),
+        _ev("commit", 0x12, 2, 7, commit_ts="2026-08-13 00:00:01.000000"),
+        _ev("begin", 0x20, 3, 8),
+        _ev("delete", 0x21, 4, 8, "t"),
+        _ev("commit", 0x22, 5, 8, commit_ts="2026-08-13 00:00:02.000000"),
+    ]
+    with open(src / "000.jsonl", "w") as f:
+        for e in evs:
+            f.write(json.dumps(e) + "\n")
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    )
+    out = assemble_transactions_stream(raw)
+    q = (
+        out.writeStream.format("memory").queryName("txn_out2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from txn_out2 order by lsn_long").collect()
+    assert [(r["op"], r["xid"]) for r in rows] == [("insert", 7), ("delete", 8)]
+    assert os.path.exists(str(tmp_path / "ckpt"))
