@@ -24,6 +24,7 @@ HEADLINE = [
     # CDC layer (decoder throughput is the reference's only perf signal)
     "q_cdc_wal2json_roundtrip",
     "q_cdc_test_decoding_roundtrip",
+    "q_cdc_pgoutput_roundtrip",
     "q_cdc_apply_events",
     # LLM-pipeline ops
     "q_dedup_minhash_bands",

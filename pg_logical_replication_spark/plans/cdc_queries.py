@@ -185,3 +185,73 @@ def q_lsn_roundtrip(spark, sf_dir):
         .groupBy("g")
         .agg(F.sum("rt").alias("sum_lsn_long"))
     )
+
+
+@register(
+    "q_cdc_pgoutput_roundtrip",
+    """
+    SELECT event_type AS etype, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type
+    """,
+    "pgoutput BINARY encode→decode round-trip: events serialized to the "
+    "wire format (R/I messages, pgoutput-parser.ts message shapes) in a "
+    "mapInPandas stage, decoded by the engine's Arrow-batched binary "
+    "decoder, aggregates checked against DuckDB on the source rows — the "
+    "reference's huge-transaction throughput scenario "
+    "(decoder-pgoutput.spec.ts:324-373) as an oracle-gated query",
+)
+def q_cdc_pgoutput_roundtrip(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51234
+    rel = pgf.encode_relation(
+        OID,
+        "public",
+        "events",
+        [("event_id", 20), ("user_id", 20), ("etype", 25)],
+        key_columns=["event_id"],
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "seq": pdf["event_id"] + 1,
+                    "lsn": (pdf["event_id"] * 8 + 16).map(lambda v: f"0/{v:X}"),
+                    "data": [
+                        pgf.encode_insert(
+                            OID,
+                            [("t", str(e)), ("t", str(u)), ("t", et)],
+                        )
+                        for e, u, et in zip(
+                            pdf["event_id"], pdf["user_id"], pdf["event_type"]
+                        )
+                    ],
+                }
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    # single-row-group input ⇒ pre-spread the CPU-bound encode/decode
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="seq long, lsn string, data binary"
+    )
+    rel_df = spark.createDataFrame([(0, "0/0", bytearray(rel))], "seq long, lsn string, data binary")
+    # pass the relation cache up front — the in-band pre-scan would
+    # recompute the whole encode stage just to find one 'R' message
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    decoded = decode_pgoutput(wire.unionByName(rel_df), relations=cache)
+    return decoded.filter(F.col("op") == "insert").groupBy(
+        F.col("after").getItem("etype").alias("etype")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+        F.sum(F.col("after").getItem("user_id").cast("bigint")).alias("sum_uid"),
+    )

@@ -85,6 +85,7 @@ def decode_pgoutput(
     data_col: str = "data",
     lsn_col: str = "lsn",
     seq_col: str = "seq",
+    relations: dict[int, fmt.RelationInfo] | None = None,
 ) -> DataFrame:
     """Raw binary pgoutput messages → normalized ChangeEvent rows.
 
@@ -92,8 +93,17 @@ def decode_pgoutput(
     (``lsn_col``, the hex pair the reference extracts from bytes 1-8 of
     the COPY chunk, ``logical-replication-service.ts:151-152``) and a
     global sequence number (``seq_col``) giving wire order.
+
+    ``relations`` optionally supplies the relation cache up front
+    (oid → RelationInfo, e.g. from a schema registry / separate control
+    stream). Without it, a pre-scan pass extracts in-band 'R' messages —
+    which recomputes ``raw``'s lineage once; callers whose ``raw`` is an
+    expensive derived plan should either persist it or pass the cache.
     """
-    versions = _collect_relations(raw, data_col, seq_col)
+    if relations is not None:
+        versions = {oid: [(-1, info)] for oid, info in relations.items()}
+    else:
+        versions = _collect_relations(raw, data_col, seq_col)
 
     # fresh StructType — StructType.add would mutate the shared schema
     from pyspark.sql import types as T
@@ -102,33 +112,35 @@ def decode_pgoutput(
         list(CHANGE_EVENT_SCHEMA.fields) + [T.StructField("seq", T.LongType())]
     )
 
+    out_cols = [f.name for f in out_schema.fields]
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         relations = _VersionedRelations(versions)
         for pdf in batches:
-            rows: list[dict[str, Any]] = []
+            # columnar accumulation: building 11 lists + one vectorized
+            # to_datetime is ~3× faster than 100k row dicts with a
+            # pd.Timestamp each (measured on the roundtrip bench)
+            cols: dict[str, list[Any]] = {c: [] for c in out_cols}
             for data, lsn, seq in zip(pdf[data_col], pdf[lsn_col], pdf[seq_col]):
                 relations.seq = seq
                 ev = fmt.parse_message(bytes(data), relations)
-                ts_us = ev.get("commit_ts_us")
-                rows.append(
-                    {
-                        "op": ev["op"],
-                        "lsn": ev.get("lsn") or lsn,
-                        "lsn_long": None,
-                        "xid": ev.get("xid"),
-                        "commit_ts": pd.Timestamp(ts_us, unit="us") if ts_us else None,
-                        "schema": ev.get("schema"),
-                        "table": ev.get("table"),
-                        "key": ev.get("key"),
-                        "before": ev.get("before"),
-                        "after": ev.get("after"),
-                        "meta": ev.get("meta"),
-                        "seq": seq,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in out_schema.fields]
-            ) if rows else pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                cols["op"].append(ev["op"])
+                cols["lsn"].append(ev.get("lsn") or lsn)
+                cols["xid"].append(ev.get("xid"))
+                cols["commit_ts"].append(ev.get("commit_ts_us"))
+                cols["schema"].append(ev.get("schema"))
+                cols["table"].append(ev.get("table"))
+                cols["key"].append(ev.get("key"))
+                cols["before"].append(ev.get("before"))
+                cols["after"].append(ev.get("after"))
+                cols["meta"].append(ev.get("meta"))
+                cols["seq"].append(seq)
+            cols["lsn_long"] = [None] * len(cols["op"])
+            out = pd.DataFrame(cols, columns=out_cols)
+            out["commit_ts"] = pd.to_datetime(
+                pd.Series(cols["commit_ts"], dtype="object"), unit="us", errors="coerce"
+            )
+            yield out
 
     decoded = raw.mapInPandas(decode, schema=out_schema)
     return decoded.withColumn("lsn_long", lsn_long_expr("lsn"))

@@ -88,9 +88,19 @@ def log_dirs(tmp_path):
     return str(log), str(tmp_path / "ckpt"), str(tmp_path / "mor")
 
 
+_MTIME_SEQ = iter(range(1_000_000))
+
+
 def _append(log_dir: str, name: str, lines: list[str]) -> None:
-    with open(os.path.join(log_dir, name), "w") as f:
+    p = os.path.join(log_dir, name)
+    with open(p, "w") as f:
         f.write("\n".join(lines) + "\n")
+    # file-source batch order is modification time, not name — pin it so
+    # same-instant writes can't reorder micro-batches
+    import time
+
+    ts = time.time() - 10_000 + next(_MTIME_SEQ) * 10
+    os.utime(p, (ts, ts))
 
 
 def _names(table: MergeOnReadTable) -> set[str]:

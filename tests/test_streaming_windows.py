@@ -1,0 +1,100 @@
+"""Streaming windows / watermark / stream-static join over the decoded
+change stream — the §2.2 matrix rows the batch queries can't witness:
+
+* tumbling-window aggregation on commit_ts with a watermark;
+* late data beyond the watermark is dropped (the reference has no such
+  notion — single ordered socket — so this is the engine's documented
+  semantics for out-of-order logs at scale);
+* stream-static broadcast join (decoded stream × dimension table).
+"""
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.streaming import LogicalReplicationService
+
+_MTIME_BASE = time.time() - 10_000
+
+
+def _write(src, name, lines, order):
+    """File-source batch order is MODIFICATION TIME, not name — pin it."""
+    p = os.path.join(str(src), name)
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.utime(p, (_MTIME_BASE + order * 10, _MTIME_BASE + order * 10))
+
+
+def _cs(xid, lsn, ts, table="t", vid=1):
+    return json.dumps(
+        {
+            "change": [
+                {
+                    "kind": "insert", "schema": "public", "table": table,
+                    "columnnames": ["id"], "columntypes": ["bigint"],
+                    "columnvalues": [vid],
+                }
+            ],
+            "xid": xid, "nextlsn": lsn, "timestamp": ts,
+        }
+    )
+
+
+def test_tumbling_window_with_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "wal"; src.mkdir()
+    # batch-per-file: minute-0 rows; a minute-2 row advancing the
+    # watermark; a minute-3 row whose batch finalizes+evicts window 00:00
+    # (watermark 00:01:30 > window end); then a VERY late minute-0 row.
+    _write(src, "000.jsonl", [_cs(1, "0/100", "2026-08-13 00:00:10.000000+00"),
+                              _cs(2, "0/200", "2026-08-13 00:00:20.000000+00")], 0)
+    _write(src, "001.jsonl", [_cs(3, "0/300", "2026-08-13 00:02:30.000000+00")], 1)
+    _write(src, "002.jsonl", [_cs(4, "0/400", "2026-08-13 00:03:30.000000+00")], 2)
+    _write(src, "003.jsonl", [_cs(5, "0/500", "2026-08-13 00:00:30.000000+00")], 3)
+
+    svc = LogicalReplicationService(
+        spark, str(src), str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    ev = svc.changes("wal2json")
+    agg = (
+        ev.withWatermark("commit_ts", "1 minute")
+        .groupBy(F.window("commit_ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / "q"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # the 00:00 window is emitted EXACTLY ONCE, with only its two
+    # on-time rows — the xid=5 row arriving after eviction is dropped
+    rows = [
+        (r["ws"].strftime("%H:%M"), r["n"])
+        for r in spark.sql("select * from win_out order by ws").collect()
+    ]
+    assert rows == [("00:00", 2)]
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    src = tmp_path / "wal"; src.mkdir()
+    with open(src / "000.jsonl", "w") as f:
+        f.write(_cs(1, "0/100", "2026-08-13 00:00:01.000000+00", vid=1) + "\n")
+        f.write(_cs(2, "0/200", "2026-08-13 00:00:02.000000+00", vid=2) + "\n")
+
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "id long, tier string")
+    svc = LogicalReplicationService(spark, str(src), str(tmp_path / "ckpt"))
+    ev = svc.changes("wal2json").withColumn(
+        "id", F.col("after").getItem("id").cast("long")
+    )
+    joined = ev.join(F.broadcast(dim), "id", "left").select("id", "tier", "lsn_long")
+    q = (
+        joined.writeStream.format("memory").queryName("dim_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / "q"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["tier"]) for r in spark.sql("select * from dim_out").collect()}
+    assert got == {(1, "gold"), (2, "silver")}
