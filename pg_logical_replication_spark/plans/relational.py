@@ -548,3 +548,150 @@ def q_sessionize(spark, sf_dir):
     return s.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"), ssum("value").alias("sum_value")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_SSUM.format(x='l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 forecast-revenue: pure scan query, every predicate pushed "
+    "to parquet",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """Scale: no shuffle at all — filters + 3-column pruning reach the
+    scan (PushedFilters), partial sums combine in one final row."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(ssum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 pattern: EXISTS decorrelated to a left-semi join, count by "
+    "priority",
+)
+def q4_order_priority(spark, sf_dir):
+    """Scale: semi join shuffles only orderkeys of the filtered year; the
+    'R' filter prunes the probe side at the scan."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_SSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           n.n_name
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    "TPC-H Q10: top-20 customers by returned-item revenue (3 joins + "
+    "agg + top-k)",
+)
+def q10_returned_items(spark, sf_dir):
+    """Scale: lineitem filtered at scan ('R' ≈ 25%); nation broadcasts;
+    top-20 via TakeOrderedAndProject, never a global sort."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(ssum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6)))
+                  AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+             FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           ROUND(c.unit_cost, 6) AS unit_cost
+    FROM cost c
+      JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+      JOIN part p ON p.p_partkey = c.l_partkey
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+    ORDER BY p.p_partkey, s.s_name LIMIT 50
+    """,
+    "TPC-H Q2 pattern: correlated min-subquery decorrelated to "
+    "aggregate + join-back (min unit cost supplier per small part)",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Scale: the classic decorrelation — per-(part,supp) agg, then a
+    per-part min re-joined on equality. Both aggs partial-combine; the
+    join-back key (partkey) reuses the agg's partitioning under AQE."""
+    l = t(spark, sf_dir, "lineitem")
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min((F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("unit_cost")
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost")).withColumnRenamed("l_partkey", "b_partkey")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = t(spark, sf_dir, "supplier")
+    return (
+        cost.join(
+            best,
+            (cost["l_partkey"] == best["b_partkey"])
+            & (cost["unit_cost"] == best["min_cost"]),
+        )
+        .join(p, p["p_partkey"] == cost["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == cost["l_suppkey"])
+        .select(
+            "p_partkey", "p_brand", "s_name", F.round("unit_cost", 6).alias("unit_cost")
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(50)
+    )
