@@ -255,3 +255,61 @@ def q_cdc_pgoutput_roundtrip(spark, sf_dir):
         F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
         F.sum(F.col("after").getItem("user_id").cast("bigint")).alias("sum_uid"),
     )
+
+
+@register(
+    "q_cdc_decoderbufs_roundtrip",
+    """
+    SELECT event_type AS etype, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type
+    """,
+    "decoderbufs PROTOBUF encode→decode round-trip: events serialized to "
+    "RowMessage wire bytes (pg_logicaldec.proto field layout) in a "
+    "mapInPandas stage, decoded by sources/decoderbufs.py — with this all "
+    "FOUR output-plugin formats pass the value-hash oracle gate",
+)
+def q_cdc_decoderbufs_roundtrip(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources import decoderbufs_format as dbf
+    from pg_logical_replication_spark.sources.decoderbufs import decode_decoderbufs
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "lsn": (pdf["event_id"] * 8 + 16).map(lambda v: f"0/{v:X}"),
+                    "data": [
+                        dbf.encode_row_message(
+                            "insert",
+                            xid=int(e),
+                            table="public.events",
+                            new_tuple=[
+                                dbf.encode_datum("event_id", 20, int64=int(e)),
+                                dbf.encode_datum("user_id", 20, int64=int(u)),
+                                dbf.encode_datum("etype", 25, string=et),
+                            ],
+                        )
+                        for e, u, et in zip(
+                            pdf["event_id"], pdf["user_id"], pdf["event_type"]
+                        )
+                    ],
+                }
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, data binary"
+    )
+    decoded = decode_decoderbufs(wire)
+    return decoded.filter(F.col("op") == "insert").groupBy(
+        F.col("after").getItem("etype").alias("etype")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+        F.sum(F.col("after").getItem("user_id").cast("bigint")).alias("sum_uid"),
+    )

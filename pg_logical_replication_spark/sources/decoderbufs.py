@@ -27,27 +27,28 @@ def decode_decoderbufs(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulation + one vectorized to_datetime — same
+            # ~3× batch-building win as sources/pgoutput.py
+            out: dict[str, list] = {c: [] for c in cols}
             lsns = pdf[lsn_col] if has_lsn else [None] * len(pdf)
             for data, lsn in zip(pdf[data_col], lsns):
                 ev = fmt.parse_row_message(bytes(data))
-                ts_us = ev.get("commit_ts_us")
-                rows.append(
-                    {
-                        "op": ev["op"],
-                        "lsn": lsn,
-                        "lsn_long": None,
-                        "xid": ev.get("xid"),
-                        "commit_ts": pd.Timestamp(ts_us, unit="us") if ts_us else None,
-                        "schema": ev.get("schema"),
-                        "table": ev.get("table"),
-                        "key": ev.get("key"),
-                        "before": ev.get("before"),
-                        "after": ev.get("after"),
-                        "meta": ev.get("meta"),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+                out["op"].append(ev["op"])
+                out["lsn"].append(lsn)
+                out["xid"].append(ev.get("xid"))
+                out["commit_ts"].append(ev.get("commit_ts_us"))
+                out["schema"].append(ev.get("schema"))
+                out["table"].append(ev.get("table"))
+                out["key"].append(ev.get("key"))
+                out["before"].append(ev.get("before"))
+                out["after"].append(ev.get("after"))
+                out["meta"].append(ev.get("meta"))
+            out["lsn_long"] = [None] * len(out["op"])
+            res = pd.DataFrame(out, columns=cols)
+            res["commit_ts"] = pd.to_datetime(
+                pd.Series(out["commit_ts"], dtype="object"), unit="us", errors="coerce"
+            )
+            yield res
 
     decoded = raw.mapInPandas(decode, schema=CHANGE_EVENT_SCHEMA)
     return decoded.withColumn("lsn_long", lsn_long_expr("lsn"))
