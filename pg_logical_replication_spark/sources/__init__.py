@@ -20,6 +20,10 @@ Formats:
 """
 
 from pg_logical_replication_spark.sources.registry import decode  # noqa: F401
+from pg_logical_replication_spark.sources.datasource import (  # noqa: F401
+    PgCdcDataSource,
+    register as register_pg_cdc,
+)
 from pg_logical_replication_spark.sources.wal2json import decode_wal2json  # noqa: F401
 from pg_logical_replication_spark.sources.test_decoding import (  # noqa: F401
     decode_test_decoding,
