@@ -66,6 +66,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
 
+    decode_tp = _pgoutput_decode_throughput(spark, cpus)
+
     print(
         json.dumps(
             {
@@ -74,9 +76,63 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "pgoutput_decode_500k": decode_tp,
             }
         )
     )
+
+
+def _pgoutput_decode_throughput(spark, cpus: int) -> dict:
+    """BASELINE.md's only reference-side throughput signal, reproduced:
+    500,000 pgoutput row messages with 20 text columns (the huge_
+    transaction workload, reference decoder-pgoutput.spec.ts:324-373 /
+    11-fill-data.sh:38) decoded end-to-end. Reference: <100 s ⇒ ~5,000
+    msg/s on one replication connection. Encode/setup is untimed — the
+    reference's timer also starts after the data exists in PG."""
+    import tempfile
+    import time
+
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    n = int(os.environ.get("SPARK_GRAFT_DECODE_MSGS", "500000"))
+    rel = fmt.encode_relation(
+        16385,
+        "public",
+        "huge_transaction",
+        [(f"col{j:02d}", 25) for j in range(20)],
+        key_columns=["col00"],
+    )
+
+    def make(_idx, it):
+        for i in it:
+            yield (
+                f"0/{16 + 8 * i:X}",
+                i,
+                fmt.encode_insert(16385, [("t", f"v{i}_{j}") for j in range(20)]),
+            )
+
+    rdd = spark.sparkContext.parallelize(range(n), cpus).mapPartitionsWithIndex(make)
+    raw = spark.createDataFrame(rdd, "lsn string, seq long, data binary")
+    d = tempfile.mkdtemp(prefix="plrs_decode_tp_")
+    raw.write.mode("overwrite").parquet(d)
+
+    raw2 = spark.read.parquet(d)
+    cache: dict = {}
+    fmt.parse_message(rel, cache)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_pgoutput(raw2, relations=cache).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "messages": n,
+        "sec": round(best, 3),
+        "msgs_per_sec": round(n / best),
+        "baseline_msgs_per_sec": 5000,
+    }
 
 
 if __name__ == "__main__":
