@@ -142,3 +142,83 @@ def apply_changes(
         }
     )
     return live.select(*[F.col("after").getItem(n).alias(n) for n in names])
+
+
+def toast_fill(
+    events: DataFrame,
+    key_columns: list[str],
+    columns: list[str] | None = None,
+    order: Column | None = None,
+) -> DataFrame:
+    """Fill unchanged-TOAST columns from the key's prior image.
+
+    pgoutput omits TOASTed columns whose value didn't change ('u' kind,
+    reference ``pgoutput-parser.ts:231-269``); the decoder surfaces them
+    in ``meta['unchanged_toast']`` (comma-separated names) when no
+    old-tuple fallback existed in the same message. This operator is the
+    stream-level completion SURVEY §2 #7 maps to: per (table, key), in
+    stream order, each toasted column takes the newest previously-SEEN
+    value — a ``last(ignore nulls)`` running window, one hash shuffle on
+    the key (the same partitioning apply_changes needs, so at scale the
+    two share one exchange).
+
+    A null carried in a prior image is distinguished from "no prior
+    image" by window-aggregating a wrapped struct, not the raw value —
+    an explicit SQL NULL must NOT be overwritten by older data.
+
+    ``columns``: the TOAST-able columns; derived from the stream's
+    observed ``unchanged_toast`` markers when omitted (small distinct
+    agg — schema-registry-sized, like the reference's relation cache).
+    """
+    ev = events.withColumn("_ord", order if order is not None else _order_col(events))
+
+    if columns is None:
+        columns = [
+            r["c"]
+            for r in ev.select(
+                F.explode(
+                    F.split(F.col("meta").getItem("unchanged_toast"), ",")
+                ).alias("c")
+            )
+            .filter(F.col("c") != "")
+            .distinct()
+            .collect()
+        ]
+    if not columns:
+        return ev.drop("_ord")
+
+    identity = F.array(
+        *[
+            F.coalesce(F.col("key").getItem(k), F.col("after").getItem(k))
+            for k in key_columns
+        ]
+    )
+    ev = ev.withColumn("_identity", identity)
+    w = (
+        Window.partitionBy("table", "_identity")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    toast_list = F.split(
+        F.coalesce(F.col("meta").getItem("unchanged_toast"), F.lit("")), ","
+    )
+    for c in columns:
+        toasted = F.array_contains(toast_list, c)
+        # struct-wrap: null struct = "toasted here, skip"; struct(null)
+        # = "image explicitly set NULL" — last() then carries correctly
+        carried = F.last(
+            F.when(~toasted, F.struct(F.col("after").getItem(c).alias("v"))),
+            ignorenulls=True,
+        ).over(w)["v"]
+        ev = ev.withColumn(
+            "after",
+            F.when(
+                toasted & F.col("after").isNotNull(),
+                F.map_concat(
+                    F.map_filter(F.col("after"), lambda k, _v: k != F.lit(c)),
+                    F.create_map(F.lit(c), carried),
+                ),
+            ).otherwise(F.col("after")),
+        )
+    return ev.drop("_ord", "_identity")

@@ -313,3 +313,57 @@ def q_cdc_decoderbufs_roundtrip(spark, sf_dir):
         F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
         F.sum(F.col("after").getItem("user_id").cast("bigint")).alias("sum_uid"),
     )
+
+
+@register(
+    "q_cdc_toast_fill",
+    """
+    SELECT user_id, event_id,
+      last_value(CASE WHEN event_id % 3 = 0 THEN props END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS props_filled
+    FROM events
+    """,
+    "unchanged-TOAST stream fill (operators.apply_changes.toast_fill): "
+    "events become per-user updates where 2 of 3 omit `props` with an "
+    "unchanged_toast marker (pgoutput 'u' kind, reference "
+    "pgoutput-parser.ts:231-269); each toasted image takes the newest "
+    "previously-seen props — last(ignore nulls) running window, one "
+    "key-hash shuffle shared with apply_changes' partitioning",
+)
+def q_cdc_toast_fill(spark, sf_dir):
+    from pg_logical_replication_spark.operators.apply_changes import toast_fill
+
+    ev0 = t(spark, sf_dir, "events")
+    toasted = (F.col("event_id") % 3) != 0
+    base_after = F.create_map(
+        F.lit("user_id"),
+        F.col("user_id").cast("string"),
+        F.lit("event_id"),
+        F.col("event_id").cast("string"),
+    )
+    ev = ev0.select(
+        F.lit("update").alias("op"),
+        F.lit(None).cast("string").alias("lsn"),
+        F.col("event_id").alias("lsn_long"),
+        F.lit(None).cast("long").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit("events").alias("table"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("key"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.when(toasted, base_after)
+        .otherwise(
+            F.map_concat(base_after, F.create_map(F.lit("props"), F.col("props")))
+        )
+        .alias("after"),
+        F.when(
+            toasted, F.create_map(F.lit("unchanged_toast"), F.lit("props"))
+        ).alias("meta"),
+    )
+    filled = toast_fill(ev, key_columns=["user_id"])
+    return filled.select(
+        F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
+        F.col("after").getItem("event_id").cast("bigint").alias("event_id"),
+        F.col("after").getItem("props").alias("props_filled"),
+    )

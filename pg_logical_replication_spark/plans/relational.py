@@ -695,3 +695,27 @@ def q2_min_cost_supplier(spark, sf_dir):
         .orderBy("p_partkey", "s_name")
         .limit(50)
     )
+
+
+@register(
+    "q_sliding_window",
+    f"""
+    SELECT ws, COUNT(*) AS n, {_SSUM.format(x='value')} AS sum_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
+    ) GROUP BY ws
+    """,
+    "sliding window (2h window, 1h slide) via window(); each event lands in "
+    "two overlapping windows — streaming's F.window in its batch form. "
+    "Scale: window assignment is a stateless projection (explode of ≤2 "
+    "buckets); the agg is one partial+final hash shuffle on window start.",
+)
+def q_sliding_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), ssum("value").alias("sum_value"))
+        .select(F.col("w").getField("start").alias("ws"), "n", "sum_value")
+    )

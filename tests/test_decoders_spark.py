@@ -231,3 +231,32 @@ def test_unknown_format_raises(spark):
     raw = spark.createDataFrame([("x",)], "value string")
     with pytest.raises(ValueError, match="unknown output plugin"):
         decode(raw, "nope")
+
+
+def test_toast_fill_explicit_null_not_overwritten(spark):
+    """A SQL NULL set by an update must survive; only 'u' unchanged-TOAST
+    gaps are filled from the prior image (SURVEY #7 downstream coalesce)."""
+    from pg_logical_replication_spark.operators.apply_changes import toast_fill
+
+    def ev(lsn_long, after, toasted=False):
+        return (
+            "update", None, lsn_long, None, None, "public", "t",
+            {"id": "1"}, None, after,
+            {"unchanged_toast": "big"} if toasted else None,
+        )
+
+    rows = [
+        ev(1, {"id": "1", "big": "hello"}),
+        ev(2, {"id": "1"}, toasted=True),          # fill → hello
+        ev(3, {"id": "1", "big": None}),           # explicit NULL
+        ev(4, {"id": "1"}, toasted=True),          # fill → NULL, not hello
+        ev(5, {"id": "1", "big": "world"}),
+    ]
+    from pg_logical_replication_spark.model import CHANGE_EVENT_SCHEMA
+
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    out = {
+        r["lsn_long"]: r["after"].get("big")
+        for r in toast_fill(df, key_columns=["id"]).collect()
+    }
+    assert out == {1: "hello", 2: "hello", 3: None, 4: None, 5: "world"}
