@@ -20,13 +20,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_transactions(events: DataFrame, seq_col: str = "seq") -> DataFrame:
+def assign_transactions(
+    events: DataFrame,
+    seq_col: str = "seq",
+    attach_xid: bool = True,
+    attach_ts: bool = True,
+) -> DataFrame:
     """Fill xid and commit_ts on every row from its enclosing transaction.
 
     commit_ts is taken from whichever marker carries it: pgoutput puts the
     commit timestamp on Begin AND Commit (``pgoutput-parser.ts:54-73``),
     test_decoding only on COMMIT (``decoder.ts:17`` grammar trx_commit).
+
+    ``attach_xid=False`` / ``attach_ts=False`` suppress the field in the
+    OUTPUT (framing still runs internally — the ts fill joins by xid) —
+    the consumer side of test_decoding's include-xids/include-timestamp
+    option pushdown. Both off skips the framing joins entirely.
     """
+    if not attach_xid and not attach_ts:
+        return events.withColumn("xid", F.lit(None).cast("long")).withColumn(
+            "commit_ts", F.lit(None).cast("timestamp")
+        )
     begins = (
         events.filter(F.col("op") == "begin")
         .select(
@@ -59,8 +73,13 @@ def assign_transactions(events: DataFrame, seq_col: str = "seq") -> DataFrame:
         .select(F.col("xid").alias("_cxid"), F.col("commit_ts").alias("_cts"))
         .dropDuplicates(["_cxid"])
     )
-    return (
+    out = (
         framed.join(F.broadcast(commits), framed["xid"] == commits["_cxid"], "left")
         .withColumn("commit_ts", F.coalesce("commit_ts", "_cts"))
         .drop("_cxid", "_cts")
     )
+    if not attach_xid:
+        out = out.withColumn("xid", F.lit(None).cast("long"))
+    if not attach_ts:
+        out = out.withColumn("commit_ts", F.lit(None).cast("timestamp"))
+    return out

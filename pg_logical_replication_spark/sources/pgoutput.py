@@ -86,6 +86,7 @@ def decode_pgoutput(
     lsn_col: str = "lsn",
     seq_col: str = "seq",
     relations: dict[int, fmt.RelationInfo] | None = None,
+    publication_tables: list[str] | None = None,
 ) -> DataFrame:
     """Raw binary pgoutput messages → normalized ChangeEvent rows.
 
@@ -93,6 +94,14 @@ def decode_pgoutput(
     (``lsn_col``, the hex pair the reference extracts from bytes 1-8 of
     the COPY chunk, ``logical-replication-service.ts:151-152``) and a
     global sequence number (``seq_col``) giving wire order.
+
+    ``publication_tables`` (["schema.table", ...]) mirrors the
+    reference's publication_names option (#16,
+    ``pgoutput-plugin.ts:24-34``): in PG the publication limits which
+    tables the walsender decodes at all. Here the check runs inside the
+    decode loop BEFORE a row is materialized into the Arrow batch —
+    excluded tables cost one dict lookup per message and never leave the
+    Python worker.
 
     ``relations`` optionally supplies the relation cache up front
     (oid → RelationInfo, e.g. from a schema registry / separate control
@@ -116,6 +125,7 @@ def decode_pgoutput(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         relations = _VersionedRelations(versions)
+        pub = set(publication_tables) if publication_tables else None
         for pdf in batches:
             # columnar accumulation: building 11 lists + one vectorized
             # to_datetime is ~3× faster than 100k row dicts with a
@@ -124,6 +134,12 @@ def decode_pgoutput(
             for data, lsn, seq in zip(pdf[data_col], pdf[lsn_col], pdf[seq_col]):
                 relations.seq = seq
                 ev = fmt.parse_message(bytes(data), relations)
+                if (
+                    pub is not None
+                    and ev.get("table")
+                    and f"{ev.get('schema')}.{ev['table']}" not in pub
+                ):
+                    continue
                 cols["op"].append(ev["op"])
                 cols["lsn"].append(ev.get("lsn") or lsn)
                 cols["xid"].append(ev.get("xid"))
@@ -135,6 +151,9 @@ def decode_pgoutput(
                 cols["after"].append(ev.get("after"))
                 cols["meta"].append(ev.get("meta"))
                 cols["seq"].append(seq)
+            if not cols["op"]:
+                continue  # fully-filtered batch: empty lists would
+                # materialize as float64 columns Arrow can't map-cast
             cols["lsn_long"] = [None] * len(cols["op"])
             out = pd.DataFrame(cols, columns=out_cols)
             out["commit_ts"] = pd.to_datetime(

@@ -70,6 +70,8 @@ def decode_test_decoding(
     value_col: str = "value",
     lsn_col: str | None = None,
     seq_col: str | None = None,
+    include_xids: bool = True,
+    include_timestamp: bool = True,
 ) -> DataFrame:
     """Raw test_decoding lines → normalized ChangeEvent rows.
 
@@ -79,6 +81,13 @@ def decode_test_decoding(
     test_decoding emits both only on BEGIN/COMMIT lines, grammar
     trx_begin/trx_commit, decoder.ts:16-17) via
     ``operators.transactions.assign_transactions``.
+
+    ``include_xids`` / ``include_timestamp`` mirror the reference's
+    test_decoding option pushdown (#14,
+    ``test-decoding-plugin.ts:47-59``): the server-side options suppress
+    those fields at the source; here the equivalent is column pruning of
+    the decode plan — the disabled metadata never enters the projection,
+    so Catalyst removes the producing expressions entirely.
     """
     line = F.col(value_col)
     lsn = F.col(lsn_col) if lsn_col else F.lit(None).cast("string")
@@ -166,8 +175,14 @@ def decode_test_decoding(
     )
 
     if not seq_col:
+        if not include_xids:
+            out = out.withColumn("xid", F.lit(None).cast("long"))
+        if not include_timestamp:
+            out = out.withColumn("commit_ts", F.lit(None).cast("timestamp"))
         return out
 
     from pg_logical_replication_spark.operators.transactions import assign_transactions
 
-    return assign_transactions(out, "seq")
+    return assign_transactions(
+        out, "seq", attach_xid=include_xids, attach_ts=include_timestamp
+    )

@@ -40,11 +40,37 @@ WAL2JSON_SCHEMA = (
 )
 
 
+def table_pattern_pred(patterns: list[str]):
+    """wal2json table-pattern list → boolean Column over (schema, table).
+
+    Patterns are ``schema.table`` with ``*`` wildcards on either side
+    (wal2json's filter-tables / add-tables syntax — the server-side
+    option the reference serializes, ``wal2json-plugin.ts:18-29`` /
+    ``wal2json-plugin-options.type.ts``). Evaluated as a JVM-side OR
+    chain, so Catalyst can push it through the decode projections and,
+    on table-partitioned layouts, into partition pruning.
+    """
+    pred = F.lit(False)
+    for pat in patterns:
+        sch, _, tbl = pat.rpartition(".")
+        sch = sch or "*"
+        p = F.lit(True)
+        if sch != "*":
+            p = p & (F.col("schema") == sch)
+        if tbl != "*":
+            p = p & (F.col("table") == tbl)
+        pred = pred | p
+    return pred
+
+
 def decode_wal2json(
     raw: DataFrame,
     value_col: str = "value",
     lsn_col: str | None = None,
     include_transaction_markers: bool = False,
+    filter_tables: list[str] | None = None,
+    add_tables: list[str] | None = None,
+    actions: list[str] | None = None,
 ) -> DataFrame:
     """Raw JSON changesets (one per row) → normalized ChangeEvent rows.
 
@@ -58,6 +84,14 @@ def decode_wal2json(
     ``include_transaction_markers`` adds ``begin``/``commit`` rows framing
     each transaction, mirroring pgoutput's B/C messages so downstream
     transaction assembly is format-agnostic.
+
+    ``filter_tables`` (exclude), ``add_tables`` (include-only) and
+    ``actions`` (op include-list) are the reference's server-side
+    wal2json option pushdown (#12, ``wal2json-plugin.ts:18-29``): here
+    they are declarative filters attached directly to the decode plan —
+    Catalyst collapses them into the scan stage, so excluded tables
+    never reach a shuffle (and never leave the scan on
+    table-partitioned file layouts).
     """
     parsed = raw.select(
         F.from_json(F.col(value_col), WAL2JSON_SCHEMA).alias("cs"),
@@ -102,6 +136,13 @@ def decode_wal2json(
             ).otherwise(F.create_map().cast("map<string,string>")),
         ).alias("meta"),
     )
+
+    if add_tables:
+        changes = changes.filter(table_pattern_pred(add_tables))
+    if filter_tables:
+        changes = changes.filter(~table_pattern_pred(filter_tables))
+    if actions:
+        changes = changes.filter(F.col("op").isin(list(actions)))
 
     if not include_transaction_markers:
         return changes

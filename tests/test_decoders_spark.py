@@ -260,3 +260,65 @@ def test_toast_fill_explicit_null_not_overwritten(spark):
         for r in toast_fill(df, key_columns=["id"]).collect()
     }
     assert out == {1: "hello", 2: "hello", 3: None, 4: None, 5: "world"}
+
+
+def test_wal2json_option_pushdown_filters(spark):
+    """#12: filter-tables / add-tables / actions as decode-plan filters
+    (server-side options, reference wal2json-plugin.ts:18-29)."""
+    raw = spark.createDataFrame([(line,) for line in _wal2json_lines()], "value string")
+
+    only_users = decode(raw, "wal2json", add_tables=["public.users"])
+    assert {r["table"] for r in only_users.collect()} == {"users"}
+
+    excluded = decode(raw, "wal2json", filter_tables=["*.users"])
+    assert {r["table"] for r in excluded.collect()} == {"user_contents"}
+
+    upserts = decode(raw, "wal2json", actions=["insert", "update"])
+    assert {r["op"] for r in upserts.collect()} == {"insert", "update"}
+
+    wild = decode(raw, "wal2json", add_tables=["public.*"])
+    assert wild.count() == decode(raw, "wal2json").count()
+
+
+def test_test_decoding_option_pushdown_metadata(spark):
+    """#14: include-xids / include-timestamp suppress metadata columns
+    (test-decoding-plugin.ts:47-59)."""
+    raw = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(TEST_DECODING_LINES)], "seq long, value string"
+    )
+    ev = decode(
+        raw, "test_decoding", seq_col="seq", include_xids=False
+    ).filter("op = 'insert'")
+    rows = ev.collect()
+    assert all(r["xid"] is None for r in rows)
+    assert all(r["commit_ts"] is not None for r in rows)  # ts still framed
+
+    ev2 = decode(
+        raw, "test_decoding", seq_col="seq",
+        include_xids=False, include_timestamp=False,
+    ).filter("op = 'insert'")
+    assert all(
+        r["xid"] is None and r["commit_ts"] is None for r in ev2.collect()
+    )
+
+
+def test_pgoutput_publication_filter(spark):
+    """#16: publication_tables drops non-published DML inside the decode
+    loop, pre-Arrow (pgoutput-plugin.ts:24-34)."""
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+    msgs = [
+        fmt.encode_relation(1, "public", "users", [("id", 20)], key_columns=["id"]),
+        fmt.encode_relation(2, "public", "audit", [("id", 20)], key_columns=["id"]),
+        fmt.encode_insert(1, [("t", "1")]),
+        fmt.encode_insert(2, [("t", "9")]),
+        fmt.encode_insert(1, [("t", "2")]),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, m) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    )
+    ev = decode(raw, "pgoutput", publication_tables=["public.users"])
+    dml = ev.filter("op = 'insert'").collect()
+    assert {r["after"]["id"] for r in dml} == {"1", "2"}
+    assert {r["table"] for r in dml} == {"users"}
