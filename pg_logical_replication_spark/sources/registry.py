@@ -37,3 +37,55 @@ def decode(raw: DataFrame, fmt: str, **options) -> DataFrame:
 
 def formats() -> list[str]:
     return sorted(_DECODERS)
+
+
+def dead_letters(raw: DataFrame, fmt: str, value_col: str = "value") -> DataFrame:
+    """Rows the decoder would silently drop — the error channel (#24).
+
+    The reference emits per-message ``error`` events without halting the
+    queue (``logical-replication-service.ts:213-216``); Spark's
+    equivalent is the DLQ pattern: the happy path keeps flowing and the
+    rejects land here for alerting/replay. Returns the offending input
+    rows with a ``reason`` column. Same scan, Catalyst-shared with the
+    main decode when both run in one job.
+
+    Text formats only — binary formats (pgoutput/decoderbufs) surface
+    malformed messages as hard per-batch errors in the decode UDF, the
+    right behavior for a protocol stream where one bad frame means the
+    relay itself is broken.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt == "wal2json":
+        from pg_logical_replication_spark.sources.wal2json import WAL2JSON_SCHEMA
+
+        parsed = F.from_json(F.col(value_col), WAL2JSON_SCHEMA)
+        # from_json is PERMISSIVE: unparseable JSON → null struct; JSON
+        # of the wrong shape → struct with no recognized fields
+        bad = parsed.isNull() | (
+            parsed.getField("change").isNull()
+            & parsed.getField("xid").isNull()
+            & parsed.getField("nextlsn").isNull()
+        )
+        return raw.filter(F.col(value_col).isNotNull() & bad).select(
+            F.col(value_col).alias("value"), F.lit("unparseable wal2json").alias("reason")
+        )
+    if fmt == "test_decoding":
+        from pg_logical_replication_spark.sources.test_decoding import (
+            _BEGIN_RE,
+            _COMMIT_RE,
+            _QUAL_RE,
+        )
+
+        line = F.col(value_col)
+        ok = (
+            (F.regexp_extract(line, _QUAL_RE, 3) != "")
+            | line.rlike(_BEGIN_RE)
+            | line.rlike(_COMMIT_RE)
+        )
+        return raw.filter(line.isNotNull() & (line != "") & ~ok).select(
+            line.alias("value"), F.lit("unparseable test_decoding").alias("reason")
+        )
+    raise ValueError(
+        f"dead_letters supports text formats only, not {fmt!r}"
+    )

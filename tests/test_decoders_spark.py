@@ -322,3 +322,28 @@ def test_pgoutput_publication_filter(spark):
     dml = ev.filter("op = 'insert'").collect()
     assert {r["after"]["id"] for r in dml} == {"1", "2"}
     assert {r["table"] for r in dml} == {"users"}
+
+
+def test_dead_letters_error_channel(spark):
+    """#24: rejects surface as a DLQ DataFrame; happy path unaffected
+    (per-message error events, logical-replication-service.ts:213-216)."""
+    from pg_logical_replication_spark.sources.registry import dead_letters
+
+    lines = _wal2json_lines() + ["NOT JSON", '{"unrelated": true}']
+    raw = spark.createDataFrame([(line,) for line in lines], "value string")
+    dlq = dead_letters(raw, "wal2json").collect()
+    assert {r["value"] for r in dlq} == {"NOT JSON", '{"unrelated": true}'}
+    assert decode(raw, "wal2json").count() == decode(
+        spark.createDataFrame([(l,) for l in _wal2json_lines()], "value string"),
+        "wal2json",
+    ).count()
+
+    td = TEST_DECODING_LINES + ["garbage line", "table broken"]
+    raw2 = spark.createDataFrame([(line,) for line in td], "value string")
+    dlq2 = {r["value"] for r in dead_letters(raw2, "test_decoding").collect()}
+    assert dlq2 == {"garbage line", "table broken"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dead_letters(raw, "pgoutput")
