@@ -8,6 +8,7 @@ this package registers everything.
 
 from pg_logical_replication_spark.plans.registry import QUERIES, QuerySpec  # noqa: F401
 from pg_logical_replication_spark.plans import relational  # noqa: F401
+from pg_logical_replication_spark.plans import tpch_extra  # noqa: F401
 from pg_logical_replication_spark.plans import cdc_queries  # noqa: F401
 from pg_logical_replication_spark.plans import pipeline  # noqa: F401
 from pg_logical_replication_spark.plans import multimodal  # noqa: F401
