@@ -143,6 +143,90 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns each corpus
+    vector to its nearest of ``n_centroids`` cells; each query probes
+    its ``n_probe`` nearest cells and re-ranks exactly inside them —
+    the classic FAISS-style sub-linear index, recall < 1 by design.
+
+    ``centroids`` defaults to the vectors with id < n_centroids — a
+    deterministic quantizer so the whole operator has an exact SQL twin;
+    production trains centroids (e.g. ``pyspark.ml.clustering.KMeans``)
+    and passes them in, nothing else changes.
+
+    Scale: cells are a write-time property — at 100 TB the assignment
+    runs once per ingest (broadcast-centroid matmul in ``mapInPandas``,
+    no shuffle) and the corpus is PARTITIONED BY cell on disk, so a
+    probe is partition pruning: each query reads n_probe/n_centroids of
+    the data. Here both halves stay declarative for the oracle; the
+    only shuffle is the final per-query top-k window over candidates.
+    """
+    cent = (
+        centroids if centroids is not None else corpus.filter(F.col(id_col) < n_centroids)
+    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec"))
+
+    def cell_rank(df: DataFrame, vid: str, vvec: str) -> DataFrame:
+        cos = F.round(
+            _dot(F.col(vvec), F.col("c_vec"))
+            / (_norm(F.col(vvec)) * _norm(F.col("c_vec"))),
+            round_to,
+        )
+        w = Window.partitionBy(vid).orderBy(F.col("_c_cos").desc(), F.col("cent_id"))
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("_c_cos", cos)
+            .withColumn("_crn", F.row_number().over(w))
+        )
+
+    assign = (
+        cell_rank(
+            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+            "n_id",
+            "n_vec",
+        )
+        .filter(F.col("_crn") == 1)
+        .select("n_id", "n_vec", "cent_id")
+    )
+    probes = (
+        cell_rank(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+            "q_id",
+            "q_vec",
+        )
+        .filter(F.col("_crn") <= n_probe)
+        .select("q_id", "q_vec", "cent_id")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

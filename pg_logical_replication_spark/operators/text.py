@@ -81,6 +81,46 @@ def language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return out.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+def curation_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-pass per-document curation record: token count, stopword
+    ratio, language guess, and the order-insensitive content fingerprint
+    — the map stage of a training-data curation pipeline.
+
+    Single narrow scan (no shuffle, no Python): downstream filter →
+    dedup → per-language rollup only ever shuffles this small record,
+    never the document text. At 100 TB the text column is pruned right
+    at the parquet reader.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+    )
+    tk = F.col("_toks")
+    n_tokens = F.size(tk)
+    hits = {
+        lang: F.size(F.filter(tk, lambda x: F.lower(x).isin(*stops)))
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    guess = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # earlier langs win ties
+        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tk)))).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        F.round(hits["en"] / n_tokens, 6).alias("stopword_ratio"),
+        guess.alias("lang_guess"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — catches shuffled/reordered copies exact-hash misses."""

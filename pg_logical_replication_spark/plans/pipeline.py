@@ -214,6 +214,50 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _ivf_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    def cos(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b}))), 6)"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    asgn AS (SELECT vec_id AS n_id, v AS nv, cent_id FROM (
+        SELECT e.vec_id, e.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.v', 'cent.cv')} DESC, cent.cent_id) AS rn
+        FROM e CROSS JOIN cent) WHERE rn = 1),
+    probes AS (SELECT q_id, qv, cent_id FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos('q.v', 'cent.cv')} DESC, cent.cent_id) AS rn
+        FROM e q CROSS JOIN cent WHERE q.vec_id < 10) WHERE rn <= {n_probe}),
+    scored AS (SELECT p.q_id, a.n_id, {cos('p.qv', 'a.nv')} AS cosine
+               FROM probes p JOIN asgn a ON a.cent_id = p.cent_id
+               WHERE a.n_id <> p.q_id)
+    SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rnk
+      FROM scored) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_ann_ivf_topk",
+    _ivf_oracle(),
+    "IVF-partitioned ANN: nearest-cell assignment + n_probe cell probes "
+    "(cells ≙ disk partitions at 100 TB — a probe is partition pruning)",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 # ------------------------------------------------------------------- text
 @register(
     "q_text_token_stats",
@@ -277,6 +321,60 @@ def _lang_oracle() -> str:
 )
 def q_text_lang_guess(spark, sf_dir):
     return TX.language_guess(t(spark, sf_dir, "documents"))
+
+
+def _lang_case(tk: str = "tk") -> str:
+    """DuckDB CASE expression mirroring operators/text.py language_guess."""
+    hit = {
+        lang: f"len(list_filter({tk}, x -> lower(x) IN ({', '.join(repr(s) for s in stops)})))"
+        for lang, stops in TX.LANG_STOPWORDS.items()
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    cases = " ".join(
+        f"WHEN {h} = {best} AND {best} > 0 THEN '{lang}'" for lang, h in hit.items()
+    )
+    return f"CASE {cases} ELSE 'und' END"
+
+
+@register(
+    "q_pipeline_corpus_curation",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+    feat AS (SELECT doc_id, lang,
+                    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint,
+                    len(tk) AS n_tokens,
+                    ROUND(len(list_filter(tk, x -> lower(x) IN ('the','a','of','and','to')))
+                          / len(tk), 6) AS stopword_ratio,
+                    {_lang_case('tk')} AS lang_guess
+             FROM toks),
+    kept AS (SELECT * FROM feat WHERE n_tokens >= 40 AND stopword_ratio >= 0.03),
+    uniq AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                            ORDER BY doc_id) AS rn FROM kept)
+             WHERE rn = 1)
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM uniq GROUP BY lang, lang_guess
+    """,
+    "end-to-end curation pipeline: one-pass features -> quality filter "
+    "-> fingerprint dedup (keep lowest doc_id) -> per-language rollup "
+    "(declared lang x stopword-guessed lang)",
+)
+def q_pipeline_corpus_curation(spark, sf_dir):
+    """The composite the individual q_text_*/q_dedup_* stages exist for.
+    Scale: one narrow scan computes the per-doc record (text pruned at
+    the reader thereafter), the dedup window shuffles only that record
+    keyed by 32-byte fingerprint, and the rollup is a tiny partial agg."""
+    from pyspark.sql import Window
+
+    feats = TX.curation_features(t(spark, sf_dir, "documents"), keep=("lang",))
+    kept = feats.filter((F.col("n_tokens") >= 40) & (F.col("stopword_ratio") >= 0.03))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return uniq.groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
 
 
 @register(

@@ -494,6 +494,74 @@ def q19_discount_revenue(spark, sf_dir):
 
 
 @register(
+    "q20_potential_part_promotion",
+    f"""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM
+        (SELECT l_partkey, l_suppkey, {_SSUM.format(x='l_quantity')} AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+         GROUP BY l_partkey, l_suppkey) ps
+      JOIN
+        (SELECT l_partkey AS t_partkey, {_SSUM.format(x='l_quantity')} AS tot
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_partkey) tot ON tot.t_partkey = ps.l_partkey
+      WHERE ps.qty > 0.3 * tot.tot
+    )
+    """,
+    "TPC-H Q20 (availqty adapted: dominant supplier of a part's shipped volume): "
+    "nested IN over per-(part,supplier) vs per-part aggregates",
+)
+def q20_potential_part_promotion(spark, sf_dir):
+    """Adaptation: no partsupp.ps_availqty, so the 'excess stock'
+    predicate becomes 'supplier shipped >30% of the part's 1996 volume'
+    — the original's nested-IN shape over a correlated per-(part,supp)
+    vs per-part aggregate comparison survives intact (nation filter
+    widened to region so the result is non-empty at every sf). Scale:
+    both aggs group the SAME filtered lineitem scan on
+    l_partkey(+l_suppkey), so they share one shuffle partitioning (AQE
+    exchange reuse); the red part set and the dominant-supplier set
+    broadcast as semi joins."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red = (
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    )
+    ps = (
+        li.join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(ssum("l_quantity").alias("qty"))
+    )
+    tot = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        ssum("l_quantity").alias("tot")
+    )
+    dominant = (
+        ps.join(tot, ps["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("qty") > 0.3 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"], "left_semi"
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(F.broadcast(dominant), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
     "q21_suppliers_kept_waiting",
     """
     SELECT s.s_name, COUNT(*) AS numwait
