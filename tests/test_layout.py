@@ -1,0 +1,96 @@
+"""Physical-layout operators: bucketed co-located joins, salted joins.
+
+The bucketing test is plan-level: after materializing both sides
+bucketed by the join key, the join's physical plan must contain ZERO
+shuffle exchanges — that's the property that makes the layout pay for
+itself at 100 TB (recurring joins against a CDC snapshot re-read
+co-located buckets instead of re-shuffling the table).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators.layout import (
+    salted_equi_join,
+    write_bucketed,
+)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture
+def orders_items(spark):
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 7).alias("o_flag")
+    )
+    items = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("o_id"), F.col("id").alias("i_id")
+    )
+    return orders, items
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, orders_items):
+    # disable broadcast so the planner faces the real choice it faces at
+    # 100 TB (neither side fits): shuffle join vs bucketed co-located join
+    orders, items = orders_items
+    bo = write_bucketed(
+        orders, "t_orders_b", ["o_id"], num_buckets=4, path=str(tmp_path / "o")
+    )
+    bi = write_bucketed(
+        items, "t_items_b", ["o_id"], num_buckets=4, path=str(tmp_path / "i")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bi, "o_id")
+        assert joined.count() == 5000
+        plan = _physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tmp_path, orders_items):
+    orders, _ = orders_items
+    bo = write_bucketed(
+        orders, "t_orders_g", ["o_id"], num_buckets=4, path=str(tmp_path / "g")
+    )
+    try:
+        agg = bo.groupBy("o_id").agg(F.count("*").alias("n"))
+        assert agg.count() == 1000
+        assert "Exchange" not in _physical_plan(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_g")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key (90% of rows) plus a long tail
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") < 9000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("d")
+    )
+    plain = big.join(dim, ["k"]).select("k", "v", "d")
+    salted = salted_equi_join(big, dim, ["k"], n_salt=8).select("k", "v", "d")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    out = salted_equi_join(big, dim, ["k"], n_salt=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("d").isNull()).count() == 90
+
+
+def test_salted_join_rejects_right(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_equi_join(df, df, ["k"], how="right")
