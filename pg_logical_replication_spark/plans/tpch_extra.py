@@ -431,8 +431,10 @@ def q17_small_quantity_revenue(spark, sf_dir):
 )
 def q18_large_volume_customer(spark, sf_dir):
     """IN (GROUP BY … HAVING) ≙ semi-join against the filtered aggregate.
-    Scale: the HAVING agg and the main agg share the l_orderkey
-    partitioning, so AQE reuses the exchange; top-100 is TakeOrdered."""
+    Scale: the HAVING agg, the semi join, and the orders join are all
+    l_orderkey-aligned, so once lineitem is hash-partitioned the
+    downstream stages add no re-shuffle of it; top-100 is TakeOrdered
+    (per-partition heaps, no global sort)."""
     c, o, li = (t(spark, sf_dir, x) for x in ("customer", "orders", "lineitem"))
     big = (
         li.groupBy("l_orderkey")
@@ -524,11 +526,22 @@ def q20_potential_part_promotion(spark, sf_dir):
     predicate becomes 'supplier shipped >30% of the part's 1996 volume'
     — the original's nested-IN shape over a correlated per-(part,supp)
     vs per-part aggregate comparison survives intact (nation filter
-    widened to region so the result is non-empty at every sf). Scale:
-    both aggs group the SAME filtered lineitem scan on
-    l_partkey(+l_suppkey), so they share one shuffle partitioning (AQE
-    exchange reuse); the red part set and the dominant-supplier set
-    broadcast as semi joins."""
+    widened to region so the result is non-empty at every sf).
+
+    Plan: the oracle SQL's per-part total over ALL lineitems is exactly
+    the window-sum of the per-(part,supplier) decimal aggregates once
+    rows are semi-joined to red parts (the red filter is part-level, so
+    it keeps every row of a kept part) — so the ps⋈tot join collapses
+    into a ratio-to-total window. The explicit repartition on l_partkey
+    alone satisfies BOTH the (l_partkey, l_suppkey) groupBy's clustered
+    distribution (subset rule) and the window's, so aggregate + window
+    run in the same single exchange (trading away map-side combine,
+    which buys little here: only a handful of rows per (part,supplier)).
+    Decimals stay un-cast through the window so the total is the same
+    exact decimal sum the oracle computes, cast to double once at the
+    end."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -537,15 +550,14 @@ def q20_potential_part_promotion(spark, sf_dir):
     )
     ps = (
         li.join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(ssum("l_quantity").alias("qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec"))
     )
-    tot = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        ssum("l_quantity").alias("tot")
-    )
+    w = Window.partitionBy("l_partkey")
     dominant = (
-        ps.join(tot, ps["l_partkey"] == F.col("t_partkey"))
-        .filter(F.col("qty") > 0.3 * F.col("tot"))
+        ps.withColumn("tot", F.sum("qty_dec").over(w))
+        .filter(F.col("qty_dec").cast("double") > 0.3 * F.col("tot").cast("double"))
         .select("l_suppkey")
         .distinct()
     )
@@ -584,10 +596,10 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     """Adaptation: no l_receiptdate/l_commitdate, so 'late' ≙ returned
     ('R') lines in failed orders; the sole-blame structure (other
     suppliers on the order exist, none of THEM returned) is the
-    original's. EXISTS/NOT EXISTS become per-order aggregates joined
-    back — one lineitem shuffle on l_orderkey serves l1/l2/l3 (AQE
-    exchange reuse), instead of two correlated self-joins. Scale: the
-    per-order profile is map-side-combinable and orderkey-aligned."""
+    original's. EXISTS/NOT EXISTS become ONE per-order aggregate joined
+    back, instead of two correlated lineitem self-joins — the profile
+    is map-side-combinable, and every downstream join is
+    l_orderkey-aligned with it."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
