@@ -78,6 +78,55 @@ def test_tumbling_window_with_watermark_drops_late_rows(spark, tmp_path):
     assert rows == [("00:00", 2)]
 
 
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: decoded changes from two slots joined
+    on key within a time bound, both sides watermarked (the state-expiry
+    contract that keeps the join's state bounded at 100 TB)."""
+    src_a = tmp_path / "wal_a"; src_a.mkdir()
+    src_b = tmp_path / "wal_b"; src_b.mkdir()
+    # stream A: orders 1, 2; stream B: payment for 1 (within the hour)
+    # and for 3 (no matching order)
+    _write(src_a, "000.jsonl",
+           [_cs(1, "0/100", "2026-08-13 00:00:05.000000+00", table="orders", vid=1),
+            _cs(2, "0/200", "2026-08-13 00:00:10.000000+00", table="orders", vid=2)], 0)
+    _write(src_b, "000.jsonl",
+           [_cs(7, "0/700", "2026-08-13 00:10:00.000000+00", table="pays", vid=1),
+            _cs(8, "0/800", "2026-08-13 00:20:00.000000+00", table="pays", vid=3)], 0)
+
+    svc_a = LogicalReplicationService(spark, str(src_a), str(tmp_path / "ck_a"))
+    svc_b = LogicalReplicationService(spark, str(src_b), str(tmp_path / "ck_b"))
+    orders = (
+        svc_a.changes("wal2json")
+        .select(
+            F.col("after").getItem("id").cast("long").alias("order_id"),
+            F.col("commit_ts").alias("order_ts"),
+        )
+        .withWatermark("order_ts", "1 minute")
+    )
+    pays = (
+        svc_b.changes("wal2json")
+        .select(
+            F.col("after").getItem("id").cast("long").alias("pay_id"),
+            F.col("commit_ts").alias("pay_ts"),
+        )
+        .withWatermark("pay_ts", "1 minute")
+    )
+    joined = orders.join(
+        pays,
+        (F.col("order_id") == F.col("pay_id"))
+        & (F.col("pay_ts") >= F.col("order_ts"))
+        & (F.col("pay_ts") <= F.col("order_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("order_id", "order_ts", "pay_ts")
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ck_q"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select order_id from ss_join_out").collect()
+    assert [r["order_id"] for r in rows] == [1]
+
+
 def test_stream_static_broadcast_join(spark, tmp_path):
     src = tmp_path / "wal"; src.mkdir()
     with open(src / "000.jsonl", "w") as f:
