@@ -1,0 +1,154 @@
+"""Property-based codec tests (hypothesis) — the adversarial coverage
+SURVEY §7 flags for the quirky formats, which the reference itself never
+had (its tests are example-based against a live PG only).
+
+Pure-Python properties run at full hypothesis example counts; the one
+Spark-backed property (test_decoding quoting) batches all generated
+values into a single decode job per example to keep runtime sane.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pg_logical_replication_spark.sources import decoderbufs_format as dbf
+from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+# PG text-format values: any unicode minus NUL (cstring terminator).
+_pg_text = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+    max_size=64,
+)
+_col_name = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_"
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _tuple_of(values):
+    """pgoutput wire tuple for a list of optional strings."""
+    return [("n", None) if v is None else ("t", v) for v in values]
+
+
+@given(st.lists(st.tuples(_col_name, st.one_of(st.none(), _pg_text)), min_size=1,
+                max_size=8, unique_by=lambda t: t[0]))
+def test_pgoutput_insert_roundtrip(cols):
+    cache = {}
+    fmt.parse_message(
+        fmt.encode_relation(9, "s", "t", [(n, 25) for n, _ in cols],
+                            key_columns=[cols[0][0]]),
+        cache,
+    )
+    ev = fmt.parse_message(
+        fmt.encode_insert(9, _tuple_of([v for _, v in cols])), cache
+    )
+    assert ev["op"] == "insert"
+    assert ev["after"] == {n: v for n, v in cols}
+
+
+@given(
+    st.lists(st.one_of(st.none(), _pg_text), min_size=1, max_size=6),
+    st.lists(st.one_of(st.none(), _pg_text), min_size=1, max_size=6),
+)
+def test_pgoutput_update_full_old_image_roundtrip(new, old):
+    n = max(len(new), len(old))
+    new = (new + [None] * n)[:n]
+    old = (old + [None] * n)[:n]
+    cache = {}
+    names = [f"c{i}" for i in range(n)]
+    fmt.parse_message(
+        fmt.encode_relation(9, "s", "t", [(c, 25) for c in names],
+                            key_columns=[names[0]], replica_identity="full"),
+        cache,
+    )
+    ev = fmt.parse_message(
+        fmt.encode_update(9, _tuple_of(new), old=_tuple_of(old), old_kind="O"),
+        cache,
+    )
+    assert ev["after"] == dict(zip(names, new))
+    assert ev["before"] == dict(zip(names, old))
+
+
+@given(st.binary(max_size=64), _pg_text)
+def test_pgoutput_binary_kind_and_message_roundtrip(payload, prefix):
+    cache = {}
+    fmt.parse_message(
+        fmt.encode_relation(9, "s", "t", [("b", 17)], key_columns=["b"]), cache
+    )
+    ev = fmt.parse_message(fmt.encode_insert(9, [("b", payload)]), cache)
+    # binary attribute kind 'b' surfaces as PG bytea hex text (\x…)
+    assert ev["after"]["b"] == "\\x" + payload.hex()
+    msg = fmt.parse_message(
+        fmt.encode_logical_message("0/10", prefix.replace("\x00", ""), payload),
+        cache,
+    )
+    assert msg["op"] == "message"
+
+
+_datum = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1).map(lambda v: ("int32", v)),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1).map(lambda v: ("int64", v)),
+    st.floats(allow_nan=False, width=64).map(lambda v: ("float64", v)),
+    st.booleans().map(lambda v: ("boolean", v)),
+    _pg_text.map(lambda v: ("string", v)),
+    st.binary(max_size=32).map(lambda v: ("binary", v)),
+)
+
+
+@given(st.lists(_datum, min_size=1, max_size=6))
+def test_decoderbufs_datum_roundtrip(datums):
+    new_tuple = []
+    for i, d in enumerate(datums):
+        if d is None:
+            new_tuple.append(dbf.encode_datum(f"c{i}", 25))  # missing ≙ TOAST
+        else:
+            kind, v = d
+            new_tuple.append(dbf.encode_datum(f"c{i}", 25, **{kind: v}))
+    ev = dbf.parse_row_message(
+        dbf.encode_row_message("insert", xid=1, table="s.t", new_tuple=new_tuple)
+    )
+    for i, d in enumerate(datums):
+        got = ev["after"][f"c{i}"]
+        if d is None:
+            assert got is None
+            continue
+        kind, v = d
+        if kind == "boolean":
+            assert got in ("true", "false") and (got == "true") == v
+        elif kind == "binary":
+            assert got == "\\x" + v.hex()
+        elif kind == "float64":
+            assert float(got) == v
+        else:
+            assert got == str(v)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_characters="\x00\r\n",
+                           blacklist_categories=("Cs",)),
+    max_size=40,
+), min_size=1, max_size=50))
+def test_test_decoding_quoting_survives_adversarial_values(spark, values):
+    """The grammar's quote-escape rule (decoder.ts:29-37): '' inside a
+    quoted value is a literal quote. All generated values go through one
+    decode job per hypothesis example."""
+    from pg_logical_replication_spark.sources import decode
+
+    lines = [
+        (i, "table public.t: INSERT: id[bigint]:%d v[text]:'%s'"
+            % (i, v.replace("'", "''")))
+        for i, v in enumerate(values)
+    ]
+    raw = spark.createDataFrame(lines, "seq long, value string")
+    got = {
+        int(r["after"]["id"]): r["after"]["v"]
+        for r in decode(raw, "test_decoding").filter("op = 'insert'").collect()
+    }
+    assert got == {i: v for i, v in enumerate(values)}
