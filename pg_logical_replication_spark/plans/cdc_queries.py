@@ -66,6 +66,40 @@ def q_cdc_apply_events(spark, sf_dir):
 
 
 @register(
+    "q_cdc_asof_snapshot",
+    """
+    SELECT user_id, event_type AS last_op, value AS last_value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00')
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "table-as-of: snapshot reconstructed at a mid-stream position — the "
+    "CDC-native time-travel query (streaming twin: "
+    "MergeOnReadTable.snapshot(as_of_lsn), tests/test_streaming.py)",
+)
+def q_cdc_asof_snapshot(spark, sf_dir):
+    """As-of = a pushed-down bound filter + the same newest-per-key
+    window as apply_changes.latest_image. The bound reaches the parquet
+    reader (PushedFilters), so a 100 TB history priced by time-partition
+    pruning, not by scan."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts") <= "2024-01-16 00:00:00")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
     "q_cdc_wal2json_roundtrip",
     f"""
     SELECT {_OP_CASE} AS op,

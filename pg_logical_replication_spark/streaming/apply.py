@@ -85,13 +85,30 @@ class MergeOnReadTable:
         except Exception:
             return None
 
-    def snapshot(self) -> DataFrame | None:
+    def snapshot(self, as_of_lsn: str | None = None) -> DataFrame | None:
         """Current table: newest image per key across the whole log,
         tombstones dropped. One shuffle on the key — same cost model as
-        the batch apply_changes."""
+        the batch apply_changes.
+
+        ``as_of_lsn`` time-travels: the newest image per key at or below
+        that WAL position ("table as of LSN" is CDC-native — the MOR log
+        keeps every batch's images, so this is a filter, not a replay).
+        Granularity is the micro-batch: ``apply_batch`` folds images a
+        later change in the SAME batch superseded, so positions interior
+        to a batch resolve to that batch's start (tune with
+        ``max_files_per_trigger``). History reaches back to the last
+        ``compact()``: compaction folds superseded images away, so keys
+        whose only surviving image is newer than the bound drop out of
+        older as-of views. Retention = compaction cadence, exactly the
+        Delta/Iceberg tradeoff.
+        """
         log = self._log()
         if log is None:
             return None
+        if as_of_lsn is not None:
+            from pg_logical_replication_spark.model import lsn_to_long
+
+            log = log.filter(F.col("lsn_long") <= lsn_to_long(as_of_lsn))
         from pyspark.sql import Window as W
 
         # Row identity, same rule as operators.apply_changes.latest_image:

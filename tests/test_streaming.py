@@ -125,6 +125,33 @@ def test_stream_drain_apply_and_resume(spark, log_dirs):
     assert svc.last_lsn("slot1") == "0/1000400"
 
 
+def test_snapshot_as_of_lsn_time_travel(spark, log_dirs):
+    """Table-as-of-LSN: each WAL position reconstructs the table state
+    at that point; compaction bounds how far back history reaches."""
+    log, ckpt, mor = log_dirs
+    # one changeset per file + one file per micro-batch: as-of granularity
+    # is the micro-batch (apply_batch folds superseded images at write)
+    svc = LogicalReplicationService(spark, log, ckpt, max_files_per_trigger=1)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+    for i, cs in enumerate(BATCH1 + BATCH2):
+        _append(log, f"{i:03d}.jsonl", [cs])
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+
+    def names_at(lsn):
+        snap = table.snapshot(as_of_lsn=lsn)
+        return {r["after"]["name"] for r in snap.collect()}
+
+    assert names_at("0/1000100") == {"alice", "bob"}   # before the update
+    assert names_at("0/1000200") == {"alice2", "bob"}  # update applied
+    assert names_at("0/1000300") == {"alice2"}         # bob deleted
+    assert names_at("0/1000400") == {"alice2", "carol"}
+    # compaction folds superseded images: current state unchanged, but
+    # pre-update history is no longer reconstructible (alice's v1 gone)
+    table.compact()
+    assert names_at("0/1000400") == {"alice2", "carol"}
+    assert names_at("0/1000100") == set()
+
+
 def test_replay_all_is_idempotent_through_mor_sink(spark, log_dirs):
     log, ckpt, mor = log_dirs
     svc = LogicalReplicationService(spark, log, ckpt)
