@@ -1,0 +1,64 @@
+"""Plan-level scan hygiene for the query layer: predicates must reach
+the parquet reader (PushedFilters) and projections must prune columns
+(ReadSchema) — the two properties that price a 100 TB scan by what the
+query needs instead of what the table holds.
+"""
+
+from pg_logical_replication_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scans(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def _scan_of(df, table: str) -> str:
+    for ln in _scans(df):
+        if f"{table}.parquet" in ln:
+            return ln
+    raise AssertionError(f"no parquet scan of {table}")
+
+
+def test_q6_filters_push_to_lineitem_scan(spark):
+    """q6 is scan+agg only — every predicate must be in PushedFilters."""
+    df = QUERIES["q6_forecast_revenue"].builder(spark, SF)
+    scan = _scan_of(df, "lineitem")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("PushedFilters:")[1], scan
+
+
+def test_q6_reads_only_needed_columns(spark):
+    df = QUERIES["q6_forecast_revenue"].builder(spark, SF)
+    scan = _scan_of(df, "lineitem")
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "l_extendedprice" in read_schema
+    # untouched wide columns must be pruned from the parquet read
+    for col in ("l_returnflag", "l_orderkey", "l_suppkey", "l_tax"):
+        assert col not in read_schema, scan
+
+
+def test_asof_bound_pushes_to_events_scan(spark):
+    df = QUERIES["q_cdc_asof_snapshot"].builder(spark, SF)
+    scan = _scan_of(df, "events")
+    assert "ts" in scan.split("PushedFilters:")[1], scan
+    assert "props" not in scan.split("ReadSchema:")[1], scan
+
+
+def test_q1_prunes_lineitem_to_aggregated_columns(spark):
+    df = QUERIES["q1_pricing_summary"].builder(spark, SF)
+    scan = _scan_of(df, "lineitem")
+    read_schema = scan.split("ReadSchema:")[1]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in read_schema, scan
+
+
+def test_curation_pipeline_prunes_documents(spark):
+    """The curation rollup needs text/lang/doc_id only — n_chars and
+    source must not be read."""
+    df = QUERIES["q_pipeline_corpus_curation"].builder(spark, SF)
+    scan = _scan_of(df, "documents")
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "n_chars" not in read_schema, scan
+    assert "source" not in read_schema, scan
