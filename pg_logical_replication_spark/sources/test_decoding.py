@@ -28,7 +28,12 @@ from pg_logical_replication_spark.model import lsn_long_expr
 
 # One datum: name[type]:value  (grammar `datum`, decoder.ts:40)
 _DATUM_RE = r'("(?:[^"]|"")*"|[^\[\s]+)\[([^\]]+)\]:(\'(?:[^\']|\'\')*\'|[^ \t]+)'
-_QUAL_RE = r'^table ("(?:[^"]|"")*"|[^.]+)\.("(?:[^"]|"")*"|[^:]+): (INSERT|UPDATE|DELETE|TRUNCATE): ?(.*)$'
+# (?s) + \z because Java regex counts U+0085/U+2028/U+2029 as line
+# terminators: without DOTALL, `.` refuses them and `$` can bind before
+# a trailing one, silently dropping any row whose VALUE contains such a
+# character (found by hypothesis). Line framing is still plain \n — the
+# file source splits on newline only, so these characters are data.
+_QUAL_RE = r'(?s)^table ("(?:[^"]|"")*"|[^.]+)\.("(?:[^"]|"")*"|[^:]+): (INSERT|UPDATE|DELETE|TRUNCATE): ?(.*)\z'
 _BEGIN_RE = r"^BEGIN(?: (\d+))?\s*$"
 _COMMIT_RE = r"^COMMIT(?: (\d+))?(?: \(at ([^)]+)\))?\s*$"
 
@@ -124,10 +129,10 @@ def decode_test_decoding(
     parts = parsed.select(
         "*",
         has_old.alias("_has_old"),
-        F.when(has_old, F.regexp_extract(data, r"new-tuple: (.*)$", 1))
+        F.when(has_old, F.regexp_extract(data, r"(?s)new-tuple: (.*)\z", 1))
         .otherwise(data)
         .alias("_new"),
-        F.when(has_old, F.regexp_extract(data, r"old-key: (.*?) ?new-tuple:", 1))
+        F.when(has_old, F.regexp_extract(data, r"(?s)old-key: (.*?) ?new-tuple:", 1))
         .otherwise(F.lit(""))
         .alias("_old"),
     )

@@ -69,6 +69,28 @@ class LogicalReplicationService:
         self.max_files_per_trigger = max_files_per_trigger
         self._queries: dict[str, StreamingQuery] = {}
         self._last_lsn: dict[str, str] = {}
+        self._handlers: dict[str, list[Callable[..., Any]]] = {}
+
+    # ------------------------------------------------------------- events
+    def on(self, event: str, handler: Callable[..., Any]) -> "LogicalReplicationService":
+        """EventEmitter parity (reference :37-46). Events:
+
+        * ``start`` (slot_name) — query started (reference :143);
+        * ``data`` (lsn, batch_id) — a micro-batch was delivered to the
+          sink (the reference emits per message; the engine's unit of
+          delivery is the micro-batch);
+        * ``acknowledge`` (lsn) — position committed after sink success
+          (auto-ack, reference :187-192);
+        * ``error`` (exception) — sink failure (reference :213-216).
+
+        Returns self for chaining, like EventEmitter ``on``.
+        """
+        self._handlers.setdefault(event, []).append(handler)
+        return self
+
+    def _emit(self, event: str, *args: Any) -> None:
+        for h in self._handlers.get(event, []):
+            h(*args)
 
     # ------------------------------------------------------------ source
     def changes(self, fmt: str, **decode_options) -> DataFrame:
@@ -87,6 +109,7 @@ class LogicalReplicationService:
         sink: Callable[[DataFrame, int], Any],
         decode_options: dict[str, Any] | None = None,
         available_now: bool = True,
+        isolate_errors: bool = False,
     ) -> StreamingQuery:
         """Start streaming decoded changes into ``sink`` (foreachBatch).
 
@@ -96,17 +119,31 @@ class LogicalReplicationService:
         trigger). The checkpoint under ``<root>/<slot_name>`` is the
         slot: re-subscribing with the same name resumes from the last
         committed offset (≙ ``uptoLsn`` resume, reference :134-137).
+
+        ``isolate_errors`` ≙ the reference's flow-control error handling
+        (:213-216): a sink exception emits ``error`` and the stream
+        CONTINUES — the failed batch's offsets still commit, so it will
+        not replay. Default False: the exception fails the query and the
+        batch replays on re-subscribe (at-least-once).
         """
         ev = self.changes(fmt, **(decode_options or {}))
 
         def tracked_sink(batch_df: DataFrame, batch_id: int) -> None:
-            sink(batch_df, batch_id)
+            try:
+                sink(batch_df, batch_id)
+            except Exception as e:  # noqa: BLE001 — handler decides
+                self._emit("error", e)
+                if not isolate_errors:
+                    raise
+                return
             # ≙ `_lastLsn = lsn` after each delivered message (reference
             # :173): recorded only after the sink succeeds, i.e. at the
             # moment the reference would auto-ack (:187-192).
             lsn = max_lsn(batch_df)
             if lsn is not None:
                 self._last_lsn[slot_name] = lsn
+                self._emit("data", lsn, batch_id)
+                self._emit("acknowledge", lsn)
 
         writer = (
             ev.writeStream.foreachBatch(tracked_sink)
@@ -117,6 +154,7 @@ class LogicalReplicationService:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
         self._queries[slot_name] = q
+        self._emit("start", slot_name)
         return q
 
     def subscribe_and_wait(self, *args, **kwargs) -> None:
@@ -141,6 +179,10 @@ class LogicalReplicationService:
             shutil.rmtree(cp)
 
     # ---------------------------------------------------------- lifecycle
+    def is_stop(self) -> bool:
+        """No live query (≙ ``isStop()``, reference :89-92)."""
+        return all(not q.isActive for q in self._queries.values())
+
     def stop(self) -> None:
         """Stop all live queries; checkpoints survive for re-subscribe
         (≙ ``stop()`` keeping listeners, reference :98-118)."""

@@ -125,6 +125,53 @@ def test_stream_drain_apply_and_resume(spark, log_dirs):
     assert svc.last_lsn("slot1") == "0/1000400"
 
 
+def test_event_emitter_surface(spark, log_dirs):
+    """on('start'/'data'/'acknowledge') ≙ the reference's EventEmitter
+    (logical-replication-service.ts:37-46); is_stop() ≙ isStop()."""
+    log, ckpt, mor = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt, max_files_per_trigger=1)
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+    events = []
+    svc.on("start", lambda slot: events.append(("start", slot)))
+    svc.on("data", lambda lsn, bid: events.append(("data", lsn)))
+    svc.on("acknowledge", lambda lsn: events.append(("ack", lsn)))
+
+    _append(log, "000.jsonl", BATCH1[:1])
+    _append(log, "001.jsonl", BATCH1[1:])
+    svc.subscribe_and_wait("wal2json", "slot1", table.writer())
+    assert events[0] == ("start", "slot1")
+    assert ("data", "0/1000100") in events and ("ack", "0/1000200") in events
+    # acks arrive in LSN order, one per delivered micro-batch
+    assert [e[1] for e in events if e[0] == "ack"] == ["0/1000100", "0/1000200"]
+    assert svc.is_stop()
+
+
+def test_error_isolation_mode(spark, log_dirs):
+    """isolate_errors=True ≙ flow-control handler-error isolation
+    (:213-216): error event fires, the stream continues, and the failed
+    batch does NOT replay on re-subscribe (its offsets committed)."""
+    log, ckpt, _ = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt, max_files_per_trigger=1)
+    errors, seen = [], []
+    svc.on("error", errors.append)
+
+    def flaky_sink(df, batch_id):
+        rows = {r["lsn"] for r in df.select("lsn").collect()}
+        if "0/1000100" in rows:
+            raise RuntimeError("handler boom")
+        seen.append(sorted(rows))
+
+    _append(log, "000.jsonl", BATCH1[:1])   # lsn 0/1000100 → sink raises
+    _append(log, "001.jsonl", BATCH1[1:])   # lsn 0/1000200 → ok
+    svc.subscribe_and_wait("wal2json", "slot1", flaky_sink, isolate_errors=True)
+    assert len(errors) == 1 and "boom" in str(errors[0])
+    assert seen == [["0/1000200"]]
+    # failed batch was acked anyway — a fresh drain delivers nothing new
+    seen.clear()
+    svc.subscribe_and_wait("wal2json", "slot1", flaky_sink, isolate_errors=True)
+    assert seen == []
+
+
 def test_snapshot_as_of_lsn_time_travel(spark, log_dirs):
     """Table-as-of-LSN: each WAL position reconstructs the table state
     at that point; compaction bounds how far back history reaches."""
