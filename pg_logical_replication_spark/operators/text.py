@@ -81,6 +81,32 @@ def language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return out.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+# GPT-2-style pretokenizer, restricted to syntax RE2 (DuckDB) and Java
+# (Spark) interpret identically: contractions | letter runs | digit runs
+# | other-symbol runs. The real GPT-2 pattern's \s+(?!\S) lookahead is
+# dropped — RE2 has no lookahead — and whitespace is simply not a token.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token accounting: pretoken count (the unit LLM tokenizers
+    subdivide), distinct pretokens, and pretokens-per-whitespace-word —
+    the cost model for 'how many tokens is this corpus'.
+
+    All JVM-side regexp_extract_all; one narrow scan, no shuffle.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    words = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        F.round(F.size(toks).cast("double") / F.size(words), 6).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 def curation_features(
     df: DataFrame,
     text_col: str = "text",

@@ -279,6 +279,28 @@ def q_text_token_stats(spark, sf_dir):
 
 
 @register(
+    "q_text_bpe_tokens",
+    rf"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(text, '{TX.BPE_PRETOKEN_RE.replace("'", "''")}') AS bt,
+                         {_TOKS} AS tk
+                  FROM documents)
+    SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(bt)) AS BIGINT) AS n_distinct_bpe,
+           ROUND(CAST(len(bt) AS DOUBLE) / len(tk), 6) AS tokens_per_word
+    FROM toks
+    """,
+    "BPE-ish pretokenizer counting (GPT-2-style regex, RE2/Java-common "
+    "subset): the corpus token-cost model",
+)
+def q_text_bpe_tokens(spark, sf_dir):
+    out = TX.bpe_token_stats(t(spark, sf_dir, "documents"))
+    return out.withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("long")).withColumn(
+        "n_distinct_bpe", F.col("n_distinct_bpe").cast("long")
+    )
+
+
+@register(
     "q_text_quality",
     f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
