@@ -93,6 +93,66 @@ def exploded_shingles(
     return sh.filter("_keep").select(id_col, "sh").distinct()
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer/Wilkerson/Aiken): rolling k-gram
+    hashes, keep the MINIMUM hash of every overlapping window of
+    ``window`` consecutive grams, fingerprint = the distinct kept set.
+    Guarantees any shared run of ≥ window+k-1 tokens between two docs
+    shares a fingerprint — positional near-dup detection that's robust
+    where the order-insensitive md5-of-token-set fingerprint is not.
+
+    The "rolling hash" is the first 8 md5 hex chars per gram compared
+    lexicographically (fixed-width lowercase hex ⇒ string order ==
+    numeric order — the module's cross-engine determinism contract).
+
+    Shape: one repartition on doc serves BOTH sequence windows (gram
+    assembly via lead() and the sliding min) — partitions are bounded by
+    tokens-per-document, so the operator scales flat like
+    ``exploded_shingles``. Output: id, n_fp, min_fp.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(text_col)
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    grams = base.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.substring(
+            F.md5(F.concat_ws(" ", F.col("_tok"), *leads)), 1, 8
+        ).alias("_h"),
+        leads[-1].isNotNull().alias("_full"),
+    ).filter("_full")
+    sw = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    fps = grams.select(
+        F.col(id_col),
+        F.min("_h").over(sw).alias("fp"),
+        # only full windows fingerprint (MOSS definition)
+        F.lead("_h", window - 1).over(Window.partitionBy(id_col).orderBy("_pos"))
+        .isNotNull()
+        .alias("_full_w"),
+    ).filter("_full_w")
+    return (
+        fps.select(id_col, "fp")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Representative (min id) per exact text; adds group size.
 

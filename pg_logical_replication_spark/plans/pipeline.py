@@ -98,6 +98,32 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "q_dedup_winnow",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(generate_series(1, len(tk) - 2),
+                                i -> substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 8))
+                   AS hs
+          FROM toks WHERE len(tk) >= 3),
+    fps AS (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                                                j -> list_min(list_slice(hs, j, j + 3))))
+                     AS fp
+            FROM h WHERE len(hs) >= 4)
+    SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, list_min(fp) AS min_fp
+    FROM fps
+    """,
+    "MOSS winnowing fingerprints: rolling 3-gram hashes, min per "
+    "4-window — positional near-dup signature (any shared ≥6-token run "
+    "shares a fingerprint)",
+)
+def q_dedup_winnow(spark, sf_dir):
+    out = D.winnow_fingerprints(t(spark, sf_dir, "documents"), k=3, window=4)
+    return out.withColumn("n_fp", F.col("n_fp").cast("long"))
+
+
+@register(
     "q_dedup_jaccard_top",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
