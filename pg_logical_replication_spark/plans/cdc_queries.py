@@ -100,6 +100,66 @@ def q_cdc_asof_snapshot(spark, sf_dir):
 
 
 @register(
+    "q_cdc_wal2json_v2_roundtrip",
+    f"""
+    SELECT {_OP_CASE} AS op,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(event_id * 8 + 16) AS BIGINT) AS sum_lsn_long
+    FROM events GROUP BY 1
+    """,
+    "wal2json format-version 2 ENCODE→DECODE round-trip (one JSON per "
+    "action, columns/identity entry arrays) — same oracle as v1, proving "
+    "the two format paths agree end-to-end",
+)
+def q_cdc_wal2json_v2_roundtrip(spark, sf_dir):
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = t(spark, sf_dir, "events")
+    action = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    lsn = lsn_str_expr(F.col("event_id") * 8 + 16)
+
+    def entry(name, value):
+        return F.struct(
+            F.lit(name).alias("name"), F.lit("bigint").alias("type"),
+            value.cast("string").alias("value"),
+        )
+
+    cols = F.array(
+        entry("event_id", F.col("event_id")), entry("user_id", F.col("user_id"))
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                action.alias("action"),
+                F.lit("public").alias("schema"),
+                F.lit("events").alias("table"),
+                F.col("event_id").alias("xid"),
+                lsn.alias("lsn"),
+                F.when(action != "D", cols).alias("columns"),
+                F.when(action == "D", F.array(entry("event_id", F.col("event_id"))))
+                .alias("identity"),
+            )
+        ).alias("value")
+    )
+    decoded = decode_wal2json(
+        raw.repartition(spark.sparkContext.defaultParallelism), format_version=2
+    )
+    eid = F.coalesce(
+        F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
+    ).cast("bigint")
+    return decoded.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum(eid).alias("sum_eid"),
+        F.sum("lsn_long").alias("sum_lsn_long"),
+    )
+
+
+@register(
     "q_cdc_wal2json_roundtrip",
     f"""
     SELECT {_OP_CASE} AS op,

@@ -63,6 +63,98 @@ def table_pattern_pred(patterns: list[str]):
     return pred
 
 
+# format-version 2 (wal2json docs; the reference serializes the option at
+# wal2json-plugin-options.type.ts:112-114): ONE JSON object per action —
+# B/C/I/U/D/T/M lines with columns/identity as arrays of {name,type,value}.
+WAL2JSON_V2_SCHEMA = (
+    "struct<"
+    "  action: string, schema: string, table: string,"
+    "  xid: bigint, timestamp: string, lsn: string,"
+    "  columns: array<struct<name: string, type: string, value: string>>,"
+    "  identity: array<struct<name: string, type: string, value: string>>,"
+    "  prefix: string, content: string, transactional: boolean"
+    ">"
+)
+
+_V2_OPS = {
+    "B": "begin", "C": "commit", "I": "insert", "U": "update",
+    "D": "delete", "T": "truncate", "M": "message",
+}
+
+
+def decode_wal2json_v2(
+    raw: DataFrame,
+    value_col: str = "value",
+    lsn_col: str | None = None,
+    include_transaction_markers: bool = False,
+    filter_tables: list[str] | None = None,
+    add_tables: list[str] | None = None,
+    actions: list[str] | None = None,
+) -> DataFrame:
+    """wal2json ``format-version 2`` lines → normalized ChangeEvent rows.
+
+    v2 emits one JSON object PER ACTION (no changeset array), so the
+    decode is a straight ``from_json`` projection — no explode at all,
+    strictly narrower than v1. B/C framing lines are native to the
+    format; they are dropped unless ``include_transaction_markers`` to
+    match ``decode_wal2json``'s default surface. Option pushdown
+    (filter/add tables, actions) is identical to v1.
+    """
+    name_of = {v: k for k, v in _V2_OPS.items()}
+
+    def entries(col):
+        return F.map_from_entries(
+            F.transform(F.col(col), lambda c: F.struct(c["name"], c["value"]))
+        )
+
+    parsed = raw.select(
+        F.from_json(F.col(value_col), WAL2JSON_V2_SCHEMA).alias("a"),
+        (F.col(lsn_col) if lsn_col else F.col("a.lsn")).alias("_lsn"),
+    ).filter(F.col("a.action").isNotNull())
+
+    op = parsed["a.action"]
+    out = parsed.select(
+        F.coalesce(
+            *[F.when(op == k, F.lit(v)) for k, v in _V2_OPS.items()]
+        ).alias("op"),
+        F.col("_lsn").alias("lsn"),
+        lsn_long_expr("_lsn").alias("lsn_long"),
+        F.col("a.xid").alias("xid"),
+        F.to_timestamp(F.col("a.timestamp")).alias("commit_ts"),
+        F.col("a.schema").alias("schema"),
+        F.col("a.table").alias("table"),
+        F.when(F.col("a.identity").isNotNull(), entries("a.identity")).alias("key"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.when(F.col("a.columns").isNotNull(), entries("a.columns")).alias("after"),
+        F.map_concat(
+            F.when(
+                F.col("a.columns").isNotNull(),
+                F.create_map(
+                    F.lit("coltypes"),
+                    F.array_join(F.transform(F.col("a.columns"), lambda c: c["type"]), ","),
+                ),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+            F.when(
+                F.col("a.prefix").isNotNull(),
+                F.create_map(
+                    F.lit("prefix"), F.col("a.prefix"),
+                    F.lit("content"), F.col("a.content"),
+                ),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        ).alias("meta"),
+    )
+
+    if not include_transaction_markers:
+        out = out.filter(~F.col("op").isin("begin", "commit"))
+    if add_tables:
+        out = out.filter(table_pattern_pred(add_tables))
+    if filter_tables:
+        out = out.filter(~table_pattern_pred(filter_tables))
+    if actions:
+        out = out.filter(F.col("op").isin(list(actions)))
+    return out
+
+
 def decode_wal2json(
     raw: DataFrame,
     value_col: str = "value",
@@ -71,6 +163,7 @@ def decode_wal2json(
     filter_tables: list[str] | None = None,
     add_tables: list[str] | None = None,
     actions: list[str] | None = None,
+    format_version: int = 1,
 ) -> DataFrame:
     """Raw JSON changesets (one per row) → normalized ChangeEvent rows.
 
@@ -92,7 +185,20 @@ def decode_wal2json(
     Catalyst collapses them into the scan stage, so excluded tables
     never reach a shuffle (and never leave the scan on
     table-partitioned file layouts).
+
+    ``format_version=2`` dispatches to :func:`decode_wal2json_v2` (the
+    reference's ``formatVersion`` option, options type :112-114).
     """
+    if format_version == 2:
+        return decode_wal2json_v2(
+            raw,
+            value_col=value_col,
+            lsn_col=lsn_col,
+            include_transaction_markers=include_transaction_markers,
+            filter_tables=filter_tables,
+            add_tables=add_tables,
+            actions=actions,
+        )
     parsed = raw.select(
         F.from_json(F.col(value_col), WAL2JSON_SCHEMA).alias("cs"),
         (F.col(lsn_col) if lsn_col else F.col("cs.nextlsn")).alias("_lsn"),

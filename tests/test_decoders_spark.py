@@ -83,6 +83,82 @@ def test_wal2json_transaction_markers(spark):
     assert ev.filter("op = 'commit'").count() == 4
 
 
+def _wal2json_v2_lines():
+    """The SAME logical stream as _wal2json_lines, in format-version 2
+    (one JSON object per action; wal2json docs, reference option
+    wal2json-plugin-options.type.ts:112-114)."""
+    return [
+        '{"action":"B","xid":771,"timestamp":"2026-08-13 00:00:00.000000+00","lsn":"0/16B3D88"}',
+        '{"action":"I","schema":"public","table":"users","lsn":"0/16B3D88",'
+        '"xid":771,"timestamp":"2026-08-13 00:00:00.000000+00",'
+        '"columns":[{"name":"id","type":"bigint","value":1},'
+        '{"name":"firstname","type":"text","value":"alice"},'
+        '{"name":"deleted","type":"boolean","value":false}]}',
+        '{"action":"I","schema":"public","table":"users","lsn":"0/16B3D88",'
+        '"xid":771,"timestamp":"2026-08-13 00:00:00.000000+00",'
+        '"columns":[{"name":"id","type":"bigint","value":2},'
+        '{"name":"firstname","type":"text","value":"bob"},'
+        '{"name":"deleted","type":"boolean","value":false}]}',
+        '{"action":"C","xid":771,"timestamp":"2026-08-13 00:00:00.000000+00","lsn":"0/16B3D88"}',
+        '{"action":"U","schema":"public","table":"users","lsn":"0/16B3E00",'
+        '"xid":772,"timestamp":"2026-08-13 00:00:01.000000+00",'
+        '"columns":[{"name":"id","type":"bigint","value":1},'
+        '{"name":"firstname","type":"text","value":"alice2"},'
+        '{"name":"deleted","type":"boolean","value":false}],'
+        '"identity":[{"name":"id","type":"bigint","value":1}]}',
+        '{"action":"D","schema":"public","table":"users","lsn":"0/16B3F00",'
+        '"xid":773,"timestamp":"2026-08-13 00:00:02.000000+00",'
+        '"identity":[{"name":"id","type":"bigint","value":2}]}',
+        '{"action":"I","schema":"public","table":"user_contents","lsn":"0/16B4000",'
+        '"xid":774,"timestamp":"2026-08-13 00:00:03.000000+00",'
+        '"columns":[{"name":"id","type":"bigint","value":10},'
+        '{"name":"user_id","type":"bigint","value":1},'
+        '{"name":"title","type":"text","value":"hi"}]}',
+    ]
+
+
+def test_wal2json_v2_decode(spark):
+    raw = spark.createDataFrame([(l,) for l in _wal2json_v2_lines()], "value string")
+    ev = decode(raw, "wal2json", format_version=2)
+    counts = {r["op"]: r["n"] for r in ev.groupBy("op").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"insert": 3, "update": 1, "delete": 1}
+    row = ev.filter("op = 'update'").first()
+    assert row["after"] == {"id": "1", "firstname": "alice2", "deleted": "false"}
+    assert row["key"] == {"id": "1"}
+    assert row["xid"] == 772 and row["lsn_long"] == 0x16B3E00
+    assert row["meta"]["coltypes"] == "bigint,text,boolean"
+    # native B/C lines surface with the markers flag, drop without
+    ev_m = decode(raw, "wal2json", format_version=2, include_transaction_markers=True)
+    assert ev_m.filter("op = 'begin'").count() == 1
+
+
+def test_wal2json_v2_matches_v1_snapshot(spark):
+    """Both format versions of the same stream materialize identically."""
+    v1 = decode(
+        spark.createDataFrame([(l,) for l in _wal2json_lines()], "value string"),
+        "wal2json",
+    )
+    v2 = decode(
+        spark.createDataFrame([(l,) for l in _wal2json_v2_lines()], "value string"),
+        "wal2json",
+        format_version=2,
+    )
+    cols = {"id": "bigint", "firstname": "text", "deleted": "boolean"}
+    s1 = apply_changes(v1, key_columns=["id"], table="users", columns=cols)
+    s2 = apply_changes(v2, key_columns=["id"], table="users", columns=cols)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_wal2json_v2_option_pushdown(spark):
+    raw = spark.createDataFrame([(l,) for l in _wal2json_v2_lines()], "value string")
+    ev = decode(
+        raw, "wal2json", format_version=2,
+        add_tables=["public.users"], actions=["insert"],
+    )
+    assert ev.count() == 2
+    assert {r["table"] for r in ev.collect()} == {"users"}
+
+
 TEST_DECODING_LINES = [
     "BEGIN 771",
     "table public.users: INSERT: id[bigint]:1 firstname[text]:'al ice' deleted[boolean]:false",
