@@ -52,13 +52,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two timed runs, report the min: the first run of a query includes
-    # one-off driver-side plan compilation (~0.5-1 s), which is not the
-    # steady-state cost a 100 TB deployment pays per query.
+    # Min of three timed runs: the first run of a query includes one-off
+    # driver-side plan compilation (~0.5-1 s) — not the steady-state cost
+    # a 100 TB deployment pays per query — and the container's background
+    # load is bursty enough that min-of-2 still caught transients.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -121,7 +122,7 @@ def _pgoutput_decode_throughput(spark, cpus: int) -> dict:
     cache: dict = {}
     fmt.parse_message(rel, cache)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         decode_pgoutput(raw2, relations=cache).write.format("noop").mode(
             "overwrite"
