@@ -78,6 +78,35 @@ def test_tumbling_window_with_watermark_drops_late_rows(spark, tmp_path):
     assert rows == [("00:00", 2)]
 
 
+def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
+    """At-least-once redelivery (same changeset appearing twice in the
+    log — a replayed segment) collapses to exactly-once with watermarked
+    dropDuplicates on (lsn, xid); the watermark bounds the dedup state,
+    which is what keeps it viable at 100 TB."""
+    src = tmp_path / "wal"; src.mkdir()
+    line = _cs(1, "0/100", "2026-08-13 00:00:01.000000+00", vid=1)
+    _write(src, "000.jsonl", [line], 0)
+    _write(src, "001.jsonl", [line,  # exact redelivery
+                              _cs(2, "0/200", "2026-08-13 00:00:02.000000+00", vid=2)], 1)
+
+    svc = LogicalReplicationService(
+        spark, str(src), str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    ev = (
+        svc.changes("wal2json")
+        .withWatermark("commit_ts", "10 minutes")
+        .dropDuplicates(["lsn", "xid"])
+    )
+    q = (
+        ev.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / "q"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select lsn from dedup_out").collect()
+    assert sorted(r["lsn"] for r in rows) == ["0/100", "0/200"]
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """Stream-stream inner join: decoded changes from two slots joined
     on key within a time bound, both sides watermarked (the state-expiry
