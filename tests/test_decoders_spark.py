@@ -243,6 +243,37 @@ def test_pgoutput_decode_spark(spark):
     assert rows == {1: "alice2", 3: "carol"}
 
 
+def test_pgoutput_mid_stream_schema_evolution(spark):
+    """An updated relation message mid-stream (ALTER TABLE ADD COLUMN)
+    re-schemas every LATER message while earlier ones keep the old shape
+    — the versioned cache resolves each DML by wire seq, so the result
+    is identical at any parallelism (pgoutput-parser.ts:86-110 cache
+    semantics, upgraded from last-write-wins to per-seq versions)."""
+    ts = 1_755_000_000_000_000
+    rel_v1 = pg.encode_relation(1001, "public", "users", [("id", 20), ("name", 25)],
+                                key_columns=["id"])
+    rel_v2 = pg.encode_relation(1001, "public", "users",
+                                [("id", 20), ("name", 25), ("email", 25)],
+                                key_columns=["id"])
+    msgs = [
+        pg.encode_begin("00000000/00001000", ts, 700),
+        rel_v1,
+        pg.encode_insert(1001, [("t", "1"), ("t", "alice")]),
+        pg.encode_commit("00000000/00001100", "00000000/00001101", ts),
+        pg.encode_begin("00000000/00002000", ts, 701),
+        rel_v2,  # ALTER TABLE users ADD COLUMN email
+        pg.encode_insert(1001, [("t", "2"), ("t", "bob"), ("t", "b@x.io")]),
+        pg.encode_commit("00000000/00002100", "00000000/00002101", ts),
+    ]
+    stream = [(f"00000000/{0x1000 + i:08X}", i, m) for i, m in enumerate(msgs)]
+    # many partitions: resolution must come from seq, not arrival order
+    raw = spark.createDataFrame(stream, "lsn string, seq long, data binary").repartition(8)
+    ins = {r["after"]["id"]: r["after"] for r in
+           decode(raw, "pgoutput").filter("op = 'insert'").collect()}
+    assert ins["1"] == {"id": "1", "name": "alice"}
+    assert ins["2"] == {"id": "2", "name": "bob", "email": "b@x.io"}
+
+
 def test_pgoutput_transaction_assignment(spark):
     from pg_logical_replication_spark.sources.pgoutput import assign_transactions
 
