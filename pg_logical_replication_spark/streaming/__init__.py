@@ -26,4 +26,5 @@ from pg_logical_replication_spark.streaming.apply import (  # noqa: F401
 )
 from pg_logical_replication_spark.streaming.stateful import (  # noqa: F401
     assemble_transactions_stream,
+    toast_fill_stream,
 )

@@ -149,3 +149,106 @@ def assemble_transactions_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+# --------------------------------------------------------------- TOAST fill
+TOAST_OUTPUT_SCHEMA = (
+    "op string, lsn string, lsn_long long, seq long, xid long, "
+    "commit_ts timestamp, schema string, table string, "
+    "key map<string,string>, before map<string,string>, "
+    "after map<string,string>"
+)
+
+_TOAST_OUT_COLS = [
+    "op", "lsn", "lsn_long", "seq", "xid", "commit_ts", "schema", "table",
+    "key", "before", "after",
+]
+
+
+def _as_dict(v):
+    if v is None or isinstance(v, dict):
+        return v
+    try:  # Arrow map columns surface in pandas as a list of (k, v) pairs
+        return dict(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _make_toast_fill():
+    def _fill(key, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
+        img: dict[str, Any] = json.loads(state.get[0]) if state.exists else {}
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: (
+            0 if r.get("lsn_long") is None or pd.isna(r.get("lsn_long")) else int(r["lsn_long"]),
+            0 if r.get("seq") is None or pd.isna(r.get("seq")) else int(r.get("seq")),
+        ))
+        out = []
+        for row in rows:
+            after = _as_dict(row.get("after"))
+            if after is not None:
+                toasted = set((row.get("_toast") or "").split(",")) - {""}
+                for c in toasted:
+                    if after.get(c) is None and c in img:
+                        after[c] = img[c]
+                # post-fill image is the next event's prior image; explicit
+                # SQL NULLs (None outside the toast set) overwrite it
+                img.update(after)
+            # map-typed outputs must be dicts for the Arrow conversion
+            row["after"] = after
+            row["key"] = _as_dict(row.get("key"))
+            row["before"] = _as_dict(row.get("before"))
+            out.append({f: row.get(f) for f in _TOAST_OUT_COLS})
+        state.update((json.dumps(img),))
+        if out:
+            yield pd.DataFrame(out, columns=_TOAST_OUT_COLS)
+
+    return _fill
+
+
+def toast_fill_stream(events: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Streaming unchanged-TOAST completion across micro-batches.
+
+    The batch operator (``operators.apply_changes.toast_fill``) fills
+    from prior images *within the DataFrame it is given*; in a live
+    stream the prior image of a key usually committed in an EARLIER
+    micro-batch, so the fill needs per-key state. State = the key's last
+    post-fill row image (one image per key — bounded the way a replica
+    table is); columns to fill come from each row's own
+    ``meta['unchanged_toast']`` marker (pgoutput 'u' kind,
+    reference ``pgoutput-parser.ts:260-261``), so no column list is
+    configured. Explicit SQL NULLs overwrite the stored image and are
+    never themselves overwritten — same contract as the batch operator.
+
+    Scale: grouped on (table, key) — the same partitioning apply-changes
+    uses; state is one row image per live key, the same asymptote as the
+    MOR snapshot itself.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    identity = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col("key").getItem(k), F.col("after").getItem(k))
+            for k in key_columns
+        ],
+    )
+    ev = events.select(
+        *[F.col(c) for c in _TOAST_OUT_COLS if c in events.columns],
+        *(
+            []
+            if "seq" in events.columns
+            else [F.lit(None).cast("long").alias("seq")]
+        ),
+        F.col("meta").getItem("unchanged_toast").alias("_toast"),
+        identity.alias("_identity"),
+    )
+    return ev.groupBy("table", "_identity").applyInPandasWithState(
+        _make_toast_fill(),
+        outputStructType=TOAST_OUTPUT_SCHEMA,
+        stateStructType="img string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

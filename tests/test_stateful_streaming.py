@@ -101,3 +101,58 @@ def test_single_batch_multi_txn(spark, tmp_path):
     rows = spark.sql("select * from txn_out2 order by lsn_long").collect()
     assert [(r["op"], r["xid"]) for r in rows] == [("insert", 7), ("delete", 8)]
     assert os.path.exists(str(tmp_path / "ckpt"))
+
+
+def test_toast_fill_stream_across_micro_batches(spark, tmp_path):
+    """Unchanged-TOAST columns fill from a prior image that committed in
+    an EARLIER micro-batch; explicit NULLs overwrite the image and are
+    never resurrected (batch operator's contract, now cross-batch)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import toast_fill_stream
+
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+    src = tmp_path / "src"; src.mkdir()
+    batches = [
+        [dict(_ev("insert", 0x100, 0, 1, "users",
+                  {"id": "1", "doc": "BIGDOC", "v": "a"}), meta=None)],
+        # TOASTed doc unchanged → marker, no value on the wire
+        [dict(_ev("update", 0x200, 1, 1, "users",
+                  {"id": "1", "doc": None, "v": "b"}),
+              meta={"unchanged_toast": "doc"})],
+        # explicit SQL NULL (no marker) must stick...
+        [dict(_ev("update", 0x300, 2, 1, "users",
+                  {"id": "1", "doc": None, "v": "c"}), meta=None)],
+        # ...even against a later unchanged-TOAST marker
+        [dict(_ev("update", 0x400, 3, 1, "users",
+                  {"id": "1", "doc": None, "v": "d"}),
+              meta={"unchanged_toast": "doc"})],
+    ]
+    base = _time.time() - 10_000
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.jsonl"
+        with open(p, "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    )
+    out = toast_fill_stream(raw, key_columns=["id"])
+    q = (
+        out.writeStream.format("memory").queryName("toast_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r["seq"]: dict(r["after"]) for r in spark.sql("select * from toast_out").collect()}
+    assert rows[0]["doc"] == "BIGDOC"
+    assert rows[1] == {"id": "1", "doc": "BIGDOC", "v": "b"}   # cross-batch fill
+    assert rows[2]["doc"] is None                              # explicit NULL
+    assert rows[3]["doc"] is None                              # NULL not resurrected
