@@ -163,6 +163,7 @@ def decode_wal2json(
     filter_tables: list[str] | None = None,
     add_tables: list[str] | None = None,
     actions: list[str] | None = None,
+    filter_origins: list[str] | None = None,
     format_version: int = 1,
 ) -> DataFrame:
     """Raw JSON changesets (one per row) → normalized ChangeEvent rows.
@@ -249,6 +250,12 @@ def decode_wal2json(
         changes = changes.filter(~table_pattern_pred(filter_tables))
     if actions:
         changes = changes.filter(F.col("op").isin(list(actions)))
+    if filter_origins:
+        # wal2json filter-origins: EXCLUDE changes replicated from the
+        # listed origins (options type :96-99). Local changes carry no
+        # origin and always pass.
+        org = F.col("meta").getItem("origin")
+        changes = changes.filter(org.isNull() | ~org.isin(list(filter_origins)))
 
     if not include_transaction_markers:
         return changes

@@ -387,6 +387,22 @@ def test_wal2json_option_pushdown_filters(spark):
     assert wild.count() == decode(raw, "wal2json").count()
 
 
+def test_wal2json_filter_origins(spark):
+    """filter-origins excludes replicated-from origins; local (no-origin)
+    changes always pass (options type :96-99)."""
+    lines = _wal2json_lines() + [
+        '{"change":[{"kind":"insert","schema":"public","table":"users",'
+        '"columnnames":["id"],"columntypes":["bigint"],"columnvalues":[99],'
+        '"origin":"upstream_a"}],'
+        '"xid":900,"nextlsn":"0/16B5000","timestamp":"2026-08-13 00:00:09.000000+00"}'
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    assert decode(raw, "wal2json").count() == 6
+    kept = decode(raw, "wal2json", filter_origins=["upstream_a"])
+    assert kept.count() == 5
+    assert not [r for r in kept.collect() if (r["meta"] or {}).get("origin")]
+
+
 def test_test_decoding_option_pushdown_metadata(spark):
     """#14: include-xids / include-timestamp suppress metadata columns
     (test-decoding-plugin.ts:47-59)."""
