@@ -94,3 +94,22 @@ def test_salted_join_rejects_right(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_equi_join(df, df, ["k"], how="right")
+
+
+def test_table_partitioned_event_log_prunes(spark, tmp_path):
+    """The SURVEY §4 layout claim: persist decoded ChangeEvents
+    partitioned by table, and a per-table consumer's filter becomes
+    partition pruning (PartitionFilters on the scan, other tables'
+    files never open) — the at-rest analogue of wal2json filter-tables."""
+    events = spark.createDataFrame(
+        [(f"0/{i:X}", "users" if i % 2 else "orders", str(i)) for i in range(100)],
+        "lsn string, table string, v string",
+    )
+    path = str(tmp_path / "evlog")
+    events.write.partitionBy("table").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("table") == "users")
+    assert df.count() == 50
+    plan = _physical_plan(df)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PartitionFilters" in scan and "users" in scan.split("PartitionFilters")[1], scan
