@@ -719,3 +719,81 @@ def q_sliding_window(spark, sf_dir):
         .agg(F.count("*").alias("n"), ssum("value").alias("sum_value"))
         .select(F.col("w").getField("start").alias("ws"), "n", "sum_value")
     )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+             AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+             AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT)
+             AS medium
+    FROM orders GROUP BY 1
+    """,
+    "pivot: order counts per year x priority as columns (groupBy().pivot "
+    "with an explicit value list — one pass, no per-value scans)",
+)
+def q_pivot(spark, sf_dir):
+    """Scale note: ALWAYS pass the pivot value list — without it Spark
+    runs an extra distinct-collect job over the full table to discover
+    the columns before planning the real aggregation."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").cast("long").alias("o_year"), "o_orderpriority")
+        .groupBy("o_year")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .select(
+            "o_year",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        )
+    )
+
+
+@register(
+    "q_unpivot",
+    """
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val FROM (
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail', CAST(p_retailprice AS DOUBLE) FROM part
+    ) WHERE val IS NOT NULL
+    """,
+    "unpivot/melt: wide part metrics to long (id, metric, value) rows — "
+    "the inverse reshape, stateless and narrow",
+)
+def q_unpivot(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retail"),
+    ).unpivot("p_partkey", ["size", "retail"], "metric", "val")
+
+
+@register(
+    "q_agg_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles per group (median quantity, p95 "
+    "price) — Spark percentile() vs DuckDB quantile_cont",
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact percentile is a sort-based aggregate — at 100 TB prefer
+    approx_percentile (t-digest sketch, mergeable map-side) unless
+    bit-exactness is the requirement; both surfaces exist here and the
+    approx path is q_approx_distinct's sketch family."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+    )
