@@ -797,3 +797,59 @@ def q_agg_percentile(spark, sf_dir):
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
     )
+
+
+@register(
+    "q_agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "statistical aggregates per group: sample stddev, Pearson corr, "
+    "sample covariance",
+)
+def q_agg_stats(spark, sf_dir):
+    """All three are single-pass mergeable moment sketches (sum, sum of
+    squares, co-moments) — partial aggregation map-side, so the shuffle
+    carries O(groups) moment tuples at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "q_fuzzy_part_names",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+    """,
+    "fuzzy string matching: near-identical part names (levenshtein <= 2) "
+    "within brand-blocked candidate pairs",
+)
+def q_fuzzy_part_names(spark, sf_dir):
+    """Edit distance is O(|s|^2) per pair, so NEVER all-pairs: blocking
+    on brand bounds candidates the way LSH bands bound the dedup joins —
+    same sub-quadratic discipline, different similarity measure."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    return (
+        a.join(b, (F.col("a_p_brand") == F.col("b_p_brand"))
+               & (F.col("a_p_partkey") < F.col("b_p_partkey")))
+        .filter(F.col("a_p_name") != F.col("b_p_name"))
+        .select(
+            F.col("a_p_partkey").alias("a_key"),
+            F.col("b_p_partkey").alias("b_key"),
+            F.levenshtein("a_p_name", "b_p_name").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
