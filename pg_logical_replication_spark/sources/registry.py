@@ -39,7 +39,9 @@ def formats() -> list[str]:
     return sorted(_DECODERS)
 
 
-def dead_letters(raw: DataFrame, fmt: str, value_col: str = "value") -> DataFrame:
+def dead_letters(
+    raw: DataFrame, fmt: str, value_col: str = "value", format_version: int = 1
+) -> DataFrame:
     """Rows the decoder would silently drop — the error channel (#24).
 
     The reference emits per-message ``error`` events without halting the
@@ -56,6 +58,16 @@ def dead_letters(raw: DataFrame, fmt: str, value_col: str = "value") -> DataFram
     """
     from pyspark.sql import functions as F
 
+    if fmt == "wal2json" and format_version == 2:
+        from pg_logical_replication_spark.sources.wal2json import WAL2JSON_V2_SCHEMA
+
+        parsed = F.from_json(F.col(value_col), WAL2JSON_V2_SCHEMA)
+        # v2: every valid line is one action object
+        bad = parsed.isNull() | parsed.getField("action").isNull()
+        return raw.filter(F.col(value_col).isNotNull() & bad).select(
+            F.col(value_col).alias("value"),
+            F.lit("unparseable wal2json v2").alias("reason"),
+        )
     if fmt == "wal2json":
         from pg_logical_replication_spark.sources.wal2json import WAL2JSON_SCHEMA
 

@@ -466,6 +466,11 @@ def test_dead_letters_error_channel(spark):
     dlq2 = {r["value"] for r in dead_letters(raw2, "test_decoding").collect()}
     assert dlq2 == {"garbage line", "table broken"}
 
+    v2 = _wal2json_v2_lines() + ["NOT JSON", '{"unrelated": true}']
+    raw3 = spark.createDataFrame([(line,) for line in v2], "value string")
+    dlq3 = {r["value"] for r in dead_letters(raw3, "wal2json", format_version=2).collect()}
+    assert dlq3 == {"NOT JSON", '{"unrelated": true}'}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
