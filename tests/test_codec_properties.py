@@ -152,3 +152,48 @@ def test_test_decoding_quoting_survives_adversarial_values(spark, values):
         for r in decode(raw, "test_decoding").filter("op = 'insert'").collect()
     }
     assert got == {i: v for i, v in enumerate(values)}
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.booleans(),
+), min_size=1, max_size=40))
+def test_wal2json_value_domain_stringifies(spark, values):
+    """Arbitrary JSON scalars (unicode strings incl. quotes/newlines,
+    numbers, booleans, null) survive the declarative decode into the
+    text-format value domain: null→NULL, true/false lowercase, numbers
+    verbatim, strings identical."""
+    import json as _json
+
+    lines = [
+        (i, _json.dumps({
+            "change": [{
+                "kind": "insert", "schema": "public", "table": "t",
+                "columnnames": ["id", "v"], "columntypes": ["bigint", "text"],
+                "columnvalues": [i, v],
+            }],
+            "xid": i, "nextlsn": f"0/{8 * i + 16:X}",
+        }))
+        for i, v in enumerate(values)
+    ]
+    from pg_logical_replication_spark.sources import decode
+
+    raw = spark.createDataFrame(lines, "seq long, value string")
+    got = {
+        int(r["after"]["id"]): r["after"]["v"]
+        for r in decode(raw, "wal2json").collect()
+    }
+    def expect(v):
+        if v is None:
+            return None
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        return str(v)
+    assert got == {i: expect(v) for i, v in enumerate(values)}
