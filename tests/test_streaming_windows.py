@@ -78,6 +78,41 @@ def test_tumbling_window_with_watermark_drops_late_rows(spark, tmp_path):
     assert rows == [("00:00", 2)]
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """session_window over the decoded stream: changes separated by less
+    than the gap coalesce into one session; a larger silence closes it
+    (state bounded by the watermark — the 100 TB requirement)."""
+    src = tmp_path / "wal"; src.mkdir()
+    _write(src, "000.jsonl",
+           [_cs(1, "0/100", "2026-08-13 00:00:10.000000+00"),
+            _cs(2, "0/200", "2026-08-13 00:01:00.000000+00"),   # same session
+            _cs(3, "0/300", "2026-08-13 00:10:00.000000+00")], 0)  # new session
+    _write(src, "001.jsonl",
+           [_cs(4, "0/400", "2026-08-13 01:00:00.000000+00")], 1)  # close all
+
+    svc = LogicalReplicationService(
+        spark, str(src), str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    agg = (
+        svc.changes("wal2json")
+        .withWatermark("commit_ts", "1 minute")
+        .groupBy(  # streaming session windows need a grouping key
+            F.col("table"), F.session_window("commit_ts", "2 minutes").alias("s")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("s.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / "q"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(r["start"].strftime("%H:%M"), r["n"])
+            for r in spark.sql("select * from sess_out order by start").collect()]
+    assert rows == [("00:00", 2), ("00:10", 1)]
+
+
 def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
     """At-least-once redelivery (same changeset appearing twice in the
     log — a replayed segment) collapses to exactly-once with watermarked
