@@ -19,6 +19,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q8_market_share",
+    "q18_large_volume_customer",
     "q_window_topk",
     "q_sessionize",
     # CDC layer (decoder throughput is the reference's only perf signal)
@@ -30,8 +32,11 @@ HEADLINE = [
     "q_dedup_minhash_bands",
     "q_dedup_jaccard_top",
     "q_dedup_simhash",
+    "q_dedup_winnow",
     "q_ann_cosine_topk",
+    "q_ann_ivf_topk",
     "q_text_quality",
+    "q_pipeline_corpus_curation",
 ]
 
 
