@@ -153,6 +153,53 @@ def winnow_fingerprints(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    iterations: int = 6,
+) -> DataFrame:
+    """Duplicate clusters from a candidate-pair graph: ``iterations``
+    rounds of min-label propagation. Returns (doc_id, label) where label
+    = the smallest id reachable within ``iterations`` hops — for
+    near-dup graphs (small dense cliques from LSH bands) 6 rounds is
+    past any real diameter, and because the round count is FIXED the
+    result is deterministic whether or not it converged, which is what
+    makes an exact cross-engine oracle possible for an iterative graph
+    algorithm.
+
+    Scale: one shuffle per round on the vertex id (the join and the min
+    re-use the same key); labels are (long, long) pairs, never payloads.
+    Rounds are driver-coordinated like every Pregel-style loop — the
+    per-round plan is truncated with a localCheckpoint so the lineage
+    (and the Catalyst plan) doesn't grow 6 deep.
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # self-loop so a vertex's own label participates in every min
+    edges = edges.unionByName(
+        nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(iterations):
+        labels = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "doc_id")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Representative (min id) per exact text; adds group size.
 

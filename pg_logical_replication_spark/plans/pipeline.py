@@ -97,6 +97,62 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return D.minhash_candidate_pairs(t(spark, sf_dir, "documents"))
 
 
+def _clusters_oracle(num_hashes: int = 8, band_size: int = 2, iters: int = 6) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    labs = "".join(
+        f""",
+    lab{i + 1} AS (SELECT e.src AS doc_id, MIN(l.label) AS label
+                   FROM edges e JOIN lab{i} l ON l.doc_id = e.dst GROUP BY e.src)"""
+        for i in range(iters)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled),
+    bands AS ({bands}),
+    pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    nodes AS (SELECT DISTINCT a_id AS doc_id FROM pairs
+              UNION SELECT DISTINCT b_id FROM pairs),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+              UNION SELECT doc_id, doc_id FROM nodes),
+    lab0 AS (SELECT doc_id, doc_id AS label FROM nodes){labs}
+    SELECT label AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab{iters} GROUP BY label HAVING COUNT(*) > 1
+    """
+
+
+@register(
+    "q_dedup_clusters",
+    _clusters_oracle(),
+    "duplicate clusters: connected components over the LSH candidate "
+    "graph (6 fixed rounds of min-label propagation — deterministic, so "
+    "an iterative graph algorithm stays oracle-checkable)",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """The decision step real dedup pipelines need after candidate
+    generation: transitive closure into clusters, keep min-id as the
+    canonical document. Cluster rep + size per multi-member cluster."""
+    pairs = D.minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    labels = D.connected_components(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
 @register(
     "q_dedup_winnow",
     f"""
