@@ -482,6 +482,51 @@ def q_pipeline_corpus_curation(spark, sf_dir):
 
 
 @register(
+    "q_corpus_mixture",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+    feat AS (SELECT doc_id, lang, len(tk) AS n_tokens,
+                    ROUND(len(list_filter(tk, x -> lower(x) IN ('the','a','of','and','to')))
+                          / len(tk), 6) AS stopword_ratio
+             FROM toks),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY stopword_ratio DESC, n_tokens DESC, doc_id) AS rnk
+               FROM feat)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked WHERE rnk <= 25 GROUP BY lang
+    """,
+    "training-mixture sampling: per-language quota (top-25 by quality "
+    "rank) — the deterministic form of stratified corpus mixing",
+)
+def q_corpus_mixture(spark, sf_dir):
+    """Stratified mixing with a DETERMINISTIC sampler (quality-ranked
+    quota per stratum) instead of Bernoulli sampling — same shape real
+    pipelines use for data mixtures, and reproducible across engines.
+    Scale: rank is a per-stratum window (one shuffle on lang — few
+    strata means potential skew, so at corpus scale pre-aggregate the
+    rank key or salt the stratum); rollup is a tiny agg."""
+    from pyspark.sql import Window
+
+    feats = TX.curation_features(t(spark, sf_dir, "documents"), keep=("lang",))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("stopword_ratio").desc(), F.col("n_tokens").desc(), "doc_id"
+    )
+    return (
+        feats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
     "q_text_fingerprint",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
