@@ -1,0 +1,51 @@
+"""connected_components: transitive closure via fixed-round min-label
+propagation, cross-checked against a plain union-find."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from pg_logical_replication_spark.operators.dedup import connected_components
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _spark_components(spark, pairs):
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    return {r["doc_id"]: r["label"] for r in connected_components(df).collect()}
+
+
+def test_chain_collapses_to_one_cluster(spark):
+    # path 1-2-3-4-5-6: needs multiple propagation rounds end to end
+    pairs = [(i, i + 1) for i in range(1, 6)]
+    got = _spark_components(spark, pairs)
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_mixed_graph_matches_union_find(spark):
+    pairs = [
+        (10, 11), (11, 12),          # triangle-ish chain
+        (20, 21),                    # pair
+        (30, 31), (31, 32), (30, 32),  # clique
+        (40, 41), (42, 41),          # star centered off-min
+    ]
+    assert _spark_components(spark, pairs) == _uf_components(pairs)
+
+
+def test_disjoint_pairs_stay_separate(spark):
+    pairs = [(1, 2), (3, 4), (5, 6)]
+    got = _spark_components(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
