@@ -222,3 +222,66 @@ def toast_fill(
             ).otherwise(F.col("after")),
         )
     return ev.drop("_ord", "_identity")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_columns: list[str],
+    value_columns: list[str] | None = None,
+) -> DataFrame:
+    """Reverse CDC: derive the change set between two snapshots.
+
+    ``apply_changes`` turns events into a snapshot; this is the inverse
+    — given two snapshots of the same table (e.g. two ``as-of``
+    states, or a replica vs. its source for drift detection), emit the
+    implied changes: ``insert`` (key only in ``new``), ``delete`` (key
+    only in ``old``), ``update`` (key in both, any value column
+    differs; null-safe comparison). Unchanged keys are not emitted.
+
+    Output: ``op``, the key columns, and ``old_<c>`` / ``new_<c>`` per
+    value column.
+
+    Scale: one full-outer sort-merge join on the key — the same single
+    key-aligned shuffle as apply-changes itself; value comparison is a
+    codegen row predicate. Snapshots bucketed by key
+    (``operators.layout.write_bucketed``) diff with ZERO shuffle.
+    """
+    if value_columns is None:
+        value_columns = [c for c in new.columns if c not in key_columns]
+    missing = [c for c in key_columns + value_columns if c not in old.columns]
+    if missing:
+        raise ValueError(f"columns missing from old snapshot: {missing}")
+
+    o = old.select(*[F.col(c).alias(f"o_{c}") for c in key_columns + value_columns])
+    n = new.select(*[F.col(c).alias(f"n_{c}") for c in key_columns + value_columns])
+    cond = None
+    for k in key_columns:
+        p = o[f"o_{k}"].eqNullSafe(n[f"n_{k}"])
+        cond = p if cond is None else cond & p
+    joined = o.join(n, cond, "full_outer")
+
+    # snapshot keys are never null, so first-key nullness marks side absence
+    in_old = joined[f"o_{key_columns[0]}"].isNotNull()
+    in_new = joined[f"n_{key_columns[0]}"].isNotNull()
+    changed = F.lit(False)
+    for c in value_columns:
+        changed = changed | ~joined[f"o_{c}"].eqNullSafe(joined[f"n_{c}"])
+    op = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter((F.col("op") != "update") | changed)
+        .select(
+            "op",
+            *[
+                F.coalesce(joined[f"o_{k}"], joined[f"n_{k}"]).alias(k)
+                for k in key_columns
+            ],
+            *[joined[f"o_{c}"].alias(f"old_{c}") for c in value_columns],
+            *[joined[f"n_{c}"].alias(f"new_{c}") for c in value_columns],
+        )
+    )

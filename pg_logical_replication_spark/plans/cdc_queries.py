@@ -100,6 +100,58 @@ def q_cdc_asof_snapshot(spark, sf_dir):
 
 
 @register(
+    "q_cdc_snapshot_diff",
+    """
+    WITH snap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1 AND event_type <> 'error'),
+    snap_old AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00')
+      WHERE rn = 1 AND event_type <> 'error')
+    SELECT CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           COALESCE(o.user_id, n.user_id) AS user_id,
+           o.value AS old_value, n.value AS new_value
+    FROM snap_old o FULL OUTER JOIN snap n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.value IS DISTINCT FROM n.value
+    """,
+    "reverse CDC: diff two as-of snapshots into the implied change set "
+    "(insert/delete/update with old+new values)",
+)
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """operators.apply_changes.snapshot_diff over the mid-stream as-of
+    state vs the final state — one full-outer key-aligned shuffle; at
+    rest, bucketed snapshots diff with zero exchange."""
+    from pyspark.sql import Window as W
+
+    from pg_logical_replication_spark.operators.apply_changes import snapshot_diff
+
+    def snap(bound=None):
+        ev = t(spark, sf_dir, "events")
+        if bound:
+            ev = ev.filter(F.col("ts") <= bound)
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "value")
+        )
+
+    return snapshot_diff(
+        snap("2024-01-16 00:00:00"), snap(), key_columns=["user_id"]
+    ).select("op", "user_id", F.col("old_value"), F.col("new_value"))
+
+
+@register(
     "q_cdc_wal2json_v2_roundtrip",
     f"""
     SELECT {_OP_CASE} AS op,

@@ -31,3 +31,31 @@ def test_lsn_roundtrip_property(v):
 def test_negative_rejected():
     with pytest.raises(ValueError):
         long_to_lsn(-1)
+
+
+def test_snapshot_diff_ops(spark):
+    """Reverse CDC: full-outer diff classifies insert/delete/update and
+    skips unchanged keys; null-safe value comparison."""
+    from pg_logical_replication_spark.operators.apply_changes import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged → not emitted
+         (2, "b", 20.0),          # null → value: update
+         (4, "D", 40.0),          # name changed: update
+         (5, "e", 50.0)],         # new key: insert
+        "id long, name string, v double",
+    )
+    rows = {(r["op"], r["id"]): r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert set(rows) == {("update", 2), ("delete", 3), ("update", 4), ("insert", 5)}
+    assert rows[("update", 2)]["old_v"] is None and rows[("update", 2)]["new_v"] == 20.0
+    assert rows[("insert", 5)]["old_name"] is None and rows[("insert", 5)]["new_name"] == "e"
+    assert rows[("delete", 3)]["new_name"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old.drop("v"), new, ["id"])
