@@ -100,6 +100,61 @@ def q_cdc_asof_snapshot(spark, sf_dir):
 
 
 @register(
+    "q_cdc_debezium_roundtrip",
+    f"""
+    SELECT {_OP_CASE} AS op,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(event_id * 8 + 16) AS BIGINT) AS sum_lsn_long
+    FROM events GROUP BY 1
+    """,
+    "Debezium-envelope ENCODE→DECODE round-trip: events serialized to "
+    "the industry-standard CDC JSON (to_debezium), decoded by "
+    "sources/debezium.py — the interop format consumers already speak",
+)
+def q_cdc_debezium_roundtrip(spark, sf_dir):
+    import json as _json
+
+    from pg_logical_replication_spark.sources.debezium import decode_debezium
+
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    after = F.create_map(
+        F.lit("event_id"), F.col("event_id").cast("string"),
+        F.lit("user_id"), F.col("user_id").cast("string"),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(op == "d", after).alias("before"),
+                F.when(op != "d", after).alias("after"),
+                F.struct(
+                    F.lit("public").alias("schema"),
+                    F.lit("events").alias("table"),
+                    (F.col("event_id") * 8 + 16).alias("lsn"),
+                    F.col("event_id").alias("txId"),
+                ).alias("source"),
+                op.alias("op"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    decoded = decode_debezium(raw.repartition(spark.sparkContext.defaultParallelism))
+    eid = F.coalesce(
+        F.col("after").getItem("event_id"), F.col("before").getItem("event_id")
+    ).cast("bigint")
+    return decoded.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum(eid).alias("sum_eid"),
+        F.sum("lsn_long").alias("sum_lsn_long"),
+    )
+
+
+@register(
     "q_cdc_snapshot_diff",
     """
     WITH snap AS (

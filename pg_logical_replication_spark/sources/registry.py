@@ -10,12 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from pg_logical_replication_spark.sources.debezium import decode_debezium
 from pg_logical_replication_spark.sources.decoderbufs import decode_decoderbufs
 from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
 from pg_logical_replication_spark.sources.test_decoding import decode_test_decoding
 from pg_logical_replication_spark.sources.wal2json import decode_wal2json
 
 _DECODERS = {
+    "debezium": decode_debezium,
     "wal2json": decode_wal2json,
     "test_decoding": decode_test_decoding,
     "pgoutput": decode_pgoutput,
