@@ -60,6 +60,19 @@ def dead_letters(
     """
     from pyspark.sql import functions as F
 
+    if fmt == "debezium":
+        from pg_logical_replication_spark.sources.debezium import (
+            DEBEZIUM_SCHEMA,
+            _PAYLOAD,
+        )
+
+        bare = F.from_json(F.col(value_col), _PAYLOAD)
+        wrapped = F.from_json(F.col(value_col), DEBEZIUM_SCHEMA).getField("payload")
+        bad = bare.getField("op").isNull() & wrapped.getField("op").isNull()
+        return raw.filter(F.col(value_col).isNotNull() & bad).select(
+            F.col(value_col).alias("value"),
+            F.lit("unparseable debezium envelope").alias("reason"),
+        )
     if fmt == "wal2json" and format_version == 2:
         from pg_logical_replication_spark.sources.wal2json import WAL2JSON_V2_SCHEMA
 

@@ -471,6 +471,12 @@ def test_dead_letters_error_channel(spark):
     dlq3 = {r["value"] for r in dead_letters(raw3, "wal2json", format_version=2).collect()}
     assert dlq3 == {"NOT JSON", '{"unrelated": true}'}
 
+    dz = ['{"before":null,"after":{"id":"1"},"source":{"schema":"s","table":"t","lsn":8,"txId":1},"op":"c","ts_ms":1}',
+          "NOT JSON", '{"no": "op"}']
+    raw4 = spark.createDataFrame([(line,) for line in dz], "value string")
+    dlq4 = {r["value"] for r in dead_letters(raw4, "debezium").collect()}
+    assert dlq4 == {"NOT JSON", '{"no": "op"}'}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
