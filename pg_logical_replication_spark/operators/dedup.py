@@ -188,6 +188,10 @@ def connected_components(
     edges = edges.unionByName(
         nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     )
+    # materialize once: `edges` is referenced in EVERY round — without
+    # this the candidate-generation lineage (the whole MinHash pipeline
+    # when called from LSH) re-executes per iteration (measured 6× cost)
+    edges = edges.localCheckpoint()
     labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(iterations):
         labels = (
