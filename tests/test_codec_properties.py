@@ -197,3 +197,47 @@ def test_wal2json_value_domain_stringifies(spark, values):
             return "false"
         return str(v)
     assert got == {i: expect(v) for i, v in enumerate(values)}
+
+
+def _pg_array_literal(elems):
+    """Format a 1-D array as PostgreSQL's text output would (quote when
+    the element is empty/NULL-spelled/contains specials; escape \\ and ")."""
+    out = []
+    for e in elems:
+        if e is None:
+            out.append("NULL")
+            continue
+        needs_quote = (
+            e == ""
+            or e.upper() == "NULL"
+            or any(c in e for c in '{},"\\')
+            or e != e.strip()
+            or any(ch.isspace() for ch in e)
+        )
+        if needs_quote:
+            out.append('"' + e.replace("\\", "\\\\").replace('"', '\\"') + '"')
+        else:
+            out.append(e)
+    return "{" + ",".join(out) + "}"
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.one_of(st.none(), st.text(
+    alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+    max_size=12,
+)), max_size=6), min_size=1, max_size=30))
+def test_pg_array_parses_postgres_output_format(spark, arrays):
+    """pg_array inverts PostgreSQL's array text output for arbitrary
+    element content: quoting, backslash/quote escapes, NULL vs "NULL",
+    empty arrays — the quote-escape rules SURVEY §7 flags."""
+    from pg_logical_replication_spark.functions import pg_array
+
+    rows = [(i, _pg_array_literal(a)) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    got = {
+        r["i"]: r["parsed"]
+        for r in df.select("i", pg_array("v").alias("parsed")).collect()
+    }
+    assert got == {i: a for i, a in enumerate(arrays)}
