@@ -16,6 +16,8 @@ Formats:
 * ``pgoutput``      — PostgreSQL's binary logical replication protocol;
   pure-Python ``struct`` parser applied via Arrow-batched ``mapInPandas``.
 * ``decoderbufs``   — Debezium protobuf; pure-Python wire-format parser
+* ``debezium``      — Debezium JSON envelope (interop beyond the
+                      reference's four plugins; decode + to_debezium)
   (no external deps) via ``mapInPandas``.
 """
 
@@ -29,6 +31,10 @@ from pg_logical_replication_spark.sources.test_decoding import (  # noqa: F401
     decode_test_decoding,
 )
 from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput  # noqa: F401
+from pg_logical_replication_spark.sources.debezium import (  # noqa: F401
+    decode_debezium,
+    to_debezium,
+)
 from pg_logical_replication_spark.sources.decoderbufs import (  # noqa: F401
     decode_decoderbufs,
 )
