@@ -224,6 +224,118 @@ def toast_fill(
     return ev.drop("_ord", "_identity")
 
 
+def scd2_history(
+    events: DataFrame,
+    key_columns: list[str],
+    table: str | None = None,
+    order: Column | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a CDC stream.
+
+    ``apply_changes`` keeps only the newest image per key; warehouses
+    usually also want the FULL version history with validity intervals —
+    the classic downstream materialization of the reference's ordered
+    change stream (each ``emit('data', lsn, message)`` in
+    ``src/logical-replication-service.ts:151-163`` is one version
+    boundary). Per key, in stream order:
+
+    * every ``insert``/``update`` image opens a version row with
+      ``valid_from_lsn`` = its stream position;
+    * the version closes at the NEXT event for the same key (update or
+      delete): ``valid_to_lsn`` = that event's position via ``lead``;
+    * ``delete`` emits no row, it only closes the previous version;
+    * ``is_current`` marks open versions (``valid_to_lsn IS NULL``).
+
+    Key-changing updates should be pre-split into delete+insert (as
+    ``latest_image`` does) before calling; identity here is taken from
+    the new image for upserts and the key image for deletes.
+
+    Scale: one hash shuffle on (table, key) + a per-key ``lead`` window
+    — same exchange apply_changes uses, no global sort; history tables
+    at rest partition by ``valid_from_lsn`` ranges so "as of" queries
+    prune to one partition.
+    """
+    ev = events
+    if table is not None:
+        ev = ev.filter(F.col("table") == table)
+    ev = ev.filter(F.col("op").isin("insert", "update", "delete"))
+    ev = ev.withColumn("_ord", order if order is not None else _order_col(ev))
+
+    identity = F.when(
+        F.col("op").isin("insert", "update") & F.col("after").isNotNull(),
+        F.array(*[F.col("after").getItem(k) for k in key_columns]),
+    ).otherwise(F.array(*[F.col("key").getItem(k) for k in key_columns]))
+    ev = ev.withColumn("_identity", identity)
+
+    w = Window.partitionBy("table", "_identity").orderBy("_ord")
+    return (
+        ev.withColumn("valid_from_lsn", F.col("lsn_long"))
+        .withColumn("valid_to_lsn", F.lead("lsn_long").over(w))
+        .filter(F.col("op") != "delete")
+        .withColumn("is_current", F.col("valid_to_lsn").isNull())
+        .drop("_ord", "_identity")
+    )
+
+
+def incremental_agg(
+    events: DataFrame,
+    group_fn,
+    value_fn,
+    group_name: str = "grp",
+) -> DataFrame:
+    """Delta-maintained aggregate: SUM/COUNT per group straight from the
+    change stream, never touching the snapshot.
+
+    The 100 TB reason this operator exists: recomputing ``SELECT g,
+    sum(v) FROM snapshot GROUP BY g`` rescans the full table on every
+    refresh; the CDC stream already carries exactly the information
+    needed to UPDATE the aggregate. Each event contributes signed
+    deltas (incremental view maintenance, insert-only delta rule):
+
+    * ``insert``  → ``(+value(after),  +1)`` at ``group(after)``
+    * ``delete``  → ``(-value(before), -1)`` at ``group(before)``
+    * ``update``  → both — which also handles group-CHANGING updates
+      (the row moves between groups) with no special casing.
+
+    Requires before images on update/delete (REPLICA IDENTITY FULL —
+    reference ``pgoutput-parser.ts:164-213`` old-tuple semantics; or a
+    completed stream via ``toast_fill``/key-lookup).
+
+    ``group_fn``/``value_fn``: image map column → grouping / measure
+    Column. Pass a decimal-typed measure for exact, order-independent
+    accumulation (registry ``ssum`` discipline).
+
+    Output: ``group_name``, ``n_delta`` (live-row count change),
+    ``sum_delta``. Against an empty baseline these ARE the aggregate;
+    in ``foreachBatch`` they MERGE into a running aggregate table.
+
+    Scale: shuffle-free flatMap + one partial-aggregated ``groupBy`` on
+    the (small) group domain — per-batch cost is O(changes), not
+    O(table). No per-key window, no join against the snapshot.
+    """
+    before, after = F.col("before"), F.col("after")
+    neg = F.when(
+        F.col("op").isin("update", "delete") & before.isNotNull(),
+        F.struct(
+            group_fn(before).alias("g"),
+            (-value_fn(before)).alias("dv"),
+            F.lit(-1).cast("long").alias("dn"),
+        ),
+    )
+    pos = F.when(
+        F.col("op").isin("insert", "update") & after.isNotNull(),
+        F.struct(
+            group_fn(after).alias("g"),
+            value_fn(after).alias("dv"),
+            F.lit(1).cast("long").alias("dn"),
+        ),
+    )
+    deltas = events.select(F.explode(F.array_compact(F.array(neg, pos))).alias("d"))
+    return deltas.groupBy(F.col("d.g").alias(group_name)).agg(
+        F.sum("d.dn").alias("n_delta"), F.sum("d.dv").alias("sum_delta")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

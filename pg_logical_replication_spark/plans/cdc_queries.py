@@ -517,6 +517,132 @@ def q_cdc_decoderbufs_roundtrip(spark, sf_dir):
 
 
 @register(
+    "q_cdc_scd2_history",
+    """
+    SELECT user_id, val AS value_str, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(38,6)) AS VARCHAR) AS val,
+             event_id AS valid_from,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to
+      FROM events)
+    WHERE event_type <> 'error'
+    """,
+    "SCD Type 2 history (operators.apply_changes.scd2_history): every "
+    "change image becomes a version row with [valid_from, valid_to) "
+    "stream-position validity; deletes close versions without emitting "
+    "rows; is_current marks open versions",
+)
+def q_cdc_scd2_history(spark, sf_dir):
+    """Events → ChangeEvent stream ('error' ≙ delete) → full version
+    history. One (table, key) shuffle + lead window — the same exchange
+    apply_changes uses."""
+    from pg_logical_replication_spark.operators.apply_changes import scd2_history
+
+    ev = t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    img = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("decimal(38,6)").cast("string"),
+    )
+    changes = ev.select(
+        F.when(is_del, "delete").otherwise("update").alias("op"),
+        F.col("event_id").alias("lsn_long"),
+        F.lit("events").alias("table"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("key"),
+        F.when(~is_del, img).alias("after"),
+    )
+    hist = scd2_history(changes, key_columns=["user_id"])
+    return hist.select(
+        F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
+        F.col("after").getItem("value").alias("value_str"),
+        F.col("valid_from_lsn").alias("valid_from"),
+        F.col("valid_to_lsn").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "q_cdc_incremental_agg",
+    """
+    SELECT CAST(user_id % 10 AS INTEGER) AS grp,
+           COUNT(*) AS n_live,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM (SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1
+    """,
+    "incremental view maintenance (operators.apply_changes."
+    "incremental_agg): per-group SUM/COUNT maintained purely from "
+    "signed change deltas — the oracle recomputes from the final "
+    "snapshot, proving delta-maintenance ≡ recompute",
+)
+def q_cdc_incremental_agg(spark, sf_dir):
+    """The events table replayed as a consistent insert/update/delete
+    stream (before images from the per-user prior event), folded by
+    incremental_agg into per-group sums with NO snapshot scan: deltas
+    telescope per user, so against the empty baseline the net equals
+    the final snapshot aggregate exactly (decimal accumulation).
+
+    The encode step needs a per-user lag (that's the SOURCE's job of
+    carrying before images, REPLICA IDENTITY FULL); the maintenance
+    itself is one shuffle-free flatMap + a partial-aggregated groupBy
+    over 10 groups — at 100 TB the refresh costs O(day's changes)."""
+    from pyspark.sql import Window as W
+
+    from pg_logical_replication_spark.operators.apply_changes import incremental_agg
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    prev_type = F.lag("event_type").over(w)
+    prev_value = F.lag("value").over(w)
+    is_err = F.col("event_type") == "error"
+    prev_live = prev_type.isNotNull() & (prev_type != "error")
+    op = (
+        F.when(is_err & prev_live, "delete")
+        .when(is_err, None)  # delete of a dead row — not a change
+        .when(prev_live, "update")
+        .otherwise("insert")
+    )
+
+    def img(val):
+        return F.create_map(
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("grp"), (F.col("user_id") % 10).cast("string"),
+            F.lit("value"), val.cast("decimal(38,6)").cast("string"),
+        )
+
+    changes = (
+        ev.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            F.when(F.col("op").isin("update", "delete"), img(prev_value)).alias(
+                "before"
+            ),
+            F.when(F.col("op").isin("insert", "update"), img(F.col("value"))).alias(
+                "after"
+            ),
+        )
+    )
+    agg = incremental_agg(
+        changes,
+        group_fn=lambda im: im.getItem("grp").cast("int"),
+        value_fn=lambda im: im.getItem("value").cast("decimal(38,6)"),
+    )
+    return agg.filter(F.col("n_delta") > 0).select(
+        "grp",
+        F.col("n_delta").alias("n_live"),
+        F.col("sum_delta").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,

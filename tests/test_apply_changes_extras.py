@@ -1,0 +1,120 @@
+"""SCD2 history and incremental aggregate maintenance — operator-level
+semantics on hand-built change streams (the oracle queries cover the
+fixture-scale end-to-end paths)."""
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators.apply_changes import (
+    incremental_agg,
+    scd2_history,
+)
+
+CH_SCHEMA = (
+    "op string, lsn_long long, `table` string, key map<string,string>, "
+    "before map<string,string>, after map<string,string>"
+)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, CH_SCHEMA)
+
+
+def test_scd2_versions_close_on_update_and_delete(spark):
+    rows = [
+        ("insert", 10, "t", None, None, {"id": "1", "v": "a"}),
+        ("update", 20, "t", None, None, {"id": "1", "v": "b"}),
+        ("delete", 30, "t", {"id": "1"}, None, None),
+        ("insert", 40, "t", None, None, {"id": "2", "v": "x"}),
+    ]
+    hist = scd2_history(_changes(spark, rows), key_columns=["id"])
+    got = {
+        (r["after"]["id"], r["after"]["v"]): (
+            r["valid_from_lsn"],
+            r["valid_to_lsn"],
+            r["is_current"],
+        )
+        for r in hist.collect()
+    }
+    assert got == {
+        ("1", "a"): (10, 20, False),
+        ("1", "b"): (20, 30, False),  # closed by the delete, no row emitted for it
+        ("2", "x"): (40, None, True),
+    }
+
+
+def test_scd2_reinsert_after_delete_opens_new_current_version(spark):
+    rows = [
+        ("insert", 10, "t", None, None, {"id": "1", "v": "a"}),
+        ("delete", 20, "t", {"id": "1"}, None, None),
+        ("insert", 30, "t", None, None, {"id": "1", "v": "a2"}),
+    ]
+    hist = scd2_history(_changes(spark, rows), key_columns=["id"])
+    got = sorted(
+        (r["valid_from_lsn"], r["valid_to_lsn"], r["is_current"])
+        for r in hist.collect()
+    )
+    assert got == [(10, 20, False), (30, None, True)]
+
+
+def _agg(df):
+    return incremental_agg(
+        df,
+        group_fn=lambda im: im.getItem("g"),
+        value_fn=lambda im: im.getItem("v").cast("decimal(38,6)"),
+    )
+
+
+def test_incremental_agg_matches_recompute(spark):
+    rows = [
+        ("insert", 1, "t", None, None, {"g": "a", "v": "10"}),
+        ("insert", 2, "t", None, None, {"g": "a", "v": "5"}),
+        ("insert", 3, "t", None, None, {"g": "b", "v": "7"}),
+        # in-place update within group a: 10 -> 12
+        ("update", 4, "t", None, {"g": "a", "v": "10"}, {"g": "a", "v": "12"}),
+        # delete the 5 row
+        ("delete", 5, "t", None, {"g": "a", "v": "5"}, None),
+    ]
+    out = {
+        r["grp"]: (r["n_delta"], float(r["sum_delta"]))
+        for r in _agg(_changes(spark, rows)).collect()
+    }
+    assert out == {"a": (1, 12.0), "b": (1, 7.0)}
+
+
+def test_incremental_agg_group_changing_update_moves_row(spark):
+    rows = [
+        ("insert", 1, "t", None, None, {"g": "a", "v": "10"}),
+        ("insert", 2, "t", None, None, {"g": "b", "v": "1"}),
+        # the row MOVES from group a to group b (value also changes)
+        ("update", 3, "t", None, {"g": "a", "v": "10"}, {"g": "b", "v": "11"}),
+    ]
+    out = {
+        r["grp"]: (r["n_delta"], float(r["sum_delta"]))
+        for r in _agg(_changes(spark, rows)).collect()
+    }
+    assert out == {"a": (0, 0.0), "b": (2, 12.0)}
+
+
+def test_incremental_agg_is_mergeable_across_batches(spark):
+    """Deltas from two micro-batches merged by addition equal the deltas
+    of the concatenated stream — the foreachBatch MERGE invariant."""
+    batch1 = [
+        ("insert", 1, "t", None, None, {"g": "a", "v": "10"}),
+        ("insert", 2, "t", None, None, {"g": "a", "v": "3"}),
+    ]
+    batch2 = [
+        ("delete", 3, "t", None, {"g": "a", "v": "10"}, None),
+        ("insert", 4, "t", None, None, {"g": "b", "v": "2"}),
+    ]
+    merged = (
+        _agg(_changes(spark, batch1))
+        .unionByName(_agg(_changes(spark, batch2)))
+        .groupBy("grp")
+        .agg(F.sum("n_delta").alias("n"), F.sum("sum_delta").alias("s"))
+    )
+    got = {r["grp"]: (r["n"], float(r["s"])) for r in merged.collect()}
+    whole = {
+        r["grp"]: (r["n_delta"], float(r["sum_delta"]))
+        for r in _agg(_changes(spark, batch1 + batch2)).collect()
+    }
+    assert got == whole == {"a": (1, 3.0), "b": (1, 2.0)}
