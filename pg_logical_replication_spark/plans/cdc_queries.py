@@ -643,6 +643,58 @@ def q_cdc_incremental_agg(spark, sf_dir):
 
 
 @register(
+    "q_cdc_replica_checksum",
+    """
+    WITH snap AS (
+      SELECT user_id, event_type AS last_op,
+             CAST(CAST(value AS DECIMAL(38,6)) AS VARCHAR) AS value_str
+      FROM (SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error')
+    SELECT CAST(user_id % 16 AS INTEGER) AS bucket,
+           COUNT(*) AS n_rows,
+           SUM(CAST(CAST('0x' || substring(md5(concat_ws(chr(31),
+                 coalesce(CAST(user_id AS VARCHAR), chr(30)),
+                 coalesce(last_op, chr(30)),
+                 coalesce(value_str, chr(30)))), 1, 15) AS BIGINT)
+               AS DECIMAL(38,0))) AS checksum
+    FROM snap GROUP BY 1
+    """,
+    "replica verification (operators.verify.bucket_checksums): the "
+    "applied snapshot summarized as per-key-bucket md5 checksums — the "
+    "oracle recomputes the identical digests in DuckDB, proving the "
+    "canonical form is engine-portable (a real replica could be "
+    "verified by running this SQL on PostgreSQL directly)",
+)
+def q_cdc_replica_checksum(spark, sf_dir):
+    """One scan + a 16-group aggregate: at 100 TB the comparison ships
+    only the bucket table; diverged buckets re-scan as pushed-down
+    key-range predicates (operators.verify.checksum_diff)."""
+    from pyspark.sql import Window as W
+
+    from pg_logical_replication_spark.operators.verify import bucket_checksums
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    snap = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").cast("decimal(38,6)").cast("string").alias("value_str"),
+        )
+    )
+    return bucket_checksums(
+        snap,
+        columns=["user_id", "last_op", "value_str"],
+        bucket=(F.col("user_id") % 16).cast("int"),
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,
