@@ -227,6 +227,93 @@ def ivf_cosine_topk(
     )
 
 
+def hyperplane_band_pairs(
+    df: DataFrame,
+    n_bands: int = 2,
+    band_bits: int = 8,
+    dim: int = 64,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs with EXACT integer
+    re-scoring — the fully-oracle-checkable ANN path.
+
+    Pipeline (one corpus scan → one per-band shuffle → candidate join):
+
+    1. quantize: ``q[i] = floor(emb[i]·quant)`` as int64 — every later
+       step is integer arithmetic, so Spark and any SQL engine agree
+       bit-for-bit (float dot products only agree if summation order
+       matches; integers remove the question entirely);
+    2. sign bits: hyperplane ``p``'s weight for dim ``i`` is ±1 from an
+       LCG parity ``(1103515245·(p·dim+i)+12345) mod 2³¹ < 2³⁰`` —
+       deterministic, RNG-free, one-line SQL twin;
+    3. band signatures: ``band_bits`` sign bits pack into an int per
+       band; two vectors are CANDIDATES if any band matches (classic
+       OR-amplification: match prob 1-(1-s^r)^b for similarity s);
+    4. exact quantized dot re-scores candidates only.
+
+    Scale: signatures are a write-time column; candidates come from a
+    hash shuffle on (band, sig) whose fan-in per bucket is the tunable
+    knob (more bands/bits → smaller buckets); the quadratic work is
+    confined inside buckets. Returns ``id_a < id_b, dot`` (deduped
+    across bands).
+    """
+    LCG_A, LCG_C, LCG_M, LCG_H = 1103515245, 12345, 2**31, 2**30
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * quant).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+
+    def plane_dot(p: int) -> Column:
+        def sgn(i: Column) -> Column:
+            lcg = (
+                F.lit(LCG_A).cast("long") * (F.lit(p * dim).cast("long") + i)
+                + F.lit(LCG_C)
+            ) % F.lit(LCG_M).cast("long")
+            return F.when(lcg < F.lit(LCG_H).cast("long"), F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.element_at(F.col("qv"), (i + 1).cast("int")) * sgn(i),
+        )
+
+    def band_sig(b: int) -> Column:
+        sig = F.lit(0).cast("long")
+        for j in range(band_bits):
+            bit = (plane_dot(b * band_bits + j) > 0).cast("long")
+            sig = sig + F.shiftleft(bit, j)
+        return sig
+
+    sigs = base.select(
+        "id",
+        "qv",
+        F.posexplode(F.array(*[band_sig(b) for b in range(n_bands)])).alias(
+            "band", "sig"
+        ),
+    )
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"), "band", "sig"
+    )
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv_a"), F.col("qv_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return cand.select("id_a", "id_b", dot.alias("dot"))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

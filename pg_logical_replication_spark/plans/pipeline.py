@@ -296,6 +296,43 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "q_ann_hyperplane_pairs",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(x*1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id, qv, band,
+             list_sum([CASE WHEN list_sum([qv[i+1] *
+                 (CASE WHEN (1103515245*((band*8+j)*64+i)+12345) % 2147483648
+                       < 1073741824 THEN 1 ELSE -1 END) FOR i IN range(0,64)]) > 0
+               THEN 1<<j ELSE 0 END FOR j IN range(0,8)]) AS s
+      FROM q, (SELECT unnest(range(0,2)) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM sig a JOIN sig bb ON a.band = bb.band AND a.s = bb.s
+                            AND a.vec_id < bb.vec_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             list_sum([qa.qv[i+1]*qb.qv[i+1] FOR i IN range(0,64)]) AS dot
+      FROM cand c JOIN q qa ON qa.vec_id = c.id_a
+                  JOIN q qb ON qb.vec_id = c.id_b)
+    SELECT id_a, id_b, dot FROM scored ORDER BY dot DESC, id_a, id_b LIMIT 20
+    """,
+    "banded hyperplane-LSH near-dup, fully oracle-checked: integer-"
+    "quantized vectors, LCG-derived ±1 hyperplanes, 2×8-bit band "
+    "signatures (OR-amplification), exact int64 dot re-rank — DuckDB "
+    "replays the whole pipeline bit-for-bit",
+)
+def q_ann_hyperplane_pairs(spark, sf_dir):
+    """Unlike q_ann_lsh_topk (float signatures, rows-only check), this
+    path is integer end-to-end, so the LSH candidate generation itself
+    passes the value-hash gate."""
+    pairs = S.hyperplane_band_pairs(t(spark, sf_dir, "embeddings"))
+    return pairs.orderBy(F.col("dot").desc(), "id_a", "id_b").limit(20)
+
+
 def _ivf_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
     def cos(a, b):
         return (
