@@ -695,6 +695,66 @@ def q_cdc_replica_checksum(spark, sf_dir):
 
 
 @register(
+    "q_cdc_message_roundtrip",
+    """
+    SELECT event_type AS prefix, COUNT(*) AS n,
+           CAST(SUM(length(props)) AS BIGINT) AS content_bytes,
+           CAST(SUM(event_id * 8 + 16) AS BIGINT) AS sum_lsn_long
+    FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    """,
+    "pg_logical_emit_message surface (reference decoder-pgoutput."
+    "spec.ts:276-322): app-level logical messages encoded to pgoutput "
+    "'M' wire bytes, decoded to op='message' rows with prefix/content "
+    "metadata, prefix-filtered (wal2json filter-msg-prefixes "
+    "semantics), content length recovered from the bytea-hex payload",
+)
+def q_cdc_message_roundtrip(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lsns = [f"0/{v * 8 + 16:X}" for v in pdf["event_id"]]
+            yield pd.DataFrame(
+                {
+                    "seq": pdf["event_id"] + 1,
+                    "lsn": lsns,
+                    "data": [
+                        pgf.encode_logical_message(
+                            lsn, prefix, (props or "").encode()
+                        )
+                        for lsn, prefix, props in zip(
+                            lsns, pdf["event_type"], pdf["props"]
+                        )
+                    ],
+                }
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="seq long, lsn string, data binary"
+    )
+    # logical messages are relation-free: empty cache skips the pre-scan
+    decoded = decode_pgoutput(wire, relations={})
+    return (
+        decoded.filter(F.col("op") == "message")
+        .filter(F.col("meta").getItem("prefix").isin("click", "view"))
+        .groupBy(F.col("meta").getItem("prefix").alias("prefix"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                ((F.length(F.col("meta").getItem("content")) - 2) / 2).cast("long")
+            ).alias("content_bytes"),
+            F.sum("lsn_long").alias("sum_lsn_long"),
+        )
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,

@@ -294,6 +294,48 @@ def q_window_lag(spark, sf_dir):
     )
 
 
+@register(
+    "q_window_ntile",
+    """
+    SELECT event_type, tile, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(pr) AS DOUBLE) AS min_pct_rank,
+           CAST(MAX(cd) AS DOUBLE) AS max_cume_dist,
+           MAX(fv) AS first_eid
+    FROM (
+      SELECT event_type, value, event_id,
+             NTILE(10)     OVER w AS tile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST()   OVER w AS cd,
+             FIRST_VALUE(event_id) OVER w AS fv
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+    GROUP BY event_type, tile
+    """,
+    "rank-family window functions: ntile decile assignment, "
+    "percent_rank, cume_dist, first_value per partition — unique "
+    "(value, event_id) ordering makes every rank deterministic",
+)
+def q_window_ntile(spark, sf_dir):
+    """One shuffle on event_type serves all four window functions (same
+    WINDOW frame) and the decile rollup reuses it map-side."""
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id",
+        F.ntile(10).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("event_id").over(w).alias("fv"),
+    )
+    return ev.groupBy("event_type", "tile").agg(
+        F.count("*").alias("n"),
+        ssum("value").alias("sum_value"),
+        F.min("pr").cast("double").alias("min_pct_rank"),
+        F.max("cd").cast("double").alias("max_cume_dist"),
+        F.max("fv").alias("first_eid"),
+    )
+
+
 # ------------------------------------------------------------ sorts / sets
 @register(
     "q_topk_global",
