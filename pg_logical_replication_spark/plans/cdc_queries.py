@@ -139,7 +139,9 @@ def q_cdc_debezium_roundtrip(spark, sf_dir):
                     F.col("event_id").alias("txId"),
                 ).alias("source"),
                 op.alias("op"),
-                F.unix_millis(F.col("ts")).alias("ts_ms"),
+                # ts may arrive as TIMESTAMP_NTZ (parquet isAdjustedToUTC=
+                # false); session TZ is pinned UTC, so the cast is exact
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
             )
         ).alias("value")
     )
