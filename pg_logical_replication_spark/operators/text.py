@@ -147,6 +147,30 @@ def curation_features(
     )
 
 
+def top_tokens(
+    df: DataFrame, k: int = 100, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Global vocabulary induction: the k most frequent tokens with counts.
+
+    explode → groupBy(token) with map-side partial aggregation (the
+    shuffle carries one row per distinct token per partition, never the
+    corpus) → orderBy+limit, which Spark executes as TakeOrdered (per-
+    partition top-k merged on the driver) — no single-partition window.
+    Ties break on token text so the cut at k is deterministic.
+    """
+    toks = tokens_expr(text_col)
+    tok = F.explode(toks).alias("token")
+    out = df.select(tok)
+    if lowercase:
+        out = out.select(F.lower(F.col("token")).alias("token"))
+    return (
+        out.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — catches shuffled/reordered copies exact-hash misses."""

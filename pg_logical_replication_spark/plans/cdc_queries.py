@@ -757,6 +757,67 @@ def q_cdc_message_roundtrip(spark, sf_dir):
 
 
 @register(
+    "q_cdc_txn_frames",
+    """
+    SELECT CAST(event_id // 100 AS BIGINT) AS xid,
+           COUNT(*) AS n_changes,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           MAX(ts) AS commit_ts
+    FROM events GROUP BY 1
+    """,
+    "transaction framing (operators.transactions.assign_transactions): "
+    "the events table replayed as a wire-ordered begin→DML*→commit "
+    "stream where xid lives only on BEGIN and commit_ts only on COMMIT "
+    "(test_decoding semantics, reference decoder.ts:11-43 grammar); DML "
+    "rows recover both purely from stream position, then per-txn stats "
+    "must match DuckDB grouping the source rows directly",
+)
+def q_cdc_txn_frames(spark, sf_dir):
+    """Wire-order framing: DML row → greatest begin.seq <= dml.seq.
+    begins/commits are one row per txn (100× smaller than the stream) so
+    the interval join broadcast-plans; no global sort of the stream."""
+    from pg_logical_replication_spark.operators.transactions import (
+        assign_transactions,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    txn = F.expr("event_id div 100")
+    dml = ev.select(
+        F.lit("insert").alias("op"),
+        (F.col("event_id") * 10).alias("seq"),
+        F.lit(None).cast("long").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.col("event_id").alias("eid"),
+    )
+    per_txn = ev.groupBy(txn.alias("txn")).agg(F.max("ts").alias("max_ts"))
+    begins = per_txn.select(
+        F.lit("begin").alias("op"),
+        (F.col("txn") * 1000 - 5).alias("seq"),
+        F.col("txn").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    commits = per_txn.select(
+        F.lit("commit").alias("op"),
+        (F.col("txn") * 1000 + 995).alias("seq"),
+        F.col("txn").alias("xid"),
+        F.col("max_ts").cast("timestamp").alias("commit_ts"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    stream = dml.unionByName(begins).unionByName(commits)
+    framed = assign_transactions(stream, seq_col="seq")
+    return (
+        framed.filter(F.col("op") == "insert")
+        .groupBy("xid")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.sum("eid").alias("sum_eid"),
+            F.max("commit_ts").alias("commit_ts"),
+        )
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,

@@ -420,6 +420,22 @@ def q_text_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "q_text_top_tokens",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    flat AS (SELECT lower(unnest(tk)) AS token FROM toks)
+    SELECT token, COUNT(*) AS n FROM flat GROUP BY token
+    ORDER BY n DESC, token LIMIT 100
+    """,
+    "global vocabulary induction: top-100 tokens by corpus frequency — "
+    "map-side-combined count + TakeOrdered top-k (no global sort, no "
+    "single-partition window)",
+)
+def q_text_top_tokens(spark, sf_dir):
+    return TX.top_tokens(t(spark, sf_dir, "documents"), k=100)
+
+
+@register(
     "q_text_quality",
     f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
