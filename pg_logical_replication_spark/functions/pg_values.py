@@ -36,9 +36,26 @@ OID_TO_PG_TYPE: dict[int, str] = {
     1083: "time",
     1114: "timestamp without time zone",
     1184: "timestamp with time zone",
+    1186: "interval",
     1700: "numeric",
     2950: "uuid",
     3802: "jsonb",
+    # array OIDs (pg_type.typarray) — getTypeParser routes these to the
+    # array parser; here they route to pg_array via the "[]" suffix
+    1000: "boolean[]",
+    1001: "bytea[]",
+    1005: "smallint[]",
+    1007: "integer[]",
+    1009: "text[]",
+    1014: "character[]",
+    1015: "character varying[]",
+    1016: "bigint[]",
+    1021: "real[]",
+    1022: "double precision[]",
+    1115: "timestamp without time zone[]",
+    1182: "date[]",
+    1231: "numeric[]",
+    2951: "uuid[]",
 }
 
 
