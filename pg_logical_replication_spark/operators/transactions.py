@@ -83,3 +83,104 @@ def assign_transactions(
     if not attach_ts:
         out = out.withColumn("commit_ts", F.lit(None).cast("timestamp"))
     return out
+
+
+def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Commit-gate pgoutput protocol-v2 streamed transactions.
+
+    Input: decoded ChangeEvent rows including the v2 stream control ops
+    (``stream_start``/``stream_stop``/``stream_commit``/``stream_abort``,
+    sources/pgoutput_format.py). Streamed changes are *in-progress* —
+    PG ships them before the transaction's fate is known (that is the
+    whole point: transactions larger than logical_decoding_work_mem
+    stream instead of spooling server-side). This operator applies the
+    fate after the fact:
+
+    * a change is *streamed* iff the newest control row at-or-before its
+      wire position is a ``stream_start`` (segments are [start, stop)
+      intervals in wire order);
+    * its top-level xid is that segment's xid — the per-message spliced
+      xid may be a subtransaction xid;
+    * streamed changes survive only if their top xid has a
+      ``stream_commit``, minus subtransactions dropped by a
+      ``stream_abort`` (subxid ≠ xid) and whole transactions dropped by
+      a top-level abort (subxid = xid) — the streamed twin of the
+      reference's rollback-invisibility guarantee
+      (decoder-pgoutput.spec.ts:235-274);
+    * committed streamed changes inherit ``commit_ts`` from their
+      ``stream_commit``; non-streamed rows pass through untouched.
+
+    Output: the data rows (control rows consumed) plus a ``top_xid``
+    column. Scale: control/commit/abort sets are one-or-two rows per
+    *segment/transaction* — orders of magnitude smaller than the change
+    stream — so every join here broadcast-plans; the stream itself is
+    never sorted or shuffled.
+    """
+    seq = F.col(seq_col)
+    is_ctrl = F.col("op").isin("stream_start", "stream_stop")
+    is_fate = F.col("op").isin("stream_commit", "stream_abort")
+
+    controls = (
+        events.filter(is_ctrl)
+        .select(
+            seq.alias("_cseq"),
+            (F.col("op") == "stream_start").alias("_in_stream"),
+            F.col("xid").alias("_top_xid"),
+        )
+        .withColumn("_next_cseq", F.lead("_cseq").over(Window.orderBy("_cseq")))
+    )
+    commits = (
+        events.filter(F.col("op") == "stream_commit")
+        .select(F.col("xid").alias("_cm_xid"), F.col("commit_ts").alias("_cm_ts"))
+        .dropDuplicates(["_cm_xid"])
+    )
+    abort_sub = F.col("meta").getItem("subxid").cast("long")
+    aborts = events.filter(F.col("op") == "stream_abort").select(
+        F.col("xid").alias("_ab_xid"), abort_sub.alias("_ab_subxid")
+    )
+    top_aborts = (
+        aborts.filter(F.col("_ab_subxid") == F.col("_ab_xid"))
+        .select("_ab_xid").distinct()
+    )
+    sub_aborts = (
+        aborts.filter(F.col("_ab_subxid") != F.col("_ab_xid"))
+        .select("_ab_subxid").distinct()
+    )
+
+    data = events.filter(~is_ctrl & ~is_fate)
+    data_seq = data[seq_col]
+    tagged = (
+        data.join(
+            F.broadcast(controls),
+            (data_seq >= controls["_cseq"])
+            & (controls["_next_cseq"].isNull() | (data_seq < controls["_next_cseq"])),
+            "left",
+        )
+        .withColumn("_streamed", F.coalesce(F.col("_in_stream"), F.lit(False)))
+        .withColumn(
+            "top_xid",
+            F.when(F.col("_streamed"), F.col("_top_xid")).otherwise(F.col("xid")),
+        )
+        .drop("_cseq", "_next_cseq", "_in_stream", "_top_xid")
+    )
+    resolved = (
+        tagged.join(F.broadcast(commits), F.col("top_xid") == F.col("_cm_xid"), "left")
+        .join(F.broadcast(top_aborts), F.col("top_xid") == F.col("_ab_xid"), "left")
+        .join(F.broadcast(sub_aborts), F.col("xid") == F.col("_ab_subxid"), "left")
+        .filter(
+            ~F.col("_streamed")
+            | (
+                F.col("_cm_xid").isNotNull()
+                & F.col("_ab_xid").isNull()
+                & F.col("_ab_subxid").isNull()
+            )
+        )
+        .withColumn(
+            "commit_ts",
+            F.when(
+                F.col("_streamed"), F.coalesce(F.col("commit_ts"), F.col("_cm_ts"))
+            ).otherwise(F.col("commit_ts")),
+        )
+        .drop("_cm_xid", "_cm_ts", "_ab_xid", "_ab_subxid", "_streamed")
+    )
+    return resolved

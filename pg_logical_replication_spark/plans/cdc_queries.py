@@ -818,6 +818,123 @@ def q_cdc_txn_frames(spark, sf_dir):
 
 
 @register(
+    "q_cdc_streamed_txn",
+    """
+    SELECT CAST(event_id // 100 AS BIGINT) AS top_xid,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    WHERE (event_id // 100) % 7 <> 0
+      AND NOT ((event_id % 100) >= 90 AND (event_id // 100) % 3 = 0)
+    GROUP BY 1
+    """,
+    "pgoutput protocol-v2 streamed in-progress transactions, oracle-"
+    "gated: events encoded as S/E-framed segments with per-message "
+    "spliced xids (last 10 rows of each txn under a SUBtransaction "
+    "xid), every 7th txn top-aborted and every 3rd txn's subxact "
+    "aborted; decode_pgoutput tracks segment state, resolve_streamed "
+    "commit-gates — surviving rows must equal DuckDB filtering the "
+    "source directly (the streamed twin of rollback invisibility, "
+    "reference decoder-pgoutput.spec.ts:235-274, at huge-transaction "
+    "scale, :324-373)",
+)
+def q_cdc_streamed_txn(spark, sf_dir):
+    """Each txn = 100 events, streamed in (possibly several) [S,E)
+    segments — seq blocks of 10000 per txn keep segment intervals
+    disjoint, so resolve_streamed's broadcast interval-join maps every
+    change to its segment without sorting the stream. Fate messages
+    (c/A) are built from a tiny per-txn aggregate and unioned in —
+    position-independent, as in the protocol."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.transactions import resolve_streamed
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51235
+    rel = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20)], key_columns=["event_id"]
+    )
+
+    def encode_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted by (txn, event_id) within the partition;
+        # a txn straddling Arrow batches just opens another segment —
+        # valid v2 (first_segment=false), disjoint seq sub-blocks.
+        seg_idx: dict[int, int] = {}
+        for pdf in batches:
+            seqs: list[int] = []
+            data: list[bytes] = []
+            for txn, grp in pdf.groupby(pdf["event_id"] // 100, sort=True):
+                t = int(txn)
+                s = seg_idx.get(t, 0)
+                seg_idx[t] = s + 1
+                base = t * 10000 + s * 2000
+                seqs.append(base)
+                data.append(pgf.encode_stream_start(t, first_segment=(s == 0)))
+                for off, e in enumerate(grp["event_id"]):
+                    eid = int(e)
+                    sub = eid % 100 >= 90
+                    xid = t + 1_000_000 if sub else t
+                    seqs.append(base + 1 + off)
+                    data.append(pgf.with_stream_xid(xid, pgf.encode_insert(
+                        OID, [("t", str(eid))]
+                    )))
+                seqs.append(base + 1999)
+                data.append(pgf.encode_stream_stop())
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    def encode_fates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for t in pdf["txn"]:
+                t = int(t)
+                if t % 7 == 0:
+                    seqs.append(t * 10000 + 9999)
+                    data.append(pgf.encode_stream_abort(t))  # top-level
+                    continue
+                if t % 3 == 0:
+                    seqs.append(t * 10000 + 9998)
+                    data.append(pgf.encode_stream_abort(t, t + 1_000_000))
+                seqs.append(t * 10000 + 9999)
+                data.append(pgf.encode_stream_commit(
+                    t, f"0/{t * 8 + 16:X}", f"0/{t * 8 + 24:X}", 1_700_000_000_000_000
+                ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    wire = (
+        ev.repartition(spark.sparkContext.defaultParallelism,
+                       F.expr("event_id div 100"))
+        .sortWithinPartitions("event_id")
+        .mapInPandas(encode_segments, schema="lsn string, seq long, data binary")
+    )
+    fates = (
+        ev.select(F.expr("event_id div 100").alias("txn")).distinct()
+        .mapInPandas(encode_fates, schema="lsn string, seq long, data binary")
+    )
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    decoded = decode_pgoutput(wire.unionByName(fates), relations=cache)
+    resolved = resolve_streamed(decoded)
+    return (
+        resolved.filter(F.col("op") == "insert")
+        .groupBy("top_xid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+        )
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,

@@ -47,7 +47,13 @@ def _collect_relations(
     cache: dict[int, list[tuple[int, fmt.RelationInfo]]] = {}
     for row in sorted(rel_rows, key=lambda r: r[seq_col]):
         tmp: dict[int, fmt.RelationInfo] = {}
-        fmt.parse_message(bytes(row[data_col]), tmp)
+        try:
+            fmt.parse_message(bytes(row[data_col]), tmp)
+        except Exception:
+            # an 'R' inside a protocol-v2 streamed segment carries a
+            # spliced xid the plain parse trips over; retry streamed.
+            # (v2 logs are more robust with an explicit relations= cache.)
+            fmt.parse_message(bytes(row[data_col]), tmp, streamed=True)
         for oid, info in tmp.items():
             cache.setdefault(oid, []).append((row[seq_col], info))
     return cache
@@ -126,6 +132,14 @@ def decode_pgoutput(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         relations = _VersionedRelations(versions)
         pub = set(publication_tables) if publication_tables else None
+        # protocol-v2 streamed-segment state: inside [S, E) every
+        # R/Y/I/U/D/T/M message carries a spliced Int32 xid. State spans
+        # Arrow batches (this generator is per-partition); the input
+        # contract extends accordingly: within a partition, rows arrive
+        # in wire order and a streamed segment never straddles a
+        # partition boundary — both hold for sequential log files read
+        # whole (the durable-log layout sources/datasource.py produces).
+        in_stream = False
         for pdf in batches:
             # columnar accumulation: building 11 lists + one vectorized
             # to_datetime is ~3× faster than 100k row dicts with a
@@ -133,7 +147,11 @@ def decode_pgoutput(
             cols: dict[str, list[Any]] = {c: [] for c in out_cols}
             for data, lsn, seq in zip(pdf[data_col], pdf[lsn_col], pdf[seq_col]):
                 relations.seq = seq
-                ev = fmt.parse_message(bytes(data), relations)
+                ev = fmt.parse_message(bytes(data), relations, streamed=in_stream)
+                if ev["op"] == "stream_start":
+                    in_stream = True
+                elif ev["op"] == "stream_stop":
+                    in_stream = False
                 if (
                     pub is not None
                     and ev.get("table")

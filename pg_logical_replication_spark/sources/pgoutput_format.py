@@ -151,7 +151,11 @@ def _key_projection(tup: dict, relation: RelationInfo | None) -> dict:
     return {k: tup[k] for k in relation.key_columns if tup.get(k) is not None}
 
 
-def parse_message(buf: bytes, relations: dict[int, RelationInfo] | None = None) -> dict:
+def parse_message(
+    buf: bytes,
+    relations: dict[int, RelationInfo] | None = None,
+    streamed: bool = False,
+) -> dict:
     """One pgoutput message → normalized ChangeEvent dict.
 
     ``relations`` is the relation cache (oid → RelationInfo), the engine's
@@ -160,6 +164,17 @@ def parse_message(buf: bytes, relations: dict[int, RelationInfo] | None = None) 
     cache (and are also returned as events). DML for an unseen relation
     raises — same contract as pgoutput-parser.ts:151-153.
 
+    ``streamed=True`` parses the message as part of a protocol-version-2
+    streamed transaction segment (between Stream Start 'S' and Stream
+    Stop 'E'): R/Y/I/U/D/T/M messages then carry an extra Int32 xid
+    right after the tag byte — possibly a *sub*transaction xid (public
+    spec, protocol-logicalrep-message-formats). Protocol v2 exceeds the
+    reference (its parser is v1-only, pgoutput-parser.ts:24-52, though
+    its options type admits other versions, pgoutput-plugin.ts:24-34);
+    it is the PG-native path for transactions larger than
+    logical_decoding_work_mem — the reference's 'huge transaction'
+    scenario — so the engine supports it.
+
     Returns keys: op, lsn, xid, commit_ts_us, schema, table, key, before,
     after, meta (all optional except op).
     """
@@ -167,6 +182,50 @@ def parse_message(buf: bytes, relations: dict[int, RelationInfo] | None = None) 
     r = Reader(buf)
     tag = r.u8()
 
+    # stream control messages (protocol v2) are valid in any mode
+    if tag == 0x53:  # 'S' Stream Start
+        xid = r.i32()
+        first = r.u8()
+        return {
+            "op": "stream_start",
+            "xid": xid,
+            "meta": {"first_segment": str(bool(first)).lower()},
+        }
+    if tag == 0x45:  # 'E' Stream Stop
+        return {"op": "stream_stop"}
+    if tag == 0x63:  # 'c' Stream Commit
+        xid = r.i32()
+        flags = r.u8()
+        commit_lsn = r.lsn()
+        end_lsn = r.lsn()
+        ts = r.pg_time_us()
+        return {
+            "op": "stream_commit",
+            "lsn": commit_lsn,
+            "xid": xid,
+            "commit_ts_us": ts,
+            "meta": {"flags": str(flags), "end_lsn": end_lsn},
+        }
+    if tag == 0x41:  # 'A' Stream Abort
+        xid = r.i32()
+        subxid = r.i32()
+        return {
+            "op": "stream_abort",
+            "xid": xid,
+            "meta": {"subxid": str(subxid)},
+        }
+
+    stream_xid: int | None = None
+    if streamed and tag in (0x52, 0x59, 0x49, 0x55, 0x44, 0x54, 0x4D):
+        stream_xid = r.i32()
+
+    ev = _parse_tail(r, tag, relations)
+    if stream_xid is not None:
+        ev.setdefault("xid", stream_xid)
+    return ev
+
+
+def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict:
     if tag == 0x42:  # 'B' Begin
         lsn = r.lsn()
         ts = r.pg_time_us()
@@ -411,6 +470,37 @@ def encode_truncate(relation_oids: list[int], cascade=False, restart_identity=Fa
         + struct.pack(">B", flags)
         + b"".join(struct.pack(">i", o) for o in relation_oids)
     )
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">i", xid) + struct.pack(">B", 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(
+    xid: int, commit_lsn: str, end_lsn: str, commit_ts_us: int, flags: int = 0
+) -> bytes:
+    return (
+        b"c"
+        + struct.pack(">i", xid)
+        + struct.pack(">B", flags)
+        + _lsn_bytes(commit_lsn)
+        + _lsn_bytes(end_lsn)
+        + _pg_time(commit_ts_us)
+    )
+
+
+def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
+    return b"A" + struct.pack(">ii", xid, subxid if subxid is not None else xid)
+
+
+def with_stream_xid(xid: int, message: bytes) -> bytes:
+    """Wrap a v1-encoded R/Y/I/U/D/T/M message for a streamed segment:
+    splice the Int32 xid the v2 protocol puts right after the tag byte."""
+    return message[:1] + struct.pack(">i", xid) + message[1:]
 
 
 def encode_logical_message(

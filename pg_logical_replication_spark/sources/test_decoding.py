@@ -36,6 +36,17 @@ _DATUM_RE = r'("(?:[^"]|"")*"|[^\[\s]+)\[([^\]]+)\]:(\'(?:[^\']|\'\')*\'|[^ \t]+
 _QUAL_RE = r'(?s)^table ("(?:[^"]|"")*"|[^.]+)\.("(?:[^"]|"")*"|[^:]+): (INSERT|UPDATE|DELETE|TRUNCATE): ?(.*)\z'
 _BEGIN_RE = r"^BEGIN(?: (\d+))?\s*$"
 _COMMIT_RE = r"^COMMIT(?: (\d+))?(?: \(at ([^)]+)\))?\s*$"
+# stream-changes=1 block lines (PG contrib/test_decoding stream_*
+# callbacks; the reference pushes the option down, reference
+# test-decoding-plugin.ts:47-59, but never parses the resulting lines —
+# its grammar covers only table/BEGIN/COMMIT, decoder.ts:11-43)
+_STREAM_RE = (
+    r"^(opening a streamed block for transaction"
+    r"|closing a streamed block for transaction"
+    r"|aborting streamed \(sub\)transaction"
+    r"|committing streamed transaction"
+    r"|streaming change for transaction)(?: TXID (\d+))?\s*$"
+)
 
 
 def _unquote_ident(c):
@@ -114,12 +125,19 @@ def decode_test_decoding(
         F.regexp_extract(line, _QUAL_RE, 4).alias("_data"),
         line.rlike(_BEGIN_RE).alias("_is_begin"),
         line.rlike(_COMMIT_RE).alias("_is_commit"),
+        F.regexp_extract(line, _STREAM_RE, 1).alias("_stream_kind"),
+        F.regexp_extract(line, _STREAM_RE, 2).alias("_stream_xid"),
         *passthrough,
     ).select(
         "*",
         F.when(F.col("_action") != "", F.col("_action"))
         .when(F.col("_is_begin"), "begin")
         .when(F.col("_is_commit"), "commit")
+        .when(F.col("_stream_kind").startswith("opening"), "stream_start")
+        .when(F.col("_stream_kind").startswith("closing"), "stream_stop")
+        .when(F.col("_stream_kind").startswith("aborting"), "stream_abort")
+        .when(F.col("_stream_kind").startswith("committing"), "stream_commit")
+        .when(F.col("_stream_kind").startswith("streaming"), "stream_change")
         .alias("op"),
     ).filter(F.col("op").isNotNull())
 
@@ -150,8 +168,12 @@ def decode_test_decoding(
         "op",
         "lsn",
         lsn_long_expr("lsn").alias("lsn_long"),
-        F.when(F.col("_is_begin"), F.regexp_extract("_line", _BEGIN_RE, 1))
-        .when(F.col("_is_commit"), F.regexp_extract("_line", _COMMIT_RE, 1))
+        F.nullif(  # xid-less BEGIN/COMMIT/stream lines (include-xids off)
+            F.when(F.col("_is_begin"), F.regexp_extract("_line", _BEGIN_RE, 1))
+            .when(F.col("_is_commit"), F.regexp_extract("_line", _COMMIT_RE, 1))
+            .when(F.col("_stream_kind") != "", F.col("_stream_xid")),
+            F.lit(""),
+        )
         .cast("long")
         .alias("xid"),
         F.when(

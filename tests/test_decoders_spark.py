@@ -553,3 +553,37 @@ def test_debezium_apply_changes(spark):
         columns={"id": "bigint", "name": "text"},
     )
     assert {(r["id"], r["name"]) for r in snap.collect()} == {(1, "al2")}
+
+
+def test_test_decoding_stream_changes_blocks(spark):
+    """stream-changes=1 block lines (PG contrib/test_decoding stream_*
+    callbacks) decode to stream_* ops with their TXIDs; the reference
+    pushes the option down (test-decoding-plugin.ts:47-59) but its
+    grammar never parses the resulting lines."""
+    from pg_logical_replication_spark.sources.test_decoding import (
+        decode_test_decoding,
+    )
+
+    lines = [
+        "opening a streamed block for transaction TXID 774",
+        "streaming change for transaction TXID 774",
+        "streaming change for transaction TXID 775",
+        "closing a streamed block for transaction TXID 774",
+        "committing streamed transaction TXID 774",
+        "aborting streamed (sub)transaction TXID 775",
+        # include-xids off → no TXID suffix; op still surfaces
+        "opening a streamed block for transaction",
+        "table public.users: INSERT: id[integer]:1",  # plain DML unaffected
+    ]
+    out = decode_test_decoding(
+        spark.createDataFrame([(ln,) for ln in lines], "value string")
+    ).collect()
+    got = [(r["op"], r["xid"]) for r in out]
+    assert ("stream_start", 774) in got
+    assert got.count(("stream_change", 774)) == 1
+    assert ("stream_change", 775) in got
+    assert ("stream_stop", 774) in got
+    assert ("stream_commit", 774) in got
+    assert ("stream_abort", 775) in got
+    assert ("stream_start", None) in got
+    assert any(op == "insert" for op, _ in got)

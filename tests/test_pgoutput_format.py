@@ -148,3 +148,59 @@ def test_truncate_and_message_and_origin_and_type():
 def test_unknown_tag_raises():
     with pytest.raises(ValueError, match="unknown pgoutput"):
         fmt.parse_message(b"Z\x00", {})
+
+
+# ---------------------------------------------------- protocol v2 streaming
+def test_stream_control_messages_roundtrip():
+    """S/E/c/A wire shapes (public spec, protocol v2 — beyond the
+    reference's v1-only parser, pgoutput-parser.ts:24-52)."""
+    s = fmt.parse_message(fmt.encode_stream_start(777, first_segment=True), {})
+    assert s == {
+        "op": "stream_start", "xid": 777, "meta": {"first_segment": "true"}
+    }
+    s2 = fmt.parse_message(fmt.encode_stream_start(777, first_segment=False), {})
+    assert s2["meta"]["first_segment"] == "false"
+    e = fmt.parse_message(fmt.encode_stream_stop(), {})
+    assert e == {"op": "stream_stop"}
+    c = fmt.parse_message(
+        fmt.encode_stream_commit(777, "00000001/000000A0", "00000001/000000B0", 1_700_000_000_000_000),
+        {},
+    )
+    assert c["op"] == "stream_commit" and c["xid"] == 777
+    assert c["lsn"] == "00000001/000000A0" and c["meta"]["end_lsn"] == "00000001/000000B0"
+    assert c["commit_ts_us"] == 1_700_000_000_000_000
+    a = fmt.parse_message(fmt.encode_stream_abort(777, 778), {})
+    assert a["op"] == "stream_abort" and a["xid"] == 777 and a["meta"]["subxid"] == "778"
+    a2 = fmt.parse_message(fmt.encode_stream_abort(777), {})
+    assert a2["meta"]["subxid"] == "777"  # top-level abort: subxid = xid
+
+
+def test_streamed_dml_carries_spliced_xid():
+    """Inside [S, E) every R/I/U/D/M message carries an Int32 xid after
+    the tag; parse_message(streamed=True) reads and attaches it."""
+    cache = {}
+    rel = fmt.with_stream_xid(777, _relation())
+    ev_r = fmt.parse_message(rel, cache, streamed=True)
+    assert ev_r["op"] == "relation" and ev_r["xid"] == 777
+    assert 16385 in cache  # relation cached despite the splice
+
+    ins = fmt.with_stream_xid(
+        778,  # a SUBtransaction xid
+        fmt.encode_insert(16385, [("t", "1"), ("t", "a"), ("t", "b"),
+                                  ("n", None), ("n", None), ("t", "f"), ("t", "x")]),
+    )
+    ev_i = fmt.parse_message(ins, cache, streamed=True)
+    assert ev_i["op"] == "insert" and ev_i["xid"] == 778
+    assert ev_i["after"]["id"] == "1"
+
+    # the same bytes parsed as non-streamed must NOT silently succeed
+    with pytest.raises(Exception):
+        fmt.parse_message(ins, cache)
+
+
+def test_streamed_parse_does_not_affect_control_tags():
+    """B/C never carry the spliced xid even in streamed mode (they frame
+    non-streamed transactions only)."""
+    b = fmt.encode_begin("00000000/00000010", 1_700_000_000_000_000, 55)
+    ev = fmt.parse_message(b, {}, streamed=True)
+    assert ev["op"] == "begin" and ev["xid"] == 55
