@@ -47,6 +47,12 @@ _STREAM_RE = (
     r"|committing streamed transaction"
     r"|streaming change for transaction)(?: TXID (\d+))?\s*$"
 )
+# include-sequences=1 lines (PG 16+ contrib/test_decoding pg_decode_
+# sequence; option pushed down by the reference, the lines unparsed)
+_SEQUENCE_RE = (
+    r'(?s)^sequence ("(?:[^"]|"")*"|[^.]+)\.("(?:[^"]|"")*"|[^:]+):'
+    r" transactional:(\d) last_value: (\d+) log_cnt: (\d+) is_called:(\d)\s*\z"
+)
 
 
 def _unquote_ident(c):
@@ -127,6 +133,7 @@ def decode_test_decoding(
         line.rlike(_COMMIT_RE).alias("_is_commit"),
         F.regexp_extract(line, _STREAM_RE, 1).alias("_stream_kind"),
         F.regexp_extract(line, _STREAM_RE, 2).alias("_stream_xid"),
+        line.rlike(_SEQUENCE_RE).alias("_is_seq"),
         *passthrough,
     ).select(
         "*",
@@ -138,6 +145,7 @@ def decode_test_decoding(
         .when(F.col("_stream_kind").startswith("aborting"), "stream_abort")
         .when(F.col("_stream_kind").startswith("committing"), "stream_commit")
         .when(F.col("_stream_kind").startswith("streaming"), "stream_change")
+        .when(F.col("_is_seq"), "sequence")
         .alias("op"),
     ).filter(F.col("op").isNotNull())
 
@@ -179,8 +187,12 @@ def decode_test_decoding(
         F.when(
             F.col("_is_commit"), F.to_timestamp(F.regexp_extract("_line", _COMMIT_RE, 2))
         ).alias("commit_ts"),
-        F.when(is_dml, _unquote_ident(F.col("_sch_raw"))).alias("schema"),
-        F.when(is_dml, _unquote_ident(F.col("_tbl_raw"))).alias("table"),
+        F.when(is_dml, _unquote_ident(F.col("_sch_raw")))
+        .when(F.col("_is_seq"), _unquote_ident(F.regexp_extract("_line", _SEQUENCE_RE, 1)))
+        .alias("schema"),
+        F.when(is_dml, _unquote_ident(F.col("_tbl_raw")))
+        .when(F.col("_is_seq"), _unquote_ident(F.regexp_extract("_line", _SEQUENCE_RE, 2)))
+        .alias("table"),
         # DELETE datums are the replica-identity key image (PG docs);
         # UPDATE old-key: likewise.
         F.when(F.col("op") == "delete", _datum_map(F.col("_names"), F.col("_vals")))
@@ -197,7 +209,17 @@ def decode_test_decoding(
         F.when(
             F.col("op").isin("insert", "update", "delete"),
             F.create_map(F.lit("coltypes"), F.array_join(F.col("_types"), ",")),
-        ).alias("meta"),
+        )
+        .when(
+            F.col("_is_seq"),
+            F.create_map(
+                F.lit("transactional"), F.regexp_extract("_line", _SEQUENCE_RE, 3),
+                F.lit("last_value"), F.regexp_extract("_line", _SEQUENCE_RE, 4),
+                F.lit("log_cnt"), F.regexp_extract("_line", _SEQUENCE_RE, 5),
+                F.lit("is_called"), F.regexp_extract("_line", _SEQUENCE_RE, 6),
+            ),
+        )
+        .alias("meta"),
         *([F.col("seq")] if seq_col else []),
     )
 

@@ -587,3 +587,28 @@ def test_test_decoding_stream_changes_blocks(spark):
     assert ("stream_abort", 775) in got
     assert ("stream_start", None) in got
     assert any(op == "insert" for op, _ in got)
+
+
+def test_test_decoding_sequence_lines(spark):
+    """include-sequences=1 lines (PG 16+ pg_decode_sequence) decode to
+    op='sequence' with the sequence state in meta."""
+    from pg_logical_replication_spark.sources.test_decoding import (
+        decode_test_decoding,
+    )
+
+    lines = [
+        "sequence public.users_id_seq: transactional:0 last_value: 133 log_cnt: 32 is_called:1",
+        'sequence "My Schema"."my""seq": transactional:1 last_value: 1 log_cnt: 0 is_called:0',
+        "table public.users: INSERT: id[integer]:1",
+    ]
+    out = decode_test_decoding(
+        spark.createDataFrame([(ln,) for ln in lines], "value string")
+    ).collect()
+    seqs = [r for r in out if r["op"] == "sequence"]
+    assert len(seqs) == 2
+    s0 = next(r for r in seqs if r["table"] == "users_id_seq")
+    assert s0["schema"] == "public"
+    assert s0["meta"]["last_value"] == "133" and s0["meta"]["is_called"] == "1"
+    s1 = next(r for r in seqs if r["schema"] == "My Schema")
+    assert s1["table"] == 'my"seq' and s1["meta"]["transactional"] == "1"
+    assert any(r["op"] == "insert" for r in out)
