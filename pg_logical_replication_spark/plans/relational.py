@@ -275,6 +275,41 @@ def q_window_running(spark, sf_dir):
 
 
 @register(
+    "q_window_range_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS hour_sum
+    FROM events
+    """,
+    "RANGE-frame window: per-user rolling 1-hour sum by event time — "
+    "value-based frames (peers included), vs the ROWS frames elsewhere; "
+    "decimal accumulation keeps the frame sum order-stable cross-engine",
+)
+def q_window_range_frame(spark, sf_dir):
+    """rangeBetween over epoch seconds: the frame is defined by the
+    ORDER BY *value*, so out-of-order arrival inside a partition doesn't
+    change results — the property that matters for CDC event time. One
+    (user_id) hash shuffle + per-partition sort, same exchange the other
+    per-key windows reuse."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_epoch", F.unix_timestamp(F.col("ts"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("_epoch")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("hour_sum"),
+    )
+
+
+@register(
     "q_window_lag",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,
