@@ -922,7 +922,12 @@ def q_cdc_streamed_txn(spark, sf_dir):
     )
     cache: dict = {}
     pgf.parse_message(rel, cache)
-    decoded = decode_pgoutput(wire.unionByName(fates), relations=cache)
+    # resolve_streamed reads the decoded stream four ways (data, segment
+    # controls, commits, aborts); persist so the Arrow decode runs ONCE
+    # and the three tiny extractions hit cached partitions. At scale the
+    # durable log keeps control messages in their own partition, so the
+    # extractions are partition-pruned scans instead (SCALE.md).
+    decoded = decode_pgoutput(wire.unionByName(fates), relations=cache).persist()
     resolved = resolve_streamed(decoded)
     return (
         resolved.filter(F.col("op") == "insert")
