@@ -140,6 +140,7 @@ def decode_pgoutput(
         # partition boundary — both hold for sequential log files read
         # whole (the durable-log layout sources/datasource.py produces).
         in_stream = False
+        stream_top: int | None = None  # current segment's top-level xid
         for pdf in batches:
             # columnar accumulation: building 11 lists + one vectorized
             # to_datetime is ~3× faster than 100k row dicts with a
@@ -150,8 +151,18 @@ def decode_pgoutput(
                 ev = fmt.parse_message(bytes(data), relations, streamed=in_stream)
                 if ev["op"] == "stream_start":
                     in_stream = True
+                    stream_top = ev.get("xid")
                 elif ev["op"] == "stream_stop":
                     in_stream = False
+                    stream_top = None
+                elif in_stream and stream_top is not None:
+                    # stamp the segment's top-level xid — the per-message
+                    # spliced xid may be a SUBtransaction; downstream
+                    # commit gating keys on the top xid without needing
+                    # positional segment attribution again
+                    meta = dict(ev.get("meta") or {})
+                    meta["stream_top_xid"] = str(stream_top)
+                    ev["meta"] = meta
                 if (
                     pub is not None
                     and ev.get("table")

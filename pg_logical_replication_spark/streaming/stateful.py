@@ -151,6 +151,160 @@ def assemble_transactions_stream(
     )
 
 
+# ------------------------------------------- streamed (protocol v2) txns
+STREAM_STATE_SCHEMA = "buffered array<string>, aborted array<long>"
+
+
+def _make_stream_resolve(timeout_ms: int | None):
+    def _resolve(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
+        (top_xid,) = key
+        if state.hasTimedOut:
+            state.remove()  # fate never arrived (crash) — withhold
+            return
+
+        if state.exists:
+            buffered = list(state.get[0])
+            aborted = set(state.get[1])
+        else:
+            buffered, aborted = [], set()
+
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: (
+            0 if r.get("lsn_long") is None or pd.isna(r.get("lsn_long")) else int(r["lsn_long"]),
+            0 if r.get("seq") is None or pd.isna(r.get("seq")) else int(r.get("seq")),
+        ))
+
+        commit: dict[str, Any] | None = None
+        for row in rows:
+            op = row["op"]
+            if op == "stream_commit":
+                ts = row.get("commit_ts")
+                commit = {"commit_ts": None if ts is None or pd.isna(ts) else ts}
+            elif op == "stream_abort":
+                sub = row.get("_subxid")
+                sub = None if sub is None or pd.isna(sub) else int(sub)
+                if sub is None or sub == top_xid:  # top-level abort
+                    state.remove()
+                    return
+                aborted.add(sub)
+            elif op in _DML_OPS:
+                ev = {f: row.get(f) for f in _EVENT_FIELDS}
+                for f in ("lsn_long", "seq"):
+                    v = ev.get(f)
+                    ev[f] = None if v is None or pd.isna(v) else int(v)
+                rx = row.get("xid")
+                ev["_rowxid"] = None if rx is None or pd.isna(rx) else int(rx)
+                ev["key"] = _as_dict(ev.get("key"))
+                ev["before"] = _as_dict(ev.get("before"))
+                ev["after"] = _as_dict(ev.get("after"))
+                buffered.append(json.dumps(ev))
+
+        if commit is not None:
+            out = []
+            for s in buffered:
+                ev = json.loads(s)
+                if ev.pop("_rowxid", None) in aborted:
+                    continue
+                ev["xid"] = top_xid
+                ev["commit_ts"] = commit["commit_ts"]
+                out.append(ev)
+            out.sort(key=lambda r: (r.get("lsn_long") or 0, r.get("seq") or 0))
+            state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+        else:
+            state.update((buffered, sorted(aborted)))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    return _resolve
+
+
+def resolve_streamed_stream(
+    events: DataFrame, timeout_ms: int | None = None, passthrough: bool = True
+) -> DataFrame:
+    """Streaming commit gate for pgoutput protocol-v2 streamed txns.
+
+    The batch resolver (``operators.transactions.resolve_streamed``)
+    attributes changes to segments positionally — a window, unsupported
+    on streaming DataFrames. Here attribution already happened at decode
+    time: ``decode_pgoutput`` stamps every streamed DML row with its
+    segment's top-level xid (``meta['stream_top_xid']``), so the stream
+    groups by that key and buffers until the fate row arrives — in this
+    or ANY LATER micro-batch:
+
+    * ``stream_commit`` → flush the buffer (minus aborted
+      subtransactions), commit_ts + top xid stamped, wire order
+      preserved;
+    * ``stream_abort`` with subxid = xid → drop everything (top-level
+      rollback invisibility); subxid ≠ xid → drop just that
+      subtransaction's rows, past and future;
+    * no fate + ``timeout_ms`` elapsed → state GC'd, nothing emitted.
+
+    ``passthrough=True`` unions non-streamed rows (begin/commit-framed
+    v1 traffic) through untouched, so the operator is drop-in on a mixed
+    stream. State per in-flight streamed txn is bounded by that txn's
+    change volume — the same bound PG's reorderbuffer spills under;
+    keys hash-distribute across executors.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    top = F.col("meta").getItem("stream_top_xid").cast("long")
+    is_fate = F.col("op").isin("stream_commit", "stream_abort")
+    is_ctrl = F.col("op").isin("stream_start", "stream_stop")
+    streamish = (top.isNotNull() | is_fate) & ~is_ctrl
+
+    cols = ["op", "lsn", "lsn_long", "xid", "commit_ts", "schema", "table",
+            "key", "before", "after"]
+    seq_cols = (
+        [F.col("seq").cast("long").alias("seq")]
+        if "seq" in events.columns
+        else [F.lit(None).cast("long").alias("seq")]
+    )
+    gated = (
+        events.filter(streamish)
+        .select(
+            *[F.col(c) for c in cols if c in events.columns],
+            *seq_cols,
+            F.coalesce(top, F.col("xid")).alias("_top"),
+            F.col("meta").getItem("subxid").cast("long").alias("_subxid"),
+        )
+        .groupBy("_top")
+        .applyInPandasWithState(
+            _make_stream_resolve(timeout_ms),
+            outputStructType=TXN_OUTPUT_SCHEMA,
+            stateStructType=STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+    if not passthrough:
+        return gated
+    rest = events.filter(~streamish & ~is_ctrl).select(
+        *[
+            F.col(c) if c in events.columns else F.lit(None).cast("string").alias(c)
+            for c in ["op", "lsn"]
+        ],
+        F.col("lsn_long"),
+        *seq_cols,
+        F.col("xid"),
+        F.col("commit_ts"),
+        F.col("schema"),
+        F.col("table"),
+        F.col("key"),
+        F.col("before"),
+        F.col("after"),
+    )
+    return gated.unionByName(rest)
+
+
 # --------------------------------------------------------------- TOAST fill
 TOAST_OUTPUT_SCHEMA = (
     "op string, lsn string, lsn_long long, seq long, xid long, "

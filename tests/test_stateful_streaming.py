@@ -156,3 +156,67 @@ def test_toast_fill_stream_across_micro_batches(spark, tmp_path):
     assert rows[1] == {"id": "1", "doc": "BIGDOC", "v": "b"}   # cross-batch fill
     assert rows[2]["doc"] is None                              # explicit NULL
     assert rows[3]["doc"] is None                              # NULL not resurrected
+
+
+def test_streamed_txn_gate_across_micro_batches(spark, tmp_path):
+    """Protocol-v2 streamed changes buffer until their fate arrives in a
+    LATER micro-batch: commit flushes (minus aborted subxacts) with
+    commit_ts + top xid stamped; top-level abort drops everything;
+    non-streamed rows pass through."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_streamed_stream,
+    )
+
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+
+    def sev(op, lsn_long, seq, xid, top=None, sub=None, after=None, commit_ts=None):
+        e = _ev(op, lsn_long, seq, xid, "users" if after else None, after, commit_ts)
+        meta = {}
+        if top is not None:
+            meta["stream_top_xid"] = str(top)
+        if sub is not None:
+            meta["subxid"] = str(sub)
+        e["meta"] = meta or None
+        return e
+
+    batch1 = [
+        # txn 100: two rows, one under subxact 101
+        sev("insert", 0x101, 1, 100, top=100, after={"id": "1", "v": "keep"}),
+        sev("insert", 0x102, 2, 101, top=100, after={"id": "2", "v": "subdrop"}),
+        # txn 200: will top-abort
+        sev("insert", 0x201, 3, 200, top=200, after={"id": "9", "v": "topdrop"}),
+        # plain v1 row passes through untouched
+        sev("insert", 0x301, 4, 300, after={"id": "5", "v": "plain"}),
+    ]
+    batch2 = [
+        sev("stream_abort", 0x110, 5, 100, sub=101),
+        sev("stream_commit", 0x111, 6, 100, commit_ts="2026-08-13 00:00:07.000000"),
+        sev("stream_abort", 0x210, 7, 200, sub=200),  # top-level abort
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    for i, batch in enumerate([batch1, batch2]):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    )
+    out = resolve_streamed_stream(raw)
+    q = (
+        out.writeStream.format("memory").queryName("stream_gate")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from stream_gate order by lsn_long").collect()
+    vs = [r["after"]["v"] for r in rows]
+    assert "keep" in vs and "plain" in vs
+    assert "subdrop" not in vs and "topdrop" not in vs
+    kept = next(r for r in rows if r["after"]["v"] == "keep")
+    assert kept["xid"] == 100 and kept["commit_ts"].second == 7
