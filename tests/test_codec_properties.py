@@ -241,3 +241,44 @@ def test_pg_array_parses_postgres_output_format(spark, arrays):
         for r in df.select("i", pg_array("v").alias("parsed")).collect()
     }
     assert got == {i: a for i, a in enumerate(arrays)}
+
+
+@given(
+    xid=st.integers(min_value=0, max_value=2**31 - 1),
+    subxid=st.integers(min_value=0, max_value=2**31 - 1),
+    ts=st.integers(min_value=0, max_value=2**62 // 1000),
+    cols=st.lists(
+        st.tuples(_col_name, st.one_of(st.none(), _pg_text)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+)
+def test_protocol_v2_stream_roundtrip(xid, subxid, ts, cols):
+    """S/E/c/A control messages and spliced-xid DML survive the wire
+    (any xid incl. the full int32 range, any unicode values)."""
+    ts_us = ts + fmt.PG_EPOCH_OFFSET_US
+    s = fmt.parse_message(fmt.encode_stream_start(xid), {})
+    assert s["op"] == "stream_start" and s["xid"] == xid
+    c = fmt.parse_message(
+        fmt.encode_stream_commit(xid, "00000001/00000010", "00000001/00000020", ts_us), {}
+    )
+    assert c["xid"] == xid and c["commit_ts_us"] == ts_us
+    a = fmt.parse_message(fmt.encode_stream_abort(xid, subxid), {})
+    assert a["xid"] == xid and a["meta"]["subxid"] == str(subxid)
+
+    cache = {}
+    fmt.parse_message(
+        fmt.with_stream_xid(
+            xid,
+            fmt.encode_relation(9, "s", "t", [(n, 25) for n, _ in cols],
+                                key_columns=[cols[0][0]]),
+        ),
+        cache,
+        streamed=True,
+    )
+    ev = fmt.parse_message(
+        fmt.with_stream_xid(subxid, fmt.encode_insert(9, _tuple_of([v for _, v in cols]))),
+        cache,
+        streamed=True,
+    )
+    assert ev["xid"] == subxid
+    assert ev["after"] == {n: v for n, v in cols}
