@@ -10,3 +10,7 @@ from pg_logical_replication_spark.operators.apply_changes import (  # noqa: F401
     apply_changes,
     latest_image,
 )
+from pg_logical_replication_spark.operators.transactions import (  # noqa: F401
+    assign_transactions,
+    resolve_streamed,
+)

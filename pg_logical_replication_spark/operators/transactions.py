@@ -85,6 +85,93 @@ def assign_transactions(
     return out
 
 
+def resolve_prepared(events: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Gate two-phase-commit transactions on their prepared fate.
+
+    With the ``two_phase`` slot option (PG 15+, public spec) a prepared
+    transaction arrives framed ``begin_prepare → changes* → prepare`` and
+    its fate follows LATER as ``commit_prepared`` or
+    ``rollback_prepared`` (decoded by sources/pgoutput_format.py; the
+    reference's v1-only parser predates the option). This operator:
+
+    * attributes changes to their prepared frame positionally (newest
+      frame control at-or-before the row's wire position is a
+      ``begin_prepare``); plain ``begin``/``commit`` markers close
+      frames too, so interleaved v1 traffic never mis-tags;
+    * keeps a prepared transaction's changes only once its
+      ``commit_prepared`` arrived, dropping ``rollback_prepared`` ones —
+      2PC's rollback invisibility;
+    * stamps kept rows with the frame's xid, the commit_prepared
+      timestamp, and the transaction's ``gid`` (the 2PC handle);
+    * passes non-2PC rows through untouched (``gid`` null).
+
+    Scale: frame/fate sets are rows-per-transaction, so all joins
+    broadcast; the change stream is never sorted or shuffled.
+    """
+    seq = F.col(seq_col)
+    is_frame = F.col("op").isin("begin_prepare", "prepare", "begin", "commit")
+    is_fate = F.col("op").isin("commit_prepared", "rollback_prepared")
+
+    frames = (
+        events.filter(is_frame)
+        .select(
+            seq.alias("_fseq"),
+            (F.col("op") == "begin_prepare").alias("_open"),
+            F.col("xid").alias("_fxid"),
+            F.col("meta").getItem("gid").alias("_fgid"),
+        )
+        .withColumn("_next_fseq", F.lead("_fseq").over(Window.orderBy("_fseq")))
+    )
+    commits = (
+        events.filter(F.col("op") == "commit_prepared")
+        .select(F.col("xid").alias("_k_xid"), F.col("commit_ts").alias("_k_ts"))
+        .dropDuplicates(["_k_xid"])
+    )
+    rollbacks = (
+        events.filter(F.col("op") == "rollback_prepared")
+        .select(F.col("xid").alias("_r_xid"))
+        .distinct()
+    )
+
+    # plain begin/commit markers act as frame-closers above but remain
+    # data (downstream framing may still need them); only the 2PC frame
+    # and fate rows are consumed
+    data = events.filter(~F.col("op").isin("begin_prepare", "prepare") & ~is_fate)
+    data_seq = data[seq_col]
+    tagged = (
+        data.join(
+            F.broadcast(frames),
+            (data_seq >= frames["_fseq"])
+            & (frames["_next_fseq"].isNull() | (data_seq < frames["_next_fseq"])),
+            "left",
+        )
+        .withColumn("_prepared", F.coalesce(F.col("_open"), F.lit(False)))
+        .drop("_fseq", "_next_fseq", "_open")
+    )
+    resolved = (
+        tagged.join(F.broadcast(commits), F.col("_fxid") == F.col("_k_xid"), "left")
+        .join(F.broadcast(rollbacks), F.col("_fxid") == F.col("_r_xid"), "left")
+        .filter(
+            ~F.col("_prepared")
+            | (F.col("_k_xid").isNotNull() & F.col("_r_xid").isNull())
+        )
+        .withColumn(
+            "xid",
+            F.when(F.col("_prepared"), F.coalesce(F.col("xid"), F.col("_fxid")))
+            .otherwise(F.col("xid")),
+        )
+        .withColumn(
+            "commit_ts",
+            F.when(
+                F.col("_prepared"), F.coalesce(F.col("commit_ts"), F.col("_k_ts"))
+            ).otherwise(F.col("commit_ts")),
+        )
+        .withColumn("gid", F.when(F.col("_prepared"), F.col("_fgid")))
+        .drop("_fxid", "_fgid", "_k_xid", "_k_ts", "_r_xid", "_prepared")
+    )
+    return resolved
+
+
 def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
     """Commit-gate pgoutput protocol-v2 streamed transactions.
 
@@ -118,7 +205,13 @@ def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
     """
     seq = F.col(seq_col)
     is_ctrl = F.col("op").isin("stream_start", "stream_stop")
-    is_fate = F.col("op").isin("stream_commit", "stream_abort")
+    # stream_prepare is informational here: the decisive fate for a
+    # streamed two-phase txn is the later commit_prepared / rollback_
+    # prepared (same xid), folded into commits / top-aborts below
+    is_fate = F.col("op").isin(
+        "stream_commit", "stream_abort", "stream_prepare",
+        "commit_prepared", "rollback_prepared",
+    )
 
     controls = (
         events.filter(is_ctrl)
@@ -130,7 +223,7 @@ def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
         .withColumn("_next_cseq", F.lead("_cseq").over(Window.orderBy("_cseq")))
     )
     commits = (
-        events.filter(F.col("op") == "stream_commit")
+        events.filter(F.col("op").isin("stream_commit", "commit_prepared"))
         .select(F.col("xid").alias("_cm_xid"), F.col("commit_ts").alias("_cm_ts"))
         .dropDuplicates(["_cm_xid"])
     )
@@ -140,7 +233,12 @@ def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
     )
     top_aborts = (
         aborts.filter(F.col("_ab_subxid") == F.col("_ab_xid"))
-        .select("_ab_xid").distinct()
+        .select("_ab_xid")
+        .unionByName(
+            events.filter(F.col("op") == "rollback_prepared")
+            .select(F.col("xid").alias("_ab_xid"))
+        )
+        .distinct()
     )
     sub_aborts = (
         aborts.filter(F.col("_ab_subxid") != F.col("_ab_xid"))

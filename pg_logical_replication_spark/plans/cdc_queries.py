@@ -940,6 +940,116 @@ def q_cdc_streamed_txn(spark, sf_dir):
 
 
 @register(
+    "q_cdc_two_phase",
+    """
+    SELECT CAST(event_id // 100 AS BIGINT) AS xid,
+           'gid-' || CAST((event_id // 100) AS VARCHAR) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    WHERE (event_id // 100) % 5 <> 0
+    GROUP BY 1, 2
+    """,
+    "two-phase commit (two_phase slot option, PG 15+), oracle-gated: "
+    "events encoded as begin_prepare→I*→prepare frames on the pgoutput "
+    "wire, fates (commit_prepared / rollback_prepared for every 5th "
+    "txn) arriving separately; resolve_prepared withholds prepared "
+    "changes until their commit_prepared and drops rolled-back ones — "
+    "surviving per-txn stats (with the 2PC gid) must match DuckDB "
+    "filtering the source directly",
+)
+def q_cdc_two_phase(spark, sf_dir):
+    """Same disjoint seq-block framing as the streamed-txn query: frame
+    rows are per-txn (100× smaller than the stream) so attribution and
+    fate gating are broadcast joins, never a sort of the stream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.transactions import resolve_prepared
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51236
+    rel = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20)], key_columns=["event_id"]
+    )
+    TS = 1_700_000_000_000_000
+
+    def encode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seg_idx: dict[int, int] = {}
+        for pdf in batches:
+            seqs: list[int] = []
+            data: list[bytes] = []
+            for txn, grp in pdf.groupby(pdf["event_id"] // 100, sort=True):
+                t = int(txn)
+                s = seg_idx.get(t, 0)
+                seg_idx[t] = s + 1
+                base = t * 10000 + s * 2000
+                gid = f"gid-{t}"
+                seqs.append(base)
+                data.append(pgf.encode_begin_prepare(
+                    f"0/{base * 8 + 16:X}", f"0/{base * 8 + 24:X}", TS, t, gid
+                ))
+                for off, e in enumerate(grp["event_id"]):
+                    seqs.append(base + 1 + off)
+                    data.append(pgf.encode_insert(OID, [("t", str(int(e)))]))
+                seqs.append(base + 1999)
+                data.append(pgf.encode_prepare(
+                    f"0/{base * 8 + 16:X}", f"0/{base * 8 + 24:X}", TS, t, gid
+                ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    def encode_fates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for t in pdf["txn"]:
+                t = int(t)
+                gid = f"gid-{t}"
+                seqs.append(t * 10000 + 9999)
+                if t % 5 == 0:
+                    data.append(pgf.encode_rollback_prepared(
+                        f"0/{t:X}", f"0/{t + 8:X}", TS, TS + 1_000_000, t, gid
+                    ))
+                else:
+                    data.append(pgf.encode_commit_prepared(
+                        f"0/{t:X}", f"0/{t + 8:X}", TS + 1_000_000, t, gid
+                    ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    wire = (
+        ev.repartition(spark.sparkContext.defaultParallelism,
+                       F.expr("event_id div 100"))
+        .sortWithinPartitions("event_id")
+        .mapInPandas(encode_frames, schema="lsn string, seq long, data binary")
+    )
+    fates = (
+        ev.select(F.expr("event_id div 100").alias("txn")).distinct()
+        .mapInPandas(encode_fates, schema="lsn string, seq long, data binary")
+    )
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    # resolve_prepared reads the decoded stream four ways — one decode
+    decoded = decode_pgoutput(wire.unionByName(fates), relations=cache).persist()
+    resolved = resolve_prepared(decoded)
+    return (
+        resolved.filter(F.col("op") == "insert")
+        .groupBy("xid", "gid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+        )
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,

@@ -215,6 +215,58 @@ def parse_message(
             "meta": {"subxid": str(subxid)},
         }
 
+    # two-phase-commit messages (two_phase option, PG 15+; public spec).
+    # Beyond the reference's v1-only parser, same rationale as streaming:
+    # a consumer of a two_phase slot sees these on the wire.
+    if tag == 0x62:  # 'b' Begin Prepare
+        prepare_lsn = r.lsn()
+        end_lsn = r.lsn()
+        ts = r.pg_time_us()
+        xid = r.i32()
+        gid = r.cstring()
+        return {
+            "op": "begin_prepare",
+            "lsn": prepare_lsn,
+            "commit_ts_us": ts,
+            "xid": xid,
+            "meta": {"end_lsn": end_lsn, "gid": gid},
+        }
+    if tag in (0x50, 0x4B, 0x70):  # 'P' Prepare / 'K' Commit Prepared / 'p' Stream Prepare
+        flags = r.u8()
+        lsn1 = r.lsn()
+        end_lsn = r.lsn()
+        ts = r.pg_time_us()
+        xid = r.i32()
+        gid = r.cstring()
+        op = {0x50: "prepare", 0x4B: "commit_prepared", 0x70: "stream_prepare"}[tag]
+        return {
+            "op": op,
+            "lsn": lsn1,
+            "commit_ts_us": ts,
+            "xid": xid,
+            "meta": {"flags": str(flags), "end_lsn": end_lsn, "gid": gid},
+        }
+    if tag == 0x72:  # 'r' Rollback Prepared
+        flags = r.u8()
+        prepare_end_lsn = r.lsn()
+        rollback_end_lsn = r.lsn()
+        prepare_ts = r.pg_time_us()
+        rollback_ts = r.pg_time_us()
+        xid = r.i32()
+        gid = r.cstring()
+        return {
+            "op": "rollback_prepared",
+            "lsn": rollback_end_lsn,
+            "commit_ts_us": rollback_ts,
+            "xid": xid,
+            "meta": {
+                "flags": str(flags),
+                "prepare_end_lsn": prepare_end_lsn,
+                "prepare_ts_us": str(prepare_ts),
+                "gid": gid,
+            },
+        }
+
     stream_xid: int | None = None
     if streamed and tag in (0x52, 0x59, 0x49, 0x55, 0x44, 0x54, 0x4D):
         stream_xid = r.i32()
@@ -495,6 +547,63 @@ def encode_stream_commit(
 
 def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
     return b"A" + struct.pack(">ii", xid, subxid if subxid is not None else xid)
+
+
+def encode_begin_prepare(
+    prepare_lsn: str, end_lsn: str, prepare_ts_us: int, xid: int, gid: str
+) -> bytes:
+    return (
+        b"b"
+        + _lsn_bytes(prepare_lsn)
+        + _lsn_bytes(end_lsn)
+        + _pg_time(prepare_ts_us)
+        + struct.pack(">i", xid)
+        + _cstr(gid)
+    )
+
+
+def _enc_prepared(tag: bytes, lsn1: str, end_lsn: str, ts_us: int, xid: int,
+                  gid: str, flags: int) -> bytes:
+    return (
+        tag
+        + struct.pack(">B", flags)
+        + _lsn_bytes(lsn1)
+        + _lsn_bytes(end_lsn)
+        + _pg_time(ts_us)
+        + struct.pack(">i", xid)
+        + _cstr(gid)
+    )
+
+
+def encode_prepare(prepare_lsn: str, end_lsn: str, prepare_ts_us: int, xid: int,
+                   gid: str, flags: int = 0) -> bytes:
+    return _enc_prepared(b"P", prepare_lsn, end_lsn, prepare_ts_us, xid, gid, flags)
+
+
+def encode_commit_prepared(commit_lsn: str, end_lsn: str, commit_ts_us: int,
+                           xid: int, gid: str, flags: int = 0) -> bytes:
+    return _enc_prepared(b"K", commit_lsn, end_lsn, commit_ts_us, xid, gid, flags)
+
+
+def encode_stream_prepare(prepare_lsn: str, end_lsn: str, prepare_ts_us: int,
+                          xid: int, gid: str, flags: int = 0) -> bytes:
+    return _enc_prepared(b"p", prepare_lsn, end_lsn, prepare_ts_us, xid, gid, flags)
+
+
+def encode_rollback_prepared(
+    prepare_end_lsn: str, rollback_end_lsn: str, prepare_ts_us: int,
+    rollback_ts_us: int, xid: int, gid: str, flags: int = 0,
+) -> bytes:
+    return (
+        b"r"
+        + struct.pack(">B", flags)
+        + _lsn_bytes(prepare_end_lsn)
+        + _lsn_bytes(rollback_end_lsn)
+        + _pg_time(prepare_ts_us)
+        + _pg_time(rollback_ts_us)
+        + struct.pack(">i", xid)
+        + _cstr(gid)
+    )
 
 
 def with_stream_xid(xid: int, message: bytes) -> bytes:

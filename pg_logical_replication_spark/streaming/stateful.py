@@ -179,9 +179,15 @@ def _make_stream_resolve(timeout_ms: int | None):
         commit: dict[str, Any] | None = None
         for row in rows:
             op = row["op"]
-            if op == "stream_commit":
+            if op in ("stream_commit", "commit_prepared"):
                 ts = row.get("commit_ts")
                 commit = {"commit_ts": None if ts is None or pd.isna(ts) else ts}
+            elif op == "rollback_prepared":  # streamed 2PC rolled back
+                if state.exists:
+                    state.remove()
+                return
+            elif op == "stream_prepare":
+                pass  # informational: fate is the later K/r by xid
             elif op == "stream_abort":
                 sub = row.get("_subxid")
                 sub = None if sub is None or pd.isna(sub) else int(sub)
@@ -253,7 +259,10 @@ def resolve_streamed_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     top = F.col("meta").getItem("stream_top_xid").cast("long")
-    is_fate = F.col("op").isin("stream_commit", "stream_abort")
+    is_fate = F.col("op").isin(
+        "stream_commit", "stream_abort", "stream_prepare",
+        "commit_prepared", "rollback_prepared",
+    )
     is_ctrl = F.col("op").isin("stream_start", "stream_stop")
     streamish = (top.isNotNull() | is_fate) & ~is_ctrl
 

@@ -204,3 +204,44 @@ def test_streamed_parse_does_not_affect_control_tags():
     b = fmt.encode_begin("00000000/00000010", 1_700_000_000_000_000, 55)
     ev = fmt.parse_message(b, {}, streamed=True)
     assert ev["op"] == "begin" and ev["xid"] == 55
+
+
+# ------------------------------------------------------- two-phase commit
+def test_two_phase_messages_roundtrip():
+    """b/P/K/r wire shapes (two_phase slot option, PG 15+ public spec)."""
+    TS = 1_700_000_000_000_000
+    b = fmt.parse_message(
+        fmt.encode_begin_prepare("00000001/00000010", "00000001/00000020", TS, 900, "gid-1"),
+        {},
+    )
+    assert b["op"] == "begin_prepare" and b["xid"] == 900
+    assert b["meta"]["gid"] == "gid-1" and b["commit_ts_us"] == TS
+
+    p = fmt.parse_message(
+        fmt.encode_prepare("00000001/00000010", "00000001/00000020", TS, 900, "gid-1"),
+        {},
+    )
+    assert p["op"] == "prepare" and p["xid"] == 900 and p["meta"]["gid"] == "gid-1"
+
+    k = fmt.parse_message(
+        fmt.encode_commit_prepared("00000001/00000030", "00000001/00000040", TS + 5, 900, "gid-1"),
+        {},
+    )
+    assert k["op"] == "commit_prepared" and k["xid"] == 900
+    assert k["commit_ts_us"] == TS + 5
+
+    sp = fmt.parse_message(
+        fmt.encode_stream_prepare("00000001/00000010", "00000001/00000020", TS, 901, "gid-2"),
+        {},
+    )
+    assert sp["op"] == "stream_prepare" and sp["xid"] == 901
+
+    r = fmt.parse_message(
+        fmt.encode_rollback_prepared(
+            "00000001/00000020", "00000001/00000050", TS, TS + 9, 902, "gid-3"
+        ),
+        {},
+    )
+    assert r["op"] == "rollback_prepared" and r["xid"] == 902
+    assert r["meta"]["gid"] == "gid-3" and r["commit_ts_us"] == TS + 9
+    assert r["meta"]["prepare_ts_us"] == str(TS)

@@ -220,3 +220,55 @@ def test_streamed_txn_gate_across_micro_batches(spark, tmp_path):
     assert "subdrop" not in vs and "topdrop" not in vs
     kept = next(r for r in rows if r["after"]["v"] == "keep")
     assert kept["xid"] == 100 and kept["commit_ts"].second == 7
+
+
+def test_streamed_two_phase_gate_across_micro_batches(spark, tmp_path):
+    """Streamed 2PC: segments buffer through stream_prepare; the later
+    commit_prepared flushes, rollback_prepared drops."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_streamed_stream,
+    )
+
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+
+    def sev(op, lsn_long, seq, xid, top=None, after=None, commit_ts=None):
+        e = _ev(op, lsn_long, seq, xid, "users" if after else None, after, commit_ts)
+        e["meta"] = {"stream_top_xid": str(top)} if top is not None else None
+        return e
+
+    batch1 = [
+        sev("insert", 0x401, 1, 400, top=400, after={"id": "1", "v": "kept2pc"}),
+        sev("stream_prepare", 0x402, 2, 400),
+        sev("insert", 0x501, 3, 500, top=500, after={"id": "2", "v": "rolled2pc"}),
+        sev("stream_prepare", 0x502, 4, 500),
+    ]
+    batch2 = [
+        sev("commit_prepared", 0x410, 5, 400,
+            commit_ts="2026-08-13 00:00:09.000000"),
+        sev("rollback_prepared", 0x510, 6, 500),
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    for i, batch in enumerate([batch1, batch2]):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    )
+    q = (
+        resolve_streamed_stream(raw)
+        .writeStream.format("memory").queryName("gate_2pc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from gate_2pc").collect()
+    vs = [r["after"]["v"] for r in rows]
+    assert vs == ["kept2pc"]
+    assert rows[0]["xid"] == 400 and rows[0]["commit_ts"].second == 9

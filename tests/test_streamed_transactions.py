@@ -104,3 +104,69 @@ def test_streamed_relation_prescan_fallback(spark):
     out = resolve_streamed(decode_pgoutput(raw)).filter("op = 'insert'").collect()
     assert len(out) == 1 and out[0]["after"]["id"] == "9"
     assert out[0]["top_xid"] == 42
+
+
+def test_prepared_transactions_resolve(spark):
+    """Two-phase commit: b..P framed changes are withheld until their
+    commit_prepared; rollback_prepared drops them; interleaved v1
+    traffic passes untouched (gid null)."""
+    from pg_logical_replication_spark.operators.transactions import resolve_prepared
+
+    msgs = [
+        _rel(),
+        # prepared txn 900 → later committed
+        fmt.encode_begin_prepare("0/100", "0/110", TS_US, 900, "gid-commit"),
+        _ins(1),
+        fmt.encode_prepare("0/100", "0/110", TS_US, 900, "gid-commit"),
+        # plain v1 txn between the prepare and its fate
+        fmt.encode_begin("0/200", TS_US, 300),
+        _ins(5),
+        fmt.encode_commit("0/200", "0/210", TS_US),
+        # prepared txn 901 → rolled back
+        fmt.encode_begin_prepare("0/300", "0/310", TS_US, 901, "gid-roll"),
+        _ins(2),
+        fmt.encode_prepare("0/300", "0/310", TS_US, 901, "gid-roll"),
+        # fates
+        fmt.encode_commit_prepared("0/400", "0/410", TS_US + 7_000_000, 900, "gid-commit"),
+        fmt.encode_rollback_prepared("0/310", "0/420", TS_US, TS_US + 8_000_000, 901, "gid-roll"),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).repartition(1)
+    resolved = resolve_prepared(decode_pgoutput(raw))
+    inserts = {r["after"]["id"]: r for r in resolved.filter("op = 'insert'").collect()}
+    assert sorted(inserts) == ["1", "5"]
+    assert inserts["1"]["xid"] == 900 and inserts["1"]["gid"] == "gid-commit"
+    assert inserts["1"]["commit_ts"] is not None
+    assert inserts["5"]["gid"] is None
+    # 2PC frame/fate rows consumed; plain begin/commit markers remain
+    ops = {r["op"] for r in resolved.collect()}
+    assert "begin" in ops and "commit" in ops
+    assert not ops & {"begin_prepare", "prepare", "commit_prepared", "rollback_prepared"}
+
+
+def test_streamed_prepared_transaction_resolves_via_commit_prepared(spark):
+    """A STREAMED two-phase txn (segments → stream_prepare → later
+    commit_prepared / rollback_prepared) gates on the prepared fate in
+    resolve_streamed."""
+    msgs = [
+        _rel(),
+        fmt.encode_stream_start(950, first_segment=True),
+        fmt.with_stream_xid(950, _ins(10)),
+        fmt.encode_stream_stop(),
+        fmt.encode_stream_prepare("0/500", "0/510", TS_US, 950, "gid-sp"),
+        fmt.encode_stream_start(951, first_segment=True),
+        fmt.with_stream_xid(951, _ins(11)),
+        fmt.encode_stream_stop(),
+        fmt.encode_stream_prepare("0/600", "0/610", TS_US, 951, "gid-sr"),
+        fmt.encode_commit_prepared("0/520", "0/530", TS_US + 3_000_000, 950, "gid-sp"),
+        fmt.encode_rollback_prepared("0/610", "0/620", TS_US, TS_US + 4_000_000, 951, "gid-sr"),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).repartition(1)
+    out = resolve_streamed(decode_pgoutput(raw)).filter("op = 'insert'").collect()
+    assert [r["after"]["id"] for r in out] == ["10"]
+    assert out[0]["top_xid"] == 950
