@@ -28,6 +28,7 @@ HEADLINE = [
     "q_cdc_test_decoding_roundtrip",
     "q_cdc_pgoutput_roundtrip",
     "q_cdc_streamed_txn",
+    "q_cdc_two_phase",
     "q_cdc_apply_events",
     # LLM-pipeline ops
     "q_dedup_minhash_bands",

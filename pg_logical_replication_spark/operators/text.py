@@ -171,6 +171,43 @@ def top_tokens(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf·idf.
+
+    Scored as ``tf / df`` (monotonic in tf·idf for a fixed corpus size,
+    so the same ranking) — a single IEEE double division of two exact
+    integers, which is correctly rounded and therefore bit-identical
+    across engines; ties break on the term text. Exact ``tf``/``df``
+    counts ride along in the output.
+
+    Two shuffles (doc-term tf, term df) + one join; the join's build
+    side is the vocabulary — Zipf-small next to the corpus — so it
+    broadcasts under AQE at scale. The per-doc top-k window partitions
+    by document: bounded by terms-per-document, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(toks).alias("_t")
+    ).select(F.col(id_col), F.lower(F.col("_t")).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "rnk")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — catches shuffled/reordered copies exact-hash misses."""
