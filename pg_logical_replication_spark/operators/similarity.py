@@ -76,20 +76,33 @@ def cosine_topk(
     )
 
 
-def hyperplane_signs(vec_col: str, dims: int, planes: int) -> Column:
+def hyperplane_signs(vec_col: str, dims: int, planes: int, table: int = 0) -> Column:
     """LSH bucket key: sign bits of `planes` pseudo-random projections.
 
     Hyperplane p's weight for dimension d is ±1 from the parity of the
     first hex char of md5('p:d') — deterministic, no RNG, reproducible in
-    SQL for the oracle.
+    SQL for the oracle. ``table`` offsets the plane indices so multiple
+    independent hash tables draw disjoint hyperplane sets.
     """
     bits = []
     for p in range(planes):
-        proj = None
-        for d in range(dims):
-            w = 1 if int(hashlib_md5_hex(f"{p}:{d}")[0], 16) % 2 == 0 else -1
-            term = F.get(F.col(vec_col), d).cast("double") * F.lit(float(w))
-            proj = term if proj is None else proj + term
+        ws = [
+            1.0
+            if int(hashlib_md5_hex(f"{table * planes + p}:{d}")[0], 16) % 2 == 0
+            else -1.0
+            for d in range(dims)
+        ]
+        # flat array literal + zip_with/aggregate HOFs: same left-to-right
+        # summation as an unrolled add chain, but a constant-depth
+        # expression tree — analysis/codegen stays O(planes), not
+        # O(planes·dims) (the unrolled form made multi-table signatures
+        # dominate PLAN time, not run time)
+        prod = F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(w) for w in ws]),
+            lambda x, w: x * w,
+        )
+        proj = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -108,23 +121,36 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     dims: int = 64,
     planes: int = 4,
+    tables: int = 8,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine re-rank within hyperplane buckets.
 
-    Recall < 1 by construction (that's the point); 2^planes buckets →
-    candidate set ~N/2^planes per query. At 100 TB: bucket the corpus
-    once (write-time partitioning), probe per query.
+    ``tables`` independent hash tables (disjoint hyperplane sets) each
+    contribute the candidates sharing the query's bucket; a true
+    neighbor is missed only if it splits from the query in EVERY table
+    — recall 1-(1-r)^L vs the single-table r. Recall < 1 by
+    construction (that's the point); candidate set ~L·N/2^planes per
+    query. At 100 TB: bucket the corpus once per table (write-time
+    partitioning, L× storage of 8-byte keys, not of vectors), probe per
+    query.
     """
-    sig = hyperplane_signs(vec_col, dims, planes)
+    sigs = lambda: F.array(  # noqa: E731
+        *[hyperplane_signs(vec_col, dims, planes, table=t) for t in range(tables)]
+    )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig.alias("bucket")
-    )
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sigs().alias("_sigs")
+    ).select("n_id", "n_vec", F.posexplode("_sigs").alias("tbl", "bucket"))
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("q_bucket")
-    )
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sigs().alias("_sigs")
+    ).select("q_id", "q_vec", F.posexplode("_sigs").alias("q_tbl", "q_bucket"))
     scored = (
-        c.join(F.broadcast(q), c["bucket"] == q["q_bucket"])
+        c.join(
+            F.broadcast(q),
+            (c["tbl"] == q["q_tbl"]) & (c["bucket"] == q["q_bucket"]),
+        )
         .filter(F.col("n_id") != F.col("q_id"))
+        # union of per-table candidates: dedupe BEFORE the exact re-rank
+        .dropDuplicates(["q_id", "n_id"])
         .select(
             "q_id",
             "n_id",

@@ -297,6 +297,38 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "q_ann_lsh_recall",
+    """
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    "ANN quality contract, oracle-gated: multi-table hyperplane-LSH "
+    "top-5 recall vs exact brute-force top-5 must clear 0.5 (measured "
+    "~0.70 at every sf; single-table was 0.18 before the L-table "
+    "union). The float LSH output itself can't hash-match SQL, but the "
+    "CONTRACT it must honor can — this is how the sub-linear scale "
+    "path stays verifiable",
+)
+def q_ann_lsh_recall(spark, sf_dir):
+    """recall = |LSH∩brute| / |brute| over the 10 query vectors; both
+    sides deterministic (fixed hyperplanes, tie-broken re-ranks)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    lsh = S.lsh_cosine_topk(emb, q, k=5).select("q_id", "n_id")
+    brute = S.cosine_topk(emb, q, k=5).select("q_id", "n_id")
+    return (
+        lsh.join(brute, ["q_id", "n_id"])
+        .agg(F.count("*").alias("_hits"))
+        .crossJoin(brute.agg(F.count("*").alias("_total")))
+        .crossJoin(q.agg(F.count("*").alias("n_queries")))
+        .select(
+            "n_queries",
+            (F.col("_hits") / F.col("_total") >= 0.5).alias("recall_ok"),
+        )
+    )
+
+
+@register(
     "q_ann_hyperplane_pairs",
     """
     WITH q AS (

@@ -156,7 +156,7 @@ def q_agg_distinct(spark, sf_dir):
 
 @register(
     "q_approx_distinct",
-    None,  # HLL sketches are engine-specific — rows-only check by design
+    None,  # raw HLL estimates are engine-specific — rows-only by design
     "approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct path",
 )
 def q_approx_distinct(spark, sf_dir):
@@ -166,6 +166,37 @@ def q_approx_distinct(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+@register(
+    "q_approx_distinct_contract",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY 1
+    """,
+    "HLL accuracy contract, oracle-gated: the rsd=0.02 sketch estimate "
+    "must land within 10% (5σ) of the exact distinct count per group — "
+    "the raw estimate can't hash-match SQL, but the contract it must "
+    "honor can (same pattern as q_ann_lsh_recall)",
+)
+def q_approx_distinct_contract(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                <= 0.1 * F.col("exact_orders")
+            ).alias("approx_ok"),
+        )
     )
 
 
