@@ -85,6 +85,74 @@ def assign_transactions(
     return out
 
 
+def filter_by_origin(
+    events: DataFrame,
+    seq_col: str = "seq",
+    filter_origins: list[str] | None = None,
+    keep_local: bool = True,
+) -> DataFrame:
+    """Drop transactions by replication origin — loop prevention.
+
+    pgoutput emits an ``origin`` message ('O', decoded by
+    sources/pgoutput_format.py) inside a transaction's frame when its
+    changes were themselves replicated from another node; wal2json
+    exposes the same server-side as ``filter-origins`` (reference
+    ``wal2json-plugin-options.type.ts:83-119``, engine-side for wal2json
+    in ``decode_wal2json(filter_origins=...)``). This gives pgoutput the
+    equivalent: the origin marker is attributed to its enclosing
+    transaction positionally (the newest ``begin`` at-or-before it in
+    wire order), and every change of that transaction is dropped when
+
+    * its origin is in ``filter_origins``, or
+    * ``filter_origins`` is None and ``keep_local`` (default): ANY
+      foreign origin drops — the bidirectional-replication loop guard.
+
+    Local transactions (no origin message) always pass. Origin marker
+    rows are consumed. Scale: begins and origins are per-transaction
+    rows — broadcast joins; the change stream never shuffles.
+    """
+    seq = F.col(seq_col)
+    begins = (
+        events.filter(F.col("op") == "begin")
+        .select(seq.alias("_bseq"))
+        .withColumn("_next_bseq", F.lead("_bseq").over(Window.orderBy("_bseq")))
+    )
+    origins = events.filter(F.col("op") == "origin").select(
+        seq.alias("_oseq"), F.col("meta").getItem("origin").alias("_origin")
+    )
+    # origin marker → its enclosing begin interval
+    txn_origin = (
+        origins.join(
+            F.broadcast(begins),
+            (F.col("_oseq") >= F.col("_bseq"))
+            & (F.col("_next_bseq").isNull() | (F.col("_oseq") < F.col("_next_bseq"))),
+            "inner",
+        )
+        .select(F.col("_bseq").alias("_obseq"), "_origin")
+        .dropDuplicates(["_obseq"])
+    )
+    if filter_origins is not None:
+        txn_origin = txn_origin.filter(F.col("_origin").isin(list(filter_origins)))
+    elif not keep_local:
+        raise ValueError("filter_origins=None requires keep_local=True")
+
+    data = events.filter(F.col("op") != "origin")
+    data_seq = data[seq_col]
+    tagged = data.join(
+        F.broadcast(begins),
+        (data_seq >= begins["_bseq"])
+        & (begins["_next_bseq"].isNull() | (data_seq < begins["_next_bseq"])),
+        "left",
+    )
+    return (
+        tagged.join(
+            F.broadcast(txn_origin), F.col("_bseq") == F.col("_obseq"), "left"
+        )
+        .filter(F.col("_obseq").isNull())
+        .drop("_bseq", "_next_bseq", "_obseq", "_origin")
+    )
+
+
 def resolve_prepared(events: DataFrame, seq_col: str = "seq") -> DataFrame:
     """Gate two-phase-commit transactions on their prepared fate.
 

@@ -1050,6 +1050,87 @@ def q_cdc_two_phase(spark, sf_dir):
 
 
 @register(
+    "q_cdc_origin_filter",
+    """
+    SELECT CAST(event_id // 100 AS BIGINT) AS txn,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    WHERE (event_id // 100) % 4 <> 0
+    GROUP BY 1
+    """,
+    "replication-origin loop guard, oracle-gated: every 4th txn carries "
+    "an in-frame 'O' origin marker (pgoutput wire) and must vanish "
+    "wholesale after filter_by_origin — the engine-side equivalent of "
+    "wal2json's filter-origins option for the pgoutput format",
+)
+def q_cdc_origin_filter(spark, sf_dir):
+    """begins/origins are per-txn rows → broadcast interval joins; the
+    change stream itself never sorts or shuffles until the final
+    100-group aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.transactions import filter_by_origin
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51237
+    rel = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20)], key_columns=["event_id"]
+    )
+    TS = 1_700_000_000_000_000
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seg_idx: dict[int, int] = {}
+        for pdf in batches:
+            seqs: list[int] = []
+            data: list[bytes] = []
+            for txn, grp in pdf.groupby(pdf["event_id"] // 100, sort=True):
+                t = int(txn)
+                s = seg_idx.get(t, 0)
+                seg_idx[t] = s + 1
+                base = t * 10000 + s * 2000
+                seqs.append(base)
+                data.append(pgf.encode_begin(f"0/{base * 8 + 16:X}", TS, t))
+                if t % 4 == 0:
+                    seqs.append(base + 1)
+                    data.append(pgf.encode_origin(f"0/{base * 8 + 16:X}", "replica-a"))
+                for off, e in enumerate(grp["event_id"]):
+                    seqs.append(base + 2 + off)
+                    data.append(pgf.encode_insert(OID, [("t", str(int(e)))]))
+                seqs.append(base + 1999)
+                data.append(pgf.encode_commit(
+                    f"0/{base * 8 + 16:X}", f"0/{base * 8 + 24:X}", TS
+                ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    wire = (
+        ev.repartition(spark.sparkContext.defaultParallelism,
+                       F.expr("event_id div 100"))
+        .sortWithinPartitions("event_id")
+        .mapInPandas(encode, schema="lsn string, seq long, data binary")
+    )
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    decoded = decode_pgoutput(wire, relations=cache).persist()
+    kept = filter_by_origin(decoded)
+    return (
+        kept.filter(F.col("op") == "insert")
+        .groupBy(F.expr("cast(after['event_id'] as bigint) div 100").alias("txn"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+        )
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,

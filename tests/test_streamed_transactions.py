@@ -170,3 +170,48 @@ def test_streamed_prepared_transaction_resolves_via_commit_prepared(spark):
     out = resolve_streamed(decode_pgoutput(raw)).filter("op = 'insert'").collect()
     assert [r["after"]["id"] for r in out] == ["10"]
     assert out[0]["top_xid"] == 950
+
+
+def test_filter_by_origin(spark):
+    """Origin loop guard: transactions carrying a foreign origin marker
+    ('O' message in-frame) drop wholesale; local txns pass; with an
+    explicit filter list only the named origins drop."""
+    from pg_logical_replication_spark.operators.transactions import filter_by_origin
+
+    msgs = [
+        _rel(),
+        # local txn 1
+        fmt.encode_begin("0/100", TS_US, 1), _ins(1),
+        fmt.encode_commit("0/100", "0/110", TS_US),
+        # foreign txn 2 (origin replica-a)
+        fmt.encode_begin("0/200", TS_US, 2),
+        fmt.encode_origin("0/200", "replica-a"), _ins(2),
+        fmt.encode_commit("0/200", "0/210", TS_US),
+        # foreign txn 3 (origin replica-b)
+        fmt.encode_begin("0/300", TS_US, 3),
+        fmt.encode_origin("0/300", "replica-b"), _ins(3),
+        fmt.encode_commit("0/300", "0/310", TS_US),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).repartition(1)
+    decoded = decode_pgoutput(raw)
+
+    # default: any foreign origin drops
+    ids = sorted(
+        r["after"]["id"]
+        for r in filter_by_origin(decoded).filter("op = 'insert'").collect()
+    )
+    assert ids == ["1"]
+
+    # explicit list: only replica-a drops
+    ids2 = sorted(
+        r["after"]["id"]
+        for r in filter_by_origin(decoded, filter_origins=["replica-a"])
+        .filter("op = 'insert'").collect()
+    )
+    assert ids2 == ["1", "3"]
+
+    # origin marker rows are consumed either way
+    assert filter_by_origin(decoded).filter("op = 'origin'").count() == 0
