@@ -1131,6 +1131,92 @@ def q_cdc_origin_filter(spark, sf_dir):
 
 
 @register(
+    "q_cdc_schema_evolution",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events)
+    SELECT CAST(event_id % 10 AS BIGINT) AS g,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_id < (SELECT c // 2 FROM n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+           CAST(SUM(CASE WHEN event_id >= (SELECT c // 2 FROM n)
+                         THEN user_id END) AS BIGINT) AS sum_uid_evolved
+    FROM events GROUP BY 1
+    """,
+    "in-band schema evolution, oracle-gated: the relation announces "
+    "itself mid-stream a second time with an added column (pgoutput 'R' "
+    "messages in the wire, no upfront cache — the pre-scan collects "
+    "both versions and every DML resolves the newest schema <= its own "
+    "wire position, sources/pgoutput.py _VersionedRelations ≙ the "
+    "reference's _relationCache under ALTER TABLE, "
+    "pgoutput-parser.ts:86-110); rows decoded under v1 must lack the "
+    "new column, rows under v2 must carry it",
+)
+def q_cdc_schema_evolution(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51238
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    half = ev.count() // 2  # event_id is dense 0..N-1 (TESTDATA.md)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for e, u in zip(pdf["event_id"], pdf["user_id"]):
+                eid = int(e)
+                seqs.append(eid * 10 + 10)
+                if eid < half:
+                    data.append(pgf.encode_insert(OID, [("t", str(eid))]))
+                else:
+                    data.append(pgf.encode_insert(
+                        OID, [("t", str(eid)), ("t", str(int(u)))]
+                    ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+    rels = spark.createDataFrame(
+        [
+            ("0/0", 0, bytearray(pgf.encode_relation(
+                OID, "public", "events", [("event_id", 20)],
+                key_columns=["event_id"],
+            ))),
+            # the ALTER: same OID re-announced mid-stream with a new column
+            (f"0/{half * 10:X}", half * 10 + 1, bytearray(pgf.encode_relation(
+                OID, "public", "events",
+                [("event_id", 20), ("user_id", 20)],
+                key_columns=["event_id"],
+            ))),
+        ],
+        "lsn string, seq long, data binary",
+    )
+    # NO relations= : the in-band pre-scan must find both 'R' versions
+    decoded = decode_pgoutput(wire.unionByName(rels))
+    eid = F.col("after").getItem("event_id").cast("bigint")
+    return (
+        decoded.filter(F.col("op") == "insert")
+        .groupBy((eid % 10).alias("g"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("after").getItem("user_id").isNull(), 1).otherwise(0)
+            ).alias("n_v1"),
+            F.sum(F.col("after").getItem("user_id").cast("bigint")).alias(
+                "sum_uid_evolved"
+            ),
+        )
+    )
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,
