@@ -341,6 +341,45 @@ def q_window_range_frame(spark, sf_dir):
 
 
 @register(
+    "q_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "cohort retention: users bucketed by first-seen day, distinct-active "
+    "counts per (cohort, day-offset) — two aggregates + one key join, "
+    "all integer/date arithmetic (bit-stable cross-engine)",
+)
+def q_cohort_retention(spark, sf_dir):
+    """The (user_id, day) distinct and the first-seen aggregate share
+    the user_id hash partitioning, and the join is key-aligned on it —
+    one logical shuffle chain, no re-exchange; the cohort matrix output
+    is tiny regardless of input scale."""
+    ev = t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    act = ev.select("user_id", day.alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
     "q_window_lag",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,
