@@ -341,6 +341,55 @@ def q_window_range_frame(spark, sf_dir):
 
 
 @register(
+    "q_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_view_after,
+           (SELECT COUNT(*) FROM s3) AS n_click_after
+    """,
+    "ordered event funnel: signup → first view AFTER it → first click "
+    "AFTER that, per user; stage counts — sequential-pattern analytics "
+    "as three cascaded min-aggregates, no self-join explosion",
+)
+def q_event_funnel(spark, sf_dir):
+    """Each stage is a groupBy(user_id) min + a key-aligned join back —
+    the user_id hash partitioning is reused down the cascade, and each
+    stage's input shrinks monotonically. No window over the full stream,
+    no per-user collect."""
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_view_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_click_after")))
+    )
+
+
+@register(
     "q_cohort_retention",
     """
     WITH activity AS (
