@@ -375,3 +375,44 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return j.select("a_id", "b_id", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B| / min(|A|,|B|) over the same inverted-
+    index candidates as :func:`jaccard_pairs` — the asymmetric near-dup
+    measure Jaccard misses: a short document wholly embedded in a long
+    one scores ~1 here but near 0 on Jaccard (the union is dominated by
+    the long doc). That is exactly the quote/boilerplate/sub-document
+    duplication case a training-corpus dedup pass needs to catch.
+    Same scale shape: candidates from equality joins, exact measure on
+    candidates only, double division of exact ints (engine-stable).
+    """
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+    a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
+    b = sized.select(
+        F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        a.join(b, (a["sh"] == b["sh_b"]) & (a["a_id"] < b["b_id"]))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "containment")
+    )

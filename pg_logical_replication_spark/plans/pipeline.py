@@ -204,6 +204,33 @@ def q_dedup_jaccard_top(spark, sf_dir):
     return pairs.orderBy(F.col("jaccard").desc(), "a_id", "b_id").limit(20)
 
 
+@register(
+    "q_dedup_containment_top",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+                 FROM (SELECT doc_id, tk FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+              FROM shingled a JOIN shingled b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id,
+           ROUND(n_inter / LEAST(sa.sz, sb.sz), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    ORDER BY containment DESC, a_id, b_id LIMIT 20
+    """,
+    "asymmetric shingle containment |A∩B|/min(|A|,|B|), top-20 pairs — "
+    "catches sub-document duplication (short doc embedded in long) that "
+    "Jaccard's union denominator hides",
+)
+def q_dedup_containment_top(spark, sf_dir):
+    pairs = D.containment_pairs(t(spark, sf_dir, "documents"), threshold=0.0)
+    return pairs.orderBy(F.col("containment").desc(), "a_id", "b_id").limit(20)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     vals = ", ".join(
         f"(STRPOS('0123456789abcdef', SUBSTR(h, {c + 1}, 1)) - 1) AS v_{c}"
