@@ -70,6 +70,8 @@ class LogicalReplicationService:
         self._queries: dict[str, StreamingQuery] = {}
         self._last_lsn: dict[str, str] = {}
         self._handlers: dict[str, list[Callable[..., Any]]] = {}
+        self._slots_by_query: dict[str, str] = {}
+        self._listener = None
 
     # ------------------------------------------------------------- events
     def on(self, event: str, handler: Callable[..., Any]) -> "LogicalReplicationService":
@@ -81,12 +83,52 @@ class LogicalReplicationService:
           delivery is the micro-batch);
         * ``acknowledge`` (lsn) — position committed after sink success
           (auto-ack, reference :187-192);
-        * ``error`` (exception) — sink failure (reference :213-216).
+        * ``error`` (exception) — sink failure (reference :213-216);
+        * ``heartbeat`` (slot_name, timestamp, last_lsn) — liveness
+          signal per micro-batch progress / idle tick, from a
+          ``StreamingQueryListener`` (≙ the reference's primary-
+          keepalive surface, 0x6b → 'heartbeat' event, :165-171;
+          delivered asynchronously from the listener bus).
 
         Returns self for chaining, like EventEmitter ``on``.
         """
         self._handlers.setdefault(event, []).append(handler)
+        if event == "heartbeat":
+            self._ensure_listener()
         return self
+
+    def _ensure_listener(self) -> None:
+        if self._listener is not None:
+            return
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        svc = self
+
+        class _Heartbeat(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                slot = svc._slots_by_query.get(str(event.progress.id))
+                if slot is not None:
+                    svc._emit(
+                        "heartbeat",
+                        slot,
+                        event.progress.timestamp,
+                        svc._last_lsn.get(slot),
+                    )
+
+            def onQueryIdle(self, event):  # noqa: N802
+                slot = svc._slots_by_query.get(str(event.id))
+                if slot is not None:
+                    # ≙ keepalive while no WAL flows (reference :165-171)
+                    svc._emit("heartbeat", slot, event.timestamp, svc._last_lsn.get(slot))
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self._listener = _Heartbeat()
+        self.spark.streams.addListener(self._listener)
 
     def _emit(self, event: str, *args: Any) -> None:
         for h in self._handlers.get(event, []):
@@ -154,6 +196,7 @@ class LogicalReplicationService:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
         self._queries[slot_name] = q
+        self._slots_by_query[str(q.id)] = slot_name
         self._emit("start", slot_name)
         return q
 
@@ -196,6 +239,10 @@ class LogicalReplicationService:
         ``replay_all``'s explicit job."""
         self.stop()
         self._queries.clear()
+        self._slots_by_query.clear()
+        if self._listener is not None:
+            self.spark.streams.removeListener(self._listener)
+            self._listener = None
 
 
 def max_lsn(events: DataFrame) -> str | None:

@@ -273,3 +273,30 @@ def test_stop_and_destroy_are_safe(spark, log_dirs):
     svc.stop()
     svc.destroy()  # ≙ destroy(): idempotent, keeps the checkpoint
     assert os.path.exists(os.path.join(ckpt, "slot1"))
+
+
+def test_heartbeat_listener_surface(spark, log_dirs):
+    """on('heartbeat') fires from the StreamingQueryListener with the
+    slot name and last acked LSN — the reference's primary-keepalive
+    event surface (logical-replication-service.ts:165-171) expressed as
+    query-progress liveness."""
+    import time
+
+    log, ckpt, _ = log_dirs
+    _append(log, "000.jsonl", [_changeset(1, "0/100", 1, [_ins("t", {"id": 1})])])
+    _append(log, "001.jsonl", [_changeset(2, "0/200", 2, [_ins("t", {"id": 2})])])
+
+    svc = LogicalReplicationService(spark, log, ckpt, max_files_per_trigger=1)
+    beats: list[tuple] = []
+    svc.on("heartbeat", lambda slot, ts, lsn: beats.append((slot, ts, lsn)))
+    svc.subscribe_and_wait("wal2json", "hb_slot", lambda df, bid: df.count())
+
+    # listener-bus delivery is asynchronous — wait until the beat that
+    # carries the final acked position arrives (not just the first one)
+    deadline = time.time() + 15
+    while not any(b[2] == "0/200" for b in beats) and time.time() < deadline:
+        time.sleep(0.2)
+    assert beats, "no heartbeat delivered within 15s"
+    assert {b[0] for b in beats} == {"hb_slot"}
+    assert any(b[2] == "0/200" for b in beats), beats
+    svc.destroy()  # removes the listener
