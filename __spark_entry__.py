@@ -9,9 +9,24 @@ TPC-H-style pricing summary at sf0.001.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Python workers deserialize mapInPandas closures that reference the
+# package — make it importable even when the driver runs from another
+# cwd (workers inherit PYTHONPATH when it is set before the JVM forks).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
