@@ -1217,6 +1217,48 @@ def q_cdc_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "q_cdc_truncate_apply",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events)
+    SELECT event_id, user_id FROM events
+    WHERE event_id >= (SELECT c // 2 FROM n)
+    """,
+    "truncate barrier in apply-changes, oracle-gated: a TRUNCATE event "
+    "lands mid-stream and the materialized snapshot must contain "
+    "exactly the rows whose changes came after it (reference truncate "
+    "message semantics, pgoutput-parser.ts:271-290) — the barrier is "
+    "one tiny broadcast aggregate, never a shuffle of the stream",
+)
+def q_cdc_truncate_apply(spark, sf_dir):
+    from pg_logical_replication_spark.operators.apply_changes import apply_changes
+
+    ev = t(spark, sf_dir, "events")
+    half = ev.count() // 2  # event_id is dense 0..N-1 (TESTDATA.md)
+    ins = ev.select(
+        F.lit("insert").alias("op"),
+        (F.col("event_id") * 2).alias("lsn_long"),
+        F.lit("events").alias("table"),
+        F.create_map(F.lit("event_id"), F.col("event_id").cast("string")).alias("key"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+        ).alias("after"),
+    )
+    trunc = spark.createDataFrame(
+        [("truncate", half * 2 - 1, "events", None, None)],
+        "op string, lsn_long long, table string, "
+        "key map<string,string>, after map<string,string>",
+    )
+    snap = apply_changes(
+        ins.unionByName(trunc),
+        key_columns=["event_id"],
+        table="events",
+        columns={"event_id": "bigint", "user_id": "bigint"},
+    )
+    return snap.select("event_id", "user_id")
+
+
+@register(
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,
