@@ -54,6 +54,25 @@ OPS = (
     "message",
 )
 
+# extension ops beyond the reference's v1 union (public protocol spec):
+# protocol-v2 streamed in-progress transactions, two-phase commit, and
+# test_decoding's stream-changes / include-sequences output lines. All
+# share CHANGE_EVENT_SCHEMA; extras ride in `meta` (subxid, gid,
+# stream_top_xid, first_segment, sequence state).
+EXTENSION_OPS = (
+    "stream_start",
+    "stream_stop",
+    "stream_commit",
+    "stream_abort",
+    "stream_change",
+    "stream_prepare",
+    "begin_prepare",
+    "prepare",
+    "commit_prepared",
+    "rollback_prepared",
+    "sequence",
+)
+
 
 # ---------------------------------------------------------------- pure fns
 def lsn_to_long(lsn: str) -> int:
