@@ -171,7 +171,12 @@ def resolve_prepared(events: DataFrame, seq_col: str = "seq") -> DataFrame:
       2PC's rollback invisibility;
     * stamps kept rows with the frame's xid, the commit_prepared
       timestamp, and the transaction's ``gid`` (the 2PC handle);
-    * passes non-2PC rows through untouched (``gid`` null).
+    * passes non-2PC rows through untouched (``gid`` null);
+    * consumes ONLY fates whose xid matches a ``begin_prepare`` frame —
+      ``commit_prepared``/``rollback_prepared`` rows for transactions
+      whose changes arrived some other way (streamed-2PC segments) pass
+      through for ``resolve_streamed`` to gate, so the two operators
+      chain in either order on a mixed stream.
 
     Scale: frame/fate sets are rows-per-transaction, so all joins
     broadcast; the change stream is never sorted or shuffled.
@@ -179,6 +184,17 @@ def resolve_prepared(events: DataFrame, seq_col: str = "seq") -> DataFrame:
     seq = F.col(seq_col)
     is_frame = F.col("op").isin("begin_prepare", "prepare", "begin", "commit")
     is_fate = F.col("op").isin("commit_prepared", "rollback_prepared")
+    frame_xids = (
+        events.filter(F.col("op") == "begin_prepare")
+        .select(F.col("xid").alias("_px"))
+        .distinct()
+    )
+    fates = events.filter(is_fate)
+    # fates with no begin_prepare frame here belong to another resolver
+    # (streamed 2PC) — emit them unchanged instead of swallowing them
+    foreign_fates = fates.join(
+        F.broadcast(frame_xids), fates["xid"] == F.col("_px"), "left_anti"
+    )
 
     frames = (
         events.filter(is_frame)
@@ -237,7 +253,9 @@ def resolve_prepared(events: DataFrame, seq_col: str = "seq") -> DataFrame:
         .withColumn("gid", F.when(F.col("_prepared"), F.col("_fgid")))
         .drop("_fxid", "_fgid", "_k_xid", "_k_ts", "_r_xid", "_prepared")
     )
-    return resolved
+    return resolved.unionByName(
+        foreign_fates.withColumn("gid", F.lit(None).cast("string"))
+    )
 
 
 def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
@@ -263,7 +281,12 @@ def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
       reference's rollback-invisibility guarantee
       (decoder-pgoutput.spec.ts:235-274);
     * committed streamed changes inherit ``commit_ts`` from their
-      ``stream_commit``; non-streamed rows pass through untouched.
+      ``stream_commit``; non-streamed rows pass through untouched;
+    * ``commit_prepared``/``rollback_prepared`` fates whose xid never
+      appeared in a stream control row belong to PLAIN (non-streamed)
+      two-phase transactions — they pass through unconsumed so a
+      chained :func:`resolve_prepared` can gate those frames (either
+      chaining order works; see :func:`resolve_transactions`).
 
     Output: the data rows (control rows consumed) plus a ``top_xid``
     column. Scale: control/commit/abort sets are one-or-two rows per
@@ -313,6 +336,23 @@ def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
         .select("_ab_subxid").distinct()
     )
 
+    # prepared fates for xids never seen in a stream segment are plain
+    # 2PC traffic — resolve_prepared's job, not ours; pass them through
+    stream_xids = (
+        events.filter(
+            is_ctrl
+            | F.col("op").isin("stream_commit", "stream_abort", "stream_prepare")
+        )
+        .select(F.col("xid").alias("_sx"))
+        .distinct()
+    )
+    prep_fates = events.filter(
+        F.col("op").isin("commit_prepared", "rollback_prepared")
+    )
+    foreign_fates = prep_fates.join(
+        F.broadcast(stream_xids), prep_fates["xid"] == F.col("_sx"), "left_anti"
+    ).withColumn("top_xid", F.col("xid"))
+
     data = events.filter(~is_ctrl & ~is_fate)
     data_seq = data[seq_col]
     tagged = (
@@ -349,4 +389,18 @@ def resolve_streamed(events: DataFrame, seq_col: str = "seq") -> DataFrame:
         )
         .drop("_cm_xid", "_cm_ts", "_ab_xid", "_ab_subxid", "_streamed")
     )
-    return resolved
+    return resolved.unionByName(foreign_fates)
+
+
+def resolve_transactions(events: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Gate a mixed stream: streamed (protocol v2) AND plain two-phase.
+
+    Chains :func:`resolve_streamed` → :func:`resolve_prepared`. Each
+    consumes only the ``commit_prepared``/``rollback_prepared`` fates it
+    owns (streamed-segment xids vs ``begin_prepare``-frame xids) and
+    passes the rest through, so the composition gates both transaction
+    shapes on one stream — the chaining order is actually commutative,
+    this one consumes stream control rows first so the prepared framing
+    sees a clean v1-plus-2PC stream.
+    """
+    return resolve_prepared(resolve_streamed(events, seq_col), seq_col)

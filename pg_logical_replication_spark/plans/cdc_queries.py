@@ -870,7 +870,14 @@ def q_cdc_streamed_txn(spark, sf_dir):
                 t = int(txn)
                 s = seg_idx.get(t, 0)
                 seg_idx[t] = s + 1
-                base = t * 10000 + s * 2000
+                # 1e6-wide per-txn seq blocks: segment/frame sub-blocks
+                # at s*2000, fates at +999_998/999_999. ADVICE r1: the
+                # old 10k-wide blocks collided once a txn straddled 5+
+                # Arrow batches (s>=4 hit the fate slots, s>=5 invaded
+                # the next txn) — fail loudly instead of silently
+                # corrupting attribution.
+                assert s < 499, f"txn {t}: segment {s} overflows seq block"
+                base = t * 1_000_000 + s * 2000
                 seqs.append(base)
                 data.append(pgf.encode_stream_start(t, first_segment=(s == 0)))
                 for off, e in enumerate(grp["event_id"]):
@@ -894,13 +901,13 @@ def q_cdc_streamed_txn(spark, sf_dir):
             for t in pdf["txn"]:
                 t = int(t)
                 if t % 7 == 0:
-                    seqs.append(t * 10000 + 9999)
+                    seqs.append(t * 1_000_000 + 999_999)
                     data.append(pgf.encode_stream_abort(t))  # top-level
                     continue
                 if t % 3 == 0:
-                    seqs.append(t * 10000 + 9998)
+                    seqs.append(t * 1_000_000 + 999_998)
                     data.append(pgf.encode_stream_abort(t, t + 1_000_000))
-                seqs.append(t * 10000 + 9999)
+                seqs.append(t * 1_000_000 + 999_999)
                 data.append(pgf.encode_stream_commit(
                     t, f"0/{t * 8 + 16:X}", f"0/{t * 8 + 24:X}", 1_700_000_000_000_000
                 ))
@@ -985,7 +992,14 @@ def q_cdc_two_phase(spark, sf_dir):
                 t = int(txn)
                 s = seg_idx.get(t, 0)
                 seg_idx[t] = s + 1
-                base = t * 10000 + s * 2000
+                # 1e6-wide per-txn seq blocks: segment/frame sub-blocks
+                # at s*2000, fates at +999_998/999_999. ADVICE r1: the
+                # old 10k-wide blocks collided once a txn straddled 5+
+                # Arrow batches (s>=4 hit the fate slots, s>=5 invaded
+                # the next txn) — fail loudly instead of silently
+                # corrupting attribution.
+                assert s < 499, f"txn {t}: segment {s} overflows seq block"
+                base = t * 1_000_000 + s * 2000
                 gid = f"gid-{t}"
                 seqs.append(base)
                 data.append(pgf.encode_begin_prepare(
@@ -1009,7 +1023,7 @@ def q_cdc_two_phase(spark, sf_dir):
             for t in pdf["txn"]:
                 t = int(t)
                 gid = f"gid-{t}"
-                seqs.append(t * 10000 + 9999)
+                seqs.append(t * 1_000_000 + 999_999)
                 if t % 5 == 0:
                     data.append(pgf.encode_rollback_prepared(
                         f"0/{t:X}", f"0/{t + 8:X}", TS, TS + 1_000_000, t, gid
@@ -1091,7 +1105,14 @@ def q_cdc_origin_filter(spark, sf_dir):
                 t = int(txn)
                 s = seg_idx.get(t, 0)
                 seg_idx[t] = s + 1
-                base = t * 10000 + s * 2000
+                # 1e6-wide per-txn seq blocks: segment/frame sub-blocks
+                # at s*2000, fates at +999_998/999_999. ADVICE r1: the
+                # old 10k-wide blocks collided once a txn straddled 5+
+                # Arrow batches (s>=4 hit the fate slots, s>=5 invaded
+                # the next txn) — fail loudly instead of silently
+                # corrupting attribution.
+                assert s < 499, f"txn {t}: segment {s} overflows seq block"
+                base = t * 1_000_000 + s * 2000
                 seqs.append(base)
                 data.append(pgf.encode_begin(f"0/{base * 8 + 16:X}", TS, t))
                 if t % 4 == 0:

@@ -38,22 +38,47 @@ from pg_logical_replication_spark.sources import pgoutput_format as fmt
 def _collect_relations(
     raw: DataFrame, data_col: str, seq_col: str
 ) -> dict[int, list[tuple[int, fmt.RelationInfo]]]:
-    """Pass 1: oid → [(valid_from_seq, RelationInfo)], seq-ascending."""
+    """Pass 1: oid → [(valid_from_seq, RelationInfo)], seq-ascending.
+
+    Collects Stream Start/Stop boundaries alongside the 'R' rows so each
+    relation message parses in the mode its WIRE POSITION dictates — a
+    streamed-segment 'R' carries a spliced xid the plain parse can
+    swallow into the schema cstring WITHOUT raising (caching a garbage
+    entry under oid=xid; ADVICE r1). S/E context is exact, no heuristic;
+    segments never nest so a boolean suffices. For pre-filtered inputs
+    missing their S/E rows, exact-buffer-consumption
+    (``require_full_consume``) still catches most wrong-mode parses and
+    triggers the opposite-mode retry; each attempt parses into a fresh
+    dict so a failed attempt's partial cache mutation is discarded.
+    """
+    first = F.substring(F.col(data_col), 1, 1)
     rel_rows = (
-        raw.filter(F.substring(F.col(data_col), 1, 1) == F.lit(b"R"))
+        raw.filter(
+            (first == F.lit(b"R")) | (first == F.lit(b"S")) | (first == F.lit(b"E"))
+        )
         .select(seq_col, data_col)
         .collect()
     )
     cache: dict[int, list[tuple[int, fmt.RelationInfo]]] = {}
+    in_stream = False
     for row in sorted(rel_rows, key=lambda r: r[seq_col]):
+        buf = bytes(row[data_col])
+        if buf[:1] == b"S":
+            in_stream = True
+            continue
+        if buf[:1] == b"E":
+            in_stream = False
+            continue
         tmp: dict[int, fmt.RelationInfo] = {}
         try:
-            fmt.parse_message(bytes(row[data_col]), tmp)
+            fmt.parse_message(
+                buf, tmp, streamed=in_stream, require_full_consume=True
+            )
         except Exception:
-            # an 'R' inside a protocol-v2 streamed segment carries a
-            # spliced xid the plain parse trips over; retry streamed.
-            # (v2 logs are more robust with an explicit relations= cache.)
-            fmt.parse_message(bytes(row[data_col]), tmp, streamed=True)
+            tmp = {}
+            fmt.parse_message(
+                buf, tmp, streamed=not in_stream, require_full_consume=True
+            )
         for oid, info in tmp.items():
             cache.setdefault(oid, []).append((row[seq_col], info))
     return cache

@@ -155,6 +155,7 @@ def parse_message(
     buf: bytes,
     relations: dict[int, RelationInfo] | None = None,
     streamed: bool = False,
+    require_full_consume: bool = False,
 ) -> dict:
     """One pgoutput message → normalized ChangeEvent dict.
 
@@ -174,6 +175,13 @@ def parse_message(
     it is the PG-native path for transactions larger than
     logical_decoding_work_mem — the reference's 'huge transaction'
     scenario — so the engine supports it.
+
+    ``require_full_consume=True`` additionally raises if the parse left
+    trailing bytes — the streamed/plain shapes of R/Y/DML messages only
+    differ by the spliced xid, so a wrong-mode parse can SUCCEED
+    structurally (the replica-identity byte happens to be d/n/f/i, a
+    cstring terminates early) while consuming the wrong span; exact
+    buffer consumption is the discriminator (ADVICE r1).
 
     Returns keys: op, lsn, xid, commit_ts_us, schema, table, key, before,
     after, meta (all optional except op).
@@ -274,6 +282,11 @@ def parse_message(
     ev = _parse_tail(r, tag, relations)
     if stream_xid is not None:
         ev.setdefault("xid", stream_xid)
+    if require_full_consume and r.pos != len(buf):
+        raise ValueError(
+            f"pgoutput: {len(buf) - r.pos} trailing bytes after "
+            f"{'streamed' if streamed else 'plain'} parse of tag {chr(tag)!r}"
+        )
     return ev
 
 

@@ -176,6 +176,32 @@ def _make_stream_resolve(timeout_ms: int | None):
             0 if r.get("seq") is None or pd.isna(r.get("seq")) else int(r.get("seq")),
         ))
 
+        # A key whose ONLY traffic ever is commit_prepared/rollback_
+        # prepared belongs to a PLAIN (non-streamed) 2PC transaction —
+        # its b..P changes took the passthrough branch, so swallowing
+        # the fate here would leave them ungated forever. Emit the fate
+        # rows unchanged for a downstream prepared-frame gate. (A real
+        # streamed txn always has segment/fate stream-* rows or prior
+        # buffered state under this key by the time its fate arrives.)
+        if not state.exists and rows and all(
+            r["op"] in ("commit_prepared", "rollback_prepared") for r in rows
+        ):
+            out = []
+            for row in rows:
+                ev = {f: row.get(f) for f in _EVENT_FIELDS}
+                for f in ("lsn_long", "seq"):
+                    v = ev.get(f)
+                    ev[f] = None if v is None or pd.isna(v) else int(v)
+                ev["xid"] = top_xid
+                ts = row.get("commit_ts")
+                ev["commit_ts"] = None if ts is None or pd.isna(ts) else ts
+                ev["key"] = _as_dict(ev.get("key"))
+                ev["before"] = _as_dict(ev.get("before"))
+                ev["after"] = _as_dict(ev.get("after"))
+                out.append(ev)
+            yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+            return
+
         commit: dict[str, Any] | None = None
         for row in rows:
             op = row["op"]
@@ -251,7 +277,10 @@ def resolve_streamed_stream(
 
     ``passthrough=True`` unions non-streamed rows (begin/commit-framed
     v1 traffic) through untouched, so the operator is drop-in on a mixed
-    stream. State per in-flight streamed txn is bounded by that txn's
+    stream. ``commit_prepared``/``rollback_prepared`` fates whose key
+    has no streamed state (plain 2PC transactions — their b..P changes
+    take the passthrough branch) are re-emitted rather than swallowed,
+    so a downstream prepared-frame gate still sees them. State per in-flight streamed txn is bounded by that txn's
     change volume — the same bound PG's reorderbuffer spills under;
     keys hash-distribute across executors.
     """

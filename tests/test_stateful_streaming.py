@@ -272,3 +272,69 @@ def test_streamed_two_phase_gate_across_micro_batches(spark, tmp_path):
     vs = [r["after"]["v"] for r in rows]
     assert vs == ["kept2pc"]
     assert rows[0]["xid"] == 400 and rows[0]["commit_ts"].second == 9
+
+
+def test_plain_two_phase_fates_pass_through_stream_gate(spark, tmp_path):
+    """ADVICE r1: commit_prepared/rollback_prepared fates for NON-
+    streamed 2PC txns (no streamed state under their xid) must not
+    vanish into the stateful gate — they re-emit for a downstream
+    prepared-frame resolver, alongside the passthrough b..P changes."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_streamed_stream,
+    )
+
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+
+    def sev(op, lsn_long, seq, xid, top=None, after=None, commit_ts=None):
+        e = _ev(op, lsn_long, seq, xid, "users" if after else None, after, commit_ts)
+        e["meta"] = {"stream_top_xid": str(top)} if top is not None else None
+        return e
+
+    batch1 = [
+        # plain 2PC txn 700: b..P changes take the passthrough branch
+        sev("begin_prepare", 0x700, 0, 700),
+        sev("insert", 0x701, 1, 700, after={"id": "1", "v": "plain2pc"}),
+        sev("prepare", 0x702, 2, 700),
+        # streamed txn 800 for contrast
+        sev("insert", 0x801, 3, 800, top=800, after={"id": "2", "v": "streamed"}),
+    ]
+    batch2 = [
+        sev("commit_prepared", 0x710, 4, 700,
+            commit_ts="2026-08-13 00:00:11.000000"),
+        sev("stream_commit", 0x810, 5, 800,
+            commit_ts="2026-08-13 00:00:12.000000"),
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    for i, batch in enumerate([batch1, batch2]):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    )
+    out = resolve_streamed_stream(raw)
+    q = (
+        out.writeStream.format("memory").queryName("plain_2pc_gate")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from plain_2pc_gate order by lsn_long").collect()
+    ops = [r["op"] for r in rows]
+    # the plain fate re-emitted, not swallowed
+    assert "commit_prepared" in ops
+    fate = next(r for r in rows if r["op"] == "commit_prepared")
+    assert fate["xid"] == 700 and fate["commit_ts"] is not None
+    # its b..P changes passed through ungated (downstream gate's job)
+    assert any(r["op"] == "insert" and r["after"]["v"] == "plain2pc" for r in rows)
+    # the genuinely streamed txn still gates normally
+    streamed = next(r for r in rows if r["op"] == "insert" and r["after"]["v"] == "streamed")
+    assert streamed["xid"] == 800 and streamed["commit_ts"] is not None
+    # stream control fate consumed
+    assert "stream_commit" not in ops

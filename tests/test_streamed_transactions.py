@@ -215,3 +215,136 @@ def test_filter_by_origin(spark):
 
     # origin marker rows are consumed either way
     assert filter_by_origin(decoded).filter("op = 'origin'").count() == 0
+
+
+def test_mixed_streamed_and_plain_two_phase_either_order(spark):
+    """ADVICE r1 (medium): a stream carrying BOTH a streamed 2PC txn and
+    a plain b..P 2PC txn must gate both — each resolver consumes only
+    the commit_prepared/rollback_prepared fates it owns and passes the
+    rest through, so resolve_streamed ∘ resolve_prepared works in either
+    order (and resolve_transactions packages the canonical chain)."""
+    from pg_logical_replication_spark.operators.transactions import (
+        resolve_prepared,
+        resolve_streamed,
+        resolve_transactions,
+    )
+
+    msgs = [
+        _rel(),
+        # streamed 2PC txn 950 → commit_prepared
+        fmt.encode_stream_start(950, first_segment=True),
+        fmt.with_stream_xid(950, _ins(10)),
+        fmt.encode_stream_stop(),
+        fmt.encode_stream_prepare("0/500", "0/510", TS_US, 950, "gid-s"),
+        # plain 2PC txn 900 → commit_prepared
+        fmt.encode_begin_prepare("0/100", "0/110", TS_US, 900, "gid-p"),
+        _ins(1),
+        fmt.encode_prepare("0/100", "0/110", TS_US, 900, "gid-p"),
+        # plain 2PC txn 901 → rollback_prepared
+        fmt.encode_begin_prepare("0/300", "0/310", TS_US, 901, "gid-r"),
+        _ins(2),
+        fmt.encode_prepare("0/300", "0/310", TS_US, 901, "gid-r"),
+        # streamed 2PC txn 951 → rollback_prepared
+        fmt.encode_stream_start(951, first_segment=True),
+        fmt.with_stream_xid(951, _ins(11)),
+        fmt.encode_stream_stop(),
+        fmt.encode_stream_prepare("0/600", "0/610", TS_US, 951, "gid-t"),
+        # plain v1 txn 300 flows through
+        fmt.encode_begin("0/200", TS_US, 300),
+        _ins(5),
+        fmt.encode_commit("0/200", "0/210", TS_US),
+        # all four prepared fates, interleaved
+        fmt.encode_commit_prepared("0/520", "0/530", TS_US + 1_000_000, 950, "gid-s"),
+        fmt.encode_commit_prepared("0/400", "0/410", TS_US + 2_000_000, 900, "gid-p"),
+        fmt.encode_rollback_prepared("0/310", "0/420", TS_US, TS_US + 3_000_000, 901, "gid-r"),
+        fmt.encode_rollback_prepared("0/610", "0/620", TS_US, TS_US + 4_000_000, 951, "gid-t"),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).repartition(1)
+    decoded = decode_pgoutput(raw)
+
+    for label, out in (
+        ("streamed_then_prepared", resolve_prepared(resolve_streamed(decoded))),
+        ("prepared_then_streamed", resolve_streamed(resolve_prepared(decoded))),
+        ("resolve_transactions", resolve_transactions(decoded)),
+    ):
+        inserts = {
+            r["after"]["id"]: r for r in out.filter("op = 'insert'").collect()
+        }
+        assert sorted(inserts) == ["1", "10", "5"], (label, sorted(inserts))
+        assert inserts["1"]["xid"] == 900, label
+        assert inserts["10"]["commit_ts"] is not None, label
+        ops = {r["op"] for r in out.collect()}
+        assert not ops & {"commit_prepared", "rollback_prepared"}, (label, ops)
+
+
+def test_streamed_relation_silent_misparse_guard(spark):
+    """ADVICE r1: a streamed 'R' whose oid bytes are all nonzero parses
+    as NON-streamed without raising — the xid reads as oid and the oid
+    bytes vanish into the schema cstring, fully consuming the buffer.
+    Positional S/E context in the pre-scan (not an exception heuristic)
+    must pick the streamed parse, so the DML resolves the real table."""
+    odd_oid = 0x01010101  # 16843009 — no zero byte for a cstring to stop at
+    rel = fmt.encode_relation(
+        odd_oid, "public", "tricky", [("id", 20)], key_columns=["id"]
+    )
+    # prove the trap: the plain parse of the spliced message succeeds
+    spliced = bytes(fmt.with_stream_xid(777, rel))
+    tmp: dict = {}
+    fmt.parse_message(spliced, tmp, require_full_consume=True)  # no raise!
+    # garbage entry under oid=xid, oid bytes swallowed into the schema
+    assert 777 in tmp and tmp[777].schema != "public"
+
+    msgs = [
+        fmt.encode_stream_start(777, first_segment=True),
+        fmt.with_stream_xid(777, rel),
+        fmt.with_stream_xid(
+            777, fmt.encode_insert(odd_oid, [("t", "42")])
+        ),
+        fmt.encode_stream_stop(),
+        fmt.encode_stream_commit(777, "00000000/00000100", "00000000/00000110", TS_US),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).repartition(1)
+    out = resolve_streamed(decode_pgoutput(raw)).filter("op = 'insert'").collect()
+    assert len(out) == 1
+    assert out[0]["table"] == "tricky"
+    assert out[0]["after"]["id"] == "42"
+
+
+def test_streamed_txn_query_survives_tiny_arrow_batches(spark):
+    """ADVICE r1: q_cdc_streamed_txn's seq-block scheme must hold when a
+    transaction's rows straddle many Arrow batches (nonstandard
+    maxRecordsPerBatch) — 1e6-wide blocks give 499 segment slots, and
+    the encoder asserts rather than silently mis-attributing."""
+    import duckdb
+
+    from pg_logical_replication_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "30")  # 100-row txns → 4 segments each
+    try:
+        got = {
+            r["top_xid"]: (r["n"], r["sum_eid"])
+            for r in QUERIES["q_cdc_streamed_txn"].builder(spark, sf).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["q_cdc_streamed_txn"].oracle).fetchall()
+    }
+    assert got == want
