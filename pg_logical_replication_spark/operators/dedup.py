@@ -416,3 +416,46 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a_id", "b_id", "containment")
     )
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share word n-grams
+    with a held-out evaluation set.
+
+    The standard pre-training hygiene pass (an eval example whose
+    n-grams appear in the training corpus is 'contaminated'). Exact
+    containment over distinct word n-grams:
+
+    * benchmark side → distinct shingles, ``F.broadcast`` — real eval
+      sets are thousands of documents, so their shingle set fits every
+      executor and the corpus side never shuffles (at 100 TB the scan
+      stays embarrassingly parallel; only the per-doc groupBy shuffles,
+      and only for docs with ≥1 hit — a vanishing fraction);
+    * corpus side → ``exploded_shingles`` (posexplode + lead, codegen-
+      friendly; see that docstring for why not a HOF transform).
+
+    Output: one row per contaminated corpus doc with the number of
+    distinct shared shingles and distinct benchmark docs hit.
+    """
+    corpus_sh = exploded_shingles(
+        df, text_col=text_col, id_col=id_col, n=n
+    ).withColumnRenamed(id_col, "_corpus_id")
+    bench_sh = (
+        exploded_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select(F.col(id_col).alias("_bench_id"), "sh")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(F.col("_corpus_id").alias(id_col))
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("_bench_id").alias("n_benchmark_docs"),
+        )
+    )

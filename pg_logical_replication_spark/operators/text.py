@@ -216,3 +216,71 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
     )
+
+
+# PII patterns — kept inside the RE2 ∩ Java-regex subset (same rationale
+# as the BPE pretokenizer above) so Spark and the DuckDB oracle extract
+# IDENTICAL matches. Counting uses regexp_extract_all + size on both
+# engines; redaction replaces every match with a fixed-width tag.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "long_digits": (r"\b\d{9,}\b", "<NUM>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII hit counts + the redacted text's length.
+
+    The standard pre-training scrub pass (emails / IP addresses / long
+    digit runs — account-number shaped). All JVM-side regexp built-ins:
+    one projection, no shuffle, no Python — at 100 TB this runs at scan
+    speed and the redacted column can be written straight back out.
+    The reference has no text ops; this is a BASELINE.json north-star
+    (B) operator over the driver's documents table.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    scrubbed = text
+    for pat, tag in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.length(text).alias("n_chars_raw"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-doc n-gram repetition ratio — the boilerplate/spam signal.
+
+    ``dup_ngram_ratio`` = 1 − distinct/total over word n-grams (0 when
+    the doc is shorter than n tokens). Computed with array expressions
+    in one projection (the n-gram list is NOT deduplicated first, unlike
+    ``dedup.word_shingles_expr``) — no shuffle, no Python.
+    """
+    toks = tokens_expr(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
+        F.when(F.size(grams) > 0,
+               F.round(F.lit(1.0) - F.size(F.array_distinct(grams))
+                       / F.size(grams), 6)
+         ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+    )

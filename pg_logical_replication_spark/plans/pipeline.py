@@ -374,7 +374,8 @@ def q_ann_lsh_recall(spark, sf_dir):
                             AND a.vec_id < bb.vec_id),
     scored AS (
       SELECT c.id_a, c.id_b,
-             list_sum([qa.qv[i+1]*qb.qv[i+1] FOR i IN range(0,64)]) AS dot
+             CAST(list_sum([qa.qv[i+1]*qb.qv[i+1] FOR i IN range(0,64)])
+               AS BIGINT) AS dot
       FROM cand c JOIN q qa ON qa.vec_id = c.id_a
                   JOIN q qb ON qb.vec_id = c.id_b)
     SELECT id_a, id_b, dot FROM scored ORDER BY dot DESC, id_a, id_b LIMIT 20
@@ -674,3 +675,133 @@ def q_corpus_mixture(spark, sf_dir):
 )
 def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT)
+             AS n_long_digits,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                   'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{9,}\b', '<NUM>', 'g')) AS BIGINT) AS n_chars_scrubbed
+    FROM documents
+    """,
+    "PII scrub pass (emails / IPv4 / long digit runs): per-doc hit "
+    "counts + redacted length; patterns in the RE2∩Java subset so both "
+    "engines extract identical matches",
+)
+def q_text_pii_scrub(spark, sf_dir):
+    out = TX.pii_scrub(t(spark, sf_dir, "documents"))
+    for c in ("n_email", "n_ipv4", "n_long_digits", "n_chars_raw",
+              "n_chars_scrubbed"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+@register(
+    "q_text_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+           CASE WHEN len(grams) > 0 THEN
+             ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams), 6)
+           ELSE 0.0 END AS dup_ngram_ratio
+    FROM g
+    """,
+    "n-gram repetition ratio per doc (boilerplate/spam signal): "
+    "1 - distinct/total over word trigrams, zero below 3 tokens",
+)
+def q_text_repetition(spark, sf_dir):
+    out = TX.repetition_stats(t(spark, sf_dir, "documents"))
+    return out.withColumn("n_ngrams", F.col("n_ngrams").cast("long")).withColumn(
+        "n_distinct_ngrams", F.col("n_distinct_ngrams").cast("long")
+    )
+
+
+@register(
+    "q_text_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 4, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))))
+             AS sh
+      FROM toks),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, sh FROM sh
+              WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+    FROM corpus c JOIN bench b ON c.sh = b.sh
+    GROUP BY c.doc_id
+    """,
+    "benchmark decontamination: corpus docs sharing word 5-grams with "
+    "a held-out eval set (doc_id % 97 = 0 plays the benchmark); "
+    "benchmark shingles broadcast so the corpus side never shuffles",
+)
+def q_text_contamination(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination(corpus, bench, n=5)
+
+
+@register(
+    "q_corpus_pack_sequences",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id // 100 AS bucket,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents),
+    ord AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                      AS rn FROM toks),
+    pack AS (
+      SELECT bucket, rn, doc_id, n_tokens, n_tokens AS acc,
+             0 AS bin, 0 AS seq
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN o.n_tokens
+                  ELSE p.acc + o.n_tokens END,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN 0 ELSE p.seq + 1 END
+      FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+    SELECT doc_id, n_tokens, bucket,
+           CAST(bucket * 1000000 + bin AS BIGINT) AS bin_id,
+           CAST(seq AS INTEGER) AS bin_seq
+    FROM pack
+    """,
+    "sequence packing: greedy fill of 512-token training windows, "
+    "bucket-local so it parallelizes; DuckDB recursive CTE replays the "
+    "greedy rule exactly",
+)
+def q_corpus_pack_sequences(spark, sf_dir):
+    from pg_logical_replication_spark.operators.packing import pack_sequences
+
+    return pack_sequences(t(spark, sf_dir, "documents"), budget=512,
+                          bucket_size=100)
