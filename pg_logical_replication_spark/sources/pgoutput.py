@@ -166,6 +166,13 @@ def decode_pgoutput(
         # whole (the durable-log layout sources/datasource.py produces).
         in_stream = False
         stream_top: int | None = None  # current segment's top-level xid
+        # two-phase frame state: inside [begin_prepare, prepare) every
+        # DML belongs to that prepared txn. Frames are atomic wire
+        # blocks (the walsender replays a prepared txn in one go), so
+        # the same partition contract as streamed segments applies;
+        # the stamp lets the STREAMING gate key b..P rows by xid
+        # without the batch resolver's positional attribution.
+        prepared: tuple[int | None, str | None] | None = None
         for pdf in batches:
             # columnar accumulation: building 11 lists + one vectorized
             # to_datetime is ~3× faster than 100k row dicts with a
@@ -180,6 +187,16 @@ def decode_pgoutput(
                 elif ev["op"] == "stream_stop":
                     in_stream = False
                     stream_top = None
+                elif ev["op"] == "begin_prepare":
+                    prepared = (ev.get("xid"), (ev.get("meta") or {}).get("gid"))
+                elif ev["op"] in ("prepare", "begin", "commit"):
+                    prepared = None
+                elif prepared is not None and not in_stream:
+                    meta = dict(ev.get("meta") or {})
+                    meta["prepared_xid"] = str(prepared[0])
+                    if prepared[1] is not None:
+                        meta["prepared_gid"] = prepared[1]
+                    ev["meta"] = meta
                 elif in_stream and stream_top is not None:
                     # stamp the segment's top-level xid — the per-message
                     # spliced xid may be a SUBtransaction; downstream

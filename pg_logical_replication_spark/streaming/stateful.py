@@ -285,14 +285,56 @@ def resolve_streamed_stream(
     keys hash-distribute across executors.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     top = F.col("meta").getItem("stream_top_xid").cast("long")
+    ctrl_ops = ["stream_start", "stream_stop"]
+    return _gated_stream(events, top, ctrl_ops, timeout_ms, passthrough)
+
+
+def resolve_transactions_stream(
+    events: DataFrame, timeout_ms: int | None = None, passthrough: bool = True
+) -> DataFrame:
+    """One stateful gate for BOTH transaction shapes on a mixed stream:
+    protocol-v2 streamed txns AND plain two-phase (b..P framed) txns.
+
+    Spark allows one arbitrary-stateful operator per streaming query, so
+    chaining ``resolve_streamed_stream`` with a prepared gate is not an
+    option — this combines them. Keying uses the decode-time stamps
+    (``decode_pgoutput``): ``meta['stream_top_xid']`` for streamed rows,
+    ``meta['prepared_xid']`` for b..P-framed rows (frames are atomic
+    wire blocks, so the stamp is exact); fates carry their xid natively.
+    Fate handling is shared: ``stream_commit``/``commit_prepared``
+    flush, ``stream_abort``/``rollback_prepared`` drop, and a fate whose
+    key never buffered anything re-emits (see the fate-only passthrough
+    note in ``_make_stream_resolve``). ``begin_prepare``/``prepare``
+    markers are consumed like stream controls; plain v1 traffic passes
+    through when ``passthrough``.
+    """
+    from pyspark.sql import functions as F
+
+    top = F.coalesce(
+        F.col("meta").getItem("stream_top_xid").cast("long"),
+        F.col("meta").getItem("prepared_xid").cast("long"),
+    )
+    ctrl_ops = ["stream_start", "stream_stop", "begin_prepare", "prepare"]
+    return _gated_stream(events, top, ctrl_ops, timeout_ms, passthrough)
+
+
+def _gated_stream(
+    events: DataFrame,
+    top,
+    ctrl_ops: list[str],
+    timeout_ms: int | None,
+    passthrough: bool,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     is_fate = F.col("op").isin(
         "stream_commit", "stream_abort", "stream_prepare",
         "commit_prepared", "rollback_prepared",
     )
-    is_ctrl = F.col("op").isin("stream_start", "stream_stop")
+    is_ctrl = F.col("op").isin(*ctrl_ops)
     streamish = (top.isNotNull() | is_fate) & ~is_ctrl
 
     cols = ["op", "lsn", "lsn_long", "xid", "commit_ts", "schema", "table",

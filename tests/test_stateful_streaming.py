@@ -338,3 +338,81 @@ def test_plain_two_phase_fates_pass_through_stream_gate(spark, tmp_path):
     assert streamed["xid"] == 800 and streamed["commit_ts"] is not None
     # stream control fate consumed
     assert "stream_commit" not in ops
+
+
+def test_resolve_transactions_stream_mixed_shapes(spark, tmp_path):
+    """One stateful gate for a mixed stream: a streamed txn, a plain 2PC
+    txn (decode-stamped prepared_xid) that commits, one that rolls
+    back, and v1 passthrough — all gated in a single query (Spark
+    allows one arbitrary-stateful op per streaming query)."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_transactions_stream,
+    )
+
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+
+    def sev(op, lsn_long, seq, xid, top=None, prep=None, after=None,
+            commit_ts=None):
+        e = _ev(op, lsn_long, seq, xid, "users" if after else None, after, commit_ts)
+        meta = {}
+        if top is not None:
+            meta["stream_top_xid"] = str(top)
+        if prep is not None:
+            meta["prepared_xid"] = str(prep)
+        e["meta"] = meta or None
+        return e
+
+    batch1 = [
+        # streamed txn 800
+        sev("insert", 0x801, 1, 800, top=800, after={"id": "1", "v": "streamed"}),
+        # plain 2PC txn 700 (frame markers consumed as controls)
+        sev("begin_prepare", 0x700, 2, 700),
+        sev("insert", 0x701, 3, None, prep=700, after={"id": "2", "v": "kept2pc"}),
+        sev("prepare", 0x702, 4, 700),
+        # plain 2PC txn 600 → will roll back
+        sev("begin_prepare", 0x600, 5, 600),
+        sev("insert", 0x601, 6, None, prep=600, after={"id": "3", "v": "rolled2pc"}),
+        sev("prepare", 0x602, 7, 600),
+        # plain v1 passthrough
+        sev("insert", 0x301, 8, 300, after={"id": "4", "v": "plain"}),
+    ]
+    batch2 = [
+        sev("stream_commit", 0x810, 9, 800,
+            commit_ts="2026-08-13 00:00:12.000000"),
+        sev("commit_prepared", 0x710, 10, 700,
+            commit_ts="2026-08-13 00:00:13.000000"),
+        sev("rollback_prepared", 0x610, 11, 600),
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    for i, batch in enumerate([batch1, batch2]):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    )
+    out = resolve_transactions_stream(raw)
+    q = (
+        out.writeStream.format("memory").queryName("mixed_gate")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from mixed_gate order by lsn_long").collect()
+    by_v = {r["after"]["v"]: r for r in rows if r["op"] == "insert"}
+    assert sorted(by_v) == ["kept2pc", "plain", "streamed"]
+    assert by_v["streamed"]["xid"] == 800
+    assert by_v["kept2pc"]["xid"] == 700  # stamped frame xid applied
+    assert by_v["kept2pc"]["commit_ts"] is not None
+    assert by_v["plain"]["xid"] == 300 and by_v["plain"]["commit_ts"] is None
+    ops = {r["op"] for r in rows}
+    # all controls and owned fates consumed; nothing re-emitted (every
+    # fate found its buffered state)
+    assert not ops & {"begin_prepare", "prepare", "stream_commit",
+                      "commit_prepared", "rollback_prepared"}

@@ -348,3 +348,32 @@ def test_streamed_txn_query_survives_tiny_arrow_batches(spark):
         for r in con.execute(QUERIES["q_cdc_streamed_txn"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_decode_stamps_prepared_frames(spark):
+    """decode_pgoutput stamps b..P-framed DML with meta.prepared_xid /
+    prepared_gid (per-partition frame state, analogous to
+    stream_top_xid) so the streaming gate can key plain 2PC rows
+    without positional attribution."""
+    msgs = [
+        _rel(),
+        fmt.encode_begin_prepare("0/100", "0/110", TS_US, 900, "gid-x"),
+        _ins(1),
+        fmt.encode_prepare("0/100", "0/110", TS_US, 900, "gid-x"),
+        # plain v1 txn after the frame: must NOT be stamped
+        fmt.encode_begin("0/200", TS_US, 300),
+        _ins(5),
+        fmt.encode_commit("0/200", "0/210", TS_US),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).repartition(1)
+    rows = {
+        r["after"]["id"]: r
+        for r in decode_pgoutput(raw).filter("op = 'insert'").collect()
+    }
+    framed = rows["1"]["meta"]
+    assert framed["prepared_xid"] == "900" and framed["prepared_gid"] == "gid-x"
+    plain_meta = rows["5"]["meta"] or {}
+    assert "prepared_xid" not in plain_meta
