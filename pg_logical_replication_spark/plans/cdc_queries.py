@@ -840,7 +840,7 @@ def q_cdc_txn_frames(spark, sf_dir):
 )
 def q_cdc_streamed_txn(spark, sf_dir):
     """Each txn = 100 events, streamed in (possibly several) [S,E)
-    segments — seq blocks of 10000 per txn keep segment intervals
+    segments — seq blocks of 1e6 per txn keep segment intervals
     disjoint, so resolve_streamed's broadcast interval-join maps every
     change to its segment without sorting the stream. Fate messages
     (c/A) are built from a tiny per-txn aggregate and unioned in —
@@ -1330,4 +1330,152 @@ def q_cdc_toast_fill(spark, sf_dir):
         F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
         F.col("after").getItem("event_id").cast("bigint").alias("event_id"),
         F.col("after").getItem("props").alias("props_filled"),
+    )
+
+
+@register(
+    "q_cdc_mixed_txns",
+    """
+    WITH base AS (SELECT event_id, event_id // 100 AS t FROM events),
+    kept AS (
+      SELECT event_id, t FROM base
+      WHERE t % 7 <> 0
+        AND NOT (t % 2 = 0 AND t % 3 = 0 AND event_id % 100 >= 90)
+    )
+    SELECT CAST(t AS BIGINT) AS top_xid,
+           CASE WHEN t % 2 = 1 THEN 'gid-' || CAST(t AS VARCHAR) END AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM kept GROUP BY 1, 2
+    """,
+    "MIXED transaction shapes on one wire (the r1-advice scenario at "
+    "data scale): even txns stream as v2 S/E segments (subxact for the "
+    "last 10 rows), odd txns arrive as plain two-phase b..P frames; "
+    "every 7th txn's fate is an abort/rollback_prepared, every 3rd "
+    "even txn's subxact aborts. resolve_transactions chains the two "
+    "gates — each consumes only the prepared fates it owns — and the "
+    "survivors (with the 2PC gid on plain txns only) must equal DuckDB "
+    "filtering the source directly",
+)
+def q_cdc_mixed_txns(spark, sf_dir):
+    """Even txns reuse q_cdc_streamed_txn's segment encoding (spliced
+    sub-xids), odd txns q_cdc_two_phase's frame encoding; fates for
+    both land in the same per-txn 1e6-wide seq block. One decode, one
+    resolve_transactions chain, one aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.transactions import (
+        resolve_transactions,
+    )
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51237
+    rel = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20)], key_columns=["event_id"]
+    )
+    TS = 1_700_000_000_000_000
+
+    def encode_bodies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seg_idx: dict[int, int] = {}
+        for pdf in batches:
+            seqs: list[int] = []
+            data: list[bytes] = []
+            for txn, grp in pdf.groupby(pdf["event_id"] // 100, sort=True):
+                t_ = int(txn)
+                s = seg_idx.get(t_, 0)
+                seg_idx[t_] = s + 1
+                assert s < 499, f"txn {t_}: segment {s} overflows seq block"
+                base = t_ * 1_000_000 + s * 2000
+                if t_ % 2 == 0:  # streamed v2 segments
+                    seqs.append(base)
+                    data.append(pgf.encode_stream_start(t_, first_segment=(s == 0)))
+                    for off, e in enumerate(grp["event_id"]):
+                        eid = int(e)
+                        sub = eid % 100 >= 90
+                        xid = t_ + 1_000_000 if sub else t_
+                        seqs.append(base + 1 + off)
+                        data.append(pgf.with_stream_xid(
+                            xid, pgf.encode_insert(OID, [("t", str(eid))])
+                        ))
+                    seqs.append(base + 1999)
+                    data.append(pgf.encode_stream_stop())
+                else:  # plain two-phase frame
+                    gid = f"gid-{t_}"
+                    seqs.append(base)
+                    data.append(pgf.encode_begin_prepare(
+                        f"0/{base * 8 + 16:X}", f"0/{base * 8 + 24:X}", TS, t_, gid
+                    ))
+                    for off, e in enumerate(grp["event_id"]):
+                        seqs.append(base + 1 + off)
+                        data.append(pgf.encode_insert(OID, [("t", str(int(e)))]))
+                    seqs.append(base + 1999)
+                    data.append(pgf.encode_prepare(
+                        f"0/{base * 8 + 16:X}", f"0/{base * 8 + 24:X}", TS, t_, gid
+                    ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    def encode_fates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for t_ in pdf["txn"]:
+                t_ = int(t_)
+                if t_ % 2 == 0:  # streamed fates
+                    if t_ % 7 == 0:
+                        seqs.append(t_ * 1_000_000 + 999_999)
+                        data.append(pgf.encode_stream_abort(t_))
+                        continue
+                    if t_ % 3 == 0:
+                        seqs.append(t_ * 1_000_000 + 999_998)
+                        data.append(pgf.encode_stream_abort(t_, t_ + 1_000_000))
+                    seqs.append(t_ * 1_000_000 + 999_999)
+                    data.append(pgf.encode_stream_commit(
+                        t_, f"0/{t_ * 8 + 16:X}", f"0/{t_ * 8 + 24:X}", TS
+                    ))
+                else:  # prepared fates
+                    gid = f"gid-{t_}"
+                    seqs.append(t_ * 1_000_000 + 999_999)
+                    if t_ % 7 == 0:
+                        data.append(pgf.encode_rollback_prepared(
+                            f"0/{t_:X}", f"0/{t_ + 8:X}", TS, TS + 1_000_000, t_, gid
+                        ))
+                    else:
+                        data.append(pgf.encode_commit_prepared(
+                            f"0/{t_:X}", f"0/{t_ + 8:X}", TS + 1_000_000, t_, gid
+                        ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    wire = (
+        ev.repartition(spark.sparkContext.defaultParallelism,
+                       F.expr("event_id div 100"))
+        .sortWithinPartitions("event_id")
+        .mapInPandas(encode_bodies, schema="lsn string, seq long, data binary")
+    )
+    fates = (
+        ev.select(F.expr("event_id div 100").alias("txn")).distinct()
+        .mapInPandas(encode_fates, schema="lsn string, seq long, data binary")
+    )
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    decoded = decode_pgoutput(wire.unionByName(fates), relations=cache).persist()
+    resolved = resolve_transactions(decoded)
+    return (
+        resolved.filter(F.col("op") == "insert")
+        .groupBy(
+            F.coalesce(F.col("top_xid"), F.col("xid")).alias("top_xid"),
+            F.col("gid"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
+        )
     )
