@@ -805,3 +805,46 @@ def q_corpus_pack_sequences(spark, sf_dir):
 
     return pack_sequences(t(spark, sf_dir, "documents"), budget=512,
                           bucket_size=100)
+
+
+@register(
+    "q_corpus_profile",
+    f"""
+    WITH feat AS (
+      SELECT source, lang,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+           ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE) / n_tokens), 6)
+             AS avg_chars_per_token
+    FROM feat GROUP BY source
+    """,
+    "corpus profile: the first pass any 100 TB ingestion runs — per-"
+    "source doc/token totals, language spread, exact token-count "
+    "quantiles, chars-per-token; one scan, one tiny per-source "
+    "aggregate (exact quantiles are sort-based — at scale swap in "
+    "approx_percentile's mergeable t-digest, same query shape)",
+)
+def q_corpus_profile(spark, sf_dir):
+    from pg_logical_replication_spark.operators.dedup import tokens_expr
+
+    feat = t(spark, sf_dir, "documents").select(
+        "source", "lang",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("median_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")), 6)
+            .alias("avg_chars_per_token"),
+    )

@@ -50,6 +50,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     at 1.7e18). DuckDB reads the same column as TIMESTAMP_NS and floors
     to µs on cast — identical values.
     """
+    # Every timestamp-valued query's DuckDB twin compares in UTC; pin the
+    # session so results are byte-identical even when the CALLER's
+    # session (e.g. the correctness driver's) was built in another zone.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
