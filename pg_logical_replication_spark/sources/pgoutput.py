@@ -178,6 +178,15 @@ def decode_pgoutput(
             # to_datetime is ~3× faster than 100k row dicts with a
             # pd.Timestamp each (measured on the roundtrip bench)
             cols: dict[str, list[Any]] = {c: [] for c in out_cols}
+            # hot loop: 11 appends/message — bind them to locals once
+            (a_op, a_lsn, a_xid, a_ts, a_schema, a_table, a_key, a_before,
+             a_after, a_meta, a_seq) = (
+                cols["op"].append, cols["lsn"].append, cols["xid"].append,
+                cols["commit_ts"].append, cols["schema"].append,
+                cols["table"].append, cols["key"].append,
+                cols["before"].append, cols["after"].append,
+                cols["meta"].append, cols["seq"].append,
+            )
             for data, lsn, seq in zip(pdf[data_col], pdf[lsn_col], pdf[seq_col]):
                 relations.seq = seq
                 ev = fmt.parse_message(bytes(data), relations, streamed=in_stream)
@@ -211,17 +220,18 @@ def decode_pgoutput(
                     and f"{ev.get('schema')}.{ev['table']}" not in pub
                 ):
                     continue
-                cols["op"].append(ev["op"])
-                cols["lsn"].append(ev.get("lsn") or lsn)
-                cols["xid"].append(ev.get("xid"))
-                cols["commit_ts"].append(ev.get("commit_ts_us"))
-                cols["schema"].append(ev.get("schema"))
-                cols["table"].append(ev.get("table"))
-                cols["key"].append(ev.get("key"))
-                cols["before"].append(ev.get("before"))
-                cols["after"].append(ev.get("after"))
-                cols["meta"].append(ev.get("meta"))
-                cols["seq"].append(seq)
+                get = ev.get
+                a_op(ev["op"])
+                a_lsn(get("lsn") or lsn)
+                a_xid(get("xid"))
+                a_ts(get("commit_ts_us"))
+                a_schema(get("schema"))
+                a_table(get("table"))
+                a_key(get("key"))
+                a_before(get("before"))
+                a_after(get("after"))
+                a_meta(get("meta"))
+                a_seq(seq)
             if not cols["op"]:
                 continue  # fully-filtered batch: empty lists would
                 # materialize as float64 columns Arrow can't map-cast
