@@ -1,0 +1,75 @@
+"""Edge-case unit tests for the round-2 corpus operators (the oracle
+parity tests cover the bulk path on driver data; these pin the corners).
+"""
+
+from pg_logical_replication_spark.operators.dedup import contamination
+from pg_logical_replication_spark.operators.packing import pack_sequences
+from pg_logical_replication_spark.operators.text import pii_scrub, repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org or 10.0.0.1 acct 123456789"),
+        (2, "clean text, digits 12345678 too short"),
+    ]
+    out = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_long_digits"]) == (1, 1, 1)
+    assert out[1]["n_chars_scrubbed"] != out[1]["n_chars_raw"]
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_long_digits"]) == (0, 0, 0)
+    assert out[2]["n_chars_scrubbed"] == out[2]["n_chars_raw"]
+
+
+def test_repetition_stats_short_doc_is_zero(spark):
+    rows = [
+        (1, "one two"),                      # < n tokens → no ngrams
+        (2, "spam spam spam spam spam"),     # 3 identical trigrams
+        (3, "all words here are different"),
+    ]
+    out = {r["doc_id"]: r for r in repetition_stats(_docs(spark, rows)).collect()}
+    assert out[1]["n_ngrams"] == 0 and out[1]["dup_ngram_ratio"] == 0.0
+    assert out[2]["n_ngrams"] == 3 and out[2]["n_distinct_ngrams"] == 1
+    assert abs(out[2]["dup_ngram_ratio"] - (1 - 1 / 3)) < 1e-6
+    assert out[3]["dup_ngram_ratio"] == 0.0
+
+
+def test_contamination_only_reports_hits(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over it")])
+    corpus = _docs(spark, [
+        (1, "prefix the quick brown fox jumps over it suffix"),  # shares 5-grams
+        (2, "completely unrelated words in this one here"),
+    ])
+    out = {r["doc_id"]: r for r in contamination(corpus, bench, n=5).collect()}
+    assert 1 in out and 2 not in out
+    assert out[1]["n_benchmark_docs"] == 1
+    assert out[1]["n_shared_shingles"] >= 1
+
+
+def test_pack_sequences_greedy_rules(spark):
+    # bucket 0: 3+4 fit an 8-budget bin, 5 starts the next; an oversized
+    # doc (9 tokens) still gets its own bin
+    rows = [
+        (0, "a b c"),            # 3
+        (1, "a b c d"),          # 4
+        (2, "a b c d e"),        # 5
+        (3, "a b c d e f g h i"),  # 9 > budget
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            _docs(spark, rows), budget=8, bucket_size=100
+        ).collect()
+    }
+    assert out[0]["bin_id"] == out[1]["bin_id"]          # 3+4 <= 8
+    assert out[2]["bin_id"] == out[0]["bin_id"] + 1      # 5 would overflow
+    assert out[3]["bin_id"] == out[2]["bin_id"] + 1      # oversized → own bin
+    assert (out[0]["bin_seq"], out[1]["bin_seq"]) == (0, 1)
+    # bins are bucket-local: doc in another bucket restarts numbering
+    far = pack_sequences(
+        _docs(spark, rows + [(250, "x y z")]), budget=8, bucket_size=100
+    )
+    r250 = {r["doc_id"]: r for r in far.collect()}[250]
+    assert r250["bucket"] == 2 and r250["bin_id"] == 2_000_000
