@@ -39,6 +39,27 @@ def _norm(v):
     return str(v)
 
 
+def _type_class(t: str) -> str:
+    """Coarse cross-engine type class (pandas-conversion equivalence)."""
+    t = t.lower()
+    if "hugeint" in t:
+        return "int128"  # pandas converts to float64/object — never OK
+    for cls, keys in (
+        ("int", ("tinyint", "smallint", "bigint", "int")),
+        ("float", ("double", "float", "real")),
+        ("decimal", ("decimal", "numeric")),
+        ("bool", ("bool",)),
+        ("timestamp", ("timestamp",)),
+        ("date", ("date",)),
+        ("array", ("array", "[]", "list")),
+        ("map", ("map",)),
+        ("string", ("string", "varchar", "char", "text")),
+    ):
+        if any(k in t for k in keys):
+            return cls
+    return t
+
+
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -66,9 +87,14 @@ def test_oracle_parity(spark, duck, name):
     # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT (int128,
     # the default SUM(integer) result) converts to float64/object in
     # pandas while Spark yields int64 — identical values, different hash
-    # (bit us on q12 round 1). Force oracles to CAST sums to BIGINT.
-    hugeint = [c for c, ty in zip(dcols, rel.types) if "HUGEINT" in str(ty).upper()]
-    assert not hugeint, f"{name}: oracle returns HUGEINT cols {hugeint}; CAST AS BIGINT"
+    # (bit us on q12 round 1). Compare coarse type classes per column so
+    # ANY int/float/decimal/string divergence fails here, not at the
+    # driver; HUGEINT maps to its own class nothing on the Spark side
+    # matches, forcing oracles to CAST sums to BIGINT.
+    sclass = {c: _type_class(t) for c, t in sdf.dtypes}
+    dclass = {c: _type_class(str(t)) for c, t in zip(dcols, rel.types)}
+    diff = {c: (sclass[c], dclass[c]) for c in sclass if sclass[c] != dclass[c]}
+    assert not diff, f"{name}: column type classes differ spark vs oracle: {diff}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     left, right = _rows(scols, srows), _rows(dcols, drows)
     mismatches = [i for i, (a, b) in enumerate(zip(left, right)) if a != b]
