@@ -106,3 +106,37 @@ def q_mm_resize(spark, sf_dir):
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+@register(
+    "q_mm_dedup_exact",
+    f"""
+    WITH assets AS ({_ASSETS})
+    SELECT md5(payload_hex) AS payload_hash,
+           MIN(asset_id) AS representative_id,
+           COUNT(*) AS n_dups,
+           CAST(MIN(octet_length(payload)) AS INT) AS n_bytes
+    FROM assets GROUP BY md5(payload_hex) HAVING COUNT(*) > 1
+    """,
+    "multimodal exact dedup: duplicate assets by content digest — the "
+    "image/audio analogue of text exact-dedup; only 16-byte hashes "
+    "shuffle, payload bytes stay in the scan",
+)
+def q_mm_dedup_exact(spark, sf_dir):
+    """Content-hash dedup over binary payloads. At 100 TB the md5 is
+    computed in the scan projection (JVM, per partition) and the groupBy
+    shuffles digests + ids only — payload bytes never move."""
+    assets = MM.synthesize_assets(t(spark, sf_dir, "documents"))
+    return (
+        assets.groupBy(
+            # digest the canonical lowercase-hex form: DuckDB's md5()
+            # rejects BLOB, and hex is engine-portable anyway
+            F.md5(F.lower(F.hex("payload"))).alias("payload_hash")
+        )
+        .agg(
+            F.min("asset_id").alias("representative_id"),
+            F.count("*").alias("n_dups"),
+            F.min(F.length("payload")).cast("int").alias("n_bytes"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

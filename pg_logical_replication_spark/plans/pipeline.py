@@ -848,3 +848,45 @@ def q_corpus_profile(spark, sf_dir):
         F.round(F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")), 6)
             .alias("avg_chars_per_token"),
     )
+
+
+@register(
+    "q_embed_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS norm
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(norm AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_norm,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+    "embedding hygiene: per-label L2-norm distribution (catches "
+    "unnormalized / zero vectors before they poison cosine ANN); "
+    "per-row norm is sequential double accumulation on both engines, "
+    "group stats via the decimal-sum determinism trick",
+)
+def q_embed_norm_stats(spark, sf_dir):
+    from pg_logical_replication_spark.plans.registry import ssum
+
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    per_vec = emb.select("label", norm.alias("norm"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(ssum("norm") / F.count("*"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
