@@ -1479,3 +1479,85 @@ def q_cdc_mixed_txns(spark, sf_dir):
             F.sum(F.col("after").getItem("event_id").cast("bigint")).alias("sum_eid"),
         )
     )
+
+
+@register(
+    "q_cdc_changed_columns",
+    """
+    WITH ev AS (SELECT event_id FROM events)
+    SELECT col, CAST(COUNT(*) AS BIGINT) AS n_changed,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM (
+      SELECT event_id, 'value' AS col FROM ev
+      UNION ALL
+      SELECT event_id, 'status' FROM ev WHERE event_id % 3 = 0
+    ) GROUP BY col
+    """,
+    "change-audit over replica-identity-FULL updates: every event "
+    "becomes a U message with old ('O') and new images; value changes "
+    "on every update, status only on every 3rd — per-column change "
+    "counts from before/after map comparison must equal DuckDB "
+    "deriving them from the source",
+)
+def q_cdc_changed_columns(spark, sf_dir):
+    """Which columns actually change — the schema-drift / hot-column
+    audit every CDC consumer eventually writes. before/after are map
+    columns out of decode, so the comparison is a JVM map_filter; one
+    explode of CHANGED columns only (≤2 per row here), then a tiny
+    aggregate. Scale: the U+O encode doubles message size, not shuffle
+    size — comparisons happen in the scan projection."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51238
+    rel = pgf.encode_relation(
+        OID, "public", "events",
+        [("event_id", 20), ("value", 25), ("status", 25)],
+        key_columns=["event_id"],
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for e in pdf["event_id"]:
+                eid = int(e)
+                old = [("t", str(eid)), ("t", f"v{eid}"),
+                       ("t", "ok" if eid % 3 else "old")]
+                new = [("t", str(eid)), ("t", f"v{eid}x"),
+                       ("t", "ok" if eid % 3 else "new")]
+                seqs.append(eid)
+                data.append(pgf.encode_update(OID, new, old=old))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    upd = decode_pgoutput(wire, relations=cache).filter(F.col("op") == "update")
+    changed = upd.select(
+        F.col("after").getItem("event_id").cast("bigint").alias("event_id"),
+        F.map_keys(
+            F.map_filter(
+                F.col("after"),
+                lambda k, v: (k != F.lit("event_id"))
+                & ~v.eqNullSafe(F.col("before").getItem(k)),
+            )
+        ).alias("cols"),
+    )
+    return (
+        changed.select("event_id", F.explode("cols").alias("col"))
+        .groupBy("col")
+        .agg(
+            F.count("*").alias("n_changed"),
+            F.sum("event_id").alias("sum_eid"),
+        )
+    )
