@@ -73,6 +73,10 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
+        # a few CDC queries persist() their decoded stream (it feeds
+        # 3-4 extractions); drop those blocks between queries so caches
+        # don't accumulate across the run
+        spark.catalog.clearCache()
 
     decode_tp = _pgoutput_decode_throughput(spark, cpus)
 

@@ -813,7 +813,8 @@ def q_corpus_pack_sequences(spark, sf_dir):
     WITH feat AS (
       SELECT source, lang,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             CAST(length(text) AS BIGINT) AS n_chars
+             CAST(length(text) AS BIGINT) AS n_chars,
+             ROUND(CAST(length(text) AS DOUBLE) / len({_TOKS}), 6) AS cpt
       FROM documents)
     SELECT source,
            COUNT(*) AS n_docs,
@@ -821,8 +822,8 @@ def q_corpus_pack_sequences(spark, sf_dir):
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
            ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
-           ROUND(AVG(CAST(n_chars AS DOUBLE) / n_tokens), 6)
-             AS avg_chars_per_token
+           ROUND(CAST(SUM(CAST(cpt AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(cpt), 6) AS avg_chars_per_token
     FROM feat GROUP BY source
     """,
     "corpus profile: the first pass any 100 TB ingestion runs — per-"
@@ -832,12 +833,18 @@ def q_corpus_pack_sequences(spark, sf_dir):
     "approx_percentile's mergeable t-digest, same query shape)",
 )
 def q_corpus_profile(spark, sf_dir):
+    """Group mean via savg (per-row ratio rounded, decimal-accumulated):
+    plain AVG of doubles is partial-merge-order dependent — the exact
+    flake class registry.ssum exists to kill."""
     from pg_logical_replication_spark.operators.dedup import tokens_expr
+    from pg_logical_replication_spark.plans.registry import savg
 
+    n_tok = F.size(tokens_expr("text")).cast("long")
     feat = t(spark, sf_dir, "documents").select(
         "source", "lang",
-        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
+        F.round(F.length("text").cast("double") / n_tok, 6).alias("cpt"),
     )
     return feat.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -845,8 +852,7 @@ def q_corpus_profile(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("median_tokens"),
         F.round(F.percentile("n_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
-        F.round(F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")), 6)
-            .alias("avg_chars_per_token"),
+        F.round(savg("cpt"), 6).alias("avg_chars_per_token"),
     )
 
 

@@ -155,7 +155,7 @@ def assemble_transactions_stream(
 STREAM_STATE_SCHEMA = "buffered array<string>, aborted array<long>"
 
 
-def _make_stream_resolve(timeout_ms: int | None):
+def _make_stream_resolve(timeout_ms: int | None, reemit_unmatched_fates: bool = True):
     def _resolve(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
         (top_xid,) = key
         if state.hasTimedOut:
@@ -177,15 +177,20 @@ def _make_stream_resolve(timeout_ms: int | None):
         ))
 
         # A key whose ONLY traffic ever is commit_prepared/rollback_
-        # prepared belongs to a PLAIN (non-streamed) 2PC transaction —
-        # its b..P changes took the passthrough branch, so swallowing
-        # the fate here would leave them ungated forever. Emit the fate
-        # rows unchanged for a downstream prepared-frame gate. (A real
-        # streamed txn always has segment/fate stream-* rows or prior
-        # buffered state under this key by the time its fate arrives.)
+        # prepared has no buffered state to gate. When this operator is
+        # the streamed-only gate (reemit_unmatched_fates=True), that
+        # means a PLAIN 2PC transaction whose b..P changes took the
+        # passthrough branch — emit the fate rows unchanged so a
+        # downstream prepared-frame gate (e.g. batch resolve_prepared in
+        # a foreachBatch sink) can consume them. When it is the COMBINED
+        # gate (False), nothing downstream wants fates: a state-less
+        # fate is a zero-DML prepared txn or a timeout-GC'd streamed
+        # txn's late fate — swallow it, matching the batch resolvers.
         if not state.exists and rows and all(
             r["op"] in ("commit_prepared", "rollback_prepared") for r in rows
         ):
+            if not reemit_unmatched_fates:
+                return
             out = []
             for row in rows:
                 ev = {f: row.get(f) for f in _EVENT_FIELDS}
@@ -317,7 +322,10 @@ def resolve_transactions_stream(
         F.col("meta").getItem("prepared_xid").cast("long"),
     )
     ctrl_ops = ["stream_start", "stream_stop", "begin_prepare", "prepare"]
-    return _gated_stream(events, top, ctrl_ops, timeout_ms, passthrough)
+    return _gated_stream(
+        events, top, ctrl_ops, timeout_ms, passthrough,
+        reemit_unmatched_fates=False,
+    )
 
 
 def _gated_stream(
@@ -326,6 +334,7 @@ def _gated_stream(
     ctrl_ops: list[str],
     timeout_ms: int | None,
     passthrough: bool,
+    reemit_unmatched_fates: bool = True,
 ) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -354,7 +363,7 @@ def _gated_stream(
         )
         .groupBy("_top")
         .applyInPandasWithState(
-            _make_stream_resolve(timeout_ms),
+            _make_stream_resolve(timeout_ms, reemit_unmatched_fates),
             outputStructType=TXN_OUTPUT_SCHEMA,
             stateStructType=STREAM_STATE_SCHEMA,
             outputMode="append",

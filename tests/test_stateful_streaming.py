@@ -384,6 +384,11 @@ def test_resolve_transactions_stream_mixed_shapes(spark, tmp_path):
         sev("commit_prepared", 0x710, 10, 700,
             commit_ts="2026-08-13 00:00:13.000000"),
         sev("rollback_prepared", 0x610, 11, 600),
+        # zero-DML prepared txn: its fate has no state — the COMBINED
+        # gate must swallow it (batch resolve_transactions consumes it
+        # via the frame too), not re-emit a stray fate row
+        sev("commit_prepared", 0x910, 12, 900,
+            commit_ts="2026-08-13 00:00:14.000000"),
     ]
     src = tmp_path / "src"; src.mkdir()
     for i, batch in enumerate([batch1, batch2]):
