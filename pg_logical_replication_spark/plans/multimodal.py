@@ -116,7 +116,8 @@ def q_mm_resize(spark, sf_dir):
            MIN(asset_id) AS representative_id,
            COUNT(*) AS n_dups,
            CAST(MIN(octet_length(payload)) AS INT) AS n_bytes
-    FROM assets GROUP BY md5(payload_hex) HAVING COUNT(*) > 1
+    FROM assets GROUP BY md5(payload_hex)
+    ORDER BY n_dups DESC, payload_hash LIMIT 50
     """,
     "multimodal exact dedup: duplicate assets by content digest — the "
     "image/audio analogue of text exact-dedup; only 16-byte hashes "
@@ -138,5 +139,6 @@ def q_mm_dedup_exact(spark, sf_dir):
             F.count("*").alias("n_dups"),
             F.min(F.length("payload")).cast("int").alias("n_bytes"),
         )
-        .filter(F.col("n_dups") > 1)
+        .orderBy(F.col("n_dups").desc(), "payload_hash")
+        .limit(50)
     )
