@@ -79,6 +79,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     decode_tp = _pgoutput_decode_throughput(spark, cpus)
+    latency = _e2e_visibility_latency(spark)
 
     print(
         json.dumps(
@@ -89,6 +90,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "pgoutput_decode_500k": decode_tp,
+                "e2e_visibility_ms": latency,
             }
         )
     )
@@ -144,6 +146,74 @@ def _pgoutput_decode_throughput(spark, cpus: int) -> dict:
         "sec": round(best, 3),
         "msgs_per_sec": round(n / best),
         "baseline_msgs_per_sec": 5000,
+    }
+
+
+def _e2e_visibility_latency(spark) -> dict:
+    """BASELINE.md's latency envelope, reproduced: the reference asserts
+    changes visible to the consumer within 500-1000 ms of COMMIT (sleep
+    bounds in every decoder spec), measured with the replication
+    connection already open. Steady-state analogue: a continuously
+    running subscribe is draining the log; each round appends 100
+    committed wal2json changes and waits until the service has delivered
+    and acknowledged their last LSN (≙ the reference's consumer-callback
+    visibility; the MOR sink has also durably applied the batch by then).
+    Append→delivered wall time, best of 3."""
+    import json as _json
+    import tempfile
+    import time
+
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    root = tempfile.mkdtemp(prefix="plrs_lat_")
+    log = os.path.join(root, "log")
+    os.makedirs(log)
+    svc = LogicalReplicationService(spark, log, os.path.join(root, "ckpt"))
+    tbl = MergeOnReadTable(
+        spark, os.path.join(root, "tbl"), key_columns=["id"], table="t"
+    )
+    q = svc.subscribe("wal2json", "lat", tbl.writer(), available_now=False)
+    try:
+        best = float("inf")
+        total = 0
+        for batch in range(4):  # first round absorbs query warmup, untimed
+            t0 = time.perf_counter()
+            with open(os.path.join(log, f"{batch:03d}.jsonl"), "w") as f:
+                for i in range(100):
+                    rid = batch * 100 + i
+                    f.write(_json.dumps({
+                        "change": [{
+                            "kind": "insert", "schema": "public", "table": "t",
+                            "columnnames": ["id", "v"],
+                            "columntypes": ["bigint", "text"],
+                            "columnvalues": [rid, f"v{rid}"],
+                        }],
+                        "nextlsn": f"0/{16 + 8 * rid:X}",
+                    }) + "\n")
+            total += 100
+            # visibility ≙ the reference's consumer callback having fired
+            # (its specs assert handler delivery after a bounded sleep,
+            # not a table read): wait until the service has delivered +
+            # acknowledged the batch's last LSN
+            last = f"0/{16 + 8 * (total - 1):X}".upper()
+            want = int(last.split("/")[1], 16)
+            while True:
+                got = svc.last_lsn("lat")
+                if got is not None and int(got.split("/")[1], 16) >= want:
+                    break
+                time.sleep(0.005)
+            dt = time.perf_counter() - t0
+            if batch > 0:
+                best = min(best, dt)
+    finally:
+        q.stop()
+    return {
+        "changes": 100,
+        "ms": round(best * 1000),
+        "reference_envelope_ms": [500, 1000],
     }
 
 

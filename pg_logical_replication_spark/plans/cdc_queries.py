@@ -1561,3 +1561,68 @@ def q_cdc_changed_columns(spark, sf_dir):
             F.sum("event_id").alias("sum_eid"),
         )
     )
+
+
+@register(
+    "q_cdc_logical_messages",
+    """
+    SELECT 'app' || CAST(event_id % 3 AS VARCHAR) AS prefix,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_content
+    FROM events WHERE event_id % 10 = 0
+    GROUP BY 1
+    """,
+    "pg_logical_emit_message consumption ('M' messages, the in-WAL "
+    "application side-channel — markers, outbox events): every 10th "
+    "event emits one; decoded prefix routing + content aggregation "
+    "must match DuckDB on the source",
+)
+def q_cdc_logical_messages(spark, sf_dir):
+    """'M' payloads surface as meta{prefix, content(bytea-hex),
+    transactional}; content decodes JVM-side (unhex → string → bigint).
+    The reference decodes M too (pgoutput-parser.ts:193-204) but its
+    tests never consume one — this query is the consumer pattern."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pg_logical_replication_spark.sources import pgoutput_format as pgf
+
+        for pdf in batches:
+            seqs, data = [], []
+            for e in pdf["event_id"]:
+                eid = int(e)
+                seqs.append(eid)
+                data.append(pgf.encode_logical_message(
+                    f"0/{eid * 8 + 16:X}", f"app{eid % 3}",
+                    str(eid).encode(), transactional=(eid % 2 == 0),
+                ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    ev = (
+        t(spark, sf_dir, "events").select("event_id")
+        .filter(F.col("event_id") % 10 == 0)
+    )
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+    decoded = decode_pgoutput(wire, relations={})
+    msgs = decoded.filter(F.col("op") == "message")
+    return (
+        msgs.select(
+            F.col("meta").getItem("prefix").alias("prefix"),
+            F.unhex(F.substring(F.col("meta").getItem("content"), 3, 1_000_000))
+            .cast("string").cast("bigint").alias("content_val"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("content_val").alias("sum_content"),
+        )
+    )
