@@ -1066,3 +1066,37 @@ def q_fuzzy_part_names(spark, sf_dir):
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+@register(
+    "q_skew_salted_join",
+    """
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(e.event_id) AS BIGINT) AS sum_eid
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE n.n_regionkey = 1
+    GROUP BY e.event_type
+    """,
+    "skew-resistant salted equi-join, value-gated (not just plan-"
+    "gated): the big side joins a tiny dim through "
+    "operators.layout.salted_equi_join — hot keys spread over 8 salt "
+    "partitions — and the aggregate must equal DuckDB's plain join",
+)
+def q_skew_salted_join(spark, sf_dir):
+    """events.user_id%25 is a deliberately low-cardinality (hence
+    skew-prone) key; salting spreads each key over 8 shuffle partitions
+    while the dim side explodes 8× (25 rows → 200 — nothing). At real
+    skew AQE's skew-join split handles the same shape automatically;
+    this keeps the manual tool oracle-verified."""
+    from pg_logical_replication_spark.operators.layout import salted_equi_join
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("long")
+    )
+    dim = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    joined = salted_equi_join(ev, dim, on=["n_nationkey"], n_salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_eid"),
+    )
