@@ -284,3 +284,39 @@ def repetition_stats(
                        / F.size(grams), 6)
          ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
     )
+
+
+def rare_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_count: int = 2,
+) -> DataFrame:
+    """Corpus-statistics quality signal: per-doc rare-token ratio.
+
+    A token is *rare* when its global (lowercased) corpus count is
+    ≤ ``max_count`` — documents dominated by rare tokens are gibberish,
+    OCR noise, or out-of-distribution, the unigram-LM intuition without
+    the cross-engine float-log hazard (all arithmetic here is integer
+    counts; the final ratio is one exact int division, rounded).
+
+    Scale: one shuffle to count the vocabulary, one shuffle joining
+    tokens back to their counts (both on the token key — the second
+    reuses the first's partitioning under AQE), then a per-doc
+    aggregate. The corpus text itself crosses no shuffle — only
+    (doc_id, token) pairs.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    ).select(F.col(id_col), F.lower(F.col("token")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("_gc"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("_gc") <= max_count).cast("long")).alias("n_rare"),
+            F.round(
+                F.sum((F.col("_gc") <= max_count).cast("long"))
+                / F.count("*"), 6
+            ).alias("rare_ratio"),
+        )
+    )

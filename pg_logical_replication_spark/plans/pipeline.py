@@ -896,3 +896,26 @@ def q_embed_norm_stats(spark, sf_dir):
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+@register(
+    "q_text_rare_tokens",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS gc FROM tok GROUP BY token)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.gc <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           ROUND(CAST(SUM(CASE WHEN v.gc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_ratio
+    FROM tok t JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    "rare-token ratio per doc (gibberish / OCR-noise / OOD signal): "
+    "fraction of tokens whose global corpus count is <= 2 — the "
+    "unigram-LM quality intuition in pure integer arithmetic",
+)
+def q_text_rare_tokens(spark, sf_dir):
+    return TX.rare_token_stats(t(spark, sf_dir, "documents"))
