@@ -1626,3 +1626,58 @@ def q_cdc_logical_messages(spark, sf_dir):
             F.sum("content_val").alias("sum_content"),
         )
     )
+
+
+@register(
+    "q_cdc_sequence_state",
+    """
+    SELECT 'seq_' || CAST(event_id % 4 AS VARCHAR) AS seq_name,
+           COUNT(*) AS n_updates,
+           CAST(MAX(event_id * 10) AS BIGINT) AS max_last_value,
+           CAST(SUM(event_id % 2) AS BIGINT) AS n_transactional
+    FROM events WHERE event_id % 50 = 0
+    GROUP BY 1
+    """,
+    "include-sequences consumption (PG 16+ pg_decode_sequence, "
+    "test_decoding text lines): every 50th event updates one of four "
+    "sequences; decoded op='sequence' state (last_value, transactional "
+    "flag from meta) aggregates to DuckDB on the source — the reference "
+    "only pushes the option down, its grammar never parses these lines",
+)
+def q_cdc_sequence_state(spark, sf_dir):
+    """Sequence lines are text_decoding format — decoded by the layered
+    regex built-ins entirely JVM-side (zero Python); meta carries
+    last_value/log_cnt/is_called/transactional as strings, cast in the
+    projection."""
+    from pg_logical_replication_spark.sources.test_decoding import (
+        decode_test_decoding,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events").select("event_id")
+        .filter(F.col("event_id") % 50 == 0)
+    )
+    lines = ev.select(
+        F.concat(
+            F.lit("sequence public.seq_"),
+            (F.col("event_id") % 4).cast("string"),
+            F.lit(": transactional:"),
+            (F.col("event_id") % 2).cast("string"),
+            F.lit(" last_value: "),
+            (F.col("event_id") * 10).cast("string"),
+            F.lit(" log_cnt: 0 is_called:1"),
+        ).alias("value")
+    )
+    seqs = decode_test_decoding(lines).filter(F.col("op") == "sequence")
+    return (
+        seqs.groupBy(F.col("table").alias("seq_name"))
+        .agg(
+            F.count("*").alias("n_updates"),
+            F.max(F.col("meta").getItem("last_value").cast("bigint")).alias(
+                "max_last_value"
+            ),
+            F.sum(F.col("meta").getItem("transactional").cast("bigint")).alias(
+                "n_transactional"
+            ),
+        )
+    )
