@@ -1681,3 +1681,76 @@ def q_cdc_sequence_state(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_cdc_temporal_join",
+    """
+    WITH dim AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(38,6)) AS VARCHAR) AS val,
+             event_type,
+             event_id AS valid_from,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to
+      FROM events WHERE event_id % 2 = 0),
+    versions AS (SELECT * FROM dim WHERE event_type <> 'error'),
+    facts AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 1)
+    SELECT CAST(f.user_id % 16 AS INTEGER) AS bucket,
+           COUNT(*) AS n_matched,
+           CAST(SUM(CAST(v.val AS DECIMAL(38,6))) AS DOUBLE) AS dim_value_sum
+    FROM facts f JOIN versions v
+      ON f.user_id = v.user_id
+     AND f.event_id >= v.valid_from
+     AND (v.valid_to IS NULL OR f.event_id < v.valid_to)
+    GROUP BY 1
+    """,
+    "temporal (SCD2 as-of) join — THE CDC analytics pattern: facts "
+    "(odd events) join the dimension version (SCD2 history built from "
+    "even events, errors = deletes closing versions) valid at their "
+    "stream position; facts landing in a deleted gap match nothing",
+)
+def q_cdc_temporal_join(spark, sf_dir):
+    """Equality on the key + range on stream position: Spark plans a
+    sort-merge join on user_id with the validity range as a join-level
+    filter — per-key version chains are short, so no quadratic blowup
+    and no broadcast-nested-loop. At 100 TB both sides pre-partition by
+    the key; the history side is the small one (one row per change,
+    not per fact)."""
+    from pg_logical_replication_spark.operators.apply_changes import scd2_history
+    from pg_logical_replication_spark.plans.registry import ssum
+
+    ev = t(spark, sf_dir, "events")
+    dim_ev = ev.filter(F.col("event_id") % 2 == 0)
+    is_del = F.col("event_type") == "error"
+    img = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("decimal(38,6)").cast("string"),
+    )
+    changes = dim_ev.select(
+        F.when(is_del, "delete").otherwise("update").alias("op"),
+        F.col("event_id").alias("lsn_long"),
+        F.lit("events").alias("table"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("key"),
+        F.when(~is_del, img).alias("after"),
+    )
+    versions = scd2_history(changes, key_columns=["user_id"]).select(
+        F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
+        F.col("after").getItem("value").alias("val"),
+        F.col("valid_from_lsn").alias("valid_from"),
+        F.col("valid_to_lsn").alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "event_id")
+    joined = facts.join(
+        versions,
+        (facts["user_id"] == versions["user_id"])
+        & (facts["event_id"] >= versions["valid_from"])
+        & (versions["valid_to"].isNull()
+           | (facts["event_id"] < versions["valid_to"])),
+    )
+    return joined.groupBy(
+        (facts["user_id"] % 16).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_matched"),
+        ssum("val").alias("dim_value_sum"),
+    )

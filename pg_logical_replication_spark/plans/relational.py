@@ -1100,3 +1100,41 @@ def q_skew_salted_join(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("event_id").alias("sum_eid"),
     )
+
+
+@register(
+    "q_approx_percentile_contract",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY 1
+    """,
+    "approx_percentile accuracy contract, oracle-gated: the t-digest-"
+    "style sketch median (accuracy 10000) must land within 1% of the "
+    "exact interpolated median per group — the mergeable sketch is the "
+    "100 TB path where exact percentile's global sort is not "
+    "(q_agg_percentile keeps the exact surface); same contract pattern "
+    "as q_approx_distinct_contract",
+)
+def q_approx_percentile_contract(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "exact_median"
+            ),
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            (
+                F.abs(F.col("_approx") - F.col("exact_median"))
+                <= 0.01 * F.col("exact_median")
+            ).alias("approx_ok"),
+        )
+    )
