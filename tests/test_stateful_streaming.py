@@ -421,3 +421,65 @@ def test_resolve_transactions_stream_mixed_shapes(spark, tmp_path):
     # fate found its buffered state)
     assert not ops & {"begin_prepare", "prepare", "stream_commit",
                       "commit_prepared", "rollback_prepared"}
+
+
+def test_stream_gate_state_survives_query_restart(spark, tmp_path):
+    """Buffered segments must gate correctly when the fate arrives after
+    a full query STOP + RESTART on the same checkpoint (state-store
+    persistence), not merely in a later micro-batch of one run."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_transactions_stream,
+    )
+
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+
+    def sev(op, lsn_long, seq, xid, top=None, after=None, commit_ts=None):
+        e = _ev(op, lsn_long, seq, xid, "users" if after else None, after, commit_ts)
+        e["meta"] = {"stream_top_xid": str(top)} if top is not None else None
+        return e
+
+    src = tmp_path / "src"; src.mkdir()
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+        )
+        # memory sink can't recover a checkpoint; parquet sink can
+        q = (
+            resolve_transactions_stream(raw)
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # run 1: segments only — nothing may emit
+    with open(src / "000.jsonl", "w") as f:
+        f.write(json.dumps(
+            sev("insert", 0x101, 1, 100, top=100, after={"id": "1", "v": "kept"})
+        ) + "\n")
+        f.write(json.dumps(
+            sev("insert", 0x201, 2, 200, top=200, after={"id": "2", "v": "dropped"})
+        ) + "\n")
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0
+
+    # run 2 (fresh query, same checkpoint): fates arrive
+    with open(src / "001.jsonl", "w") as f:
+        f.write(json.dumps(
+            sev("stream_commit", 0x110, 3, 100,
+                commit_ts="2026-08-13 00:00:21.000000")
+        ) + "\n")
+        f.write(json.dumps(sev("stream_abort", 0x210, 4, 200)) + "\n")
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    vs = [r["after"]["v"] for r in rows if r["op"] == "insert"]
+    assert vs == ["kept"]
+    assert rows[0]["xid"] == 100 and rows[0]["commit_ts"] is not None
