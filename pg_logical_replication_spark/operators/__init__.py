@@ -12,5 +12,7 @@ from pg_logical_replication_spark.operators.apply_changes import (  # noqa: F401
 )
 from pg_logical_replication_spark.operators.transactions import (  # noqa: F401
     assign_transactions,
+    resolve_prepared,
     resolve_streamed,
+    resolve_transactions,
 )

@@ -27,5 +27,6 @@ from pg_logical_replication_spark.streaming.apply import (  # noqa: F401
 from pg_logical_replication_spark.streaming.stateful import (  # noqa: F401
     assemble_transactions_stream,
     resolve_streamed_stream,
+    resolve_transactions_stream,
     toast_fill_stream,
 )
