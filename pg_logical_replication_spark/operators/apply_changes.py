@@ -397,3 +397,51 @@ def snapshot_diff(
             *[joined[f"n_{c}"].alias(f"new_{c}") for c in value_columns],
         )
     )
+
+
+def bootstrap_events(
+    snapshot: DataFrame,
+    key_columns: list[str],
+    table: str = "t",
+    schema: str = "public",
+    columns: list[str] | None = None,
+    lsn: str = "0/00000000",
+) -> DataFrame:
+    """Initial-load snapshot → synthetic ``insert`` ChangeEvents.
+
+    The Debezium "initial snapshot" pattern (snapshot.mode=initial): a
+    consistent table image is emitted as inserts AT the snapshot LSN,
+    then the live stream (all positions > snapshot LSN) unions on top —
+    ``apply_changes`` over the union resolves per key with stream
+    changes winning, so a consumer bootstraps an existing table and
+    catches up in ONE code path. The reference starts streams at a slot
+    position the same way (`subscribe(…, uptoLsn)`,
+    logical-replication-service.ts:134-137) but leaves the initial copy
+    to the user; this operator closes that gap.
+
+    Scale: the snapshot is a parquet scan mapped row→event with no
+    shuffle; the union adds no exchange (apply_changes' key window is
+    the only shuffle, shared with the stream side).
+    """
+    from pg_logical_replication_spark.model import lsn_to_long
+
+    cols = columns or snapshot.columns
+    after_pairs = []
+    for c in cols:
+        after_pairs += [F.lit(c), F.col(c).cast("string")]
+    key_pairs = []
+    for c in key_columns:
+        key_pairs += [F.lit(c), F.col(c).cast("string")]
+    return snapshot.select(
+        F.lit("insert").alias("op"),
+        F.lit(lsn).alias("lsn"),
+        F.lit(lsn_to_long(lsn)).cast("long").alias("lsn_long"),
+        F.lit(None).cast("long").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit(schema).alias("schema"),
+        F.lit(table).alias("table"),
+        F.create_map(*key_pairs).alias("key"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(*after_pairs).alias("after"),
+        F.create_map(F.lit("bootstrap"), F.lit("true")).alias("meta"),
+    )

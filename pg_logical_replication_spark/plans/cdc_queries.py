@@ -1754,3 +1754,77 @@ def q_cdc_temporal_join(spark, sf_dir):
         F.count("*").alias("n_matched"),
         ssum("val").alias("dim_value_sum"),
     )
+
+
+@register(
+    "q_cdc_bootstrap",
+    """
+    WITH boot AS (
+      SELECT c_custkey AS id, 'insert' AS op, c_acctbal AS val, -1 AS eid
+      FROM customer),
+    ev AS (
+      SELECT user_id AS id,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'update' END AS op,
+             value AS val, event_id AS eid
+      FROM events),
+    u AS (SELECT * FROM boot UNION ALL SELECT * FROM ev),
+    last AS (SELECT id, op, val,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY eid DESC) AS rn
+             FROM u)
+    SELECT id, val FROM last WHERE rn = 1 AND op <> 'delete'
+    """,
+    "initial load + stream catchup (Debezium snapshot.mode=initial): "
+    "customer is the consistent snapshot at LSN 0, events is the live "
+    "stream above it — bootstrap_events unions synthetic inserts under "
+    "the stream and ONE apply_changes resolves both (stream wins per "
+    "key, deletes drop snapshot rows, updates upsert unseen keys)",
+)
+def q_cdc_bootstrap(spark, sf_dir):
+    """Snapshot scan → events (no shuffle) ∪ stream → one key-window
+    shuffle in apply_changes; at 100 TB the bootstrap side is a plain
+    parquet scan and the union adds no exchange."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+        bootstrap_events,
+    )
+
+    snap = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("val")
+    )
+    boot = bootstrap_events(snap, key_columns=["id"], table="users")
+
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    lsn_long = (F.col("event_id") * 8 + 16).cast("long")
+    stream = ev.select(
+        op.alias("op"),
+        lsn_str_expr(lsn_long).alias("lsn"),
+        lsn_long.alias("lsn_long"),
+        F.col("event_id").alias("xid"),
+        F.col("ts").cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("table"),
+        F.create_map(F.lit("id"), F.col("user_id").cast("string")).alias("key"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.when(
+            op != "delete",
+            F.create_map(
+                F.lit("id"), F.col("user_id").cast("string"),
+                F.lit("val"), F.col("value").cast("string"),
+            ),
+        ).alias("after"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+
+    return apply_changes(
+        boot.unionByName(stream),
+        key_columns=["id"],
+        table="users",
+        columns={"id": "bigint", "val": "double precision"},
+    )

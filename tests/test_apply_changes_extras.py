@@ -118,3 +118,35 @@ def test_incremental_agg_is_mergeable_across_batches(spark):
         for r in _agg(_changes(spark, batch1 + batch2)).collect()
     }
     assert got == whole == {"a": (1, 3.0), "b": (1, 2.0)}
+
+
+def test_bootstrap_events_union_applies_stream_on_top(spark):
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+        bootstrap_events,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, name string"
+    )
+    boot = bootstrap_events(snap, key_columns=["id"], table="users")
+    assert boot.filter(F.col("lsn_long") != 0).count() == 0
+    assert boot.filter(F.col("op") != "insert").count() == 0
+
+    stream = spark.createDataFrame(
+        [
+            # update existing key 2, delete key 3, upsert unseen key 9
+            ("update", 100, "users", {"id": "2"}, None, {"id": "2", "name": "B"}),
+            ("delete", 200, "users", {"id": "3"}, None, None),
+            ("update", 300, "users", {"id": "9"}, None, {"id": "9", "name": "z"}),
+        ],
+        CH_SCHEMA,
+    )
+    out = apply_changes(
+        boot.select(*stream.columns).unionByName(stream),
+        key_columns=["id"],
+        table="users",
+        columns={"id": "integer", "name": "text"},
+    )
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "a", 2: "B", 9: "z"}
