@@ -1828,3 +1828,143 @@ def q_cdc_bootstrap(spark, sf_dir):
         table="users",
         columns={"id": "bigint", "val": "double precision"},
     )
+
+
+@register(
+    "q_cdc_format_agreement",
+    """
+    WITH agg AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+                        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+                 FROM events)
+    SELECT f.format, agg.n, agg.sum_eid, agg.sum_uid
+    FROM agg, (VALUES ('decoderbufs'), ('pgoutput'), ('test_decoding'),
+               ('wal2json')) f(format)
+    """,
+    "cross-format decoder agreement, oracle-gated: the SAME inserts are "
+    "encoded through all FOUR output-plugin wire formats and decoded by "
+    "each engine decoder — every format's aggregate must equal the "
+    "direct source aggregate, so a divergence in any one codec fails "
+    "the gate (the reference runs one spec per decoder over one "
+    "scenario matrix, decoder-*.spec.ts; this is that matrix as one "
+    "relational query)",
+)
+def q_cdc_format_agreement(spark, sf_dir):
+    """Four independent encode→decode pipelines, each one scan + one
+    tiny aggregate; the union is 4 rows. No cross-format shuffle — the
+    agreement check IS the equality of four broadcast-sized aggregates.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources import decoderbufs_format as dbf
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.decoderbufs import decode_decoderbufs
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+    from pg_logical_replication_spark.sources.test_decoding import (
+        decode_test_decoding,
+    )
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    par = spark.sparkContext.defaultParallelism
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def agg(decoded, fmt):
+        eid = F.col("after").getItem("event_id").cast("bigint")
+        uid = F.col("after").getItem("user_id").cast("bigint")
+        return decoded.filter(F.col("op") == "insert").agg(
+            F.count("*").alias("n"),
+            F.sum(eid).alias("sum_eid"),
+            F.sum(uid).alias("sum_uid"),
+        ).select(F.lit(fmt).alias("format"), "n", "sum_eid", "sum_uid")
+
+    # wal2json: declarative JSON encode, built-in decode
+    change = F.struct(
+        F.lit("insert").alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("events").alias("table"),
+        F.array(F.lit("event_id"), F.lit("user_id")).alias("columnnames"),
+        F.array(F.lit("bigint"), F.lit("bigint")).alias("columntypes"),
+        F.array(
+            F.col("event_id").cast("string"), F.col("user_id").cast("string")
+        ).alias("columnvalues"),
+    )
+    w2j_raw = ev.repartition(par).select(
+        F.to_json(F.struct(F.array(change).alias("change"))).alias("value")
+    )
+    w2j = agg(decode_wal2json(w2j_raw), "wal2json")
+
+    # test_decoding: text line encode, regex decode
+    line = F.concat(
+        F.lit("table public.events: INSERT: event_id[bigint]:"),
+        F.col("event_id").cast("string"),
+        F.lit(" user_id[bigint]:"),
+        F.col("user_id").cast("string"),
+    )
+    td = agg(
+        decode_test_decoding(ev.repartition(par).select(line.alias("value"))),
+        "test_decoding",
+    )
+
+    # pgoutput: binary wire encode in pandas, Arrow-batched binary decode
+    OID = 51299
+    rel = pgf.encode_relation(
+        OID, "public", "events",
+        [("event_id", 20), ("user_id", 20)], key_columns=["event_id"],
+    )
+
+    def enc_pg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "seq": pdf["event_id"] + 1,
+                    "lsn": (pdf["event_id"] * 8 + 16).map(lambda v: f"0/{v:X}"),
+                    "data": [
+                        pgf.encode_insert(OID, [("t", str(e)), ("t", str(u))])
+                        for e, u in zip(pdf["event_id"], pdf["user_id"])
+                    ],
+                }
+            )
+
+    cache: dict = {}
+    pgf.parse_message(rel, cache)
+    pg = agg(
+        decode_pgoutput(
+            ev.repartition(par).mapInPandas(
+                enc_pg, schema="seq long, lsn string, data binary"
+            ),
+            relations=cache,
+        ),
+        "pgoutput",
+    )
+
+    # decoderbufs: protobuf wire encode in pandas, pure-Python decode
+    def enc_db(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "lsn": (pdf["event_id"] * 8 + 16).map(lambda v: f"0/{v:X}"),
+                    "data": [
+                        dbf.encode_row_message(
+                            "insert",
+                            xid=int(e),
+                            table="public.events",
+                            new_tuple=[
+                                dbf.encode_datum("event_id", 20, int64=int(e)),
+                                dbf.encode_datum("user_id", 20, int64=int(u)),
+                            ],
+                        )
+                        for e, u in zip(pdf["event_id"], pdf["user_id"])
+                    ],
+                }
+            )
+
+    db = agg(
+        decode_decoderbufs(
+            ev.repartition(par).mapInPandas(enc_db, schema="lsn string, data binary")
+        ),
+        "decoderbufs",
+    )
+
+    return w2j.unionByName(td).unionByName(pg).unionByName(db)
