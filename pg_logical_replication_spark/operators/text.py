@@ -320,3 +320,71 @@ def rare_token_stats(
             ).alias("rare_ratio"),
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch built as a groupBy.
+
+    The CMS is ``depth`` rows of ``width`` counters; token t increments
+    counter ``h_j(t) = md5(t + '#' + j) % width`` in every row, and its
+    estimate is the MIN over rows — never an underestimate, off by at
+    most the collision mass in its lightest bucket. Expressed
+    declaratively the sketch IS Spark's partial aggregate: each map
+    task emits ≤ depth×width counters regardless of input size, so at
+    100 TB the shuffle carries a few thousand rows per task where an
+    exact global token count shuffles every distinct token. Estimates
+    then come from broadcasting the finished sketch (depth×width rows)
+    back onto the distinct-token side — no second full shuffle.
+
+    md5-derived hashing (not xxhash) keeps every counter replayable
+    bit-for-bit by the DuckDB oracle (same trick as operators/dedup.py).
+
+    Output: top-``k`` tokens by (estimate desc, token asc) with both
+    the CMS estimate and the exact count, plus ``overestimate_ok`` —
+    the CMS ≥ exact invariant, checked per emitted row.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+
+    def bucket(j: int) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit(f"#{j}"))), 1, 15),
+            16,
+            10,
+        ).cast("long") % width
+
+    hashed = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("bucket"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select("tok", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+
+    sketch = hashed.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    tok_hashes = hashed.distinct()
+    est = (
+        tok_hashes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    out = est.join(exact, "tok").select(
+        F.col("tok").alias("token"),
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
+    )
+    return out.orderBy(F.col("est_count").desc(), "token").limit(k)

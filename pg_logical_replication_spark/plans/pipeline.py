@@ -989,3 +989,31 @@ def q_ann_sq8_recall(spark, sf_dir):
             (F.col("_hits") / F.col("_total") >= 0.9).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "q_text_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    hashed AS (SELECT tok, j,
+                      CAST('0x' || substring(md5(tok || '#' || j), 1, 15)
+                           AS BIGINT) % 1024 AS bucket
+               FROM toks, (SELECT unnest(range(0, 3)) AS j) js),
+    sketch AS (SELECT j, bucket, COUNT(*) AS cnt FROM hashed GROUP BY j, bucket),
+    exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+    est AS (SELECT h.tok, MIN(s.cnt) AS est_count
+            FROM (SELECT DISTINCT tok, j, bucket FROM hashed) h
+            JOIN sketch s USING (j, bucket) GROUP BY h.tok)
+    SELECT e.tok AS token, e.est_count, x.exact_count,
+           e.est_count >= x.exact_count AS overestimate_ok
+    FROM est e JOIN exact x ON e.tok = x.tok
+    ORDER BY e.est_count DESC, token LIMIT 20
+    """,
+    "count-min-sketch heavy hitters, fully oracle-gated: md5-hashed "
+    "3x1024 counter sketch built as a partial-aggregate groupBy (each "
+    "map task emits <=3072 counters at ANY input size), estimates from "
+    "broadcasting the finished sketch back; exact counts ride along so "
+    "the CMS >= exact overestimate invariant is value-checked per row",
+)
+def q_text_heavy_hitters(spark, sf_dir):
+    return TX.cms_heavy_hitters(t(spark, sf_dir, "documents"))
