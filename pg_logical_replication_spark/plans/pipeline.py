@@ -1017,3 +1017,47 @@ def q_ann_sq8_recall(spark, sf_dir):
 )
 def q_text_heavy_hitters(spark, sf_dir):
     return TX.cms_heavy_hitters(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_incremental",
+    """
+    WITH hist AS (SELECT DISTINCT md5(text) AS text_hash
+                  FROM documents WHERE doc_id % 10 <> 9),
+    batch AS (SELECT doc_id, md5(text) AS text_hash
+              FROM documents WHERE doc_id % 10 = 9),
+    novel AS (SELECT b.text_hash, MIN(b.doc_id) AS representative_id,
+                     COUNT(*) AS n_in_batch
+              FROM batch b LEFT JOIN hist h ON b.text_hash = h.text_hash
+              WHERE h.text_hash IS NULL
+              GROUP BY b.text_hash)
+    SELECT representative_id, text_hash, n_in_batch FROM novel
+    ORDER BY representative_id LIMIT 50
+    """,
+    "incremental ingestion dedup: today's batch (doc_id%10=9) anti-"
+    "joined against the historical digest index, then deduped within "
+    "itself — the daily-ingest pattern at 100 TB, where only 32-byte "
+    "digests ever shuffle (the history side is a bucketed hash index; "
+    "text never leaves its scan)",
+)
+def q_dedup_incremental(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % 10 != 9)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    novel = (
+        batch.join(hist, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count("*").alias("n_in_batch"),
+        )
+    )
+    return novel.select("representative_id", "text_hash", "n_in_batch").orderBy(
+        "representative_id"
+    ).limit(50)

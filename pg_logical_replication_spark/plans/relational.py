@@ -1138,3 +1138,83 @@ def q_approx_percentile_contract(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+@register(
+    "q_events_gapfill",
+    """
+    WITH daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, date_trunc('day', ts) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             FROM daily GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM span),
+    filled AS (SELECT g.user_id, g.day,
+                      LAST_VALUE(d.value IGNORE NULLS)
+                        OVER (PARTITION BY g.user_id ORDER BY g.day) AS value,
+                      d.value IS NOT NULL AS observed
+               FROM grid g LEFT JOIN daily d
+                 ON d.user_id = g.user_id AND d.day = g.day)
+    SELECT user_id, CAST(day AS DATE) AS day, ROUND(value, 6) AS value, observed
+    FROM filled
+    """,
+    "time-series resample + gap fill (the hypertable/timescale pattern): "
+    "newest observation per (user, day), a per-user day grid from "
+    "sequence(), missing days forward-filled with last(ignore nulls) — "
+    "the dense daily panel a feature store materializes from sparse "
+    "events",
+)
+def q_events_gapfill(spark, sf_dir):
+    """One shuffle on user_id serves the daily rollup, the span
+    aggregate, the grid join and the fill window (same key, Spark
+    reuses the exchange); sequence() explodes the grid executor-side so
+    the dense panel never crosses the driver. At 100 TB the events scan
+    is time-partition-pruned and each user's panel stays one task."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value", "ts", "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "day").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True)
+        .over(W.partitionBy("user_id").orderBy("day"))
+        .alias("value"),
+        F.col("value").isNotNull().alias("observed"),
+    )
+    return filled.select(
+        "user_id",
+        F.col("day").cast("date").alias("day"),
+        F.round("value", 6).alias("value"),
+        "observed",
+    )
