@@ -118,6 +118,7 @@ def decode_pgoutput(
     seq_col: str = "seq",
     relations: dict[int, fmt.RelationInfo] | None = None,
     publication_tables: list[str] | None = None,
+    column_lists: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Raw binary pgoutput messages → normalized ChangeEvent rows.
 
@@ -133,6 +134,14 @@ def decode_pgoutput(
     decode loop BEFORE a row is materialized into the Arrow batch —
     excluded tables cost one dict lookup per message and never leave the
     Python worker.
+
+    ``column_lists`` ({"schema.table": [col, ...]}) mirrors PG 15
+    publication column lists (`CREATE PUBLICATION … (col_a, col_b)`):
+    the publisher only transmits the listed columns of the row images.
+    Projection happens in the decode loop before Arrow materialization,
+    so unlisted columns never leave the Python worker. Replica-identity
+    ``key`` tuples are left intact, matching PG's rule that a column
+    list must cover (and the wire always carries) the identity columns.
 
     ``relations`` optionally supplies the relation cache up front
     (oid → RelationInfo, e.g. from a schema registry / separate control
@@ -157,6 +166,11 @@ def decode_pgoutput(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         relations = _VersionedRelations(versions)
         pub = set(publication_tables) if publication_tables else None
+        cl = (
+            {tbl: set(cs) for tbl, cs in column_lists.items()}
+            if column_lists
+            else None
+        )
         # protocol-v2 streamed-segment state: inside [S, E) every
         # R/Y/I/U/D/T/M message carries a spliced Int32 xid. State spans
         # Arrow batches (this generator is per-partition); the input
@@ -220,6 +234,15 @@ def decode_pgoutput(
                     and f"{ev.get('schema')}.{ev['table']}" not in pub
                 ):
                     continue
+                if cl is not None and ev.get("table"):
+                    keep = cl.get(f"{ev.get('schema')}.{ev['table']}")
+                    if keep is not None:
+                        for img in ("before", "after"):
+                            m = ev.get(img)
+                            if m:
+                                ev[img] = {
+                                    k: v for k, v in m.items() if k in keep
+                                }
                 get = ev.get
                 a_op(ev["op"])
                 a_lsn(get("lsn") or lsn)

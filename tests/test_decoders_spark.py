@@ -612,3 +612,32 @@ def test_test_decoding_sequence_lines(spark):
     s1 = next(r for r in seqs if r["schema"] == "My Schema")
     assert s1["table"] == 'my"seq' and s1["meta"]["transactional"] == "1"
     assert any(r["op"] == "insert" for r in out)
+
+
+def test_pgoutput_column_list_projection(spark):
+    """PG 15 publication column lists: only listed columns of the row
+    images are published; replica-identity key tuples stay intact."""
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    cols = [("id", 20), ("name", 25), ("secret", 25)]
+    msgs = [
+        fmt.encode_relation(1, "public", "users", cols, key_columns=["id"]),
+        fmt.encode_insert(1, [("t", "1"), ("t", "alice"), ("t", "s3cr3t")]),
+        fmt.encode_update(1, [("t", "1"), ("t", "bob"), ("t", "hush")]),
+        fmt.encode_delete(1, [("t", "1"), ("n", None), ("n", None)], kind="K"),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, m) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    )
+    ev = decode_pgoutput(raw, column_lists={"public.users": ["id", "name"]})
+    ins = ev.filter("op = 'insert'").first()
+    assert ins["after"] == {"id": "1", "name": "alice"}
+    up = ev.filter("op = 'update'").first()
+    assert up["after"] == {"id": "1", "name": "bob"}
+    dele = ev.filter("op = 'delete'").first()
+    assert dele["key"] == {"id": "1"}
+    # unlisted table passes through untouched
+    ev_all = decode_pgoutput(raw, column_lists={"public.other": ["id"]})
+    assert ev_all.filter("op = 'insert'").first()["after"]["secret"] == "s3cr3t"
