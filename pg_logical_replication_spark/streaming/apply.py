@@ -76,6 +76,25 @@ class MergeOnReadTable:
         """The foreachBatch callable."""
         return lambda batch_df, batch_id: self.apply_batch(batch_df, batch_id)
 
+    def bootstrap(self, snapshot: DataFrame, schema: str = "public") -> None:
+        """Initial load: write a consistent snapshot as synthetic inserts
+        at LSN 0 into the reserved ``batch=-1`` partition, BELOW the
+        stream's micro-batch id space — stream batch 0 must not
+        overwrite the bootstrap under idempotent replay. Rows the stream
+        later touches are superseded per key (LSN 0 loses every
+        comparison); untouched rows survive. Debezium
+        snapshot.mode=initial, as one partition write."""
+        from pg_logical_replication_spark.operators.apply_changes import (
+            bootstrap_events,
+        )
+
+        self.apply_batch(
+            bootstrap_events(
+                snapshot, self.key_columns, table=self.table or "t", schema=schema
+            ),
+            batch_id=-1,
+        )
+
     # --------------------------------------------------------------- read
     def _log(self) -> DataFrame | None:
         if not os.path.exists(self.path):

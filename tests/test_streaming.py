@@ -300,3 +300,28 @@ def test_heartbeat_listener_surface(spark, log_dirs):
     assert {b[0] for b in beats} == {"hb_slot"}
     assert any(b[2] == "0/200" for b in beats), beats
     svc.destroy()  # removes the listener
+
+
+def test_bootstrap_then_stream_catchup(spark, log_dirs):
+    """Initial load + catchup: a consistent snapshot bootstraps the MOR
+    table as synthetic inserts at LSN 0, then the live stream applies on
+    top — stream changes win per key, untouched snapshot rows survive
+    (the copy step the reference leaves to the user before
+    subscribe(…, uptoLsn), logical-replication-service.ts:134-137)."""
+    log, ckpt, mor = log_dirs
+    table = MergeOnReadTable(spark, mor, key_columns=["id"], table="users")
+    snap = spark.createDataFrame(
+        [(2, "old_bob"), (9, "zed")], "id long, name string"
+    )
+    # batch=-1 partition: below the stream's id space, so stream batch 0
+    # replay can't overwrite the initial load
+    table.bootstrap(snap)
+    assert _names(table) == {"old_bob", "zed"}
+
+    svc = LogicalReplicationService(spark, log, ckpt)
+    _append(log, "000.jsonl", BATCH1)
+    _append(log, "001.jsonl", BATCH2)
+    svc.subscribe_and_wait("wal2json", "slot_boot", table.writer())
+    # id 1 inserted+updated, id 2 snapshot row deleted by the stream,
+    # id 3 inserted, id 9 untouched from the snapshot
+    assert _names(table) == {"alice2", "carol", "zed"}
