@@ -1176,7 +1176,15 @@ def q_events_gapfill(spark, sf_dir):
     is time-partition-pruned and each user's panel stays one task."""
     from pyspark.sql import Window as W
 
-    ev = t(spark, sf_dir, "events")
+    # ONE hash exchange on user_id per lineage serves every downstream
+    # stage: the (user_id, day) window, the span aggregate and the fill
+    # window all require clustering that hash(user_id) already satisfies
+    # (partition keys ⊆ clustering keys), so EnsureRequirements inserts
+    # no further shuffles (was 3 exchanges when each stage shuffled for
+    # itself). `daily` feeds the join twice, so its subtree runs once
+    # per reference — at 100 TB persist() it; the join side then SMJs
+    # co-partitioned instead of the small-scale broadcast AQE picks here.
+    ev = t(spark, sf_dir, "events").repartition("user_id")
     daily = (
         ev.select(
             "user_id",
