@@ -73,3 +73,22 @@ def test_pack_sequences_greedy_rules(spark):
     )
     r250 = {r["doc_id"]: r for r in far.collect()}[250]
     assert r250["bucket"] == 2 and r250["bin_id"] == 2_000_000
+
+
+def test_cms_heavy_hitters_invariants(spark):
+    """CMS never underestimates; collisions only inflate. With width
+    >> distinct tokens the estimate is exact; k bounds output."""
+    from pg_logical_replication_spark.operators.text import cms_heavy_hitters
+
+    docs = _docs(
+        spark, [(1, "a a a a b b c"), (2, "a b c d"), (3, "  "), (4, "e")]
+    )
+    out = {r["token"]: r for r in cms_heavy_hitters(docs, k=100).collect()}
+    assert out["a"]["exact_count"] == 5
+    assert out["b"]["exact_count"] == 3
+    assert all(r["est_count"] >= r["exact_count"] for r in out.values())
+    assert all(r["overestimate_ok"] for r in out.values())
+    # narrow sketch: estimates still >= exact (collisions overestimate)
+    tight = cms_heavy_hitters(docs, width=2, depth=2, k=3).collect()
+    assert len(tight) == 3
+    assert all(r["est_count"] >= r["exact_count"] for r in tight)
