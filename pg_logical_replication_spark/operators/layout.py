@@ -80,3 +80,45 @@ def salted_equi_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return b.join(s, on + ["_salt"], how).drop("_salt")
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Morton (Z-order) key: bit-interleave ``cols`` (ints, low ``bits``
+    bits each) into one sort key.
+
+    Sorting/range-partitioning a table by this key clusters rows that
+    are close in EVERY dimension, so min/max file statistics prune
+    multi-column predicates (the Delta/Iceberg OPTIMIZE ZORDER layout) —
+    a one-dimension sort prunes only its leading column. ``bits``×
+    ``len(cols)`` must stay ≤ 63 for a long key (16 bits × 2-3 dims is
+    the common lakehouse choice; inputs are masked to ``bits`` so larger
+    domains wrap rather than overflow).
+
+    Pure integer shift/mask arithmetic — any SQL engine replays it
+    bit-for-bit, so layout keys are oracle-checkable like everything
+    else here.
+    """
+    n = len(cols)
+    assert bits * n <= 63, "z-key must fit a signed long"
+    terms = []
+    for d, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        for i in range(bits):
+            # bit i of dim d lands at position i*n + d
+            terms.append(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + d)
+            )
+    out = terms[0]
+    for t_ in terms[1:]:
+        out = out.bitwiseOR(t_)
+    return out
+
+
+def zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """The DuckDB/ANSI twin of ``zorder_key`` (same bit layout)."""
+    n = len(cols)
+    terms = []
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"((({c} >> {i}) & 1) << {i * n + d})")
+    return " | ".join(terms)

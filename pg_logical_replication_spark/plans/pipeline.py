@@ -1061,3 +1061,50 @@ def q_dedup_incremental(spark, sf_dir):
     return novel.select("representative_id", "text_hash", "n_in_batch").orderBy(
         "representative_id"
     ).limit(50)
+
+
+def _zorder_oracle() -> str:
+    from pg_logical_replication_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(["pk", "sk"], bits=8)
+    return f"""
+    SELECT z_bucket, COUNT(*) AS n,
+           MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+           MIN(sk) AS min_sk, MAX(sk) AS max_sk
+    FROM (SELECT pk, sk, ({z}) >> 8 AS z_bucket
+          FROM (SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk
+                FROM lineitem))
+    GROUP BY z_bucket
+    """
+
+
+@register(
+    "q_layout_zorder",
+    _zorder_oracle(),
+    "Z-order (Morton) layout keys, oracle-gated: bit-interleave the "
+    "8-bit (l_partkey, l_suppkey) domain, bucket by the top 8 z-bits, "
+    "report per-bucket min/max of BOTH dims — every z-range bounds "
+    "every dimension to a 16-value window, which is why sorting 100 TB "
+    "by this key lets min/max file stats prune multi-column predicates "
+    "(Delta/Iceberg OPTIMIZE ZORDER); a plain sort prunes only its "
+    "leading column",
+)
+def q_layout_zorder(spark, sf_dir):
+    from pg_logical_replication_spark.operators.layout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk"),
+        (F.col("l_suppkey") % 256).alias("sk"),
+    )
+    z = zorder_key(["pk", "sk"], bits=8)
+    return (
+        li.withColumn("z_bucket", F.shiftright(z, 8))
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            F.min("sk").alias("min_sk"),
+            F.max("sk").alias("max_sk"),
+        )
+    )
