@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pg_logical_replication_spark.model import lsn_str_expr
 from pg_logical_replication_spark.operators import dedup as D
 from pg_logical_replication_spark.operators import similarity as S
 from pg_logical_replication_spark.operators import text as TX
@@ -1107,4 +1108,87 @@ def q_layout_zorder(spark, sf_dir):
             F.min("sk").alias("min_sk"),
             F.max("sk").alias("max_sk"),
         )
+    )
+
+
+@register(
+    "q_pipeline_cdc_to_corpus",
+    rf"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, len({_TOKS}) AS nt, md5(text) AS h FROM final)
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique_texts,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens
+    FROM toks
+    """,
+    "the whole engine in one oracle-gated query: documents are encoded "
+    "as a wal2json change stream (insert per doc, then an update for "
+    "every 7th), decoded by sources/wal2json.py, materialized by "
+    "apply_changes (update wins per key), and the SNAPSHOT feeds the "
+    "corpus operators (token counts + digest dedup) — the CDC half and "
+    "the training-data half composed end-to-end, value-hash-checked",
+)
+def q_pipeline_cdc_to_corpus(spark, sf_dir):
+    """Decode is one scan; apply_changes is the one key-window shuffle;
+    the corpus aggregate is map-side partial. Same plan shape at 100 TB
+    with the event log partitioned by table/day."""
+    from pg_logical_replication_spark.operators.apply_changes import apply_changes
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def changeset(kind, lsn_base):
+        change = F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("docs").alias("table"),
+            F.array(F.lit("doc_id"), F.lit("text")).alias("columnnames"),
+            F.array(F.lit("bigint"), F.lit("text")).alias("columntypes"),
+            F.array(
+                F.col("doc_id").cast("string"),
+                F.when(F.lit(kind) == "update", F.concat("text", F.lit(" v2")))
+                .otherwise(F.col("text")),
+            ).alias("columnvalues"),
+            F.when(
+                F.lit(kind) == "update",
+                F.struct(
+                    F.array(F.lit("doc_id")).alias("keynames"),
+                    F.array(F.lit("bigint")).alias("keytypes"),
+                    F.array(F.col("doc_id").cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+        return F.to_json(
+            F.struct(
+                F.array(change).alias("change"),
+                F.col("doc_id").alias("xid"),
+                lsn_str_expr((F.col("doc_id") * 8 + lsn_base).cast("long")).alias(
+                    "nextlsn"
+                ),
+            )
+        ).alias("value")
+
+    inserts = docs.select(changeset("insert", 16))
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        changeset("update", 1_000_000_016)
+    )
+    raw = inserts.unionByName(updates).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    snap = apply_changes(
+        decode_wal2json(raw),
+        key_columns=["doc_id"],
+        table="docs",
+        columns={"doc_id": "bigint", "text": "text"},
+    )
+    toks = snap.select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nt"),
+        F.md5("text").alias("h"),
+    )
+    return toks.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.sum("nt").cast("long").alias("sum_tokens"),
     )
