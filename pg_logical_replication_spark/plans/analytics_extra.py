@@ -1,0 +1,291 @@
+"""Round-2 analytics additions: recursive hierarchy closure, ordered
+string aggregation, distribution windows, event-transition matrices,
+deterministic hash sampling, fixed-grid histograms, and the raw
+COPY-stream wire demux as an oracle-gated query.
+
+Each query keeps the cross-engine determinism rules of
+``plans/registry``: stable decimal sums, explicit tie-breaks, fixed
+bucket grids, and md5 (identical in Spark and DuckDB) wherever a hash
+feeds a predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.plans.registry import register, ssum, t
+
+
+@register(
+    "q_recursive_hierarchy",
+    """
+    WITH RECURSIVE up(part, anc, price) AS (
+      SELECT p_partkey, p_partkey // 10, p_retailprice
+      FROM part WHERE p_partkey >= 10
+      UNION ALL
+      SELECT part, anc // 10, price FROM up WHERE anc >= 10
+    )
+    SELECT anc,
+           COUNT(*) AS n_desc,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS subtree_value
+    FROM up WHERE anc BETWEEN 10 AND 99
+    GROUP BY anc ORDER BY anc
+    """,
+    "recursive CTE transitive closure: synthetic part hierarchy "
+    "(parent = key div 10), per-ancestor subtree rollup — the BOM / "
+    "org-chart pattern (Spark 4 WITH RECURSIVE, SPARK-24497)",
+)
+def q_recursive_hierarchy(spark, sf_dir):
+    """Spark 4's recursive CTE executes as an iterative union of
+    DataFrame steps driven by the engine — each iteration is a narrow
+    map over the frontier (no shuffle until the final rollup), and the
+    depth is log10(maxkey) ≈ 6-7 even at 100 TB part counts, so the
+    iteration count is scale-stable. The closure itself never leaves
+    the JVM."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("_rh_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(part, anc, price) AS (
+          SELECT p_partkey, p_partkey div 10, p_retailprice
+          FROM _rh_part WHERE p_partkey >= 10
+          UNION ALL
+          SELECT part, anc div 10, price FROM up WHERE anc >= 10
+        )
+        SELECT anc,
+               COUNT(*) AS n_desc,
+               CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS subtree_value
+        FROM up WHERE anc BETWEEN 10 AND 99
+        GROUP BY anc ORDER BY anc
+        """
+    )
+
+
+@register(
+    "q_agg_listagg",
+    """
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    "ordered string aggregation (LISTAGG WITHIN GROUP ≙ STRING_AGG "
+    "ORDER BY): the canonical denormalized-label rollup",
+)
+def q_agg_listagg(spark, sf_dir):
+    """listagg with an explicit WITHIN GROUP order is deterministic
+    across engines (unordered collect_list would not be). Scale: group
+    cardinality is the region count; the agg is partial-aggregated
+    map-side like any other."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    joined = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    joined.createOrReplaceTempView("_la_rn")
+    return spark.sql(
+        """
+        SELECT r_name,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM _la_rn GROUP BY r_name ORDER BY r_name
+        """
+    )
+
+
+@register(
+    "q_window_distribution",
+    """
+    SELECT s_nationkey, s_suppkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST()    OVER w, 6) AS cd,
+           NTILE(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    "distribution window functions: percent_rank / cume_dist / ntile "
+    "per nation over supplier balances (ties broken on the unique key)",
+)
+def q_window_distribution(spark, sf_dir):
+    """percent_rank/cume_dist are rank-arithmetic on identical sorted
+    runs — cross-engine exact once ties are keyed away. One shuffle on
+    s_nationkey serves all three windows (same spec)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_events_markov",
+    """
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 20
+    """,
+    "event-transition (Markov bigram) matrix: per-user lag window → "
+    "global transition counts, top 20 — the user-journey fan-out query",
+)
+def q_events_markov(spark, sf_dir):
+    """One shuffle on user_id for the lag window; the transition agg is
+    partial map-side into at most |types|² cells, so the final exchange
+    carries a few dozen rows regardless of input size."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(20)
+    )
+
+
+@register(
+    "q_corpus_hash_sample",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+    GROUP BY lang ORDER BY lang
+    """,
+    "deterministic ~5% corpus sample via md5(doc_id) prefix — the "
+    "reproducible-split primitive (train/val carving, A/B subsets) "
+    "that survives reshuffling and re-ingestion",
+)
+def q_corpus_hash_sample(spark, sf_dir):
+    """md5 is bit-identical across engines (unlike xxhash64/hash whose
+    seeds differ), so the sampled set is THE SAME set everywhere — the
+    property that makes hash-sampling the right split primitive at
+    100 TB (no materialized membership table, no shuffle; the predicate
+    evaluates in the scan)."""
+    d = t(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "0d"
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), ssum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_events_histogram",
+    """
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    "fixed-grid histogram of event values (floor-bucketing — portable "
+    "width_bucket): the profiling/quantization sweep",
+)
+def q_events_histogram(spark, sf_dir):
+    """Fixed bucket edges (value div 50) rather than data-dependent
+    quantiles: the bucket id is a pure narrow map, the agg is partial
+    map-side, and two engines can never disagree about edges. At scale
+    this is the single-pass profile pass run before choosing
+    quantization grids."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), ssum("value").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_cdc_wire_demux",
+    """
+    SELECT 'w' AS msg_type, COUNT(*) AS n,
+           CAST(MAX(event_id * 256 + 7 + length(event_type)) AS BIGINT)
+             AS max_wal,
+           CAST(SUM(length(event_type)) AS BIGINT) AS payload_bytes,
+           CAST(NULL AS BIGINT) AS n_respond,
+           CAST(946684800000000 + MIN(event_id) * 1000 AS BIGINT) AS min_ts_us
+    FROM events
+    UNION ALL
+    SELECT 'k', COUNT(*),
+           CAST(MAX(event_id * 256 + 8) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(SUM(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(946684800000000 + MIN(event_id) * 1000 + 1 AS BIGINT)
+    FROM events WHERE event_id % 10 = 0
+    ORDER BY msg_type
+    """,
+    "raw replication COPY-stream demux (reference copyData listener, "
+    "logical-replication-service.ts:146-174): events encoded as "
+    "XLogData 'w' frames + periodic 'k' keepalives, split and "
+    "header-decoded entirely in Catalyst (hex→conv, no UDF), "
+    "aggregates replayed closed-form by the oracle",
+)
+def q_cdc_wire_demux(spark, sf_dir):
+    """Encode side is an Arrow-batched mapInPandas (the only Python);
+    the demux itself (sources/wire.py) is first-byte CASE + substring
+    header math — whole-stage-codegen, filter pushes to the scan. The
+    keepalive plane separates from the data plane with no shuffle."""
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.sources.wire import demux_copy_stream
+
+    def encode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            frames = []
+            for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+                eid = int(eid)
+                payload = str(etype).encode()
+                start = eid * 256 + 7
+                frames.append(
+                    b"w"
+                    + struct.pack(
+                        ">QQq", start, start + len(payload), eid * 1000
+                    )
+                    + payload
+                )
+                if eid % 10 == 0:
+                    frames.append(
+                        b"k"
+                        + struct.pack(">Qq", eid * 256 + 8, eid * 1000 + 1)
+                        + (b"\x01" if eid % 20 == 0 else b"\x00")
+                    )
+            yield pd.DataFrame({"data": frames})
+
+    raw = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .mapInPandas(encode, "data binary")
+    )
+    return (
+        demux_copy_stream(raw)
+        .groupBy("msg_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("wal_end").alias("max_wal"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+            F.sum(F.col("should_respond").cast("bigint")).alias("n_respond"),
+            F.min(F.unix_micros("server_ts")).alias("min_ts_us"),
+        )
+        .orderBy("msg_type")
+    )

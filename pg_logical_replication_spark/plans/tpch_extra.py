@@ -235,6 +235,7 @@ def q11_important_parts(spark, sf_dir):
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
     """,
     "TPC-H Q12 (l_shipmode adapted to l_returnflag): conditional line counts",
 )
@@ -253,6 +254,7 @@ def q12_shipping_priority_class(spark, sf_dir):
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+        .orderBy("l_returnflag")
     )
 
 
