@@ -171,21 +171,29 @@ class LogicalReplicationService:
         ev = self.changes(fmt, **(decode_options or {}))
 
         def tracked_sink(batch_df: DataFrame, batch_id: int) -> None:
+            # the sink and the ack position share one decode: without the
+            # persist, max_lsn re-parses the whole micro-batch (a second
+            # decode job on the visibility-latency path)
+            batch_df.persist()
             try:
-                sink(batch_df, batch_id)
-            except Exception as e:  # noqa: BLE001 — handler decides
-                self._emit("error", e)
-                if not isolate_errors:
-                    raise
-                return
-            # ≙ `_lastLsn = lsn` after each delivered message (reference
-            # :173): recorded only after the sink succeeds, i.e. at the
-            # moment the reference would auto-ack (:187-192).
-            lsn = max_lsn(batch_df)
-            if lsn is not None:
-                self._last_lsn[slot_name] = lsn
-                self._emit("data", lsn, batch_id)
-                self._emit("acknowledge", lsn)
+                try:
+                    sink(batch_df, batch_id)
+                except Exception as e:  # noqa: BLE001 — handler decides
+                    self._emit("error", e)
+                    if not isolate_errors:
+                        raise
+                    return
+                # ≙ `_lastLsn = lsn` after each delivered message
+                # (reference :173): recorded only after the sink succeeds,
+                # i.e. at the moment the reference would auto-ack
+                # (:187-192).
+                lsn = max_lsn(batch_df)
+                if lsn is not None:
+                    self._last_lsn[slot_name] = lsn
+                    self._emit("data", lsn, batch_id)
+                    self._emit("acknowledge", lsn)
+            finally:
+                batch_df.unpersist()
 
         writer = (
             ev.writeStream.foreachBatch(tracked_sink)
