@@ -213,6 +213,124 @@ def q_events_histogram(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB twin of the iterative PageRank builder.
+
+    The recursion is unrolled (r0..rN as chained CTEs) because the
+    grouped aggregate per step doesn't fit SQL's recursive-CTE rules;
+    the arithmetic is written with the exact same parenthesization and
+    decimal-stabilized summation as the Spark side so five iterations
+    of float math stay bit-identical across engines.
+    """
+    head = """
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    ow AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT v FROM
+      (SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT v, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT nd.v,
+             0.15 / cnt.n + 0.85 * COALESCE(
+               CAST(SUM(CAST(p.rank * e.w / ow.outw AS DECIMAL(38,18)))
+                    AS DOUBLE), 0.0) AS rank
+      FROM nodes nd CROSS JOIN cnt
+      LEFT JOIN edges e ON e.dst = nd.v
+      LEFT JOIN ow ON ow.src = e.src
+      LEFT JOIN r{i - 1} p ON p.v = e.src
+      GROUP BY nd.v, cnt.n)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v AS nationkey, ROUND(rank, 9) AS rank
+    FROM r{iters} ORDER BY v
+    """
+    )
+
+
+@register(
+    "q_graph_pagerank",
+    _pagerank_oracle(5),
+    "weighted PageRank (5 iterations, damping 0.85) over the "
+    "supplier-nation → customer-nation trade graph — the iterative-"
+    "algorithm representative (decimal-stabilized contributions keep "
+    "five rounds of float math cross-engine exact)",
+)
+def q_graph_pagerank(spark, sf_dir):
+    """The heavy lifting is ONE pass over lineitem (two broadcast dims
+    + a partial-aggregated groupBy to the ~|nations|² edge list); the
+    iteration then runs on that tiny aggregate — 5 rounds of
+    broadcast-joined updates whose cost is independent of input scale.
+    That split (big scan once, iterate on the reduction) is exactly how
+    an iterative algorithm should land on Spark: the 100 TB never
+    re-scans per iteration. Driver-side loop only stacks lineage on a
+    25-row frame; no collect."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    # the iteration's working set: cache so 5 rounds don't re-scan
+    edges = edges.persist()
+    ow = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    cnt = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.join(F.broadcast(cnt)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    ew = edges.join(F.broadcast(ow), "src")
+    for _ in range(5):
+        contrib = (
+            ew.join(F.broadcast(ranks.withColumnRenamed("v", "src")), "src")
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("rank") * F.col("w") / F.col("outw"))
+                .cast("decimal(38,18)")
+                .alias("contrib"),
+            )
+            .groupBy("v")
+            .agg(F.sum("contrib").cast("double").alias("mass"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(cnt))
+            .join(F.broadcast(contrib), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("v").alias("nationkey"), F.round("rank", 9).alias("rank")
+    ).orderBy("nationkey")
+
+
 @register(
     "q_cdc_wire_demux",
     """
