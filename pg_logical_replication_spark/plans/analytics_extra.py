@@ -213,6 +213,47 @@ def q_events_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "q_variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT)
+             AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "semi-structured Variant path (Spark 4 VariantType): props parsed "
+    "once to variant, typed path extraction + safe missing-path probe — "
+    "the open-schema ingestion pattern (vs per-query string re-parsing "
+    "in get_json_object)",
+)
+def q_variant_extract(spark, sf_dir):
+    """parse_json materializes the binary variant encoding ONCE; every
+    variant_get afterwards is a cheap binary path walk instead of a
+    string re-parse (the difference between O(fields) and O(queries)
+    JSON parsing at 100 TB — and why variant columns should be
+    materialized at ingestion, not in the query). try_variant_get is
+    the total (null-on-miss) form for paths that may not exist."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        parsed.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+            F.expr("try_variant_get(v, '$.missing', 'string')").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("missing").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     """Unrolled-CTE DuckDB twin of the iterative PageRank builder.
 

@@ -54,6 +54,60 @@ def test_demux_timestamp_is_pg_epoch_shifted(spark):
     assert row["server_ts"] == expected
 
 
+def test_demux_roundtrip_property(spark):
+    """Randomized frames (hypothesis): every header field survives the
+    Catalyst hex/conv decode exactly — u64 edge values included."""
+    from hypothesis import given, settings, strategies as st
+
+    u64 = st.integers(min_value=0, max_value=2**63 - 1)  # LSNs are i64-safe
+    ts = st.integers(min_value=0, max_value=2**40)  # µs past PG epoch
+    frames = st.lists(
+        st.one_of(
+            st.tuples(st.just("w"), u64, u64, ts, st.binary(max_size=40)),
+            st.tuples(st.just("k"), u64, ts, st.booleans()),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(frames)
+    def run(fs):
+        raws, expect = [], []
+        for f in fs:
+            if f[0] == "w":
+                _, a, b, t_, payload = f
+                raws.append((_w(a, b, t_, payload),))
+                expect.append(("w", a, b, t_, bytes(payload), None))
+            else:
+                _, b, t_, resp = f
+                raws.append((_k(b, t_, resp),))
+                expect.append(("k", None, b, t_, None, resp))
+        import datetime as dt
+
+        pg_epoch = dt.datetime(2000, 1, 1)
+        us = dt.timedelta(microseconds=1)
+        df = spark.createDataFrame(raws, "data binary")
+        got = [
+            (
+                r["msg_type"],
+                r["wal_start"],
+                r["wal_end"],
+                # exact integer µs via timedelta floor-div (float
+                # .timestamp() loses µs precision out at 2^40)
+                (r["server_ts"] - pg_epoch) // us
+                if r["server_ts"] is not None
+                else None,
+                bytes(r["payload"]) if r["payload"] is not None else None,
+                r["should_respond"],
+            )
+            for r in demux_copy_stream(df).collect()
+        ]
+        assert sorted(got, key=str) == sorted(expect, key=str)
+
+    run()
+
+
 def test_demux_plan_has_no_python_stage(spark):
     raw = spark.createDataFrame([(_k(1, 0, False),)], "data binary")
     plan = demux_copy_stream(raw)._jdf.queryExecution().executedPlan().toString()
