@@ -657,11 +657,11 @@ def q_cdc_incremental_agg(spark, sf_dir):
       WHERE rn = 1 AND event_type <> 'error')
     SELECT CAST(user_id % 16 AS INTEGER) AS bucket,
            COUNT(*) AS n_rows,
-           SUM(CAST(CAST('0x' || substring(md5(concat_ws(chr(31),
+           CAST(SUM(CAST(CAST('0x' || substring(md5(concat_ws(chr(31),
                  coalesce(CAST(user_id AS VARCHAR), chr(30)),
                  coalesce(last_op, chr(30)),
                  coalesce(value_str, chr(30)))), 1, 15) AS BIGINT)
-               AS DECIMAL(38,0))) AS checksum
+               AS DECIMAL(38,0))) AS VARCHAR) AS checksum
     FROM snap GROUP BY 1
     """,
     "replica verification (operators.verify.bucket_checksums): the "
@@ -689,11 +689,15 @@ def q_cdc_replica_checksum(spark, sf_dir):
             F.col("value").cast("decimal(38,6)").cast("string").alias("value_str"),
         )
     )
+    # checksum rendered as a STRING: a decimal(38,0) survives every
+    # comparator (pandas converts big decimals to float, losing the low
+    # digits — exactly what a checksum can't afford); digit strings
+    # compare exactly everywhere
     return bucket_checksums(
         snap,
         columns=["user_id", "last_op", "value_str"],
         bucket=(F.col("user_id") % 16).cast("int"),
-    )
+    ).withColumn("checksum", F.col("checksum").cast("string"))
 
 
 @register(
