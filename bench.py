@@ -31,6 +31,9 @@ HEADLINE = [
     "q_cdc_two_phase",
     "q_cdc_apply_events",
     # LLM-pipeline ops
+    "q_cdc_wire_demux",
+    "q_graph_pagerank",
+    "q_variant_extract",
     "q_dedup_minhash_bands",
     "q_dedup_jaccard_top",
     "q_dedup_simhash",

@@ -214,6 +214,127 @@ def q_events_histogram(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_wire_to_snapshot",
+    """
+    WITH snap AS (
+      SELECT user_id, event_type AS etype, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 AND event_type <> 'error')
+    SELECT etype, COUNT(*) AS n_users,
+           CAST(SUM(CAST(user_id AS DECIMAL(38,0))) AS BIGINT) AS sum_uid,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM snap GROUP BY etype ORDER BY etype
+    """,
+    "the reference's entire consumer lifecycle as ONE oracle-gated "
+    "query: raw COPY frames ('w' XLogData wrapping wal2json-v2 payloads "
+    "+ interleaved 'k' keepalives + an unknown tag) → Catalyst wire "
+    "demux → v2 decode → apply_changes snapshot → aggregate, "
+    "value-hash-checked against a direct newest-per-key replay",
+)
+def q_pipeline_wire_to_snapshot(spark, sf_dir):
+    """Layer cake scale shape: encode is the only Python (Arrow-batched
+    map); demux + v2 decode are whole-stage-codegen narrow maps; the
+    one shuffle in the whole pipeline is apply_changes' latest-image
+    window on the key — exactly the per-family budgets SCALE.md
+    promises, composed end-to-end. Keepalives and unknown tags ride the
+    same frame log and are separated by the demux without touching the
+    data plane."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.apply_changes import apply_changes
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json_v2
+    from pg_logical_replication_spark.sources.wire import demux_copy_stream
+
+    def encode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        frames = []
+        for pdf in pdfs:
+            for eid, uid, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                eid, uid = int(eid), int(uid)
+                lsn = f"0/{eid * 8 + 16:X}"
+                if et == "signup":
+                    action, cols = "I", True
+                elif et == "error":
+                    action, cols = "D", False
+                else:
+                    action, cols = "U", True
+                msg = {
+                    "action": action,
+                    "schema": "public",
+                    "table": "t",
+                    "lsn": lsn,
+                    "xid": eid,
+                }
+                if cols:
+                    msg["columns"] = [
+                        {"name": "user_id", "type": "bigint", "value": str(uid)},
+                        {"name": "etype", "type": "text", "value": str(et)},
+                        {"name": "value", "type": "double precision",
+                         "value": repr(float(val))},
+                    ]
+                else:
+                    msg["identity"] = [
+                        {"name": "user_id", "type": "bigint", "value": str(uid)}
+                    ]
+                payload = _json.dumps(msg).encode()
+                start = eid * 8 + 16
+                frames.append(
+                    b"w"
+                    + struct.pack(">QQq", start, start + len(payload), eid)
+                    + payload
+                )
+                if eid % 16 == 0:  # keepalive plane, demux must drop it
+                    frames.append(b"k" + struct.pack(">Qq", start, eid) + b"\x00")
+                if eid % 500 == 0:  # unknown tag → '?' row, not data
+                    frames.append(b"z" + b"\x00" * 24)
+            yield pd.DataFrame({"data": frames})
+            frames = []
+
+    raw = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(encode, "data binary")
+    )
+    payloads = (
+        demux_copy_stream(raw)
+        .filter(F.col("msg_type") == "w")
+        .select(F.col("payload").cast("string").alias("value"))
+    )
+    events = decode_wal2json_v2(payloads)
+    snap = apply_changes(
+        events,
+        key_columns=["user_id"],
+        table="t",
+        columns={
+            "user_id": "bigint",
+            "etype": "text",
+            "value": "double precision",
+        },
+    )
+    return (
+        snap.groupBy("etype")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("user_id").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_uid"),
+            ssum("value").alias("sum_value"),
+        )
+        .orderBy("etype")
+    )
+
+
+@register(
     "q_variant_extract",
     """
     SELECT event_type,

@@ -98,3 +98,47 @@ def test_typed_view_uses_parsers(spark):
     row = typed_view(ev, {"ok": "boolean", "tags": "text[]", "n": "numeric"}).first()
     assert row["ok"] is True and row["tags"] == ["a", "b"]
     assert float(row["n"]) == 1.5
+
+
+def test_pg_array_roundtrip_property(spark):
+    """Hypothesis: serialize random element lists with PG's array_out
+    quoting rule, parse with pg_array, get the original list back."""
+    from hypothesis import given, settings, strategies as st
+
+    elem = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=12,
+        ),
+    )
+
+    def serialize(els):
+        parts = []
+        for e in els:
+            if e is None:
+                parts.append("NULL")
+                continue
+            needs_quote = (
+                e == ""
+                or e.upper() == "NULL"
+                or any(c in e for c in ',"\\{} \t\n')
+            )
+            if needs_quote:
+                parts.append(
+                    '"' + e.replace("\\", "\\\\").replace('"', '\\"') + '"'
+                )
+            else:
+                parts.append(e)
+        return "{" + ",".join(parts) + "}"
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(elem, max_size=6))
+    def run(els):
+        # one literal per example keeps the Spark job tiny
+        got = _one(spark, serialize(els), pg_array("v"))
+        assert got == els
+
+    run()
