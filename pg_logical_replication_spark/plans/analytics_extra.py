@@ -214,6 +214,98 @@ def q_events_histogram(spark, sf_dir):
 
 
 @register(
+    "q_embed_random_projection",
+    """
+    WITH dims AS (
+      SELECT t1.i, t2.j,
+             (CAST('0x' || substr(md5(CAST(t1.i AS VARCHAR) || '_' ||
+                                      CAST(t2.j AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000) / 1000.0 - 0.5 AS p
+      FROM range(4) t1(i) CROSS JOIN range(64) t2(j)),
+    ex AS (
+      SELECT vec_id, label, t.j,
+             CAST(list_extract(embedding, t.j + 1) AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(64) t(j)),
+    proj AS (
+      SELECT e.vec_id, e.label, d.i,
+             CAST(SUM(CAST(e.x * d.p AS DECIMAL(38,18))) AS DOUBLE) AS coord
+      FROM ex e JOIN dims d ON d.j = e.j
+      GROUP BY e.vec_id, e.label, d.i)
+    SELECT label, i AS dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(coord AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_coord
+    FROM proj GROUP BY label, i ORDER BY label, dim
+    """,
+    "random-projection dimensionality reduction (Johnson-Lindenstrauss "
+    "sketch): 64-d embeddings projected to 4-d through an md5-derived "
+    "pseudo-random matrix both engines can reconstruct bit-identically; "
+    "per-label centroid profile of the projected space",
+)
+def q_embed_random_projection(spark, sf_dir):
+    """The projection matrix is DERIVED, not stored — md5(i_j) gives
+    every engine (and every executor, with no broadcast of learned
+    state) the same matrix, the same trick as the hyperplane-LSH and
+    hash-sample ops. Scale: posexplode is a narrow map, the 256-cell
+    matrix broadcasts, and the per-vector reduce partial-aggregates
+    map-side; nothing shuffles except (vec_id, i) partial sums. The
+    same shape serves PCA-free visualization, coarse ANN pre-filters,
+    and feature hashing."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = (
+        spark.range(4)
+        .withColumnRenamed("id", "i")
+        .crossJoin(spark.range(64).withColumnRenamed("id", "j"))
+        .select(
+            "i",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_", F.col("i").cast("string"),
+                                F.col("j").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 1000
+                / F.lit(1000.0)
+                - F.lit(0.5)
+            ).alias("p"),
+        )
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    proj = (
+        ex.join(F.broadcast(dims), "j")
+        .groupBy("vec_id", "label", "i")
+        .agg(
+            F.sum((F.col("x") * F.col("p")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("coord")
+        )
+    )
+    return (
+        proj.groupBy("label", F.col("i").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("coord").cast("decimal(38,18)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("avg_coord"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@register(
     "q_pipeline_wire_to_snapshot",
     """
     WITH snap AS (
