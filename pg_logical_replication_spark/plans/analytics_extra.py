@@ -213,6 +213,136 @@ def q_events_histogram(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
+    """Unrolled Lloyd iterations for the k-means builder: assignment =
+    argmin of decimal-stabilized squared distances (ties on cluster id),
+    update = decimal-stabilized per-dimension means. Deterministic init:
+    cluster c starts as the mean of vectors with vec_id % k = c."""
+    head = f"""
+    WITH ex AS (
+      SELECT vec_id, t.j,
+             CAST(list_extract(embedding, t.j + 1) AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(64) t(j)),
+    c0 AS (
+      SELECT CAST(vec_id % {k} AS BIGINT) AS c, j,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS v
+      FROM ex GROUP BY 1, j)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT e.vec_id, c.c,
+             CAST(SUM(CAST((e.x - c.v) * (e.x - c.v) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dist
+      FROM ex e JOIN c{i - 1} c ON c.j = e.j
+      GROUP BY e.vec_id, c.c),
+    a{i} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c) AS rn
+        FROM d{i}) WHERE rn = 1),
+    c{i} AS (
+      SELECT a.c, e.j,
+             CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS v
+      FROM ex e JOIN a{i} a ON a.vec_id = e.vec_id
+      GROUP BY a.c, e.j)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT a.c AS cluster, COUNT(DISTINCT a.vec_id) AS n,
+           ROUND(CAST(SUM(CAST(c.v * c.v AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(DISTINCT a.vec_id), 9) AS centroid_sq_norm
+    FROM a{iters} a JOIN c{iters} c ON c.c = a.c
+    GROUP BY a.c ORDER BY a.c
+    """
+    )
+
+
+@register(
+    "q_embed_kmeans",
+    _kmeans_oracle(2, 4),
+    "deterministic k-means (k=4, 2 Lloyd rounds, modulo-init) over the "
+    "embedding table — the cluster-balanced-sampling / semantic-"
+    "clustering primitive, every round's float math decimal-stabilized "
+    "so assignments match the DuckDB unrolled twin exactly",
+)
+def q_embed_kmeans(spark, sf_dir):
+    """Lloyd on Spark without MLlib: each round is (a) a distance
+    aggregate against the BROADCAST k×64 centroid table — narrow map +
+    map-side partial sum, (b) an argmin window per vector, (c) a
+    per-(cluster, dim) mean — shuffle width k×64 regardless of input
+    size. The 100 TB never re-scans: `ex` is the one exploded pass,
+    cached; iteration cost is O(n·k·d) compute with O(k·d) shuffle.
+    Ties (equidistant centroids) break on cluster id in both engines."""
+    from pyspark.sql import Window as W
+
+    K = 4
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).withColumn("x", F.col("x").cast("double")).persist()
+    cent = (
+        ex.groupBy((F.col("vec_id") % K).cast("bigint").alias("c"), "j")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    for _ in range(2):
+        dist = (
+            ex.join(F.broadcast(cent), "j")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    ((F.col("x") - F.col("v")) * (F.col("x") - F.col("v")))
+                    .cast("decimal(38,18)")
+                )
+                .cast("double")
+                .alias("dist")
+            )
+        )
+        assign = (
+            dist.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy("dist", "c")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c")
+        )
+        cent = (
+            ex.join(F.broadcast(assign), "vec_id")
+            .groupBy("c", "j")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("v")
+            )
+        )
+    return (
+        assign.join(F.broadcast(cent), "c")
+        .groupBy(F.col("c").alias("cluster"))
+        .agg(
+            F.countDistinct("vec_id").alias("n"),
+            F.round(
+                F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
+                .cast("double")
+                / F.countDistinct("vec_id"),
+                9,
+            ).alias("centroid_sq_norm"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register(
     "q_embed_random_projection",
     """
