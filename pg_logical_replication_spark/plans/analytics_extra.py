@@ -725,6 +725,7 @@ def q_graph_pagerank(spark, sf_dir):
            CAST(NULL AS BIGINT) AS n_respond,
            CAST(946684800000000 + MIN(event_id) * 1000 AS BIGINT) AS min_ts_us
     FROM events
+    HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'k', COUNT(*),
            CAST(MAX(event_id * 256 + 8) AS BIGINT),
@@ -732,6 +733,7 @@ def q_graph_pagerank(spark, sf_dir):
            CAST(SUM(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT),
            CAST(946684800000000 + MIN(event_id) * 1000 + 1 AS BIGINT)
     FROM events WHERE event_id % 10 = 0
+    HAVING COUNT(*) > 0
     ORDER BY msg_type
     """,
     "raw replication COPY-stream demux (reference copyData listener, "

@@ -27,8 +27,15 @@ PG_EPOCH_OFFSET_US = 946_684_800_000_000
 
 
 def _u64(data: Column, pos: int) -> Column:
-    """Big-endian u64 at 1-based byte offset ``pos`` — hex→conv, no UDF."""
-    return F.conv(F.hex(F.substring(data, pos, 8)), 16, 10).cast("long")
+    """Big-endian u64 at 1-based byte offset ``pos`` — hex→conv, no UDF.
+
+    Decoded as two's-complement signed (``conv`` to base -10) so the
+    cast is total: a header word with the top bit set lands as the
+    wrapped negative long instead of an ANSI cast error. PG LSNs are
+    u64 on the wire but 2^63 bytes of WAL is not a reachable position;
+    the wraparound is documented determinism, not a truncation trap.
+    """
+    return F.conv(F.hex(F.substring(data, pos, 8)), 16, -10).cast("long")
 
 
 def demux_copy_stream(raw: DataFrame, data_col: str = "data") -> DataFrame:
@@ -50,18 +57,22 @@ def demux_copy_stream(raw: DataFrame, data_col: str = "data") -> DataFrame:
     first = F.substring(data, 1, 1)
     is_w = first == F.lit(b"w")
     is_k = first == F.lit(b"k")
-    ts_us = _u64(data, 10) + F.lit(PG_EPOCH_OFFSET_US)
-    k_ts_us = _u64(data, 2 + 8) + F.lit(PG_EPOCH_OFFSET_US)
     return raw.select(
         F.when(is_w, "w").when(is_k, "k").otherwise("?").alias("msg_type"),
         F.when(is_w, _u64(data, 2)).alias("wal_start"),
         F.when(is_w, _u64(data, 10)).when(is_k, _u64(data, 2)).alias("wal_end"),
         F.timestamp_micros(
+            # 'w': ts at byte 18 (after walStart+walEnd); 'k': at byte 10
             F.when(is_w, _u64(data, 18) + F.lit(PG_EPOCH_OFFSET_US))
-            .when(is_k, k_ts_us)
+            .when(is_k, _u64(data, 10) + F.lit(PG_EPOCH_OFFSET_US))
         ).alias("server_ts"),
         F.when(is_k, F.substring(data, 18, 1) == F.lit(b"\x01")).alias(
             "should_respond"
         ),
-        F.when(is_w, F.expr(f"substring({data_col}, 26)")).alias("payload"),
+        F.when(
+            is_w,
+            data.substr(
+                F.lit(26), F.greatest(F.length(data) - F.lit(25), F.lit(0))
+            ),
+        ).alias("payload"),
     )

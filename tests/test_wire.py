@@ -43,23 +43,30 @@ def test_demux_splits_and_decodes_headers(spark):
 
 
 def test_demux_timestamp_is_pg_epoch_shifted(spark):
-    raw = spark.createDataFrame([(_k(1, 0, False),)], "data binary")
-    row = demux_copy_stream(raw).collect()[0]
-    # ts_us=0 ≙ 2000-01-01T00:00:00Z (the PG epoch)
-    import datetime
+    from pyspark.sql import functions as F
 
-    expected = datetime.datetime.fromtimestamp(
-        PG_EPOCH_OFFSET_US / 1e6, tz=datetime.timezone.utc
-    ).replace(tzinfo=None)
-    assert row["server_ts"] == expected
+    raw = spark.createDataFrame([(_k(1, 0, False),)], "data binary")
+    # ts_us=0 ≙ 2000-01-01T00:00:00Z (the PG epoch); assert via JVM-side
+    # unix_micros so the check is independent of the OS timezone
+    row = (
+        demux_copy_stream(raw)
+        .select(F.unix_micros("server_ts").alias("us"))
+        .collect()[0]
+    )
+    assert row["us"] == PG_EPOCH_OFFSET_US
 
 
 def test_demux_roundtrip_property(spark):
     """Randomized frames (hypothesis): every header field survives the
-    Catalyst hex/conv decode exactly — u64 edge values included."""
+    Catalyst hex/conv decode exactly — full u64 range included (top-bit
+    values land as the documented two's-complement wraparound)."""
     from hypothesis import given, settings, strategies as st
 
-    u64 = st.integers(min_value=0, max_value=2**63 - 1)  # LSNs are i64-safe
+    u64 = st.integers(min_value=0, max_value=2**64 - 1)
+
+    def as_signed(v: int) -> int:
+        return v - 2**64 if v >= 2**63 else v
+
     ts = st.integers(min_value=0, max_value=2**40)  # µs past PG epoch
     frames = st.lists(
         st.one_of(
@@ -78,30 +85,32 @@ def test_demux_roundtrip_property(spark):
             if f[0] == "w":
                 _, a, b, t_, payload = f
                 raws.append((_w(a, b, t_, payload),))
-                expect.append(("w", a, b, t_, bytes(payload), None))
+                expect.append(
+                    ("w", as_signed(a), as_signed(b), t_, bytes(payload), None)
+                )
             else:
                 _, b, t_, resp = f
                 raws.append((_k(b, t_, resp),))
-                expect.append(("k", None, b, t_, None, resp))
-        import datetime as dt
+                expect.append(("k", None, as_signed(b), t_, None, resp))
+        from pyspark.sql import functions as F
 
-        pg_epoch = dt.datetime(2000, 1, 1)
-        us = dt.timedelta(microseconds=1)
         df = spark.createDataFrame(raws, "data binary")
+        # compare the timestamp as JVM-side unix_micros: collected Python
+        # datetimes render in the OS-local zone, which would make the
+        # assertion depend on the machine's TZ
+        out = demux_copy_stream(df).withColumn(
+            "ts_us", F.unix_micros("server_ts") - F.lit(PG_EPOCH_OFFSET_US)
+        )
         got = [
             (
                 r["msg_type"],
                 r["wal_start"],
                 r["wal_end"],
-                # exact integer µs via timedelta floor-div (float
-                # .timestamp() loses µs precision out at 2^40)
-                (r["server_ts"] - pg_epoch) // us
-                if r["server_ts"] is not None
-                else None,
+                r["ts_us"],
                 bytes(r["payload"]) if r["payload"] is not None else None,
                 r["should_respond"],
             )
-            for r in demux_copy_stream(df).collect()
+            for r in out.collect()
         ]
         assert sorted(got, key=str) == sorted(expect, key=str)
 
