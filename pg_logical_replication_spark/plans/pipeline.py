@@ -98,7 +98,9 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return D.minhash_candidate_pairs(t(spark, sf_dir, "documents"))
 
 
-def _clusters_oracle(num_hashes: int = 8, band_size: int = 2, iters: int = 6) -> str:
+def _clusters_cte(num_hashes: int = 8, band_size: int = 2, iters: int = 6) -> str:
+    """The shared WITH-prefix ending in ``lab<iters>`` (doc_id, label) —
+    used by both the cluster-size and keep-best oracles."""
     mh = ",\n           ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
         for i in range(num_hashes)
@@ -128,9 +130,33 @@ def _clusters_oracle(num_hashes: int = 8, band_size: int = 2, iters: int = 6) ->
     edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               UNION SELECT b_id, a_id FROM pairs
               UNION SELECT doc_id, doc_id FROM nodes),
-    lab0 AS (SELECT doc_id, doc_id AS label FROM nodes){labs}
+    lab0 AS (SELECT doc_id, doc_id AS label FROM nodes){labs}"""
+
+
+def _clusters_oracle(num_hashes: int = 8, band_size: int = 2, iters: int = 6) -> str:
+    return f"""{_clusters_cte(num_hashes, band_size, iters)}
     SELECT label AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM lab{iters} GROUP BY label HAVING COUNT(*) > 1
+    """
+
+
+def _keep_best_oracle(iters: int = 6) -> str:
+    return f"""{_clusters_cte(iters=iters)},
+    scored AS (SELECT d.doc_id, d.lang, d.n_chars,
+                      COALESCE(l.label, d.doc_id) AS label
+               FROM documents d
+               LEFT JOIN lab{iters} l ON l.doc_id = d.doc_id),
+    ranked AS (SELECT lang, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY label
+                                         ORDER BY n_chars DESC, doc_id) AS rn
+               FROM scored)
+    SELECT lang,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM ranked GROUP BY lang ORDER BY lang
     """
 
 
@@ -151,6 +177,51 @@ def q_dedup_clusters(spark, sf_dir):
         labels.groupBy(F.col("label").alias("cluster_rep"))
         .agg(F.count("*").alias("n_members"))
         .filter(F.col("n_members") > 1)
+    )
+
+
+@register(
+    "q_dedup_keep_best",
+    _keep_best_oracle(),
+    "canonical representative selection: after LSH clustering, keep the "
+    "longest document per duplicate cluster (ties on id) — the "
+    "keep/drop decision a curation pipeline actually ships, profiled "
+    "per language",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Clustering emits only (doc_id, label) pairs for the ~few docs in
+    candidate clusters; the corpus LEFT-joins that tiny table (broadcast
+    at any realistic dup rate) and the keep/drop window partitions by
+    cluster label — singleton docs are their own cluster. Texts never
+    shuffle: only ids, labels and the n_chars score move."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    labels = D.connected_components(pairs)
+    scored = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .withColumn("label", F.coalesce("label", "doc_id"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("label").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    ranked = scored.withColumn("rn", rn)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("lang")
     )
 
 
