@@ -213,6 +213,116 @@ def q_events_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "q_ts_similarity_topk",
+    """
+    WITH grid AS (
+      SELECT u.user_id, t.d
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-15 00:00:00') u
+      CROSS JOIN range(14) t(d)),
+    daily AS (
+      SELECT user_id,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                            date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2),
+    dense AS (
+      SELECT g.user_id, g.d, COALESCE(dy.val, 0.0) AS val
+      FROM grid g LEFT JOIN daily dy
+        ON dy.user_id = g.user_id AND dy.d = g.d),
+    centered AS (
+      SELECT user_id, d,
+             val - CAST(SUM(CAST(val AS DECIMAL(38,6)))
+                        OVER (PARTITION BY user_id) AS DOUBLE) / 14 AS v
+      FROM dense),
+    dist AS (
+      SELECT a.user_id AS a_id, b.user_id AS b_id,
+             CAST(SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS d2
+      FROM centered a JOIN centered b
+        ON a.d = b.d AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id)
+    SELECT a_id, b_id, ROUND(d2, 6) AS dist_sq
+    FROM dist ORDER BY d2, a_id, b_id LIMIT 10
+    """,
+    "distributed time-series similarity search (EDBT'19/EDBT'20 "
+    "retrieved-paper theme): per-user 14-day activity series, "
+    "mean-centered, top-10 nearest pairs by squared Euclidean distance",
+)
+def q_ts_similarity_topk(spark, sf_dir):
+    """The series matrix builds with ONE shuffle on user_id (daily
+    rollup + dense grid + centering window all cluster on it); the
+    pairwise stage re-shuffles on the day index so each day's column
+    joins co-partitioned, and the per-pair reduce partial-aggregates
+    map-side. At real scale the quadratic pair space is what LSH/IVF
+    prune (q_ann_*); this is the exact kernel those indexes re-rank
+    with. Fixed 14-day grid keeps missing-day semantics (zero-fill,
+    then center) engine-exact."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(ssum("value").alias("val"))
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(spark.range(14).withColumnRenamed("id", "d"))
+    )
+    dense = grid.join(daily, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce("val", F.lit(0.0)).alias("val")
+    )
+    centered = dense.select(
+        "user_id",
+        "d",
+        (
+            F.col("val")
+            - F.sum(F.col("val").cast("decimal(38,6)"))
+            .over(W.partitionBy("user_id"))
+            .cast("double")
+            / 14
+        ).alias("v"),
+    )
+    a = centered.select(
+        F.col("user_id").alias("a_id"), "d", F.col("v").alias("va")
+    )
+    b = centered.select(
+        F.col("user_id").alias("b_id"), "d", F.col("v").alias("vb")
+    )
+    dist = (
+        a.join(b, "d")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(
+                ((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))
+                .cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    return (
+        dist.orderBy("d2", "a_id", "b_id")
+        .limit(10)
+        .select("a_id", "b_id", F.round("d2", 6).alias("dist_sq"))
+    )
+
+
 def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
     """Unrolled Lloyd iterations for the k-means builder: assignment =
     argmin of decimal-stabilized squared distances (ties on cluster id),
