@@ -214,6 +214,68 @@ def q_events_histogram(spark, sf_dir):
 
 
 @register(
+    "q_customer_rfm",
+    """
+    WITH base AS (
+      SELECT c.c_custkey,
+             MAX(o.o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey),
+    scored AS (
+      SELECT c_custkey,
+             NTILE(4) OVER (ORDER BY last_order, c_custkey) AS r,
+             NTILE(4) OVER (ORDER BY freq, c_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary, c_custkey) AS m,
+             monetary
+      FROM base)
+    SELECT r, f, m, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+    "RFM customer segmentation: recency/frequency/monetary quartiles "
+    "(ntile with unique-key tie-breaks), segment sizes and revenue — "
+    "the classic cohort-marketing rollup",
+)
+def q_customer_rfm(spark, sf_dir):
+    """One shuffle on custkey builds the per-customer profile; the
+    three ntile windows share one global sort each (at 100 TB replace
+    global ntile with approx-quantile cut points computed in one pass —
+    same segments, no global sort; here exactness keeps the oracle
+    bit-for-bit). Segment rollup is a 64-cell aggregate."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            ssum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "c_custkey",
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "c_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("freq", "c_custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary", "c_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            ssum("monetary").alias("revenue"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
     "q_ts_similarity_topk",
     """
     WITH grid AS (
