@@ -245,3 +245,34 @@ def test_two_phase_messages_roundtrip():
     assert r["op"] == "rollback_prepared" and r["xid"] == 902
     assert r["meta"]["gid"] == "gid-3" and r["commit_ts_us"] == TS + 9
     assert r["meta"]["prepare_ts_us"] == str(TS)
+
+
+def test_parse_message_fuzz_never_hangs_or_succeeds_silently():
+    """Hypothesis fuzz: arbitrary bytes either parse to a dict with a
+    known op, or raise a clean ValueError/KeyError/struct-style error —
+    never hang, loop, or return garbage types. The per-batch hard-error
+    contract (SURVEY §2.3 #24: binary formats fail loudly) depends on
+    exceptions being catchable and prompt."""
+    from hypothesis import given, settings, strategies as st
+
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+    known_ops = {
+        "begin", "commit", "origin", "relation", "type", "insert",
+        "update", "delete", "truncate", "message", "stream_start",
+        "stream_stop", "stream_commit", "stream_abort", "begin_prepare",
+        "prepare", "commit_prepared", "rollback_prepared",
+        "stream_prepare",
+    }
+
+    @settings(max_examples=300, deadline=1000)
+    @given(st.binary(min_size=0, max_size=64), st.booleans())
+    def run(buf, streamed):
+        try:
+            ev = fmt.parse_message(buf, {}, streamed=streamed)
+        except Exception as ex:  # noqa: BLE001 — the contract IS "raises"
+            assert not isinstance(ex, (SystemExit, KeyboardInterrupt))
+            return
+        assert isinstance(ev, dict) and ev.get("op") in known_ops
+
+    run()
