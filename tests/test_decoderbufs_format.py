@@ -91,3 +91,24 @@ def test_negative_int32_and_unknown_op():
     assert ev["after"]["n"] == "-42"
     u = fmt.parse_row_message(fmt.encode_row_message("unknown"))
     assert u["op"] == "unknown"
+
+
+def test_parse_row_message_fuzz_never_hangs():
+    """Hypothesis fuzz for the pure-Python protobuf wire codec: random
+    bytes either parse (protobuf is permissive — unknown fields skip) or
+    raise cleanly; no hangs, no non-dict results."""
+    from hypothesis import given, settings, strategies as st
+
+    from pg_logical_replication_spark.sources import decoderbufs_format as dbf
+
+    @settings(max_examples=300, deadline=1000)
+    @given(st.binary(min_size=0, max_size=64))
+    def run(buf):
+        try:
+            msg = dbf.parse_row_message(buf)
+        except Exception as ex:  # noqa: BLE001 — raising IS the contract
+            assert not isinstance(ex, (SystemExit, KeyboardInterrupt))
+            return
+        assert isinstance(msg, dict)
+
+    run()
