@@ -891,14 +891,14 @@ def q_graph_pagerank(spark, sf_dir):
            CAST(MAX(event_id * 256 + 7 + length(event_type)) AS BIGINT)
              AS max_wal,
            CAST(SUM(length(event_type)) AS BIGINT) AS payload_bytes,
-           CAST(NULL AS BIGINT) AS n_respond,
+           CAST(0 AS BIGINT) AS n_respond,
            CAST(946684800000000 + MIN(event_id) * 1000 AS BIGINT) AS min_ts_us
     FROM events
     HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'k', COUNT(*),
            CAST(MAX(event_id * 256 + 8) AS BIGINT),
-           CAST(NULL AS BIGINT),
+           CAST(0 AS BIGINT),
            CAST(SUM(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT),
            CAST(946684800000000 + MIN(event_id) * 1000 + 1 AS BIGINT)
     FROM events WHERE event_id % 10 = 0
@@ -956,8 +956,14 @@ def q_cdc_wire_demux(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.max("wal_end").alias("max_wal"),
-            F.sum(F.length("payload")).alias("payload_bytes"),
-            F.sum(F.col("should_respond").cast("bigint")).alias("n_respond"),
+            # zero-coalesced so a group with no such field stays BIGINT
+            # (a NULL in a pandas int column silently floats the column)
+            F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias(
+                "payload_bytes"
+            ),
+            F.sum(
+                F.coalesce(F.col("should_respond").cast("bigint"), F.lit(0))
+            ).alias("n_respond"),
             F.min(F.unix_micros("server_ts")).alias("min_ts_us"),
         )
         .orderBy("msg_type")

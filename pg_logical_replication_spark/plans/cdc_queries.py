@@ -521,7 +521,8 @@ def q_cdc_decoderbufs_roundtrip(spark, sf_dir):
 @register(
     "q_cdc_scd2_history",
     """
-    SELECT user_id, val AS value_str, valid_from, valid_to,
+    SELECT user_id, val AS value_str, valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to,
            valid_to IS NULL AS is_current
     FROM (
       SELECT user_id, event_type,
@@ -561,7 +562,9 @@ def q_cdc_scd2_history(spark, sf_dir):
         F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
         F.col("after").getItem("value").alias("value_str"),
         F.col("valid_from_lsn").alias("valid_from"),
-        F.col("valid_to_lsn").alias("valid_to"),
+        # string-typed so the open-version NULL can't coerce the whole
+        # column to float in pandas-mediated comparators
+        F.col("valid_to_lsn").cast("string").alias("valid_to"),
         "is_current",
     )
 
@@ -1742,7 +1745,9 @@ def q_cdc_temporal_join(spark, sf_dir):
         F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
         F.col("after").getItem("value").alias("val"),
         F.col("valid_from_lsn").alias("valid_from"),
-        F.col("valid_to_lsn").alias("valid_to"),
+        # string-typed so the open-version NULL can't coerce the whole
+        # column to float in pandas-mediated comparators
+        F.col("valid_to_lsn").cast("string").alias("valid_to"),
     )
     facts = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "event_id")
     joined = facts.join(
