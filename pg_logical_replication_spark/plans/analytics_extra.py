@@ -214,6 +214,65 @@ def q_events_histogram(spark, sf_dir):
 
 
 @register(
+    "q_udaf_weighted_median",
+    """
+    WITH w AS (
+      SELECT event_type, value, user_id % 5 + 1 AS wt FROM events),
+    ranked AS (
+      SELECT event_type, value, wt,
+             SUM(wt) OVER (PARTITION BY event_type
+                           ORDER BY value, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY event_type) AS total
+      FROM w)
+    SELECT event_type,
+           ROUND(MIN(value), 6) AS weighted_median,
+           CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM ranked WHERE cum * 2 >= total
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "Arrow-batched grouped-agg pandas UDAF (the §2.2 UDAF surface): "
+    "lower weighted median per event type, oracle-replayed with a "
+    "cumulative-weight window — UDAF result ≡ pure-SQL result",
+)
+def q_udaf_weighted_median(spark, sf_dir):
+    """The UDF path done right: a GROUPED_AGG pandas_udf receives each
+    group as Arrow-backed Series (one JVM→Python crossing per group,
+    not per row) and returns one scalar. Weighted-lower-median is
+    order-insensitive after an explicit in-group sort, so the UDAF is
+    deterministic and the SQL window twin replays it exactly. Scale:
+    groups hash-distribute; for heavy groups prefer the pure-window
+    form (the oracle SQL IS that form) — this query exists to pin the
+    UDAF surface itself."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(value: pd.Series, wt: pd.Series) -> float:
+        df = pd.DataFrame({"v": value, "w": wt}).sort_values(["v", "w"])
+        cum = df["w"].cumsum()
+        total = int(df["w"].sum())
+        return float(df.loc[cum * 2 >= total, "v"].iloc[0])
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 5 + 1).alias("wt"),
+    )
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg(); the tiny per-group frames join instead
+    med = ev.groupBy("event_type").agg(
+        F.round(wmedian("value", "wt"), 6).alias("weighted_median")
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.sum("wt").cast("bigint").alias("total_weight")
+    )
+    return med.join(tot, "event_type").orderBy("event_type")
+
+
+@register(
     "q_customer_rfm",
     """
     WITH base AS (
