@@ -214,6 +214,71 @@ def q_events_histogram(spark, sf_dir):
 
 
 @register(
+    "q_cdc_udtf_explode",
+    """
+    SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'update' END AS op,
+           COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "Python UDTF surface (§2.2), oracle-gated: events encoded as "
+    "wal2json lines JVM-side (to_json), exploded one-changeset→many-"
+    "rows through the LATERAL table function, aggregates replayed from "
+    "the source rows",
+)
+def q_cdc_udtf_explode(spark, sf_dir):
+    """Encode is pure Catalyst (to_json over structs — no Python);
+    only the UDTF explode crosses into the Python worker, per
+    partition. The production path stays declarative (posexplode in
+    sources/wal2json.py); this pins the imperative template's
+    correctness end-to-end."""
+    from pg_logical_replication_spark.sources.udtf_explode import (
+        register_wal2json_explode,
+    )
+
+    register_wal2json_explode(spark)
+    ev = t(spark, sf_dir, "events")
+    kind = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    line = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    kind.alias("kind"),
+                    F.lit("public").alias("schema"),
+                    F.lit("events").alias("table"),
+                    F.array(F.lit("user_id"), F.lit("etype")).alias(
+                        "columnnames"
+                    ),
+                    F.array(
+                        F.col("user_id").cast("string"), F.col("event_type")
+                    ).alias("columnvalues"),
+                )
+            ).alias("change")
+        )
+    )
+    ev.select(line.alias("value")).createOrReplaceTempView("_udtf_raw")
+    exploded = spark.sql(
+        "SELECT f.* FROM _udtf_raw, LATERAL wal2json_explode(value) f"
+    )
+    return (
+        exploded.groupBy("op")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("after").getItem("user_id").cast("bigint")).alias(
+                "sum_uid"
+            ),
+        )
+        .orderBy("op")
+    )
+
+
+@register(
     "q_udaf_weighted_median",
     """
     WITH w AS (
