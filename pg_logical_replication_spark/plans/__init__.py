@@ -13,3 +13,4 @@ from pg_logical_replication_spark.plans import cdc_queries  # noqa: F401
 from pg_logical_replication_spark.plans import pipeline  # noqa: F401
 from pg_logical_replication_spark.plans import multimodal  # noqa: F401
 from pg_logical_replication_spark.plans import analytics_extra  # noqa: F401
+from pg_logical_replication_spark.plans import timeseries_stats  # noqa: F401

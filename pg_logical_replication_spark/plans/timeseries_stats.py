@@ -1,0 +1,365 @@
+"""Time-series statistics + pipeline extras (round-2, late batch).
+
+Operators a monitoring / feature-engineering consumer runs on the
+materialized event stream: exponential smoothing, autocorrelation,
+robust (MAD) outlier detection — plus two training-data ops (fixed-
+stride document chunking, market-basket association rules).
+
+Cross-engine determinism notes (the whole point of each design):
+
+* **EWMA** uses a dyadic decay ``alpha = 1/2`` truncated at depth 15,
+  so every weight ``2^-k`` is exact in binary *and* in
+  ``DECIMAL(16,15)`` — both engines accumulate the identical decimal
+  numerator/denominator and only the final division happens in double
+  (deterministic for identical operands).
+* **autocorrelation** is computed from integer moment sums (exact in
+  int64); the closing formula is a handful of IEEE double ops on
+  identical inputs.
+* **MAD** works on integer counts: medians of integers are at worst
+  ``x.5`` (dyadic-exact), deviations at worst ``x.5``, the second
+  median at worst ``x.25`` — all exactly representable, so the outlier
+  inequality can never straddle a rounding difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.plans.registry import register, ssum, t
+
+
+@register(
+    "q_events_ewma",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    pairs AS (
+      SELECT a.day,
+             CAST(POWER(0.5, date_diff('day', b.day, a.day)) AS DECIMAL(16,15))
+               AS w,
+             b.x
+      FROM daily a JOIN daily b
+        ON b.day <= a.day AND date_diff('day', b.day, a.day) <= 15)
+    SELECT day,
+           COUNT(*) AS n_terms,
+           CAST(CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS DOUBLE)
+             AS ewma
+    FROM pairs GROUP BY day ORDER BY day
+    """,
+    "exponentially weighted moving average of daily event value "
+    "(alpha=1/2, depth 15): dyadic weights make the smoothing exactly "
+    "replayable in decimal on any engine",
+)
+def q_events_ewma(spark, sf_dir):
+    """EWMA as a bounded range self-join over the *daily aggregate* —
+    the expensive part (the raw scan) reduces first, then the join
+    touches only ~365×16 rows/year regardless of raw volume. At 100 TB
+    the daily rollup is partial-aggregated map-side and the self-join
+    input is kilobytes; no window state, no recursion. Weights
+    ``2^-k`` are exact in DECIMAL(16,15), so both engines accumulate
+    identical numerators and the one double division at the end is
+    deterministic."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    diff = F.datediff(F.col("a.day"), F.col("b.day"))
+    pairs = a.join(
+        b, (F.col("b.day") <= F.col("a.day")) & (diff <= 15)
+    ).select(
+        F.col("a.day").alias("day"),
+        F.pow(F.lit(0.5), diff).cast("decimal(16,15)").alias("w"),
+        F.col("b.x").alias("x"),
+    )
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.count("*").alias("n_terms"),
+            (
+                F.sum(F.col("x") * F.col("w")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("ewma"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_events_autocorr",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND date_diff('day', b.day, a.day) = 7),
+    mom AS (
+      SELECT event_type, COUNT(*) AS k,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM lagged GROUP BY event_type)
+    SELECT event_type, k,
+           CAST(k*sxy - sx*sy AS DOUBLE)
+             / (SQRT(CAST(k*sxx - sx*sx AS DOUBLE))
+                * SQRT(CAST(k*syy - sy*sy AS DOUBLE))) AS autocorr_7d
+    FROM mom WHERE k*sxx - sx*sx > 0 AND k*syy - sy*sy > 0
+    ORDER BY event_type
+    """,
+    "lag-7 autocorrelation of daily event counts per type: weekly "
+    "seasonality detection from exact integer moment sums",
+)
+def q_events_autocorr(spark, sf_dir):
+    """Pearson r between the daily-count series and its 7-day lag,
+    computed from five integer moment sums (exact in int64 at any
+    scale that fits a day in a count) and closed in double — no
+    streaming variance, no order dependence. One shuffle for the daily
+    rollup; the lag join and moments run on the tiny reduction."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lagged = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.datediff(F.col("a.day"), F.col("b.day")) == 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    mom = lagged.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "k",
+            (
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).alias("autocorr_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_events_mad_outliers",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, MEDIAN(n) AS med FROM daily GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS ad
+      FROM daily d JOIN med m ON m.event_type = d.event_type),
+    mad AS (SELECT event_type, MEDIAN(ad) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type, d.day, d.n, d.med, m.mad
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE ABS(d.n - d.med) > 3 * m.mad AND m.mad > 0
+    ORDER BY d.event_type, d.day
+    """,
+    "robust anomaly detection: daily event counts more than 3 MADs "
+    "from their type's median (median absolute deviation — outlier-"
+    "proof, unlike z-scores)",
+)
+def q_events_mad_outliers(spark, sf_dir):
+    """MAD on integer counts is dyadic-exact end-to-end (medians are
+    at worst .5, second-level medians at worst .25), so the 3-MAD
+    threshold compares identical doubles on both engines. Exact
+    medians cost one sort of the *daily* series per type — tiny after
+    the first reduction; at 100 TB swap F.percentile for
+    approx_percentile and keep the same frame."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+            & (F.col("mad") > 0)
+        )
+        .select("event_type", "day", "n", "med", "mad")
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q_doc_chunks",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    grid AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE CAST(CEIL((n - 32) / 16.0) AS INT) END)) AS chunk_idx
+      FROM tok)
+    SELECT doc_id, chunk_idx,
+           len(list_slice(toks, chunk_idx*16 + 1,
+                          LEAST(chunk_idx*16 + 32, n))) AS chunk_len,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx*16 + 1,
+                          LEAST(chunk_idx*16 + 32, n)), ' ')) AS chunk_md5
+    FROM grid ORDER BY doc_id, chunk_idx
+    """,
+    "fixed-window document chunking (32 tokens, stride 16): the "
+    "context-window prep op between cleaning and packing; chunk "
+    "digests are hash-checked so the split boundaries are pinned "
+    "exactly",
+)
+def q_doc_chunks(spark, sf_dir):
+    """Chunking is a pure narrow map: split → sequence(0, n_chunks-1)
+    → posexplode → slice, all JVM built-ins, no shuffle at all (the
+    final orderBy is presentation only). Rows out ≈ tokens/stride;
+    at 100 TB this runs at scan speed and pairs with
+    operators/packing.py downstream."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    n_last = F.when(F.col("n") <= 32, F.lit(0)).otherwise(
+        F.ceil((F.col("n") - 32) / 16.0).cast("int")
+    )
+    grid = toks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("chunk_idx") * 16 + 1,
+        F.least(F.col("chunk_idx") * 16 + F.lit(32), F.col("n"))
+        - F.col("chunk_idx") * 16,
+    )
+    return grid.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q_market_basket",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    brand_n AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand),
+    pair_n AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+      FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.n_pair,
+           CAST(p.n_pair AS DOUBLE) / CAST(na.n AS DOUBLE) AS confidence,
+           CAST(p.n_pair AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+             / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
+    FROM pair_n p
+    JOIN brand_n na ON na.brand = p.brand_a
+    JOIN brand_n nb ON nb.brand = p.brand_b
+    CROSS JOIN tot t
+    WHERE p.n_pair >= 20
+    ORDER BY lift DESC, p.brand_a, p.brand_b LIMIT 15
+    """,
+    "market-basket association rules over order contents: "
+    "support / confidence / lift for brand co-occurrence, top-15 by "
+    "lift — the classic co-purchase analysis from exact counts",
+)
+def q_market_basket(spark, sf_dir):
+    """The pair blow-up is bounded by (brands-per-order choose 2) —
+    tiny per order — and the heavy input reduces to DISTINCT
+    (order, brand) first, so the self-join is over the reduction and
+    co-partitioned on okey (one exchange serves both sides). All
+    ratios close from exact int64 counts in double. Part is
+    broadcast into the lineitem scan."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        # one hash exchange on okey serves the distinct above (okey ⊆
+        # clustering), the pair self-join, and the total-orders count
+        .repartition("okey")
+        .persist()
+    )
+    tot = ob.select(F.count_distinct("okey").alias("n_orders"))
+    brand_n = ob.groupBy("brand").agg(F.count("*").alias("n"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("b.okey") == F.col("a.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    na = brand_n.alias("na")
+    nb = brand_n.alias("nb")
+    return (
+        pair_n.join(F.broadcast(na), F.col("na.brand") == F.col("brand_a"))
+        .join(F.broadcast(nb), F.col("nb.brand") == F.col("brand_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("na.n").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("na.n").cast("double") * F.col("nb.n").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(15)
+    )
