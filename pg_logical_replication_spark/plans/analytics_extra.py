@@ -1092,3 +1092,175 @@ def q_cdc_wire_demux(spark, sf_dir):
         )
         .orderBy("msg_type")
     )
+
+
+@register(
+    "q_join_bloom_prune",
+    """
+    WITH s AS (SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000),
+    build AS (
+      SELECT list_sort(list(DISTINCT pos)) AS bits FROM (
+        SELECT CAST('0x' || substr(md5('b' || seed || '#' ||
+                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 8192 AS pos
+        FROM s CROSS JOIN (VALUES (1),(2),(3)) seeds(seed))),
+    probe AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+    cand AS (
+      SELECT p.k,
+             list_has_all(b.bits, [
+               CAST('0x' || substr(md5('b1#' || CAST(p.k AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 8192,
+               CAST('0x' || substr(md5('b2#' || CAST(p.k AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 8192,
+               CAST('0x' || substr(md5('b3#' || CAST(p.k AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 8192]) AS maybe,
+             EXISTS (SELECT 1 FROM s WHERE s.k = p.k) AS truly
+      FROM probe p CROSS JOIN build b)
+    SELECT (SELECT COUNT(*) FROM s) AS n_build_keys,
+           COUNT(*) AS n_probe_keys,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN truly THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN maybe AND NOT truly THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN truly AND NOT maybe THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_missed
+    FROM cand
+    """,
+    "Bloom-filter join pruning: an 8192-bit / 3-hash filter built from "
+    "the small join side is probed by the big side before any shuffle; "
+    "md5-derived hash positions make the bit set and every membership "
+    "verdict engine-replayable (n_missed must be 0 — Blooms have no "
+    "false negatives)",
+)
+def q_join_bloom_prune(spark, sf_dir):
+    """THE shuffle-avoidance pattern for selective joins at 100 TB:
+    the build side reduces to a bit set (here a sorted position array,
+    ≤ 3·|S| longs) broadcast into the probe scan, so non-candidate rows
+    die before the exchange — Spark's own runtime row-group filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does this
+    opaquely; this query pins the arithmetic observably. Probe keys
+    reduce with a map-side distinct first; every verdict is integer
+    arithmetic on md5, so both engines agree bit-for-bit."""
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("k"))
+    )
+
+    def pos(seed: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{seed}#"), key.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 8192
+        )
+
+    build = (
+        sup.select(
+            F.explode(
+                F.array(*[pos(s, F.col("k")) for s in (1, 2, 3)])
+            ).alias("p")
+        )
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    probe = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k")
+    ).distinct()
+    probed = probe.crossJoin(F.broadcast(build)).withColumn(
+        "maybe",
+        F.forall(
+            F.array(*[pos(s, F.col("k")) for s in (1, 2, 3)]),
+            lambda p: F.array_contains(F.col("bits"), p),
+        ),
+    )
+    truly = sup.select("k").withColumn("truly", F.lit(True))
+    cand = probed.join(F.broadcast(truly), "k", "left").withColumn(
+        "truly", F.coalesce(F.col("truly"), F.lit(False))
+    )
+    n_build = sup.count()
+    return cand.agg(
+        F.lit(n_build).cast("bigint").alias("n_build_keys"),
+        F.count("*").alias("n_probe_keys"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_candidates"),
+        F.sum(F.when(F.col("truly"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("maybe") & ~F.col("truly"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("truly") & ~F.col("maybe"), 1).otherwise(0)
+        ).alias("n_missed"),
+    )
+
+
+@register(
+    "q_graph_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    e AS (SELECT a.pk AS pa, b.pk AS pb
+          FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+            FROM e e1
+            JOIN e e2 ON e2.pa = e1.pb
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+    node AS (
+      SELECT v, COUNT(*) AS n_tri FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY v)
+    SELECT v, n_tri FROM node
+    ORDER BY n_tri DESC, v LIMIT 15
+    """,
+    "triangle counting on the co-purchase graph (parts bought together "
+    "in ≥2 orders): per-node triangle participation, top-15 — the "
+    "clustering-coefficient / community-detection primitive",
+)
+def q_graph_triangles(spark, sf_dir):
+    """Standard distributed triangle enumeration: orient every edge
+    low→high so each triangle is found exactly once, then two
+    self-joins over the (already reduced) edge list. The raw scan
+    collapses to DISTINCT (order, part) pairs first and the ≥2-support
+    filter prunes the edge list before any quadratic step; the
+    wedge-join shuffles on the shared endpoint — at 100 TB you'd
+    pre-bucket the edge list by pa. All integer counts."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("b.ok") == F.col("a.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    node = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return node.orderBy(F.col("n_tri").desc(), "v").limit(15)
