@@ -1264,3 +1264,156 @@ def q_graph_triangles(spark, sf_dir):
         .agg(F.count("*").alias("n_tri"))
     )
     return node.orderBy(F.col("n_tri").desc(), "v").limit(15)
+
+
+_PQ_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id, t.j, t.j // 16 AS sub,
+             CAST(list_extract(embedding, t.j + 1) AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(64) t(j)),
+    c0 AS (
+      SELECT vec_id % 8 AS c, sub, j,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) AS v
+      FROM ex GROUP BY 1, 2, 3),
+    d0 AS (
+      SELECT e.vec_id, e.sub, c0.c,
+             CAST(SUM(CAST((e.x - c0.v)*(e.x - c0.v) AS DECIMAL(38,18)))
+               AS DOUBLE) AS dist
+      FROM ex e JOIN c0 ON c0.j = e.j AND c0.sub = e.sub
+      GROUP BY 1, 2, 3),
+    a0 AS (
+      SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, c) AS rn
+        FROM d0) WHERE rn = 1),
+    c1 AS (
+      SELECT a0.c, e.sub, e.j,
+             CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) AS v
+      FROM ex e JOIN a0 ON a0.vec_id = e.vec_id AND a0.sub = e.sub
+      GROUP BY 1, 2, 3),
+    d1 AS (
+      SELECT e.vec_id, e.sub, c1.c,
+             CAST(SUM(CAST((e.x - c1.v)*(e.x - c1.v) AS DECIMAL(38,18)))
+               AS DOUBLE) AS dist
+      FROM ex e JOIN c1 ON c1.j = e.j AND c1.sub = e.sub
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, c) AS rn
+        FROM d1) WHERE rn = 1),
+    q AS (SELECT j, sub, x FROM ex WHERE vec_id = 0),
+    lut AS (
+      SELECT c1.sub, c1.c,
+             CAST(SUM(CAST((q.x - c1.v)*(q.x - c1.v) AS DECIMAL(38,18)))
+               AS DOUBLE) AS pd
+      FROM c1 JOIN q ON q.j = c1.j AND q.sub = c1.sub GROUP BY 1, 2),
+    approx AS (
+      SELECT cd.vec_id,
+             CAST(SUM(CAST(l.pd AS DECIMAL(38,18))) AS DOUBLE) AS adist
+      FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.c = cd.c
+      GROUP BY cd.vec_id)
+    SELECT vec_id, ROUND(adist, 9) AS approx_dist
+    FROM approx WHERE vec_id <> 0
+    ORDER BY adist, vec_id LIMIT 10
+"""
+
+
+@register(
+    "q_ann_pq_topk",
+    _PQ_ORACLE,
+    "product-quantization ANN (PQ4x8: 4 subspaces × 8 centroids, "
+    "modulo-init + 1 Lloyd round): asymmetric-distance top-10 for "
+    "query vec 0 through the 4×8 lookup table — completes the "
+    "IVF / SQ8 / PQ coarse-index trio, every float decimal-stabilized "
+    "so codebooks, codes and ADC ranks replay exactly on DuckDB",
+)
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ compresses each 64-d vector to 4 bytes (codes into a k=8
+    codebook per 16-d subspace), and query scoring touches only the
+    codes plus a 4×8 precomputed distance table — at 100 TB the scan
+    reads 1/64th the bytes of the float path and the LUT join is a
+    broadcast of 32 rows. Training shuffles only (sub, c, j) partial
+    sums (width k·d regardless of input); the exploded pass is cached
+    once. Same modulo-init + decimal-stabilized Lloyd as
+    q_embed_kmeans so the codebook is engine-replayable."""
+    from pyspark.sql import Window as W
+
+    M, K, DSUB = 4, 8, 16
+    emb = t(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .withColumn("sub", (F.col("j") / DSUB).cast("bigint"))
+        .persist()
+    )
+
+    def means(assign=None):
+        src = (
+            ex.withColumn("c", (F.col("vec_id") % K).cast("bigint"))
+            if assign is None
+            else ex.join(F.broadcast(assign), ["vec_id", "sub"])
+        )
+        return src.groupBy("c", "sub", "j").agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+
+    def argmin(cent):
+        d = (
+            ex.join(F.broadcast(cent), ["sub", "j"])
+            .groupBy("vec_id", "sub", "c")
+            .agg(
+                F.sum(
+                    ((F.col("x") - F.col("v")) * (F.col("x") - F.col("v")))
+                    .cast("decimal(38,18)")
+                )
+                .cast("double")
+                .alias("dist")
+            )
+        )
+        return (
+            d.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id", "sub").orderBy("dist", "c")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "c")
+        )
+
+    c0 = means()
+    a0 = argmin(c0)
+    c1 = means(a0)
+    codes = argmin(c1)
+    q = ex.filter(F.col("vec_id") == 0).select(
+        "sub", "j", F.col("x").alias("qx")
+    )
+    lut = (
+        c1.join(F.broadcast(q), ["sub", "j"])
+        .groupBy("sub", "c")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("v")) * (F.col("qx") - F.col("v")))
+                .cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("pd")
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("pd").cast("decimal(38,18)")).cast("double").alias("adist"))
+    )
+    return (
+        approx.filter(F.col("vec_id") != 0)
+        .orderBy("adist", "vec_id")
+        .select("vec_id", F.round("adist", 9).alias("approx_dist"))
+        .limit(10)
+    )
