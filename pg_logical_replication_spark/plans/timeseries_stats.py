@@ -363,3 +363,204 @@ def q_market_basket(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(15)
     )
+
+
+@register(
+    "q_dq_constraints",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+             (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+              HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer_fk_nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'lineitem_ship_after_order',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o
+              ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_qty_in_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events WHERE ts IS NULL)
+    ORDER BY check_name
+    """,
+    "data-quality assertion suite (dbt-test family): PK uniqueness, "
+    "FK orphans, ordering/range/nullability invariants — one summary "
+    "row per check with checked/violation counts",
+)
+def q_dq_constraints(spark, sf_dir):
+    """The post-materialization audit a CDC replica runs continuously
+    (pairs with operators/verify.py's checksum diff: that detects
+    divergence, this classifies it). Each check is one aggregate or
+    anti-join; Spark runs them as independent stages off shared scans
+    — the FK checks broadcast the PK side's keys at these sizes and
+    shuffle-hash at 100 TB. Counts are exact integers, so the gate is
+    trivially cross-engine."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    ev = t(spark, sf_dir, "events")
+
+    def row(name, n_checked_df, n_viol_df):
+        n = n_checked_df if isinstance(n_checked_df, int) else n_checked_df.count()
+        v = n_viol_df if isinstance(n_viol_df, int) else n_viol_df.count()
+        return spark.createDataFrame(
+            [(name, n, v)], "check_name string, n_checked long, n_violations long"
+        )
+
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v"))
+        .collect()[0]["v"]
+    )
+    checks = [
+        row("orders_pk_unique", orders, int(dup)),
+        row(
+            "lineitem_fk_orders",
+            li,
+            li.join(
+                orders.select("o_orderkey").distinct(),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        row(
+            "customer_fk_nation",
+            cust,
+            cust.join(
+                nat.select("n_nationkey").distinct(),
+                cust["c_nationkey"] == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+        row(
+            "lineitem_ship_after_order",
+            li,
+            li.join(
+                orders.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+            ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+        row(
+            "orders_totalprice_positive",
+            orders,
+            orders.filter(F.col("o_totalprice") <= 0),
+        ),
+        row(
+            "lineitem_qty_in_range",
+            li,
+            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        row("events_ts_not_null", ev, ev.filter(F.col("ts").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
+
+
+@register(
+    "q_events_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS touch_id,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    purch AS (
+      SELECT user_id,
+             CASE WHEN touch_ts IS NOT NULL
+                   AND ts - touch_ts <= INTERVAL 30 MINUTE
+                  THEN touch_type ELSE 'none' END AS attributed_to
+      FROM seq WHERE event_type = 'purchase')
+    SELECT attributed_to, COUNT(*) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM purch GROUP BY attributed_to ORDER BY attributed_to
+    """,
+    "last-touch marketing attribution: each purchase credits the most "
+    "recent click/view by the same user within 30 minutes ('none' when "
+    "cold) — the event-stream join-to-self pattern via IGNORE NULLS "
+    "window, no self-join",
+)
+def q_events_attribution(spark, sf_dir):
+    """Attribution as a running last(ignore nulls) over the per-user
+    ordered stream — O(1) state per row, one shuffle on user_id, versus
+    the naive as-of self-join. The three LAST_VALUE columns share one
+    window frame so they resolve from the same sort. The 1-PRECEDING
+    upper bound keeps a purchase from attributing to itself if types
+    ever overlap. At 100 TB: time-partition the scan, and the window
+    stays within (user, day) task locality."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    purch = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.col("ts").cast("long") - F.col("touch_ts").cast("long")
+                <= 30 * 60
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("attributed_to"),
+    )
+    return (
+        purch.groupBy("attributed_to")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("attributed_to")
+    )
