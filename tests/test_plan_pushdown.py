@@ -62,3 +62,39 @@ def test_curation_pipeline_prunes_documents(spark):
     read_schema = scan.split("ReadSchema:")[1]
     assert "n_chars" not in read_schema, scan
     assert "source" not in read_schema, scan
+
+
+def test_bloom_prune_broadcasts_bit_set(spark):
+    """The Bloom build side must reach the probe as a broadcast (bit
+    set ≤ 3·|keys| longs) — if it shuffles, the pruning pattern is
+    pointless at scale."""
+    df = QUERIES["q_join_bloom_prune"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the probe side reads only its join key from parquet
+    scan = _scan_of(df, "lineitem")
+    assert "l_suppkey" in scan.split("ReadSchema:")[1]
+    assert "l_extendedprice" not in scan.split("ReadSchema:")[1], scan
+
+
+def test_doc_chunks_plan_has_no_exchange(spark):
+    """Chunking is a pure narrow map — split/sequence/explode/slice
+    with zero shuffle; only the presentation sort may exchange."""
+    import re
+
+    df = QUERIES["q_doc_chunks"].builder(spark, SF)
+    # the final orderBy is presentation-only; the transformation core
+    # below the sort must be exchange-free
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = re.split(r"Sort|TakeOrderedAndProject", plan)[-1]
+    assert "Exchange hashpartitioning" not in body, plan
+
+
+def test_attribution_single_exchange_on_user(spark):
+    """All three IGNORE-NULLS window columns share one frame, so the
+    plan carries exactly one hash exchange on user_id before the final
+    aggregation."""
+    df = QUERIES["q_events_attribution"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_user_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_user_exchanges == 1, plan
