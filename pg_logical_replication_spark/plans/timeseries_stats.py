@@ -564,3 +564,144 @@ def q_events_attribution(spark, sf_dir):
         )
         .orderBy("attributed_to")
     )
+
+
+@register(
+    "q_text_search_rank",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    hit AS (
+      SELECT t.doc_id, CAST(SUM(t.tf * (n.n // d.df)) AS BIGINT) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf t JOIN df d ON d.w = t.w CROSS JOIN n
+      WHERE t.w IN ('spark', 'merge', 'window')
+      GROUP BY t.doc_id)
+    SELECT doc_id, score, n_terms_hit
+    FROM hit ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "keyword search ranking: tf × floor-idf scoring (integer "
+    "arithmetic — the cross-engine-exact surrogate for tf-idf) over "
+    "an inverted index, top-10 docs for a 3-term query",
+)
+def q_text_search_rank(spark, sf_dir):
+    """The inverted-index probe: the term filter prunes postings
+    BEFORE the per-doc reduce, so work is O(postings of query terms),
+    not O(corpus) — at 100 TB the postings table is bucketed by term
+    and the query touches 3 buckets. Integer floor-idf (N div df)
+    keeps every score exact, dodging cross-engine log() ulps."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("n"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    hit = (
+        tf.filter(F.col("w").isin("spark", "merge", "window"))
+        .join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.floor(F.col("n") / F.col("df")).cast("bigint")
+            ).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return hit.orderBy(F.col("score").desc(), "doc_id").limit(10)
+
+
+@register(
+    "q_text_cosine_pairs",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    kept AS (
+      SELECT t.doc_id, t.w, t.tf * (n.n // d.df) AS wt
+      FROM tf t JOIN df d ON d.w = t.w CROSS JOIN n
+      WHERE d.df * 4 <= n.n),
+    norm AS (SELECT doc_id, SUM(wt * wt) AS nrm FROM kept GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt * b.wt) AS dp
+      FROM kept a JOIN kept b ON b.w = a.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d.doc_a, d.doc_b,
+           ROUND(CAST(d.dp AS DOUBLE)
+                 / (SQRT(CAST(na.nrm AS DOUBLE))
+                    * SQRT(CAST(nb.nrm AS DOUBLE))), 9) AS cosine
+    FROM dot d
+    JOIN norm na ON na.doc_id = d.doc_a
+    JOIN norm nb ON nb.doc_id = d.doc_b
+    ORDER BY CAST(d.dp AS DOUBLE)
+             / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+             DESC, d.doc_a, d.doc_b
+    LIMIT 20
+    """,
+    "sparse tf-idf cosine similarity join through the inverted index: "
+    "rare-term postings only (df ≤ N/4 — the prefix-filter bound), "
+    "integer floor-idf weights so dots and norms are exact, top-20 "
+    "pairs",
+)
+def q_text_cosine_pairs(spark, sf_dir):
+    """The weighted cousin of the MinHash Jaccard join: candidate
+    pairs come only from SHARED RARE tokens (df ≤ N/4), which is what
+    bounds the quadratic blow-up — frequent terms never generate
+    pairs, exactly the prefix-filtering idea from set-similarity-join
+    literature. Dots and norms are integer sums (floor-idf weights),
+    so both engines rank identically; one shuffle on token for the
+    pair join, one on the pair for the reduce."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("n"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    kept = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 4 <= F.col("n"))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf") * F.floor(F.col("n") / F.col("df")).cast("bigint")
+            ).alias("wt"),
+        )
+        .persist()
+    )
+    norm = kept.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("nrm"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("b.w") == F.col("a.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dp"))
+    )
+    na, nb = norm.alias("na"), norm.alias("nb")
+    cos = (
+        F.col("dp").cast("double")
+        / (
+            F.sqrt(F.col("na.nrm").cast("double"))
+            * F.sqrt(F.col("nb.nrm").cast("double"))
+        )
+    )
+    return (
+        dot.join(F.broadcast(na), F.col("na.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(nb), F.col("nb.doc_id") == F.col("doc_b"))
+        .orderBy(cos.desc(), "doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.round(cos, 9).alias("cosine"))
+        .limit(20)
+    )
