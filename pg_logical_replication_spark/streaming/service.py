@@ -90,10 +90,18 @@ class LogicalReplicationService:
           keepalive surface, 0x6b → 'heartbeat' event, :165-171;
           delivered asynchronously from the listener bus).
 
+        * ``metrics`` (slot_name, {n_changes, n_inserts, n_updates,
+          n_deletes}) — per-micro-batch operation counters computed by
+          ``DataFrame.observe`` INSIDE the streaming plan (no second
+          scan, no extra job) and surfaced through the progress
+          listener — the engine's analogue of the per-message counters
+          the reference's consumers keep by hand (e.g.
+          decoder-test.spec.ts:37-41).
+
         Returns self for chaining, like EventEmitter ``on``.
         """
         self._handlers.setdefault(event, []).append(handler)
-        if event == "heartbeat":
+        if event in ("heartbeat", "metrics"):
             self._ensure_listener()
         return self
 
@@ -117,6 +125,9 @@ class LogicalReplicationService:
                         event.progress.timestamp,
                         svc._last_lsn.get(slot),
                     )
+                    observed = event.progress.observedMetrics.get("cdc")
+                    if observed is not None:
+                        svc._emit("metrics", slot, observed.asDict())
 
             def onQueryIdle(self, event):  # noqa: N802
                 slot = svc._slots_by_query.get(str(event.id))
@@ -169,6 +180,23 @@ class LogicalReplicationService:
         batch replays on re-subscribe (at-least-once).
         """
         ev = self.changes(fmt, **(decode_options or {}))
+        # observed metrics ride the existing plan (aggregates computed
+        # alongside the batch, no second scan) and surface on the
+        # 'metrics' event via the progress listener
+        from pyspark.sql import functions as F
+
+        def _n(op: str):
+            return F.sum(F.when(F.col("op") == op, 1).otherwise(0)).alias(
+                f"n_{op}s"
+            )
+
+        ev = ev.observe(
+            "cdc",
+            F.count(F.lit(1)).alias("n_changes"),
+            _n("insert"),
+            _n("update"),
+            _n("delete"),
+        )
 
         def tracked_sink(batch_df: DataFrame, batch_id: int) -> None:
             # the sink and the ack position share one decode: without the

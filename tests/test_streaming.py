@@ -325,3 +325,32 @@ def test_bootstrap_then_stream_catchup(spark, log_dirs):
     # id 1 inserted+updated, id 2 snapshot row deleted by the stream,
     # id 3 inserted, id 9 untouched from the snapshot
     assert _names(table) == {"alice2", "carol", "zed"}
+
+
+def test_observed_metrics_event_surface(spark, log_dirs):
+    """on('metrics') delivers per-micro-batch op counters computed by
+    DataFrame.observe inside the streaming plan — no second scan — the
+    engine's form of the per-kind counters the reference's consumers
+    keep by hand (decoder-test.spec.ts:37-41)."""
+    import time
+
+    log, ckpt, _ = log_dirs
+    _append(log, "000.jsonl", [_changeset(1, "0/100", 1, [
+        _ins("t", {"id": 1}), _ins("t", {"id": 2}),
+        _upd("t", {"id": 1, "v": "x"}, {"id": 1}), _del("t", {"id": 2}),
+    ])])
+
+    svc = LogicalReplicationService(spark, log, ckpt)
+    got: list[tuple] = []
+    svc.on("metrics", lambda slot, m: got.append((slot, m)))
+    svc.subscribe_and_wait("wal2json", "m_slot", lambda df, bid: df.count())
+
+    deadline = time.time() + 15
+    while not got and time.time() < deadline:
+        time.sleep(0.2)
+    assert got, "no metrics event within 15s"
+    slot, m = got[0]
+    assert slot == "m_slot"
+    assert m["n_changes"] == 4
+    assert (m["n_inserts"], m["n_updates"], m["n_deletes"]) == (2, 1, 1)
+    svc.destroy()
