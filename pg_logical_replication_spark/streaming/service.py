@@ -182,21 +182,26 @@ class LogicalReplicationService:
         ev = self.changes(fmt, **(decode_options or {}))
         # observed metrics ride the existing plan (aggregates computed
         # alongside the batch, no second scan) and surface on the
-        # 'metrics' event via the progress listener
-        from pyspark.sql import functions as F
+        # 'metrics' event via the progress listener. Only attached when
+        # a metrics handler is already registered (register BEFORE
+        # subscribe) — the extra per-batch aggregate stage costs ~0.2 s
+        # on the visibility-latency path, so consumers who don't ask
+        # don't pay.
+        if "metrics" in self._handlers:
+            from pyspark.sql import functions as F
 
-        def _n(op: str):
-            return F.sum(F.when(F.col("op") == op, 1).otherwise(0)).alias(
-                f"n_{op}s"
+            def _n(op: str):
+                return F.sum(
+                    F.when(F.col("op") == op, 1).otherwise(0)
+                ).alias(f"n_{op}s")
+
+            ev = ev.observe(
+                "cdc",
+                F.count(F.lit(1)).alias("n_changes"),
+                _n("insert"),
+                _n("update"),
+                _n("delete"),
             )
-
-        ev = ev.observe(
-            "cdc",
-            F.count(F.lit(1)).alias("n_changes"),
-            _n("insert"),
-            _n("update"),
-            _n("delete"),
-        )
 
         def tracked_sink(batch_df: DataFrame, batch_id: int) -> None:
             # the sink and the ack position share one decode: without the
