@@ -1417,3 +1417,165 @@ def q_ann_pq_topk(spark, sf_dir):
         .select("vec_id", F.round("adist", 9).alias("approx_dist"))
         .limit(10)
     )
+
+
+def _semdedup_oracle(thr: float = 0.3) -> str:
+    """k-means head (2 unrolled Lloyd rounds, shared with
+    q_embed_kmeans) closed with the in-cluster cosine dedup."""
+    head = _kmeans_oracle(2, 4)
+    head = head[: head.index("SELECT a.c AS cluster")]
+    return (
+        head
+        + f"""
+    , nrm AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+      FROM ex GROUP BY vec_id),
+    prs AS (
+      SELECT p1.c, p1.vec_id AS va, p2.vec_id AS vb
+      FROM a2 p1 JOIN a2 p2
+        ON p2.c = p1.c AND p1.vec_id < p2.vec_id),
+    dots AS (
+      SELECT p.c, p.va, p.vb,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dp
+      FROM prs p
+      JOIN ex a ON a.vec_id = p.va
+      JOIN ex b ON b.vec_id = p.vb AND b.j = a.j
+      GROUP BY p.c, p.va, p.vb),
+    dups AS (
+      SELECT d.c, d.va, d.vb
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.va
+      JOIN nrm nb ON nb.vec_id = d.vb
+      WHERE d.dp / (SQRT(na.n2) * SQRT(nb.n2)) > {thr})
+    SELECT a.c AS cluster,
+           COUNT(DISTINCT a.vec_id) AS n_vecs,
+           (SELECT COUNT(*) FROM dups d WHERE d.c = a.c) AS n_dup_pairs,
+           (SELECT COUNT(DISTINCT d.vb) FROM dups d WHERE d.c = a.c)
+             AS n_removed
+    FROM a2 a GROUP BY a.c ORDER BY a.c
+    """
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    _semdedup_oracle(),
+    "semantic deduplication (the SemDeDup recipe): k-means cluster the "
+    "embedding space, then compare cosines ONLY within clusters "
+    "(> 0.3 → near-duplicate, keep the lowest id) — per-cluster "
+    "vector / dup-pair / removed counts",
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup's point is the scale shape: clustering first makes the
+    quadratic step per-cluster (Σ|cluster|² ≪ n² — here ~4× cheaper,
+    at 100 TB with √n clusters it's the difference between feasible
+    and not). The Lloyd rounds shuffle O(k·d) partial sums off one
+    cached exploded pass; the pair stage shuffles only within-cluster
+    pair keys. Same modulo-init decimal-stabilized codebook as
+    q_embed_kmeans, so assignments — and therefore the dedup verdicts
+    — replay exactly on the oracle."""
+    from pyspark.sql import Window as W
+
+    K, THR = 4, 0.3
+    emb = t(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .persist()
+    )
+    cent = ex.groupBy(
+        (F.col("vec_id") % K).cast("bigint").alias("c"), "j"
+    ).agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    assign = None
+    for _ in range(2):
+        if assign is not None:
+            cent = ex.join(F.broadcast(assign), "vec_id").groupBy("c", "j").agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("*")
+                ).alias("v")
+            )
+        dist = (
+            ex.join(F.broadcast(cent), "j")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    ((F.col("x") - F.col("v")) * (F.col("x") - F.col("v")))
+                    .cast("decimal(38,18)")
+                )
+                .cast("double")
+                .alias("dist")
+            )
+        )
+        assign = (
+            dist.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "c")),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c")
+        )
+    assign = assign.persist()
+    nrm = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("n2")
+    )
+    p1, p2 = assign.alias("p1"), assign.alias("p2")
+    prs = p1.join(
+        p2,
+        (F.col("p2.c") == F.col("p1.c"))
+        & (F.col("p1.vec_id") < F.col("p2.vec_id")),
+    ).select(
+        F.col("p1.c").alias("c"),
+        F.col("p1.vec_id").alias("va"),
+        F.col("p2.vec_id").alias("vb"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    dots = (
+        prs.join(a, F.col("a.vec_id") == F.col("va"))
+        .join(
+            b,
+            (F.col("b.vec_id") == F.col("vb")) & (F.col("b.j") == F.col("a.j")),
+        )
+        .groupBy("c", "va", "vb")
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dp")
+        )
+    )
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    dups = (
+        dots.join(F.broadcast(na), F.col("na.vec_id") == F.col("va"))
+        .join(F.broadcast(nb), F.col("nb.vec_id") == F.col("vb"))
+        .filter(
+            F.col("dp") / (F.sqrt(F.col("na.n2")) * F.sqrt(F.col("nb.n2")))
+            > THR
+        )
+        .select("c", "va", "vb")
+        .persist()
+    )
+    per_cluster = assign.groupBy("c").agg(
+        F.count_distinct("vec_id").alias("n_vecs")
+    )
+    dup_stats = dups.groupBy("c").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("vb").alias("n_removed"),
+    )
+    return (
+        per_cluster.join(dup_stats, "c", "left")
+        .select(
+            F.col("c").alias("cluster"),
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )

@@ -1977,3 +1977,126 @@ def q_cdc_format_agreement(spark, sf_dir):
     )
 
     return w2j.unionByName(td).unionByName(pg).unionByName(db)
+
+
+@register(
+    "q_cdc_masked_apply",
+    """
+    WITH contact AS (
+      SELECT doc_id, source,
+             'user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || ' acct '
+               || CAST(100000000 + doc_id AS VARCHAR) AS c
+      FROM documents),
+    masked AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   c,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IP>', 'g'),
+               '\\b\\d{9,}\\b', '<NUM>', 'g') AS mc
+      FROM contact)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(mc)) AS BIGINT) AS sum_masked_len,
+           CAST(SUM(CASE WHEN mc LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_email_redacted
+    FROM masked GROUP BY source ORDER BY source
+    """,
+    "in-stream PII masking policy: documents ride the wire as wal2json "
+    "inserts with a synthesized contact column, the DECODED stream is "
+    "masked (email/IP/account-number → tags) via transform_values "
+    "BEFORE materialization, apply_changes builds the clean snapshot — "
+    "the GDPR column-policy pattern where raw PII never reaches the "
+    "replica",
+)
+def q_cdc_masked_apply(spark, sf_dir):
+    """Masking runs inside the decode projection (JVM regexp on the
+    after-image map via transform_values — no Python, no extra pass),
+    so the materialized table and every downstream consumer only ever
+    see redacted values; at 100 TB this costs zero extra jobs. The
+    apply itself is the standard newest-per-key window. Cites the
+    wal2json option surface (wal2json-plugin-options.type.ts:1-131) —
+    the reference can filter tables server-side but has no value-level
+    policy; this is the engine-side completion of that idea."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.operators.text import PII_PATTERNS
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    docs = t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" acct "),
+        (F.col("doc_id") + 100000000).cast("string"),
+    )
+    change = F.struct(
+        F.lit("insert").alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("documents").alias("table"),
+        F.array(F.lit("doc_id"), F.lit("source"), F.lit("contact")).alias(
+            "columnnames"
+        ),
+        F.array(F.lit("bigint"), F.lit("text"), F.lit("text")).alias(
+            "columntypes"
+        ),
+        F.array(
+            F.col("doc_id").cast("string"), F.col("source"), contact
+        ).alias("columnvalues"),
+        F.lit(None)
+        .cast(
+            "struct<keynames:array<string>,keytypes:array<string>,"
+            "keyvalues:array<string>>"
+        )
+        .alias("oldkeys"),
+    )
+    raw = docs.select(
+        F.to_json(
+            F.struct(
+                F.array(change).alias("change"),
+                F.col("doc_id").alias("xid"),
+                lsn_str_expr(F.col("doc_id") * 8 + 16).alias("nextlsn"),
+            )
+        ).alias("value")
+    )
+    decoded = decode_wal2json(
+        raw.repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mask(v):
+        out = v
+        for pat, tag in PII_PATTERNS.values():
+            out = F.regexp_replace(out, pat, tag)
+        return out
+
+    masked = decoded.withColumn(
+        "after",
+        F.transform_values(
+            F.col("after"),
+            lambda k, v: F.when(k == "contact", mask(v)).otherwise(v),
+        ),
+    )
+    snap = apply_changes(
+        masked,
+        key_columns=["doc_id"],
+        table="documents",
+        columns={"doc_id": "bigint", "source": "text", "contact": "text"},
+    )
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("contact")).alias("sum_masked_len"),
+            F.sum(
+                F.when(F.col("contact").contains("<EMAIL>"), 1).otherwise(0)
+            ).alias("n_email_redacted"),
+        )
+        .orderBy("source")
+    )

@@ -705,3 +705,60 @@ def q_text_cosine_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", F.round(cos, 9).alias("cosine"))
         .limit(20)
     )
+
+
+@register(
+    "q_text_bpe_merge",
+    """
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
+             freq
+      FROM words CROSS JOIN
+           unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2)
+    SELECT left_sym, right_sym,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_occurrences DESC, left_sym, right_sym LIMIT 10
+    """,
+    "BPE training step 1: the adjacent-symbol pair statistics that "
+    "pick the first merge — counted over the deduplicated word table "
+    "(frequency-weighted), top-10 candidate merges",
+)
+def q_text_bpe_merge(spark, sf_dir):
+    """The heart of BPE/WordPiece training: pair counts over the WORD
+    table, not the corpus — dedup to (word, freq) first, so the
+    pair-explode touches |vocab| rows however big the corpus is (this
+    is how every real tokenizer trainer scales). Iterating merges =
+    re-running this reduce over the re-segmented vocab, same shape
+    every round. All integer counts."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS l, "
+                "substring(w, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "left_sym", "right_sym")
+        .limit(10)
+    )
