@@ -8,7 +8,7 @@ path; each has an exact SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pg_logical_replication_spark.operators.dedup import tokens_expr
@@ -229,6 +229,16 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+def scrub_expr(col: Column) -> Column:
+    """The sequential PII redaction fold (pattern order matters:
+    email before IP before digit-runs); shared by ``pii_scrub`` and the
+    in-stream masking query."""
+    out = col
+    for pat, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
 def pii_scrub(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -246,9 +256,7 @@ def pii_scrub(
         F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
         for name, (pat, _) in PII_PATTERNS.items()
     ]
-    scrubbed = text
-    for pat, tag in PII_PATTERNS.values():
-        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    scrubbed = scrub_expr(text)
     return df.select(
         F.col(id_col),
         *counts,

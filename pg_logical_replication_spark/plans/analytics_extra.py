@@ -1183,9 +1183,12 @@ def q_join_bloom_prune(spark, sf_dir):
     cand = probed.join(F.broadcast(truly), "k", "left").withColumn(
         "truly", F.coalesce(F.col("truly"), F.lit(False))
     )
-    n_build = sup.count()
+    # build-side cardinality as a lazy 1-row aggregate (the oracle's
+    # scalar subquery), not an eager .count() at plan-build time
+    n_build = sup.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    cand = cand.crossJoin(F.broadcast(n_build))
     return cand.agg(
-        F.lit(n_build).cast("bigint").alias("n_build_keys"),
+        F.first("n_build_keys").alias("n_build_keys"),
         F.count("*").alias("n_probe_keys"),
         F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_candidates"),
         F.sum(F.when(F.col("truly"), 1).otherwise(0)).alias("n_true"),

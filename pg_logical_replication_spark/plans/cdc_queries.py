@@ -2025,7 +2025,7 @@ def q_cdc_masked_apply(spark, sf_dir):
     from pg_logical_replication_spark.operators.apply_changes import (
         apply_changes,
     )
-    from pg_logical_replication_spark.operators.text import PII_PATTERNS
+    from pg_logical_replication_spark.operators.text import scrub_expr
     from pg_logical_replication_spark.sources.wal2json import decode_wal2json
 
     docs = t(spark, sf_dir, "documents")
@@ -2070,17 +2070,11 @@ def q_cdc_masked_apply(spark, sf_dir):
         raw.repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def mask(v):
-        out = v
-        for pat, tag in PII_PATTERNS.values():
-            out = F.regexp_replace(out, pat, tag)
-        return out
-
     masked = decoded.withColumn(
         "after",
         F.transform_values(
             F.col("after"),
-            lambda k, v: F.when(k == "contact", mask(v)).otherwise(v),
+            lambda k, v: F.when(k == "contact", scrub_expr(v)).otherwise(v),
         ),
     )
     snap = apply_changes(

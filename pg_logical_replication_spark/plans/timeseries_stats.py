@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pg_logical_replication_spark.plans.registry import register, ssum, t
+from pg_logical_replication_spark.plans.registry import register, t
 
 
 @register(
@@ -319,10 +319,12 @@ def q_market_basket(spark, sf_dir):
     ob = (
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-        # one hash exchange on okey serves the distinct above (okey ⊆
-        # clustering), the pair self-join, and the total-orders count
+        # repartition FIRST: hash(okey) satisfies the (okey, brand)
+        # distinct's clustering requirement (partition keys ⊆ group
+        # keys), so one exchange serves the distinct, the pair
+        # self-join and the total-orders count
         .repartition("okey")
+        .distinct()
         .persist()
     )
     tot = ob.select(F.count_distinct("okey").alias("n_orders"))
@@ -411,70 +413,82 @@ def q_market_basket(spark, sf_dir):
 def q_dq_constraints(spark, sf_dir):
     """The post-materialization audit a CDC replica runs continuously
     (pairs with operators/verify.py's checksum diff: that detects
-    divergence, this classifies it). Each check is one aggregate or
-    anti-join; Spark runs them as independent stages off shared scans
-    — the FK checks broadcast the PK side's keys at these sizes and
-    shuffle-hash at 100 TB. Counts are exact integers, so the gate is
-    trivially cross-engine."""
+    divergence, this classifies it). Fully LAZY: every check is one
+    one-row aggregate (count + conditional sum, or a left join folded
+    into the same aggregate), unioned — nothing executes until the
+    caller acts on the returned plan, and the dimension FK join
+    broadcasts; fact-fact checks let AQE pick the strategy. Counts are exact
+    integers, so the gate is trivially cross-engine."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     cust = t(spark, sf_dir, "customer")
     nat = t(spark, sf_dir, "nation")
     ev = t(spark, sf_dir, "events")
 
-    def row(name, n_checked_df, n_viol_df):
-        n = n_checked_df if isinstance(n_checked_df, int) else n_checked_df.count()
-        v = n_viol_df if isinstance(n_viol_df, int) else n_viol_df.count()
-        return spark.createDataFrame(
-            [(name, n, v)], "check_name string, n_checked long, n_violations long"
+    def summary(name, df, viol):
+        """One-row (name, n_checked, n_violations) aggregate."""
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0)).alias(
+                "n_violations"
+            ),
         )
 
-    dup = (
+    # PK uniqueness: groups with n>1 contribute n-1 violations; the
+    # grouped aggregate also recovers the checked-row total as sum(n)
+    pk = (
         orders.groupBy("o_orderkey")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v"))
-        .collect()[0]["v"]
+        .agg(
+            F.lit("orders_pk_unique").alias("check_name"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_violations"),
+        )
     )
     checks = [
-        row("orders_pk_unique", orders, int(dup)),
-        row(
+        pk,
+        summary(
             "lineitem_fk_orders",
-            li,
             li.join(
+                # no broadcast hint: orders is a fact table — let AQE
+                # pick (broadcast here at test sizes, SMJ at 100 TB)
                 orders.select("o_orderkey").distinct(),
                 li["l_orderkey"] == F.col("o_orderkey"),
-                "left_anti",
+                "left",
             ),
+            F.col("o_orderkey").isNull(),
         ),
-        row(
+        summary(
             "customer_fk_nation",
-            cust,
             cust.join(
-                nat.select("n_nationkey").distinct(),
+                F.broadcast(nat.select("n_nationkey").distinct()),
                 cust["c_nationkey"] == F.col("n_nationkey"),
-                "left_anti",
+                "left",
             ),
+            F.col("n_nationkey").isNull(),
         ),
-        row(
+        summary(
             "lineitem_ship_after_order",
-            li,
             li.join(
                 orders.select("o_orderkey", "o_orderdate"),
                 li["l_orderkey"] == F.col("o_orderkey"),
-            ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+                "left",
+            ),
+            F.col("l_shipdate") < F.col("o_orderdate"),
         ),
-        row(
-            "orders_totalprice_positive",
-            orders,
-            orders.filter(F.col("o_totalprice") <= 0),
+        summary(
+            "orders_totalprice_positive", orders, F.col("o_totalprice") <= 0
         ),
-        row(
+        summary(
             "lineitem_qty_in_range",
             li,
-            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
         ),
-        row("events_ts_not_null", ev, ev.filter(F.col("ts").isNull())),
+        summary("events_ts_not_null", ev, F.col("ts").isNull()),
     ]
     out = checks[0]
     for c in checks[1:]:
@@ -487,9 +501,6 @@ def q_dq_constraints(spark, sf_dir):
     """
     WITH seq AS (
       SELECT user_id, ts, event_id, event_type,
-             LAST_VALUE(CASE WHEN event_type IN ('click','view')
-                             THEN event_id END IGNORE NULLS)
-               OVER w AS touch_id,
              LAST_VALUE(CASE WHEN event_type IN ('click','view')
                              THEN event_type END IGNORE NULLS)
                OVER w AS touch_type,
@@ -607,7 +618,7 @@ def q_text_search_rank(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.sum(
-                F.col("tf") * F.floor(F.col("n") / F.col("df")).cast("bigint")
+                F.col("tf") * F.expr("n div df")
             ).alias("score"),
             F.count("*").alias("n_terms_hit"),
         )
@@ -671,9 +682,7 @@ def q_text_cosine_pairs(spark, sf_dir):
         .select(
             "doc_id",
             "w",
-            (
-                F.col("tf") * F.floor(F.col("n") / F.col("df")).cast("bigint")
-            ).alias("wt"),
+            (F.col("tf") * F.expr("n div df")).alias("wt"),
         )
         .persist()
     )

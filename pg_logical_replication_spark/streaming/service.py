@@ -191,8 +191,11 @@ class LogicalReplicationService:
             from pyspark.sql import functions as F
 
             def _n(op: str):
-                return F.sum(
-                    F.when(F.col("op") == op, 1).otherwise(0)
+                # coalesce: F.sum over an empty micro-batch is NULL, and
+                # the event contract promises integer counters
+                return F.coalesce(
+                    F.sum(F.when(F.col("op") == op, 1).otherwise(0)),
+                    F.lit(0),
                 ).alias(f"n_{op}s")
 
             ev = ev.observe(

@@ -91,7 +91,7 @@ def test_doc_chunks_plan_has_no_exchange(spark):
 
 
 def test_attribution_single_exchange_on_user(spark):
-    """All three IGNORE-NULLS window columns share one frame, so the
+    """Both IGNORE-NULLS window columns share one frame, so the
     plan carries exactly one hash exchange on user_id before the final
     aggregation."""
     df = QUERIES["q_events_attribution"].builder(spark, SF)
