@@ -32,4 +32,4 @@ from pg_logical_replication_spark.model import (  # noqa: F401
     ack_lsn,
     lsn_long_expr,
 )
-from pg_logical_replication_spark.session import get_spark  # noqa: F401
+from pg_logical_replication_spark.session import get_spark, register_tables  # noqa: F401

@@ -62,3 +62,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def register_tables(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register the engine's tables as temp views for plain-SQL use.
+
+    A consumer of the reference library that today runs SQL against the
+    replicated PostgreSQL can point ``spark.sql`` at the materialized
+    tables instead: every TESTDATA table (and, in production, every
+    apply_changes snapshot) becomes a named view. Returns the view
+    names. Views are lazy — registration reads only parquet footers.
+    """
+    from pg_logical_replication_spark.plans.registry import TABLES, t
+
+    names = []
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+        names.append(prefix + name)
+    return names

@@ -59,3 +59,22 @@ def test_snapshot_diff_ops(spark):
 
     with _pytest.raises(ValueError):
         snapshot_diff(old.drop("v"), new, ["id"])
+
+
+def test_register_tables_sql_surface(spark):
+    """register_tables exposes the table set to plain spark.sql — the
+    switch-over path for reference consumers who query the replica
+    with SQL today."""
+    from pg_logical_replication_spark.session import register_tables
+
+    names = register_tables(spark, "/root/testdata/sf0.001", prefix="plrs_")
+    assert "plrs_lineitem" in names and len(names) == 10
+    row = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_cust
+        FROM plrs_customer c JOIN plrs_nation n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n_cust"] > 0
