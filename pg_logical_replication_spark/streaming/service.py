@@ -69,6 +69,7 @@ class LogicalReplicationService:
         self.max_files_per_trigger = max_files_per_trigger
         self._queries: dict[str, StreamingQuery] = {}
         self._last_lsn: dict[str, str] = {}
+        self._acked_lsn: dict[str, str] = {}
         self._handlers: dict[str, list[Callable[..., Any]]] = {}
         self._slots_by_query: dict[str, str] = {}
         self._listener = None
@@ -163,6 +164,7 @@ class LogicalReplicationService:
         decode_options: dict[str, Any] | None = None,
         available_now: bool = True,
         isolate_errors: bool = False,
+        auto_acknowledge: bool = True,
     ) -> StreamingQuery:
         """Start streaming decoded changes into ``sink`` (foreachBatch).
 
@@ -178,6 +180,17 @@ class LogicalReplicationService:
         CONTINUES — the failed batch's offsets still commit, so it will
         not replay. Default False: the exception fails the query and the
         batch replays on re-subscribe (at-least-once).
+
+        ``auto_acknowledge=False`` ≙ the reference's
+        ``acknowledge: {auto: false}`` manual mode (README.md:171-196):
+        delivery still advances ``last_lsn`` and emits ``data``, but the
+        acknowledged position — the one a live PG source would report
+        upstream for WAL reclaim — only moves when the consumer calls
+        :meth:`acknowledge`. Micro-batch replay is still governed by the
+        Spark checkpoint (strictly stronger than the reference's
+        at-least-once); manual mode controls the *slot position
+        surface*, exactly the reference's split between ``_lastLsn``
+        and the standby-status update.
         """
         ev = self.changes(fmt, **(decode_options or {}))
         # observed metrics ride the existing plan (aggregates computed
@@ -227,7 +240,9 @@ class LogicalReplicationService:
                 if lsn is not None:
                     self._last_lsn[slot_name] = lsn
                     self._emit("data", lsn, batch_id)
-                    self._emit("acknowledge", lsn)
+                    if auto_acknowledge:
+                        self._acked_lsn[slot_name] = lsn
+                        self._emit("acknowledge", lsn)
             finally:
                 batch_df.unpersist()
 
@@ -251,6 +266,24 @@ class LogicalReplicationService:
     # ----------------------------------------------------- slot position
     def _checkpoint(self, slot_name: str) -> str:
         return os.path.join(self.checkpoint_root, slot_name)
+
+    def acknowledge(self, slot_name: str, lsn: str) -> str:
+        """Manually acknowledge up to ``lsn`` (manual-ack mode,
+        reference README.md:171-196 / service :254-300): records the
+        slot's acknowledged position as ``lsn + 1`` with 32-bit carry —
+        the reference's exact standby-status arithmetic
+        (:258-272, ``model.ack_lsn``) — and emits ``acknowledge``.
+        Returns the recorded position."""
+        from pg_logical_replication_spark.model import ack_lsn
+
+        pos = ack_lsn(lsn)
+        self._acked_lsn[slot_name] = pos
+        self._emit("acknowledge", pos)
+        return pos
+
+    def acked_lsn(self, slot_name: str) -> str | None:
+        """The slot's acknowledged position (None before any ack)."""
+        return self._acked_lsn.get(slot_name)
 
     def last_lsn(self, slot_name: str) -> str | None:
         """Newest LSN whose batch the slot's sink has completed

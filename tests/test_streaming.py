@@ -354,3 +354,35 @@ def test_observed_metrics_event_surface(spark, log_dirs):
     assert m["n_changes"] == 4
     assert (m["n_inserts"], m["n_updates"], m["n_deletes"]) == (2, 1, 1)
     svc.destroy()
+
+
+def test_manual_acknowledge_mode(spark, log_dirs):
+    """auto_acknowledge=False ≙ the reference's acknowledge:{auto:false}
+    (README.md:171-196): delivery advances last_lsn and fires 'data',
+    but the acknowledged slot position only moves on an explicit
+    acknowledge() call — which applies the +1/32-bit-carry arithmetic
+    (service :258-272)."""
+    log, ckpt, _ = log_dirs
+    _append(log, "000.jsonl", [_changeset(1, "0/100", 1, [_ins("t", {"id": 1})])])
+
+    svc = LogicalReplicationService(spark, log, ckpt)
+    acks: list[str] = []
+    svc.on("acknowledge", lambda lsn: acks.append(lsn))
+    svc.subscribe_and_wait(
+        "wal2json", "man_slot", lambda df, bid: df.count(),
+        auto_acknowledge=False,
+    )
+    assert svc.last_lsn("man_slot") == "0/100"   # delivery tracked
+    assert svc.acked_lsn("man_slot") is None     # but nothing acked
+    assert acks == []
+
+    pos = svc.acknowledge("man_slot", svc.last_lsn("man_slot"))
+    # ack position = received + 1 with carry, in the padded wire form
+    assert pos == "00000000/00000101" == svc.acked_lsn("man_slot")
+    assert acks == [pos]
+
+    # auto mode records the delivered position as acked
+    _append(log, "001.jsonl", [_changeset(2, "0/200", 2, [_ins("t", {"id": 2})])])
+    svc.subscribe_and_wait("wal2json", "man_slot", lambda df, bid: df.count())
+    assert svc.acked_lsn("man_slot") == "0/200"
+    svc.destroy()
