@@ -771,3 +771,69 @@ def q_text_bpe_merge(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "left_sym", "right_sym")
         .limit(10)
     )
+
+
+@register(
+    "q_orders_seasonality",
+    """
+    WITH monthly AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+             EXTRACT(MONTH FROM o_orderdate) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+               AS DECIMAL(38,6)) AS rev
+      FROM orders GROUP BY 1, 2),
+    by_month AS (
+      SELECT mo, COUNT(*) AS n_months,
+             CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev
+      FROM monthly GROUP BY mo),
+    overall AS (
+      SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_rev FROM monthly)
+    SELECT CAST(b.mo AS BIGINT) AS month, b.n_months,
+           ROUND(b.avg_rev, 6) AS avg_rev,
+           ROUND(b.avg_rev / o.mean_rev, 9) AS seasonal_idx
+    FROM by_month b CROSS JOIN overall o ORDER BY b.mo
+    """,
+    "seasonal decomposition of order revenue: month-of-year averages "
+    "vs the overall monthly mean (seasonal index > 1 = peak month) — "
+    "the classical-decomposition seasonality profile from stable "
+    "decimal sums",
+)
+def q_orders_seasonality(spark, sf_dir):
+    """Two cheap reductions: raw scan → (year, month) sums (map-side
+    partial agg, shuffle O(months)), then month-of-year profile and
+    the global mean off the same tiny intermediate — reuse, not
+    re-scan. The index division happens on identical doubles. At
+    100 TB the orders scan is the only heavy stage and prunes to the
+    date + price columns."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("rev")
+        )
+        .persist()
+    )
+    by_month = monthly.groupBy("mo").agg(
+        F.count("*").alias("n_months"),
+        (F.sum("rev").cast("double") / F.count("*")).alias("avg_rev"),
+    )
+    overall = monthly.agg(
+        (F.sum("rev").cast("double") / F.count("*")).alias("mean_rev")
+    )
+    return (
+        by_month.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("mo").cast("bigint").alias("month"),
+            "n_months",
+            F.round("avg_rev", 6).alias("avg_rev"),
+            F.round(F.col("avg_rev") / F.col("mean_rev"), 9).alias(
+                "seasonal_idx"
+            ),
+        )
+        .orderBy("month")
+    )
