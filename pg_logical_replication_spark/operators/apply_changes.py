@@ -97,7 +97,11 @@ def latest_image(
     ).otherwise(F.array(*[F.col("key").getItem(k) for k in key_columns]))
     ev = ev.withColumn("_identity", identity)
 
-    w = Window.partitionBy("table", "_identity").orderBy(F.col("_ord").desc())
+    # schema participates in row identity (public.users ≠ audit.users);
+    # tolerate schema-less event frames from callers that pre-filtered
+    part = ["schema", "table", "_identity"] if "schema" in ev.columns else [
+        "table", "_identity"]
+    w = Window.partitionBy(*part).orderBy(F.col("_ord").desc())
     return (
         ev.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -194,8 +198,10 @@ def toast_fill(
         ]
     )
     ev = ev.withColumn("_identity", identity)
+    part = ["schema", "table", "_identity"] if "schema" in ev.columns else [
+        "table", "_identity"]
     w = (
-        Window.partitionBy("table", "_identity")
+        Window.partitionBy(*part)
         .orderBy("_ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

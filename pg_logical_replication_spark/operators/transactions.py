@@ -9,9 +9,16 @@ hence each DML belongs to the greatest ``begin.seq <= dml.seq`` — an
 interval join against the begins set.
 
 Scale: begins are one row per transaction (orders of magnitude smaller
-than the stream). The ``lead()`` window runs over begins only; the
-interval join broadcast-plans when begins fit memory, else AQE falls back
-to a shuffled join — never a global sort of the full stream.
+than the stream), and the ``lead()`` window runs over begins only — never
+a global sort of the full stream. The interval join is NON-equi, so the
+per-transaction side is explicitly broadcast; the operator's contract is
+therefore that the processed chunk's transaction-frame set fits executor
+memory. That bound is structural, not incidental: the streaming path
+frames per micro-batch, and a batch backfill decodes the log in bounded
+wire chunks (per file group) — the same way ``logical_decoding_work_mem``
+bounds the server side (reference ``postgresql-16.conf:145``). Feeding
+one unbounded multi-billion-transaction frame set through a single call
+is out of contract — chunk it.
 """
 
 from __future__ import annotations
@@ -132,9 +139,12 @@ def filter_by_origin(
         .dropDuplicates(["_obseq"])
     )
     if filter_origins is not None:
-        txn_origin = txn_origin.filter(F.col("_origin").isin(list(filter_origins)))
+        drop_set = txn_origin.filter(F.col("_origin").isin(list(filter_origins)))
     elif not keep_local:
+        # dropping every foreign origin AND local traffic keeps nothing
         raise ValueError("filter_origins=None requires keep_local=True")
+    else:
+        drop_set = txn_origin
 
     data = events.filter(F.col("op") != "origin")
     data_seq = data[seq_col]
@@ -144,13 +154,27 @@ def filter_by_origin(
         & (begins["_next_bseq"].isNull() | (data_seq < begins["_next_bseq"])),
         "left",
     )
-    return (
+    out = (
         tagged.join(
-            F.broadcast(txn_origin), F.col("_bseq") == F.col("_obseq"), "left"
+            F.broadcast(drop_set), F.col("_bseq") == F.col("_obseq"), "left"
         )
         .filter(F.col("_obseq").isNull())
-        .drop("_bseq", "_next_bseq", "_obseq", "_origin")
+        .drop("_obseq", "_origin")
     )
+    if not keep_local:
+        # keep ONLY origin-attributed transactions: local (originless)
+        # rows drop too (previously silently ignored; review r2)
+        has_origin = txn_origin.select(F.col("_obseq").alias("_aseq"))
+        out = (
+            out.join(
+                F.broadcast(has_origin),
+                F.col("_bseq") == F.col("_aseq"),
+                "left",
+            )
+            .filter(F.col("_aseq").isNotNull())
+            .drop("_aseq")
+        )
+    return out.drop("_bseq", "_next_bseq")
 
 
 def resolve_prepared(events: DataFrame, seq_col: str = "seq") -> DataFrame:

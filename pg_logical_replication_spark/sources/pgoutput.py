@@ -85,21 +85,36 @@ def _collect_relations(
 
 
 class _VersionedRelations(dict):
-    """dict-like view resolving an OID to its newest schema ≤ current seq."""
+    """dict-like view resolving an OID to its newest schema ≤ current seq.
+
+    ``parse_message`` writes in-band Relation ('R') messages through
+    ``__setitem__``; each write becomes a NEW VERSION valid from the
+    current wire position, so a supplied up-front cache and mid-stream
+    ``ALTER TABLE`` re-schemas compose instead of shadowing each other
+    (review r2: the supplied-cache branch previously pinned the stale
+    entry forever). Seq/info are kept as parallel lists per OID so the
+    per-message lookup bisects without allocating."""
 
     def __init__(self, versions: dict[int, list[tuple[int, fmt.RelationInfo]]]):
         super().__init__()
-        self._versions = versions
+        self._seqs = {oid: [s for s, _ in v] for oid, v in versions.items()}
+        self._infos = {oid: [i for _, i in v] for oid, v in versions.items()}
         self.seq = 0
 
+    def __setitem__(self, oid, info) -> None:
+        # wire order is ascending within a partition (input contract),
+        # so appending keeps the bisect array sorted
+        self._seqs.setdefault(oid, []).append(self.seq)
+        self._infos.setdefault(oid, []).append(info)
+
     def get(self, oid: int, default=None):
-        versions = self._versions.get(oid)
-        if not versions:
-            return super().get(oid, default)
-        idx = bisect.bisect_right([s for s, _ in versions], self.seq) - 1
+        seqs = self._seqs.get(oid)
+        if not seqs:
+            return default
+        idx = bisect.bisect_right(seqs, self.seq) - 1
         if idx < 0:
-            return super().get(oid, default)
-        return versions[idx][1]
+            return default
+        return self._infos[oid][idx]
 
     def __contains__(self, oid) -> bool:
         return self.get(oid) is not None
@@ -228,12 +243,39 @@ def decode_pgoutput(
                     meta = dict(ev.get("meta") or {})
                     meta["stream_top_xid"] = str(stream_top)
                     ev["meta"] = meta
-                if (
-                    pub is not None
-                    and ev.get("table")
-                    and f"{ev.get('schema')}.{ev['table']}" not in pub
-                ):
-                    continue
+                if pub is not None:
+                    if ev["op"] == "truncate":
+                        # multi-table TRUNCATE: filter per relation (the
+                        # publication would have restricted the set
+                        # server-side); comma-joined `table` can never
+                        # match a single pub entry (review r2)
+                        oids = [
+                            int(o)
+                            for o in (ev.get("meta") or {})
+                            .get("relation_oids", "")
+                            .split(",")
+                            if o
+                        ]
+                        kept = [
+                            rel
+                            for rel in (relations.get(o) for o in oids)
+                            if rel is not None
+                            and f"{rel.schema}.{rel.name}" in pub
+                        ]
+                        if not kept:
+                            continue
+                        ev["schema"] = kept[0].schema
+                        ev["table"] = ",".join(k.name for k in kept)
+                        meta = dict(ev.get("meta") or {})
+                        meta["relation_oids"] = ",".join(
+                            str(k.oid) for k in kept
+                        )
+                        ev["meta"] = meta
+                    elif (
+                        ev.get("table")
+                        and f"{ev.get('schema')}.{ev['table']}" not in pub
+                    ):
+                        continue
                 if cl is not None and ev.get("table"):
                     keep = cl.get(f"{ev.get('schema')}.{ev['table']}")
                     if keep is not None:

@@ -225,7 +225,7 @@ def parse_message(
 
     # stream control messages (protocol v2) are valid in any mode
     if tag == 0x53:  # 'S' Stream Start
-        xid = r.i32()
+        xid = r.u32()
         first = r.u8()
         return {
             "op": "stream_start",
@@ -235,7 +235,7 @@ def parse_message(
     if tag == 0x45:  # 'E' Stream Stop
         return {"op": "stream_stop"}
     if tag == 0x63:  # 'c' Stream Commit
-        xid = r.i32()
+        xid = r.u32()
         flags = r.u8()
         commit_lsn = r.lsn()
         end_lsn = r.lsn()
@@ -248,8 +248,8 @@ def parse_message(
             "meta": {"flags": str(flags), "end_lsn": end_lsn},
         }
     if tag == 0x41:  # 'A' Stream Abort
-        xid = r.i32()
-        subxid = r.i32()
+        xid = r.u32()
+        subxid = r.u32()
         return {
             "op": "stream_abort",
             "xid": xid,
@@ -263,7 +263,7 @@ def parse_message(
         prepare_lsn = r.lsn()
         end_lsn = r.lsn()
         ts = r.pg_time_us()
-        xid = r.i32()
+        xid = r.u32()
         gid = r.cstring()
         return {
             "op": "begin_prepare",
@@ -277,7 +277,7 @@ def parse_message(
         lsn1 = r.lsn()
         end_lsn = r.lsn()
         ts = r.pg_time_us()
-        xid = r.i32()
+        xid = r.u32()
         gid = r.cstring()
         op = {0x50: "prepare", 0x4B: "commit_prepared", 0x70: "stream_prepare"}[tag]
         return {
@@ -293,7 +293,7 @@ def parse_message(
         rollback_end_lsn = r.lsn()
         prepare_ts = r.pg_time_us()
         rollback_ts = r.pg_time_us()
-        xid = r.i32()
+        xid = r.u32()
         gid = r.cstring()
         return {
             "op": "rollback_prepared",
@@ -310,7 +310,7 @@ def parse_message(
 
     stream_xid: int | None = None
     if streamed and tag in (0x52, 0x59, 0x49, 0x55, 0x44, 0x54, 0x4D):
-        stream_xid = r.i32()
+        stream_xid = r.u32()
 
     ev = _parse_tail(r, tag, relations)
     if stream_xid is not None:
@@ -327,7 +327,7 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
     if tag == 0x42:  # 'B' Begin
         lsn = r.lsn()
         ts = r.pg_time_us()
-        xid = r.i32()
+        xid = r.u32()
         return {"op": "begin", "lsn": lsn, "commit_ts_us": ts, "xid": xid}
     if tag == 0x43:  # 'C' Commit
         flags = r.u8()
@@ -345,7 +345,7 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
         name = r.cstring()
         return {"op": "origin", "lsn": lsn, "meta": {"origin": name}}
     if tag == 0x59:  # 'Y' Type
-        oid = r.i32()
+        oid = r.u32()
         tschema = r.cstring()
         tname = r.cstring()
         return {
@@ -353,7 +353,7 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
             "meta": {"type_oid": str(oid), "type_schema": tschema, "type_name": tname},
         }
     if tag == 0x52:  # 'R' Relation
-        oid = r.i32()
+        oid = r.u32()
         schema = r.cstring()
         name = r.cstring()
         ident = _REPLICA_IDENTITY.get(r.u8())
@@ -366,7 +366,7 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
                 {
                     "flags": r.u8(),
                     "name": r.cstring(),
-                    "type_oid": r.i32(),
+                    "type_oid": r.u32(),
                     "type_mod": r.i32(),
                 }
             )
@@ -390,7 +390,7 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
         if tag == 0x54:  # 'T' Truncate
             nrels = r.i32()
             flags = r.u8()
-            oids = [r.i32() for _ in range(nrels)]
+            oids = [r.u32() for _ in range(nrels)]
             rels = [rel for rel in (relations.get(o) for o in oids) if rel is not None]
             return {
                 "op": "truncate",
@@ -402,7 +402,7 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
                     "relation_oids": ",".join(str(o) for o in oids),
                 },
             }
-        oid = r.i32()
+        oid = r.u32()
         rel = relations.get(oid)
         if rel is None:
             raise ValueError("missing relation")  # ≙ pgoutput-parser.ts:151-153
@@ -494,7 +494,7 @@ def _tuple_bytes(values: list[tuple[str, str | bytes | None]]) -> bytes:
 
 
 def encode_begin(commit_lsn: str, commit_ts_us: int, xid: int) -> bytes:
-    return b"B" + _lsn_bytes(commit_lsn) + _pg_time(commit_ts_us) + struct.pack(">i", xid)
+    return b"B" + _lsn_bytes(commit_lsn) + _pg_time(commit_ts_us) + struct.pack(">I", xid)
 
 
 def encode_commit(commit_lsn: str, end_lsn: str, commit_ts_us: int, flags: int = 0) -> bytes:
@@ -512,7 +512,7 @@ def encode_origin(origin_lsn: str, name: str) -> bytes:
 
 
 def encode_type(oid: int, schema: str, name: str) -> bytes:
-    return b"Y" + struct.pack(">i", oid) + _cstr(schema) + _cstr(name)
+    return b"Y" + struct.pack(">I", oid) + _cstr(schema) + _cstr(name)
 
 
 def encode_relation(
@@ -526,17 +526,17 @@ def encode_relation(
     """columns = [(name, type_oid)]; key flag bit 0 set for key_columns."""
     ident = {"default": b"d", "nothing": b"n", "full": b"f", "index": b"i"}[replica_identity]
     keys = set(key_columns or [])
-    out = [b"R", struct.pack(">i", oid), _cstr(schema), _cstr(name), ident,
+    out = [b"R", struct.pack(">I", oid), _cstr(schema), _cstr(name), ident,
            struct.pack(">h", len(columns))]
     for cname, type_oid in columns:
         out.append(struct.pack(">B", 1 if cname in keys else 0))
         out.append(_cstr(cname))
-        out.append(struct.pack(">ii", type_oid, -1))
+        out.append(struct.pack(">Ii", type_oid, -1))
     return b"".join(out)
 
 
 def encode_insert(relation_oid: int, new: list[tuple[str, str | bytes | None]]) -> bytes:
-    return b"I" + struct.pack(">i", relation_oid) + b"N" + _tuple_bytes(new)
+    return b"I" + struct.pack(">I", relation_oid) + b"N" + _tuple_bytes(new)
 
 
 def encode_update(
@@ -545,7 +545,7 @@ def encode_update(
     old: list[tuple[str, str | bytes | None]] | None = None,
     old_kind: str = "O",
 ) -> bytes:
-    out = [b"U", struct.pack(">i", relation_oid)]
+    out = [b"U", struct.pack(">I", relation_oid)]
     if old is not None:
         out.append(old_kind.encode())
         out.append(_tuple_bytes(old))
@@ -557,7 +557,7 @@ def encode_update(
 def encode_delete(
     relation_oid: int, old: list[tuple[str, str | bytes | None]], kind: str = "K"
 ) -> bytes:
-    return b"D" + struct.pack(">i", relation_oid) + kind.encode() + _tuple_bytes(old)
+    return b"D" + struct.pack(">I", relation_oid) + kind.encode() + _tuple_bytes(old)
 
 
 def encode_truncate(relation_oids: list[int], cascade=False, restart_identity=False) -> bytes:
@@ -566,12 +566,12 @@ def encode_truncate(relation_oids: list[int], cascade=False, restart_identity=Fa
         b"T"
         + struct.pack(">i", len(relation_oids))
         + struct.pack(">B", flags)
-        + b"".join(struct.pack(">i", o) for o in relation_oids)
+        + b"".join(struct.pack(">I", o) for o in relation_oids)
     )
 
 
 def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
-    return b"S" + struct.pack(">i", xid) + struct.pack(">B", 1 if first_segment else 0)
+    return b"S" + struct.pack(">I", xid) + struct.pack(">B", 1 if first_segment else 0)
 
 
 def encode_stream_stop() -> bytes:
@@ -583,7 +583,7 @@ def encode_stream_commit(
 ) -> bytes:
     return (
         b"c"
-        + struct.pack(">i", xid)
+        + struct.pack(">I", xid)
         + struct.pack(">B", flags)
         + _lsn_bytes(commit_lsn)
         + _lsn_bytes(end_lsn)
@@ -592,7 +592,7 @@ def encode_stream_commit(
 
 
 def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
-    return b"A" + struct.pack(">ii", xid, subxid if subxid is not None else xid)
+    return b"A" + struct.pack(">II", xid, subxid if subxid is not None else xid)
 
 
 def encode_begin_prepare(
@@ -603,7 +603,7 @@ def encode_begin_prepare(
         + _lsn_bytes(prepare_lsn)
         + _lsn_bytes(end_lsn)
         + _pg_time(prepare_ts_us)
-        + struct.pack(">i", xid)
+        + struct.pack(">I", xid)
         + _cstr(gid)
     )
 
@@ -616,7 +616,7 @@ def _enc_prepared(tag: bytes, lsn1: str, end_lsn: str, ts_us: int, xid: int,
         + _lsn_bytes(lsn1)
         + _lsn_bytes(end_lsn)
         + _pg_time(ts_us)
-        + struct.pack(">i", xid)
+        + struct.pack(">I", xid)
         + _cstr(gid)
     )
 
@@ -647,7 +647,7 @@ def encode_rollback_prepared(
         + _lsn_bytes(rollback_end_lsn)
         + _pg_time(prepare_ts_us)
         + _pg_time(rollback_ts_us)
-        + struct.pack(">i", xid)
+        + struct.pack(">I", xid)
         + _cstr(gid)
     )
 
@@ -655,7 +655,7 @@ def encode_rollback_prepared(
 def with_stream_xid(xid: int, message: bytes) -> bytes:
     """Wrap a v1-encoded R/Y/I/U/D/T/M message for a streamed segment:
     splice the Int32 xid the v2 protocol puts right after the tag byte."""
-    return message[:1] + struct.pack(">i", xid) + message[1:]
+    return message[:1] + struct.pack(">I", xid) + message[1:]
 
 
 def encode_logical_message(

@@ -86,6 +86,15 @@ def _make_assemble(timeout_ms: int | None):
                     for f in ("lsn_long", "seq"):
                         v = ev.get(f)
                         ev[f] = None if v is None or pd.isna(v) else int(v)
+                    # maps can surface as (k, v) pair-lists depending on
+                    # the Arrow→pandas runtime (see _as_dict); normalize
+                    # like the sibling gates so the JSON round-trip
+                    # restores dicts. commit_ts is stamped from the
+                    # commit row at emission — never buffer the
+                    # non-JSON-serializable pre-commit placeholder.
+                    for f in ("key", "before", "after"):
+                        ev[f] = _as_dict(ev.get(f))
+                    ev["commit_ts"] = None
                     buffered.append(json.dumps(ev))
                 # 'begin' rows only open the frame; nothing to buffer
 
@@ -395,17 +404,10 @@ def _gated_stream(
 
 
 # --------------------------------------------------------------- TOAST fill
-TOAST_OUTPUT_SCHEMA = (
-    "op string, lsn string, lsn_long long, seq long, xid long, "
-    "commit_ts timestamp, schema string, table string, "
-    "key map<string,string>, before map<string,string>, "
-    "after map<string,string>"
-)
-
-_TOAST_OUT_COLS = [
-    "op", "lsn", "lsn_long", "seq", "xid", "commit_ts", "schema", "table",
-    "key", "before", "after",
-]
+# the TOAST-fill output IS the ChangeEvent shape the txn gate emits —
+# aliased, not restated, so a schema change can't desynchronize them
+TOAST_OUTPUT_SCHEMA = TXN_OUTPUT_SCHEMA
+_TOAST_OUT_COLS = _OUT_COLUMNS
 
 
 def _as_dict(v):
@@ -471,10 +473,16 @@ def toast_fill_stream(events: DataFrame, key_columns: list[str]) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # null parts map to an explicit sentinel: concat_ws SKIPS nulls, so
+    # (NULL,'x') and ('x',NULL) would otherwise collide on one state key
     identity = F.concat_ws(
         "\x1f",
         *[
-            F.coalesce(F.col("key").getItem(k), F.col("after").getItem(k))
+            F.coalesce(
+                F.col("key").getItem(k),
+                F.col("after").getItem(k),
+                F.lit("\x1e"),
+            )
             for k in key_columns
         ],
     )
@@ -488,7 +496,9 @@ def toast_fill_stream(events: DataFrame, key_columns: list[str]) -> DataFrame:
         F.col("meta").getItem("unchanged_toast").alias("_toast"),
         identity.alias("_identity"),
     )
-    return ev.groupBy("table", "_identity").applyInPandasWithState(
+    # schema is part of the state key: public.users(id=1) and
+    # audit.users(id=1) must not share a TOAST image
+    return ev.groupBy("schema", "table", "_identity").applyInPandasWithState(
         _make_toast_fill(),
         outputStructType=TOAST_OUTPUT_SCHEMA,
         stateStructType="img string",

@@ -150,3 +150,33 @@ def test_bootstrap_events_union_applies_stream_on_top(spark):
     )
     got = {r["id"]: r["name"] for r in out.collect()}
     assert got == {1: "a", 2: "B", 9: "z"}
+
+
+def test_apply_changes_separates_same_named_tables_across_schemas(spark):
+    """public.users(id=1) and audit.users(id=1) are distinct rows — the
+    identity window includes schema (review r2: they previously
+    collapsed onto one key, last-writer-wins across schemas)."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+
+    data = [
+        ("insert", "0/10", 16, 1, "public", "users", None, None,
+         {"id": "1", "v": "pub"}),
+        ("insert", "0/18", 24, 2, "audit", "users", None, None,
+         {"id": "1", "v": "aud"}),
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "op string, lsn string, lsn_long long, seq long, schema string, "
+        "table string, key map<string,string>, before map<string,string>, "
+        "after map<string,string>",
+    )
+    snap = apply_changes(
+        ev, key_columns=["id"], table="users",
+        columns={"id": "bigint", "v": "text"},
+    )
+    # two live rows — before the fix the later write clobbered the
+    # earlier one across schemas and only 'aud' survived
+    rows = sorted((r["id"], r["v"]) for r in snap.collect())
+    assert rows == [(1, "aud"), (1, "pub")]

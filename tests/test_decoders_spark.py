@@ -641,3 +641,99 @@ def test_pgoutput_column_list_projection(spark):
     # unlisted table passes through untouched
     ev_all = decode_pgoutput(raw, column_lists={"public.other": ["id"]})
     assert ev_all.filter("op = 'insert'").first()["after"]["secret"] == "s3cr3t"
+
+
+def test_pgoutput_truncate_respects_publication_subset(spark):
+    """A multi-table TRUNCATE is filtered per relation: the published
+    subset survives (with table/relation_oids rewritten), a truncate
+    touching no published table drops entirely (review r2 — the
+    comma-joined table name previously never matched any pub entry)."""
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+    msgs = [
+        fmt.encode_relation(1, "public", "users", [("id", 20)], key_columns=["id"]),
+        fmt.encode_relation(2, "public", "audit", [("id", 20)], key_columns=["id"]),
+        fmt.encode_truncate([1, 2]),
+        fmt.encode_truncate([2]),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, m) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    )
+    ev = decode(raw, "pgoutput", publication_tables=["public.users"])
+    tr = ev.filter("op = 'truncate'").collect()
+    assert len(tr) == 1
+    assert tr[0]["table"] == "users"
+    assert tr[0]["meta"]["relation_oids"] == "1"
+
+
+def test_pgoutput_supplied_cache_honors_inband_alter(spark):
+    """With a supplied relation cache, an in-band 'R' (mid-stream ALTER)
+    must re-schema later DML instead of being shadowed by the supplied
+    entry (review r2: the stale version was pinned forever)."""
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    pre: dict = {}
+    fmt.parse_message(
+        fmt.encode_relation(1, "public", "users", [("id", 20)], key_columns=["id"]),
+        pre,
+    )
+    msgs = [
+        fmt.encode_insert(1, [("t", "1")]),
+        # ALTER TABLE users ADD COLUMN name
+        fmt.encode_relation(
+            1, "public", "users", [("id", 20), ("name", 25)], key_columns=["id"]
+        ),
+        fmt.encode_insert(1, [("t", "2"), ("t", "bob")]),
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", i, m) for i, m in enumerate(msgs)],
+        "lsn string, seq long, data binary",
+    ).coalesce(1)
+    rows = {
+        r["after"]["id"]: dict(r["after"])
+        for r in decode_pgoutput(raw, relations=pre)
+        .filter("op = 'insert'")
+        .collect()
+    }
+    assert rows["1"] == {"id": "1"}
+    assert rows["2"] == {"id": "2", "name": "bob"}
+
+
+def test_filter_by_origin_keep_local_false_drops_local(spark):
+    """keep_local=False with filter_origins: local (originless) txns
+    drop too — only foreign-origin txns NOT in the drop list pass
+    (previously the flag was silently ignored; review r2)."""
+    from pg_logical_replication_spark.operators.transactions import (
+        filter_by_origin,
+    )
+
+    rows = [
+        # txn 1: local
+        ("begin", 0, 1), ("insert", 1, None),
+        # txn 2: origin nodeA (dropped by list)
+        ("begin", 2, 2), ("origin", 3, None), ("insert", 4, None),
+        # txn 3: origin nodeB (kept)
+        ("begin", 5, 3), ("origin", 6, None), ("insert", 7, None),
+    ]
+    data = []
+    for op, seq, xid in rows:
+        meta = (
+            {"origin": "nodeA" if seq == 3 else "nodeB"}
+            if op == "origin"
+            else None
+        )
+        data.append((op, f"0/{16 + 8 * seq:X}", seq, xid, meta))
+    ev = spark.createDataFrame(
+        data, "op string, lsn string, seq long, xid long, meta map<string,string>"
+    )
+    out = filter_by_origin(
+        ev, filter_origins=["nodeA"], keep_local=False
+    ).filter("op = 'insert'").collect()
+    assert [r["seq"] for r in out] == [7]
+    # sanity: default keep_local=True keeps the local txn as well
+    out2 = filter_by_origin(ev, filter_origins=["nodeA"]).filter(
+        "op = 'insert'"
+    ).collect()
+    assert sorted(r["seq"] for r in out2) == [1, 7]

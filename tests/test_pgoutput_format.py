@@ -276,3 +276,18 @@ def test_parse_message_fuzz_never_hangs_or_succeeds_silently():
         assert isinstance(ev, dict) and ev.get("op") in known_ops
 
     run()
+
+
+def test_xids_beyond_2_31_roundtrip():
+    """TransactionId is unsigned 32-bit: a cluster past 2^31 txns emits
+    xids like 3_000_000_000 — they must encode and decode unchanged
+    (signed packing raised struct.error / decoded negative; review r2)."""
+    xid = 3_000_000_000
+    ev = fmt.parse_message(
+        fmt.encode_begin("0/10", 1_600_000_000_000_000, xid), {}
+    )
+    assert ev["xid"] == xid
+    ev = fmt.parse_message(fmt.encode_stream_start(xid), {})
+    assert ev["xid"] == xid
+    ev = fmt.parse_message(fmt.encode_stream_abort(xid), {})
+    assert ev["xid"] == xid
