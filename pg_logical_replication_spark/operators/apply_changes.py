@@ -62,14 +62,30 @@ def latest_image(
     ev = ev.filter(F.col("op").isin("insert", "update", "delete", "truncate"))
     ev = ev.withColumn("_ord", order if order is not None else _order_col(ev))
 
-    # Truncate barrier: events at-or-before the newest truncate are dead.
-    # One tiny aggregate (truncates are rare), broadcast back via cross
-    # join — no shuffle of the big side.
-    trunc = ev.filter(F.col("op") == "truncate").agg(F.max("_ord").alias("_trunc_ord"))
-    ev = ev.crossJoin(F.broadcast(trunc)).filter(
+    # Truncate barrier: events at-or-before the newest truncate OF THE
+    # SAME TABLE are dead (review r2: a global barrier let one table's
+    # truncate erase every other table's history). pgoutput encodes a
+    # multi-table TRUNCATE as one event with comma-joined names —
+    # explode so each named table gets its own barrier. Truncates are
+    # rare: the per-table aggregate is tiny and broadcasts.
+    has_schema = "schema" in ev.columns
+    tr = ev.filter(F.col("op") == "truncate").select(
+        *([F.col("schema").alias("_tsch")] if has_schema else []),
+        F.explode(F.split(F.col("table"), ",")).alias("_ttab"),
+        "_ord",
+    )
+    trunc = tr.groupBy(
+        *(["_tsch"] if has_schema else []), "_ttab"
+    ).agg(F.max("_ord").alias("_trunc_ord"))
+    cond = F.col("table") == F.col("_ttab")
+    if has_schema:
+        cond = cond & F.col("schema").eqNullSafe(F.col("_tsch"))
+    ev = ev.join(F.broadcast(trunc), cond, "left").filter(
         F.col("_trunc_ord").isNull() | (F.col("_ord") > F.col("_trunc_ord"))
     )
-    ev = ev.filter(F.col("op") != "truncate").drop("_trunc_ord")
+    ev = ev.filter(F.col("op") != "truncate").drop(
+        "_trunc_ord", "_ttab", *(["_tsch"] if has_schema else [])
+    )
 
     # Key-change updates (key image ≠ new row's key projection) split into
     # a tombstone for the old identity + an upsert for the new identity.
@@ -273,7 +289,10 @@ def scd2_history(
     ).otherwise(F.array(*[F.col("key").getItem(k) for k in key_columns]))
     ev = ev.withColumn("_identity", identity)
 
-    w = Window.partitionBy("table", "_identity").orderBy("_ord")
+    # schema participates in version identity, same as latest_image
+    part = ["schema", "table", "_identity"] if "schema" in ev.columns else [
+        "table", "_identity"]
+    w = Window.partitionBy(*part).orderBy("_ord")
     return (
         ev.withColumn("valid_from_lsn", F.col("lsn_long"))
         .withColumn("valid_to_lsn", F.lead("lsn_long").over(w))

@@ -28,6 +28,11 @@ from pg_logical_replication_spark.model import lsn_long_expr
 
 # One datum: name[type]:value  (grammar `datum`, decoder.ts:40)
 _DATUM_RE = r'("(?:[^"]|"")*"|[^\[\s]+)\[([^\]]+)\]:(\'(?:[^\']|\'\')*\'|[^ \t]+)'
+# non-capturing datum (same token grammar) for the old-key/new-tuple
+# splitter: the old section is a run of WHOLE tokens, so the separator
+# can only bind outside quoted values
+_DATUM_NC = r'(?:"(?:[^"]|"")*"|[^\[\s]+)\[[^\]]+\]:(?:\'(?:[^\']|\'\')*\'|[^ \t]+)'
+_OLDNEW_RE = r"(?s)\Aold-key: ((?:" + _DATUM_NC + r" ?)*)new-tuple: (.*)\z" 
 # (?s) + \z because Java regex counts U+0085/U+2028/U+2029 as line
 # terminators: without DOTALL, `.` refuses them and `$` can bind before
 # a trailing one, silently dropping any row whose VALUE contains such a
@@ -149,16 +154,21 @@ def decode_test_decoding(
         .alias("op"),
     ).filter(F.col("op").isNotNull())
 
-    # REPLICA IDENTITY FULL updates: "old-key: <datums> new-tuple: <datums>"
+    # REPLICA IDENTITY FULL updates: "old-key: <datums> new-tuple: <datums>".
+    # The split is TOKEN-AWARE: the old section must parse as complete
+    # datum tokens before the separator, so a quoted VALUE containing
+    # the literals 'old-key:'/'new-tuple:' can't mis-split the row
+    # (review r2 — plain substring contains() did); \A anchors old-key
+    # at data start, exactly where the reference grammar puts it.
     data = F.col("_data")
-    has_old = data.contains("old-key:") & data.contains("new-tuple:")
+    has_old = data.rlike(_OLDNEW_RE)
     parts = parsed.select(
         "*",
         has_old.alias("_has_old"),
-        F.when(has_old, F.regexp_extract(data, r"(?s)new-tuple: (.*)\z", 1))
+        F.when(has_old, F.regexp_extract(data, _OLDNEW_RE, 2))
         .otherwise(data)
         .alias("_new"),
-        F.when(has_old, F.regexp_extract(data, r"(?s)old-key: (.*?) ?new-tuple:", 1))
+        F.when(has_old, F.regexp_extract(data, _OLDNEW_RE, 1))
         .otherwise(F.lit(""))
         .alias("_old"),
     )

@@ -146,12 +146,19 @@ def decode_wal2json_v2(
 
     if not include_transaction_markers:
         out = out.filter(~F.col("op").isin("begin", "commit"))
+    # table/action pushdown applies to CHANGE rows only: B/C markers
+    # carry null schema/table, so a bare predicate evaluates to NULL and
+    # silently drops the transaction framing (review r2) — v1 keeps
+    # markers unconditionally, v2 must match
+    is_marker = F.col("op").isin("begin", "commit")
     if add_tables:
-        out = out.filter(table_pattern_pred(add_tables))
+        out = out.filter(is_marker | table_pattern_pred(add_tables))
     if filter_tables:
-        out = out.filter(~table_pattern_pred(filter_tables))
+        out = out.filter(
+            is_marker | ~F.coalesce(table_pattern_pred(filter_tables), F.lit(False))
+        )
     if actions:
-        out = out.filter(F.col("op").isin(list(actions)))
+        out = out.filter(is_marker | F.col("op").isin(list(actions)))
     return out
 
 
@@ -191,6 +198,12 @@ def decode_wal2json(
     reference's ``formatVersion`` option, options type :112-114).
     """
     if format_version == 2:
+        if filter_origins:
+            raise ValueError(
+                "filter_origins is not supported for wal2json "
+                "format_version=2 (v2 action lines carry no origin "
+                "field in this decoder); use format_version=1"
+            )
         return decode_wal2json_v2(
             raw,
             value_col=value_col,
@@ -260,7 +273,12 @@ def decode_wal2json(
     if not include_transaction_markers:
         return changes
 
-    txn = parsed.select(
+    # unparseable line (DLQ territory): from_json under PERMISSIVE mode
+    # yields an all-null struct, so test the FIELDS — it must not
+    # synthesize a phantom all-null begin/commit pair (review r2)
+    txn = parsed.filter(
+        F.col("cs.change").isNotNull() | F.col("cs.xid").isNotNull()
+    ).select(
         "_lsn",
         F.col("cs.xid").alias("xid"),
         F.to_timestamp(F.col("cs.timestamp")).alias("commit_ts"),

@@ -68,6 +68,8 @@ class MergeOnReadTable:
         out = latest.select(
             "op",
             "lsn_long",
+            # schema is part of row identity (public.users ≠ audit.users)
+            *(["schema"] if "schema" in latest.columns else []),
             "table",
             "key",
             "after",
@@ -106,8 +108,14 @@ class MergeOnReadTable:
             return None
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:
-            return None
+        except Exception as e:
+            # only the empty-directory case means "no data yet"; a
+            # corrupt footer / permission error must surface, not be
+            # mistaken for an unmaterialized table (review r2)
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+                return None
+            raise
 
     def snapshot(self, as_of_lsn: str | None = None) -> DataFrame | None:
         """Current table: newest image per key across the whole log,
@@ -126,6 +134,15 @@ class MergeOnReadTable:
         older as-of views. Retention = compaction cadence, exactly the
         Delta/Iceberg tradeoff.
         """
+        resolved = self._resolved(as_of_lsn)
+        if resolved is None:
+            return None
+        return resolved.filter(F.col("op") != "delete")
+
+    def _resolved(self, as_of_lsn: str | None = None) -> DataFrame | None:
+        """Newest image per key across the log, TOMBSTONES INCLUDED —
+        snapshot() drops them at read; compact() must keep them so a
+        replayed pre-delete batch can't resurrect a deleted key."""
         log = self._log()
         if log is None:
             return None
@@ -142,12 +159,15 @@ class MergeOnReadTable:
             F.col("op").isin("insert", "update") & F.col("after").isNotNull(),
             F.array(*[F.col("after").getItem(k) for k in self.key_columns]),
         ).otherwise(F.array(*[F.col("key").getItem(k) for k in self.key_columns]))
-        w = W.partitionBy("table", ident).orderBy(
+        part = (
+            ["schema", "table"] if "schema" in log.columns else ["table"]
+        )
+        w = W.partitionBy(*part, ident).orderBy(
             F.col("_ord1").desc(), F.col("batch").desc()
         )
         return (
             log.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
+            .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
 
@@ -167,13 +187,29 @@ class MergeOnReadTable:
         )
 
     # --------------------------------------------------------- maintenance
-    def compact(self) -> None:
+    def compact(self, drop_tombstones: bool = False) -> None:
         """Fold the MOR log into a single base batch (batch=-1 convention:
         sorts below every real batch id so later appends still win).
-        At scale this runs as a scheduled job, not per micro-batch."""
-        snap = self.snapshot()
+
+        Delete TOMBSTONES ARE RETAINED in the base (with their stream
+        position): after an at-least-once restart, a replayed pre-delete
+        batch rewrites its partition, and only the surviving tombstone's
+        higher ``_ord1`` keeps the deleted key dead (review r2 — folding
+        through ``snapshot()`` erased that evidence and resurrected
+        rows). Pass ``drop_tombstones=True`` (vacuum) only when no batch
+        in the log can replay anymore — i.e. the stream's checkpoint has
+        committed past all of them.
+
+        MAINTENANCE-WINDOW operation: the directory swap (rmtree +
+        rename) is not atomic and folds only what it read — quiesce the
+        writing stream (or schedule between micro-batches) exactly as
+        Delta/Hudi schedule compaction outside commits. At scale this
+        runs as a scheduled job, not per micro-batch."""
+        snap = self._resolved()
         if snap is None:
             return
+        if drop_tombstones:
+            snap = snap.filter(F.col("op") != "delete")
         staging = self.path + "__compact"
         (
             snap.withColumn("batch", F.lit(-1))

@@ -241,7 +241,15 @@ class LogicalReplicationService:
                     self._last_lsn[slot_name] = lsn
                     self._emit("data", lsn, batch_id)
                     if auto_acknowledge:
-                        self._acked_lsn[slot_name] = lsn
+                        # stored position = received + 1 with carry, the
+                        # standby-status form (model.ack_lsn) — identical
+                        # to what a manual acknowledge() records, so
+                        # acked_lsn() means one thing in both modes; the
+                        # event carries the raw delivered lsn, like the
+                        # reference's emit('acknowledge', lsn)
+                        from pg_logical_replication_spark.model import ack_lsn
+
+                        self._acked_lsn[slot_name] = ack_lsn(lsn)
                         self._emit("acknowledge", lsn)
             finally:
                 batch_df.unpersist()
@@ -278,7 +286,7 @@ class LogicalReplicationService:
 
         pos = ack_lsn(lsn)
         self._acked_lsn[slot_name] = pos
-        self._emit("acknowledge", pos)
+        self._emit("acknowledge", lsn)
         return pos
 
     def acked_lsn(self, slot_name: str) -> str | None:

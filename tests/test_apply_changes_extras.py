@@ -180,3 +180,69 @@ def test_apply_changes_separates_same_named_tables_across_schemas(spark):
     # earlier one across schemas and only 'aud' survived
     rows = sorted((r["id"], r["v"]) for r in snap.collect())
     assert rows == [(1, "aud"), (1, "pub")]
+
+
+def test_truncate_barrier_is_per_table(spark):
+    """TRUNCATE public.b must not erase public.a's earlier history
+    (review r2: the barrier was a global max over all tables). A
+    pgoutput-style multi-table truncate ('a,b') barriers both named
+    tables."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        latest_image,
+    )
+
+    data = [
+        ("insert", "0/10", 16, 1, "public", "a", None, None, {"id": "1"}),
+        ("insert", "0/11", 17, 2, "public", "b", None, None, {"id": "2"}),
+        ("insert", "0/12", 18, 3, "public", "c", None, None, {"id": "3"}),
+        # multi-table truncate hits b and c, NOT a
+        ("truncate", "0/20", 32, 4, "public", "b,c", None, None, None),
+        ("insert", "0/28", 40, 5, "public", "c", None, None, {"id": "9"}),
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "op string, lsn string, lsn_long long, seq long, schema string, "
+        "table string, key map<string,string>, before map<string,string>, "
+        "after map<string,string>",
+    )
+    snap = latest_image(ev, key_columns=["id"])
+    rows = sorted((r["table"], r["after"]["id"]) for r in snap.collect())
+    # a survives untouched, b is emptied, c keeps only the post-truncate row
+    assert rows == [("a", "1"), ("c", "9")]
+
+
+def test_compact_keeps_tombstones_against_replay(spark, tmp_path):
+    """compact() must retain delete tombstones: an at-least-once replay
+    of a pre-delete batch otherwise resurrects the deleted key
+    (review r2)."""
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "mor"), key_columns=["id"], table="t"
+    )
+
+    def ev(op, lsn_long, rid):
+        return (
+            op, f"0/{lsn_long:X}", lsn_long, lsn_long, "public", "t",
+            {"id": str(rid)},
+            None,
+            {"id": str(rid)} if op != "delete" else None,
+        )
+
+    schema = (
+        "op string, lsn string, lsn_long long, seq long, schema string, "
+        "table string, key map<string,string>, before map<string,string>, "
+        "after map<string,string>"
+    )
+    tbl.apply_batch(spark.createDataFrame([ev("insert", 20, 1)], schema), 2)
+    tbl.apply_batch(spark.createDataFrame([ev("delete", 30, 1)], schema), 3)
+    tbl.compact()
+    # replay of batch 2 (crash before its offsets committed)
+    tbl.apply_batch(spark.createDataFrame([ev("insert", 20, 1)], schema), 2)
+    snap = tbl.snapshot()
+    assert snap.count() == 0  # the tombstone still wins
+    # vacuum drops tombstones once replay is impossible (an all-
+    # tombstone table vacuums to nothing — snapshot None or empty)
+    tbl.compact(drop_tombstones=True)
+    snap2 = tbl.snapshot()
+    assert snap2 is None or snap2.count() == 0

@@ -737,3 +737,65 @@ def test_filter_by_origin_keep_local_false_drops_local(spark):
         "op = 'insert'"
     ).collect()
     assert sorted(r["seq"] for r in out2) == [1, 7]
+
+
+def test_wal2json_v2_markers_survive_table_pushdown(spark):
+    """v2 B/C rows carry null table; table/action filters must keep the
+    transaction framing like v1 does (review r2: the null predicate
+    silently dropped every marker)."""
+    lines = [
+        '{"action":"B","xid":5,"lsn":"0/100"}',
+        '{"action":"I","xid":5,"lsn":"0/108","schema":"public","table":"users",'
+        '"columns":[{"name":"id","type":"bigint","value":1}]}',
+        '{"action":"I","xid":5,"lsn":"0/110","schema":"public","table":"other",'
+        '"columns":[{"name":"id","type":"bigint","value":2}]}',
+        '{"action":"C","xid":5,"lsn":"0/118"}',
+    ]
+    raw = spark.createDataFrame([(line,) for line in lines], "value string")
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json_v2
+
+    out = decode_wal2json_v2(
+        raw, include_transaction_markers=True, add_tables=["public.users"]
+    ).collect()
+    ops = sorted(r["op"] for r in out)
+    assert ops == ["begin", "commit", "insert"]
+    assert [r["after"]["id"] for r in out if r["op"] == "insert"] == ["1"]
+
+
+def test_wal2json_v1_no_phantom_markers_for_bad_lines(spark):
+    """An unparseable log line must not synthesize an all-null
+    begin/commit pair when markers are requested (review r2)."""
+    lines = _wal2json_lines() + ["THIS IS NOT JSON"]
+    raw = spark.createDataFrame([(line,) for line in lines], "value string")
+    out = decode(raw, "wal2json", include_transaction_markers=True)
+    markers = out.filter("op in ('begin','commit')").collect()
+    assert markers, "markers expected for the valid changesets"
+    assert all(r["lsn"] is not None for r in markers)
+
+
+def test_test_decoding_value_containing_split_literals(spark):
+    """A quoted VALUE containing 'old-key:'/'new-tuple:' must not
+    mis-split the row — the splitter is token-aware (review r2)."""
+    lines = [
+        "table public.t: UPDATE: msg[text]:'see old-key: a new-tuple: b' "
+        "id[integer]:7",
+        "table public.t: UPDATE: old-key: id[integer]:7 "
+        "msg[text]:'x new-tuple: y' new-tuple: id[integer]:7 "
+        "msg[text]:'z2'",
+    ]
+    raw = spark.createDataFrame(
+        [(f"0/{16 + 8 * i:X}", line) for i, line in enumerate(lines)],
+        "lsn string, value string",
+    )
+    rows = {  # keyed by lsn
+        r["lsn"]: r
+        for r in decode(raw, "test_decoding", lsn_col="lsn").collect()
+    }
+    plain = rows["0/10"]
+    assert plain["after"] == {
+        "msg": "see old-key: a new-tuple: b", "id": "7"
+    }
+    assert plain["key"] is None
+    full = rows["0/18"]
+    assert full["after"] == {"id": "7", "msg": "z2"}
+    assert full["key"] == {"id": "7", "msg": "x new-tuple: y"}

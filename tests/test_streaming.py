@@ -377,12 +377,15 @@ def test_manual_acknowledge_mode(spark, log_dirs):
     assert acks == []
 
     pos = svc.acknowledge("man_slot", svc.last_lsn("man_slot"))
-    # ack position = received + 1 with carry, in the padded wire form
+    # stored position = received + 1 with carry (standby-status form);
+    # the event carries the raw lsn, matching the reference's
+    # emit('acknowledge', lsn)
     assert pos == "00000000/00000101" == svc.acked_lsn("man_slot")
-    assert acks == [pos]
+    assert acks == ["0/100"]
 
-    # auto mode records the delivered position as acked
+    # auto mode records the same +1 standby-status form
     _append(log, "001.jsonl", [_changeset(2, "0/200", 2, [_ins("t", {"id": 2})])])
     svc.subscribe_and_wait("wal2json", "man_slot", lambda df, bid: df.count())
-    assert svc.acked_lsn("man_slot") == "0/200"
+    assert svc.acked_lsn("man_slot") == "00000000/00000201"
+    assert acks[-1] == "0/200"
     svc.destroy()
