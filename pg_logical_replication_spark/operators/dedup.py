@@ -124,13 +124,15 @@ def winnow_fingerprints(
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    # k=1: every token is a full unigram — no lead columns to demand
+    full = leads[-1].isNotNull() if leads else F.lit(True)
     grams = base.select(
         F.col(id_col),
         F.col("_pos"),
         F.substring(
             F.md5(F.concat_ws(" ", F.col("_tok"), *leads)), 1, 8
         ).alias("_h"),
-        leads[-1].isNotNull().alias("_full"),
+        full.alias("_full"),
     ).filter("_full")
     sw = (
         Window.partitionBy(id_col)
@@ -336,6 +338,35 @@ def simhash(
     return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def _candidate_pair_stats(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """Shared inverted-index candidate pipeline for the exact pairwise
+    measures: docs sharing ≥1 shingle → (a_id, b_id, inter, sz_a, sz_b).
+    One definition serves Jaccard and containment (review r2 folded the
+    two identical 25-line pipelines)."""
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    # Carry |doc| along each shingle row (window count, constant per
+    # doc) so the measure denominators ride the candidate join — no
+    # post-hoc size-lookup joins.
+    sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+    a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
+    b = sized.select(
+        F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        a.join(b, (a["sh"] == b["sh_b"]) & (a["a_id"] < b["b_id"]))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -347,25 +378,8 @@ def jaccard_pairs(
     join (docs sharing ≥1 shingle). Returns a_id, b_id, jaccard
     (rounded 6 — double division of exact ints, engine-stable).
     """
-    from pyspark.sql import Window
-
-    sh = exploded_shingles(df, text_col, id_col, shingle_n)
-    # Carry |doc| along each shingle row (window count, constant per
-    # doc) so the Jaccard denominator rides the candidate join — no
-    # post-hoc size-lookup joins.
-    sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
-    a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
-    b = sized.select(
-        F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
-    )
-    j = (
-        a.join(b, (a["sh"] == b["sh_b"]) & (a["a_id"] < b["b_id"]))
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
-        )
+    return (
+        _candidate_pair_stats(df, text_col, id_col, shingle_n)
         .withColumn(
             "jaccard",
             F.round(
@@ -373,8 +387,8 @@ def jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
     )
-    return j.select("a_id", "b_id", "jaccard")
 
 
 def containment_pairs(
@@ -393,22 +407,8 @@ def containment_pairs(
     Same scale shape: candidates from equality joins, exact measure on
     candidates only, double division of exact ints (engine-stable).
     """
-    from pyspark.sql import Window
-
-    sh = exploded_shingles(df, text_col, id_col, shingle_n)
-    sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
-    a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
-    b = sized.select(
-        F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
-    )
     return (
-        a.join(b, (a["sh"] == b["sh_b"]) & (a["a_id"] < b["b_id"]))
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
-        )
+        _candidate_pair_stats(df, text_col, id_col, shingle_n)
         .withColumn(
             "containment",
             F.round(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6),

@@ -74,6 +74,11 @@ def salted_equi_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_equi_join: input already carries a '_salt' column — "
+            "rename it first (the operator would clobber and drop it)"
+        )
     salt = F.floor(F.rand(seed=42) * n_salt).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
@@ -119,6 +124,9 @@ def zorder_sql(cols: list[str], bits: int = 16) -> str:
     n = len(cols)
     terms = []
     for d, c in enumerate(cols):
+        # cast first: zorder_key shifts a LONG; without it an INT32
+        # column overflows DuckDB's << past bit 31 (review r2)
+        v = f"CAST({c} AS BIGINT)"
         for i in range(bits):
-            terms.append(f"((({c} >> {i}) & 1) << {i * n + d})")
+            terms.append(f"((({v} >> {i}) & 1) << {i * n + d})")
     return " | ".join(terms)

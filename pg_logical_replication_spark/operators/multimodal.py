@@ -114,15 +114,21 @@ def decode_features(assets: DataFrame, codec: str = "fake") -> DataFrame:
         import pandas as pd
 
         for pdf in it:
+            # null payloads (e.g. synthesized from a null source text)
+            # yield null features, not a worker crash (review r2)
             payload = pdf["payload"]
-            hexes = payload.map(bytes.hex)
+            hexes = payload.map(lambda b: None if b is None else b.hex())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payload.map(len),
+                    "n_bytes": payload.map(
+                        lambda b: None if b is None else len(b)
+                    ),
                     "n_frames": payload.map(
-                        lambda b: (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+                        lambda b: None
+                        if b is None
+                        else (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
                     ),
                     "hexmean": hexes.map(
                         lambda h: sum(map(ord, h)) / len(h) if h else None
@@ -151,6 +157,8 @@ def sample_frames(
         for pdf in it:
             ids, idxs, sizes = [], [], []
             for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                if buf is None:
+                    continue
                 n = (len(buf) + FRAME_SIZE - 1) // FRAME_SIZE
                 for i in range(0, n, every_k):
                     ids.append(aid)
@@ -181,7 +189,9 @@ def resize_images(
         for pdf in it:
             out = pdf.copy()
             out["payload"] = out["payload"].map(
-                lambda b: (b * (target // len(b) + 1))[:target] if len(b) else b
+                lambda b: b
+                if b is None or not len(b)
+                else (b * (target // len(b) + 1))[:target]
             )
             out["meta"] = out["meta"].map(
                 lambda m: {**m, "width": width, "height": height}

@@ -84,7 +84,20 @@ def hyperplane_signs(vec_col: str, dims: int, planes: int, table: int = 0) -> Co
     SQL for the oracle. ``table`` offsets the plane indices so multiple
     independent hash tables draw disjoint hyperplane sets.
     """
-    bits = []
+    bits = [
+        # loud guard: a vector shorter than `dims` would null-pad the
+        # zip_with, null every projection, and collapse all signatures
+        # to one bucket (silent brute-force; review r2)
+        F.when(
+            F.size(F.col(vec_col)) >= dims, F.lit("")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hyperplane_signs: embedding shorter than dims={dims}"
+                )
+            )
+        )
+    ]
     for p in range(planes):
         ws = [
             1.0
@@ -416,9 +429,12 @@ def sq8_quantize(
     — mn/mx ride along as literal-like broadcast columns for
     dequantization downstream.
     """
-    dims = len(
-        df.select(vec_col).limit(1).collect()[0][0]
-    )
+    head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).take(1)
+    if not head or not head[0][0]:
+        raise ValueError("sq8_quantize: corpus has no non-null embeddings")
+    # fixed-dims contract: every vector must carry exactly this many
+    # dimensions (element_at beyond a short vector yields null codes)
+    dims = len(head[0][0])
     stats = df.agg(
         F.array(
             *[F.min(F.col(vec_col)[i]).cast("double") for i in range(dims)]
@@ -430,22 +446,27 @@ def sq8_quantize(
     coded = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
         F.broadcast(stats)
     )
-    idx = F.sequence(F.lit(0), F.lit(dims - 1))
-    code = F.transform(
+    code = _sq8_code(F.col(vec_col), F.col("mn"), F.col("mx"))
+    return coded.select(
+        F.col(id_col), code.alias("codes"), F.col("mn"), F.col("mx")
+    )
+
+
+def _sq8_code(vec: Column, mn: Column, mx: Column) -> Column:
+    """Per-row SQ8 coding of ``vec`` against an (mn, mx) codebook."""
+    idx = F.transform(mn, lambda _, i: i)
+    return F.transform(
         idx,
         lambda i: F.when(
-            F.element_at("mx", i + 1) > F.element_at("mn", i + 1),
+            F.element_at(mx, i + 1) > F.element_at(mn, i + 1),
             F.floor(
-                (F.element_at(vec_col, i + 1).cast("double") - F.element_at("mn", i + 1))
+                (F.element_at(vec, i + 1).cast("double") - F.element_at(mn, i + 1))
                 * 255.0
-                / (F.element_at("mx", i + 1) - F.element_at("mn", i + 1))
+                / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
             ),
         )
         .otherwise(F.lit(0))
         .cast("int"),
-    )
-    return coded.select(
-        F.col(id_col), code.alias("codes"), F.col("mn"), F.col("mx")
     )
 
 
@@ -482,10 +503,23 @@ def sq8_cosine_topk(
         F.col(id_col).alias("n_id"),
         sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("n_vec"),
     )
-    q_ids = [r[0] for r in queries.select(id_col).collect()]
-    q = coded.filter(F.col(id_col).isin(q_ids)).select(
-        F.col(id_col).alias("q_id"),
-        sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("q_vec"),
+    # queries quantize THEIR OWN vectors with the corpus codebook
+    # (review r2: an id-lookup in the corpus silently dropped novel
+    # queries and scored stale vectors for clashing ids); for
+    # queries ⊆ corpus the codes — and therefore the ranks — are
+    # identical to the lookup form
+    codebook = coded.select("mn", "mx").limit(1)
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "q_id",
+            sq8_dequantize(
+                _sq8_code(F.col(vec_col), F.col("mn"), F.col("mx")),
+                F.col("mn"),
+                F.col("mx"),
+            ).alias("q_vec"),
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))

@@ -124,8 +124,7 @@ def curation_features(
     """
     toks = tokens_expr(text_col)
     base = df.select(
-        F.col(id_col), *[F.col(c) for c in keep], F.col(text_col).alias("_text"),
-        toks.alias("_toks"),
+        F.col(id_col), *[F.col(c) for c in keep], toks.alias("_toks"),
     )
     tk = F.col("_toks")
     n_tokens = F.size(tk)
@@ -140,7 +139,7 @@ def curation_features(
     return base.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tk)))).alias("fingerprint"),
+        fingerprint_expr(tk).alias("fingerprint"),
         n_tokens.alias("n_tokens"),
         F.round(hits["en"] / n_tokens, 6).alias("stopword_ratio"),
         guess.alias("lang_guess"),
@@ -176,11 +175,13 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Per-document keyword extraction: top-k terms by tf·idf.
 
-    Scored as ``tf / df`` (monotonic in tf·idf for a fixed corpus size,
-    so the same ranking) — a single IEEE double division of two exact
-    integers, which is correctly rounded and therefore bit-identical
-    across engines; ties break on the term text. Exact ``tf``/``df``
-    counts ride along in the output.
+    Scored as ``tf × ⌊log2(N ÷ df)⌋`` — tf·idf with the idf quantized
+    to integer bits, so every score is exact int64 and bit-identical
+    across engines (⌊log2 m⌋ computes as binary-digit count, no
+    float log). Review r2 replaced the previous ``tf/df`` score, which
+    is NOT order-equivalent to tf·idf (a hapax typo outranked repeated
+    topical terms). Ties break on tf, then the term text. Exact
+    ``tf``/``df`` counts ride along in the output.
 
     Two shuffles (doc-term tf, term df) + one join; the join's build
     side is the vocabulary — Zipf-small next to the corpus — so it
@@ -197,10 +198,18 @@ def tfidf_top_terms(
     dfreq = terms.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     )
-    scored = tf.join(dfreq, "term").withColumn(
-        "score", F.col("tf").cast("double") / F.col("df")
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    # idf quantized to whole bits: ⌊log2(N div df)⌋ = binary digit
+    # count - 1, exact integer arithmetic on both engines
+    idf_q = F.length(F.conv(F.expr("_n div df"), 10, 2)) - 1
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf_q)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
@@ -208,13 +217,18 @@ def tfidf_top_terms(
     )
 
 
+def fingerprint_expr(toks: Column) -> Column:
+    """md5 over the sorted distinct token set — the one definition the
+    standalone operator and the one-pass curation record share."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — catches shuffled/reordered copies exact-hash misses."""
-    toks = tokens_expr(text_col)
     return df.select(
         F.col(id_col),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+        fingerprint_expr(tokens_expr(text_col)).alias("fingerprint"),
     )
 
 

@@ -573,18 +573,20 @@ def q_text_top_tokens(spark, sf_dir):
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     terms AS (SELECT doc_id, lower(unnest(tk)) AS term FROM toks),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
-    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1)
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM terms)
     SELECT doc_id, term, tf, df, CAST(rnk AS INT) AS rnk FROM (
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                                ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC,
-                                         tf.term) AS rnk
-      FROM tf JOIN dfreq USING (term))
+                                ORDER BY tf.tf * (length(bin(n.n // dfreq.df)) - 1)
+                                           DESC,
+                                         tf.tf DESC, tf.term) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
     WHERE rnk <= 3
     """,
-    "per-document keyword extraction: top-3 terms by tf·idf (scored as "
-    "tf/df — one correctly-rounded IEEE division, bit-identical cross-"
-    "engine; term tie-break)",
+    "per-document keyword extraction: top-3 terms by tf·idf with integer-"
+    "quantized idf (tf × ⌊log2(N÷df)⌋ — exact int64 scores, bit-"
+    "identical cross-engine; tf then term tie-break)",
 )
 def q_text_tfidf_terms(spark, sf_dir):
     out = TX.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
