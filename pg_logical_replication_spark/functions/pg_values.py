@@ -109,8 +109,10 @@ def pg_array(col: Column | str) -> Column:
 
     Fully declarative: regexp_extract_all splits elements honoring
     quoting, transform unquotes/unescapes and maps unquoted NULL to
-    null. One-dimensional arrays only (nested braces stay as text —
-    the testdata and the reference's fixtures carry only 1-D arrays).
+    null. One-dimensional arrays only; multi-dimensional literals
+    (nested braces) return NULL rather than a mangled split (review
+    r2) — the testdata and the reference's fixtures carry only 1-D
+    arrays.
     Compose with a cast for typed arrays:
     ``pg_array(c).cast('array<int>')``.
     """
@@ -127,7 +129,7 @@ def pg_array(col: Column | str) -> Column:
         )
 
     return F.when(
-        c.isNotNull() & c.startswith("{"),
+        c.isNotNull() & c.startswith("{") & ~c.startswith("{{"),
         F.when(inner == "", F.array().cast("array<string>")).otherwise(
             F.transform(elems, unquote)
         ),

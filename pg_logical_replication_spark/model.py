@@ -122,7 +122,11 @@ def lsn_str_expr(lsn_long_col: str | Column = "lsn_long") -> Column:
     c = F.col(lsn_long_col) if isinstance(lsn_long_col, str) else lsn_long_col
     upper = F.lpad(F.hex(F.shiftrightunsigned(c, 32)), 8, "0")
     lower = F.lpad(F.hex(c.bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0")
-    return F.concat_ws("/", upper, lower)
+    # concat_ws skips NULL args (a NULL position would yield '' — a
+    # truthy non-LSN); propagate NULL instead (review r2)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("/", upper, lower)
+    )
 
 
 # PostgreSQL epoch (2000-01-01) offset from Unix epoch, in microseconds.
@@ -166,12 +170,15 @@ _PG_TO_SPARK: dict[str, str] = {
 def pg_type_to_spark(pg_type: str) -> str:
     """PG type name → Spark SQL type string ('character varying(n)' → string)."""
     t = pg_type.strip().lower()
+    if t.endswith("[]"):
+        # array types stay as their text literal — checked FIRST so
+        # 'numeric[]' doesn't fall into the decimal cast (which would
+        # NULL every array literal; review r2)
+        return "string"
     if t.startswith("character varying") or t.startswith("varchar") or t.startswith("character"):
         return "string"
     if t.startswith("numeric") or t.startswith("decimal"):
         return "decimal(38,18)"
-    if t.endswith("[]"):
-        return "string"  # array types stay as their text literal
     return _PG_TO_SPARK.get(t, "string")
 
 

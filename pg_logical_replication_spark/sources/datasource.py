@@ -61,7 +61,6 @@ from pyspark.sql.datasource import (
 
 RAW_SCHEMA = "lsn string, seq long, value string, data binary"
 
-_TEXT_EXT = (".txt", ".jsonl", ".log", ".json")
 _SEQ_SHIFT = 32  # seq = (file_index << 32) | row_in_file
 
 
@@ -96,9 +95,19 @@ def _read_file(path: str, file_index: int) -> Iterator[Tuple]:
         seqs = tbl.column("seq").to_pylist() if "seq" in cols else None
         datas = tbl.column("data").to_pylist()
         for i, data in enumerate(datas):
+            seq = seqs[i] if seqs else i
+            if seq is None:
+                seq = i  # null per-file seq → positional fallback
+            elif seq >> _SEQ_SHIFT:
+                # a seq wide enough to OR into the file-index band would
+                # silently break pruning — fail loudly (review r2)
+                raise ValueError(
+                    f"pg_cdc segment {path}: seq {seq} exceeds the "
+                    f"{_SEQ_SHIFT}-bit per-file space"
+                )
             yield (
                 lsns[i] if lsns else None,
-                base | (seqs[i] if seqs else i),
+                base | seq,
                 None,
                 bytes(data) if data is not None else None,
             )

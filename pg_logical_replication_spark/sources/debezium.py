@@ -36,7 +36,7 @@ _PAYLOAD = (
 )
 DEBEZIUM_SCHEMA = f"struct<schema: string, payload: {_PAYLOAD}>"
 
-_OPS = {"c": "insert", "u": "update", "d": "delete", "r": "insert", "t": "truncate"}
+_OPS = {"c": "insert", "u": "update", "d": "delete", "r": "insert", "t": "truncate", "m": "message"}
 
 
 def decode_debezium(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -45,7 +45,12 @@ def decode_debezium(raw: DataFrame, value_col: str = "value") -> DataFrame:
     wrapped = F.from_json(F.col(value_col), DEBEZIUM_SCHEMA).getField("payload")
     parsed = raw.select(
         F.when(bare.getField("op").isNotNull(), bare).otherwise(wrapped).alias("p")
-    ).filter(F.col("p.op").isNotNull())
+    ).filter(
+        # filter on the MAPPED op: an unknown envelope op code must
+        # drop the row, not emit op=NULL into the non-null ChangeEvent
+        # discriminator (review r2)
+        F.col("p.op").isin(*_OPS)
+    )
 
     op_raw = parsed["p.op"]
     op = F.coalesce(

@@ -49,17 +49,24 @@ class Wal2JsonExplode:
             changeset = json.loads(line)
         except (ValueError, TypeError):
             return  # malformed → zero rows; DLQ reporting is decode-level
+        def to_text(v):
+            if v is None:
+                return None
+            return "true" if v is True else "false" if v is False else str(v)
+
         for change in changeset.get("change") or []:
             names = change.get("columnnames") or []
             values = change.get("columnvalues") or []
-            after = {
-                n: (
-                    None
-                    if v is None
-                    else ("true" if v is True else "false" if v is False else str(v))
-                )
-                for n, v in zip(names, values)
-            }
+            after = {n: to_text(v) for n, v in zip(names, values)}
+            # deletes (and identity-carrying updates) identify their row
+            # through oldkeys; fold them in prefixed so the consumer can
+            # tell which row was touched (review r2: dropped entirely,
+            # making delete rows identity-less)
+            ok = change.get("oldkeys") or {}
+            for n, v in zip(
+                ok.get("keynames") or [], ok.get("keyvalues") or []
+            ):
+                after.setdefault(f"_key_{n}", to_text(v))
             yield (
                 change.get("kind"),
                 change.get("schema"),

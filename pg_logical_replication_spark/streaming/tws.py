@@ -80,6 +80,15 @@ def _txn_assembler_class():
                         for f in ("lsn_long", "seq"):
                             v = ev.get(f)
                             ev[f] = None if v is None or pd.isna(v) else int(v)
+                        # same Arrow-runtime normalization as the
+                        # applyInPandasWithState gate (stateful._as_dict)
+                        from pg_logical_replication_spark.streaming.stateful import (
+                            _as_dict,
+                        )
+
+                        for f in ("key", "before", "after"):
+                            ev[f] = _as_dict(ev.get(f))
+                        ev["commit_ts"] = None
                         fresh.append((json.dumps(ev),))
 
             if commit is None:
@@ -134,7 +143,16 @@ def assemble_transactions_tws(
         *(
             [F.col("seq").cast("long").alias("seq")]
             if "seq" in events.columns
-            else [F.lit(None).cast("long").alias("seq")]
+            # same fallback as assemble_transactions_stream: wal2json
+            # carries intra-txn order in meta['pos'] (review r2 — a
+            # NULL seq lost the tiebreaker and emitted arbitrary order)
+            else [
+                F.coalesce(
+                    F.col("meta").getItem("pos").cast("long"), F.lit(0)
+                ).alias("seq")
+            ]
+            if "meta" in events.columns
+            else [F.lit(0).cast("long").alias("seq")]
         ),
     )
     return ev.groupBy("xid").transformWithStateInPandas(
