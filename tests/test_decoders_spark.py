@@ -799,3 +799,18 @@ def test_test_decoding_value_containing_split_literals(spark):
     full = rows["0/18"]
     assert full["after"] == {"id": "7", "msg": "z2"}
     assert full["key"] == {"id": "7", "msg": "x new-tuple: y"}
+
+
+def test_debezium_unknown_op_rows_drop(spark):
+    """An unknown envelope op code drops the row instead of emitting a
+    NULL op discriminator (review r2)."""
+    lines = [
+        '{"before":null,"after":{"id":"1"},"source":{"schema":"public",'
+        '"table":"t","lsn":16,"txId":5},"op":"c","ts_ms":1000}',
+        '{"before":null,"after":{"id":"2"},"source":{"schema":"public",'
+        '"table":"t","lsn":24,"txId":6},"op":"x","ts_ms":2000}',
+    ]
+    raw = spark.createDataFrame([(line,) for line in lines], "value string")
+    rows = decode(raw, "debezium").collect()
+    assert len(rows) == 1 and rows[0]["op"] == "insert"
+    assert all(r["op"] is not None for r in rows)

@@ -78,3 +78,27 @@ def test_register_tables_sql_surface(spark):
         """
     ).collect()[0]
     assert row["n_cust"] > 0
+
+
+def test_pg_type_array_suffix_beats_numeric_prefix():
+    """'numeric[]' maps to string (text literal), not decimal — the
+    decimal cast NULLed every array literal (review r2)."""
+    from pg_logical_replication_spark.model import pg_type_to_spark
+
+    assert pg_type_to_spark("numeric[]") == "string"
+    assert pg_type_to_spark("character varying(10)[]") == "string"
+    assert pg_type_to_spark("numeric(10,2)") == "decimal(38,18)"
+
+
+def test_lsn_str_expr_propagates_null(spark):
+    """A NULL lsn_long yields NULL, not concat_ws's '' (review r2)."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.model import lsn_str_expr
+
+    rows = (
+        spark.createDataFrame([(None,), (16,)], "lsn_long long")
+        .select(lsn_str_expr("lsn_long").alias("lsn"))
+        .collect()
+    )
+    assert [r["lsn"] for r in rows] == [None, "00000000/00000010"]

@@ -142,3 +142,21 @@ def test_pg_array_roundtrip_property(spark):
         assert got == els
 
     run()
+
+
+def test_pg_array_multidim_returns_null(spark):
+    """Multi-dimensional literals return NULL, not a mangled split
+    (review r2)."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.functions.pg_values import pg_array
+
+    rows = (
+        spark.createDataFrame(
+            [("{1,2}",), ("{{1,2},{3,4}}",)], "v string"
+        )
+        .select(pg_array(F.col("v")).alias("a"))
+        .collect()
+    )
+    assert rows[0]["a"] == ["1", "2"]
+    assert rows[1]["a"] is None
