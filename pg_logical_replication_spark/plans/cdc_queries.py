@@ -35,6 +35,27 @@ def q_cdc_op_counts(spark, sf_dir):
     )
 
 
+def _newest_per_user(spark, sf_dir, bound: str | None = None):
+    """The latest_image twin over the raw events table: newest row per
+    user (ts desc, event_id desc tie-break), 'error' rows acting as
+    delete tombstones dropped. One definition serves apply/as-of/diff/
+    checksum (review r2 folded four hand-synchronized copies). Returns
+    the surviving full rows."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    if bound:
+        ev = ev.filter(F.col("ts") <= bound)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .drop("rn")
+    )
+
+
 @register(
     "q_cdc_apply_events",
     """
@@ -47,21 +68,15 @@ def q_cdc_op_counts(spark, sf_dir):
     "apply-changes over the event stream: newest-per-key wins, "
     "'error' ≙ delete tombstone (operators/apply_changes.py semantics)",
 )
+
+
 def q_cdc_apply_events(spark, sf_dir):
     """Same per-key window as apply_changes.latest_image — one shuffle
     on the key, newest event wins, tombstones drop."""
-    from pyspark.sql import Window as W
-
-    ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_op"),
-            F.col("value").alias("last_value"),
-        )
+    return _newest_per_user(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
     )
 
 
@@ -84,18 +99,10 @@ def q_cdc_asof_snapshot(spark, sf_dir):
     window as apply_changes.latest_image. The bound reaches the parquet
     reader (PushedFilters), so a 100 TB history priced by time-partition
     pruning, not by scan."""
-    from pyspark.sql import Window as W
-
-    ev = t(spark, sf_dir, "events").filter(F.col("ts") <= "2024-01-16 00:00:00")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_op"),
-            F.col("value").alias("last_value"),
-        )
+    return _newest_per_user(spark, sf_dir, bound="2024-01-16 00:00:00").select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
     )
 
 
@@ -113,7 +120,6 @@ def q_cdc_asof_snapshot(spark, sf_dir):
     "sources/debezium.py — the interop format consumers already speak",
 )
 def q_cdc_debezium_roundtrip(spark, sf_dir):
-    import json as _json
 
     from pg_logical_replication_spark.sources.debezium import decode_debezium
 
@@ -193,14 +199,8 @@ def q_cdc_snapshot_diff(spark, sf_dir):
     from pg_logical_replication_spark.operators.apply_changes import snapshot_diff
 
     def snap(bound=None):
-        ev = t(spark, sf_dir, "events")
-        if bound:
-            ev = ev.filter(F.col("ts") <= bound)
-        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        return (
-            ev.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-            .select("user_id", "value")
+        return _newest_per_user(spark, sf_dir, bound).select(
+            "user_id", "value"
         )
 
     return snapshot_diff(
@@ -562,8 +562,10 @@ def q_cdc_scd2_history(spark, sf_dir):
         F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
         F.col("after").getItem("value").alias("value_str"),
         F.col("valid_from_lsn").alias("valid_from"),
-        # string-typed so the open-version NULL can't coerce the whole
-        # column to float in pandas-mediated comparators
+        # string-typed in the OUTPUT so the open-version NULL can't
+        # coerce the whole column to float in pandas-mediated
+        # comparators (the temporal JOIN keeps longs — its valid_to
+        # never reaches an output)
         F.col("valid_to_lsn").cast("string").alias("valid_to"),
         "is_current",
     )
@@ -677,20 +679,12 @@ def q_cdc_replica_checksum(spark, sf_dir):
     """One scan + a 16-group aggregate: at 100 TB the comparison ships
     only the bucket table; diverged buckets re-scan as pushed-down
     key-range predicates (operators.verify.checksum_diff)."""
-    from pyspark.sql import Window as W
-
     from pg_logical_replication_spark.operators.verify import bucket_checksums
 
-    ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    snap = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_op"),
-            F.col("value").cast("decimal(38,6)").cast("string").alias("value_str"),
-        )
+    snap = _newest_per_user(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").cast("decimal(38,6)").cast("string").alias("value_str"),
     )
     # checksum rendered as a STRING: a decimal(38,0) survives every
     # comparator (pandas converts big decimals to float, losing the low
@@ -707,7 +701,7 @@ def q_cdc_replica_checksum(spark, sf_dir):
     "q_cdc_message_roundtrip",
     """
     SELECT event_type AS prefix, COUNT(*) AS n,
-           CAST(SUM(length(props)) AS BIGINT) AS content_bytes,
+           CAST(SUM(COALESCE(strlen(props), 0)) AS BIGINT) AS content_bytes,
            CAST(SUM(event_id * 8 + 16) AS BIGINT) AS sum_lsn_long
     FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
     """,
@@ -1226,8 +1220,11 @@ def q_cdc_schema_evolution(spark, sf_dir):
         ],
         "lsn string, seq long, data binary",
     )
-    # NO relations= : the in-band pre-scan must find both 'R' versions
-    decoded = decode_pgoutput(wire.unionByName(rels))
+    # NO relations= : the in-band pre-scan must find both 'R' versions.
+    # persist: the pre-scan and the decode would otherwise each execute
+    # the Python encode lineage (review r2 — double mapInPandas cost)
+    src = wire.unionByName(rels).persist()
+    decoded = decode_pgoutput(src)
     eid = F.col("after").getItem("event_id").cast("bigint")
     return (
         decoded.filter(F.col("op") == "insert")
@@ -1290,9 +1287,11 @@ def q_cdc_truncate_apply(spark, sf_dir):
     "q_cdc_toast_fill",
     """
     SELECT user_id, event_id,
-      last_value(CASE WHEN event_id % 3 = 0 THEN props END IGNORE NULLS)
+      (last_value(CASE WHEN event_id % 3 = 0
+                       THEN struct_pack(v := props) END IGNORE NULLS)
         OVER (PARTITION BY user_id ORDER BY event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS props_filled
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
+        AS props_filled
     FROM events
     """,
     "unchanged-TOAST stream fill (operators.apply_changes.toast_fill): "
@@ -1556,7 +1555,7 @@ def q_cdc_changed_columns(spark, sf_dir):
             F.map_filter(
                 F.col("after"),
                 lambda k, v: (k != F.lit("event_id"))
-                & ~v.eqNullSafe(F.col("before").getItem(k)),
+                & ~v.eqNullSafe(F.try_element_at(F.col("before"), k)),
             )
         ).alias("cols"),
     )
@@ -1745,9 +1744,10 @@ def q_cdc_temporal_join(spark, sf_dir):
         F.col("after").getItem("user_id").cast("bigint").alias("user_id"),
         F.col("after").getItem("value").alias("val"),
         F.col("valid_from_lsn").alias("valid_from"),
-        # string-typed so the open-version NULL can't coerce the whole
-        # column to float in pandas-mediated comparators
-        F.col("valid_to_lsn").cast("string").alias("valid_to"),
+        # stays BIGINT: valid_to never reaches the output (the join
+        # bound only), so the long comparison stays exact — no string
+        # coercion through double (review r2)
+        F.col("valid_to_lsn").alias("valid_to"),
     )
     facts = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "event_id")
     joined = facts.join(
