@@ -35,6 +35,25 @@ def q_cdc_op_counts(spark, sf_dir):
     )
 
 
+# Per-transaction seq-block wire layout shared by the streamed / 2PC /
+# origin / mixed encoders (review r2 folded four hand-synchronized
+# copies of these magic constants). ADVICE r1 history: 10k-wide blocks
+# collided once a txn straddled 5+ Arrow batches (s>=4 hit the fate
+# slots, s>=5 invaded the next txn's block) — _seg_base fails loudly
+# instead of silently corrupting attribution.
+_TXN_BLOCK = 1_000_000   # seq space per transaction
+_SEG_WIDTH = 2000        # seq space per segment / frame within it
+_MAX_SEGS = 499          # segments fit strictly below the fate slots
+_FATE_A = 999_998        # secondary fate slot (e.g. subxact abort)
+_FATE_B = 999_999        # primary fate slot (commit / abort / prepared)
+_SUBXID_OFF = 1_000_000  # subtransaction xid offset from the top xid
+
+
+def _seg_base(t: int, s: int) -> int:
+    assert s < _MAX_SEGS, f"txn {t}: segment {s} overflows seq block"
+    return t * _TXN_BLOCK + s * _SEG_WIDTH
+
+
 def _newest_per_user(spark, sf_dir, bound: str | None = None):
     """The latest_image twin over the raw events table: newest row per
     user (ts desc, event_id desc tie-break), 'error' rows acting as
@@ -871,20 +890,13 @@ def q_cdc_streamed_txn(spark, sf_dir):
                 t = int(txn)
                 s = seg_idx.get(t, 0)
                 seg_idx[t] = s + 1
-                # 1e6-wide per-txn seq blocks: segment/frame sub-blocks
-                # at s*2000, fates at +999_998/999_999. ADVICE r1: the
-                # old 10k-wide blocks collided once a txn straddled 5+
-                # Arrow batches (s>=4 hit the fate slots, s>=5 invaded
-                # the next txn) — fail loudly instead of silently
-                # corrupting attribution.
-                assert s < 499, f"txn {t}: segment {s} overflows seq block"
-                base = t * 1_000_000 + s * 2000
+                base = _seg_base(t, s)
                 seqs.append(base)
                 data.append(pgf.encode_stream_start(t, first_segment=(s == 0)))
                 for off, e in enumerate(grp["event_id"]):
                     eid = int(e)
                     sub = eid % 100 >= 90
-                    xid = t + 1_000_000 if sub else t
+                    xid = t + _SUBXID_OFF if sub else t
                     seqs.append(base + 1 + off)
                     data.append(pgf.with_stream_xid(xid, pgf.encode_insert(
                         OID, [("t", str(eid))]
@@ -902,13 +914,13 @@ def q_cdc_streamed_txn(spark, sf_dir):
             for t in pdf["txn"]:
                 t = int(t)
                 if t % 7 == 0:
-                    seqs.append(t * 1_000_000 + 999_999)
+                    seqs.append(t * _TXN_BLOCK + _FATE_B)
                     data.append(pgf.encode_stream_abort(t))  # top-level
                     continue
                 if t % 3 == 0:
-                    seqs.append(t * 1_000_000 + 999_998)
-                    data.append(pgf.encode_stream_abort(t, t + 1_000_000))
-                seqs.append(t * 1_000_000 + 999_999)
+                    seqs.append(t * _TXN_BLOCK + _FATE_A)
+                    data.append(pgf.encode_stream_abort(t, t + _SUBXID_OFF))
+                seqs.append(t * _TXN_BLOCK + _FATE_B)
                 data.append(pgf.encode_stream_commit(
                     t, f"0/{t * 8 + 16:X}", f"0/{t * 8 + 24:X}", 1_700_000_000_000_000
                 ))
@@ -993,14 +1005,7 @@ def q_cdc_two_phase(spark, sf_dir):
                 t = int(txn)
                 s = seg_idx.get(t, 0)
                 seg_idx[t] = s + 1
-                # 1e6-wide per-txn seq blocks: segment/frame sub-blocks
-                # at s*2000, fates at +999_998/999_999. ADVICE r1: the
-                # old 10k-wide blocks collided once a txn straddled 5+
-                # Arrow batches (s>=4 hit the fate slots, s>=5 invaded
-                # the next txn) — fail loudly instead of silently
-                # corrupting attribution.
-                assert s < 499, f"txn {t}: segment {s} overflows seq block"
-                base = t * 1_000_000 + s * 2000
+                base = _seg_base(t, s)
                 gid = f"gid-{t}"
                 seqs.append(base)
                 data.append(pgf.encode_begin_prepare(
@@ -1024,7 +1029,7 @@ def q_cdc_two_phase(spark, sf_dir):
             for t in pdf["txn"]:
                 t = int(t)
                 gid = f"gid-{t}"
-                seqs.append(t * 1_000_000 + 999_999)
+                seqs.append(t * _TXN_BLOCK + _FATE_B)
                 if t % 5 == 0:
                     data.append(pgf.encode_rollback_prepared(
                         f"0/{t:X}", f"0/{t + 8:X}", TS, TS + 1_000_000, t, gid
@@ -1106,14 +1111,7 @@ def q_cdc_origin_filter(spark, sf_dir):
                 t = int(txn)
                 s = seg_idx.get(t, 0)
                 seg_idx[t] = s + 1
-                # 1e6-wide per-txn seq blocks: segment/frame sub-blocks
-                # at s*2000, fates at +999_998/999_999. ADVICE r1: the
-                # old 10k-wide blocks collided once a txn straddled 5+
-                # Arrow batches (s>=4 hit the fate slots, s>=5 invaded
-                # the next txn) — fail loudly instead of silently
-                # corrupting attribution.
-                assert s < 499, f"txn {t}: segment {s} overflows seq block"
-                base = t * 1_000_000 + s * 2000
+                base = _seg_base(t, s)
                 seqs.append(base)
                 data.append(pgf.encode_begin(f"0/{base * 8 + 16:X}", TS, t))
                 if t % 4 == 0:
@@ -1393,15 +1391,14 @@ def q_cdc_mixed_txns(spark, sf_dir):
                 t_ = int(txn)
                 s = seg_idx.get(t_, 0)
                 seg_idx[t_] = s + 1
-                assert s < 499, f"txn {t_}: segment {s} overflows seq block"
-                base = t_ * 1_000_000 + s * 2000
+                base = _seg_base(t_, s)
                 if t_ % 2 == 0:  # streamed v2 segments
                     seqs.append(base)
                     data.append(pgf.encode_stream_start(t_, first_segment=(s == 0)))
                     for off, e in enumerate(grp["event_id"]):
                         eid = int(e)
                         sub = eid % 100 >= 90
-                        xid = t_ + 1_000_000 if sub else t_
+                        xid = t_ + _SUBXID_OFF if sub else t_
                         seqs.append(base + 1 + off)
                         data.append(pgf.with_stream_xid(
                             xid, pgf.encode_insert(OID, [("t", str(eid))])
@@ -1433,19 +1430,19 @@ def q_cdc_mixed_txns(spark, sf_dir):
                 t_ = int(t_)
                 if t_ % 2 == 0:  # streamed fates
                     if t_ % 7 == 0:
-                        seqs.append(t_ * 1_000_000 + 999_999)
+                        seqs.append(t_ * _TXN_BLOCK + _FATE_B)
                         data.append(pgf.encode_stream_abort(t_))
                         continue
                     if t_ % 3 == 0:
-                        seqs.append(t_ * 1_000_000 + 999_998)
-                        data.append(pgf.encode_stream_abort(t_, t_ + 1_000_000))
-                    seqs.append(t_ * 1_000_000 + 999_999)
+                        seqs.append(t_ * _TXN_BLOCK + _FATE_A)
+                        data.append(pgf.encode_stream_abort(t_, t_ + _SUBXID_OFF))
+                    seqs.append(t_ * _TXN_BLOCK + _FATE_B)
                     data.append(pgf.encode_stream_commit(
                         t_, f"0/{t_ * 8 + 16:X}", f"0/{t_ * 8 + 24:X}", TS
                     ))
                 else:  # prepared fates
                     gid = f"gid-{t_}"
-                    seqs.append(t_ * 1_000_000 + 999_999)
+                    seqs.append(t_ * _TXN_BLOCK + _FATE_B)
                     if t_ % 7 == 0:
                         data.append(pgf.encode_rollback_prepared(
                             f"0/{t_:X}", f"0/{t_ + 8:X}", TS, TS + 1_000_000, t_, gid
