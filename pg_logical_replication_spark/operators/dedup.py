@@ -339,19 +339,44 @@ def simhash(
 
 
 def _candidate_pair_stats(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Shared inverted-index candidate pipeline for the exact pairwise
     measures: docs sharing ≥1 shingle → (a_id, b_id, inter, sz_a, sz_b).
     One definition serves Jaccard and containment (review r2 folded the
-    two identical 25-line pipelines)."""
+    two identical 25-line pipelines).
+
+    ``df_cap`` is the scale valve (review r2 #1): a shingle present in
+    > df_cap documents contributes df² rows to the candidate self-join —
+    one boilerplate 3-gram shared by k docs is k² pairs, quadratic on the
+    hot keys of any real web corpus. Capping drops those posting lists
+    BEFORE the join (standard MinHash/CCNet practice). Semantics: the
+    intersection is counted over surviving shingles only, while sz_a/sz_b
+    stay full-document shingle counts — so a capped measure is a
+    conservative LOWER bound (a dropped shingle can only remove evidence,
+    never fabricate a pair), and a genuinely near-duplicate pair is still
+    witnessed by its rarer shingles."""
     from pyspark.sql import Window
 
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
     # Carry |doc| along each shingle row (window count, constant per
+    # doc — shuffle-free: exploded_shingles leaves rows partitioned by
     # doc) so the measure denominators ride the candidate join — no
     # post-hoc size-lookup joins.
     sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+    if df_cap is not None:
+        # Window on `sh` doubles as the pre-shuffle for the self-join
+        # below (same key): the filter costs no extra Exchange of the
+        # shingle rows beyond the one the join needs anyway.
+        sized = (
+            sized.withColumn("_df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
     a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
     b = sized.select(
         F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
@@ -373,13 +398,16 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from an inverted-index
     join (docs sharing ≥1 shingle). Returns a_id, b_id, jaccard
     (rounded 6 — double division of exact ints, engine-stable).
+    ``df_cap`` bounds posting-list length (see _candidate_pair_stats) —
+    capped Jaccard is a conservative lower bound.
     """
     return (
-        _candidate_pair_stats(df, text_col, id_col, shingle_n)
+        _candidate_pair_stats(df, text_col, id_col, shingle_n, df_cap)
         .withColumn(
             "jaccard",
             F.round(
@@ -397,6 +425,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Shingle CONTAINMENT |A∩B| / min(|A|,|B|) over the same inverted-
     index candidates as :func:`jaccard_pairs` — the asymmetric near-dup
@@ -405,10 +434,11 @@ def containment_pairs(
     the long doc). That is exactly the quote/boilerplate/sub-document
     duplication case a training-corpus dedup pass needs to catch.
     Same scale shape: candidates from equality joins, exact measure on
-    candidates only, double division of exact ints (engine-stable).
+    candidates only, double division of exact ints (engine-stable);
+    ``df_cap`` bounds posting-list length (see _candidate_pair_stats).
     """
     return (
-        _candidate_pair_stats(df, text_col, id_col, shingle_n)
+        _candidate_pair_stats(df, text_col, id_col, shingle_n, df_cap)
         .withColumn(
             "containment",
             F.round(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6),

@@ -251,6 +251,15 @@ def q_dedup_winnow(spark, sf_dir):
     return out.withColumn("n_fp", F.col("n_fp").cast("long"))
 
 
+# Posting-list document-frequency cap for the exact pairwise measures
+# (review r2 #1): shingles in > _DF_CAP docs are boilerplate and would
+# make the candidate self-join quadratic on the hot keys. Both the Spark
+# plan and the DuckDB oracle apply the identical cap; denominators stay
+# full-document sizes so the capped measure is a conservative lower
+# bound. 20 is past the df distribution's p99.9 at the bench sf.
+_DF_CAP = 20
+
+
 @register(
     "q_dedup_jaccard_top",
     f"""
@@ -258,8 +267,12 @@ def q_dedup_winnow(spark, sf_dir):
     shingled AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
                  FROM (SELECT doc_id, tk FROM toks)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    kept AS (SELECT doc_id, sh FROM (
+               SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+               FROM shingled)
+             WHERE df <= {_DF_CAP}),
     inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-              FROM shingled a JOIN shingled b
+              FROM kept a JOIN kept b
                 ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT a_id, b_id,
@@ -269,10 +282,13 @@ def q_dedup_winnow(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = b_id
     ORDER BY jaccard DESC, a_id, b_id LIMIT 20
     """,
-    "exact 3-gram Jaccard on inverted-index candidates, top-20 pairs",
+    "exact 3-gram Jaccard on df-capped inverted-index candidates, "
+    "top-20 pairs (posting lists with df > 20 dropped pre-join)",
 )
 def q_dedup_jaccard_top(spark, sf_dir):
-    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.0)
+    pairs = D.jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.0, df_cap=_DF_CAP
+    )
     return pairs.orderBy(F.col("jaccard").desc(), "a_id", "b_id").limit(20)
 
 
@@ -283,8 +299,12 @@ def q_dedup_jaccard_top(spark, sf_dir):
     shingled AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
                  FROM (SELECT doc_id, tk FROM toks)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    kept AS (SELECT doc_id, sh FROM (
+               SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+               FROM shingled)
+             WHERE df <= {_DF_CAP}),
     inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-              FROM shingled a JOIN shingled b
+              FROM kept a JOIN kept b
                 ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT a_id, b_id,
@@ -294,12 +314,14 @@ def q_dedup_jaccard_top(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = b_id
     ORDER BY containment DESC, a_id, b_id LIMIT 20
     """,
-    "asymmetric shingle containment |A∩B|/min(|A|,|B|), top-20 pairs — "
-    "catches sub-document duplication (short doc embedded in long) that "
-    "Jaccard's union denominator hides",
+    "asymmetric shingle containment |A∩B|/min(|A|,|B|) on df-capped "
+    "candidates, top-20 pairs — catches sub-document duplication (short "
+    "doc embedded in long) that Jaccard's union denominator hides",
 )
 def q_dedup_containment_top(spark, sf_dir):
-    pairs = D.containment_pairs(t(spark, sf_dir, "documents"), threshold=0.0)
+    pairs = D.containment_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.0, df_cap=_DF_CAP
+    )
     return pairs.orderBy(F.col("containment").desc(), "a_id", "b_id").limit(20)
 
 

@@ -67,6 +67,11 @@ class Reader:
         self.pos += 8
         return v
 
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
     def cstring(self) -> str:
         end = self.buf.index(b"\x00", self.pos)
         s = self.buf[self.pos : end].decode("utf-8")
@@ -86,8 +91,12 @@ class Reader:
         return f"{v >> 32:08X}/{v & 0xFFFFFFFF:08X}"
 
     def pg_time_us(self) -> int:
-        """µs since PG epoch → µs since Unix epoch (≙ binary-reader.ts:88-95)."""
-        return self.u64() + PG_EPOCH_OFFSET_US
+        """µs since PG epoch → µs since Unix epoch (≙ binary-reader.ts:88-95).
+
+        Signed: PG TimestampTz is an int64 sent two's-complement, so a
+        pre-2000 timestamp is a negative wire value — unsigned decode
+        would turn it into a huge bogus µs count."""
+        return self.i64() + PG_EPOCH_OFFSET_US
 
 
 @dataclass
@@ -472,7 +481,8 @@ def _lsn_bytes(lsn: str) -> bytes:
 
 
 def _pg_time(us_unix: int) -> bytes:
-    return struct.pack(">Q", us_unix - PG_EPOCH_OFFSET_US)
+    # signed, matching PG TimestampTz wire form (pre-2000 ⇒ negative)
+    return struct.pack(">q", us_unix - PG_EPOCH_OFFSET_US)
 
 
 def _tuple_bytes(values: list[tuple[str, str | bytes | None]]) -> bytes:

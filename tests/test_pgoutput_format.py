@@ -291,3 +291,15 @@ def test_xids_beyond_2_31_roundtrip():
     assert ev["xid"] == xid
     ev = fmt.parse_message(fmt.encode_stream_abort(xid), {})
     assert ev["xid"] == xid
+
+
+def test_pre2000_timestamp_roundtrips_signed():
+    """PG TimestampTz is a SIGNED int64 on the wire: a pre-2000 commit
+    timestamp (negative µs since the PG epoch) must roundtrip, not
+    overflow or decode to a bogus huge value."""
+    from pg_logical_replication_spark.sources import pgoutput_format as pf
+
+    msg = pf.encode_begin("0/1000", 0, 42)  # unix epoch 1970 < PG epoch 2000
+    begin = pf.parse_message(msg)
+    assert begin["commit_ts_us"] == 0
+    assert begin["xid"] == 42
