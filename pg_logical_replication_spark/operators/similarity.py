@@ -358,21 +358,57 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 1_000_000,
+    dims: int = 64,
+    planes: int = 4,
+    tables: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b) with cosine ≥ threshold.
 
-    Exact all-pairs, computed as a BLOCKED MATRIX PRODUCT: the corpus is
-    materialized once as an (n × d) float64 matrix and broadcast; each
-    Arrow batch of rows then scores against it with one numpy matmul
-    (m×d @ d×n). An interpreted `aggregate`-HOF pair join did the same
-    work 80× slower at sf0.1 (107 s → 1.3 s) — per-element lambdas
-    never touch SIMD.
+    Routing (review r2 #2 — no unguarded full-corpus collect):
 
-    Scale: one side must fit an executor (n·d·8 bytes — ~50 GB at 100M
-    vectors × 64d, so block the broadcast side into column stripes at
-    that point, a grid of these same kernels). Above that, LSH bucketing
-    (``lsh_cosine_topk``) is the sub-quadratic path; this exact kernel
-    then runs per bucket.
+    * corpus ≤ ``max_collect_rows`` → :func:`_near_dup_pairs_global`,
+      the exact driver-broadcast matmul (64 MB at 1M×64d float64 —
+      comfortably a broadcast, and exact);
+    * larger → :func:`cosine_near_dup_pairs_bucketed`, the distributed
+      per-LSH-bucket kernel — nothing corpus-sized ever reaches the
+      driver; recall < 1 by construction (a pair hiding from all
+      ``tables`` hash tables is missed), which is the standard trade
+      at the scale where exact all-pairs stops existing.
+
+    The size probe is ``limit(max+1).count()`` — a cheap bounded scan,
+    not a full count, so the guard itself is O(max) at 100 TB.
+    """
+    probe = df.select(id_col).limit(max_collect_rows + 1).count()
+    if probe > max_collect_rows:
+        return cosine_near_dup_pairs_bucketed(
+            df,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dims=dims,
+            planes=planes,
+            tables=tables,
+        )
+    return _near_dup_pairs_global(df, threshold, id_col, vec_col)
+
+
+def _near_dup_pairs_global(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact all-pairs near-dup, computed as a BLOCKED MATRIX PRODUCT:
+    the corpus is materialized once as an (n × d) float64 matrix and
+    broadcast; each Arrow batch of rows then scores against it with one
+    numpy matmul (m×d @ d×n). An interpreted `aggregate`-HOF pair join
+    did the same work 80× slower at sf0.1 (107 s → 1.3 s) — per-element
+    lambdas never touch SIMD.
+
+    Only reachable below the row-count guard in
+    :func:`cosine_near_dup_pairs`; above it the bucketed kernel runs
+    the same matmul per LSH bucket instead.
     """
     import numpy as np
 
@@ -404,6 +440,68 @@ def cosine_near_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="a_id long, b_id long, cosine double"
     )
+
+
+def cosine_near_dup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Distributed near-dup pairs: the exact matmul kernel of
+    :func:`_near_dup_pairs_global`, run INSIDE each random-hyperplane
+    LSH bucket (``hyperplane_signs`` — the same deterministic md5-parity
+    hyperplanes as ``lsh_cosine_topk``), unioned over ``tables``
+    independent hash tables and deduped.
+
+    Scale shape: one corpus scan computes all table signatures
+    (write-time column in production), one shuffle groups by
+    (table, bucket), and the quadratic work is confined to buckets of
+    ~n/2^planes rows — nothing corpus-sized touches the driver. A true
+    pair is missed only if it splits in EVERY table (recall
+    1-(1-r)^L); near-dup thresholds (≥0.95 cosine) put r near 1, which
+    the sf0.001 agreement test pins. Hot buckets (dense clusters) are
+    the knob: raise ``planes`` to shrink them.
+
+    The per-bucket cosine arithmetic is identical to the global kernel
+    (same float64 matmul, same round-6), so any pair found by both
+    paths carries the same score — what makes the agreement test an
+    equality check, not an approximation bound.
+    """
+    import numpy as np
+
+    sig_arr = F.array(
+        *[hyperplane_signs(vec_col, dims, planes, table=t) for t in range(tables)]
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.posexplode(sig_arr).alias("tbl", "bucket"),
+    )
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            )
+        A = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+        n = np.sqrt((A * A).sum(axis=1))
+        C = np.round((A @ A.T) / np.outer(n, n), 6)
+        keep = (C >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bj], "cosine": C[ai, bj]})
+
+    pairs = ex.groupBy("tbl", "bucket").applyInPandas(
+        bucket_pairs, schema="a_id long, b_id long, cosine double"
+    )
+    # same pair may surface from several tables with an identical score
+    return pairs.dropDuplicates(["a_id", "b_id"])
 
 
 def sq8_quantize(

@@ -38,3 +38,69 @@ def test_pairs_are_deduped_and_ordered(spark):
     assert len(keys) == len(set(keys))  # band overlap never duplicates a pair
     assert all(a < b for a, b in keys)
     assert {(i, 30 + i) for i in range(5)} <= set(keys)
+
+
+def _near_dup_fixture(spark):
+    """Deterministic 64-d corpus with planted near-duplicates: 20 seeded
+    base vectors each with a 1%-perturbed twin (cosine ≈ 0.999) plus 100
+    random fillers. The sf0.001 embeddings are uniform-random (max pair
+    cosine ≈ 0.48), so near-dup behavior needs planted structure."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        base = rng.standard_normal(64)
+        twin = base + 0.01 * rng.standard_normal(64)
+        for v in (base, twin):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(100):
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_near_dup_bucketed_agrees_with_global(spark):
+    """The distributed per-LSH-bucket near-dup kernel must agree with the
+    exact driver-broadcast matmul at near-dup thresholds: identical
+    scores for found pairs, and full recall on the planted twins (review
+    r2 #2 done-criterion)."""
+    from pg_logical_replication_spark.operators.similarity import (
+        _near_dup_pairs_global,
+        cosine_near_dup_pairs_bucketed,
+    )
+
+    emb = _near_dup_fixture(spark)
+    glob = {
+        (r.a_id, r.b_id): r.cosine
+        for r in _near_dup_pairs_global(emb, 0.95, "vec_id", "embedding").collect()
+    }
+    buck = {
+        (r.a_id, r.b_id): r.cosine
+        for r in cosine_near_dup_pairs_bucketed(emb, threshold=0.95).collect()
+    }
+    assert len(glob) == 20, glob  # exactly the planted twins
+    # bucketed ⊆ global (a bucket pair is an exact-scored real pair) …
+    assert set(buck) <= set(glob)
+    # … scores identical where both found the pair …
+    assert all(abs(buck[p] - glob[p]) < 1e-12 for p in buck)
+    # … and at cosine ≈ 0.999 / 8 tables the miss probability is ~1e-10:
+    # nothing escapes every table
+    assert set(buck) == set(glob)
+
+
+def test_near_dup_guard_routes_to_bucketed(spark):
+    """Above max_collect_rows the public entry point must never collect
+    the corpus: it should return the bucketed plan (visible as the
+    FlatMapGroupsInPandas node), and still find the planted pairs."""
+    from pg_logical_replication_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _near_dup_fixture(spark)
+    routed = cosine_near_dup_pairs(emb, threshold=0.95, max_collect_rows=10)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert routed.count() == 20
