@@ -64,20 +64,30 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Min of three timed runs: the first run of a query includes one-off
-    # driver-side plan compilation (~0.5-1 s) — not the steady-state cost
-    # a 100 TB deployment pays per query — and the container's background
-    # load is bursty enough that min-of-2 still caught transients.
+    # Per query: one untimed warm-up (driver-side plan compilation,
+    # ~0.5-1 s one-off — not the steady-state cost a deployment pays),
+    # then MEDIAN of 5 timed runs. r1→r2 showed ±23% swings on
+    # sub-second queries under the container's bursty background load;
+    # the median is robust to those transients where min-of-N hides
+    # genuine regressions and a mean amplifies outliers. Spread
+    # (min/max over the 5) is emitted per query so noise is
+    # distinguishable from real movement across rounds.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     per_query: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
+        run = lambda: QUERIES[name].builder(spark, sf_dir).write.format(  # noqa: E731
+            "noop"
+        ).mode("overwrite").save()
+        run()  # warm-up, untimed
+        times = []
+        for _ in range(reps):
             t0 = time.perf_counter()
-            QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            run()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        per_query[name] = round(times[len(times) // 2], 3)
+        spread[name] = [round(times[0], 3), round(times[-1], 3)]
         # a few CDC queries persist() their decoded stream (it feeds
         # 3-4 extractions); drop those blocks between queries so caches
         # don't accumulate across the run
@@ -93,6 +103,8 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
                 "pgoutput_decode_500k": decode_tp,
                 "e2e_visibility_ms": latency,

@@ -310,16 +310,20 @@ def q_udaf_weighted_median(spark, sf_dir):
     form (the oracle SQL IS that form) — this query exists to pin the
     UDAF surface itself."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: the module's `from __future__ import
-    # annotations` stringifies type hints, which defeats inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wmedian(value: pd.Series, wt: pd.Series) -> float:
+    def _wmedian(value: pd.Series, wt: pd.Series) -> float:
         df = pd.DataFrame({"v": value, "w": wt}).sort_values(["v", "w"])
         cum = df["w"].cumsum()
         total = int(df["w"].sum())
         return float(df.loc[cum * 2 >= total, "v"].iloc[0])
+
+    # the module's `from __future__ import annotations` stringifies type
+    # hints; materialize them as real types so pandas_udf infers
+    # GROUPED_AGG from the (Series, Series) -> float signature instead
+    # of the deprecated explicit PandasUDFType
+    _wmedian.__annotations__ = {"value": pd.Series, "wt": pd.Series, "return": float}
+    wmedian = pandas_udf(_wmedian, "double")
 
     ev = t(spark, sf_dir, "events").select(
         "event_type",
