@@ -2091,3 +2091,83 @@ def q_cdc_masked_apply(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_cdc_msg_prefix_filter",
+    """
+    SELECT op, prefix, n, sum_val FROM (
+      SELECT 'insert' AS op, CAST(NULL AS VARCHAR) AS prefix,
+             COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_val
+      FROM events
+      UNION ALL
+      SELECT 'message' AS op, 'app' || CAST(event_id % 4 AS VARCHAR) AS prefix,
+             COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_val
+      FROM events WHERE event_id % 5 = 0 AND event_id % 4 IN (1, 2)
+      GROUP BY 2
+    )
+    """,
+    "wal2json message-prefix option pushdown (filter-msg-prefixes excludes "
+    "app0, then add-msg-prefixes keeps app1/app2 — the plugin's documented "
+    "filter-before-add order, options type :100-109) with add-tables active, "
+    "proving logical messages survive table predicates",
+)
+def q_cdc_msg_prefix_filter(spark, sf_dir):
+    """Every event encodes a v1 changeset with one insert change; every
+    5th also carries a kind='message' entry (wal2json messages support:
+    prefix 'app<eid%4>', content = event_id). The decoder applies
+    add_tables=['public.events'] (messages have no table — they must be
+    exempt), filter_msg_prefixes=['app0'] and
+    add_msg_prefixes=['app1','app2'] (so app3 drops via the add-list and
+    app0 via the filter-list). Oracle replays the surviving set from the
+    source rows."""
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    lsn = lsn_str_expr(eid * 8 + 16)
+    ins = F.struct(
+        F.lit("insert").alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("events").alias("table"),
+        F.array(F.lit("event_id")).alias("columnnames"),
+        F.array(F.lit("bigint")).alias("columntypes"),
+        F.array(eid.cast("string")).alias("columnvalues"),
+        F.lit(None).cast("string").alias("prefix"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("boolean").alias("transactional"),
+    )
+    msg = F.struct(
+        F.lit("message").alias("kind"),
+        F.lit(None).cast("string").alias("schema"),
+        F.lit(None).cast("string").alias("table"),
+        F.lit(None).cast("array<string>").alias("columnnames"),
+        F.lit(None).cast("array<string>").alias("columntypes"),
+        F.lit(None).cast("array<string>").alias("columnvalues"),
+        F.concat(F.lit("app"), (eid % 4).cast("string")).alias("prefix"),
+        eid.cast("string").alias("content"),
+        F.lit(True).alias("transactional"),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(eid % 5 == 0, F.array(ins, msg)).otherwise(F.array(ins))
+                .alias("change"),
+                eid.alias("xid"),
+                lsn.alias("nextlsn"),
+            )
+        ).alias("value")
+    )
+    decoded = decode_wal2json(
+        raw.repartition(spark.sparkContext.defaultParallelism),
+        add_tables=["public.events"],
+        filter_msg_prefixes=["app0"],
+        add_msg_prefixes=["app1", "app2"],
+    )
+    val = F.coalesce(
+        F.col("meta").getItem("content"), F.col("after").getItem("event_id")
+    ).cast("bigint")
+    return (
+        decoded.groupBy("op", F.col("meta").getItem("prefix").alias("prefix"))
+        .agg(F.count("*").alias("n"), F.sum(val).alias("sum_val"))
+    )

@@ -17,7 +17,7 @@ JVM-side in whole-stage codegen (no Python worker round-trip).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pg_logical_replication_spark.model import lsn_long_expr
@@ -33,7 +33,16 @@ WAL2JSON_SCHEMA = (
     "    columnvalues: array<string>,"
     "    oldkeys: struct<keynames: array<string>, keytypes: array<string>,"
     "                    keyvalues: array<string>>,"
-    "    origin: string"
+    "    origin: string,"
+    # logical messages (kind='message'; wal2json messages support)
+    "    prefix: string, content: string, transactional: boolean,"
+    # enrichment options the plugin can be asked to emit
+    # (include-column-positions / include-type-oids / include-not-null /
+    # include-default / include-pk, wal2json-plugin-options.type.ts:38-59);
+    # absent fields parse as null at zero cost
+    "    columnpositions: array<int>, columntypeoids: array<bigint>,"
+    "    columnoptionals: array<boolean>, columndefaults: array<string>,"
+    "    pk: struct<pknames: array<string>, pktypes: array<string>>"
     "  >>,"
     "  xid: bigint, nextlsn: string, timestamp: string"
     ">"
@@ -90,6 +99,9 @@ def decode_wal2json_v2(
     filter_tables: list[str] | None = None,
     add_tables: list[str] | None = None,
     actions: list[str] | None = None,
+    filter_msg_prefixes: list[str] | None = None,
+    add_msg_prefixes: list[str] | None = None,
+    include_typmod: bool = True,
 ) -> DataFrame:
     """wal2json ``format-version 2`` lines → normalized ChangeEvent rows.
 
@@ -131,7 +143,15 @@ def decode_wal2json_v2(
                 F.col("a.columns").isNotNull(),
                 F.create_map(
                     F.lit("coltypes"),
-                    F.array_join(F.transform(F.col("a.columns"), lambda c: c["type"]), ","),
+                    F.array_join(
+                        F.transform(
+                            F.col("a.columns"),
+                            (lambda c: c["type"])
+                            if include_typmod
+                            else (lambda c: strip_typmod(c["type"])),
+                        ),
+                        ",",
+                    ),
                 ),
             ).otherwise(F.create_map().cast("map<string,string>")),
             F.when(
@@ -151,15 +171,49 @@ def decode_wal2json_v2(
     # silently drops the transaction framing (review r2) — v1 keeps
     # markers unconditionally, v2 must match
     is_marker = F.col("op").isin("begin", "commit")
+    # M lines carry no schema/table either — exempt them from table
+    # predicates like the markers (they have their own prefix filters)
+    is_msg = F.col("op") == "message"
     if add_tables:
-        out = out.filter(is_marker | table_pattern_pred(add_tables))
+        out = out.filter(is_marker | is_msg | table_pattern_pred(add_tables))
     if filter_tables:
         out = out.filter(
-            is_marker | ~F.coalesce(table_pattern_pred(filter_tables), F.lit(False))
+            is_marker
+            | is_msg
+            | ~F.coalesce(table_pattern_pred(filter_tables), F.lit(False))
         )
     if actions:
         out = out.filter(is_marker | F.col("op").isin(list(actions)))
+    if filter_msg_prefixes:
+        pfx = F.col("meta").getItem("prefix")
+        out = out.filter(
+            ~(is_msg & F.coalesce(pfx.isin(list(filter_msg_prefixes)), F.lit(False)))
+        )
+    if add_msg_prefixes:
+        pfx = F.col("meta").getItem("prefix")
+        out = out.filter(
+            ~is_msg | F.coalesce(pfx.isin(list(add_msg_prefixes)), F.lit(False))
+        )
     return out
+
+
+def _opt_map(cond, *kv) -> Column:
+    """Conditional meta fragment: {k: v, ...} when ``cond``, else {}."""
+    empty = F.create_map().cast("map<string,string>")
+    return F.when(cond, F.create_map(*kv)).otherwise(empty)
+
+
+def _csv(col) -> Column:
+    """Array → comma-joined string meta value (positions/oids/flags —
+    element domains that cannot contain commas)."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+
+def strip_typmod(type_col) -> Column:
+    """Remove type modifiers: ``varchar(20)`` → ``varchar``,
+    ``numeric(10,2)`` → ``numeric`` — the decoder-side realization of the
+    plugin's ``include-typmod=false`` (options type :21-24)."""
+    return F.regexp_replace(type_col, r"\([^)]*\)", "")
 
 
 def decode_wal2json(
@@ -171,6 +225,9 @@ def decode_wal2json(
     add_tables: list[str] | None = None,
     actions: list[str] | None = None,
     filter_origins: list[str] | None = None,
+    filter_msg_prefixes: list[str] | None = None,
+    add_msg_prefixes: list[str] | None = None,
+    include_typmod: bool = True,
     format_version: int = 1,
 ) -> DataFrame:
     """Raw JSON changesets (one per row) → normalized ChangeEvent rows.
@@ -194,6 +251,22 @@ def decode_wal2json(
     never reach a shuffle (and never leave the scan on
     table-partitioned file layouts).
 
+    ``filter_msg_prefixes`` / ``add_msg_prefixes`` apply to logical
+    messages only (``kind='message'`` entries carrying prefix/content —
+    wal2json messages support): exclusion runs before inclusion, exactly
+    the plugin's documented order (options type :100-109). ``actions``
+    treats ``'message'`` as a filterable op like the plugin does.
+
+    ``include_typmod=False`` normalizes type modifiers away
+    (``varchar(20)`` → ``varchar``) in the surfaced column types — the
+    decoder-side twin of the plugin's emission toggle. The enrichment
+    columns the plugin can add (``include-column-positions``,
+    ``include-type-oids``, ``include-not-null``, ``include-default``,
+    ``include-pk``) are surfaced automatically whenever present in the
+    JSON: meta keys ``colpositions``/``coltypeoids``/``coloptionals``
+    (comma-joined), ``coldefaults`` (JSON array — defaults may contain
+    commas), ``pknames``/``pktypes``.
+
     ``format_version=2`` dispatches to :func:`decode_wal2json_v2` (the
     reference's ``formatVersion`` option, options type :112-114).
     """
@@ -212,6 +285,9 @@ def decode_wal2json(
             filter_tables=filter_tables,
             add_tables=add_tables,
             actions=actions,
+            filter_msg_prefixes=filter_msg_prefixes,
+            add_msg_prefixes=add_msg_prefixes,
+            include_typmod=include_typmod,
         )
     parsed = raw.select(
         F.from_json(F.col(value_col), WAL2JSON_SCHEMA).alias("cs"),
@@ -244,23 +320,64 @@ def decode_wal2json(
         ).alias("after"),
         F.map_concat(
             F.create_map(F.lit("pos"), F.col("_pos").cast("string")),
-            F.when(
+            _opt_map(
                 F.col("c.columntypes").isNotNull(),
-                F.create_map(
-                    F.lit("coltypes"), F.array_join("c.columntypes", ",")
+                F.lit("coltypes"),
+                F.array_join(
+                    F.transform(
+                        F.col("c.columntypes"),
+                        (lambda t: t) if include_typmod else strip_typmod,
+                    ),
+                    ",",
                 ),
-            ).otherwise(F.create_map().cast("map<string,string>")),
-            F.when(
-                F.col("c.origin").isNotNull(),
-                F.create_map(F.lit("origin"), F.col("c.origin")),
-            ).otherwise(F.create_map().cast("map<string,string>")),
+            ),
+            _opt_map(
+                F.col("c.origin").isNotNull(), F.lit("origin"), F.col("c.origin")
+            ),
+            # logical message payload (kind='message')
+            _opt_map(
+                F.col("c.prefix").isNotNull(),
+                F.lit("prefix"), F.col("c.prefix"),
+                F.lit("content"), F.col("c.content"),
+            ),
+            _opt_map(
+                F.col("c.transactional").isNotNull(),
+                F.lit("transactional"), F.col("c.transactional").cast("string"),
+            ),
+            # enrichment columns (surfaced whenever the plugin emitted them)
+            _opt_map(
+                F.col("c.columnpositions").isNotNull(),
+                F.lit("colpositions"), _csv(F.col("c.columnpositions")),
+            ),
+            _opt_map(
+                F.col("c.columntypeoids").isNotNull(),
+                F.lit("coltypeoids"), _csv(F.col("c.columntypeoids")),
+            ),
+            _opt_map(
+                F.col("c.columnoptionals").isNotNull(),
+                F.lit("coloptionals"), _csv(F.col("c.columnoptionals")),
+            ),
+            _opt_map(
+                F.col("c.columndefaults").isNotNull(),
+                F.lit("coldefaults"), F.to_json(F.col("c.columndefaults")),
+            ),
+            _opt_map(
+                F.col("c.pk").isNotNull(),
+                F.lit("pknames"), F.array_join("c.pk.pknames", ","),
+                F.lit("pktypes"), F.array_join("c.pk.pktypes", ","),
+            ),
         ).alias("meta"),
     )
 
+    # logical messages carry no schema/table: table predicates must not
+    # null-drop them (same trap as the v2 transaction markers, review r2)
+    is_msg = F.col("op") == "message"
     if add_tables:
-        changes = changes.filter(table_pattern_pred(add_tables))
+        changes = changes.filter(is_msg | table_pattern_pred(add_tables))
     if filter_tables:
-        changes = changes.filter(~table_pattern_pred(filter_tables))
+        changes = changes.filter(
+            is_msg | ~F.coalesce(table_pattern_pred(filter_tables), F.lit(False))
+        )
     if actions:
         changes = changes.filter(F.col("op").isin(list(actions)))
     if filter_origins:
@@ -269,6 +386,16 @@ def decode_wal2json(
         # origin and always pass.
         org = F.col("meta").getItem("origin")
         changes = changes.filter(org.isNull() | ~org.isin(list(filter_origins)))
+    if filter_msg_prefixes:
+        pfx = F.col("meta").getItem("prefix")
+        changes = changes.filter(
+            ~(is_msg & F.coalesce(pfx.isin(list(filter_msg_prefixes)), F.lit(False)))
+        )
+    if add_msg_prefixes:
+        pfx = F.col("meta").getItem("prefix")
+        changes = changes.filter(
+            ~is_msg | F.coalesce(pfx.isin(list(add_msg_prefixes)), F.lit(False))
+        )
 
     if not include_transaction_markers:
         return changes

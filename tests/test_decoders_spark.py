@@ -814,3 +814,88 @@ def test_debezium_unknown_op_rows_drop(spark):
     rows = decode(raw, "debezium").collect()
     assert len(rows) == 1 and rows[0]["op"] == "insert"
     assert all(r["op"] is not None for r in rows)
+
+
+def test_wal2json_enrichment_columns_surface_in_meta(spark):
+    """include-column-positions / include-type-oids / include-not-null /
+    include-default / include-pk payloads (options type :38-59) surface
+    as meta keys whenever the plugin emitted them."""
+    line = (
+        '{"change":[{"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["id","name"],"columntypes":["integer","character varying(30)"],'
+        '"columnvalues":[1,"a"],'
+        '"columnpositions":[1,2],"columntypeoids":[23,1043],'
+        '"columnoptionals":[false,true],'
+        '"columndefaults":["nextval(\'t_id_seq\')",""],'
+        '"pk":{"pknames":["id"],"pktypes":["integer"]}}],'
+        '"xid":900,"nextlsn":"0/2000"}'
+    )
+    raw = spark.createDataFrame([(line,)], "value string")
+    row = decode(raw, "wal2json").first()
+    m = row["meta"]
+    assert m["colpositions"] == "1,2"
+    assert m["coltypeoids"] == "23,1043"
+    assert m["coloptionals"] == "false,true"
+    assert "t_id_seq" in m["coldefaults"]
+    assert m["pknames"] == "id"
+    assert m["pktypes"] == "integer"
+    assert m["coltypes"] == "integer,character varying(30)"
+
+
+def test_wal2json_include_typmod_false_strips_modifiers(spark):
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    line = (
+        '{"change":[{"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["a","b"],"columntypes":["character varying(30)","numeric(10,2)"],'
+        '"columnvalues":["x","1.5"]}],"xid":1,"nextlsn":"0/10"}'
+    )
+    raw = spark.createDataFrame([(line,)], "value string")
+    row = decode_wal2json(raw, include_typmod=False).first()
+    assert row["meta"]["coltypes"] == "character varying,numeric"
+    # v2 equivalent
+    v2 = (
+        '{"action":"I","schema":"public","table":"t","lsn":"0/10",'
+        '"columns":[{"name":"a","type":"character varying(30)","value":"x"}]}'
+    )
+    raw2 = spark.createDataFrame([(v2,)], "value string")
+    row2 = decode_wal2json(raw2, include_typmod=False, format_version=2).first()
+    assert row2["meta"]["coltypes"] == "character varying"
+
+
+def test_wal2json_v1_message_kind_and_prefix_filters(spark):
+    """kind='message' entries decode to op='message' with prefix/content
+    meta; they are exempt from table predicates, and the msg-prefix
+    options apply filter-before-add (options type :100-109)."""
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    def msg(prefix, content, lsn):
+        return (
+            '{"change":[{"kind":"message","transactional":true,'
+            f'"prefix":"{prefix}","content":"{content}"}}],'
+            f'"xid":5,"nextlsn":"{lsn}"}}'
+        )
+
+    lines = [
+        msg("keep", "k1", "0/10"),
+        msg("drop", "d1", "0/18"),
+        msg("other", "o1", "0/20"),
+        '{"change":[{"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["id"],"columntypes":["int"],"columnvalues":[1]}],'
+        '"xid":6,"nextlsn":"0/28"}',
+    ]
+    raw = spark.createDataFrame([(x,) for x in lines], "value string")
+    out = decode_wal2json(
+        raw,
+        add_tables=["public.t"],
+        filter_msg_prefixes=["drop"],
+        add_msg_prefixes=["keep", "drop"],
+    ).collect()
+    ops = sorted((r["op"], (r["meta"] or {}).get("prefix")) for r in out)
+    # 'drop' excluded by the filter list (even though the add list has it),
+    # 'other' excluded by the add list, insert passes add_tables, 'keep'
+    # survives both AND the table predicate despite having no table
+    assert ops == [("insert", None), ("message", "keep")]
+    kept = [r for r in out if r["op"] == "message"][0]
+    assert kept["meta"]["content"] == "k1"
+    assert kept["meta"]["transactional"] == "true"
