@@ -43,7 +43,10 @@ KINDS = ["image", "audio", "video"]
 
 #: Codecs whose real decoders would be used in production. Not in this
 #: container — requesting one raises NotImplementedError (STUB).
-REAL_CODECS = frozenset({"jpeg", "png", "webp", "wav", "mp3", "flac", "h264", "vp9"})
+#: ``png`` graduated out of this set: ``functions/png.py`` is a real
+#: stdlib (zlib+struct) implementation of the W3C spec, used by
+#: :func:`synthesize_png_assets` / :func:`decode_png_features`.
+REAL_CODECS = frozenset({"jpeg", "webp", "wav", "mp3", "flac", "h264", "vp9"})
 
 ASSET_SCHEMA = (
     "asset_id bigint, kind string, payload binary, "
@@ -96,8 +99,101 @@ def _require_fake(codec: str) -> None:
             "present in this environment; only the deterministic 'fake' "
             "codec is implemented (Spark plumbing is real)"
         )
+    if codec == "png":
+        raise ValueError(
+            "png payloads have a real decoder: use decode_png_features"
+        )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
+
+
+def synthesize_png_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL greyscale PNG payloads (``functions/png.py``).
+
+    Deterministic: width = 8 + doc_id%16, height = 8 + doc_id%8,
+    pixel[i] = (doc_id·31 + i·7) mod 256 — closed-form, so a SQL oracle
+    can predict every decoded statistic without ever parsing a PNG.
+    Encode runs executor-side in Arrow batches (one-row PNGs never pass
+    the driver), the production ingest shape.
+    """
+    from pg_logical_replication_spark.functions.png import encode_png
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + did % 8
+                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h))
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(encode_png(w, h, px, channels=1))
+                metas.append(
+                    {
+                        "codec": "png",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, channels int, "
+    "n_pixels int, mean_pixel double"
+)
+
+
+def decode_png_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→pixels decode per asset: parse the PNG (CRC-checked,
+    all filter types), emit dimensions + mean pixel value (round 6).
+
+    Same Arrow-batched executor shape as :func:`decode_features`; an
+    undecodable payload yields a null-feature row rather than a worker
+    crash (the DLQ-friendly contract of the decode stages).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, ch, px = decode_png(bytes(buf))
+                    rows.append(
+                        (
+                            aid,
+                            w,
+                            h,
+                            ch,
+                            w * h,
+                            round(sum(px) / len(px), 6) if px else None,
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "n_pixels", "mean_pixel",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=PNG_FEATURE_SCHEMA
+    )
 
 
 def decode_features(assets: DataFrame, codec: str = "fake") -> DataFrame:

@@ -142,3 +142,30 @@ def q_mm_dedup_exact(spark, sf_dir):
         .orderBy(F.col("n_dups").desc(), "payload_hash")
         .limit(50)
     )
+
+
+@register(
+    "q_mm_png_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST((8 + doc_id % 16) * (8 + doc_id % 8) AS INT) AS n_pixels,
+           ROUND(list_avg(list_transform(
+               generate_series(0, (8 + doc_id % 16) * (8 + doc_id % 8) - 1),
+               i -> (doc_id * 31 + i * 7) % 256)), 6) AS mean_pixel
+    FROM documents
+    """,
+    "REAL PNG codec round-trip: greyscale PNGs encoded executor-side "
+    "(zlib+struct, all 5 scanline filters), decoded back by the "
+    "spec-complete stdlib decoder; dims + mean pixel must match the "
+    "closed-form oracle that never parses a PNG",
+)
+def q_mm_png_decode(spark, sf_dir):
+    """The codec graduation query (review r2 #8): pixel[i] =
+    (doc_id*31 + i*7) mod 256 is arithmetic, so DuckDB predicts every
+    decoded statistic while Spark actually runs encode_png → decode_png
+    on executors — any filter/CRC/inflate bug breaks the hash match."""
+    assets = MM.synthesize_png_assets(t(spark, sf_dir, "documents"))
+    return MM.decode_png_features(assets)

@@ -71,10 +71,14 @@ def test_real_codecs_are_stubbed(assets):
     for fn in (
         lambda: MM.decode_features(assets, codec="jpeg"),
         lambda: MM.sample_frames(assets, codec="h264"),
-        lambda: MM.resize_images(assets, 8, 8, codec="png"),
+        lambda: MM.resize_images(assets, 8, 8, codec="wav"),
     ):
         with pytest.raises(NotImplementedError, match="STUB"):
             fn()
+    # png is REAL now (functions/png.py) — the generic fake-codec stages
+    # refuse it with a pointer at the real path instead of a stub error
+    with pytest.raises(ValueError, match="decode_png_features"):
+        MM.decode_features(assets, codec="png")
     with pytest.raises(ValueError, match="unknown codec"):
         MM.decode_features(assets, codec="nope")
     with pytest.raises(ValueError):
