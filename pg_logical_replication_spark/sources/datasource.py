@@ -209,7 +209,10 @@ class PgCdcStreamReader(SimpleDataSourceStreamReader):
             pending = pending[: self.max_files]  # ≙ flow control (#21):
             # bound the micro-batch like maxFilesPerTrigger
         if not pending:
-            return [], start
+            # empty batch must be an ITERATOR: with end == start the
+            # prefetch cache probes it via next() to verify emptiness
+            # (datasource_internal.add_result_to_cache)
+            return iter([]), start
 
         # materialized (not a generator): Spark's simple-stream prefetch
         # cache pickles the iterator between planning and execution
@@ -234,6 +237,107 @@ class PgCdcStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class PgCdcFramesStreamReader(SimpleDataSourceStreamReader):
+    """Live-transport mode (``option("transport", "frames")``): tail raw
+    COPY frames through a :class:`~.transport.FrameLogTailTransport`
+    and close the walsender feedback loop (review r2 #3).
+
+    * INCREMENTAL offsets — ``{"seg", "pos", "frames", "lsn"}`` tracks a
+      byte position inside the active segment, so an append becomes the
+      next micro-batch without waiting for file rotation (the file-mode
+      reader advances whole files only).
+    * Keepalive ``shouldRespond`` → the reader answers immediately with
+      a Standby Status Update ping at the last received LSN (reference
+      ``logical-replication-service.ts:165-171`` + ``:254-300``) — the
+      respond loop the file mode cannot close.
+    * ``commit(end)`` sends the non-ping status update for the batch's
+      last LSN — acknowledge exactly at durable-delivery, Spark's
+      checkpoint commit being the reference's auto-ack point. Disable
+      with ``option("autoack", "false")`` (manual-ack deployments).
+
+    Rows keep RAW_SCHEMA: ``data`` carries the whole COPY frame for
+    ``wire.demux_copy_stream``; ``lsn`` is pre-extracted from the frame
+    header ('w' walStart / 'k' walEnd) for cheap watermarking.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.max_frames = int(options.get("maxframespertrigger", 0)) or None
+        self.auto_ack = options.get("autoack", "true").lower() != "false"
+
+    def _transport(self, position: dict):
+        from pg_logical_replication_spark.sources.transport import (
+            FrameLogTailTransport,
+        )
+
+        return FrameLogTailTransport(self.path, position=position)
+
+    def initialOffset(self) -> dict:
+        return {"seg": "", "pos": 0, "frames": 0, "lsn": None}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        import struct
+
+        from pg_logical_replication_spark.model import long_to_lsn
+
+        t = self._transport(start)
+        frames = t.poll(self.max_frames)
+        if not frames:
+            # iterator, not list: see PgCdcStreamReader.read
+            return iter([]), start
+        seq = int(start.get("frames", 0))
+        last_lsn = start.get("lsn")
+        rows = []
+        for frame in frames:
+            tag = frame[:1]
+            lsn = None
+            if tag == b"w" and len(frame) >= 17:
+                (wal_start,) = struct.unpack_from(">Q", frame, 1)
+                lsn = long_to_lsn(wal_start)
+            elif tag == b"k" and len(frame) >= 18:
+                (wal_end,) = struct.unpack_from(">Q", frame, 1)
+                lsn = long_to_lsn(wal_end)
+                if frame[17] and (lsn or last_lsn):
+                    # shouldRespond: answer NOW with a ping status update
+                    t.send_standby_status(lsn or last_lsn, ping=True)
+            if lsn:
+                last_lsn = lsn
+            rows.append((lsn, seq, None, frame))
+            seq += 1
+        end = dict(t.position(), frames=seq, lsn=last_lsn)
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        # replay an unacknowledged span after restart: re-poll the frame
+        # log between the two positions (possible precisely because the
+        # tail transport is durable; a raw-socket transport re-subscribes
+        # from the ack position instead, as PG replays from the slot)
+        import struct
+
+        from pg_logical_replication_spark.model import long_to_lsn
+
+        t = self._transport(start)
+        budget = int(end.get("frames", 0)) - int(start.get("frames", 0))
+        seq = int(start.get("frames", 0))
+        for frame in t.poll(budget if budget > 0 else 0):
+            tag = frame[:1]
+            lsn = None
+            if tag == b"w" and len(frame) >= 17:
+                (v,) = struct.unpack_from(">Q", frame, 1)
+                lsn = long_to_lsn(v)
+            elif tag == b"k" and len(frame) >= 18:
+                (v,) = struct.unpack_from(">Q", frame, 1)
+                lsn = long_to_lsn(v)
+            yield (lsn, seq, None, frame)
+            seq += 1
+
+    def commit(self, end: dict) -> None:
+        # Spark calls this after the micro-batch is durably checkpointed:
+        # the acknowledge point. Forward the Standby Status Update.
+        if self.auto_ack and end.get("lsn"):
+            self._transport(end).send_standby_status(end["lsn"], ping=False)
+
+
 class PgCdcDataSource(DataSource):
     """``spark.dataSource.register(PgCdcDataSource)`` then
     ``spark.read.format("pg_cdc").option("path", dir).load()``."""
@@ -248,7 +352,9 @@ class PgCdcDataSource(DataSource):
     def reader(self, schema) -> PgCdcBatchReader:
         return PgCdcBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> PgCdcStreamReader:
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        if self.options.get("transport", "").lower() == "frames":
+            return PgCdcFramesStreamReader(self.options)
         return PgCdcStreamReader(self.options)
 
 
