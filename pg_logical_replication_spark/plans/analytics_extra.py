@@ -944,6 +944,25 @@ def _pagerank_oracle(iters: int = 5) -> str:
     )
 
 
+def _trade_edge_graph(spark, sf_dir):
+    """supplier-nation → customer-nation weighted edge list: ONE pass
+    over lineitem (two broadcast dims + a partial-aggregated groupBy to
+    the ~|nations|² reduction) — the only stage that grows at 100 TB."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
 @register(
     "q_graph_pagerank",
     _pagerank_oracle(5),
@@ -952,34 +971,36 @@ def _pagerank_oracle(iters: int = 5) -> str:
     "algorithm representative (decimal-stabilized contributions keep "
     "five rounds of float math cross-engine exact)",
 )
-def q_graph_pagerank(spark, sf_dir):
-    """The heavy lifting is ONE pass over lineitem (two broadcast dims
-    + a partial-aggregated groupBy to the ~|nations|² edge list); the
-    iteration then runs on that CONSTANT-size reduction. The reduction
-    is collected and the fixpoint iterates driver-side in bit-exact
-    replicated arithmetic (IEEE doubles + half-up decimal(38,18)
-    stabilization, identical to the SQL twin): re-entering the cluster
-    per round would pay ~4 AQE stage materializations per iteration for
-    zero parallelism gain on 25 nodes — measured 7-10 s of pure
-    scheduling vs <0.1 s locally. At 100 TB the edge build is the only
-    stage that grows; a graph whose EDGE LIST outgrows the driver
-    switches to the co-partitioned join-loop formulation (SCALE.md,
-    'PageRank')."""
+def q_graph_pagerank(spark, sf_dir, edges_in_cluster=False):
+    """The iteration runs on the CONSTANT-size nation-graph reduction.
+    Default: the reduction is collected and the fixpoint iterates
+    driver-side in bit-exact replicated arithmetic (IEEE doubles +
+    half-up decimal(38,18) stabilization, identical to the SQL twin):
+    re-entering the cluster per round would pay ~4 AQE stage
+    materializations per iteration for zero parallelism gain on 25
+    nodes — measured 7-10 s of pure scheduling vs <0.1 s locally.
+    ``edges_in_cluster=True`` routes the SAME arithmetic through the
+    distributed join-loop (``operators/graph.pagerank``) — the
+    formulation for graphs whose edge list outgrows the driver; the
+    agreement test in tests/test_pipeline_ops.py pins the two equal."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+    if edges_in_cluster:
+        from pg_logical_replication_spark.operators.graph import pagerank
+
+        ranks = pagerank(
+            _trade_edge_graph(spark, sf_dir),
+            iterations=5,
+            damping=0.85,
+            teleport=0.15,  # the driver twin's exact float literal
         )
-        .agg(F.count("*").alias("w"))
-    ).collect()
+        return ranks.select(
+            F.col("v").cast("int").alias("nationkey"),
+            # half-up 1e-9 quantization, same as the driver twin below
+            F.col("rank").cast("decimal(38,9)").cast("double").alias("rank"),
+        ).orderBy("nationkey")
+
+    edges = _trade_edge_graph(spark, sf_dir).collect()
 
     ew = [(r["src"], r["dst"], r["w"]) for r in edges]
     outw: dict[int, int] = {}

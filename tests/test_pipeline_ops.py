@@ -92,3 +92,23 @@ def test_cms_heavy_hitters_invariants(spark):
     tight = cms_heavy_hitters(docs, width=2, depth=2, k=3).collect()
     assert len(tight) == 3
     assert all(r["est_count"] >= r["exact_count"] for r in tight)
+
+
+def test_pagerank_join_loop_agrees_with_driver_loop(spark):
+    """The distributed join-loop PageRank (operators/graph.py) must
+    reproduce the driver-side replicated loop bit-for-bit at the query's
+    1e-9 quantization (review r2 #7 done-criterion)."""
+    from pg_logical_replication_spark.plans.analytics_extra import (
+        q_graph_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    driver = {
+        r["nationkey"]: r["rank"] for r in q_graph_pagerank(spark, sf)
+        .collect()
+    }
+    cluster = {
+        r["nationkey"]: r["rank"]
+        for r in q_graph_pagerank(spark, sf, edges_in_cluster=True).collect()
+    }
+    assert driver == cluster
