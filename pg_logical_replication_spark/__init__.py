@@ -25,6 +25,38 @@ Arrow-batched pandas UDFs only where built-ins cannot express the semantics
 
 __version__ = "0.1.0"
 
+
+def _ensure_protobuf_shim() -> None:
+    """Make ``transformWithStateInPandas`` work without the protobuf
+    package: its PySpark runtime speaks protobuf to the JVM state
+    server, so when ``google.protobuf`` is absent we append the vendored
+    mini-runtime (``_vendor/pbshim``, see its docstring) to BOTH
+    ``sys.path`` (driver) and ``PYTHONPATH`` (inherited by Python
+    workers — must happen before the first worker daemon spawns, hence
+    at package import). A real protobuf installation always wins: the
+    shim path is only added when the import is missing."""
+    import importlib.util
+    import os
+    import sys
+
+    try:
+        present = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        present = False
+    if present:
+        return
+    shim = os.path.join(os.path.dirname(__file__), "_vendor", "pbshim")
+    if shim not in sys.path:
+        sys.path.append(shim)
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if shim not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [p for p in parts if p] + [shim]
+        )
+
+
+_ensure_protobuf_shim()
+
 from pg_logical_replication_spark.model import (  # noqa: F401
     CHANGE_EVENT_SCHEMA,
     lsn_to_long,

@@ -1287,3 +1287,61 @@ def q_pipeline_cdc_to_corpus(spark, sf_dir):
         F.countDistinct("h").alias("n_unique_texts"),
         F.sum("nt").cast("long").alias("sum_tokens"),
     )
+
+
+def _bucketed_near_dup_oracle(dims=64, planes=4, tables=8) -> str:
+    """DuckDB twin of cosine_near_dup_pairs_bucketed: the md5-parity
+    hyperplanes are Python-computed literals at plan-build time, so the
+    SAME ±1 weight arrays inline into SQL; bucket membership and the
+    per-bucket exact cosine replay in full. An oracle for the SCALE
+    path itself — the LSH bucketing is deterministic, only recall vs
+    the global kernel is probabilistic (and irrelevant here: the oracle
+    mirrors the bucketed semantics, not the global ones)."""
+    sig_rows = []
+    for t_ in range(tables):
+        bits = []
+        for p in range(planes):
+            ws = ", ".join(
+                "1.0"
+                if int(S.hashlib_md5_hex(f"{t_ * planes + p}:{d}")[0], 16) % 2 == 0
+                else "-1.0"
+                for d in range(dims)
+            )
+            bits.append(
+                f"CASE WHEN list_dot_product(v, [{ws}]) >= 0 "
+                "THEN '1' ELSE '0' END"
+            )
+        sig_rows.append(
+            f"SELECT vec_id, v, {t_} AS tbl, ({' || '.join(bits)}) AS bucket FROM e"
+        )
+    sigs = "\n      UNION ALL\n      ".join(sig_rows)
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sigs AS ({sigs}),
+    cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+                    ROUND(list_dot_product(a.v, b.v) /
+                          (SQRT(list_dot_product(a.v, a.v)) *
+                           SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+             FROM sigs a JOIN sigs b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id)
+    SELECT a_id, b_id, cosine FROM cand
+    ORDER BY cosine DESC, a_id, b_id LIMIT 20
+    """
+
+
+@register(
+    "q_embed_near_dup_bucketed",
+    _bucketed_near_dup_oracle(),
+    "the 100 TB near-dup path itself, oracle-gated: per-LSH-bucket exact "
+    "cosine pairs (8 deterministic hyperplane tables, matmul inside "
+    "buckets via applyInPandas), top-20 — proves bucketing + kernel "
+    "value-for-value, complementing q_embed_near_dup_top's global check",
+)
+def q_embed_near_dup_bucketed(spark, sf_dir):
+    pairs = S.cosine_near_dup_pairs_bucketed(
+        t(spark, sf_dir, "embeddings"), threshold=-1.0
+    )
+    return pairs.orderBy(F.col("cosine").desc(), "a_id", "b_id").limit(20)

@@ -12,21 +12,24 @@ TCP relay, an append-only frame log — is the implementation's business,
 and ``sources/wire.py:demux_copy_stream`` stays the downstream parser
 either way.
 
-Two implementations:
+Three implementations:
 
 * :class:`FrameLogTailTransport` — tails a directory of append-only
   segment files of u32-length-prefixed frames, with INCREMENTAL byte
   offsets (a growing segment becomes visible frame-by-frame, not
   file-by-file). Status updates append to ``status.log`` in the same
   framing, so tests (and ops) can audit exactly what would have been
-  sent to the server. This is the sandbox's stand-in for a live socket
-  and the durable-relay deployment shape.
+  sent to the server. This is the durable-relay deployment shape and
+  the default behind the ``pg_cdc`` source's ``transport=frames``.
 * :class:`SocketFrameTransport` — the same contract over a real TCP
-  socket with identical length-prefixed framing both directions. A
-  production walsender client adds the PG startup/auth handshake and
-  ``START_REPLICATION SLOT … LOGICAL`` before entering CopyBoth mode
-  (reference ``:126-185``); the frame loop and status-update plumbing —
-  everything after the handshake — is exactly this class.
+  socket with identical length-prefixed framing both directions (a
+  frame relay, no PG semantics).
+* :class:`WalsenderTransport` — the real thing: the PostgreSQL v3 wire
+  protocol (startup packet with ``replication=database``, trust/
+  cleartext/md5 auth, ``START_REPLICATION SLOT … LOGICAL`` via simple
+  Query, CopyBoth streaming, ErrorResponse surfacing), reimplemented
+  from the public protocol documentation and exercised against an
+  in-process fake server in tests (the sandbox ships no PostgreSQL).
 
 Scale note: one replication slot is ONE ordered connection (the
 reference is a single-socket client too) — transport ingest is
@@ -247,6 +250,209 @@ class SocketFrameTransport(WalTransport):
             self._sock.sendall(struct.pack(">I", len(frame)) + frame)
         finally:
             self._sock.setblocking(False)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:  # pragma: no cover
+            pass
+
+
+class WalsenderTransport(WalTransport):
+    """A real PostgreSQL walsender client over the public v3 wire
+    protocol — the reference's actual product core
+    (``logical-replication-service.ts:70-87`` connect with
+    ``replication: 'database'``, ``:126-185`` ``START_REPLICATION
+    SLOT … LOGICAL`` + copyData loop), reimplemented from the protocol
+    spec (postgresql.org/docs/current/protocol-replication.html):
+
+    * startup packet with ``replication=database``;
+    * AuthenticationOk / cleartext / MD5 password responses (SASL is
+      refused loudly — out of the supported profile);
+    * ``START_REPLICATION SLOT <slot> LOGICAL <lsn> (<options>)`` via
+      simple Query, expecting CopyBothResponse;
+    * :meth:`poll` drains CopyData ('d') messages — each carrying one
+      'w'/'k' COPY frame for ``wire.demux_copy_stream`` — and raises on
+      ErrorResponse ('E');
+    * :meth:`send_standby_status` wraps the 'r' frame in CopyData.
+
+    The sandbox has no PostgreSQL, so tests drive this against an
+    in-process fake server implementing the same public protocol
+    (tests/test_transport.py) — handshake, auth, CopyBoth and the
+    status-update readback all exercised over a real socket.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        database: str,
+        password: str | None = None,
+        connect_timeout: float = 10.0,
+    ):
+        import socket
+
+        self._sock = socket.create_connection((host, port), connect_timeout)
+        self._buf = b""
+        self._frames: list[bytes] = []
+        self._copy_both = False
+        self.parameters: dict[str, str] = {}
+        self._handshake(user, database, password)
+
+    # ---------------------------------------------------------- protocol
+    def _send_startup(self, user: str, database: str) -> None:
+        body = struct.pack(">I", 196608)  # protocol 3.0
+        for k, v in (
+            ("user", user),
+            ("database", database),
+            ("replication", "database"),
+            ("application_name", "pg_logical_replication_spark"),
+        ):
+            body += k.encode() + b"\x00" + v.encode() + b"\x00"
+        body += b"\x00"
+        self._sock.sendall(struct.pack(">I", len(body) + 4) + body)
+
+    def _send_msg(self, tag: bytes, body: bytes) -> None:
+        self._sock.sendall(tag + struct.pack(">I", len(body) + 4) + body)
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        while len(self._buf) < 5:
+            chunk = self._sock.recv(1 << 16)
+            if not chunk:
+                raise ConnectionError("walsender: connection closed")
+            self._buf += chunk
+        tag = self._buf[:1]
+        (ln,) = struct.unpack_from(">I", self._buf, 1)
+        while len(self._buf) < 1 + ln:
+            chunk = self._sock.recv(1 << 16)
+            if not chunk:
+                raise ConnectionError("walsender: connection closed")
+            self._buf += chunk
+        body = self._buf[5 : 1 + ln]
+        self._buf = self._buf[1 + ln :]
+        return tag, body
+
+    @staticmethod
+    def _error_fields(body: bytes) -> dict:
+        out = {}
+        pos = 0
+        while pos < len(body) and body[pos] != 0:
+            code = chr(body[pos])
+            end = body.index(b"\x00", pos + 1)
+            out[code] = body[pos + 1 : end].decode("utf-8", "replace")
+            pos = end + 1
+        return out
+
+    def _handshake(self, user: str, database: str, password: str | None):
+        import hashlib
+
+        self._send_startup(user, database)
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"R":
+                (code,) = struct.unpack_from(">I", body, 0)
+                if code == 0:
+                    continue  # AuthenticationOk
+                if code == 3:  # cleartext
+                    if password is None:
+                        raise ConnectionError("walsender: password required")
+                    self._send_msg(b"p", password.encode() + b"\x00")
+                elif code == 5:  # md5: md5(md5(password+user)+salt)
+                    if password is None:
+                        raise ConnectionError("walsender: password required")
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        password.encode() + user.encode()
+                    ).hexdigest()
+                    outer = hashlib.md5(inner.encode() + salt).hexdigest()
+                    self._send_msg(b"p", b"md5" + outer.encode() + b"\x00")
+                else:
+                    raise NotImplementedError(
+                        f"walsender: auth method {code} unsupported "
+                        "(trust/cleartext/md5 profile)"
+                    )
+            elif tag == b"S":  # ParameterStatus: name\0value\0
+                name, _, rest = body.partition(b"\x00")
+                self.parameters[name.decode()] = rest.split(b"\x00")[0].decode()
+            elif tag == b"K":  # BackendKeyData
+                continue
+            elif tag == b"Z":  # ReadyForQuery
+                return
+            elif tag == b"E":
+                f = self._error_fields(body)
+                raise ConnectionError(
+                    f"walsender: {f.get('S', 'ERROR')} {f.get('C', '')} "
+                    f"{f.get('M', '')}".strip()
+                )
+            else:
+                continue  # NoticeResponse / NegotiateVersion etc.
+
+    def start_replication(
+        self,
+        slot: str,
+        start_lsn: str = "0/00000000",
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """``START_REPLICATION SLOT <slot> LOGICAL <lsn> (k 'v', …)`` —
+        the exact statement the reference issues (plugin option
+        serialization ≙ ``wal2json-plugin.ts:18-29``)."""
+        opts = ""
+        if options:
+            kv = ", ".join(
+                f"\"{k}\" '{str(v)}'" for k, v in sorted(options.items())
+            )
+            opts = f" ({kv})"
+        sql = f'START_REPLICATION SLOT "{slot}" LOGICAL {start_lsn}{opts}'
+        self._send_msg(b"Q", sql.encode() + b"\x00")
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"W":  # CopyBothResponse — streaming begins
+                self._copy_both = True
+                return
+            if tag == b"E":
+                f = self._error_fields(body)
+                raise ConnectionError(
+                    f"walsender: START_REPLICATION failed: {f.get('M', '')}"
+                )
+            # ParameterStatus / NoticeResponse may precede CopyBoth
+
+    # ------------------------------------------------------ WalTransport
+    def poll(self, max_frames: int | None = None) -> list[bytes]:
+        import select
+
+        if not self._copy_both:
+            raise RuntimeError("walsender: call start_replication first")
+        out: list[bytes] = []
+        while max_frames is None or len(out) < max_frames:
+            # drain buffered messages first, then check the socket
+            if len(self._buf) >= 5:
+                (ln,) = struct.unpack_from(">I", self._buf, 1)
+                have_full = len(self._buf) >= 1 + ln
+            else:
+                have_full = False
+            if not have_full:
+                r, _, _ = select.select([self._sock], [], [], 0)
+                if not r:
+                    break
+                chunk = self._sock.recv(1 << 16)
+                if not chunk:
+                    break
+                self._buf += chunk
+                continue
+            tag, body = self._recv_msg()
+            if tag == b"d":  # CopyData: one 'w'/'k' frame
+                out.append(body)
+            elif tag == b"E":
+                f = self._error_fields(body)
+                raise ConnectionError(f"walsender: {f.get('M', 'stream error')}")
+            elif tag in (b"c", b"C", b"Z"):  # CopyDone / complete / ready
+                self._copy_both = tag not in (b"c",)
+            # else: keepalive-irrelevant notices — skip
+        return out
+
+    def send_standby_status(self, lsn: str, ping: bool = False) -> None:
+        self._send_msg(b"d", standby_status_frame(lsn, ping))
 
     def close(self) -> None:
         try:

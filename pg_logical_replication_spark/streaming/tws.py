@@ -128,11 +128,15 @@ def assemble_transactions_tws(
     from pyspark.sql import functions as F
 
     try:
+        # either the real protobuf package or the vendored mini-runtime
+        # (_vendor/pbshim, appended by the package __init__ when the
+        # real one is absent)
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:  # pragma: no cover — env-dependent
         raise ImportError(
             "transformWithStateInPandas needs the google.protobuf package "
-            "(its Python worker speaks protobuf to the JVM state server); "
+            "(its Python worker speaks protobuf to the JVM state server) "
+            "or the vendored pbshim, which failed to load; "
             "use streaming.stateful.assemble_transactions_stream instead"
         ) from exc
 

@@ -15,13 +15,28 @@ from pg_logical_replication_spark.plans.registry import QUERIES, TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Both scales: sf0.001 is the iteration loop; sf0.01 is the DRIVER's
+# correctness scale — empty-group / tie-break divergences can hide at a
+# 10x smaller sf (review r2 #4), and the driver only checks a 50-query
+# prefix, so the other ~110 queries are pinned at driver scale HERE.
+# The sf0.01 replay is marked slow: `-m "not slow"` keeps quick runs.
+_SF_PARAMS = [
+    "/root/testdata/sf0.001",
+    pytest.param("/root/testdata/sf0.01", marks=pytest.mark.slow),
+]
+
+
+@pytest.fixture(scope="module", params=_SF_PARAMS)
+def sf_dir(request):
+    return request.param
+
 
 @pytest.fixture(scope="module")
-def duck():
+def duck(sf_dir):
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
     yield con
     con.close()
@@ -73,9 +88,9 @@ ROWS_ONLY = sorted(n for n, s in QUERIES.items() if not s.oracle)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(spark, duck, name):
+def test_oracle_parity(spark, duck, sf_dir, name):
     spec = QUERIES[name]
-    sdf = spec.builder(spark, SF_DIR)
+    sdf = spec.builder(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 

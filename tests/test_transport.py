@@ -235,3 +235,178 @@ def test_frames_stream_end_to_end(spark, tmp_path):
     assert sorted(r["msg_type"] for r in dm) == ["k", "w", "w"]
     ws = [r for r in dm if r["msg_type"] == "w"]
     assert {bytes(r["payload"]) for r in ws} == {b"payload-1", b"payload-2"}
+
+
+# ------------------------------------------------------ walsender client
+class _FakePgServer:
+    """In-process PostgreSQL-protocol server: startup packet, md5 (or
+    trust) auth, ParameterStatus/BackendKeyData/ReadyForQuery, then
+    CopyBothResponse for START_REPLICATION, streams XLogData CopyData
+    and records Standby Status Updates sent back."""
+
+    def __init__(self, password=None, frames=()):
+        self.password = password
+        self.frames = list(frames)
+        self.received_statuses = []
+        self.start_replication_sql = None
+        self.startup_params = {}
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    # -- protocol helpers
+    def _recv_exact(self, conn, n):
+        out = b""
+        while len(out) < n:
+            chunk = conn.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("client closed")
+            out += chunk
+        return out
+
+    def _recv_startup(self, conn):
+        (ln,) = struct.unpack(">I", self._recv_exact(conn, 4))
+        body = self._recv_exact(conn, ln - 4)
+        (ver,) = struct.unpack_from(">I", body, 0)
+        assert ver == 196608, hex(ver)
+        parts = body[4:].split(b"\x00")
+        it = iter(parts)
+        for k in it:
+            if not k:
+                break
+            self.startup_params[k.decode()] = next(it).decode()
+
+    def _recv_msg(self, conn):
+        tag = self._recv_exact(conn, 1)
+        (ln,) = struct.unpack(">I", self._recv_exact(conn, 4))
+        return tag, self._recv_exact(conn, ln - 4)
+
+    def _send(self, conn, tag, body=b""):
+        conn.sendall(tag + struct.pack(">I", len(body) + 4) + body)
+
+    def _run(self):
+        try:
+            self._serve()
+        except (ConnectionError, OSError):
+            pass  # client hung up (e.g. after an auth error) — fine
+
+    def _serve(self):
+        import hashlib
+
+        conn, _ = self.srv.accept()
+        with conn:
+            self._recv_startup(conn)
+            if self.password is not None:
+                salt = b"\x01\x02\x03\x04"
+                self._send(conn, b"R", struct.pack(">I", 5) + salt)
+                tag, body = self._recv_msg(conn)
+                assert tag == b"p"
+                user = self.startup_params["user"]
+                inner = hashlib.md5(
+                    self.password.encode() + user.encode()
+                ).hexdigest()
+                want = b"md5" + hashlib.md5(
+                    inner.encode() + salt
+                ).hexdigest().encode()
+                if body.rstrip(b"\x00") != want:
+                    self._send(
+                        conn, b"E",
+                        b"SFATAL\x00C28P01\x00Mpassword authentication failed\x00\x00",
+                    )
+                    return
+            self._send(conn, b"R", struct.pack(">I", 0))  # AuthenticationOk
+            self._send(conn, b"S", b"server_version\x0016.1\x00")
+            self._send(conn, b"K", struct.pack(">II", 1234, 5678))
+            self._send(conn, b"Z", b"I")
+
+            tag, body = self._recv_msg(conn)
+            assert tag == b"Q"
+            self.start_replication_sql = body.rstrip(b"\x00").decode()
+            self._send(conn, b"W", b"\x00\x00\x00")  # CopyBothResponse
+            for fr in self.frames:
+                self._send(conn, b"d", fr)
+            # read back status updates until the client closes
+            try:
+                while True:
+                    tag, body = self._recv_msg(conn)
+                    if tag == b"d" and body[:1] == b"r":
+                        self.received_statuses.append(
+                            parse_standby_status(body)
+                        )
+            except ConnectionError:
+                pass
+
+    def close(self):
+        self.srv.close()
+
+
+def test_walsender_handshake_replication_and_ack():
+    """Full client lifecycle against the fake PG server: md5 auth,
+    START_REPLICATION with plugin options, CopyBoth frame drain,
+    keepalive visible, status update received server-side with the
+    +1/carry position."""
+    import time as _t
+
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    frames = [
+        _xlog(0x2000, b"w2j-payload"),
+        _keepalive(0x2008, should_respond=True),
+    ]
+    srv = _FakePgServer(password="sekret", frames=frames)
+    t = WalsenderTransport(
+        "127.0.0.1", srv.port, user="rep", database="app", password="sekret"
+    )
+    assert t.parameters.get("server_version") == "16.1"
+    assert srv.startup_params["replication"] == "database"
+
+    t.start_replication(
+        "my_slot", "0/2000", options={"format-version": "2", "actions": "insert"}
+    )
+    assert srv.start_replication_sql == (
+        "START_REPLICATION SLOT \"my_slot\" LOGICAL 0/2000 "
+        "(\"actions\" 'insert', \"format-version\" '2')"
+    )
+
+    got = []
+    deadline = _t.time() + 10
+    while len(got) < 2 and _t.time() < deadline:
+        got.extend(t.poll())
+        _t.sleep(0.01)
+    assert [f[:1] for f in got] == [b"w", b"k"]
+
+    t.send_standby_status("0/2008", ping=True)
+    deadline = _t.time() + 10
+    while not srv.received_statuses and _t.time() < deadline:
+        _t.sleep(0.01)
+    assert srv.received_statuses
+    s = srv.received_statuses[0]
+    assert s["flushed"] == 0x2009 and s["ping"] is True
+
+    t.close()
+    srv.close()
+
+
+def test_walsender_poll_requires_start_and_bad_password_fails():
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    srv = _FakePgServer(password="right", frames=[])
+    with pytest.raises(ConnectionError, match="authentication failed"):
+        WalsenderTransport(
+            "127.0.0.1", srv.port, user="rep", database="app", password="wrong"
+        )
+    srv.close()
+
+    srv2 = _FakePgServer(password=None, frames=[])
+    t = WalsenderTransport("127.0.0.1", srv2.port, user="rep", database="app")
+    with pytest.raises(RuntimeError, match="start_replication"):
+        t.poll()
+    t.close()
+    srv2.close()

@@ -4,18 +4,13 @@ Same scenarios as test_stateful_streaming's assembly tests, plus an
 agreement check against the applyInPandasWithState implementation.
 """
 
-import importlib.util
 import json
 
-import pytest
+import pytest  # noqa: F401
 
-pytestmark = pytest.mark.skipif(
-    importlib.util.find_spec("google") is None
-    or importlib.util.find_spec("google.protobuf") is None,
-    reason="transformWithState Python runtime needs google.protobuf "
-    "(absent in this container); the applyInPandasWithState path is "
-    "the tested default",
-)
+# no protobuf skip: pg_logical_replication_spark appends the vendored
+# mini-protobuf runtime (_vendor/pbshim) when google.protobuf is absent,
+# so the transformWithState path runs everywhere
 
 EVENT_SCHEMA = (
     "op string, lsn string, lsn_long long, seq long, xid long, "
