@@ -459,3 +459,61 @@ class WalsenderTransport(WalTransport):
             self._sock.close()
         except OSError:  # pragma: no cover
             pass
+
+
+def relay_to_frame_log(
+    transport: WalTransport,
+    path: str,
+    segment_name: str = "000001.seg",
+    max_frames: int | None = None,
+    rotate_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Drain a transport into the durable frame log — the deployment
+    glue between a live walsender connection and the ``pg_cdc`` source.
+
+    One relay per slot runs wherever the PG connection lives (an edge
+    container, the driver, a sidecar); Spark tails the log with
+    ``transport=frames`` and acknowledges via the tail transport's
+    status file, which the relay forwards upstream. Segments rotate at
+    ``rotate_bytes`` so batch-mode file parallelism and retention both
+    follow the WAL-segment pattern. Returns frames written.
+
+    Appends are frame-atomic from the reader's perspective: the tail
+    transport's splitter stops before a partial frame, so a reader
+    racing this writer sees only complete frames.
+    """
+    os.makedirs(path, exist_ok=True)
+    frames = transport.poll(max_frames)
+    if not frames:
+        return 0
+    seg = os.path.join(path, segment_name)
+    written = 0
+    with open(seg, "ab") as f:
+        for frame in frames:
+            if f.tell() > rotate_bytes:
+                break
+            write_frame(f, frame)
+            written += 1
+    return written
+
+
+def forward_acks_upstream(
+    log_path: str, transport: WalTransport, after_index: int = 0
+) -> int:
+    """Forward Standby Status Updates the Spark reader appended to the
+    frame log's ``status.log`` up the live connection. Returns the new
+    index (pass it back next call) — the relay's ack loop:
+    Spark checkpoint commit → status.log → walsender 'r' frame → PG
+    advances the slot's confirmed_flush_lsn.
+    """
+    tail = FrameLogTailTransport(log_path)
+    statuses = tail.sent_statuses()
+    from pg_logical_replication_spark.model import long_to_lsn
+
+    for s in statuses[after_index:]:
+        # re-send at the recorded position (frame builder re-applies +1,
+        # so step back one byte to preserve the exact flushed position)
+        transport.send_standby_status(
+            long_to_lsn(s["flushed"] - 1), ping=s["ping"]
+        )
+    return len(statuses)

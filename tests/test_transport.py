@@ -410,3 +410,104 @@ def test_walsender_poll_requires_start_and_bad_password_fails():
         t.poll()
     t.close()
     srv2.close()
+
+
+def test_full_chain_fake_pg_to_spark_snapshot(spark, tmp_path):
+    """The complete deployment chain: fake PG server → WalsenderTransport
+    (real v3 protocol) → relay_to_frame_log → pg_cdc transport=frames
+    stream → wire demux → wal2json decode → apply_changes snapshot, with
+    Spark's checkpoint-commit acks forwarded upstream to the server."""
+    import json
+    import time as _t
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources.datasource import register
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+        forward_acks_upstream,
+        relay_to_frame_log,
+    )
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+    from pg_logical_replication_spark.sources.wire import demux_copy_stream
+
+    register(spark)
+
+    def w2j(rid, lsn_long):
+        payload = json.dumps({
+            "change": [{
+                "kind": "insert", "schema": "public", "table": "t",
+                "columnnames": ["id", "v"], "columntypes": ["bigint", "text"],
+                "columnvalues": [rid, f"v{rid}"],
+            }],
+            "nextlsn": f"0/{lsn_long:X}",
+        }).encode()
+        return _xlog(lsn_long, payload)
+
+    frames = [w2j(i, 0x3000 + 8 * i) for i in range(5)]
+    frames.append(_keepalive(0x3030, should_respond=True))
+    srv = _FakePgServer(password=None, frames=frames)
+    t = WalsenderTransport("127.0.0.1", srv.port, user="rep", database="app")
+    t.start_replication("slot1", "0/3000", options={"format-version": "1"})
+
+    log = str(tmp_path / "wal")
+    deadline = _t.time() + 10
+    total = 0
+    while total < 6 and _t.time() < deadline:
+        total += relay_to_frame_log(t, log)
+        _t.sleep(0.02)
+    assert total == 6
+
+    cp = str(tmp_path / "cp")
+    got = []
+    q = (
+        spark.readStream.format("pg_cdc")
+        .option("path", log)
+        .option("transport", "frames")
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 30
+        while len(got) < 6 and _t.time() < deadline:
+            _t.sleep(0.1)
+        assert len(got) == 6
+        # wait for the commit-time ack to land in status.log, then
+        # forward it up the live connection
+        while _t.time() < deadline:
+            n = forward_acks_upstream(log, t)
+            if srv.received_statuses:
+                break
+            _t.sleep(0.1)
+    finally:
+        q.stop()
+    assert srv.received_statuses
+    # +1/carry position for the last frame's walEnd (keepalive at 0x3030)
+    assert max(s["flushed"] for s in srv.received_statuses) == 0x3031
+
+    # decode the delivered frames into a table snapshot
+    raw = spark.createDataFrame(
+        [(r["lsn"], r["seq"], r["value"], r["data"]) for r in got],
+        "lsn string, seq long, value string, data binary",
+    )
+    from pyspark.sql import functions as F
+
+    dm = demux_copy_stream(raw).filter("msg_type = 'w'")
+    events = decode_wal2json(
+        dm.select(F.col("payload").cast("string").alias("value")),
+        value_col="value",
+    )
+    snap = apply_changes(
+        events, key_columns=["id"], table="t",
+        columns={"id": "bigint", "v": "string"},
+    )
+    assert {(r["id"], r["v"]) for r in snap.collect()} == {
+        (i, f"v{i}") for i in range(5)
+    }
+    t.close()
+    srv.close()
+
