@@ -1345,3 +1345,104 @@ def q_embed_near_dup_bucketed(spark, sf_dir):
         t(spark, sf_dir, "embeddings"), threshold=-1.0
     )
     return pairs.orderBy(F.col("cosine").desc(), "a_id", "b_id").limit(20)
+
+
+@register(
+    "q_corpus_quota_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM ranked WHERE rn <= 40
+    GROUP BY lang ORDER BY lang
+    """,
+    "per-language quota sampling (data mixing): keep 40 docs per lang "
+    "stratum in md5 order — the reproducible engine-portable shuffle "
+    "(seeded rand() is engine-specific; md5 is bit-identical everywhere)",
+)
+def q_corpus_quota_sample(spark, sf_dir):
+    """Training-mixture quotas: per-stratum caps are how pipelines
+    rebalance source/language skew. One hash shuffle on the stratum key;
+    the md5 sort key makes the SAME docs survive in any engine — a
+    reproducibility property seeded sampling cannot give across engines.
+    At 100 TB the window is per-stratum (bounded by quota only after the
+    sort); for huge strata swap row_number for the md5-threshold filter
+    of q_corpus_hash_sample, which needs no sort at all."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") <= 40)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_corpus_token_budget",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, len({_TOKS}) AS n_tokens
+                  FROM documents),
+    cum AS (SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (
+                     ORDER BY n_tokens DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM toks)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM cum WHERE cum_tokens <= 20000
+    GROUP BY lang ORDER BY lang
+    """,
+    "token-budget corpus selection: longest-first greedy fill of a "
+    "20k-token budget (global running sum), per-language composition of "
+    "the selected set — the 'train on the best N tokens' primitive",
+)
+def q_corpus_token_budget(spark, sf_dir):
+    """The budget cut needs a GLOBAL prefix sum — a single-partition
+    window here. At 100 TB: two-pass instead (per-partition token sums
+    → driver picks the threshold partition → only that partition sorts),
+    or bucket by priority and binary-search the boundary bucket; the
+    cumulative-window form is the exact semantics both approximate."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    cum = docs.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= 20000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -899,3 +899,70 @@ def test_wal2json_v1_message_kind_and_prefix_filters(spark):
     kept = [r for r in out if r["op"] == "message"][0]
     assert kept["meta"]["content"] == "k1"
     assert kept["meta"]["transactional"] == "true"
+
+
+def test_wal2json_emission_toggles_supported_by_construction(spark):
+    """The remaining plugin options are EMISSION-side toggles the
+    declarative decoder absorbs without code (options type :1-80):
+
+    * numeric-data-types-as-string — every scalar JSON value is read as
+      StringType already; NOTE the one real difference: Spark's JSON
+      reader normalizes numeric tokens (12.50 → '12.5'), so consumers
+      needing the exact decimal text should enable the option server-
+      side — exactly the consumer the plugin added it for;
+    * pretty-print — from_json is whitespace-agnostic;
+    * write-in-chunks — each chunk is a self-contained object with one
+      change; the decoder treats it as a one-change changeset;
+    * include-xids/-timestamp/-lsn=false — absent fields surface as
+      nulls (lsn falls back to the lsn_col wire position when given).
+    """
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    plain = (
+        '{"change":[{"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["id","price"],"columntypes":["integer","numeric(8,2)"],'
+        '"columnvalues":[7,12.50]}],"xid":9,"nextlsn":"0/100"}'
+    )
+    as_string = (
+        '{"change":[{"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["id","price"],"columntypes":["integer","numeric(8,2)"],'
+        '"columnvalues":[7,"12.50"]}],"xid":9,"nextlsn":"0/100"}'
+    )
+    pretty = """{
+      "change": [ {
+        "kind": "insert", "schema": "public", "table": "t",
+        "columnnames": ["id", "price"],
+        "columntypes": ["integer", "numeric(8,2)"],
+        "columnvalues": [7, 12.50]
+      } ],
+      "xid": 9, "nextlsn": "0/100"
+    }""".replace("\n", " ")
+    rows = {}
+    for name, line in (("plain", plain), ("str", as_string), ("pretty", pretty)):
+        raw = spark.createDataFrame([(line,)], "value string")
+        rows[name] = decode_wal2json(raw).first()
+    # pretty-print: byte-identical decode
+    assert rows["pretty"]["after"] == rows["plain"]["after"]
+    # numeric-as-string: numerically equal; exact text only in str mode
+    assert float(rows["str"]["after"]["price"]) == float(
+        rows["plain"]["after"]["price"]
+    )
+    assert rows["str"]["after"]["price"] == "12.50"   # exact text kept
+    assert rows["plain"]["after"]["price"] == "12.5"  # reader-normalized
+    for name in ("str", "pretty"):
+        assert rows[name]["lsn_long"] == 0x100
+
+    # write-in-chunks: one change per JSON doc, no xid on chunks
+    chunks = [
+        '{"change":[{"kind":"insert","schema":"public","table":"t",'
+        '"columnnames":["id"],"columntypes":["int"],"columnvalues":[%d]}]}' % i
+        for i in range(3)
+    ]
+    raw = spark.createDataFrame(
+        [(c, f"0/{16 + 8 * i:X}") for i, c in enumerate(chunks)],
+        "value string, wire_lsn string",
+    )
+    out = decode_wal2json(raw, lsn_col="wire_lsn").orderBy("lsn_long").collect()
+    assert [r["after"]["id"] for r in out] == ["0", "1", "2"]
+    assert [r["xid"] for r in out] == [None, None, None]
+    assert out[0]["lsn"] == "0/10"
