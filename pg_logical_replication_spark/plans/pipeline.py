@@ -407,10 +407,70 @@ def q_embed_near_dup_top(spark, sf_dir):
     return pairs.orderBy(F.col("cosine").desc(), "a_id", "b_id").limit(20)
 
 
+def _hyperplane_sigs_sql(dims=64, planes=4, tables=8) -> str:
+    """UNION-ALL select list computing the per-table hyperplane bucket
+    signatures over CTE ``e(vec_id, v)`` — shared by every oracle that
+    replays the float LSH bucketing (the md5-parity weights are Python
+    literals at plan-build time, identical to hyperplane_signs)."""
+    sig_rows = []
+    for t_ in range(tables):
+        bits = []
+        for p in range(planes):
+            ws = ", ".join(
+                "1.0"
+                if int(S.hashlib_md5_hex(f"{t_ * planes + p}:{d}")[0], 16) % 2 == 0
+                else "-1.0"
+                for d in range(dims)
+            )
+            bits.append(
+                f"CASE WHEN list_dot_product(v, [{ws}]) >= 0 "
+                "THEN '1' ELSE '0' END"
+            )
+        sig_rows.append(
+            f"SELECT vec_id, v, {t_} AS tbl, ({' || '.join(bits)}) AS bucket FROM e"
+        )
+    return "\n      UNION ALL\n      ".join(sig_rows)
+
+
+def _lsh_topk_oracle(k=5, n_queries=10) -> str:
+    """Full value oracle for the float LSH ANN path (upgraded from the
+    r1-r2 rows-only check): the deterministic md5-parity hyperplanes
+    inline as SQL literals, so bucket membership, the multi-table
+    candidate union, and the exact cosine re-rank all replay in DuckDB
+    — same technique as q_embed_near_dup_bucketed."""
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sigs AS ({_hyperplane_sigs_sql()}),
+    cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+             FROM sigs c JOIN sigs q
+               ON c.tbl = q.tbl AND c.bucket = q.bucket
+              AND c.vec_id != q.vec_id
+             WHERE q.vec_id < {n_queries}),
+    scored AS (SELECT cand.q_id, cand.n_id,
+                      ROUND(list_dot_product(a.v, b.v) /
+                            (SQRT(list_dot_product(a.v, a.v)) *
+                             SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+               FROM cand
+               JOIN e a ON a.vec_id = cand.q_id
+               JOIN e b ON b.vec_id = cand.n_id),
+    ranked AS (SELECT q_id, n_id, cosine,
+                      CAST(ROW_NUMBER() OVER (
+                        PARTITION BY q_id ORDER BY cosine DESC, n_id)
+                        AS INT) AS rnk
+               FROM scored)
+    SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
 @register(
     "q_ann_lsh_topk",
-    None,  # bucket recall is engine-arranged; rows-only check
-    "LSH-bucketed ANN (random-hyperplane signs): the sub-linear scale path",
+    _lsh_topk_oracle(),
+    "LSH-bucketed ANN (random-hyperplane signs), now FULLY oracle-gated: "
+    "bucketing + candidate union + exact re-rank hash-match DuckDB "
+    "(was rows-only in r1-r2; the md5-literal hyperplanes made the "
+    "whole float path replayable)",
 )
 def q_ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -1297,24 +1357,7 @@ def _bucketed_near_dup_oracle(dims=64, planes=4, tables=8) -> str:
     path itself — the LSH bucketing is deterministic, only recall vs
     the global kernel is probabilistic (and irrelevant here: the oracle
     mirrors the bucketed semantics, not the global ones)."""
-    sig_rows = []
-    for t_ in range(tables):
-        bits = []
-        for p in range(planes):
-            ws = ", ".join(
-                "1.0"
-                if int(S.hashlib_md5_hex(f"{t_ * planes + p}:{d}")[0], 16) % 2 == 0
-                else "-1.0"
-                for d in range(dims)
-            )
-            bits.append(
-                f"CASE WHEN list_dot_product(v, [{ws}]) >= 0 "
-                "THEN '1' ELSE '0' END"
-            )
-        sig_rows.append(
-            f"SELECT vec_id, v, {t_} AS tbl, ({' || '.join(bits)}) AS bucket FROM e"
-        )
-    sigs = "\n      UNION ALL\n      ".join(sig_rows)
+    sigs = _hyperplane_sigs_sql(dims, planes, tables)
     return f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
