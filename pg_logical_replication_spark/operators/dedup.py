@@ -369,13 +369,61 @@ def _candidate_pair_stats(
     # post-hoc size-lookup joins.
     sized = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
     if df_cap is not None:
-        # Window on `sh` doubles as the pre-shuffle for the self-join
-        # below (same key): the filter costs no extra Exchange of the
-        # shingle rows beyond the one the join needs anyway.
-        sized = (
+        # Capped path: SINGLE-LINEAGE posting-list explosion instead of
+        # a self-join. The naive a⋈b self-join re-executes the whole
+        # shingle pipeline per side (Spark plans no ReusedExchange
+        # across renamed self-join sides — measured: 2× scans + an
+        # extra Exchange + a broadcast at sf0.001); here the plan is
+        # scan → Exchange(doc) → Exchange(sh) → Exchange(a,b), each
+        # stage once. The count-only window filters hot shingles
+        # WITHOUT materializing their posting lists (sort-based window
+        # spills; collect_list would OOM on a million-doc shingle), and
+        # the groupBy(sh) that builds the surviving lists reuses the
+        # window's partitioning — its collect_list is bounded by df_cap
+        # (≤ cap structs per key), so the pair explosion is ≤ cap²/2
+        # rows per shingle, generated JVM-side by array HOFs over ≤ 20
+        # elements (interpreted HOF cost is irrelevant at that size).
+        kept = (
             sized.withColumn("_df", F.count("*").over(Window.partitionBy("sh")))
             .filter(F.col("_df") <= df_cap)
             .drop("_df")
+        )
+        posting = kept.groupBy("sh").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz"))
+            ).alias("docs")
+        )
+        pair_arrays = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.when(
+                        x["id"] < y["id"],
+                        F.struct(
+                            x["id"].alias("a_id"),
+                            y["id"].alias("b_id"),
+                            x["sz"].alias("sz_a"),
+                            y["sz"].alias("sz_b"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            y["id"].alias("a_id"),
+                            x["id"].alias("b_id"),
+                            y["sz"].alias("sz_a"),
+                            x["sz"].alias("sz_b"),
+                        )
+                    ),
+                ),
+            )
+        )
+        pairs = posting.select(F.explode(pair_arrays).alias("p")).select(
+            "p.a_id", "p.b_id", "p.sz_a", "p.sz_b"
+        )
+        return pairs.groupBy("a_id", "b_id").agg(
+            F.count("*").alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
     a = sized.select(F.col(id_col).alias("a_id"), "sh", F.col("sz").alias("sz_a"))
     b = sized.select(

@@ -98,3 +98,46 @@ def test_attribution_single_exchange_on_user(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_user_exchanges = plan.count("Exchange hashpartitioning(user_id")
     assert n_user_exchanges == 1, plan
+
+
+def test_capped_jaccard_single_lineage_plan(spark):
+    """df-capped pairwise dedup must be the posting-list explosion, not
+    a self-join: one scan of documents, exactly 3 exchanges (doc → sh →
+    pair), no broadcast, no duplicated shingle pipeline (review r3:
+    Spark plans no ReusedExchange across renamed self-join sides, so the
+    join form paid 2x the scan + a 4th exchange)."""
+    from pg_logical_replication_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = D.jaccard_pairs(docs, threshold=0.0, df_cap=20)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 0
+    n_exchange = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchange == 3, plan
+    assert plan.count("Scan parquet") == 1, "shingle pipeline ran twice"
+
+
+def test_bucketed_near_dup_single_shuffle_plan(spark):
+    """The per-LSH-bucket near-dup kernel: one scan, exactly two
+    Exchanges — the groupBy(tbl, bucket) feeding applyInPandas (corpus
+    rows, the one heavy shuffle) and the cross-table pair dedup (only
+    (a_id, b_id, cosine) triples). No joins, no broadcast, nothing
+    corpus-sized on the driver."""
+    from pg_logical_replication_spark.operators.similarity import (
+        cosine_near_dup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = cosine_near_dup_pairs_bucketed(emb, threshold=0.9)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("BroadcastExchange") == 0
+    n_exchange = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchange == 2, plan
+    assert "Join" not in plan
