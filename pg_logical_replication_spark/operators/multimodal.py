@@ -14,10 +14,15 @@ module provides that plumbing Spark-first:
 * decode / feature-extract / frame-sample / resize as Arrow-batched
   ``mapInPandas`` stages — the real executor-side shape (batch in,
   variable rows out, no driver involvement);
-* REAL codec paths (jpeg/png/wav/h264...) are STUBBED with
-  ``NotImplementedError`` — the Spark-side plumbing (schema,
-  partitioning, UDF signature, batch shape) is real and tested; only
-  the byte→pixels step is a deterministic fake, clearly marked.
+* REAL codecs where the stdlib can carry them: ``png``
+  (``functions/png.py``, zlib+struct) and ``wav`` (stdlib ``wave``)
+  decode actual bytes on executors, each oracle-gated end-to-end
+  (``q_mm_png_decode`` / ``q_mm_wav_decode``). The remaining formats
+  (jpeg/webp/mp3/flac/h264/vp9) need codec libraries absent from this
+  container and stay STUBBED with ``NotImplementedError`` — for those
+  the Spark-side plumbing (schema, partitioning, UDF signature, batch
+  shape) is real and tested; only the byte→pixels step is a
+  deterministic fake, clearly marked.
 
 Scale notes: payloads never pass through the driver; ``mapInPandas``
 streams Arrow record batches per partition, so memory is bounded by
@@ -43,10 +48,12 @@ KINDS = ["image", "audio", "video"]
 
 #: Codecs whose real decoders would be used in production. Not in this
 #: container — requesting one raises NotImplementedError (STUB).
-#: ``png`` graduated out of this set: ``functions/png.py`` is a real
-#: stdlib (zlib+struct) implementation of the W3C spec, used by
-#: :func:`synthesize_png_assets` / :func:`decode_png_features`.
-REAL_CODECS = frozenset({"jpeg", "webp", "wav", "mp3", "flac", "h264", "vp9"})
+#: Graduated out of this set with REAL stdlib implementations:
+#: ``png`` (``functions/png.py``, zlib+struct W3C profile → use
+#: :func:`synthesize_png_assets` / :func:`decode_png_features`) and
+#: ``wav`` (stdlib ``wave`` RIFF/PCM → :func:`synthesize_wav_assets` /
+#: :func:`decode_wav_features`).
+REAL_CODECS = frozenset({"jpeg", "webp", "mp3", "flac", "h264", "vp9"})
 
 ASSET_SCHEMA = (
     "asset_id bigint, kind string, payload binary, "
@@ -103,8 +110,121 @@ def _require_fake(codec: str) -> None:
         raise ValueError(
             "png payloads have a real decoder: use decode_png_features"
         )
+    if codec == "wav":
+        raise ValueError(
+            "wav payloads have a real decoder: use decode_wav_features"
+        )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
+
+
+def synthesize_wav_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL 16-bit mono PCM WAV payloads (stdlib ``wave``).
+
+    Deterministic closed-form audio: n_samples = 64 + doc_id % 256 at
+    8000 or 16000 Hz (by doc_id parity), sample[i] =
+    ((doc_id·37 + i·101) mod 2001) − 1000 — integer PCM, so a SQL
+    oracle predicts every decoded statistic exactly (no float DSP in
+    the contract). Encode runs executor-side in Arrow batches.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct as _struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 256
+                rate = 16000 if did % 2 == 0 else 8000
+                samples = [((did * 37 + i * 101) % 2001) - 1000 for i in range(n)]
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(
+                    b"".join(_struct.pack("<h", s) for s in samples)
+                )
+                w.close()
+                ids.append(did)
+                kinds.append("audio")
+                payloads.append(buf.getvalue())
+                metas.append(
+                    {
+                        "codec": "wav",
+                        "width": None,
+                        "height": None,
+                        "sample_rate": rate,
+                        "duration_ms": (n * 1000) // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_samples int, "
+    "duration_ms int, sum_abs bigint, peak int"
+)
+
+
+def decode_wav_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→samples decode per asset: parse the RIFF/PCM container
+    (stdlib ``wave``), emit rate, frame count, duration, integer
+    amplitude stats. Undecodable payloads yield null-feature rows, the
+    decode stages' DLQ-friendly contract.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct as _struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    r = wave.open(io.BytesIO(bytes(buf)), "rb")
+                    n = r.getnframes()
+                    rate = r.getframerate()
+                    if r.getsampwidth() != 2 or r.getnchannels() != 1:
+                        raise ValueError("profile: 16-bit mono only")
+                    samples = _struct.unpack(
+                        f"<{n}h", r.readframes(n)
+                    )
+                    rows.append(
+                        (
+                            aid,
+                            rate,
+                            n,
+                            (n * 1000) // rate,
+                            sum(abs(s) for s in samples),
+                            max((abs(s) for s in samples), default=0),
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples",
+                    "duration_ms", "sum_abs", "peak",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
+    )
 
 
 def synthesize_png_assets(documents: DataFrame) -> DataFrame:

@@ -169,3 +169,40 @@ def q_mm_png_decode(spark, sf_dir):
     on executors — any filter/CRC/inflate bug breaks the hash match."""
     assets = MM.synthesize_png_assets(t(spark, sf_dir, "documents"))
     return MM.decode_png_features(assets)
+
+
+@register(
+    "q_mm_wav_decode",
+    """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(64 + doc_id % 256 AS INT) AS n,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT)
+               AS rate
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           rate AS sample_rate,
+           n AS n_samples,
+           CAST((n * 1000) // rate AS INT) AS duration_ms,
+           CAST(list_sum(list_transform(
+               generate_series(0, n - 1),
+               i -> abs((doc_id * 37 + i * 101) % 2001 - 1000))) AS BIGINT)
+             AS sum_abs,
+           CAST(list_max(list_transform(
+               generate_series(0, n - 1),
+               i -> abs((doc_id * 37 + i * 101) % 2001 - 1000))) AS INT)
+             AS peak
+    FROM spec
+    """,
+    "REAL WAV codec round-trip: 16-bit mono PCM RIFF containers encoded "
+    "executor-side (stdlib wave), decoded back to integer amplitude "
+    "stats that must match the closed-form oracle — the audio twin of "
+    "q_mm_png_decode",
+)
+def q_mm_wav_decode(spark, sf_dir):
+    """sample[i] = ((doc_id*37 + i*101) mod 2001) - 1000 is integer
+    arithmetic end-to-end (no float DSP in the contract), so DuckDB
+    predicts the decoded rate/frames/duration/sum|x|/peak exactly while
+    Spark actually parses RIFF/PCM bytes on executors."""
+    assets = MM.synthesize_wav_assets(t(spark, sf_dir, "documents"))
+    return MM.decode_wav_features(assets)

@@ -71,15 +71,45 @@ def test_real_codecs_are_stubbed(assets):
     for fn in (
         lambda: MM.decode_features(assets, codec="jpeg"),
         lambda: MM.sample_frames(assets, codec="h264"),
-        lambda: MM.resize_images(assets, 8, 8, codec="wav"),
+        lambda: MM.resize_images(assets, 8, 8, codec="flac"),
     ):
         with pytest.raises(NotImplementedError, match="STUB"):
             fn()
-    # png is REAL now (functions/png.py) — the generic fake-codec stages
-    # refuse it with a pointer at the real path instead of a stub error
+    # png and wav are REAL now — the generic fake-codec stages refuse
+    # them with a pointer at the real path instead of a stub error
     with pytest.raises(ValueError, match="decode_png_features"):
         MM.decode_features(assets, codec="png")
+    with pytest.raises(ValueError, match="decode_wav_features"):
+        MM.decode_features(assets, codec="wav")
     with pytest.raises(ValueError, match="unknown codec"):
         MM.decode_features(assets, codec="nope")
     with pytest.raises(ValueError):
         MM.sample_frames(assets, every_k=0)
+
+
+def test_wav_codec_real_roundtrip(spark):
+    """synthesize_wav_assets emits genuine RIFF/PCM containers (stdlib
+    wave re-parses them) and decode_wav_features recovers the exact
+    integer stats; corrupt payloads yield null-feature rows."""
+    import io
+    import wave
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    assets = MM.synthesize_wav_assets(docs)
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    r0 = wave.open(io.BytesIO(bytes(rows[0]["payload"])), "rb")
+    assert (r0.getnchannels(), r0.getsampwidth()) == (1, 2)
+    assert r0.getframerate() == 16000 and rows[1]["meta"]["sample_rate"] == 8000
+
+    feats = {r["asset_id"]: r for r in MM.decode_wav_features(assets).collect()}
+    for did in range(6):
+        n = 64 + did % 256
+        assert feats[did]["n_samples"] == n
+        want_sum = sum(abs(((did * 37 + i * 101) % 2001) - 1000) for i in range(n))
+        assert feats[did]["sum_abs"] == want_sum
+
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"RIFFgarbage"))], "asset_id long, payload binary"
+    )
+    out = MM.decode_wav_features(bad).first()
+    assert out["sample_rate"] is None and out["sum_abs"] is None
