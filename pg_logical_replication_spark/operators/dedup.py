@@ -537,3 +537,75 @@ def contamination(
             F.countDistinct("_bench_id").alias("n_benchmark_docs"),
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded candidate generation + exact
+    Hamming filter — completes the SimHash path (``simhash`` emits only
+    signatures) into a pair producer like the MinHash/LSH families.
+
+    Pigeonhole guarantee: splitting ``bits`` into ``bands`` equal bands,
+    two signatures with Hamming distance < ``bands`` agree on ≥1 whole
+    band, so with the default 4×4-bit bands every pair with distance ≤ 3
+    is a candidate (no recall loss at the default threshold; distance ==
+    bands can straddle all bands and is the standard residual miss).
+
+    Scale shape: signature is one long per doc; candidates come from an
+    equality join on (band_idx, band_key) — the banded inverted index —
+    and the exact ``bit_count(xor)`` filter runs on candidate rows only.
+    All integer arithmetic end-to-end: the DuckDB oracle replays it
+    bit-for-bit. Output: a_id, b_id, hamming.
+    """
+    assert bits % bands == 0
+    w = bits // bands
+    sig = simhash(df, text_col, id_col, bits)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), b * w)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(entries).alias("e")
+    ).select(id_col, "simhash", "e.band_idx", "e.band_key")
+    a = banded.select(
+        F.col(id_col).alias("a_id"),
+        F.col("simhash").alias("sig_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"),
+        F.col("simhash").alias("sig_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["band_idx"] == b["band_idx_b"])
+            & (a["band_key"] == b["band_key_b"])
+            & (a["a_id"] < b["b_id"]),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1489,3 +1489,41 @@ def q_corpus_token_budget(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _simhash_pairs_oracle(bits=16, bands=4, max_hamming=3) -> str:
+    w = bits // bands
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * w}) & {(1 << w) - 1} AS band_key FROM sims"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sims AS ({_simhash_oracle()}),
+    banded AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    bit_count(xor(a.simhash, b.simhash)) AS hamming
+             FROM banded a JOIN banded b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT CAST(hamming AS INT) AS hamming, COUNT(*) AS n_pairs
+    FROM cand WHERE hamming <= {max_hamming}
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    "SimHash near-dup pairs: 4x4-bit banded candidates (pigeonhole: "
+    "every pair with Hamming <= 3 shares a band), exact bit_count(xor) "
+    "filter, histogram by distance — completes SimHash from signature "
+    "to pair producer, integer-exact end-to-end",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    pairs = D.simhash_pairs(t(spark, sf_dir, "documents"))
+    return (
+        pairs.groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -111,14 +111,14 @@ def _read_frames(buf: bytes, pos: int, max_frames: int | None):
     """
     frames: list[bytes] = []
     n = len(buf)
-    while pos + 4 <= n:
+    # bound checked at loop top: max_frames=0 must read NOTHING (the
+    # replay reader passes a zero budget to mean exactly that)
+    while pos + 4 <= n and (max_frames is None or len(frames) < max_frames):
         (ln,) = struct.unpack_from(">I", buf, pos)
         if pos + 4 + ln > n:
             break  # partial tail — wait for the writer
         frames.append(buf[pos + 4 : pos + 4 + ln])
         pos += 4 + ln
-        if max_frames is not None and len(frames) >= max_frames:
-            break
     return frames, pos
 
 

@@ -511,3 +511,16 @@ def test_full_chain_fake_pg_to_spark_snapshot(spark, tmp_path):
     t.close()
     srv.close()
 
+
+
+def test_poll_zero_budget_reads_nothing(tmp_path):
+    """max_frames=0 must drain NOTHING (the frames reader's replay path
+    passes a zero budget for an empty span); regression for the
+    check-after-append off-by-one."""
+    d = str(tmp_path / "frames")
+    os.makedirs(d)
+    with open(os.path.join(d, "000001.seg"), "ab") as f:
+        write_frame(f, _xlog(0x10))
+    t = FrameLogTailTransport(d)
+    assert t.poll(max_frames=0) == []
+    assert len(t.poll()) == 1  # cursor unchanged by the zero-budget poll
