@@ -282,3 +282,92 @@ def test_protocol_v2_stream_roundtrip(xid, subxid, ts, cols):
     )
     assert ev["xid"] == subxid
     assert ev["after"] == {n: v for n, v in cols}
+
+
+# ---------------------------------------------------------- png (round 3)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, ch, data):
+    from pg_logical_replication_spark.functions.png import decode_png, encode_png
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_png_garbage_never_misdecodes(junk):
+    """Arbitrary bytes must raise, never return fabricated pixels."""
+    import pytest as _pytest
+
+    from pg_logical_replication_spark.functions.png import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    with _pytest.raises((ValueError, NotImplementedError, Exception)):
+        decode_png(junk if junk[:8] != PNG_SIGNATURE else junk + b"x")
+
+
+# -------------------------------------------------------- pbshim (round 3)
+@given(
+    status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    err=st.text(max_size=40),
+    value=st.binary(max_size=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_pbshim_state_response_roundtrip(status, err, value):
+    import importlib.util
+
+    import pg_logical_replication_spark  # noqa: F401 (installs shim path)
+
+    spec = importlib.util.find_spec("google.protobuf")
+    if spec is not None and "pbshim" not in (spec.origin or ""):
+        return  # real protobuf present; shim inactive by design
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponse(statusCode=status, errorMessage=err, value=value)
+    out = sm.StateResponse()
+    out.ParseFromString(msg.SerializeToString())
+    assert (out.statusCode, out.errorMessage, out.value) == (status, err, value)
+
+
+@given(
+    vals=st.lists(st.binary(max_size=32), max_size=8),
+    ts=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), max_size=5
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_pbshim_repeated_roundtrip(vals, ts):
+    import importlib.util
+
+    import pg_logical_replication_spark  # noqa: F401
+
+    spec = importlib.util.find_spec("google.protobuf")
+    if spec is not None and "pbshim" not in (spec.origin or ""):
+        return
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    put = sm.ListStatePut(value=vals)
+    p2 = sm.ListStatePut()
+    p2.ParseFromString(put.SerializeToString())
+    assert list(p2.value) == vals
+
+    resp = sm.StateResponseWithTimer(
+        timer=[sm.TimerInfo(timestampMs=t) for t in ts]
+    )
+    r2 = sm.StateResponseWithTimer()
+    r2.ParseFromString(resp.SerializeToString())
+    assert [t.timestampMs for t in r2.timer] == ts
