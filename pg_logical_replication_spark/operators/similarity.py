@@ -227,29 +227,32 @@ def ivf_cosine_topk(
     if not cent_rows:
         raise ValueError("ivf_cosine_topk: empty centroid set")
 
-    def cell_scores() -> Column:
-        """array<struct<cos, neg_id>> over pre-projected (_v, _nv) —
-        struct order = the tie-break. The vector's own norm is computed
-        ONCE in the projection below and referenced 16×, not recomputed
-        per centroid (16 extra 64-element aggregates per row otherwise)."""
-        return F.array(
-            *[
-                F.struct(
-                    F.round(
-                        _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in cv]))
-                        / (
-                            F.col("_nv")
-                            * F.lit(
-                                sum(float(x) * float(x) for x in cv) ** 0.5
-                            )
-                        ),
-                        round_to,
-                    ).alias("cos"),
-                    F.lit(-cid).alias("neg_id"),
-                )
-                for cid, cv in cent_rows
-            ]
+    # The scoring expression — array<struct<cos, neg_id>> over the
+    # pre-projected (_v, _nv), struct order = the tie-break (highest
+    # cosine, then lowest cent_id) — is assembled as ONE SQL string and
+    # parsed by a single F.expr: composing 16 centroids × (zip_with +
+    # aggregate + round + struct) through the py4j DSL costs ~2 s of
+    # driver round trips PER PLAN BUILD (measured; lambdas are the
+    # chattiest constructs), while string assembly is microseconds.
+    # repr(float) is shortest-roundtrip, so the SQL literals parse to
+    # bit-identical doubles. The vector's own norm (_nv) is computed
+    # once in the projection and referenced 16×.
+    def _cos_sql(cv: list, cid: int) -> str:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+        dot = (
+            f"aggregate(zip_with(_v, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
+        norm_c = repr(sum(float(x) * float(x) for x in cv) ** 0.5) + "D"
+        return (
+            f"named_struct('cos', round({dot} / (_nv * {norm_c}), {round_to}), "
+            f"'neg_id', {-cid})"
+        )
+
+    cells_sql = (
+        "array(" + ",".join(_cos_sql(cv, cid) for cid, cv in cent_rows) + ")"
+    )
 
     def with_norm(df: DataFrame, vid: str) -> DataFrame:
         return df.select(
@@ -260,21 +263,24 @@ def ivf_cosine_topk(
     # the optimizer marks array_max nullable — which makes the join
     # below push an IsNotNull(cent_id) filter INTO THE SCAN carrying the
     # whole 16-centroid expression, evaluating it twice per row
-    # (measured 3×  query cost). coalesce with an unreachable fallback
+    # (measured 3× query cost). coalesce with an unreachable fallback
     # makes the column provably non-null so that filter folds away.
-    argmax_cell = F.coalesce(
-        -F.array_max(cell_scores())["neg_id"], F.lit(cent_rows[0][0])
+    argmax_cell = F.expr(
+        f"coalesce(-array_max({cells_sql}).neg_id, {cent_rows[0][0]})"
     )
     assign = with_norm(corpus.withColumnRenamed(id_col, "n_id"), "n_id").select(
         F.col("n_id"),
         F.col("_v").alias("n_vec"),
         argmax_cell.alias("cent_id"),
     )
-    topcells = F.slice(F.reverse(F.array_sort(cell_scores())), 1, n_probe)
+    probe_cells = F.expr(
+        f"transform(slice(reverse(array_sort({cells_sql})), 1, {n_probe}), "
+        "s -> -s.neg_id)"
+    )
     probes = with_norm(queries.withColumnRenamed(id_col, "q_id"), "q_id").select(
         F.col("q_id"),
         F.col("_v").alias("q_vec"),
-        F.explode(F.transform(topcells, lambda s: -s["neg_id"])).alias("cent_id"),
+        F.explode(probe_cells).alias("cent_id"),
     )
     scored = (
         assign.join(F.broadcast(probes), "cent_id")
