@@ -388,6 +388,62 @@ class WalsenderTransport(WalTransport):
             else:
                 continue  # NoticeResponse / NegotiateVersion etc.
 
+    def create_replication_slot(
+        self, slot: str, plugin: str = "pgoutput", temporary: bool = False
+    ) -> dict:
+        """``CREATE_REPLICATION_SLOT <slot> [TEMPORARY] LOGICAL <plugin>``
+        on the replication connection (the protocol-level twin of the
+        SQL ``pg_create_logical_replication_slot`` the reference's test
+        client issues, ``src/test/test-common.ts:9-18``). Returns the
+        result row: slot_name, consistent_point, snapshot_name,
+        output_plugin.
+        """
+        tmp = " TEMPORARY" if temporary else ""
+        sql = f'CREATE_REPLICATION_SLOT "{slot}"{tmp} LOGICAL {plugin}'
+        self._send_msg(b"Q", sql.encode() + b"\x00")
+        fields: list[str] = []
+        row: list[str | None] = []
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"T":  # RowDescription: i16 nfields, per-field meta
+                (nf,) = struct.unpack_from(">h", body, 0)
+                pos = 2
+                for _ in range(nf):
+                    end = body.index(b"\x00", pos)
+                    fields.append(body[pos:end].decode())
+                    pos = end + 1 + 18  # name + fixed per-field trailer
+            elif tag == b"D":  # DataRow: i16 ncols, (i32 len, bytes)*
+                (nc,) = struct.unpack_from(">h", body, 0)
+                pos = 2
+                for _ in range(nc):
+                    (ln,) = struct.unpack_from(">i", body, pos)
+                    pos += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(body[pos : pos + ln].decode())
+                        pos += ln
+            elif tag == b"Z":
+                return dict(zip(fields, row))
+            elif tag == b"E":
+                f = self._error_fields(body)
+                raise ConnectionError(
+                    f"walsender: CREATE_REPLICATION_SLOT failed: {f.get('M', '')}"
+                )
+
+    def drop_replication_slot(self, slot: str) -> None:
+        """``DROP_REPLICATION_SLOT <slot>`` (≙ test-common.ts:20-25)."""
+        self._send_msg(b"Q", f'DROP_REPLICATION_SLOT "{slot}"'.encode() + b"\x00")
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"Z":
+                return
+            if tag == b"E":
+                f = self._error_fields(body)
+                raise ConnectionError(
+                    f"walsender: DROP_REPLICATION_SLOT failed: {f.get('M', '')}"
+                )
+
     def start_replication(
         self,
         slot: str,

@@ -248,6 +248,8 @@ class _FakePgServer:
         self.password = password
         self.frames = list(frames)
         self.received_statuses = []
+        self.created_slots = []
+        self.dropped_slots = []
         self.start_replication_sql = None
         self.startup_params = {}
         self.srv = socket.socket()
@@ -322,9 +324,41 @@ class _FakePgServer:
             self._send(conn, b"K", struct.pack(">II", 1234, 5678))
             self._send(conn, b"Z", b"I")
 
-            tag, body = self._recv_msg(conn)
-            assert tag == b"Q"
-            self.start_replication_sql = body.rstrip(b"\x00").decode()
+            # optional slot-management queries precede START_REPLICATION
+            while True:
+                tag, body = self._recv_msg(conn)
+                assert tag == b"Q"
+                sql = body.rstrip(b"\x00").decode()
+                if sql.startswith("CREATE_REPLICATION_SLOT"):
+                    self.created_slots.append(sql)
+                    cols = [
+                        ("slot_name", b"my_slot"),
+                        ("consistent_point", b"0/1111"),
+                        ("snapshot_name", None),
+                        ("output_plugin", b"wal2json"),
+                    ]
+                    # RowDescription: name\0 + 18-byte fixed trailer
+                    t_body = struct.pack(">h", len(cols))
+                    for name, _ in cols:
+                        t_body += name.encode() + b"\x00" + b"\x00" * 18
+                    self._send(conn, b"T", t_body)
+                    d_body = struct.pack(">h", len(cols))
+                    for _, val in cols:
+                        if val is None:
+                            d_body += struct.pack(">i", -1)
+                        else:
+                            d_body += struct.pack(">i", len(val)) + val
+                    self._send(conn, b"D", d_body)
+                    self._send(conn, b"C", b"CREATE_REPLICATION_SLOT\x00")
+                    self._send(conn, b"Z", b"I")
+                    continue
+                if sql.startswith("DROP_REPLICATION_SLOT"):
+                    self.dropped_slots.append(sql)
+                    self._send(conn, b"C", b"DROP_REPLICATION_SLOT\x00")
+                    self._send(conn, b"Z", b"I")
+                    continue
+                self.start_replication_sql = sql
+                break
             self._send(conn, b"W", b"\x00\x00\x00")  # CopyBothResponse
             for fr in self.frames:
                 self._send(conn, b"d", fr)
@@ -364,6 +398,12 @@ def test_walsender_handshake_replication_and_ack():
     )
     assert t.parameters.get("server_version") == "16.1"
     assert srv.startup_params["replication"] == "database"
+
+    info = t.create_replication_slot("my_slot", plugin="wal2json")
+    assert info["slot_name"] == "my_slot"
+    assert info["consistent_point"] == "0/1111"
+    assert info["snapshot_name"] is None
+    assert srv.created_slots and "LOGICAL wal2json" in srv.created_slots[0]
 
     t.start_replication(
         "my_slot", "0/2000", options={"format-version": "2", "actions": "insert"}
