@@ -82,11 +82,32 @@ def _read_file(path: str, file_index: int) -> Iterator[Tuple]:
     """One log segment → raw rows ``(lsn, seq, value, data)``.
 
     ``.parquet`` segments carry binary messages (columns ``data`` +
-    optional ``lsn``/``seq``); anything else is a text segment, one
-    encoded message per line (wal2json / test_decoding's durable form).
+    optional ``lsn``/``seq``); ``.seg`` segments are the length-prefixed
+    COPY-frame logs the frames transport writes (``transport.py``) —
+    batch-readable so the archived WAL relay is directly queryable
+    (backfill analytics over history with full file-parallelism, the
+    same demux/decode downstream as the live stream); anything else is
+    a text segment, one encoded message per line (wal2json /
+    test_decoding's durable form).
     """
     base = file_index << _SEQ_SHIFT
-    if path.endswith(".parquet"):
+    if path.endswith(".seg"):
+        import struct as _struct
+
+        from pg_logical_replication_spark.model import long_to_lsn
+        from pg_logical_replication_spark.sources.transport import _read_frames
+
+        with open(path, "rb") as f:
+            buf = f.read()
+        frames, _pos = _read_frames(buf, 0, None)
+        for i, frame in enumerate(frames):
+            lsn = None
+            tag = frame[:1]
+            if tag in (b"w", b"k") and len(frame) >= 9:
+                (v,) = _struct.unpack_from(">Q", frame, 1)
+                lsn = long_to_lsn(v)
+            yield (lsn, base | i, None, frame)
+    elif path.endswith(".parquet"):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(path)
