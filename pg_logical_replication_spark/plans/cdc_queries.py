@@ -2171,3 +2171,65 @@ def q_cdc_msg_prefix_filter(spark, sf_dir):
         decoded.groupBy("op", F.col("meta").getItem("prefix").alias("prefix"))
         .agg(F.count("*").alias("n"), F.sum(val).alias("sum_val"))
     )
+
+
+@register(
+    "q_cdc_pgoutput_jvm_encode",
+    """
+    SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'update' END AS op,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM events GROUP BY 1
+    """,
+    "DECLARATIVE pgoutput encode (sources/pgoutput_encode_sql.py: wire "
+    "bytes from concat/unhex/lpad JVM expressions, zero Python on the "
+    "encode side) -> Python decode -> aggregate: proves the two codecs "
+    "agree end-to-end and that producing a pgoutput stream scales in "
+    "whole-stage codegen",
+)
+def q_cdc_pgoutput_jvm_encode(spark, sf_dir):
+    from pg_logical_replication_spark.sources import pgoutput_encode_sql as E
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    eid = F.col("event_id")
+    lsn = eid * 8 + 16
+    new_tup = E.tuple_data(eid, F.col("user_id"))
+    key_tup = E.tuple_data(eid)
+    dml = (
+        F.when(F.col("event_type") == "signup", E.encode_insert(16385, new_tup))
+        .when(F.col("event_type") == "error", E.encode_delete(16385, key_tup))
+        .otherwise(E.encode_update(16385, new_tup, old_key=key_tup))
+    )
+    msgs = ev.select(
+        F.posexplode(
+            F.array(E.encode_begin(lsn, 0, eid + 1), dml, E.encode_commit(lsn, lsn + 8, 0))
+        ).alias("k", "data"),
+        lsn.alias("_lsn"),
+    ).select(
+        F.lit(None).cast("string").alias("lsn"),
+        (F.col("_lsn") * 4 + F.col("k")).alias("seq"),
+        "data",
+    )
+    rel: dict = {}
+    pgf.parse_message(
+        pgf.encode_relation(
+            16385, "public", "events",
+            [("event_id", 20), ("user_id", 20)], key_columns=["event_id"],
+        ),
+        rel,
+    )
+    decoded = decode_pgoutput(
+        msgs.repartition(spark.sparkContext.defaultParallelism), relations=rel
+    )
+    val = F.coalesce(
+        F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
+    ).cast("bigint")
+    return (
+        decoded.filter(F.col("op").isin("insert", "update", "delete"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"), F.sum(val).alias("sum_eid"))
+    )
