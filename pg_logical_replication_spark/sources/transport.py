@@ -448,18 +448,30 @@ class WalsenderTransport(WalTransport):
         self,
         slot: str,
         start_lsn: str = "0/00000000",
-        options: dict[str, str] | None = None,
+        options: dict | None = None,
+        plugin: str | None = None,
     ) -> None:
-        """``START_REPLICATION SLOT <slot> LOGICAL <lsn> (k 'v', …)`` —
-        the exact statement the reference issues (plugin option
-        serialization ≙ ``wal2json-plugin.ts:18-29``)."""
-        opts = ""
-        if options:
-            kv = ", ".join(
-                f"\"{k}\" '{str(v)}'" for k, v in sorted(options.items())
+        """``START_REPLICATION SLOT <slot> LOGICAL <lsn> (k 'v', …)``.
+
+        With ``plugin`` set, the option clause is serialized EXACTLY the
+        way that reference plugin's ``start`` builds it
+        (``sources/plugin_options.py`` — per-plugin quoting, on/off
+        rendering, join separators); otherwise a generic sorted
+        ``"k" 'v'`` list is emitted."""
+        if plugin is not None:
+            from pg_logical_replication_spark.sources.plugin_options import (
+                start_replication_sql,
             )
-            opts = f" ({kv})"
-        sql = f'START_REPLICATION SLOT "{slot}" LOGICAL {start_lsn}{opts}'
+
+            sql = start_replication_sql(plugin, slot, start_lsn, options)
+        else:
+            opts = ""
+            if options:
+                kv = ", ".join(
+                    f"\"{k}\" '{str(v)}'" for k, v in sorted(options.items())
+                )
+                opts = f" ({kv})"
+            sql = f'START_REPLICATION SLOT "{slot}" LOGICAL {start_lsn}{opts}'
         self._send_msg(b"Q", sql.encode() + b"\x00")
         while True:
             tag, body = self._recv_msg()
