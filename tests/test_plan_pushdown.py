@@ -141,3 +141,28 @@ def test_bucketed_near_dup_single_shuffle_plan(spark):
     )
     assert n_exchange == 2, plan
     assert "Join" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a per-row expression: the only
+    Exchanges in the whole query are the final top-k window on q_id and
+    nothing corpus-side before the probe join (review r3: the previous
+    crossJoin + row_number form exchanged corpus x n_centroids rows)."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        line.strip()
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    ]
+    assert len(shuffles) == 1 and "q_id" in shuffles[0], plan
+    # the pushed IsNotNull must not carry the argmax into the scan
+    scan = [line for line in plan.splitlines() if "FileScan" in line][0]
+    assert "array_max" not in scan, scan
