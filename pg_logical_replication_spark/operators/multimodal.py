@@ -227,6 +227,54 @@ def decode_wav_features(assets: DataFrame) -> DataFrame:
     )
 
 
+WAV_FRAME_SCHEMA = (
+    "asset_id bigint, n_frames int, loudest_frame int, loudest_energy bigint"
+)
+
+
+def wav_loudest_frame(assets: DataFrame, frame: int = 32) -> DataFrame:
+    """Frame-level audio analysis over REAL decoded PCM: split each
+    asset's samples into ``frame``-sample windows, find the loudest
+    (max Σ sample², first index on ties) — the audio twin of the video
+    ``sample_frames`` stage, and the shape of any frame-feature
+    extractor (VAD, energy gating, clip detection). Integer arithmetic
+    end-to-end, so the oracle replays it exactly.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct as _struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    r = wave.open(io.BytesIO(bytes(buf)), "rb")
+                    n = r.getnframes()
+                    samples = _struct.unpack(f"<{n}h", r.readframes(n))
+                    sums = [
+                        sum(s * s for s in samples[f * frame : (f + 1) * frame])
+                        for f in range((n + frame - 1) // frame)
+                    ]
+                    loud = max(sums)
+                    rows.append((aid, len(sums), sums.index(loud), loud))
+                except Exception:
+                    rows.append((aid, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_frames", "loudest_frame", "loudest_energy",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=WAV_FRAME_SCHEMA
+    )
+
+
 def synthesize_png_assets(documents: DataFrame) -> DataFrame:
     """documents → REAL greyscale PNG payloads (``functions/png.py``).
 

@@ -206,3 +206,35 @@ def q_mm_wav_decode(spark, sf_dir):
     Spark actually parses RIFF/PCM bytes on executors."""
     assets = MM.synthesize_wav_assets(t(spark, sf_dir, "documents"))
     return MM.decode_wav_features(assets)
+
+
+@register(
+    "q_mm_wav_loudest_frame",
+    """
+    WITH spec AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
+                  FROM documents),
+    fr AS (SELECT doc_id, n,
+                  list_transform(
+                    generate_series(0, (n + 31) // 32 - 1),
+                    f -> list_sum(list_transform(
+                           generate_series(f * 32, least(n, (f + 1) * 32) - 1),
+                           i -> CAST((doc_id * 37 + i * 101) % 2001 - 1000
+                                AS BIGINT)
+                              * CAST((doc_id * 37 + i * 101) % 2001 - 1000
+                                AS BIGINT)))) AS sums
+           FROM spec)
+    SELECT doc_id AS asset_id,
+           CAST(len(sums) AS INT) AS n_frames,
+           CAST(list_position(sums, list_max(sums)) - 1 AS INT)
+             AS loudest_frame,
+           CAST(list_max(sums) AS BIGINT) AS loudest_energy
+    FROM fr
+    """,
+    "frame-level audio analysis over REAL decoded PCM: 32-sample energy "
+    "windows, loudest frame per asset (first index on ties) — the audio "
+    "twin of video frame sampling, integer-exact vs the closed-form "
+    "oracle",
+)
+def q_mm_wav_loudest_frame(spark, sf_dir):
+    assets = MM.synthesize_wav_assets(t(spark, sf_dir, "documents"))
+    return MM.wav_loudest_frame(assets)
