@@ -837,3 +837,80 @@ def q_orders_seasonality(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_chunk_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    grid AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE CAST(CEIL((n - 32) / 16.0) AS INT) END)) AS chunk_idx
+      FROM tok),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_slice(toks, chunk_idx*16 + 1,
+                            LEAST(chunk_idx*16 + 32, n)), ' ')) AS chunk_md5
+      FROM grid)
+    SELECT chunk_md5,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, chunk_md5
+    LIMIT 25
+    """,
+    "cross-document chunk dedup: which 32-token windows repeat across "
+    "the corpus (boilerplate passages) — sub-document granularity the "
+    "whole-doc dedup family misses; top-25 repeated chunks by count",
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup = the chunking narrow map + a groupBy on the
+    32-byte chunk digest: the shuffle carries digests + doc ids, never
+    token text — the exact_dedup scale shape applied below document
+    granularity. At 100 TB this is how repeated boilerplate passages
+    (licenses, navbars, disclaimers) are found without any pairwise
+    work."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    n_last = F.when(F.col("n") <= 32, F.lit(0)).otherwise(
+        F.ceil((F.col("n") - 32) / 16.0).cast("int")
+    )
+    grid = toks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("chunk_idx") * 16 + 1,
+        F.least(F.col("chunk_idx") * 16 + F.lit(32), F.col("n"))
+        - F.col("chunk_idx") * 16,
+    )
+    return (
+        grid.select(
+            "doc_id", F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5")
+        )
+        .groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "chunk_md5")
+        .limit(25)
+    )
