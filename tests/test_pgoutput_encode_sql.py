@@ -80,3 +80,31 @@ def test_pre2000_timestamp_and_decode_roundtrip(spark):
     begin = decoded.filter("op = 'begin'").first()
     # pre-2000: signed i64 on the wire — ts_us 0 is the unix epoch
     assert str(begin["commit_ts"]).startswith("1970-01-01")
+
+
+def test_random_values_agree_with_python_codec(spark):
+    """200 seeded-random strings (unicode, quotes, empties, NULLs)
+    through the JVM insert encoder must be byte-identical to the Python
+    codec — one batched job, not per-example round trips."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc XYZ 0123456789 èéñ✓🎈 '\"\\,;\t"
+    vals = [
+        None if rng.random() < 0.1 else
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v string"
+    )
+    rows = df.select(
+        "i",
+        E.encode_insert(99, E.tuple_data(F.col("i"), F.col("v"))).alias("m"),
+    ).collect()
+    got = {r["i"]: bytes(r["m"]) for r in rows}
+    for i, v in enumerate(vals):
+        want = pf.encode_insert(
+            99, [("t", str(i)), ("n", None) if v is None else ("t", v)]
+        )
+        assert got[i] == want, (i, v)
