@@ -564,3 +564,35 @@ def test_poll_zero_budget_reads_nothing(tmp_path):
     t = FrameLogTailTransport(d)
     assert t.poll(max_frames=0) == []
     assert len(t.poll()) == 1  # cursor unchanged by the zero-budget poll
+
+
+def test_walsender_sasl_refused_loudly():
+    """Auth methods outside the trust/cleartext/md5 profile must raise
+    NotImplementedError, not hang or misauthenticate."""
+    import struct as _struct
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def server():
+        conn, _ = srv.accept()
+        with conn:
+            # swallow startup, demand SASL (code 10)
+            ln = int.from_bytes(conn.recv(4), "big")
+            conn.recv(ln - 4)
+            body = _struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"
+            conn.sendall(b"R" + _struct.pack(">I", len(body) + 4) + body)
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    with pytest.raises(NotImplementedError, match="auth method 10"):
+        WalsenderTransport(
+            "127.0.0.1", port, user="rep", database="app", password="x"
+        )
+    srv.close()
