@@ -90,7 +90,20 @@ class MergeOnReadTable:
         overwrite the bootstrap under idempotent replay. Rows the stream
         later touches are superseded per key (LSN 0 loses every
         comparison); untouched rows survive. Debezium
-        snapshot.mode=initial, as one partition write."""
+        snapshot.mode=initial, as one partition write.
+
+        Refuses on a non-empty log: ``batch=-1`` is also where
+        ``compact()`` folds the base, so bootstrapping an existing table
+        would silently overwrite the compacted history (review r3). The
+        initial load happens exactly once, before the stream starts.
+        """
+        if self._log() is not None:
+            raise ValueError(
+                "bootstrap() requires an empty MOR log: batch=-1 is shared "
+                "with compact()'s base partition, so bootstrapping an "
+                "existing table would overwrite its history. Run the "
+                "initial load once, before subscribing the stream."
+            )
         from pg_logical_replication_spark.operators.apply_changes import (
             bootstrap_events,
         )

@@ -441,3 +441,19 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
         assert sorted(r["doc_id"] for r in got) == [1, 2, 5]
     finally:
         q.stop()
+
+
+def test_bootstrap_refuses_nonempty_log(spark, tmp_path):
+    """bootstrap() shares batch=-1 with compact()'s base: on a non-empty
+    log it must refuse instead of silently overwriting history."""
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "t"), key_columns=["id"], table="t"
+    )
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    tbl.bootstrap(snap)  # empty log: fine
+    got = tbl.snapshot_columns({"id": "bigint", "v": "text"}).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1, "a")]
+    with pytest.raises(ValueError, match="empty MOR log"):
+        tbl.bootstrap(snap)
