@@ -38,7 +38,11 @@ def _u64(data: Column, pos: int) -> Column:
     return F.conv(F.hex(F.substring(data, pos, 8)), 16, -10).cast("long")
 
 
-def demux_copy_stream(raw: DataFrame, data_col: str = "data") -> DataFrame:
+def demux_copy_stream(
+    raw: DataFrame,
+    data_col: str = "data",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Split raw COPY frames into typed rows (reference wire demux #3).
 
     Input: one binary frame per row. Output columns:
@@ -52,6 +56,10 @@ def demux_copy_stream(raw: DataFrame, data_col: str = "data") -> DataFrame:
     * ``should_respond`` — keepalive reply-now flag ('k' only);
     * ``payload`` — the plugin bytes ('w' only), ready for
       ``sources.registry.decode``.
+
+    ``passthrough`` names input columns to carry alongside (e.g. the
+    ``pg_cdc`` source's ``seq`` frame counter, which downstream decode
+    uses as the intra-transaction tie-break).
     """
     data = F.col(data_col)
     first = F.substring(data, 1, 1)
@@ -75,4 +83,5 @@ def demux_copy_stream(raw: DataFrame, data_col: str = "data") -> DataFrame:
                 F.lit(26), F.greatest(F.length(data) - F.lit(25), F.lit(0))
             ),
         ).alias("payload"),
+        *[F.col(c) for c in passthrough],
     )

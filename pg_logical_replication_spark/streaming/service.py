@@ -147,8 +147,54 @@ class LogicalReplicationService:
             h(*args)
 
     # ------------------------------------------------------------ source
-    def changes(self, fmt: str, **decode_options) -> DataFrame:
-        """The decoded, unbounded ChangeEvent DataFrame (no sink yet)."""
+    def changes(
+        self, fmt: str, source: str = "files", **decode_options
+    ) -> DataFrame:
+        """The decoded, unbounded ChangeEvent DataFrame (no sink yet).
+
+        ``source='files'`` tails text segments (one encoded changeset
+        per line — the durable relay form). ``source='frames'`` tails a
+        raw COPY-frame log through the ``pg_cdc`` frames transport
+        (``sources/transport.py``): frames demux JVM-side
+        (``wire.demux_copy_stream``), keepalives drop out of the data
+        plane, and the 'w' payloads feed the SAME per-format decoders —
+        the live-connection path end-to-end, wired at the service
+        surface.
+        """
+        if source == "frames":
+            from pg_logical_replication_spark.sources.datasource import (
+                register as register_ds,
+            )
+            from pg_logical_replication_spark.sources.wire import (
+                demux_copy_stream,
+            )
+
+            register_ds(self.spark)
+            reader = (
+                self.spark.readStream.format("pg_cdc")
+                .option("path", self.event_log_dir)
+                .option("transport", "frames")
+            )
+            if self.max_files_per_trigger is not None:
+                reader = reader.option(
+                    "maxframespertrigger", self.max_files_per_trigger
+                )
+            raw = reader.load()
+            dm = demux_copy_stream(raw, passthrough=("lsn", "seq")).filter(
+                F.col("msg_type") == "w"
+            )
+            if fmt == "pgoutput":
+                normalized = dm.select("lsn", "seq", F.col("payload").alias("data"))
+            else:
+                normalized = dm.select(
+                    "lsn",
+                    "seq",
+                    F.col("payload").cast("string").alias("value"),
+                )
+                decode_options.setdefault("lsn_col", "lsn")
+            return decode(normalized, fmt, **decode_options)
+        if source != "files":
+            raise ValueError(f"unknown source {source!r} (files|frames)")
         reader = self.spark.readStream.format("text")
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
@@ -165,6 +211,7 @@ class LogicalReplicationService:
         available_now: bool = True,
         isolate_errors: bool = False,
         auto_acknowledge: bool = True,
+        source: str = "files",
     ) -> StreamingQuery:
         """Start streaming decoded changes into ``sink`` (foreachBatch).
 
@@ -192,7 +239,16 @@ class LogicalReplicationService:
         surface*, exactly the reference's split between ``_lastLsn``
         and the standby-status update.
         """
-        ev = self.changes(fmt, **(decode_options or {}))
+        # re-subscribe parity: the reference's subscribe() begins with
+        # `await this.stop()` (:72-74) — a second subscribe on a live
+        # slot replaces the stream instead of racing it on the same
+        # checkpoint (Spark would fail the concurrent query anyway,
+        # but with a lock error, not the reference's semantics)
+        prev = self._queries.get(slot_name)
+        if prev is not None and prev.isActive:
+            prev.stop()
+
+        ev = self.changes(fmt, source=source, **(decode_options or {}))
         # observed metrics ride the existing plan (aggregates computed
         # alongside the batch, no second scan) and surface on the
         # 'metrics' event via the progress listener. Only attached when

@@ -457,3 +457,100 @@ def test_bootstrap_refuses_nonempty_log(spark, tmp_path):
     assert [(r["id"], r["v"]) for r in got] == [(1, "a")]
     with pytest.raises(ValueError, match="empty MOR log"):
         tbl.bootstrap(snap)
+
+
+def test_subscribe_frames_source_end_to_end(spark, tmp_path):
+    """service.subscribe(source='frames'): the live-connection path at
+    the service surface — frame log → pg_cdc frames transport → JVM
+    demux → wal2json decode → MOR snapshot, acks advancing."""
+    import json
+    import struct
+    import time
+
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    seg = os.path.join(log, "000001.seg")
+
+    def w2j_frame(rid, lsn_long):
+        payload = json.dumps({
+            "change": [{
+                "kind": "insert", "schema": "public", "table": "t",
+                "columnnames": ["id", "v"], "columntypes": ["bigint", "text"],
+                "columnvalues": [rid, f"v{rid}"],
+            }],
+            "nextlsn": f"0/{lsn_long:X}",
+        }).encode()
+        return (
+            b"w" + struct.pack(">QQQ", lsn_long, lsn_long + 8, 0) + payload
+        )
+
+    with open(seg, "ab") as f:
+        for i in range(4):
+            write_frame(f, w2j_frame(i, 0x5000 + 8 * i))
+
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), key_columns=["id"], table="t"
+    )
+    q = svc.subscribe(
+        "wal2json", "frames_slot", tbl.writer(),
+        available_now=False, source="frames",
+    )
+    try:
+        deadline = time.time() + 30
+        while svc.last_lsn("frames_slot") is None and time.time() < deadline:
+            time.sleep(0.1)
+        # lsn comes from the frame header (walStart), zero-padded form
+        assert svc.last_lsn("frames_slot") == "00000000/00005018"
+        snap = tbl.snapshot_columns({"id": "bigint", "v": "text"})
+        got = {(r["id"], r["v"]) for r in snap.collect()}
+        assert got == {(i, f"v{i}") for i in range(4)}
+
+        # append → becomes visible through the same subscription
+        with open(seg, "ab") as f:
+            write_frame(f, w2j_frame(9, 0x5100))
+        while (
+            svc.last_lsn("frames_slot") != "00000000/00005100"
+            and time.time() < deadline
+        ):
+            time.sleep(0.1)
+        assert svc.last_lsn("frames_slot") == "00000000/00005100"
+    finally:
+        q.stop()
+
+
+def test_resubscribe_replaces_live_query(spark, log_dirs):
+    """subscribe() on a live slot stops the previous stream first (the
+    reference's subscribe begins with stop()), instead of racing two
+    queries on one checkpoint."""
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log, ckpt, _ = log_dirs
+    _append(
+        log, "000.jsonl",
+        [_changeset(1, "0/10", 0, [_ins("t", {"id": 1, "v": "a"})])],
+    )
+    svc = LogicalReplicationService(spark, log, ckpt)
+    got = []
+    q1 = svc.subscribe(
+        "wal2json", "s1", lambda df, b: got.extend(df.collect()),
+        available_now=False,
+    )
+    assert q1.isActive
+    q2 = svc.subscribe(
+        "wal2json", "s1", lambda df, b: got.extend(df.collect()),
+        available_now=False,
+    )
+    try:
+        assert not q1.isActive
+        assert q2.isActive
+    finally:
+        q2.stop()
