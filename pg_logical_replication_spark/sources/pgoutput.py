@@ -166,6 +166,17 @@ def decode_pgoutput(
     """
     if relations is not None:
         versions = {oid: [(-1, info)] for oid, info in relations.items()}
+    elif raw.isStreaming:
+        # a streaming plan cannot run the pre-scan (it is a batch
+        # action); in-band 'R' messages still register as the decode
+        # loop meets them, so a stream works when each relation's R
+        # precedes its rows WITHIN the micro-batch partition — true for
+        # a sequential frame/segment log. Rows of relations whose R
+        # arrived in an EARLIER micro-batch need the registry passed in
+        # (Python worker state does not span batches); production
+        # deployments supply the schema registry exactly like the
+        # reference keeps its _relationCache alive across messages.
+        versions = {}
     else:
         versions = _collect_relations(raw, data_col, seq_col)
 

@@ -554,3 +554,55 @@ def test_resubscribe_replaces_live_query(spark, log_dirs):
         assert q2.isActive
     finally:
         q2.stop()
+
+
+def test_subscribe_frames_source_pgoutput_binary(spark, tmp_path):
+    """frames source with the BINARY format: pgoutput messages ride the
+    'w' payloads, relation decoded in-band, snapshot correct."""
+    import struct
+    import time
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pf
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+
+    def frame(lsn_long, payload):
+        return b"w" + struct.pack(">QQQ", lsn_long, lsn_long + 8, 0) + payload
+
+    msgs = [
+        pf.encode_begin("0/6000", 0, 900),
+        pf.encode_relation(16390, "public", "t", [("id", 20), ("v", 25)],
+                           key_columns=["id"]),
+        pf.encode_insert(16390, [("t", "1"), ("t", "a")]),
+        pf.encode_insert(16390, [("t", "2"), ("t", "b")]),
+        pf.encode_commit("0/6000", "0/6008", 0),
+    ]
+    with open(os.path.join(log, "000001.seg"), "ab") as f:
+        for i, m in enumerate(msgs):
+            write_frame(f, frame(0x6000 + 8 * i, m))
+
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), key_columns=["id"], table="t"
+    )
+    q = svc.subscribe(
+        "pgoutput", "bin_slot", tbl.writer(),
+        available_now=False, source="frames",
+    )
+    try:
+        deadline = time.time() + 30
+        got = set()
+        while len(got) < 2 and time.time() < deadline:
+            snap = tbl.snapshot_columns({"id": "bigint", "v": "text"})
+            if snap is not None:
+                got = {(r["id"], r["v"]) for r in snap.collect()}
+            time.sleep(0.2)
+        assert got == {(1, "a"), (2, "b")}
+    finally:
+        q.stop()
