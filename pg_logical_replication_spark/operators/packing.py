@@ -66,6 +66,14 @@ def pack_sequences(
                 seq += 1
             out_bin.append(nbin)
             out_seq.append(seq)
+        if nbin >= BIN_STRIDE:
+            # a bucket_size > BIN_STRIDE of tiny docs would wrap local
+            # bin ids into the next bucket's band — refuse loudly
+            raise ValueError(
+                f"pack_sequences: bucket produced {nbin + 1} bins, "
+                f"exceeding the {BIN_STRIDE} per-bucket id band; lower "
+                "bucket_size"
+            )
         pdf = pdf.assign(
             bin_id=pdf["bucket"] * BIN_STRIDE + pd.Series(out_bin, index=pdf.index),
             bin_seq=out_seq,

