@@ -1527,3 +1527,59 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@register(
+    "q_ann_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                      {_COS.replace('qv', 'q.v').replace('cv', 'c.v')} AS cosine
+               FROM e q JOIN e c ON c.vec_id != q.vec_id
+               WHERE q.vec_id < 10),
+    banded AS (SELECT q_id, n_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cosine DESC, n_id) AS rnk
+               FROM scored WHERE cosine >= 0.05 AND cosine < 0.35)
+    SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM banded WHERE rnk <= 5
+    """,
+    "hard-negative mining for contrastive training: per query, the top-5 "
+    "neighbors inside the [0.05, 0.35) similarity band — close enough to "
+    "be informative negatives, below the near-duplicate zone (the "
+    "positives/near-dups come from the dedup family)",
+)
+def q_ann_hard_negatives(spark, sf_dir):
+    """Composes the exact scorer with a band filter + per-query top-k:
+    one corpus scan against broadcast queries (cosine_topk's shape), the
+    band filter cutting candidates before the rank window. At 100 TB the
+    band is served from an ANN index (IVF cells / LSH buckets whose
+    centroid distance falls in-band) — here exact for the oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec")
+    )
+    from pyspark.sql import Window
+
+    cos = F.round(
+        S._dot(F.col("q_vec"), F.col("n_vec"))
+        / (S._norm(F.col("q_vec")) * S._norm(F.col("n_vec"))),
+        6,
+    )
+    banded = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .filter((F.col("cosine") >= 0.05) & (F.col("cosine") < 0.35))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        banded.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 5)
+        .select("q_id", "n_id", "cosine", F.col("rnk2").cast("int").alias("rnk"))
+    )
