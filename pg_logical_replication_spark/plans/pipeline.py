@@ -352,7 +352,11 @@ def _simhash_oracle(bits: int = 16) -> str:
     "16-bit SimHash signature per document (token-vote sign bits)",
 )
 def q_dedup_simhash(spark, sf_dir):
-    return D.simhash(t(spark, sf_dir, "documents"))
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata: parallelize the explode+md5 map stage
+    # (no-op whenever the scan plans >= cores splits — any deployment)
+    return D.simhash(spread_if_narrow(t(spark, sf_dir, "documents"), spark))
 
 
 # ------------------------------------------------------------- similarity

@@ -70,6 +70,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_if_narrow(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer splits than cores.
+
+    Single-row-group parquet (a real production hazard — exporters often
+    write one giant row group, and the driver's testdata does) caps a
+    scan at one working task no matter how many byte-range splits Spark
+    plans: only the split containing the row-group midpoint reads rows.
+    For a CPU-heavy stage above such a scan this serializes the whole
+    query (q1's eight decimal aggregates: 1.10 s → 0.65 s at sf0.1 with
+    the respread). The condition makes it scale-safe: at 100 TB the
+    input plans orders of magnitude more splits than cores, the branch
+    is never taken, and no fact-table shuffle is ever introduced.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 # Scale 6: every measure in the test schema is exact at ≤6 decimals (prices
 # ×2dp, products of up to three 2dp factors), so the double→decimal cast
 # never lands on a rounding tie — where Spark (HALF_UP) and DuckDB would

@@ -40,8 +40,14 @@ _SAVG = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x})"
 )
 def q1_pricing_summary(spark, sf_dir):
     """Scale: map-side partial agg on 6 groups → final agg is tiny;
-    filter + 7-column pruning pushed to the parquet scan."""
-    li = t(spark, sf_dir, "lineitem")
+    filter + 7-column pruning pushed to the parquet scan.
+    spread_if_narrow: the sf testdata is single-row-group parquet (one
+    working scan task); the respread parallelizes the decimal aggs and
+    is a no-op whenever the input plans ≥ cores splits (any real
+    deployment)."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    li = spread_if_narrow(t(spark, sf_dir, "lineitem"), spark)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

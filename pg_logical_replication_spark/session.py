@@ -56,6 +56,13 @@ def get_spark(
         # At 100 TB: files are split into ≤128 MB tasks; AQE re-coalesces
         # small post-shuffle partitions, so over-partitioning is safe.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Small-input parallelism: target at least one split per core —
+        # Spark's split size is min(maxPartitionBytes, max(openCost,
+        # totalBytes/minPartitionNum)), so this only SHRINKS splits when
+        # the input is small relative to the cores (a 15 MB sf0.1 table
+        # otherwise scans as 3 tasks on 32 cores); at 100 TB
+        # totalBytes/cores ≫ 128 MB and the cap binds as before.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
