@@ -596,3 +596,58 @@ def test_walsender_sasl_refused_loudly():
             "127.0.0.1", port, user="rep", database="app", password="x"
         )
     srv.close()
+
+
+def test_run_relay_loop_with_rotation_and_acks(tmp_path):
+    """relay.run_relay: drains the transport into rotating segments,
+    forwards recorded acks upstream, stops on the frame bound."""
+    from pg_logical_replication_spark.relay import run_relay
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    frames = [_xlog(0x7000 + 8 * i, f"p{i}".encode()) for i in range(7)]
+    srv = _FakePgServer(password=None, frames=frames)
+    t = WalsenderTransport("127.0.0.1", srv.port, user="r", database="d")
+    t.start_replication("s", "0/7000")
+
+    log = str(tmp_path / "wal")
+    n = run_relay(
+        t, log,
+        poll_interval=0.02,
+        segment_frames=3,       # force rotation
+        stop_after_frames=7,
+        stop_after_seconds=15,
+    )
+    assert n == 7
+    segs = sorted(
+        f for f in os.listdir(log) if f.endswith(".seg")
+    )
+    assert len(segs) >= 2  # rotated at 3 frames/segment
+
+    # simulate the Spark reader acknowledging, then relay the ack up
+    FrameLogTailTransport(log).send_standby_status("0/7030")
+    from pg_logical_replication_spark.sources.transport import (
+        forward_acks_upstream,
+    )
+
+    forward_acks_upstream(log, t)
+    import time as _t
+
+    deadline = _t.time() + 5
+    while not srv.received_statuses and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert srv.received_statuses
+    assert srv.received_statuses[-1]["flushed"] == 0x7031
+    t.close()
+    srv.close()
+
+
+def test_relay_cli_arg_parsing_fails_fast_without_endpoint():
+    """The CLI requires a reachable endpoint; argument errors exit 2."""
+    import pytest as _pytest
+
+    from pg_logical_replication_spark.relay import main
+
+    with _pytest.raises(SystemExit):
+        main(["--host", "h"])  # missing required args
