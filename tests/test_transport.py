@@ -651,3 +651,51 @@ def test_relay_cli_arg_parsing_fails_fast_without_endpoint():
 
     with _pytest.raises(SystemExit):
         main(["--host", "h"])  # missing required args
+
+
+def test_frames_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A NEW query on the same checkpoint resumes from the committed
+    frame offset: already-delivered frames do not replay, new appends
+    do deliver (the acknowledge/resume contract in frames mode)."""
+    import time
+
+    from pg_logical_replication_spark.sources.datasource import register
+
+    register(spark)
+    d = str(tmp_path / "frames")
+    os.makedirs(d)
+    cp = str(tmp_path / "cp")
+    seg = os.path.join(d, "000001.seg")
+
+    def drain(bound):
+        got = []
+        q = (
+            spark.readStream.format("pg_cdc")
+            .option("path", d)
+            .option("transport", "frames")
+            .load()
+            .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 30
+            while len(got) < bound and time.time() < deadline:
+                time.sleep(0.1)
+        finally:
+            q.stop()
+        return got
+
+    with open(seg, "ab") as f:
+        write_frame(f, _xlog(0x10))
+        write_frame(f, _xlog(0x18))
+    first = drain(2)
+    assert [r["seq"] for r in first] == [0, 1]
+
+    with open(seg, "ab") as f:
+        write_frame(f, _xlog(0x20))
+    second = drain(1)
+    # only the new frame, continuing the global frame counter
+    assert [r["seq"] for r in second] == [2]
+    assert second[0]["lsn"] == "00000000/00000020"
