@@ -2233,3 +2233,63 @@ def q_cdc_pgoutput_jvm_encode(spark, sf_dir):
         .groupBy("op")
         .agg(F.count("*").alias("n"), F.sum(val).alias("sum_eid"))
     )
+
+
+@register(
+    "q_cdc_dlq_stats",
+    """
+    SELECT CASE WHEN event_id % 13 = 0 THEN 'dead' ELSE 'decoded' END
+             AS channel,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN event_id END)
+                AS BIGINT) AS sum_decoded_eid
+    FROM events GROUP BY 1
+    """,
+    "the error channel (#24), oracle-gated: every 13th changeset is "
+    "corrupted in-flight; the decode keeps flowing and dead_letters "
+    "accounts for exactly the corrupted lines - decoded + dead must "
+    "partition the input",
+)
+def q_cdc_dlq_stats(spark, sf_dir):
+    """Happy path and DLQ come from ONE scan (Catalyst shares the
+    from_json between decode and dead_letters when both run in a job) -
+    the reference's per-message error events (:213-216) as a partition
+    of the stream, never a halt."""
+    from pg_logical_replication_spark.sources.registry import dead_letters
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    good = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("insert").alias("kind"),
+                    F.lit("public").alias("schema"),
+                    F.lit("events").alias("table"),
+                    F.array(F.lit("event_id")).alias("columnnames"),
+                    F.array(F.lit("bigint")).alias("columntypes"),
+                    F.array(eid.cast("string")).alias("columnvalues"),
+                )
+            ).alias("change"),
+            eid.alias("xid"),
+            lsn_str_expr(eid * 8 + 16).alias("nextlsn"),
+        )
+    )
+    # corruption: truncate the JSON mid-object (a torn relay write)
+    raw = ev.select(
+        F.when(eid % 13 == 0, F.substring(good, 1, 25)).otherwise(good)
+        .alias("value")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    decoded = decode_wal2json(raw).select(
+        F.lit("decoded").alias("channel"),
+        F.col("after").getItem("event_id").cast("bigint").alias("eid"),
+    )
+    dead = dead_letters(raw, "wal2json").select(
+        F.lit("dead").alias("channel"), F.lit(None).cast("bigint").alias("eid")
+    )
+    return (
+        decoded.unionByName(dead)
+        .groupBy("channel")
+        .agg(F.count("*").alias("n"), F.sum("eid").alias("sum_decoded_eid"))
+    )
