@@ -1587,3 +1587,77 @@ def q_ann_hard_negatives(spark, sf_dir):
         .filter(F.col("rnk2") <= 5)
         .select("q_id", "n_id", "cosine", F.col("rnk2").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "q_corpus_drift",
+    """
+    WITH tagged AS (
+      SELECT lang, source,
+             CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS snap,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    agg AS (
+      SELECT lang, source, snap, COUNT(*) AS n,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM tagged GROUP BY 1, 2, 3),
+    wide AS (
+      SELECT lang, source,
+             CAST(COALESCE(MAX(CASE WHEN snap='old' THEN n END), 0) AS BIGINT)
+               AS n_old,
+             CAST(COALESCE(MAX(CASE WHEN snap='new' THEN n END), 0) AS BIGINT)
+               AS n_new,
+             CAST(COALESCE(MAX(CASE WHEN snap='old' THEN tokens END), 0)
+                  AS BIGINT) AS tokens_old,
+             CAST(COALESCE(MAX(CASE WHEN snap='new' THEN tokens END), 0)
+                  AS BIGINT) AS tokens_new
+      FROM agg GROUP BY 1, 2)
+    SELECT lang, source, n_old, n_new, tokens_old, tokens_new,
+           CASE WHEN n_old = 0 OR n_new = 0 THEN TRUE
+                WHEN n_new * 10 > n_old * 13 THEN TRUE
+                WHEN n_old * 10 > n_new * 13 THEN TRUE
+                ELSE FALSE END AS drift_flag
+    FROM wide ORDER BY lang, source
+    """,
+    "corpus drift between ingest snapshots: per (lang, source) doc and "
+    "token counts old-vs-new with an integer 1.3x ratio flag (no float "
+    "division in the contract) — the monitoring pass that catches a "
+    "crawler or upstream mix silently shifting composition",
+)
+def q_corpus_drift(spark, sf_dir):
+    """Two aggregates and a pivot — one scan, one shuffle on the stratum
+    key; at 100 TB each snapshot aggregates independently and the
+    comparison joins two tiny per-stratum tables. The ratio test is
+    integer cross-multiplication, exact in any engine."""
+    docs = t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "old").otherwise("new").alias("snap"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    agg = tagged.groupBy("lang", "source", "snap").agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tokens")
+    )
+    wide = agg.groupBy("lang", "source").agg(
+        F.coalesce(F.max(F.when(F.col("snap") == "old", F.col("n"))), F.lit(0))
+        .cast("long").alias("n_old"),
+        F.coalesce(F.max(F.when(F.col("snap") == "new", F.col("n"))), F.lit(0))
+        .cast("long").alias("n_new"),
+        F.coalesce(
+            F.max(F.when(F.col("snap") == "old", F.col("tokens"))), F.lit(0)
+        ).cast("long").alias("tokens_old"),
+        F.coalesce(
+            F.max(F.when(F.col("snap") == "new", F.col("tokens"))), F.lit(0)
+        ).cast("long").alias("tokens_new"),
+    )
+    drift = (
+        F.when((F.col("n_old") == 0) | (F.col("n_new") == 0), F.lit(True))
+        .when(F.col("n_new") * 10 > F.col("n_old") * 13, F.lit(True))
+        .when(F.col("n_old") * 10 > F.col("n_new") * 13, F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    return wide.select(
+        "lang", "source", "n_old", "n_new", "tokens_old", "tokens_new",
+        drift.alias("drift_flag"),
+    ).orderBy("lang", "source")
