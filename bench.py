@@ -40,6 +40,8 @@ HEADLINE = [
     "q_dedup_winnow",
     "q_ann_cosine_topk",
     "q_ann_ivf_topk",
+    "q_embed_near_dup_bucketed",
+    "q_cdc_pgoutput_jvm_encode",
     "q_join_bloom_prune",
     "q_doc_chunks",
     "q_text_quality",

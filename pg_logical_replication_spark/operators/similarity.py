@@ -84,40 +84,34 @@ def hyperplane_signs(vec_col: str, dims: int, planes: int, table: int = 0) -> Co
     SQL for the oracle. ``table`` offsets the plane indices so multiple
     independent hash tables draw disjoint hyperplane sets.
     """
-    bits = [
+    # Assembled as ONE SQL string parsed by a single F.expr: building
+    # planes × (zip_with + aggregate) through the py4j Column DSL costs
+    # ~1.7 s of driver round trips PER PLAN BUILD for an 8-table
+    # signature set (lambda-bearing HOFs are the chattiest constructs);
+    # string assembly is microseconds and the parsed expressions — and
+    # therefore every float result — are identical.
+    parts = [
         # loud guard: a vector shorter than `dims` would null-pad the
         # zip_with, null every projection, and collapse all signatures
         # to one bucket (silent brute-force; review r2)
-        F.when(
-            F.size(F.col(vec_col)) >= dims, F.lit("")
-        ).otherwise(
-            F.raise_error(
-                F.lit(
-                    f"hyperplane_signs: embedding shorter than dims={dims}"
-                )
-            )
-        )
+        f"CASE WHEN size(`{vec_col}`) >= {dims} THEN '' ELSE "
+        f"raise_error('hyperplane_signs: embedding shorter than dims={dims}') "
+        "END"
     ]
     for p in range(planes):
-        ws = [
-            1.0
+        ws = ",".join(
+            "1.0D"
             if int(hashlib_md5_hex(f"{table * planes + p}:{d}")[0], 16) % 2 == 0
-            else -1.0
+            else "-1.0D"
             for d in range(dims)
-        ]
-        # flat array literal + zip_with/aggregate HOFs: same left-to-right
-        # summation as an unrolled add chain, but a constant-depth
-        # expression tree — analysis/codegen stays O(planes), not
-        # O(planes·dims) (the unrolled form made multi-table signatures
-        # dominate PLAN time, not run time)
-        prod = F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.array(*[F.lit(w) for w in ws]),
-            lambda x, w: x * w,
         )
-        proj = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        proj = (
+            f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+            f"array({ws}), (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        )
+        parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def hashlib_md5_hex(s: str) -> str:
