@@ -183,7 +183,9 @@ class LogicalReplicationService:
             dm = demux_copy_stream(raw, passthrough=("lsn", "seq")).filter(
                 F.col("msg_type") == "w"
             )
-            if fmt == "pgoutput":
+            if fmt in ("pgoutput", "decoderbufs"):
+                # BINARY formats ride the payload bytes untouched — a
+                # string cast would corrupt protobuf/pgoutput frames
                 normalized = dm.select("lsn", "seq", F.col("payload").alias("data"))
             else:
                 normalized = dm.select(

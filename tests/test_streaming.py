@@ -606,3 +606,55 @@ def test_subscribe_frames_source_pgoutput_binary(spark, tmp_path):
         assert got == {(1, "a"), (2, "b")}
     finally:
         q.stop()
+
+
+def test_subscribe_frames_source_decoderbufs_binary(spark, tmp_path):
+    """frames source with the OTHER binary format: decoderbufs protobuf
+    payloads must ride as bytes (a string cast would corrupt them)."""
+    import struct
+    import time
+
+    from pg_logical_replication_spark.sources import decoderbufs_format as dbf
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    msgs = [
+        dbf.encode_row_message(
+            op="insert", xid=7, commit_time_us=0, table="public.t",
+            new_tuple=[
+                dbf.encode_datum("id", 20, int64=1),
+                dbf.encode_datum("v", 25, string="a"),
+            ],
+        ),
+        dbf.encode_row_message(
+            op="insert", xid=7, commit_time_us=0, table="public.t",
+            new_tuple=[
+                dbf.encode_datum("id", 20, int64=2),
+                dbf.encode_datum("v", 25, string="b"),
+            ],
+        ),
+    ]
+    with open(os.path.join(log, "000001.seg"), "ab") as f:
+        for i, m in enumerate(msgs):
+            lsn = 0x8000 + 8 * i
+            write_frame(f, b"w" + struct.pack(">QQQ", lsn, lsn + 8, 0) + m)
+
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    got = []
+    q = svc.subscribe(
+        "decoderbufs", "db_slot",
+        lambda df, _b: got.extend(df.collect()),
+        available_now=False, source="frames",
+    )
+    try:
+        deadline = time.time() + 30
+        while len(got) < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        ids = sorted((r["after"] or {}).get("id") for r in got)
+        assert ids == ["1", "2"], got
+    finally:
+        q.stop()
