@@ -683,6 +683,16 @@ def test_frames_stream_restart_resumes_from_checkpoint(spark, tmp_path):
             deadline = time.time() + 30
             while len(got) < bound and time.time() < deadline:
                 time.sleep(0.1)
+            # stopping right after foreachBatch races the offset commit
+            # (a replay on restart would be legal at-least-once, but the
+            # test asserts the COMMITTED-resume path): wait until an
+            # idle micro-batch completes after the data batch, which
+            # implies the prior offsets are in the commit log
+            while time.time() < deadline:
+                lp = q.lastProgress
+                if lp is not None and lp["numInputRows"] == 0:
+                    break
+                time.sleep(0.1)
         finally:
             q.stop()
         return got
