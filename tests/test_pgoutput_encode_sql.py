@@ -108,3 +108,21 @@ def test_random_values_agree_with_python_codec(spark):
             99, [("t", str(i)), ("n", None) if v is None else ("t", v)]
         )
         assert got[i] == want, (i, v)
+
+
+def test_int_helpers_mask_before_hex(spark):
+    """u8/u16/u32 must mask BEFORE hex: Spark lpad truncates from the
+    LEFT, so a negative long's 16-char two's-complement hex would keep
+    the wrong (high-order) digits."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        E.u32(F.lit(-2)).alias("a"),      # 0xFFFFFFFE, not 0xFFFFFFFF
+        E.u16(F.lit(-1)).alias("b"),
+        E.u8(F.lit(300)).alias("c"),      # wraps to 0x2C
+        E.u32(F.lit(0xFFFFFFFF)).alias("d"),
+    ).first()
+    assert bytes(row["a"]) == b"\xff\xff\xff\xfe"
+    assert bytes(row["b"]) == b"\xff\xff"
+    assert bytes(row["c"]) == b"\x2c"
+    assert bytes(row["d"]) == b"\xff\xff\xff\xff"

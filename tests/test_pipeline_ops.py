@@ -112,3 +112,23 @@ def test_pagerank_join_loop_agrees_with_driver_loop(spark):
         for r in q_graph_pagerank(spark, sf, edges_in_cluster=True).collect()
     }
     assert driver == cluster
+
+
+def test_register_tables_plain_sql_surface(spark):
+    """A consumer of the reference who runs SQL against replicated PG
+    tables can point spark.sql at the engine's views instead
+    (session.register_tables) — joins, aggregates, the lot."""
+    from pg_logical_replication_spark.session import register_tables
+
+    names = register_tables(spark, "/root/testdata/sf0.001", prefix="sql_")
+    assert "sql_lineitem" in names and "sql_documents" in names
+    row = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_orders
+        FROM sql_orders o
+        JOIN sql_customer c ON c.c_custkey = o.o_custkey
+        JOIN sql_nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n_orders DESC, n.n_name LIMIT 1
+        """
+    ).first()
+    assert row["n_orders"] > 0 and isinstance(row["n_name"], str)
