@@ -16,3 +16,30 @@ from pg_logical_replication_spark.operators.transactions import (  # noqa: F401
     resolve_streamed,
     resolve_transactions,
 )
+from pg_logical_replication_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    containment_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_pairs,
+    winnow_fingerprints,
+)
+from pg_logical_replication_spark.operators.similarity import (  # noqa: F401
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_bucketed,
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+    sq8_cosine_topk,
+)
+from pg_logical_replication_spark.operators.graph import pagerank  # noqa: F401
+from pg_logical_replication_spark.operators.multimodal import (  # noqa: F401
+    decode_png_features,
+    decode_wav_features,
+    synthesize_png_assets,
+    synthesize_wav_assets,
+    wav_loudest_frame,
+)
+from pg_logical_replication_spark.operators.packing import pack_sequences  # noqa: F401

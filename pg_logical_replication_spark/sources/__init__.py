@@ -38,3 +38,16 @@ from pg_logical_replication_spark.sources.debezium import (  # noqa: F401
 from pg_logical_replication_spark.sources.decoderbufs import (  # noqa: F401
     decode_decoderbufs,
 )
+from pg_logical_replication_spark.sources.wire import demux_copy_stream  # noqa: F401
+from pg_logical_replication_spark.sources.transport import (  # noqa: F401
+    FrameLogTailTransport,
+    SocketFrameTransport,
+    WalsenderTransport,
+    WalTransport,
+    forward_acks_upstream,
+    relay_to_frame_log,
+)
+from pg_logical_replication_spark.sources.plugin_options import (  # noqa: F401
+    options_clause,
+    start_replication_sql,
+)
