@@ -51,9 +51,27 @@ def run_relay(
 
     Returns the total frame count relayed.
     """
+    import os
+
+    from pg_logical_replication_spark.sources.transport import _read_frames
+
     total = 0
+    # resume into the EXISTING last segment: restarting at 000001.seg
+    # would append frames behind later segments, breaking the name-order
+    # contract every reader depends on
     seg_idx = 1
     seg_count = 0
+    if os.path.isdir(log_dir):
+        segs = sorted(
+            n for n in os.listdir(log_dir)
+            if n.endswith(".seg")
+            and os.path.isfile(os.path.join(log_dir, n))
+        )
+        if segs:
+            seg_idx = int(segs[-1].split(".")[0])
+            with open(os.path.join(log_dir, segs[-1]), "rb") as f:
+                frames, _pos = _read_frames(f.read(), 0, None)
+            seg_count = len(frames)
     ack_cursor = 0
     last_status = time.monotonic()
     started = time.monotonic()
@@ -112,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
         help="plugin option (repeatable), serialized per plugin",
     )
     p.add_argument("--start-lsn", default="0/00000000")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="start from the log's last recorded WAL position instead of "
+        "--start-lsn (crash-restart without duplicating frames)",
+    )
     p.add_argument("--create-slot", action="store_true")
     p.add_argument("--log-dir", required=True)
     p.add_argument("--poll-interval", type=float, default=0.2)
@@ -125,9 +148,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.create_slot:
         t.create_replication_slot(args.slot, plugin=args.plugin)
+    start_lsn = args.start_lsn
+    if args.resume:
+        from pg_logical_replication_spark.model import ack_lsn
+        from pg_logical_replication_spark.sources.transport import (
+            last_logged_lsn,
+        )
+
+        logged = last_logged_lsn(args.log_dir)
+        if logged is not None:
+            start_lsn = ack_lsn(logged)  # the byte after the last durable frame
     options = dict(kv.split("=", 1) for kv in args.option)
     t.start_replication(
-        args.slot, args.start_lsn, options=options, plugin=args.plugin
+        args.slot, start_lsn, options=options, plugin=args.plugin
     )
     try:
         run_relay(

@@ -585,3 +585,27 @@ def forward_acks_upstream(
             long_to_lsn(s["flushed"] - 1), ping=s["ping"]
         )
     return len(statuses)
+
+
+def last_logged_lsn(log_dir: str) -> str | None:
+    """Newest WAL position recorded in a frame log ('w' walStart / 'k'
+    walEnd maxima) — the relay's crash-restart resume point: a restarted
+    relay issues START_REPLICATION from here (PG replays from the slot's
+    confirmed position, which may be earlier) so already-durable frames
+    are not appended twice. Returns None for an empty/missing log.
+    """
+    tail = FrameLogTailTransport(log_dir)
+    from pg_logical_replication_spark.model import long_to_lsn
+
+    best: int | None = None
+    while True:
+        frames = tail.poll(max_frames=10_000)
+        if not frames:
+            break
+        for frame in frames:
+            tag = frame[:1]
+            if tag in (b"w", b"k") and len(frame) >= 9:
+                (v,) = struct.unpack_from(">Q", frame, 1)
+                if best is None or v > best:
+                    best = v
+    return None if best is None else long_to_lsn(best)

@@ -709,3 +709,64 @@ def test_frames_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     # only the new frame, continuing the global frame counter
     assert [r["seq"] for r in second] == [2]
     assert second[0]["lsn"] == "00000000/00000020"
+
+
+def test_last_logged_lsn_resume_point(tmp_path):
+    """last_logged_lsn walks every segment's frame headers — the relay's
+    crash-restart resume point (restart replays nothing already durable)."""
+    from pg_logical_replication_spark.model import ack_lsn
+    from pg_logical_replication_spark.sources.transport import last_logged_lsn
+
+    d = str(tmp_path / "wal")
+    assert last_logged_lsn(d) is None
+    os.makedirs(d)
+    with open(os.path.join(d, "000001.seg"), "ab") as f:
+        write_frame(f, _xlog(0x100))
+        write_frame(f, _keepalive(0x180))
+    with open(os.path.join(d, "000002.seg"), "ab") as f:
+        write_frame(f, _xlog(0x150))  # older than the keepalive's walEnd
+    assert last_logged_lsn(d) == "00000000/00000180"
+    assert ack_lsn(last_logged_lsn(d)) == "00000000/00000181"
+
+
+def test_run_relay_restart_resumes_last_segment(tmp_path):
+    """A restarted relay continues in the log's LAST segment (writing to
+    000001.seg again would append frames behind later segments and break
+    the name-order contract) and the resume point skips durable frames."""
+    from pg_logical_replication_spark.model import ack_lsn
+    from pg_logical_replication_spark.relay import run_relay
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+        last_logged_lsn,
+    )
+
+    log = str(tmp_path / "wal")
+
+    srv1 = _FakePgServer(password=None, frames=[_xlog(0x100 + 8 * i) for i in range(4)])
+    t1 = WalsenderTransport("127.0.0.1", srv1.port, user="r", database="d")
+    t1.start_replication("s", "0/100")
+    assert run_relay(t1, log, poll_interval=0.02, segment_frames=3,
+                     stop_after_frames=4, stop_after_seconds=15) == 4
+    t1.close(); srv1.close()
+    assert sorted(os.listdir(log)) == ["000001.seg", "000002.seg"]
+
+    # restart: resume point = byte after the last durable frame
+    resume = ack_lsn(last_logged_lsn(log))
+    assert resume == "00000000/00000119"  # 0x118 walStart + 1
+    srv2 = _FakePgServer(password=None, frames=[_xlog(0x120), _xlog(0x128)])
+    t2 = WalsenderTransport("127.0.0.1", srv2.port, user="r", database="d")
+    t2.start_replication("s", resume)
+    assert run_relay(t2, log, poll_interval=0.02, segment_frames=3,
+                     stop_after_frames=2, stop_after_seconds=15) == 2
+    t2.close(); srv2.close()
+
+    # appended into 000002.seg (2 existing? no: seg2 had 1 frame; +2 = 3)
+    t = FrameLogTailTransport(log)
+    lsns = []
+    while True:
+        frames = t.poll()
+        if not frames:
+            break
+        for fr in frames:
+            lsns.append(int.from_bytes(fr[1:9], "big"))
+    assert lsns == [0x100, 0x108, 0x110, 0x118, 0x120, 0x128]  # strict order
