@@ -770,3 +770,40 @@ def test_run_relay_restart_resumes_last_segment(tmp_path):
         for fr in frames:
             lsns.append(int.from_bytes(fr[1:9], "big"))
     assert lsns == [0x100, 0x108, 0x110, 0x118, 0x120, 0x128]  # strict order
+
+
+def test_concurrent_writer_reader_no_torn_frames(tmp_path):
+    """The frame-atomicity claim under real concurrency: a writer
+    appending frames byte-by-byte (worst-case torn writes) while a
+    reader polls must yield every frame exactly once, in order, never
+    a torn one."""
+    import threading
+    import time
+
+    d = str(tmp_path / "wal")
+    os.makedirs(d)
+    seg = os.path.join(d, "000001.seg")
+    N = 300
+    stop = threading.Event()
+
+    def writer():
+        with open(seg, "ab", buffering=0) as f:
+            for i in range(N):
+                frame = _xlog(0x1000 + 8 * i, payload=b"x" * (i % 37))
+                blob = struct.pack(">I", len(frame)) + frame
+                # worst case: two syscalls per frame, torn mid-length
+                f.write(blob[:3])
+                f.write(blob[3:])
+        stop.set()
+
+    th = threading.Thread(target=writer, daemon=True)
+    got = []
+    t = FrameLogTailTransport(d)
+    th.start()
+    deadline = time.time() + 30
+    while len(got) < N and time.time() < deadline:
+        got.extend(t.poll())
+    assert len(got) == N
+    starts = [int.from_bytes(fr[1:9], "big") for fr in got]
+    assert starts == [0x1000 + 8 * i for i in range(N)]
+    assert all(len(fr) == 25 + (i % 37) for i, fr in enumerate(got))
