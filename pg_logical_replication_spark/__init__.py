@@ -23,7 +23,7 @@ Arrow-batched pandas UDFs only where built-ins cannot express the semantics
 (the pgoutput binary parse and decoderbufs protobuf parse).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 
 def _ensure_protobuf_shim() -> None:

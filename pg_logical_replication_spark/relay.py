@@ -25,7 +25,6 @@ import time
 from pg_logical_replication_spark.sources.transport import (
     WalTransport,
     forward_acks_upstream,
-    relay_to_frame_log,
 )
 
 
@@ -35,63 +34,57 @@ def run_relay(
     poll_interval: float = 0.2,
     status_interval: float = 10.0,
     segment_frames: int = 100_000,
+    rotate_bytes: int = 256 * 1024 * 1024,
     stop_after_frames: int | None = None,
     stop_after_seconds: float | None = None,
 ) -> int:
     """Drain ``transport`` into ``log_dir`` until a stop condition.
 
-    * frames append to numbered segments, rotating every
-      ``segment_frames`` so batch readers get file parallelism and
-      retention can drop whole segments;
+    * frames append to numbered segments via
+      :class:`~pg_logical_replication_spark.sources.transport.FrameLogWriter`,
+      rotating at ``segment_frames`` frames or ``rotate_bytes`` bytes
+      (whichever first) so batch readers get file parallelism and
+      retention can drop whole segments — every polled frame is
+      written, and a crash-restart resumes into the last segment with
+      any torn tail truncated;
     * acks recorded by the Spark reader are forwarded upstream at least
       every ``status_interval`` seconds (the reference's standby-status
-      timer, ``logical-replication-service.ts:240-248``);
+      timer, ``logical-replication-service.ts:240-248``); when the
+      interval elapses with NO new recorded acks, the last status is
+      re-sent anyway — the reference re-acks ``lastLsn`` on every
+      timeout (``:238-247``) so an idle slot never trips
+      ``wal_sender_timeout``;
     * ``stop_after_frames`` / ``stop_after_seconds`` bound the loop for
       tests and drain-style invocations; with neither, runs forever.
 
     Returns the total frame count relayed.
     """
-    import os
+    from pg_logical_replication_spark.sources.transport import (
+        FrameLogWriter,
+        resend_last_status,
+    )
 
-    from pg_logical_replication_spark.sources.transport import _read_frames
-
+    writer = FrameLogWriter(
+        log_dir, segment_frames=segment_frames, rotate_bytes=rotate_bytes
+    )
     total = 0
-    # resume into the EXISTING last segment: restarting at 000001.seg
-    # would append frames behind later segments, breaking the name-order
-    # contract every reader depends on
-    seg_idx = 1
-    seg_count = 0
-    if os.path.isdir(log_dir):
-        segs = sorted(
-            n for n in os.listdir(log_dir)
-            if n.endswith(".seg")
-            and os.path.isfile(os.path.join(log_dir, n))
-        )
-        if segs:
-            seg_idx = int(segs[-1].split(".")[0])
-            with open(os.path.join(log_dir, segs[-1]), "rb") as f:
-                frames, _pos = _read_frames(f.read(), 0, None)
-            seg_count = len(frames)
     ack_cursor = 0
     last_status = time.monotonic()
     started = time.monotonic()
     while True:
-        # cap the drain at the segment's remaining capacity so rotation
-        # happens AT the boundary, not after an oversized append
-        wrote = relay_to_frame_log(
-            transport,
-            log_dir,
-            segment_name=f"{seg_idx:06d}.seg",
-            max_frames=segment_frames - seg_count,
-        )
+        wrote = writer.append(transport.poll(max_frames=segment_frames))
         total += wrote
-        seg_count += wrote
-        if seg_count >= segment_frames:
-            seg_idx += 1
-            seg_count = 0
         now = time.monotonic()
         if wrote or now - last_status >= status_interval:
-            ack_cursor = forward_acks_upstream(log_dir, transport, ack_cursor)
+            new_cursor = forward_acks_upstream(log_dir, transport, ack_cursor)
+            if (
+                new_cursor == ack_cursor
+                and not wrote
+                and now - last_status >= status_interval
+            ):
+                # idle with no progress: keep the walsender alive
+                resend_last_status(log_dir, transport)
+            ack_cursor = new_cursor
             last_status = now
         if stop_after_frames is not None and total >= stop_after_frames:
             break

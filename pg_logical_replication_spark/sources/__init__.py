@@ -41,11 +41,13 @@ from pg_logical_replication_spark.sources.decoderbufs import (  # noqa: F401
 from pg_logical_replication_spark.sources.wire import demux_copy_stream  # noqa: F401
 from pg_logical_replication_spark.sources.transport import (  # noqa: F401
     FrameLogTailTransport,
+    FrameLogWriter,
     SocketFrameTransport,
     WalsenderTransport,
     WalTransport,
     forward_acks_upstream,
     relay_to_frame_log,
+    resend_last_status,
 )
 from pg_logical_replication_spark.sources.plugin_options import (  # noqa: F401
     options_clause,

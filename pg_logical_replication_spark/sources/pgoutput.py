@@ -188,6 +188,9 @@ def decode_pgoutput(
     )
 
     out_cols = [f.name for f in out_schema.fields]
+    # streaming decode tolerates unseen-relation DML (degrades to error
+    # rows); batch decode has the pre-scan guarantee and stays strict
+    lenient = raw.isStreaming
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         relations = _VersionedRelations(versions)
@@ -229,7 +232,37 @@ def decode_pgoutput(
             )
             for data, lsn, seq in zip(pdf[data_col], pdf[lsn_col], pdf[seq_col]):
                 relations.seq = seq
-                ev = fmt.parse_message(bytes(data), relations, streamed=in_stream)
+                try:
+                    ev = fmt.parse_message(
+                        bytes(data), relations, streamed=in_stream
+                    )
+                except (KeyError, fmt.MissingRelationError) as e:
+                    # unseen relation oid. In BATCH mode the pre-scan
+                    # guarantees every R is registered, so this is a
+                    # hard protocol error — raise. In STREAMING mode the
+                    # R may have arrived in an earlier micro-batch (e.g.
+                    # a checkpoint restart resuming past it): degrade to
+                    # an in-band error row instead of crashing the query
+                    # — the reference emits per-message 'error' events
+                    # without halting the queue
+                    # (logical-replication-service.ts:213-216). Callers
+                    # avoid the degraded rows entirely by passing the
+                    # relations= registry (like the reference's
+                    # _relationCache living across messages).
+                    if not lenient:
+                        raise
+                    oid = getattr(e, "oid", None) or e.args[0]
+                    ev = {
+                        "op": "error",
+                        "meta": {
+                            "error": (
+                                f"unseen relation oid {oid}: its 'R' "
+                                "message precedes this micro-batch; pass "
+                                "relations= (schema registry) to decode"
+                            ),
+                            "msg_type": chr(bytes(data)[0]) if data else "",
+                        },
+                    }
                 if ev["op"] == "stream_start":
                     in_stream = True
                     stream_top = ev.get("xid")

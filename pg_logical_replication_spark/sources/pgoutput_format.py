@@ -99,6 +99,15 @@ class Reader:
         return self.i64() + PG_EPOCH_OFFSET_US
 
 
+class MissingRelationError(ValueError):
+    """DML referenced a relation oid with no cached 'R' message
+    (≙ pgoutput-parser.ts:151-153 throwing 'missing relation')."""
+
+    def __init__(self, oid: int):
+        super().__init__(f"missing relation {oid}")
+        self.oid = oid
+
+
 @dataclass
 class RelationInfo:
     """Cached relation schema (≙ MessageRelation, pgoutput.types.ts:63-71)."""
@@ -414,7 +423,9 @@ def _parse_tail(r: Reader, tag: int, relations: dict[int, RelationInfo]) -> dict
         oid = r.u32()
         rel = relations.get(oid)
         if rel is None:
-            raise ValueError("missing relation")  # ≙ pgoutput-parser.ts:151-153
+            # ≙ pgoutput-parser.ts:151-153; carries the oid so the
+            # streaming decoder can degrade to an error row
+            raise MissingRelationError(oid)
         base = {"schema": rel.schema, "table": rel.name}
         if tag == 0x49:  # 'I' Insert
             if r.u8() != 0x4E:  # 'N'

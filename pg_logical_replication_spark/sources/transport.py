@@ -184,10 +184,14 @@ class FrameLogTailTransport(WalTransport):
             out.extend(frames)
             if max_frames is not None and len(out) >= max_frames:
                 break
-            # advance past this segment only if fully drained AND a later
-            # segment exists; otherwise keep tailing it
-            if self._pos + 4 <= len(buf) or idx + 1 >= len(segs):
-                break
+            if idx + 1 >= len(segs):
+                break  # active (last) segment — keep tailing it for growth
+            # A later segment exists, so this one is sealed: the writer
+            # rotates forward only, never back. Any bytes left past the
+            # last complete frame are a torn tail from a crashed writer —
+            # skip past them instead of waiting forever for a completion
+            # that cannot come (review r3 advice: a torn non-last tail
+            # must not wedge segment advance).
             idx += 1
         return out
 
@@ -297,6 +301,7 @@ class WalsenderTransport(WalTransport):
         self._buf = b""
         self._frames: list[bytes] = []
         self._copy_both = False
+        self._copy_ended = False
         self.parameters: dict[str, str] = {}
         self._handshake(user, database, password)
 
@@ -477,6 +482,7 @@ class WalsenderTransport(WalTransport):
             tag, body = self._recv_msg()
             if tag == b"W":  # CopyBothResponse — streaming begins
                 self._copy_both = True
+                self._copy_ended = False
                 return
             if tag == b"E":
                 f = self._error_fields(body)
@@ -490,6 +496,8 @@ class WalsenderTransport(WalTransport):
         import select
 
         if not self._copy_both:
+            if self._copy_ended:
+                return []  # clean server CopyDone — drain loops see EOF
             raise RuntimeError("walsender: call start_replication first")
         out: list[bytes] = []
         while max_frames is None or len(out) < max_frames:
@@ -514,8 +522,15 @@ class WalsenderTransport(WalTransport):
             elif tag == b"E":
                 f = self._error_fields(body)
                 raise ConnectionError(f"walsender: {f.get('M', 'stream error')}")
-            elif tag in (b"c", b"C", b"Z"):  # CopyDone / complete / ready
-                self._copy_both = tag not in (b"c",)
+            elif tag == b"c":  # server CopyDone: the stream has ended
+                self._copy_both = False
+                self._copy_ended = True
+                try:
+                    self._send_msg(b"c", b"")  # protocol: reply CopyDone
+                except OSError:  # pragma: no cover - peer already gone
+                    pass
+            # CommandComplete ('C') / ReadyForQuery ('Z') after CopyDone
+            # must NOT re-enter CopyBoth mode — the stream stays ended
             # else: keepalive-irrelevant notices — skip
         return out
 
@@ -527,6 +542,94 @@ class WalsenderTransport(WalTransport):
             self._sock.close()
         except OSError:  # pragma: no cover
             pass
+
+
+class FrameLogWriter:
+    """Rotation- and crash-safe appender for the durable frame log.
+
+    Owns the segment-rotation policy the readers rely on (name-ordered
+    segments, only the last one ever grows): a segment seals when it
+    reaches ``segment_frames`` frames OR ``rotate_bytes`` bytes,
+    whichever comes first; the next frame opens ``<idx+1>.seg``. A
+    frame is NEVER dropped — an oversized frame still lands (its
+    segment simply seals right after), because by the time it reaches
+    the writer it has already been drained from the transport and this
+    log is its only durable home (review r3 advice, high).
+
+    Construction resumes into the EXISTING last segment (restarting at
+    ``000001.seg`` would append frames behind later segments, breaking
+    the name-order contract) and truncates a torn partial frame left by
+    a crashed writer back to the last complete frame boundary —
+    appending after torn bytes would misalign every subsequent frame
+    for the length-prefixed reader (review r3 advice, medium).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        segment_frames: int = 100_000,
+        rotate_bytes: int = 256 * 1024 * 1024,
+        start_segment: str = "000001.seg",
+    ):
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+        self.segment_frames = segment_frames
+        self.rotate_bytes = rotate_bytes
+        segs = sorted(
+            n
+            for n in os.listdir(path)
+            if n.endswith(".seg") and os.path.isfile(os.path.join(path, n))
+        )
+        if segs:
+            name = segs[-1]
+            full = os.path.join(path, name)
+            with open(full, "rb") as f:
+                buf = f.read()
+            frames, pos = _read_frames(buf, 0, None)
+            if pos < len(buf):
+                with open(full, "r+b") as f:
+                    f.truncate(pos)  # torn tail from a crashed writer
+            self._idx = int(name.split(".")[0])
+            self._count = len(frames)
+            self._bytes = pos
+        else:
+            self._idx = int(start_segment.split(".")[0])
+            self._count = 0
+            self._bytes = 0
+
+    @property
+    def segment_name(self) -> str:
+        return f"{self._idx:06d}.seg"
+
+    def append(self, frames: list[bytes]) -> int:
+        """Write every frame, rotating at segment boundaries. Returns
+        ``len(frames)`` — the all-or-nothing durability contract."""
+        if not frames:
+            return 0
+        f = open(os.path.join(self.path, self.segment_name), "ab")
+        try:
+            for frame in frames:
+                if self._count > 0 and (
+                    self._count >= self.segment_frames
+                    or self._bytes >= self.rotate_bytes
+                ):
+                    # seal BEFORE opening the successor: the close makes
+                    # every buffered byte visible before readers can see
+                    # a later segment exists (the sealed-segment contract
+                    # the tailer's torn-tail skip depends on)
+                    f.close()
+                    self._idx += 1
+                    self._count = 0
+                    self._bytes = 0
+                    f = open(
+                        os.path.join(self.path, self.segment_name), "ab"
+                    )
+                write_frame(f, frame)
+                self._count += 1
+                self._bytes += 4 + len(frame)
+        finally:
+            f.close()
+        return len(frames)
 
 
 def relay_to_frame_log(
@@ -543,26 +646,25 @@ def relay_to_frame_log(
     container, the driver, a sidecar); Spark tails the log with
     ``transport=frames`` and acknowledges via the tail transport's
     status file, which the relay forwards upstream. Segments rotate at
-    ``rotate_bytes`` so batch-mode file parallelism and retention both
-    follow the WAL-segment pattern. Returns frames written.
+    ``rotate_bytes`` (every polled frame is written — rotation opens a
+    successor segment, it never discards) so batch-mode file
+    parallelism and retention both follow the WAL-segment pattern.
+    Returns frames written, always equal to frames polled.
 
     Appends are frame-atomic from the reader's perspective: the tail
     transport's splitter stops before a partial frame, so a reader
     racing this writer sees only complete frames.
     """
-    os.makedirs(path, exist_ok=True)
     frames = transport.poll(max_frames)
     if not frames:
         return 0
-    seg = os.path.join(path, segment_name)
-    written = 0
-    with open(seg, "ab") as f:
-        for frame in frames:
-            if f.tell() > rotate_bytes:
-                break
-            write_frame(f, frame)
-            written += 1
-    return written
+    writer = FrameLogWriter(
+        path,
+        segment_frames=2**62,  # byte-capped only, per the original contract
+        rotate_bytes=rotate_bytes,
+        start_segment=segment_name,
+    )
+    return writer.append(frames)
 
 
 def forward_acks_upstream(
@@ -585,6 +687,28 @@ def forward_acks_upstream(
             long_to_lsn(s["flushed"] - 1), ping=s["ping"]
         )
     return len(statuses)
+
+
+def resend_last_status(log_path: str, transport: WalTransport) -> bool:
+    """Re-send the most recent recorded Standby Status Update (or a
+    zero-position keepalive if none was ever recorded) — the reference's
+    idle re-ack: its 1 s timer re-acks ``lastLsn`` whenever the timeout
+    elapses even with NO new progress
+    (``logical-replication-service.ts:238-247``), which is what keeps an
+    idle slot's walsender from hitting ``wal_sender_timeout``. Returns
+    True if a frame went upstream.
+    """
+    from pg_logical_replication_spark.model import long_to_lsn
+
+    statuses = FrameLogTailTransport(log_path).sent_statuses()
+    if statuses:
+        s = statuses[-1]
+        transport.send_standby_status(long_to_lsn(s["flushed"] - 1))
+    else:
+        # nothing acknowledged yet: a zero-position status still resets
+        # the server's wal_sender_timeout without advancing the slot
+        transport.send_standby_status("0/00000000")
+    return True
 
 
 def last_logged_lsn(log_dir: str) -> str | None:

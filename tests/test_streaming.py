@@ -658,3 +658,90 @@ def test_subscribe_frames_source_decoderbufs_binary(spark, tmp_path):
         assert ids == ["1", "2"], got
     finally:
         q.stop()
+
+
+def test_frames_pgoutput_unseen_relation_degrades_to_error_rows(
+    spark, tmp_path
+):
+    """r3 advice: DML whose Relation 'R' message arrived before this
+    stream's start offset (e.g. a checkpoint restart resuming past it)
+    must degrade to op='error' rows, not crash the query; passing the
+    relations= registry through changes() decodes them fully."""
+    import struct
+    import time
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pf
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    def frame(lsn_long, payload):
+        return b"w" + struct.pack(">QQQ", lsn_long, lsn_long + 8, 0) + payload
+
+    # NO R message in the log: the stream starts mid-slot
+    msgs = [
+        pf.encode_begin("0/7000", 0, 901),
+        pf.encode_insert(16391, [("t", "1"), ("t", "x")]),
+        pf.encode_commit("0/7000", "0/7008", 0),
+    ]
+
+    def write_log(d):
+        os.makedirs(d)
+        with open(os.path.join(d, "000001.seg"), "ab") as f:
+            for i, m in enumerate(msgs):
+                write_frame(f, frame(0x7000 + 8 * i, m))
+
+    # 1) without a registry: the insert degrades to an error row
+    log1 = str(tmp_path / "wal1")
+    write_log(log1)
+    svc = LogicalReplicationService(spark, log1, str(tmp_path / "cp1"))
+    got = []
+    q = (
+        svc.changes("pgoutput", source="frames")
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp1"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while len(got) < 3 and time.time() < deadline:
+            time.sleep(0.1)
+        ops = [r["op"] for r in got]
+        assert ops == ["begin", "error", "commit"]
+        err = got[1]
+        assert "unseen relation oid 16391" in err["meta"]["error"]
+        assert err["meta"]["msg_type"] == "I"
+    finally:
+        q.stop()
+
+    # 2) with the registry plumbed through changes(): full decode
+    log2 = str(tmp_path / "wal2")
+    write_log(log2)
+    rel = pf.RelationInfo(
+        oid=16391, schema="public", name="t", replica_identity="d",
+        columns=[
+            {"name": "id", "type_oid": 20, "flags": 1, "type_mod": -1},
+            {"name": "v", "type_oid": 25, "flags": 0, "type_mod": -1},
+        ],
+        key_columns=["id"],
+    )
+    svc2 = LogicalReplicationService(spark, log2, str(tmp_path / "cp2"))
+    got2 = []
+    q2 = (
+        svc2.changes("pgoutput", source="frames", relations={16391: rel})
+        .writeStream.foreachBatch(lambda df, _b: got2.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while len(got2) < 3 and time.time() < deadline:
+            time.sleep(0.1)
+        assert [r["op"] for r in got2] == ["begin", "insert", "commit"]
+        assert got2[1]["after"] == {"id": "1", "v": "x"}
+        assert got2[1]["table"] == "t"
+    finally:
+        q2.stop()

@@ -244,9 +244,11 @@ class _FakePgServer:
     CopyBothResponse for START_REPLICATION, streams XLogData CopyData
     and records Standby Status Updates sent back."""
 
-    def __init__(self, password=None, frames=()):
+    def __init__(self, password=None, frames=(), end_copy=False):
         self.password = password
         self.frames = list(frames)
+        self.end_copy = end_copy
+        self.received_copydone = False
         self.received_statuses = []
         self.created_slots = []
         self.dropped_slots = []
@@ -362,11 +364,18 @@ class _FakePgServer:
             self._send(conn, b"W", b"\x00\x00\x00")  # CopyBothResponse
             for fr in self.frames:
                 self._send(conn, b"d", fr)
+            if self.end_copy:
+                # clean stream end: CopyDone, CommandComplete, ReadyForQuery
+                self._send(conn, b"c")
+                self._send(conn, b"C", b"COPY 0\x00")
+                self._send(conn, b"Z", b"I")
             # read back status updates until the client closes
             try:
                 while True:
                     tag, body = self._recv_msg(conn)
-                    if tag == b"d" and body[:1] == b"r":
+                    if tag == b"c":
+                        self.received_copydone = True
+                    elif tag == b"d" and body[:1] == b"r":
                         self.received_statuses.append(
                             parse_standby_status(body)
                         )
@@ -807,3 +816,167 @@ def test_concurrent_writer_reader_no_torn_frames(tmp_path):
     starts = [int.from_bytes(fr[1:9], "big") for fr in got]
     assert starts == [0x1000 + 8 * i for i in range(N)]
     assert all(len(fr) == 25 + (i % 37) for i, fr in enumerate(got))
+
+
+# ------------------------------------------- round-4 durability fixes
+class _ListTransport:
+    """WalTransport stub yielding a pre-loaded frame list once."""
+
+    def __init__(self, frames):
+        self._frames = list(frames)
+        self.statuses = []
+
+    def poll(self, max_frames=None):
+        take = len(self._frames) if max_frames is None else max_frames
+        out, self._frames = self._frames[:take], self._frames[take:]
+        return out
+
+    def send_standby_status(self, lsn, ping=False):
+        self.statuses.append((lsn, ping))
+
+
+def test_relay_byte_cap_rotates_without_frame_loss(tmp_path):
+    """The r3-advice high: frames past rotate_bytes were silently
+    dropped after being drained from the transport. Now the writer
+    rotates to a successor segment instead — zero loss."""
+    from pg_logical_replication_spark.sources.transport import (
+        relay_to_frame_log,
+    )
+
+    d = str(tmp_path / "wal")
+    # 20 frames x ~1KB with a 600-byte cap: every frame must still land
+    frames = [_xlog(0x100 + 8 * i, payload=b"x" * 1000) for i in range(20)]
+    t = _ListTransport(frames)
+    wrote = relay_to_frame_log(t, d, rotate_bytes=600)
+    assert wrote == 20
+    segs = sorted(f for f in os.listdir(d) if f.endswith(".seg"))
+    assert len(segs) >= 10  # rotated roughly per-frame at this cap
+    got = FrameLogTailTransport(d).poll()
+    assert [int.from_bytes(fr[1:9], "big") for fr in got] == [
+        0x100 + 8 * i for i in range(20)
+    ]
+
+
+def test_frame_log_writer_rotates_on_frames_and_bytes(tmp_path):
+    from pg_logical_replication_spark.sources.transport import FrameLogWriter
+
+    d = str(tmp_path / "wal")
+    w = FrameLogWriter(d, segment_frames=3, rotate_bytes=1 << 30)
+    w.append([_xlog(0x10 + 8 * i) for i in range(7)])
+    segs = sorted(f for f in os.listdir(d) if f.endswith(".seg"))
+    assert segs == ["000001.seg", "000002.seg", "000003.seg"]
+    assert len(FrameLogTailTransport(d).poll()) == 7
+    # an oversized single frame is still written (never dropped)
+    w2 = FrameLogWriter(d, segment_frames=100, rotate_bytes=10)
+    w2.append([_xlog(0x200, payload=b"y" * 500)])
+    assert len(FrameLogTailTransport(d).poll()) == 8
+
+
+def test_frame_log_writer_truncates_torn_tail_on_resume(tmp_path):
+    """The r3-advice medium: a torn partial frame at the tail of the
+    last segment must be truncated before appending, else every
+    subsequent frame misaligns for the length-prefixed reader."""
+    from pg_logical_replication_spark.sources.transport import FrameLogWriter
+
+    d = str(tmp_path / "wal")
+    os.makedirs(d)
+    seg = os.path.join(d, "000001.seg")
+    with open(seg, "ab") as f:
+        write_frame(f, _xlog(0x10))
+        write_frame(f, _xlog(0x18))
+        f.write(struct.pack(">I", 30) + b"w12")  # torn: 30 declared, 3 present
+    w = FrameLogWriter(d)
+    assert w.segment_name == "000001.seg"
+    w.append([_xlog(0x20)])
+    got = FrameLogTailTransport(d).poll()
+    assert [int.from_bytes(fr[1:9], "big") for fr in got] == [0x10, 0x18, 0x20]
+
+
+def test_tailer_skips_torn_tail_of_sealed_segment(tmp_path):
+    """A torn tail on a NON-last segment (writer crashed mid-append,
+    then a restart rotated onward) must not wedge segment advance."""
+    d = str(tmp_path / "wal")
+    os.makedirs(d)
+    with open(os.path.join(d, "000001.seg"), "ab") as f:
+        write_frame(f, _xlog(0x10))
+        f.write(struct.pack(">I", 50) + b"w" * 10)  # torn ≥4-byte tail
+    with open(os.path.join(d, "000002.seg"), "ab") as f:
+        write_frame(f, _xlog(0x18))
+    t = FrameLogTailTransport(d)
+    got = t.poll()
+    assert [int.from_bytes(fr[1:9], "big") for fr in got] == [0x10, 0x18]
+    # and the cursor has moved past the sealed segment
+    assert t.position()["seg"] == "000002.seg"
+
+
+def test_walsender_copydone_ends_stream_cleanly():
+    """Server CopyDone ends CopyBoth for good: CommandComplete /
+    ReadyForQuery must not re-enter copy mode, the client replies with
+    its own CopyDone, and later polls return [] instead of raising."""
+    import time as _t
+
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    frames = [_xlog(0x100), _xlog(0x108)]
+    srv = _FakePgServer(password=None, frames=frames, end_copy=True)
+    t = WalsenderTransport("127.0.0.1", srv.port, user="r", database="d")
+    t.start_replication("s", "0/100")
+    got = []
+    deadline = _t.time() + 5
+    while len(got) < 2 and _t.time() < deadline:
+        got.extend(t.poll())
+    assert len(got) == 2
+    # drain the end-of-copy sequence
+    deadline = _t.time() + 5
+    while t._copy_both and _t.time() < deadline:
+        t.poll()
+        _t.sleep(0.01)
+    assert not t._copy_both
+    assert t.poll() == []  # ended stream: EOF, not RuntimeError
+    deadline = _t.time() + 5
+    while not srv.received_copydone and _t.time() < deadline:
+        _t.sleep(0.02)
+    assert srv.received_copydone
+    t.close()
+    srv.close()
+
+
+def test_run_relay_idle_reack_keeps_walsender_alive(tmp_path):
+    """r3 'what's wrong' #2: with no new acks, the relay must still
+    re-send the last status on every status_interval so an idle slot
+    never hits wal_sender_timeout (reference :238-247 semantics)."""
+    from pg_logical_replication_spark.relay import run_relay
+
+    d = str(tmp_path / "wal")
+    # a recorded ack exists from a previous run; the transport stays idle
+    FrameLogTailTransport(d).send_standby_status("0/100")
+    t = _ListTransport([])
+    run_relay(
+        t, d,
+        poll_interval=0.02,
+        status_interval=0.1,
+        stop_after_seconds=0.6,
+    )
+    # first interval forwards the recorded ack; later idle intervals
+    # re-send it — multiple identical statuses prove the re-ack fired
+    assert len(t.statuses) >= 2
+    assert all(lsn_to_long(lsn) == 0x100 for lsn, _ in t.statuses)
+
+
+def test_run_relay_idle_reack_with_no_recorded_acks(tmp_path):
+    """Before any Spark commit exists, idle re-ack sends a
+    zero-position status — resets the server timeout, moves no slot."""
+    from pg_logical_replication_spark.relay import run_relay
+
+    d = str(tmp_path / "wal")
+    t = _ListTransport([])
+    run_relay(
+        t, d,
+        poll_interval=0.02,
+        status_interval=0.1,
+        stop_after_seconds=0.5,
+    )
+    assert t.statuses
+    assert all(lsn == "0/00000000" for lsn, _ in t.statuses)
