@@ -270,9 +270,11 @@ class WalsenderTransport(WalTransport):
     SLOT … LOGICAL`` + copyData loop), reimplemented from the protocol
     spec (postgresql.org/docs/current/protocol-replication.html):
 
-    * startup packet with ``replication=database``;
-    * AuthenticationOk / cleartext / MD5 password responses (SASL is
-      refused loudly — out of the supported profile);
+    * optional TLS via libpq's SSLRequest dance (``sslmode=`` disable/
+      prefer/require, stdlib ``ssl``);
+    * AuthenticationOk / cleartext / MD5 / SCRAM-SHA-256 password
+      responses (``sources/scram.py``, the PG ≥ 14 default; unknown
+      SASL mechanisms and channel-binding -PLUS are refused loudly);
     * ``START_REPLICATION SLOT <slot> LOGICAL <lsn> (<options>)`` via
       simple Query, expecting CopyBothResponse;
     * :meth:`poll` drains CopyData ('d') messages — each carrying one
@@ -294,6 +296,8 @@ class WalsenderTransport(WalTransport):
         database: str,
         password: str | None = None,
         connect_timeout: float = 10.0,
+        sslmode: str = "disable",
+        ssl_context=None,
     ):
         import socket
 
@@ -303,7 +307,44 @@ class WalsenderTransport(WalTransport):
         self._copy_both = False
         self._copy_ended = False
         self.parameters: dict[str, str] = {}
+        self.ssl_in_use = False
+        if sslmode not in ("disable", "prefer", "require"):
+            raise ValueError(
+                f"sslmode {sslmode!r}: expected disable|prefer|require"
+            )
+        if sslmode != "disable":
+            self._negotiate_ssl(host, sslmode, ssl_context)
         self._handshake(user, database, password)
+
+    def _negotiate_ssl(self, host: str, sslmode: str, ssl_context) -> None:
+        """libpq's SSLRequest dance (protocol §55.2.10): magic 80877103,
+        single-byte reply — 'S' proceed with TLS, 'N' server declines.
+        ``sslmode='require'`` mirrors libpq: encryption mandatory, no
+        certificate verification unless the caller passes a verifying
+        ``ssl_context`` (verify-full = stdlib default client context)."""
+        import ssl as _ssl
+
+        self._sock.sendall(struct.pack(">II", 8, 80877103))
+        resp = self._sock.recv(1)
+        if resp == b"S":
+            if ssl_context is None:
+                ssl_context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+                ssl_context.check_hostname = False
+                ssl_context.verify_mode = _ssl.CERT_NONE
+            self._sock = ssl_context.wrap_socket(
+                self._sock, server_hostname=host
+            )
+            self.ssl_in_use = True
+        elif resp == b"N":
+            if sslmode == "require":
+                raise ConnectionError(
+                    "walsender: server refused SSL but sslmode=require"
+                )
+            # prefer: fall back to plaintext on the same connection
+        else:
+            raise ConnectionError(
+                f"walsender: unexpected SSLRequest reply {resp!r}"
+            )
 
     # ---------------------------------------------------------- protocol
     def _send_startup(self, user: str, database: str) -> None:
@@ -372,10 +413,40 @@ class WalsenderTransport(WalTransport):
                     ).hexdigest()
                     outer = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send_msg(b"p", b"md5" + outer.encode() + b"\x00")
+                elif code == 10:  # AuthenticationSASL: mechanism offer
+                    from pg_logical_replication_spark.sources.scram import (
+                        ScramClient,
+                    )
+
+                    mechs = [
+                        m.decode() for m in body[4:].split(b"\x00") if m
+                    ]
+                    if "SCRAM-SHA-256" not in mechs:
+                        # refuse loudly rather than downgrade: -PLUS
+                        # (channel binding) and unknown mechanisms are
+                        # out of the supported profile
+                        raise NotImplementedError(
+                            f"walsender: SASL mechanisms {mechs} "
+                            "unsupported (SCRAM-SHA-256 only)"
+                        )
+                    if password is None:
+                        raise ConnectionError("walsender: password required")
+                    self._scram = ScramClient(password)
+                    first = self._scram.client_first()
+                    self._send_msg(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack(">i", len(first))
+                        + first,
+                    )
+                elif code == 11:  # AuthenticationSASLContinue
+                    self._send_msg(b"p", self._scram.client_final(body[4:]))
+                elif code == 12:  # AuthenticationSASLFinal: mutual auth
+                    self._scram.verify_server_final(body[4:])
                 else:
                     raise NotImplementedError(
                         f"walsender: auth method {code} unsupported "
-                        "(trust/cleartext/md5 profile)"
+                        "(trust/cleartext/md5/scram-sha-256 profile)"
                     )
             elif tag == b"S":  # ParameterStatus: name\0value\0
                 name, _, rest = body.partition(b"\x00")

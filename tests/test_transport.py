@@ -244,10 +244,23 @@ class _FakePgServer:
     CopyBothResponse for START_REPLICATION, streams XLogData CopyData
     and records Standby Status Updates sent back."""
 
-    def __init__(self, password=None, frames=(), end_copy=False):
+    def __init__(
+        self,
+        password=None,
+        frames=(),
+        end_copy=False,
+        auth="md5",
+        ssl_ctx=None,
+        ssl_reply=None,
+        scram_tamper_signature=False,
+    ):
         self.password = password
         self.frames = list(frames)
         self.end_copy = end_copy
+        self.auth = auth  # md5 | scram (used when password is set)
+        self.ssl_ctx = ssl_ctx  # server-side SSLContext → answer 'S'
+        self.ssl_reply = ssl_reply  # force 'N' to decline SSLRequest
+        self.scram_tamper_signature = scram_tamper_signature
         self.received_copydone = False
         self.received_statuses = []
         self.created_slots = []
@@ -297,25 +310,99 @@ class _FakePgServer:
         except (ConnectionError, OSError):
             pass  # client hung up (e.g. after an auth error) — fine
 
-    def _serve(self):
+    def _auth_md5(self, conn):
         import hashlib
 
+        salt = b"\x01\x02\x03\x04"
+        self._send(conn, b"R", struct.pack(">I", 5) + salt)
+        tag, body = self._recv_msg(conn)
+        assert tag == b"p"
+        user = self.startup_params["user"]
+        inner = hashlib.md5(
+            self.password.encode() + user.encode()
+        ).hexdigest()
+        want = b"md5" + hashlib.md5(
+            inner.encode() + salt
+        ).hexdigest().encode()
+        return body.rstrip(b"\x00") == want
+
+    def _auth_scram(self, conn):
+        """Server side of RFC 7677 SCRAM-SHA-256 (mirrors what a stock
+        PG ≥ 14 runs for password_encryption=scram-sha-256)."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+
+        self._send(
+            conn, b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"
+        )
+        tag, body = self._recv_msg(conn)
+        assert tag == b"p"
+        mech, rest = body.split(b"\x00", 1)
+        assert mech == b"SCRAM-SHA-256", mech
+        (ln,) = struct.unpack_from(">i", rest, 0)
+        client_first = rest[4 : 4 + ln].decode()
+        assert client_first.startswith("n,,"), client_first
+        bare = client_first[3:]
+        cnonce = dict(
+            kv.split("=", 1) for kv in bare.split(",") if "=" in kv
+        )["r"]
+        snonce = cnonce + base64.b64encode(_os.urandom(9)).decode()
+        salt = b"0123456789abcdef"
+        iters = 4096
+        server_first = (
+            f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+        )
+        self._send(
+            conn, b"R", struct.pack(">I", 11) + server_first.encode()
+        )
+        tag, body = self._recv_msg(conn)
+        assert tag == b"p"
+        client_final = body.decode()
+        without_proof, proof_b64 = client_final.rsplit(",p=", 1)
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.password.encode(), salt, iters
+        )
+        client_key = _hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        auth_msg = ",".join([bare, server_first, without_proof]).encode()
+        client_sig = _hmac.digest(stored_key, auth_msg, "sha256")
+        recovered = bytes(
+            a ^ b for a, b in zip(base64.b64decode(proof_b64), client_sig)
+        )
+        if hashlib.sha256(recovered).digest() != stored_key:
+            return False
+        server_key = _hmac.digest(salted, b"Server Key", "sha256")
+        v = base64.b64encode(
+            _hmac.digest(server_key, auth_msg, "sha256")
+        ).decode()
+        if self.scram_tamper_signature:
+            v = base64.b64encode(b"\x00" * 32).decode()
+        self._send(conn, b"R", struct.pack(">I", 12) + f"v={v}".encode())
+        return True
+
+    def _serve(self):
         conn, _ = self.srv.accept()
         with conn:
+            if self.ssl_ctx is not None or self.ssl_reply is not None:
+                # client opens with SSLRequest: i32 len=8, i32 80877103
+                (ln,) = struct.unpack(">I", self._recv_exact(conn, 4))
+                (magic,) = struct.unpack(">I", self._recv_exact(conn, 4))
+                assert (ln, magic) == (8, 80877103), (ln, magic)
+                if self.ssl_ctx is None:
+                    conn.sendall(b"N")  # decline
+                else:
+                    conn.sendall(b"S")
+                    conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
             self._recv_startup(conn)
             if self.password is not None:
-                salt = b"\x01\x02\x03\x04"
-                self._send(conn, b"R", struct.pack(">I", 5) + salt)
-                tag, body = self._recv_msg(conn)
-                assert tag == b"p"
-                user = self.startup_params["user"]
-                inner = hashlib.md5(
-                    self.password.encode() + user.encode()
-                ).hexdigest()
-                want = b"md5" + hashlib.md5(
-                    inner.encode() + salt
-                ).hexdigest().encode()
-                if body.rstrip(b"\x00") != want:
+                ok = (
+                    self._auth_scram(conn)
+                    if self.auth == "scram"
+                    else self._auth_md5(conn)
+                )
+                if not ok:
                     self._send(
                         conn, b"E",
                         b"SFATAL\x00C28P01\x00Mpassword authentication failed\x00\x00",
@@ -575,9 +662,10 @@ def test_poll_zero_budget_reads_nothing(tmp_path):
     assert len(t.poll()) == 1  # cursor unchanged by the zero-budget poll
 
 
-def test_walsender_sasl_refused_loudly():
-    """Auth methods outside the trust/cleartext/md5 profile must raise
-    NotImplementedError, not hang or misauthenticate."""
+def test_walsender_unknown_sasl_mechanism_refused_loudly():
+    """SCRAM-SHA-256 is spoken (r4); unknown mechanisms — including a
+    channel-binding-only -PLUS offer — must raise NotImplementedError,
+    not hang, downgrade, or misauthenticate."""
     import struct as _struct
 
     srv = socket.socket()
@@ -588,10 +676,10 @@ def test_walsender_sasl_refused_loudly():
     def server():
         conn, _ = srv.accept()
         with conn:
-            # swallow startup, demand SASL (code 10)
+            # swallow startup, offer ONLY the channel-binding variant
             ln = int.from_bytes(conn.recv(4), "big")
             conn.recv(ln - 4)
-            body = _struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"
+            body = _struct.pack(">I", 10) + b"SCRAM-SHA-256-PLUS\x00\x00"
             conn.sendall(b"R" + _struct.pack(">I", len(body) + 4) + body)
 
     th = threading.Thread(target=server, daemon=True)
@@ -600,7 +688,37 @@ def test_walsender_sasl_refused_loudly():
         WalsenderTransport,
     )
 
-    with pytest.raises(NotImplementedError, match="auth method 10"):
+    with pytest.raises(NotImplementedError, match="SCRAM-SHA-256-PLUS"):
+        WalsenderTransport(
+            "127.0.0.1", port, user="rep", database="app", password="x"
+        )
+    srv.close()
+
+
+def test_walsender_unknown_auth_code_refused_loudly():
+    """Auth codes outside the supported profile (e.g. 7 = GSSAPI) raise
+    NotImplementedError."""
+    import struct as _struct
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def server():
+        conn, _ = srv.accept()
+        with conn:
+            ln = int.from_bytes(conn.recv(4), "big")
+            conn.recv(ln - 4)
+            body = _struct.pack(">I", 7)
+            conn.sendall(b"R" + _struct.pack(">I", len(body) + 4) + body)
+
+    threading.Thread(target=server, daemon=True).start()
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    with pytest.raises(NotImplementedError, match="auth method 7"):
         WalsenderTransport(
             "127.0.0.1", port, user="rep", database="app", password="x"
         )
@@ -980,3 +1098,195 @@ def test_run_relay_idle_reack_with_no_recorded_acks(tmp_path):
     )
     assert t.statuses
     assert all(lsn == "0/00000000" for lsn, _ in t.statuses)
+
+
+# ----------------------------------------------- SCRAM-SHA-256 + TLS (r4)
+def test_scram_client_rfc7677_test_vector():
+    """Pin the SCRAM math to the published RFC 7677 §3 example
+    (user 'user', password 'pencil', nonce 'rOprNGfwEbeRWgbNEkqO')."""
+    from pg_logical_replication_spark.sources.scram import ScramClient
+
+    c = ScramClient("pencil", nonce="rOprNGfwEbeRWgbNEkqO", username="user")
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final = c.client_final(server_first)
+    assert final == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # the RFC's server-final verifies; a tampered one does not
+    c.verify_server_final(
+        b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+    with pytest.raises(ConnectionError, match="server signature"):
+        c.verify_server_final(b"v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=")
+
+
+def test_scram_client_rejects_non_extending_nonce():
+    from pg_logical_replication_spark.sources.scram import ScramClient
+
+    c = ScramClient("pw", nonce="abc")
+    with pytest.raises(ConnectionError, match="nonce"):
+        c.client_final(b"r=zzz,s=c2FsdA==,i=4096")
+    c2 = ScramClient("pw", nonce="abc")
+    with pytest.raises(ConnectionError, match="nonce"):
+        c2.client_final(b"r=abc,s=c2FsdA==,i=4096")  # identical, no extension
+
+
+def test_walsender_scram_auth_end_to_end():
+    """Full chain through SCRAM-SHA-256: handshake, START_REPLICATION,
+    frames, ack readback — against the fake server's RFC-faithful
+    server side (what a stock PG ≥ 14 demands)."""
+    import time as _t
+
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    frames = [_xlog(0x9000), _keepalive(0x9008, should_respond=True)]
+    srv = _FakePgServer(password="s3cr3t", auth="scram", frames=frames)
+    t = WalsenderTransport(
+        "127.0.0.1", srv.port, user="rep", database="app", password="s3cr3t"
+    )
+    assert t.parameters.get("server_version") == "16.1"
+    t.start_replication("s", "0/9000")
+    got = []
+    deadline = _t.time() + 5
+    while len(got) < 2 and _t.time() < deadline:
+        got.extend(t.poll())
+    assert [fr[:1] for fr in got] == [b"w", b"k"]
+    t.send_standby_status("0/9008")
+    deadline = _t.time() + 5
+    while not srv.received_statuses and _t.time() < deadline:
+        _t.sleep(0.02)
+    assert srv.received_statuses[-1]["flushed"] == 0x9009
+    t.close()
+    srv.close()
+
+
+def test_walsender_scram_wrong_password_fails():
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    srv = _FakePgServer(password="right", auth="scram", frames=[])
+    with pytest.raises(ConnectionError, match="authentication failed"):
+        WalsenderTransport(
+            "127.0.0.1", srv.port, user="rep", database="app",
+            password="wrong",
+        )
+    srv.close()
+
+
+def test_walsender_scram_detects_forged_server():
+    """Mutual auth: a server that accepted the proof but returns a bad
+    signature (doesn't actually know the password) must be rejected."""
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    srv = _FakePgServer(
+        password="pw", auth="scram", frames=[], scram_tamper_signature=True
+    )
+    with pytest.raises(ConnectionError, match="server signature"):
+        WalsenderTransport(
+            "127.0.0.1", srv.port, user="rep", database="app", password="pw"
+        )
+    srv.close()
+
+
+@pytest.fixture(scope="module")
+def _tls_ctx(tmp_path_factory):
+    """Self-signed server cert via the openssl CLI (stdlib ssl cannot
+    mint certs); yields a server-side SSLContext."""
+    import ssl
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    key, cert = str(d / "key.pem"), str(d / "cert.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "2", "-nodes",
+            "-subj", "/CN=localhost",
+        ],
+        check=True, capture_output=True,
+    )
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    return ctx
+
+
+def test_walsender_tls_sslmode_require(_tls_ctx):
+    """SSLRequest dance: server answers 'S', the connection wraps in
+    TLS, and the whole protocol (SCRAM auth + streaming + acks) runs
+    over the encrypted socket."""
+    import time as _t
+
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    frames = [_xlog(0xA000)]
+    srv = _FakePgServer(
+        password="pw", auth="scram", frames=frames, ssl_ctx=_tls_ctx
+    )
+    t = WalsenderTransport(
+        "127.0.0.1", srv.port, user="rep", database="app", password="pw",
+        sslmode="require",
+    )
+    assert t.ssl_in_use
+    t.start_replication("s", "0/A000")
+    got = []
+    deadline = _t.time() + 5
+    while not got and _t.time() < deadline:
+        got.extend(t.poll())
+    assert got and got[0][:1] == b"w"
+    t.send_standby_status("0/A008")
+    deadline = _t.time() + 5
+    while not srv.received_statuses and _t.time() < deadline:
+        _t.sleep(0.02)
+    assert srv.received_statuses
+    t.close()
+    srv.close()
+
+
+def test_walsender_tls_declined():
+    """Server answers 'N': sslmode=require raises; sslmode=prefer falls
+    back to plaintext on the same connection (libpq semantics)."""
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    srv = _FakePgServer(password=None, frames=[], ssl_reply="N")
+    with pytest.raises(ConnectionError, match="sslmode=require"):
+        WalsenderTransport(
+            "127.0.0.1", srv.port, user="r", database="d", sslmode="require"
+        )
+    srv.close()
+
+    srv2 = _FakePgServer(password=None, frames=[_xlog(0xB000)], ssl_reply="N")
+    t = WalsenderTransport(
+        "127.0.0.1", srv2.port, user="r", database="d", sslmode="prefer"
+    )
+    assert not t.ssl_in_use
+    t.start_replication("s", "0/B000")
+    import time as _t
+
+    got = []
+    deadline = _t.time() + 5
+    while not got and _t.time() < deadline:
+        got.extend(t.poll())
+    assert got
+    t.close()
+    srv2.close()
+
+
+def test_scram_non_ascii_password_refused():
+    from pg_logical_replication_spark.sources.scram import ScramClient
+
+    with pytest.raises(NotImplementedError, match="SASLprep"):
+        ScramClient("pässword")
