@@ -97,6 +97,88 @@ def run_relay(
     return total
 
 
+def run_multi_relay(
+    transports: dict[str, WalTransport],
+    base_dir: str,
+    poll_interval: float = 0.2,
+    status_interval: float = 10.0,
+    segment_frames: int = 100_000,
+    rotate_bytes: int = 256 * 1024 * 1024,
+    stop_after_frames: int | None = None,
+    stop_after_seconds: float | None = None,
+) -> dict[str, int]:
+    """Multiplex SEVERAL replication slots through one relay process.
+
+    SCALE.md's ingest story is "N slots × N transports feeding a durable
+    frame log": one slot is one ordered walsender connection (protocol
+    constraint), so scale-out happens by running more slots — this
+    runner drives them all from a single loop, each slot landing in its
+    own segment directory ``<base_dir>/<name>/`` with an INDEPENDENT
+    frame-log writer and ack cursor (one Spark session then tails N
+    directories as N sources). Transports are non-blocking, so a
+    round-robin poll in one thread is the whole scheduler — no slot can
+    starve another for longer than one drain.
+
+    ``stop_after_frames`` bounds the TOTAL across slots (a drain-style
+    invocation); per-slot resume/rotation semantics match
+    :func:`run_relay` exactly, including the idle keepalive re-ack.
+    Returns per-slot relayed frame counts.
+    """
+    import os
+
+    from pg_logical_replication_spark.sources.transport import (
+        FrameLogWriter,
+        resend_last_status,
+    )
+
+    class _Slot:
+        def __init__(self, name: str, transport: WalTransport):
+            self.name = name
+            self.transport = transport
+            self.dir = os.path.join(base_dir, name)
+            self.writer = FrameLogWriter(
+                self.dir,
+                segment_frames=segment_frames,
+                rotate_bytes=rotate_bytes,
+            )
+            self.ack_cursor = 0
+            self.last_status = time.monotonic()
+            self.total = 0
+
+    slots = [_Slot(n, t) for n, t in transports.items()]
+    started = time.monotonic()
+    while True:
+        any_wrote = False
+        for s in slots:
+            wrote = s.writer.append(s.transport.poll(max_frames=segment_frames))
+            s.total += wrote
+            any_wrote = any_wrote or wrote > 0
+            now = time.monotonic()
+            if wrote or now - s.last_status >= status_interval:
+                new_cursor = forward_acks_upstream(
+                    s.dir, s.transport, s.ack_cursor
+                )
+                if (
+                    new_cursor == s.ack_cursor
+                    and not wrote
+                    and now - s.last_status >= status_interval
+                ):
+                    resend_last_status(s.dir, s.transport)
+                s.ack_cursor = new_cursor
+                s.last_status = now
+        total = sum(s.total for s in slots)
+        now = time.monotonic()
+        if stop_after_frames is not None and total >= stop_after_frames:
+            break
+        if stop_after_seconds is not None and now - started >= stop_after_seconds:
+            break
+        if not any_wrote:
+            time.sleep(poll_interval)
+    for s in slots:
+        s.ack_cursor = forward_acks_upstream(s.dir, s.transport, s.ack_cursor)
+    return {s.name: s.total for s in slots}
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
 
@@ -113,7 +195,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--user", required=True)
     p.add_argument("--database", required=True)
     p.add_argument("--password", default=None)
-    p.add_argument("--slot", required=True)
+    p.add_argument(
+        "--slot", required=True, action="append",
+        help="slot name (repeatable: N slots multiplex through one "
+        "relay process, each landing in <log-dir>/<slot>/)",
+    )
     p.add_argument(
         "--plugin", default="pgoutput",
         choices=["pgoutput", "wal2json", "test_decoding", "decoderbufs"],
@@ -135,36 +221,60 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--segment-frames", type=int, default=100_000)
     args = p.parse_args(argv)
 
-    t = WalsenderTransport(
-        args.host, args.port, user=args.user,
-        database=args.database, password=args.password,
-    )
-    if args.create_slot:
-        t.create_replication_slot(args.slot, plugin=args.plugin)
-    start_lsn = args.start_lsn
-    if args.resume:
-        from pg_logical_replication_spark.model import ack_lsn
-        from pg_logical_replication_spark.sources.transport import (
-            last_logged_lsn,
-        )
+    import os
 
-        logged = last_logged_lsn(args.log_dir)
-        if logged is not None:
-            start_lsn = ack_lsn(logged)  # the byte after the last durable frame
     options = dict(kv.split("=", 1) for kv in args.option)
-    t.start_replication(
-        args.slot, start_lsn, options=options, plugin=args.plugin
-    )
+
+    def connect(slot: str, log_dir: str) -> WalsenderTransport:
+        t = WalsenderTransport(
+            args.host, args.port, user=args.user,
+            database=args.database, password=args.password,
+        )
+        if args.create_slot:
+            t.create_replication_slot(slot, plugin=args.plugin)
+        start_lsn = args.start_lsn
+        if args.resume:
+            from pg_logical_replication_spark.model import ack_lsn
+            from pg_logical_replication_spark.sources.transport import (
+                last_logged_lsn,
+            )
+
+            logged = last_logged_lsn(log_dir)
+            if logged is not None:
+                # the byte after the last durable frame
+                start_lsn = ack_lsn(logged)
+        t.start_replication(slot, start_lsn, options=options, plugin=args.plugin)
+        return t
+
+    if len(args.slot) == 1:
+        t = connect(args.slot[0], args.log_dir)
+        try:
+            run_relay(
+                t,
+                args.log_dir,
+                poll_interval=args.poll_interval,
+                status_interval=args.status_interval,
+                segment_frames=args.segment_frames,
+            )
+        finally:
+            t.close()
+        return 0
+
+    transports = {
+        slot: connect(slot, os.path.join(args.log_dir, slot))
+        for slot in args.slot
+    }
     try:
-        run_relay(
-            t,
+        run_multi_relay(
+            transports,
             args.log_dir,
             poll_interval=args.poll_interval,
             status_interval=args.status_interval,
             segment_frames=args.segment_frames,
         )
     finally:
-        t.close()
+        for t in transports.values():
+            t.close()
     return 0
 
 

@@ -65,7 +65,11 @@ _SEQ_SHIFT = 32  # seq = (file_index << 32) | row_in_file
 
 
 def _list_log_files(path: str) -> list[str]:
-    """Sorted event-log segment files (name order == stream order)."""
+    """Sorted event-log segment files (name order == stream order).
+
+    ``status.log`` is the ack side-channel the frames transport appends
+    (``FrameLogTailTransport.STATUS_FILE``) — data for the relay, never
+    a segment, skipped here exactly like the tailer skips it."""
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -74,6 +78,7 @@ def _list_log_files(path: str) -> list[str]:
         n
         for n in names
         if not n.startswith((".", "_"))
+        and n != "status.log"
         and os.path.isfile(os.path.join(path, n))
     )
 

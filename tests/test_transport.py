@@ -1290,3 +1290,108 @@ def test_scram_non_ascii_password_refused():
 
     with pytest.raises(NotImplementedError, match="SASLprep"):
         ScramClient("pässword")
+
+
+# ------------------------------------------------- multi-slot relay (r4)
+def test_multi_slot_relay_and_independent_restart(spark, tmp_path):
+    """SCALE.md's N-slots ingest shape: two fake-PG slots multiplexed
+    through one relay loop into per-slot segment dirs; each resumes
+    INDEPENDENTLY after a relay restart; one Spark session batch-reads
+    both archived logs; acks stay per-slot."""
+    import json
+    import time as _t
+
+    from pg_logical_replication_spark.relay import run_multi_relay
+    from pg_logical_replication_spark.sources.datasource import register
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+        forward_acks_upstream,
+    )
+
+    def w2j_frame(lsn, rid, table):
+        payload = json.dumps({
+            "change": [{
+                "kind": "insert", "schema": "public", "table": table,
+                "columnnames": ["id"], "columntypes": ["bigint"],
+                "columnvalues": [rid],
+            }],
+        }).encode()
+        return _xlog(lsn, payload)
+
+    base = str(tmp_path / "wal")
+
+    def connect(frames):
+        srv = _FakePgServer(password=None, frames=frames)
+        t = WalsenderTransport("127.0.0.1", srv.port, user="r", database="d")
+        t.start_replication("s", "0/0")
+        return srv, t
+
+    # phase 1: slot A gets 3 frames, slot B gets 2
+    srv_a, t_a = connect([w2j_frame(0x100 + 8 * i, i, "a") for i in range(3)])
+    srv_b, t_b = connect([w2j_frame(0x200 + 8 * i, i, "b") for i in range(2)])
+    counts = run_multi_relay(
+        {"slot_a": t_a, "slot_b": t_b}, base,
+        poll_interval=0.02, segment_frames=2,
+        stop_after_frames=5, stop_after_seconds=15,
+    )
+    assert counts == {"slot_a": 3, "slot_b": 2}
+    t_a.close(); t_b.close(); srv_a.close(); srv_b.close()
+
+    # phase 2 (restart): NEW transports, each slot resumes into its own
+    # dir — different segment positions prove independence
+    srv_a2, t_a2 = connect([w2j_frame(0x300 + 8 * i, 10 + i, "a")
+                            for i in range(2)])
+    srv_b2, t_b2 = connect([w2j_frame(0x400, 20, "b")])
+    counts2 = run_multi_relay(
+        {"slot_a": t_a2, "slot_b": t_b2}, base,
+        poll_interval=0.02, segment_frames=2,
+        stop_after_frames=3, stop_after_seconds=15,
+    )
+    assert counts2 == {"slot_a": 2, "slot_b": 1}
+
+    # per-slot ack independence: ack only slot A; only A's server sees it
+    FrameLogTailTransport(os.path.join(base, "slot_a")).send_standby_status(
+        "0/310"
+    )
+    forward_acks_upstream(os.path.join(base, "slot_a"), t_a2)
+    deadline = _t.time() + 5
+    while not srv_a2.received_statuses and _t.time() < deadline:
+        _t.sleep(0.02)
+    assert srv_a2.received_statuses
+    assert not srv_b2.received_statuses
+    t_a2.close(); t_b2.close(); srv_a2.close(); srv_b2.close()
+
+    # one Spark session reads BOTH archived slot logs (batch .seg path:
+    # raw frames in `data`, demuxed then decoded like the live stream)
+    register(spark)
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.sources import decode
+    from pg_logical_replication_spark.sources.wire import demux_copy_stream
+
+    def snapshot(slot):
+        raw = (
+            spark.read.format("pg_cdc")
+            .option("path", os.path.join(base, slot))
+            .load()
+        )
+        dm = demux_copy_stream(raw, passthrough=("lsn", "seq")).filter(
+            "msg_type = 'w'"
+        )
+        ev = decode(
+            dm.select(
+                "lsn", "seq", F.col("payload").cast("string").alias("value")
+            ),
+            "wal2json",
+            lsn_col="lsn",
+        )
+        return sorted(
+            int(r["after"]["id"])
+            for r in ev.filter("op = 'insert'").collect()
+        )
+
+    assert snapshot("slot_a") == [0, 1, 2, 10, 11]
+    assert snapshot("slot_b") == [0, 1, 20]
+    # rotation happened inside each slot dir (segment_frames=2)
+    assert len([f for f in os.listdir(os.path.join(base, "slot_a"))
+                if f.endswith(".seg")]) >= 2
