@@ -50,10 +50,12 @@ KINDS = ["image", "audio", "video"]
 #: container — requesting one raises NotImplementedError (STUB).
 #: Graduated out of this set with REAL stdlib implementations:
 #: ``png`` (``functions/png.py``, zlib+struct W3C profile → use
-#: :func:`synthesize_png_assets` / :func:`decode_png_features`) and
+#: :func:`synthesize_png_assets` / :func:`decode_png_features`),
 #: ``wav`` (stdlib ``wave`` RIFF/PCM → :func:`synthesize_wav_assets` /
-#: :func:`decode_wav_features`).
-REAL_CODECS = frozenset({"jpeg", "webp", "mp3", "flac", "h264", "vp9"})
+#: :func:`decode_wav_features`), and ``jpeg`` (``functions/jpeg.py``,
+#: baseline sequential DCT from the public T.81 spec →
+#: :func:`synthesize_jpeg_assets` / :func:`decode_jpeg_features`).
+REAL_CODECS = frozenset({"webp", "mp3", "flac", "h264", "vp9"})
 
 ASSET_SCHEMA = (
     "asset_id bigint, kind string, payload binary, "
@@ -113,6 +115,10 @@ def _require_fake(codec: str) -> None:
     if codec == "wav":
         raise ValueError(
             "wav payloads have a real decoder: use decode_wav_features"
+        )
+    if codec == "jpeg":
+        raise ValueError(
+            "jpeg payloads have a real decoder: use decode_jpeg_features"
         )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
@@ -339,6 +345,98 @@ def decode_png_features(assets: DataFrame) -> DataFrame:
             for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     w, h, ch, px = decode_png(bytes(buf))
+                    rows.append(
+                        (
+                            aid,
+                            w,
+                            h,
+                            ch,
+                            w * h,
+                            round(sum(px) / len(px), 6) if px else None,
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "n_pixels", "mean_pixel",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def synthesize_jpeg_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL baseline JPEG payloads (``functions/jpeg.py``).
+
+    Deterministic and — by construction — LOSSLESS through the lossy
+    codec: quality=100 maps to all-ones quantization tables (IJG
+    scaling), and every 8×8 block is constant, so the only nonzero DCT
+    coefficient per block is the DC term, which round-trips exactly.
+    Grid: blocks_w = 1 + doc_id%4, blocks_h = 1 + doc_id%3,
+    block value = (doc_id·31 + b·7) mod 256 for block index
+    b = by·blocks_w + bx. A SQL oracle therefore predicts the decoded
+    mean pixel in closed form while Spark actually runs marker parse →
+    Huffman decode → dequant → IDCT on executors. Encode is
+    executor-side in Arrow batches (the production ingest shape).
+    """
+    from pg_logical_replication_spark.functions.jpeg import encode_jpeg
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 4, 1 + did % 3
+                w, h = 8 * bw, 8 * bh
+                px = bytes(
+                    (did * 31 + ((y // 8) * bw + (x // 8)) * 7) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(
+                    encode_jpeg(w, h, px, channels=1, quality=100)
+                )
+                metas.append(
+                    {
+                        "codec": "jpeg",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def decode_jpeg_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→pixels JPEG decode per asset: full baseline pipeline
+    (markers, Huffman, dequant, IDCT, level shift), emitting dimensions
+    + mean pixel — the jpeg twin of :func:`decode_png_features`, same
+    Arrow-batched executor shape and null-row DLQ contract."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.jpeg import decode_jpeg
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, ch, px = decode_jpeg(bytes(buf))
                     rows.append(
                         (
                             aid,

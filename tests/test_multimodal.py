@@ -69,18 +69,20 @@ def test_resize_rewrites_payload_and_meta(assets):
 
 def test_real_codecs_are_stubbed(assets):
     for fn in (
-        lambda: MM.decode_features(assets, codec="jpeg"),
+        lambda: MM.decode_features(assets, codec="webp"),
         lambda: MM.sample_frames(assets, codec="h264"),
         lambda: MM.resize_images(assets, 8, 8, codec="flac"),
     ):
         with pytest.raises(NotImplementedError, match="STUB"):
             fn()
-    # png and wav are REAL now — the generic fake-codec stages refuse
-    # them with a pointer at the real path instead of a stub error
+    # png, wav and jpeg are REAL now — the generic fake-codec stages
+    # refuse them with a pointer at the real path, not a stub error
     with pytest.raises(ValueError, match="decode_png_features"):
         MM.decode_features(assets, codec="png")
     with pytest.raises(ValueError, match="decode_wav_features"):
         MM.decode_features(assets, codec="wav")
+    with pytest.raises(ValueError, match="decode_jpeg_features"):
+        MM.decode_features(assets, codec="jpeg")
     with pytest.raises(ValueError, match="unknown codec"):
         MM.decode_features(assets, codec="nope")
     with pytest.raises(ValueError):
