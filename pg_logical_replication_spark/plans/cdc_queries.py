@@ -353,6 +353,87 @@ def q_cdc_wal2json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "q_cdc_wal2json_chunked",
+    f"""
+    SELECT {_OP_CASE} AS op,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(event_id * 8 + 16) AS BIGINT) AS sum_lsn_long
+    FROM events GROUP BY 1
+    """,
+    "wal2json write-in-chunks tolerant decode (review r3 #4): every "
+    "changeset is split into header / change / footer fragments (the "
+    "plugin's chunked output shape), stitched back by "
+    "reassemble_json_documents (JVM window + brace-depth scan, zero "
+    "UDF), and must aggregate IDENTICALLY to the unchunked "
+    "q_cdc_wal2json_roundtrip oracle",
+)
+def q_cdc_wal2json_chunked(spark, sf_dir):
+    """Chunk fragments are built structurally (never splitting a string
+    literal — the plugin's own chunking contract), with seq giving wire
+    order; any reassembly bug (ordering, depth tracking, incomplete-doc
+    holdback) breaks the hash match against the same closed-form oracle
+    as the whole-document roundtrip."""
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = t(spark, sf_dir, "events")
+    kind = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    lsn = lsn_str_expr(F.col("event_id") * 8 + 16)
+    change = F.struct(
+        kind.alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("events").alias("table"),
+        F.array(F.lit("event_id"), F.lit("user_id")).alias("columnnames"),
+        F.array(F.lit("bigint"), F.lit("bigint")).alias("columntypes"),
+        F.array(
+            F.col("event_id").cast("string"), F.col("user_id").cast("string")
+        ).alias("columnvalues"),
+        F.when(
+            kind == "delete",
+            F.struct(
+                F.array(F.lit("event_id")).alias("keynames"),
+                F.array(F.lit("bigint")).alias("keytypes"),
+                F.array(F.col("event_id").cast("string")).alias("keyvalues"),
+            ),
+        ).alias("oldkeys"),
+    )
+    # the plugin's write-in-chunks shape: header, one chunk per change,
+    # footer — assembled as fragments with a global wire order
+    frags = ev.select(
+        F.col("event_id"),
+        F.posexplode(
+            F.array(
+                F.lit('{"change":['),
+                F.to_json(change),
+                F.concat(
+                    F.lit('],"xid":'),
+                    F.col("event_id").cast("string"),
+                    F.lit(',"nextlsn":"'),
+                    lsn,
+                    F.lit('"}'),
+                ),
+            )
+        ).alias("pos", "value"),
+    ).select((F.col("event_id") * 3 + F.col("pos")).alias("seq"), "value")
+    decoded = decode_wal2json(
+        frags.repartition(spark.sparkContext.defaultParallelism),
+        reassemble_chunks=True,
+    )
+    eid = F.coalesce(
+        F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
+    ).cast("bigint")
+    return decoded.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum(eid).alias("sum_eid"),
+        F.sum("lsn_long").alias("sum_lsn_long"),
+    )
+
+
+@register(
     "q_cdc_test_decoding_roundtrip",
     """
     SELECT event_type AS etype, COUNT(*) AS n,

@@ -49,6 +49,102 @@ WAL2JSON_SCHEMA = (
 )
 
 
+def reassemble_json_documents(
+    raw: DataFrame,
+    value_col: str = "value",
+    order_col: str = "seq",
+    lsn_col: str | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Fragments → complete JSON documents, Spark built-ins only.
+
+    wal2json's ``write-in-chunks`` emits a changeset as several output
+    chunks (header / per-change / footer) and ``pretty-print`` spreads
+    one document across many lines
+    (``wal2json-plugin-options.type.ts:65-74``); the reference's
+    ``JSON.parse`` swallows any whole-buffer shape, but a line/frame
+    decoder sees partial documents. This pre-pass stitches fragments
+    back into one row per complete JSON document so the SAME
+    ``decode_wal2json`` runs unchanged downstream.
+
+    Mechanism (all JVM-side, whole-stage codegen): string literals are
+    stripped with one ``regexp_replace`` (escape-aware), per-fragment
+    brace depth delta is a ``translate``/``length`` count, a running
+    window sum finds the rows where depth returns to zero (document
+    ends), and a second window numbers documents; fragments then group
+    by document id and concatenate in ``order_col`` order. An
+    incomplete trailing document (depth never closed — e.g. a live
+    stream caught mid-changeset) is HELD BACK, not emitted broken.
+
+    Contract: fragments split at structural boundaries, never inside a
+    string literal — which is how the plugin writes them (it emits
+    whole tokens per chunk). ``order_col`` must give the wire order.
+
+    Scale: reassembly of one slot's stream is inherently serial (the
+    same reason transport ingest is — fragments interleave in wire
+    order), so the default single window matches the data's true
+    shape; pass ``partition_col`` (e.g. the segment/file id) when
+    chunk boundaries are known not to cross partitions and the window
+    parallelizes per partition.
+    """
+    from pyspark.sql import Window
+
+    # strip string literals (handles \" escapes), then count braces
+    stripped = F.regexp_replace(F.col(value_col), '"(\\\\.|[^"\\\\])*"', "")
+    n_open = F.length(stripped) - F.length(F.translate(stripped, "{", ""))
+    n_close = F.length(stripped) - F.length(F.translate(stripped, "}", ""))
+
+    base = (
+        Window.partitionBy(partition_col)
+        if partition_col is not None
+        else Window.partitionBy()
+    )
+    w_cum = base.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = base.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+
+    df = raw.filter(F.length(F.trim(F.col(value_col))) > 0).withColumn(
+        "__delta", n_open - n_close
+    )
+    df = df.withColumn("__cum", F.sum("__delta").over(w_cum))
+    df = df.withColumn(
+        "__doc",
+        F.coalesce(
+            F.sum(F.when(F.col("__cum") == 0, 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    keys = ([partition_col] if partition_col is not None else []) + ["__doc"]
+    aggs = [
+        F.min(order_col).alias(order_col),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(order_col).alias("s"),
+                            F.col(value_col).alias("v"),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            "",
+        ).alias(value_col),
+        F.max_by("__cum", F.col(order_col)).alias("__final_depth"),
+    ]
+    if lsn_col is not None:
+        aggs.append(F.min_by(lsn_col, F.col(order_col)).alias(lsn_col))
+    out = df.groupBy(*keys).agg(*aggs)
+    # held-back incomplete tail: final depth != 0 means the document's
+    # closing brace has not arrived yet
+    out = out.filter(F.col("__final_depth") == 0)
+    return out.drop("__doc", "__final_depth")
+
+
 def table_pattern_pred(patterns: list[str]):
     """wal2json table-pattern list → boolean Column over (schema, table).
 
@@ -229,6 +325,8 @@ def decode_wal2json(
     add_msg_prefixes: list[str] | None = None,
     include_typmod: bool = True,
     format_version: int = 1,
+    reassemble_chunks: bool = False,
+    order_col: str = "seq",
 ) -> DataFrame:
     """Raw JSON changesets (one per row) → normalized ChangeEvent rows.
 
@@ -269,7 +367,22 @@ def decode_wal2json(
 
     ``format_version=2`` dispatches to :func:`decode_wal2json_v2` (the
     reference's ``formatVersion`` option, options type :112-114).
+
+    ``reassemble_chunks=True`` prepends
+    :func:`reassemble_json_documents` so ``write-in-chunks`` /
+    ``pretty-print`` streams (fragments in ``order_col`` wire order)
+    decode identically to whole-document streams.
     """
+    if reassemble_chunks:
+        if raw.isStreaming:
+            raise NotImplementedError(
+                "reassemble_chunks uses ordered windows (batch only); "
+                "for streams, disable write-in-chunks/pretty-print on "
+                "the slot or reassemble in the relay"
+            )
+        raw = reassemble_json_documents(
+            raw, value_col=value_col, order_col=order_col, lsn_col=lsn_col
+        )
     if format_version == 2:
         if filter_origins:
             raise ValueError(
