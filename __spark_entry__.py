@@ -46,13 +46,34 @@ def _category(name: str) -> str:
     return "relational"
 
 
-def _interleaved() -> list[str]:
-    """Registry order, round-robined across operator families.
+def _round_number() -> int:
+    """Current build round, observed from the driver's own artifacts:
+    CORRECTNESS_r{N}.json files accumulate one per completed round."""
+    import glob
+    import re
 
-    Rationale: if the correctness driver samples a prefix of ``queries()``
-    (round 1 checked the first 50 of 101, all relational — every CDC /
-    dedup / ANN / text / multimodal oracle went unchecked), a round-robin
-    ordering makes ANY prefix a representative cross-section of SURVEY §2.
+    best = 0
+    for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def _interleaved() -> list[str]:
+    """Registry order, round-robined across operator families, with the
+    WITHIN-family order rotated by the round number.
+
+    Round-robin rationale: if the correctness driver samples a prefix of
+    ``queries()`` (round 1 checked the first 50 of 101, all relational —
+    every CDC / dedup / ANN / text / multimodal oracle went unchecked),
+    interleaving makes ANY prefix a representative cross-section of
+    SURVEY §2.
+
+    Rotation rationale (review r3 #5): the driver verified the SAME
+    ~50-query prefix three rounds in a row; rotating each family bucket
+    left by ~(prefix share) × (round-1) keeps the prefix representative
+    while successive rounds cumulatively cover the whole inventory.
     """
     from collections import defaultdict
 
@@ -61,6 +82,12 @@ def _interleaved() -> list[str]:
     buckets: dict[str, list[str]] = defaultdict(list)
     for name in QUERIES:
         buckets[_category(name)].append(name)
+    # stride chosen to maximize prefix turnover vs the r03 coverage
+    # (co-prime-ish with the family bucket sizes)
+    shift = (_round_number() - 1) * 6
+    for cat, names in buckets.items():
+        k = shift % len(names)
+        buckets[cat] = names[k:] + names[:k]
     order = ["q_cdc", "relational", "q_dedup", "q_text", "q_ann", "q_mm"]
     out: list[str] = []
     idx = 0

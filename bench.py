@@ -46,6 +46,15 @@ HEADLINE = [
     "q_doc_chunks",
     "q_text_quality",
     "q_pipeline_corpus_curation",
+    # round-3/4 heavy additions (review r3 #8): real codecs, simhash
+    # pair production, quantized ANN, timeseries, chunked decode
+    "q_mm_png_decode",
+    "q_mm_wav_decode",
+    "q_mm_jpeg_decode",
+    "q_dedup_simhash_pairs",
+    "q_ann_sq8_topk",
+    "q_events_ewma",
+    "q_cdc_wal2json_chunked",
 ]
 
 

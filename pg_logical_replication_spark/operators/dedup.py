@@ -160,21 +160,38 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     iterations: int = 6,
+    until_converged: bool = False,
+    max_iterations: int = 50,
 ) -> DataFrame:
-    """Duplicate clusters from a candidate-pair graph: ``iterations``
-    rounds of min-label propagation. Returns (doc_id, label) where label
-    = the smallest id reachable within ``iterations`` hops — for
-    near-dup graphs (small dense cliques from LSH bands) 6 rounds is
-    past any real diameter, and because the round count is FIXED the
-    result is deterministic whether or not it converged, which is what
-    makes an exact cross-engine oracle possible for an iterative graph
-    algorithm.
+    """Duplicate clusters from a candidate-pair graph: rounds of
+    min-label propagation. Returns (doc_id, label) where label = the
+    smallest id reachable.
+
+    Two modes (review r3 #7):
+
+    * fixed rounds (default): label = smallest id within ``iterations``
+      hops — for near-dup graphs (small dense cliques from LSH bands)
+      6 rounds is past any real diameter, and because the round count
+      is FIXED the result is deterministic whether or not it converged,
+      which is what makes an exact cross-engine oracle possible for an
+      iterative graph algorithm. Chains deeper than ``iterations`` hops
+      split into multiple labels.
+    * ``until_converged=True``: keep propagating while ANY label
+      changed (one extra count() action per round on the changed set),
+      capped at ``max_iterations`` with a loud error — correct for
+      chain-shaped duplicate graphs of unknown diameter (e.g.
+      transitive near-dup chains), at the cost of a data-dependent
+      round count. Convergence needs at most the graph diameter + 1
+      rounds; min-label propagation halves long chains slowly, so the
+      cap guards pathological inputs, not normal ones.
 
     Scale: one shuffle per round on the vertex id (the join and the min
     re-use the same key); labels are (long, long) pairs, never payloads.
     Rounds are driver-coordinated like every Pregel-style loop — the
     per-round plan is truncated with a localCheckpoint so the lineage
-    (and the Catalyst plan) doesn't grow 6 deep.
+    (and the Catalyst plan) doesn't grow round-count deep. The
+    convergence check compares consecutive label sets with a join on
+    doc_id — a count over (long, long) rows, no payload movement.
     """
     from pyspark.sql import functions as F
 
@@ -195,15 +212,37 @@ def connected_components(
     # when called from LSH) re-executes per iteration (measured 6× cost)
     edges = edges.localCheckpoint()
     labels = nodes.withColumn("label", F.col("doc_id"))
-    for _ in range(iterations):
-        labels = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+
+    def one_round(lbls):
+        return (
+            edges.join(lbls, edges["dst"] == lbls["doc_id"])
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .withColumnRenamed("src", "doc_id")
-            .localCheckpoint(eager=False)
         )
-    return labels
+
+    if not until_converged:
+        for _ in range(iterations):
+            labels = one_round(labels).localCheckpoint(eager=False)
+        return labels
+
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        nxt = one_round(labels).localCheckpoint()
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("p"), "doc_id")
+            .filter(F.col("n.label") != F.col("p.label"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "rounds — pathological graph; raise max_iterations explicitly"
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -49,3 +49,38 @@ def test_disjoint_pairs_stay_separate(spark):
     pairs = [(1, 2), (3, 4), (5, 6)]
     got = _spark_components(spark, pairs)
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+
+# ----------------------------------------------- until_converged (r4)
+def test_converged_mode_agrees_on_clique(spark):
+    """On a dense clique both modes give identical labels."""
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    fixed = {r["doc_id"]: r["label"]
+             for r in connected_components(df).collect()}
+    conv = {r["doc_id"]: r["label"]
+            for r in connected_components(df, until_converged=True).collect()}
+    assert fixed == conv == {i: 0 for i in range(6)}
+
+
+def test_converged_mode_closes_deep_chains_fixed_mode_splits(spark):
+    """A 12-hop path graph: 6 fixed rounds cannot reach the far end
+    (documented split), until_converged labels the whole chain 0."""
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    fixed = {r["doc_id"]: r["label"]
+             for r in connected_components(df, iterations=3).collect()}
+    assert len(set(fixed.values())) > 1  # split: the documented behavior
+    conv = {r["doc_id"]: r["label"]
+            for r in connected_components(df, until_converged=True).collect()}
+    assert set(conv.values()) == {0}
+    assert len(conv) == 13
+
+
+def test_converged_mode_loud_cap(spark):
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, until_converged=True, max_iterations=1)
