@@ -54,8 +54,10 @@ KINDS = ["image", "audio", "video"]
 #: ``wav`` (stdlib ``wave`` RIFF/PCM → :func:`synthesize_wav_assets` /
 #: :func:`decode_wav_features`), and ``jpeg`` (``functions/jpeg.py``,
 #: baseline sequential DCT from the public T.81 spec →
-#: :func:`synthesize_jpeg_assets` / :func:`decode_jpeg_features`).
-REAL_CODECS = frozenset({"webp", "mp3", "flac", "h264", "vp9"})
+#: :func:`synthesize_jpeg_assets` / :func:`decode_jpeg_features`), and
+#: ``flac`` (``functions/flac.py``, RFC 9639 profile →
+#: :func:`synthesize_flac_assets` / :func:`decode_flac_features`).
+REAL_CODECS = frozenset({"webp", "mp3", "h264", "vp9"})
 
 ASSET_SCHEMA = (
     "asset_id bigint, kind string, payload binary, "
@@ -120,6 +122,10 @@ def _require_fake(codec: str) -> None:
         raise ValueError(
             "jpeg payloads have a real decoder: use decode_jpeg_features"
         )
+    if codec == "flac":
+        raise ValueError(
+            "flac payloads have a real decoder: use decode_flac_features"
+        )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -176,10 +182,97 @@ def synthesize_wav_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
 
 
+def synthesize_flac_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL FLAC payloads (``functions/flac.py``).
+
+    Same closed-form contract as :func:`synthesize_wav_assets` with
+    different constants: n_samples = 64 + doc_id % 256 at 16000/8000 Hz
+    (doc_id parity), sample[i] = ((doc_id·53 + i·71) mod 2001) − 1000.
+    FLAC is LOSSLESS, so the compressing encode (FIXED predictors +
+    Rice residuals, real entropy coding) round-trips the integers
+    bit-exactly and the SQL oracle stays closed-form — this is the
+    compressed-audio twin of the WAV query, exercising a genuinely
+    non-trivial decode path (frame sync, CRCs, Rice, predictors).
+    """
+    from pg_logical_replication_spark.functions.flac import encode_flac
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 256
+                rate = 16000 if did % 2 == 0 else 8000
+                samples = [((did * 53 + i * 71) % 2001) - 1000 for i in range(n)]
+                ids.append(did)
+                kinds.append("audio")
+                payloads.append(
+                    encode_flac(samples, sample_rate=rate, block_size=256)
+                )
+                metas.append(
+                    {
+                        "codec": "flac",
+                        "width": None,
+                        "height": None,
+                        "sample_rate": rate,
+                        "duration_ms": (n * 1000) // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
 WAV_FEATURE_SCHEMA = (
     "asset_id bigint, sample_rate int, n_samples int, "
     "duration_ms int, sum_abs bigint, peak int"
 )
+
+
+def decode_flac_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→samples FLAC decode per asset (frame sync, CRC-8/16,
+    Rice residuals, predictors, MD5 verify), emitting the same integer
+    amplitude stats as :func:`decode_wav_features` — null-feature rows
+    for undecodable payloads."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.flac import decode_flac
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, _nc, _bps, chans = decode_flac(bytes(buf))
+                    s = chans[0]
+                    rows.append(
+                        (
+                            aid,
+                            rate,
+                            len(s),
+                            (len(s) * 1000) // rate,
+                            sum(abs(v) for v in s),
+                            max((abs(v) for v in s), default=None),
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples",
+                    "duration_ms", "sum_abs", "peak",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
+    )
 
 
 def decode_wav_features(assets: DataFrame) -> DataFrame:

@@ -244,6 +244,43 @@ def q_mm_wav_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_flac_decode",
+    """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(64 + doc_id % 256 AS INT) AS n,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT)
+               AS rate
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           rate AS sample_rate,
+           n AS n_samples,
+           CAST((n * 1000) // rate AS INT) AS duration_ms,
+           CAST(list_sum(list_transform(
+               generate_series(0, n - 1),
+               i -> abs((doc_id * 53 + i * 71) % 2001 - 1000))) AS BIGINT)
+             AS sum_abs,
+           CAST(list_max(list_transform(
+               generate_series(0, n - 1),
+               i -> abs((doc_id * 53 + i * 71) % 2001 - 1000))) AS INT)
+             AS peak
+    FROM spec
+    """,
+    "REAL FLAC codec round-trip (functions/flac.py, RFC 9639): a "
+    "genuinely COMPRESSING lossless encode (FIXED predictors + Rice "
+    "residuals) decoded back through frame sync, CRC-8/16, Rice and "
+    "predictor reconstruction — integer stats match the closed-form "
+    "oracle exactly because FLAC is lossless",
+)
+def q_mm_flac_decode(spark, sf_dir):
+    """sample[i] = ((doc_id*53 + i*71) mod 2001) - 1000; losslessness
+    turns the full entropy-coded audio pipeline into an exact oracle —
+    the compressed-audio twin of q_mm_wav_decode."""
+    assets = MM.synthesize_flac_assets(t(spark, sf_dir, "documents"))
+    return MM.decode_flac_features(assets)
+
+
+@register(
     "q_mm_wav_loudest_frame",
     """
     WITH spec AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n

@@ -71,7 +71,7 @@ def test_real_codecs_are_stubbed(assets):
     for fn in (
         lambda: MM.decode_features(assets, codec="webp"),
         lambda: MM.sample_frames(assets, codec="h264"),
-        lambda: MM.resize_images(assets, 8, 8, codec="flac"),
+        lambda: MM.resize_images(assets, 8, 8, codec="mp3"),
     ):
         with pytest.raises(NotImplementedError, match="STUB"):
             fn()
@@ -83,6 +83,8 @@ def test_real_codecs_are_stubbed(assets):
         MM.decode_features(assets, codec="wav")
     with pytest.raises(ValueError, match="decode_jpeg_features"):
         MM.decode_features(assets, codec="jpeg")
+    with pytest.raises(ValueError, match="decode_flac_features"):
+        MM.decode_features(assets, codec="flac")
     with pytest.raises(ValueError, match="unknown codec"):
         MM.decode_features(assets, codec="nope")
     with pytest.raises(ValueError):
