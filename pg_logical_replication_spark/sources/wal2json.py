@@ -375,14 +375,20 @@ def decode_wal2json(
     """
     if reassemble_chunks:
         if raw.isStreaming:
-            raise NotImplementedError(
-                "reassemble_chunks uses ordered windows (batch only); "
-                "for streams, disable write-in-chunks/pretty-print on "
-                "the slot or reassemble in the relay"
+            # stateful streaming twin: partial documents carry across
+            # micro-batches in keyed state (streaming/stateful.py)
+            from pg_logical_replication_spark.streaming.stateful import (
+                reassemble_json_documents_stream,
             )
-        raw = reassemble_json_documents(
-            raw, value_col=value_col, order_col=order_col, lsn_col=lsn_col
-        )
+
+            raw = reassemble_json_documents_stream(
+                raw, value_col=value_col, order_col=order_col
+            )
+            lsn_col = None  # the per-fragment wire LSN does not survive
+        else:
+            raw = reassemble_json_documents(
+                raw, value_col=value_col, order_col=order_col, lsn_col=lsn_col
+            )
     if format_version == 2:
         if filter_origins:
             raise ValueError(

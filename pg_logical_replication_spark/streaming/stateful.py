@@ -160,6 +160,85 @@ def assemble_transactions_stream(
     )
 
 
+# --------------------------------------- chunked-JSON stream reassembly
+def _make_reassemble():
+    def _reassemble(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
+        import re as _re
+
+        carry, depth, start_seq = (
+            state.get if state.exists else ("", 0, 0)
+        )
+        frags: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                v = row.get("value")
+                if v is None or not str(v).strip():
+                    continue
+                frags.append((int(row["seq"]), str(v)))
+        frags.sort()  # wire order within the micro-batch
+        out: list[tuple[int, str]] = []
+        for seq, val in frags:
+            stripped = _re.sub(r'"(?:\\.|[^"\\])*"', "", val)
+            delta = stripped.count("{") - stripped.count("}")
+            if not carry:
+                start_seq = seq
+            carry += val
+            depth += delta
+            if depth == 0:
+                out.append((start_seq, carry))
+                carry, depth = "", 0
+        state.update((carry, depth, start_seq))
+        if out:
+            yield pd.DataFrame(out, columns=["seq", "value"])
+
+    return _reassemble
+
+
+def reassemble_json_documents_stream(
+    raw: DataFrame,
+    value_col: str = "value",
+    order_col: str = "seq",
+    slot_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`~pg_logical_replication_spark.sources.wal2json.reassemble_json_documents`:
+    wal2json ``write-in-chunks`` / ``pretty-print`` fragments → one row
+    per complete JSON document, with a partial document CARRIED ACROSS
+    micro-batches in keyed state until its closing brace arrives.
+
+    State per slot is one pending document (text, brace depth, starting
+    seq) — O(max document size), independent of stream length. Fragments
+    must arrive in ``order_col`` wire order per slot and split only at
+    structural boundaries (never inside a string literal) — the
+    plugin's own chunking contract. Emission is append-mode: a document
+    row appears in the micro-batch that completes it.
+
+    ``slot_col`` keys the state (N slots reassemble in parallel);
+    without it the whole stream is one slot — serial, like the
+    transport that produced it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key = slot_col if slot_col is not None else "__slot"
+    df = raw.select(
+        *( [F.col(slot_col)] if slot_col is not None else [F.lit(0).alias(key)] ),
+        F.col(order_col).cast("long").alias("seq"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    out = df.groupBy(key).applyInPandasWithState(
+        _make_reassemble(),
+        outputStructType="seq long, value string",
+        stateStructType="carry string, depth long, start_seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    renames = out.withColumnRenamed("seq", order_col).withColumnRenamed(
+        "value", value_col
+    )
+    return renames
+
+
 # ------------------------------------------- streamed (protocol v2) txns
 STREAM_STATE_SCHEMA = "buffered array<string>, aborted array<long>"
 

@@ -1071,19 +1071,65 @@ def test_reassemble_v2_chunked_actions(spark):
     assert ins["after"]["id"] == "7"
 
 
-def test_reassemble_chunks_refused_on_streams(spark, tmp_path):
+def test_reassemble_chunks_streaming_across_microbatches(spark, tmp_path):
+    """The STREAMING reassembly twin (applyInPandasWithState): a
+    partial document carried in keyed state completes when its closing
+    fragments arrive in a LATER micro-batch."""
+    import json
     import os
+    import time
 
+    from pg_logical_replication_spark.sources.datasource import register
     from pg_logical_replication_spark.sources.wal2json import decode_wal2json
 
+    register(spark)
     d = str(tmp_path / "log")
     os.makedirs(d)
-    with open(os.path.join(d, "x.txt"), "w") as f:
-        f.write("{}\n")
-    raw = spark.readStream.format("text").load(d).selectExpr(
-        "value", "monotonically_increasing_id() as seq"
-    )
-    import pytest as _pytest
+    seg = os.path.join(d, "000001.log")
 
-    with _pytest.raises(NotImplementedError, match="batch only"):
-        decode_wal2json(raw, reassemble_chunks=True)
+    def doc(i):
+        return {
+            "change": [{
+                "kind": "insert", "schema": "public", "table": "t",
+                "columnnames": ["id"], "columntypes": ["bigint"],
+                "columnvalues": [i],
+            }],
+            "nextlsn": f"0/{0x100 + 8 * i:X}",
+        }
+
+    # batch 1: doc0 pretty-printed whole + doc1 header ONLY
+    with open(seg, "w") as f:
+        for ln in json.dumps(doc(0), indent=1).splitlines():
+            f.write(ln + "\n")
+        f.write('{"change":[\n')
+
+    raw = (
+        spark.readStream.format("pg_cdc").option("path", d).load()
+        .select("seq", "value")
+    )
+    dec = decode_wal2json(raw, reassemble_chunks=True)
+    got = []
+    q = (
+        dec.writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while not [r for r in got if r["op"] == "insert"] and time.time() < deadline:
+            time.sleep(0.1)
+        ids = [r["after"]["id"] for r in got if r["op"] == "insert"]
+        assert ids == ["0"]  # doc1 still open — withheld
+
+        # batch 2 (a later segment): doc1's change + footer complete
+        # the document pending in state
+        with open(os.path.join(d, "000002.log"), "w") as f:
+            f.write(json.dumps(doc(1)["change"][0]) + "\n")
+            f.write('],"nextlsn":"0/108"}\n')
+        while len([r for r in got if r["op"] == "insert"]) < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        ids = [r["after"]["id"] for r in got if r["op"] == "insert"]
+        assert ids == ["0", "1"]
+    finally:
+        q.stop()
