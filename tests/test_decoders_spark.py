@@ -1133,3 +1133,83 @@ def test_reassemble_chunks_streaming_across_microbatches(spark, tmp_path):
         assert ids == ["0", "1"]
     finally:
         q.stop()
+
+
+def test_wal2json_cosmetic_option_variants_decode(spark):
+    """The three remaining cosmetic wal2json options (r3 'what's
+    missing' #2 tail): numeric-data-types-as-string, include-lsn,
+    include-domain-data-type all decode through the same schema —
+    numbers and strings both stringify, missing nextlsn falls back to
+    the wire LSN column, domain type names pass through verbatim."""
+    import json
+
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    rows = [
+        # numeric values as JSON numbers (default)
+        (0, "0/10", json.dumps({"change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": ["id", "price"],
+            "columntypes": ["bigint", "numeric(10,2)"],
+            "columnvalues": [1, 4.5],
+        }]})),
+        # numeric-data-types-as-string=on: values arrive as strings
+        (1, "0/18", json.dumps({"change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": ["id", "price"],
+            "columntypes": ["bigint", "numeric(10,2)"],
+            "columnvalues": ["2", "4.50"],
+        }]})),
+        # include-domain-data-type=on: underlying domain type name
+        (2, "0/20", json.dumps({"change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": ["id", "price"],
+            "columntypes": ["bigint", "my_money_domain"],
+            "columnvalues": [3, "9.99"],
+        }]})),
+    ]
+    # include-lsn=off: no nextlsn in the JSON → wire lsn column used
+    raw = spark.createDataFrame(rows, "seq long, lsn string, value string")
+    dec = decode_wal2json(raw, lsn_col="lsn").filter("op = 'insert'")
+    got = {r["after"]["id"]: r for r in dec.collect()}
+    assert got["1"]["after"]["price"] == "4.5"     # number → canonical str
+    assert got["2"]["after"]["price"] == "4.50"    # string preserved
+    assert got["3"]["after"]["price"] == "9.99"
+    assert got["1"]["lsn"] == "0/10" and got["3"]["lsn"] == "0/20"
+    # include-lsn=on (v1: nextlsn emitted) wins over nothing — decode
+    # without lsn_col uses it
+    with_lsn = spark.createDataFrame(
+        [(json.dumps({"change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": ["id"], "columntypes": ["bigint"],
+            "columnvalues": [7],
+        }], "nextlsn": "0/77"}),)],
+        "value string",
+    )
+    r7 = decode_wal2json(with_lsn).filter("op = 'insert'").first()
+    assert r7["lsn"] == "0/77"
+
+
+def test_wal2json_cosmetic_options_serialize_for_start_replication():
+    from pg_logical_replication_spark.sources.plugin_options import (
+        start_replication_sql,
+    )
+
+    sql = start_replication_sql(
+        "wal2json", "s1", "0/0",
+        {
+            "include-lsn": True,
+            "numeric-data-types-as-string": True,
+            "include-domain-data-type": False,
+            "write-in-chunks": True,
+            "pretty-print": True,
+        },
+    )
+    for frag in (
+        "\"include-lsn\" 'on'",
+        "\"numeric-data-types-as-string\" 'on'",
+        "\"include-domain-data-type\" 'off'",
+        "\"write-in-chunks\" 'on'",
+        "\"pretty-print\" 'on'",
+    ):
+        assert frag in sql, (frag, sql)
