@@ -419,9 +419,17 @@ def q_cdc_wal2json_chunked(spark, sf_dir):
             )
         ).alias("pos", "value"),
     ).select((F.col("event_id") * 3 + F.col("pos")).alias("seq"), "value")
+    # reassemble FIRST (the ordered window is single-partition by
+    # nature), then spread the stitched documents across all cores for
+    # the CPU-heavy from_json decode — repartitioning before the window
+    # would be a wasted shuffle straight into a SinglePartition exchange
+    from pg_logical_replication_spark.sources.wal2json import (
+        reassemble_json_documents,
+    )
+
+    docs = reassemble_json_documents(frags)
     decoded = decode_wal2json(
-        frags.repartition(spark.sparkContext.defaultParallelism),
-        reassemble_chunks=True,
+        docs.repartition(spark.sparkContext.defaultParallelism)
     )
     eid = F.coalesce(
         F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
