@@ -49,12 +49,16 @@ def cosine_topk(
     per-partition partial top-k via the row_number window on the
     (small) query partition count.
     """
+    # norms hoisted BELOW the join: computed once per query row (in the
+    # broadcast build) and once per corpus row (stream-side projection)
+    # instead of once per (q, n) PAIR — at k-NN fan-out that removes
+    # 2/3 of the higher-order-function work from the hot loop
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    )
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
@@ -63,7 +67,7 @@ def cosine_topk(
             "n_id",
             F.round(
                 _dot(F.col("q_vec"), F.col("n_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                / (F.col("q_norm") * F.col("n_norm")),
                 round_to,
             ).alias("cosine"),
         )
@@ -539,6 +543,7 @@ def sq8_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Scalar 8-bit quantization (SQ8): per-dimension min/max codebook.
 
@@ -558,19 +563,28 @@ def sq8_quantize(
     — mn/mx ride along as literal-like broadcast columns for
     dequantization downstream.
     """
-    head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).take(1)
-    if not head or not head[0][0]:
-        raise ValueError("sq8_quantize: corpus has no non-null embeddings")
-    # fixed-dims contract: every vector must carry exactly this many
-    # dimensions (element_at beyond a short vector yields null codes)
-    dims = len(head[0][0])
+    if dims is None:
+        # dims probe: one action per plan BUILD — callers that know
+        # their embedding schema (dims is a pipeline contract) pass it
+        # and skip the job entirely
+        head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).take(1)
+        if not head or not head[0][0]:
+            raise ValueError("sq8_quantize: corpus has no non-null embeddings")
+        # fixed-dims contract: every vector must carry exactly this many
+        # dimensions (element_at beyond a short vector yields null codes)
+        dims = len(head[0][0])
+    # ONE SQL-string parse instead of 2×dims py4j Column round trips —
+    # the plan-build cost finding from SCALE.md round 3 (measured ~1 s
+    # of driver time per build at dims=64)
+    mn_expr = "array(" + ",".join(
+        f"min(element_at({vec_col}, {i + 1}))" for i in range(dims)
+    ) + ")"
+    mx_expr = "array(" + ",".join(
+        f"max(element_at({vec_col}, {i + 1}))" for i in range(dims)
+    ) + ")"
     stats = df.agg(
-        F.array(
-            *[F.min(F.col(vec_col)[i]).cast("double") for i in range(dims)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.col(vec_col)[i]).cast("double") for i in range(dims)]
-        ).alias("mx"),
+        F.expr(mn_expr).cast("array<double>").alias("mn"),
+        F.expr(mx_expr).cast("array<double>").alias("mx"),
     )
     coded = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
         F.broadcast(stats)
@@ -615,6 +629,7 @@ def sq8_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine over SQ8-RECONSTRUCTED vectors (self excluded).
 
@@ -627,11 +642,11 @@ def sq8_cosine_topk(
     Scale: same shape as cosine_topk — broadcast(queries+codebook) ⋈
     one corpus scan (reading int8 codes, 1/4 the bytes), window top-k.
     """
-    coded = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    coded = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col, dims=dims)
     c = coded.select(
         F.col(id_col).alias("n_id"),
         sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("n_vec"),
-    )
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
     # queries quantize THEIR OWN vectors with the corpus codebook
     # (review r2: an id-lookup in the corpus silently dropped novel
     # queries and scored stale vectors for clashing ids); for
@@ -649,6 +664,9 @@ def sq8_cosine_topk(
                 F.col("mx"),
             ).alias("q_vec"),
         )
+        # norm hoisted below the join, same as cosine_topk: once per
+        # query row in the broadcast build, not once per pair
+        .withColumn("q_norm", _norm(F.col("q_vec")))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -658,7 +676,7 @@ def sq8_cosine_topk(
             "n_id",
             F.round(
                 _dot(F.col("q_vec"), F.col("n_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                / (F.col("q_norm") * F.col("n_norm")),
                 round_to,
             ).alias("cosine"),
         )

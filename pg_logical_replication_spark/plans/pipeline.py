@@ -385,8 +385,13 @@ _COS = (
     "brute-force exact cosine top-5 per query vector (broadcast-query scan)",
 )
 def q_ann_cosine_topk(spark, sf_dir):
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps the corpus scan at ONE task; the
+    # respread is a no-op at any real scale (see registry docstring)
     emb = t(spark, sf_dir, "embeddings")
-    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    corpus = spread_if_narrow(emb, spark)
+    out = S.cosine_topk(corpus, emb.filter(F.col("vec_id") < 10), k=5)
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
@@ -1118,8 +1123,15 @@ _SQ8_DEQ = """
     "pipeline end-to-end",
 )
 def q_ann_sq8_topk(spark, sf_dir):
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # quantize + code + score = three passes over the corpus; the
+    # single-row-group respread parallelizes all of them (no-op at scale)
     emb = t(spark, sf_dir, "embeddings")
-    out = S.sq8_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    corpus = spread_if_narrow(emb, spark)
+    # dims=64 is the embeddings schema contract (TESTDATA.md) — skips the
+    # per-build dims-probe job
+    out = S.sq8_cosine_topk(corpus, emb.filter(F.col("vec_id") < 10), k=5, dims=64)
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
@@ -1137,7 +1149,7 @@ def q_ann_sq8_topk(spark, sf_dir):
 def q_ann_sq8_recall(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    sq = S.sq8_cosine_topk(emb, q, k=5).select("q_id", "n_id")
+    sq = S.sq8_cosine_topk(emb, q, k=5, dims=64).select("q_id", "n_id")
     brute = S.cosine_topk(emb, q, k=5).select("q_id", "n_id")
     return (
         sq.join(brute, ["q_id", "n_id"])
