@@ -555,6 +555,158 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     )
 
 
+MEDIA_PROBE_SCHEMA = (
+    "asset_id bigint, media_format string, width int, height int, "
+    "duration_ms int, sample_rate int, n_frames int"
+)
+
+
+def synthesize_media_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL container bytes for the still-stubbed codecs:
+    mp3 (MPEG-1 Layer III CBR frames), webp (RIFF/VP8L) and mp4
+    (ISO BMFF ftyp+moov), cycling by doc_id % 3.
+
+    Deterministic closed forms (all integers):
+    mp3:  n_frames = 4 + doc_id % 8 at 44100 Hz / 128 kbps
+    webp: width = 16 + doc_id % 64, height = 16 + doc_id % 48
+    mp4:  duration_ms = 1000 + doc_id % 9000,
+          width = 320 + 16·(doc_id % 8), height = 240 + 16·(doc_id % 4)
+
+    The PAYLOAD bytes are spec-valid containers (frame syncs, RIFF
+    chunks, BMFF boxes) whose sample data is filler — exactly the
+    honest boundary: the metadata pass is real, the entropy decode
+    stays a loud stub.
+    """
+    import struct as _struct
+
+    def _mp3(n_frames: int) -> bytes:
+        # MPEG-1 Layer III, 44100 Hz, 128 kbps: header FF FB 90 00,
+        # frame size 144·128000/44100 = 417 bytes
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (417 - 4)
+        return frame * n_frames
+
+    def _webp(w: int, h: int) -> bytes:
+        bits = (w - 1) | ((h - 1) << 14)
+        body = bytes([0x2F]) + _struct.pack("<I", bits)
+        chunk = b"VP8L" + _struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def _mp4(w: int, h: int, dur_ms: int) -> bytes:
+        mvhd = _box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8
+            + _struct.pack(">II", 1000, dur_ms) + b"\x00" * 80,
+        )
+        # tkhd v0: FullBox + 5×u32, then 52 bytes to 16.16 dims
+        tkhd = _box(
+            b"tkhd",
+            b"\x00" * 24 + b"\x00" * 52
+            + _struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        trak = _box(b"trak", tkhd + _box(b"mdia", hdlr))
+        return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(
+            b"moov", mvhd + trak
+        )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                which = did % 3
+                if which == 0:
+                    payload = _mp3(4 + did % 8)
+                    kind, codec = "audio", "mp3"
+                elif which == 1:
+                    payload = _webp(16 + did % 64, 16 + did % 48)
+                    kind, codec = "image", "webp"
+                else:
+                    payload = _mp4(
+                        320 + 16 * (did % 8),
+                        240 + 16 * (did % 4),
+                        1000 + did % 9000,
+                    )
+                    kind, codec = "video", "h264"
+                ids.append(did)
+                kinds.append(kind)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "codec": codec,
+                        "width": None,
+                        "height": None,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def probe_media_features(assets: DataFrame) -> DataFrame:
+    """REAL container-metadata extraction for the stubbed-codec formats
+    (``functions/mediainfo.py``): dims / duration / rate / frame count
+    straight from mp3 frame headers, WEBP chunks and BMFF boxes — the
+    filter pass a training pipeline runs BEFORE paying for any decode.
+    Unprobeable payloads yield null-feature rows (DLQ contract)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.mediainfo import (
+            mp3_info,
+            mp4_info,
+            webp_info,
+        )
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(buf)
+                row = None
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        w = webp_info(b)
+                        row = (aid, "webp", w["width"], w["height"],
+                               None, None, None)
+                    elif len(b) > 8 and b[4:8] == b"ftyp":
+                        m = mp4_info(b)
+                        t0 = next(
+                            (t for t in m["tracks"] if "width" in t), {}
+                        )
+                        row = (aid, "mp4", t0.get("width"), t0.get("height"),
+                               m.get("duration_ms"), None, None)
+                    else:
+                        a = mp3_info(b)
+                        row = (aid, "mp3", None, None, a["duration_ms"],
+                               a["sample_rate"], a["n_frames"])
+                except Exception:
+                    row = (aid, None, None, None, None, None, None)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_format", "width", "height",
+                    "duration_ms", "sample_rate", "n_frames",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=MEDIA_PROBE_SCHEMA
+    )
+
+
 def decode_features(assets: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-asset decoded features via Arrow-batched ``mapInPandas``.
 

@@ -281,6 +281,44 @@ def q_mm_flac_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_media_probe",
+    """
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'webp'
+                ELSE 'mp4' END AS media_format,
+           CASE doc_id % 3
+                WHEN 1 THEN CAST(16 + doc_id % 64 AS INT)
+                WHEN 2 THEN CAST(320 + 16 * (doc_id % 8) AS INT)
+           END AS width,
+           CASE doc_id % 3
+                WHEN 1 THEN CAST(16 + doc_id % 48 AS INT)
+                WHEN 2 THEN CAST(240 + 16 * (doc_id % 4) AS INT)
+           END AS height,
+           CASE doc_id % 3
+                WHEN 0 THEN CAST(((4 + doc_id % 8) * 1152 * 1000) // 44100
+                                 AS INT)
+                WHEN 2 THEN CAST(1000 + doc_id % 9000 AS INT)
+           END AS duration_ms,
+           CASE doc_id % 3 WHEN 0 THEN 44100 END AS sample_rate,
+           CASE doc_id % 3 WHEN 0 THEN CAST(4 + doc_id % 8 AS INT)
+           END AS n_frames
+    FROM documents
+    """,
+    "REAL container-metadata probes for the stubbed-codec formats "
+    "(functions/mediainfo.py): mp3 frame-header walk, RIFF/WEBP chunk "
+    "parse, ISO BMFF box walk — dims/duration/rate extracted from "
+    "spec-valid container bytes without decoding a single sample, the "
+    "filter pass a training pipeline runs before paying for decode",
+)
+def q_mm_media_probe(spark, sf_dir):
+    """Synthesized spec-valid mp3/webp/mp4 containers (filler sample
+    data — the honest stub boundary) probed executor-side; every
+    extracted field matches the closed-form oracle."""
+    assets = MM.synthesize_media_assets(t(spark, sf_dir, "documents"))
+    return MM.probe_media_features(assets)
+
+
+@register(
     "q_mm_wav_loudest_frame",
     """
     WITH spec AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
