@@ -167,7 +167,12 @@ def q_mm_png_decode(spark, sf_dir):
     (doc_id*31 + i*7) mod 256 is arithmetic, so DuckDB predicts every
     decoded statistic while Spark actually runs encode_png → decode_png
     on executors — any filter/CRC/inflate bug breaks the hash match."""
-    assets = MM.synthesize_png_assets(t(spark, sf_dir, "documents"))
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps the scan at ONE task; the codec
+    # work is CPU-bound Python, so parallelism IS the runtime here
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_png_assets(docs)
     return MM.decode_png_features(assets)
 
 
@@ -202,7 +207,12 @@ def q_mm_jpeg_decode(spark, sf_dir):
     quantizes by 1 — the decoded image is bit-exact and the per-asset
     mean is the mean of the block values, closed-form for DuckDB. Any
     Huffman/DPCM/zigzag/IDCT bug breaks the hash match."""
-    assets = MM.synthesize_jpeg_assets(t(spark, sf_dir, "documents"))
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps the scan at ONE task; the codec
+    # work is CPU-bound Python, so parallelism IS the runtime here
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_jpeg_assets(docs)
     return MM.decode_jpeg_features(assets)
 
 
@@ -239,7 +249,12 @@ def q_mm_wav_decode(spark, sf_dir):
     arithmetic end-to-end (no float DSP in the contract), so DuckDB
     predicts the decoded rate/frames/duration/sum|x|/peak exactly while
     Spark actually parses RIFF/PCM bytes on executors."""
-    assets = MM.synthesize_wav_assets(t(spark, sf_dir, "documents"))
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps the scan at ONE task; the codec
+    # work is CPU-bound Python, so parallelism IS the runtime here
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_wav_assets(docs)
     return MM.decode_wav_features(assets)
 
 
@@ -276,7 +291,12 @@ def q_mm_flac_decode(spark, sf_dir):
     """sample[i] = ((doc_id*53 + i*71) mod 2001) - 1000; losslessness
     turns the full entropy-coded audio pipeline into an exact oracle —
     the compressed-audio twin of q_mm_wav_decode."""
-    assets = MM.synthesize_flac_assets(t(spark, sf_dir, "documents"))
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps the scan at ONE task; the codec
+    # work is CPU-bound Python, so parallelism IS the runtime here
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_flac_assets(docs)
     return MM.decode_flac_features(assets)
 
 
@@ -314,7 +334,12 @@ def q_mm_media_probe(spark, sf_dir):
     """Synthesized spec-valid mp3/webp/mp4 containers (filler sample
     data — the honest stub boundary) probed executor-side; every
     extracted field matches the closed-form oracle."""
-    assets = MM.synthesize_media_assets(t(spark, sf_dir, "documents"))
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps the scan at ONE task; the codec
+    # work is CPU-bound Python, so parallelism IS the runtime here
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_media_assets(docs)
     return MM.probe_media_features(assets)
 
 

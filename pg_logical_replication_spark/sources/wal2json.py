@@ -118,6 +118,11 @@ def reassemble_json_documents(
         ),
     )
     keys = ([partition_col] if partition_col is not None else []) + ["__doc"]
+    # the window leaves ONE partition, which trivially satisfies the
+    # groupBy's clustering — Spark would run the whole aggregation (and
+    # everything above it) serially. Redistribute on the document id so
+    # only the depth scan is serial, not the stitch + downstream decode.
+    df = df.repartition(*keys)
     aggs = [
         F.min(order_col).alias(order_col),
         F.array_join(
