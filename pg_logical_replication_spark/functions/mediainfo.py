@@ -67,8 +67,6 @@ def _mp3_frame(data: bytes, pos: int):
         return None  # free-format / bad
     bitrate = _MP3_BITRATE[(version_key, layer)][br_idx]
     sr = _MP3_SAMPLERATE[vbits][sr_idx]
-    if vbits != 3:
-        pass  # _MP3_SAMPLERATE keyed by vbits handles 2/2.5 directly
     padding = (b2 >> 1) & 1
     samples = _SAMPLES_PER_FRAME[(version_key, layer)]
     if layer == 1:
@@ -234,3 +232,170 @@ def mp4_info(data: bytes) -> dict:
                             )
             info["tracks"].append(track)
     return info
+
+
+# --------------------------------------------------------- webm (EBML)
+def _ebml_vint(data: bytes, pos: int, strip_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` → (value, new_pos).
+    ``strip_marker`` clears the length-descriptor bit (element IDs keep
+    it, sizes strip it — RFC 8794 §4)."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("ebml: invalid vint")
+    length = 9 - first.bit_length()
+    v = first & (0xFF >> length) if strip_marker else first
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+def webm_info(data: bytes) -> dict:
+    """Matroska/WebM (RFC 8794 EBML + the public Matroska spec) →
+    duration + per-video-track dims + codec ids — the vp9-in-webm
+    metadata path. Walks EBML elements; sample blocks stay untouched."""
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("webm: missing EBML header magic")
+
+    def walk(pos, end, out, scale_holder):
+        while pos < end:
+            eid, pos = _ebml_vint(data, pos, strip_marker=False)
+            size, pos = _ebml_vint(data, pos, strip_marker=True)
+            body_end = pos + size
+            if eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0):
+                # Segment / Info / Tracks / TrackEntry / Video: recurse
+                if eid == 0xAE:
+                    track: dict = {}
+                    walk(pos, body_end, track, scale_holder)
+                    if track:
+                        out.setdefault("tracks", []).append(track)
+                else:
+                    walk(pos, body_end, out, scale_holder)
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                scale_holder[0] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == 0x4489:  # Duration (float ticks)
+                raw = data[pos:body_end]
+                out["_duration_ticks"] = struct.unpack(
+                    ">f" if len(raw) == 4 else ">d", raw
+                )[0]
+            elif eid == 0x86:  # CodecID
+                out["codec"] = data[pos:body_end].decode("ascii", "replace")
+            elif eid == 0xB0:  # PixelWidth
+                out["width"] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == 0xBA:  # PixelHeight
+                out["height"] = int.from_bytes(data[pos:body_end], "big")
+            pos = body_end
+        return out
+
+    info: dict = {}
+    scale = [1_000_000]  # Matroska default: 1 ms ticks
+    walk(0, len(data), info, scale)
+    ticks = info.pop("_duration_ticks", None)
+    if ticks is not None:
+        info["duration_ms"] = int(ticks * scale[0] / 1_000_000)
+    return info
+
+
+# ----------------------------------------------------------- h264 SPS
+class _ExpGolomb:
+    """Bit reader with ue(v)/se(v) Exp-Golomb decode (H.264 spec §9.1)
+    over an RBSP (emulation-prevention 00 00 03 bytes already removed).
+    """
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("h264: bad exp-golomb code")
+        return (1 << zeros) - 1 + (self.bits(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def h264_sps_info(nal: bytes) -> dict:
+    """Parse one H.264 sequence parameter set NAL → profile/level and
+    the true coded dimensions (incl. frame cropping) — the codec-level
+    dims for avc1 tracks whose containers lie or are absent. Decoding
+    slices remains out of scope (the stub boundary).
+    """
+    if not nal:
+        raise ValueError("h264: empty NAL")
+    if (nal[0] & 0x1F) != 7:
+        raise ValueError("h264: not an SPS NAL")
+    # strip emulation prevention bytes from the RBSP
+    rbsp = bytearray()
+    i = 1
+    while i < len(nal):
+        if i + 2 < len(nal) and nal[i : i + 3] == b"\x00\x00\x03":
+            rbsp += b"\x00\x00"
+            i += 3
+        else:
+            rbsp.append(nal[i])
+            i += 1
+    r = _ExpGolomb(bytes(rbsp))
+    profile_idc = r.bits(8)
+    r.bits(8)  # constraint flags + reserved
+    level_idc = r.bits(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.bit()  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.bit()  # qpprime_y_zero_transform_bypass_flag
+        if r.bit():  # seq_scaling_matrix_present_flag
+            raise NotImplementedError("h264: scaling matrices unsupported")
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.bit()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.bit()  # gaps_in_frame_num_value_allowed_flag
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.bit()
+    if not frame_mbs_only:
+        r.bit()  # mb_adaptive_frame_field_flag
+    r.bit()  # direct_8x8_inference_flag
+    width = pic_width_in_mbs * 16
+    height = (2 - frame_mbs_only) * pic_height_in_map_units * 16
+    if r.bit():  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        # crop units (4:2:0: x2 horizontally, x2·(2-fmof) vertically)
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        width -= (cl + cr) * sub_w
+        height -= (ct + cb) * sub_h * (2 - frame_mbs_only)
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+        "interlaced": not frame_mbs_only,
+    }

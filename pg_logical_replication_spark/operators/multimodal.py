@@ -563,19 +563,23 @@ MEDIA_PROBE_SCHEMA = (
 
 def synthesize_media_assets(documents: DataFrame) -> DataFrame:
     """documents → REAL container bytes for the still-stubbed codecs:
-    mp3 (MPEG-1 Layer III CBR frames), webp (RIFF/VP8L) and mp4
-    (ISO BMFF ftyp+moov), cycling by doc_id % 3.
+    mp3 (MPEG-1 Layer III CBR frames), webp (RIFF/VP8L), mp4 (ISO BMFF
+    ftyp+moov), webm (EBML/Matroska with a V_VP9 track) and a raw h264
+    SPS NAL, cycling by doc_id % 5.
 
     Deterministic closed forms (all integers):
     mp3:  n_frames = 4 + doc_id % 8 at 44100 Hz / 128 kbps
     webp: width = 16 + doc_id % 64, height = 16 + doc_id % 48
     mp4:  duration_ms = 1000 + doc_id % 9000,
           width = 320 + 16·(doc_id % 8), height = 240 + 16·(doc_id % 4)
+    webm: duration_ms = 2000 + doc_id % 8000,
+          width = 320 + 16·(doc_id % 10), height = 180 + 8·(doc_id % 10)
+    h264: width = 16·(2 + doc_id % 8), height = 16·(2 + doc_id % 6)
 
     The PAYLOAD bytes are spec-valid containers (frame syncs, RIFF
-    chunks, BMFF boxes) whose sample data is filler — exactly the
-    honest boundary: the metadata pass is real, the entropy decode
-    stays a loud stub.
+    chunks, BMFF boxes, EBML elements, Exp-Golomb SPS fields) whose
+    sample data is filler — exactly the honest boundary: the metadata
+    pass is real, the entropy decode stays a loud stub.
     """
     import struct as _struct
 
@@ -614,6 +618,66 @@ def synthesize_media_assets(documents: DataFrame) -> DataFrame:
             b"moov", mvhd + trak
         )
 
+    def _ebml(eid: bytes, body: bytes) -> bytes:
+        n = len(body)
+        size = bytes([0x80 | n]) if n < 0x7F else bytes(
+            [0x40 | (n >> 8), n & 0xFF]
+        )
+        return eid + size + body
+
+    def _webm(w: int, h: int, dur_ms: int) -> bytes:
+        video = _ebml(b"\xb0", w.to_bytes(2, "big")) + _ebml(
+            b"\xba", h.to_bytes(2, "big")
+        )
+        track = _ebml(b"\x86", b"V_VP9") + _ebml(b"\xe0", video)
+        info = _ebml(
+            b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big")
+        ) + _ebml(b"\x44\x89", _struct.pack(">f", float(dur_ms)))
+        segment = _ebml(b"\x15\x49\xa9\x66", info) + _ebml(
+            b"\x16\x54\xae\x6b", _ebml(b"\xae", track)
+        )
+        return _ebml(b"\x1a\x45\xdf\xa3", b"") + _ebml(
+            b"\x18\x53\x80\x67", segment
+        )
+
+    def _sps(mbs_w: int, mbs_h: int) -> bytes:
+        bits: list[int] = []
+
+        def b(v, n):
+            for i in range(n - 1, -1, -1):
+                bits.append((v >> i) & 1)
+
+        def ue(v):
+            k = v + 1
+            n = k.bit_length()
+            b(0, n - 1)
+            b(k, n)
+
+        b(66, 8)   # profile_idc baseline
+        b(0, 8)    # constraint flags
+        b(30, 8)   # level_idc 3.0
+        ue(0)      # sps id
+        ue(4)      # log2_max_frame_num_minus4
+        ue(0)      # poc type 0
+        ue(4)      # log2_max_poc_lsb_minus4
+        ue(1)      # max refs
+        b(0, 1)    # gaps flag
+        ue(mbs_w - 1)
+        ue(mbs_h - 1)
+        b(1, 1)    # frame_mbs_only
+        b(0, 1)    # direct_8x8
+        b(0, 1)    # no cropping
+        b(0, 1)    # no VUI
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray([0x67])
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+        return bytes(out)
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -621,19 +685,29 @@ def synthesize_media_assets(documents: DataFrame) -> DataFrame:
             ids, kinds, payloads, metas = [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                which = did % 3
+                which = did % 5
                 if which == 0:
                     payload = _mp3(4 + did % 8)
                     kind, codec = "audio", "mp3"
                 elif which == 1:
                     payload = _webp(16 + did % 64, 16 + did % 48)
                     kind, codec = "image", "webp"
-                else:
+                elif which == 2:
                     payload = _mp4(
                         320 + 16 * (did % 8),
                         240 + 16 * (did % 4),
                         1000 + did % 9000,
                     )
+                    kind, codec = "video", "h264"
+                elif which == 3:
+                    payload = _webm(
+                        320 + 16 * (did % 10),
+                        180 + 8 * (did % 10),
+                        2000 + did % 8000,
+                    )
+                    kind, codec = "video", "vp9"
+                else:
+                    payload = _sps(2 + did % 8, 2 + did % 6)
                     kind, codec = "video", "h264"
                 ids.append(did)
                 kinds.append(kind)
@@ -665,8 +739,10 @@ def probe_media_features(assets: DataFrame) -> DataFrame:
         import pandas as pd
 
         from pg_logical_replication_spark.functions.mediainfo import (
+            h264_sps_info,
             mp3_info,
             mp4_info,
+            webm_info,
             webp_info,
         )
 
@@ -687,6 +763,18 @@ def probe_media_features(assets: DataFrame) -> DataFrame:
                         )
                         row = (aid, "mp4", t0.get("width"), t0.get("height"),
                                m.get("duration_ms"), None, None)
+                    elif b[:4] == b"\x1a\x45\xdf\xa3":
+                        m = webm_info(b)
+                        t0 = next(
+                            (t for t in m.get("tracks", []) if "width" in t),
+                            {},
+                        )
+                        row = (aid, "webm", t0.get("width"), t0.get("height"),
+                               m.get("duration_ms"), None, None)
+                    elif b and (b[0] & 0x1F) == 7 and (b[0] >> 5) <= 3:
+                        s = h264_sps_info(b)
+                        row = (aid, "h264", s["width"], s["height"],
+                               None, None, None)
                     else:
                         a = mp3_info(b)
                         row = (aid, "mp3", None, None, a["duration_ms"],

@@ -304,36 +304,44 @@ def q_mm_flac_decode(spark, sf_dir):
     "q_mm_media_probe",
     """
     SELECT doc_id AS asset_id,
-           CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'webp'
-                ELSE 'mp4' END AS media_format,
-           CASE doc_id % 3
+           CASE doc_id % 5 WHEN 0 THEN 'mp3' WHEN 1 THEN 'webp'
+                WHEN 2 THEN 'mp4' WHEN 3 THEN 'webm'
+                ELSE 'h264' END AS media_format,
+           CASE doc_id % 5
                 WHEN 1 THEN CAST(16 + doc_id % 64 AS INT)
                 WHEN 2 THEN CAST(320 + 16 * (doc_id % 8) AS INT)
+                WHEN 3 THEN CAST(320 + 16 * (doc_id % 10) AS INT)
+                WHEN 4 THEN CAST(16 * (2 + doc_id % 8) AS INT)
            END AS width,
-           CASE doc_id % 3
+           CASE doc_id % 5
                 WHEN 1 THEN CAST(16 + doc_id % 48 AS INT)
                 WHEN 2 THEN CAST(240 + 16 * (doc_id % 4) AS INT)
+                WHEN 3 THEN CAST(180 + 8 * (doc_id % 10) AS INT)
+                WHEN 4 THEN CAST(16 * (2 + doc_id % 6) AS INT)
            END AS height,
-           CASE doc_id % 3
+           CASE doc_id % 5
                 WHEN 0 THEN CAST(((4 + doc_id % 8) * 1152 * 1000) // 44100
                                  AS INT)
                 WHEN 2 THEN CAST(1000 + doc_id % 9000 AS INT)
+                WHEN 3 THEN CAST(2000 + doc_id % 8000 AS INT)
            END AS duration_ms,
-           CASE doc_id % 3 WHEN 0 THEN 44100 END AS sample_rate,
-           CASE doc_id % 3 WHEN 0 THEN CAST(4 + doc_id % 8 AS INT)
+           CASE doc_id % 5 WHEN 0 THEN 44100 END AS sample_rate,
+           CASE doc_id % 5 WHEN 0 THEN CAST(4 + doc_id % 8 AS INT)
            END AS n_frames
     FROM documents
     """,
-    "REAL container-metadata probes for the stubbed-codec formats "
+    "REAL container-metadata probes for ALL the stubbed-codec formats "
     "(functions/mediainfo.py): mp3 frame-header walk, RIFF/WEBP chunk "
-    "parse, ISO BMFF box walk — dims/duration/rate extracted from "
+    "parse, ISO BMFF box walk, EBML/Matroska walk (vp9-in-webm), and "
+    "an Exp-Golomb H.264 SPS parse — dims/duration/rate extracted from "
     "spec-valid container bytes without decoding a single sample, the "
     "filter pass a training pipeline runs before paying for decode",
 )
 def q_mm_media_probe(spark, sf_dir):
-    """Synthesized spec-valid mp3/webp/mp4 containers (filler sample
-    data — the honest stub boundary) probed executor-side; every
-    extracted field matches the closed-form oracle."""
+    """Synthesized spec-valid mp3/webp/mp4/webm/h264-SPS containers
+    (filler sample data — the honest stub boundary) probed
+    executor-side; every extracted field matches the closed-form
+    oracle."""
     from pg_logical_replication_spark.plans.registry import spread_if_narrow
 
     # single-row-group testdata caps the scan at ONE task; the codec

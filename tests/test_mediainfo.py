@@ -156,3 +156,122 @@ def test_mp4_refusals():
         mp4_info(_box(b"mdat", b"\x00" * 8))
     with pytest.raises(ValueError, match="malformed|too short"):
         mp4_info(b"\x00\x00\x00\x03xxx")
+
+
+# ----------------------------------------------------------- webm/EBML
+def _ebml(eid, body):
+    n = len(body)
+    size = bytes([0x80 | n]) if n < 0x7F else bytes([0x40 | (n >> 8), n & 0xFF])
+    return eid + size + body
+
+
+def _webm(w, h, dur_ms, codec=b"V_VP9"):
+    video = _ebml(b"\xb0", w.to_bytes(2, "big")) + _ebml(
+        b"\xba", h.to_bytes(2, "big")
+    )
+    track = _ebml(b"\x86", codec) + _ebml(b"\xe0", video)
+    info = _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big")) + _ebml(
+        b"\x44\x89", struct.pack(">f", float(dur_ms))
+    )
+    segment = _ebml(b"\x15\x49\xa9\x66", info) + _ebml(
+        b"\x16\x54\xae\x6b", _ebml(b"\xae", track)
+    )
+    return _ebml(b"\x1a\x45\xdf\xa3", b"") + _ebml(b"\x18\x53\x80\x67", segment)
+
+
+def test_webm_ebml_walk():
+    from pg_logical_replication_spark.functions.mediainfo import webm_info
+
+    info = webm_info(_webm(640, 360, 7500))
+    assert info["duration_ms"] == 7500
+    assert info["tracks"][0] == {"codec": "V_VP9", "width": 640, "height": 360}
+
+
+def test_webm_float64_duration_and_refusal():
+    from pg_logical_replication_spark.functions.mediainfo import webm_info
+
+    info = _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big")) + _ebml(
+        b"\x44\x89", struct.pack(">d", 1234.0)
+    )
+    seg = _ebml(b"\x15\x49\xa9\x66", info)
+    doc = _ebml(b"\x1a\x45\xdf\xa3", b"") + _ebml(b"\x18\x53\x80\x67", seg)
+    assert webm_info(doc)["duration_ms"] == 1234
+    with pytest.raises(ValueError, match="EBML"):
+        webm_info(b"\x00\x00\x00\x00")
+
+
+# ----------------------------------------------------------- h264 SPS
+class _BW:
+    def __init__(self):
+        self.bits = []
+
+    def b(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v):
+        k = v + 1
+        n = k.bit_length()
+        self.b(0, n - 1)
+        self.b(k, n)
+
+    def nal(self, header=0x67):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray([header])
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for bit in self.bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+        return bytes(out)
+
+
+def _sps(mbs_w, mbs_h, crop=None, profile=66):
+    w = _BW()
+    w.b(profile, 8)
+    w.b(0, 8)
+    w.b(30, 8)
+    w.ue(0)
+    if profile == 100:
+        w.ue(1)   # chroma_format_idc 4:2:0
+        w.ue(0); w.ue(0)
+        w.b(0, 1)
+        w.b(0, 1)  # no scaling matrices
+    w.ue(4)
+    w.ue(0)
+    w.ue(4)
+    w.ue(1)
+    w.b(0, 1)
+    w.ue(mbs_w - 1)
+    w.ue(mbs_h - 1)
+    w.b(1, 1)
+    w.b(0, 1)
+    if crop:
+        w.b(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.b(0, 1)
+    w.b(0, 1)
+    return w.nal()
+
+
+def test_h264_sps_dims_baseline_and_high():
+    from pg_logical_replication_spark.functions.mediainfo import h264_sps_info
+
+    s = h264_sps_info(_sps(4, 3))
+    assert (s["width"], s["height"]) == (64, 48)
+    assert s["profile_idc"] == 66 and not s["interlaced"]
+    # high profile with 4:2:0 cropping: 1920x1080 = 120x68 MBs crop 8 bottom
+    s2 = h264_sps_info(_sps(120, 68, crop=(0, 0, 0, 4), profile=100))
+    assert (s2["width"], s2["height"]) == (1920, 1080)
+
+
+def test_h264_sps_refusals():
+    from pg_logical_replication_spark.functions.mediainfo import h264_sps_info
+
+    with pytest.raises(ValueError, match="SPS"):
+        h264_sps_info(bytes([0x61]) + b"\x00" * 8)  # slice NAL, not SPS
+    with pytest.raises(ValueError, match="empty"):
+        h264_sps_info(b"")
