@@ -40,11 +40,16 @@ class MergeOnReadTable:
         path: str,
         key_columns: list[str],
         table: str | None = None,
+        small_batch_rows: int = 10_000,
     ):
         self.spark = spark
         self.path = path
         self.key_columns = key_columns
         self.table = table
+        # batches at or below this row count write as one file (see
+        # apply_batch); 10k rows ≈ a few hundred KB of images — far
+        # below any size where write parallelism matters
+        self.small_batch_rows = small_batch_rows
 
     # -------------------------------------------------------------- write
     def apply_batch(self, events: DataFrame, batch_id: int) -> None:
@@ -75,6 +80,14 @@ class MergeOnReadTable:
             "after",
             F.col("_ord").getField("col1").alias("_ord1"),
         )
+        # Small micro-batches (the steady-state CDC case) otherwise pay
+        # a full-width shuffle fan-out + N near-empty parquet files +
+        # an N-file commit per batch — measured ~0.4 s/batch of the
+        # visibility latency at 32 shuffle partitions for 100 rows.
+        # The count is one cheap job (the service path hands this sink
+        # a persisted batch); large batches keep full parallelism.
+        if events.count() <= self.small_batch_rows:
+            out = out.coalesce(1)
         out.write.mode("overwrite").parquet(
             os.path.join(self.path, f"batch={batch_id}")
         )
