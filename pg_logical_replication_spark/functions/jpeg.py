@@ -455,6 +455,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break

@@ -440,8 +440,16 @@ class WalsenderTransport(WalTransport):
                         + first,
                     )
                 elif code == 11:  # AuthenticationSASLContinue
+                    if not hasattr(self, "_scram"):
+                        raise ConnectionError(
+                            "walsender: SASLContinue without a SASL offer"
+                        )
                     self._send_msg(b"p", self._scram.client_final(body[4:]))
                 elif code == 12:  # AuthenticationSASLFinal: mutual auth
+                    if not hasattr(self, "_scram"):
+                        raise ConnectionError(
+                            "walsender: SASLFinal without a SASL exchange"
+                        )
                     self._scram.verify_server_final(body[4:])
                 else:
                     raise NotImplementedError(

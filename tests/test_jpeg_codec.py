@@ -199,3 +199,13 @@ def test_zigzag_is_an_involution_with_unzigzag():
     from pg_logical_replication_spark.functions.jpeg import _UNZIGZAG
 
     assert (zz[_UNZIGZAG] == a).all()
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; insert some before DQT and EOI."""
+    px = _block_constant(16, 8, 3)
+    buf = encode_jpeg(16, 8, px, 1, quality=100)
+    i = buf.index(b"\xff\xdb")
+    padded = buf[:i] + b"\xff\xff\xff" + buf[i:]
+    assert decode_jpeg(padded)[3] == px
