@@ -410,3 +410,49 @@ def cms_heavy_hitters(
         (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
     )
     return out.orderBy(F.col("est_count").desc(), "token").limit(k)
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Hashed-linear quality classifier scoring — the fastText/CCNet
+    corpus-filter pattern: each token hashes into one of ``buckets``
+    weight slots and the document score is the weight sum; keep/drop is
+    the score's sign. Here the weight table is a FROZEN deterministic
+    function of the bucket id (``w(b) = (b·31 + 7) mod 1001 − 500``) —
+    a stand-in for trained weights with identical plumbing, so the
+    whole scorer (hash → bucket → weight → sum → threshold) is
+    replayable by a SQL oracle. Swapping in trained weights is a
+    broadcast array literal, not a new operator.
+
+    Scale: one JVM-side ``aggregate`` over the token array per row —
+    no shuffle, no UDF; the scorer runs inside the scan stage at
+    whole-corpus throughput, which is exactly why hashed linear models
+    are THE first-pass quality filter at 100 TB.
+    """
+    toks = tokens_expr(text_col)
+
+    def weight(x: Column) -> Column:
+        # portable token hash: md5 hex → 15 hex digits (< 2^60) → int,
+        # identical in Spark (conv) and DuckDB ('0x…'::BIGINT)
+        h = (
+            F.conv(F.substring(F.md5(F.lower(x)), 1, 15), 16, 10)
+            .cast("bigint")
+            % buckets
+        )
+        return (h * 31 + 7) % 1001 - 500
+
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        score.alias("lm_score"),
+        F.round(score.cast("double") / n, 6).alias("score_per_token"),
+        (score >= 0).alias("keep"),
+    )

@@ -1673,3 +1673,29 @@ def q_corpus_drift(spark, sf_dir):
         "lang", "source", "n_old", "n_new", "tokens_old", "tokens_new",
         drift.alias("drift_flag"),
     ).orderBy("lang", "source")
+
+
+@register(
+    "q_text_quality_linear",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(tk,
+                 x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15) AS BIGINT)
+                        % 1024) * 31 + 7) % 1001 - 500)) AS BIGINT)
+               AS lm_score
+      FROM toks)
+    SELECT doc_id, n_tokens, lm_score,
+           ROUND(lm_score / n_tokens, 6) AS score_per_token,
+           lm_score >= 0 AS keep
+    FROM scored
+    """,
+    "hashed-linear quality classifier (the fastText/CCNet corpus-filter "
+    "pattern): token -> md5 bucket -> frozen weight -> document score "
+    "-> keep/drop sign, entirely JVM-side inside the scan stage (no "
+    "shuffle, no UDF) — trained weights drop in as a broadcast literal",
+)
+def q_text_quality_linear(spark, sf_dir):
+    return TX.linear_quality_score(t(spark, sf_dir, "documents"))

@@ -371,3 +371,46 @@ def test_pbshim_repeated_roundtrip(vals, ts):
     r2 = sm.StateResponseWithTimer()
     r2.ParseFromString(resp.SerializeToString())
     assert [t.timestampMs for t in r2.timer] == ts
+
+
+# ------------------------------------------------- round-4 codec props
+@given(
+    st.integers(1, 4),
+    st.integers(1, 3),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_q100_block_constant_lossless_property(bw, bh, seed):
+    """Any block-constant grayscale image is bit-exact through the
+    quality-100 JPEG pipeline — the q_mm_jpeg_decode oracle invariant,
+    generalized."""
+    from pg_logical_replication_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    px = bytes(
+        (seed * 31 + ((y // 8) * bw + (x // 8)) * 7) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    assert decode_jpeg(encode_jpeg(w, h, px, 1, quality=100)) == (w, h, 1, px)
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=2000),
+    st.sampled_from([64, 256, 4096]),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_roundtrip_lossless_property(samples, block_size):
+    """FLAC is lossless for ANY 16-bit signal at any block size."""
+    from pg_logical_replication_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sr, nc, bps, chans = decode_flac(
+        encode_flac(samples, sample_rate=16000, block_size=block_size)
+    )
+    assert chans[0] == samples and (nc, bps) == (1, 16)
