@@ -56,8 +56,11 @@ KINDS = ["image", "audio", "video"]
 #: baseline sequential DCT from the public T.81 spec →
 #: :func:`synthesize_jpeg_assets` / :func:`decode_jpeg_features`), and
 #: ``flac`` (``functions/flac.py``, RFC 9639 profile →
-#: :func:`synthesize_flac_assets` / :func:`decode_flac_features`).
-REAL_CODECS = frozenset({"webp", "mp3", "h264", "vp9"})
+#: :func:`synthesize_flac_assets` / :func:`decode_flac_features`), and
+#: ``webp`` LOSSLESS (``functions/vp8l.py``, the VP8L bitstream incl.
+#: all four transforms → :func:`synthesize_webp_assets` /
+#: :func:`decode_webp_features`; LOSSY VP8 stays a loud stub).
+REAL_CODECS = frozenset({"mp3", "h264", "vp9"})
 
 ASSET_SCHEMA = (
     "asset_id bigint, kind string, payload binary, "
@@ -125,6 +128,11 @@ def _require_fake(codec: str) -> None:
     if codec == "flac":
         raise ValueError(
             "flac payloads have a real decoder: use decode_flac_features"
+        )
+    if codec == "webp":
+        raise ValueError(
+            "webp payloads have a real LOSSLESS (VP8L) decoder: use "
+            "decode_webp_features; lossy VP8 remains stubbed inside it"
         )
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
@@ -552,6 +560,100 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         batches, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def synthesize_webp_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL lossless WebP payloads (``functions/vp8l.py``).
+
+    Deterministic ARGB: width = 4 + doc_id % 12, height = 4 + doc_id %
+    8, pixel[i] channels a=255, r=(doc_id·31+i·7)%256,
+    g=(doc_id·17+i·11)%256, b=(doc_id·13+i·5)%256 — VP8L is lossless,
+    so the closed-form oracle survives a real prefix-coded bitstream
+    round-trip (the image twin of the FLAC query).
+    """
+    from pg_logical_replication_spark.functions.vp8l import (
+        encode_webp_lossless,
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 12, 4 + did % 8
+                px = [
+                    (255 << 24)
+                    | (((did * 31 + i * 7) % 256) << 16)
+                    | (((did * 17 + i * 11) % 256) << 8)
+                    | ((did * 13 + i * 5) % 256)
+                    for i in range(w * h)
+                ]
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(encode_webp_lossless(w, h, px))
+                metas.append(
+                    {
+                        "codec": "webp",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+WEBP_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_webp_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→pixels VP8L decode per asset (prefix codes, LZ77,
+    color cache, transforms), emitting dims + per-channel means; lossy
+    VP8 payloads and undecodable bytes yield null-feature rows."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.vp8l import (
+            decode_webp_lossless,
+        )
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_webp_lossless(bytes(buf))
+                    n = len(px)
+                    rows.append(
+                        (
+                            aid, w, h, n,
+                            round(sum((p >> 16) & 0xFF for p in px) / n, 6),
+                            round(sum((p >> 8) & 0xFF for p in px) / n, 6),
+                            round(sum(p & 0xFF for p in px) / n, 6),
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=WEBP_FEATURE_SCHEMA
     )
 
 

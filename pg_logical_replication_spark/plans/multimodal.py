@@ -301,6 +301,42 @@ def q_mm_flac_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_webp_decode",
+    """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 12 AS INT) AS w,
+             CAST(4 + doc_id % 8 AS INT) AS h
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           w AS width, h AS height,
+           CAST(w * h AS INT) AS n_pixels,
+           ROUND(list_avg(list_transform(generate_series(0, w*h - 1),
+               i -> (doc_id * 31 + i * 7) % 256)), 6) AS mean_r,
+           ROUND(list_avg(list_transform(generate_series(0, w*h - 1),
+               i -> (doc_id * 17 + i * 11) % 256)), 6) AS mean_g,
+           ROUND(list_avg(list_transform(generate_series(0, w*h - 1),
+               i -> (doc_id * 13 + i * 5) % 256)), 6) AS mean_b
+    FROM spec
+    """,
+    "REAL lossless-WebP codec round-trip (functions/vp8l.py): ARGB "
+    "images through a spec-valid VP8L bitstream — prefix codes decoded "
+    "bit-by-bit executor-side — with dims + per-channel means matching "
+    "the closed-form oracle exactly because VP8L is lossless; lossy "
+    "VP8 remains the one declared image stub",
+)
+def q_mm_webp_decode(spark, sf_dir):
+    """The webp graduation query: encode_webp_lossless →
+    decode_webp_lossless on executors, Arrow-batched; any prefix-code /
+    bit-order / channel-order bug breaks the hash match."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_webp_assets(docs)
+    return MM.decode_webp_features(assets)
+
+
+@register(
     "q_mm_media_probe",
     """
     SELECT doc_id AS asset_id,

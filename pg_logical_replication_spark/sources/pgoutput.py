@@ -361,3 +361,39 @@ def decode_pgoutput(
 from pg_logical_replication_spark.operators.transactions import (  # noqa: E402,F401
     assign_transactions,
 )
+
+
+def relations_from_frame_log(
+    spark, log_dir: str
+) -> dict[int, "fmt.RelationInfo"]:
+    """Build the pgoutput schema registry from an archived frame log —
+    the operational closer for the streaming resume case: a checkpoint
+    restart that resumes PAST a relation's in-band 'R' message degrades
+    its DML to error rows unless ``relations=`` is supplied; this
+    helper batch-scans the durable log (the ``pg_cdc`` batch source,
+    one partition per segment) for 'R' messages and returns the NEWEST
+    schema per oid, ready to pass to
+    ``changes('pgoutput', source='frames', relations=...)``.
+
+    Scale: the scan reads only rows whose first payload byte is 'R'
+    (plus S/E stream context) — a first-byte filter over the demuxed
+    frames; relation messages are a vanishing fraction of any real log.
+    """
+    from pg_logical_replication_spark.sources.datasource import register
+    from pg_logical_replication_spark.sources.wire import demux_copy_stream
+
+    register(spark)
+    raw = (
+        spark.read.format("pg_cdc").option("path", log_dir).load()
+    )
+    dm = demux_copy_stream(raw, passthrough=("seq",)).filter(
+        F.col("msg_type") == "w"
+    )
+    versions = _collect_relations(
+        dm.select(F.col("payload").alias("data"), "seq"), "data", "seq"
+    )
+    out: dict[int, fmt.RelationInfo] = {}
+    for oid, vers in versions.items():
+        # newest by valid_from_seq
+        out[oid] = max(vers, key=lambda v: v[0])[1]
+    return out

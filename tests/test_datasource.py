@@ -142,3 +142,43 @@ def test_batch_reads_frame_segments(spark, tmp_path):
     # lsn pre-extracted from the frame header
     first = raw.orderBy("seq").first()
     assert first["lsn"] == "00000000/00001000"
+
+
+def test_relations_from_frame_log_builds_registry(spark, tmp_path):
+    """The operational closer for streaming resume (r4): rebuild the
+    pgoutput schema registry from the archived frame log, newest 'R'
+    version per oid, and decode a later segment's DML with it."""
+    import struct
+
+    from pg_logical_replication_spark.sources import pgoutput_format as pf
+    from pg_logical_replication_spark.sources.pgoutput import (
+        decode_pgoutput,
+        relations_from_frame_log,
+    )
+    from pg_logical_replication_spark.sources.transport import write_frame
+
+    d = str(tmp_path / "wal")
+    os.makedirs(d)
+
+    def frame(lsn, payload):
+        return b"w" + struct.pack(">QQQ", lsn, lsn + 8, 0) + payload
+
+    # seg1: R v1 (id only) then R v2 (id, v) — ALTER TABLE mid-stream
+    with open(os.path.join(d, "000001.seg"), "ab") as f:
+        write_frame(f, frame(0x10, pf.encode_relation(
+            16400, "public", "t", [("id", 20)], key_columns=["id"])))
+        write_frame(f, frame(0x18, pf.encode_relation(
+            16400, "public", "t", [("id", 20), ("v", 25)],
+            key_columns=["id"])))
+    reg = relations_from_frame_log(spark, d)
+    assert set(reg) == {16400}
+    assert [c["name"] for c in reg[16400].columns] == ["id", "v"]  # newest
+
+    # a later segment's DML (no R in sight) decodes fully with the
+    # rebuilt registry — the exact situation the error rows point at
+    raw = spark.createDataFrame(
+        [("0/20", 0, pf.encode_insert(16400, [("t", "7"), ("t", "x")]))],
+        "lsn string, seq long, data binary",
+    )
+    row = decode_pgoutput(raw, relations=reg).first()
+    assert row["op"] == "insert" and row["after"] == {"id": "7", "v": "x"}

@@ -69,7 +69,7 @@ def test_resize_rewrites_payload_and_meta(assets):
 
 def test_real_codecs_are_stubbed(assets):
     for fn in (
-        lambda: MM.decode_features(assets, codec="webp"),
+        lambda: MM.decode_features(assets, codec="vp9"),
         lambda: MM.sample_frames(assets, codec="h264"),
         lambda: MM.resize_images(assets, 8, 8, codec="mp3"),
     ):
@@ -85,6 +85,8 @@ def test_real_codecs_are_stubbed(assets):
         MM.decode_features(assets, codec="jpeg")
     with pytest.raises(ValueError, match="decode_flac_features"):
         MM.decode_features(assets, codec="flac")
+    with pytest.raises(ValueError, match="decode_webp_features"):
+        MM.decode_features(assets, codec="webp")
     with pytest.raises(ValueError, match="unknown codec"):
         MM.decode_features(assets, codec="nope")
     with pytest.raises(ValueError):
