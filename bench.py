@@ -55,6 +55,8 @@ HEADLINE = [
     "q_ann_sq8_topk",
     "q_events_ewma",
     "q_cdc_wal2json_chunked",
+    "q_mm_flac_decode",
+    "q_mm_webp_decode",
 ]
 
 
