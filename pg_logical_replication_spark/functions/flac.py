@@ -417,6 +417,8 @@ def _decode_frame(
         r.read(8)
     elif sr_code in (13, 14):
         r.read(16)
+    elif sr_code == 15:
+        raise ValueError("flac: invalid sample-rate code 15")
     bps = _SAMPLE_SIZE_CODE.get(ss_code, bps_default)
     hdr_end = r.byte
     if _crc8(data[pos:hdr_end]) != r.read(8):

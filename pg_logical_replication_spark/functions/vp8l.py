@@ -178,9 +178,19 @@ def _div_round_up(a: int, b: int) -> int:
 
 def _read_entropy_image(
     r: _Bits, w: int, h: int, allow_meta: bool
-) -> tuple[list["_Group"], list[int] | None, int]:
+) -> tuple[list["_Group"], list[int] | None, int, int]:
     """Prefix-code groups + optional meta image; returns
-    (groups, meta_pixels or None, meta_bits)."""
+    (groups, meta_pixels or None, meta_bits, cache_bits).
+
+    Bitstream order per the spec ABNF (RFC 9649 §6 /
+    libwebp DecodeImageStream): color-cache-info FIRST, then the
+    meta-prefix (huffman image) bit, then the code groups.
+    """
+    cache_bits = 0
+    if r.read(1):  # color cache
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: invalid color cache size")
     meta: list[int] | None = None
     meta_bits = 0
     n_groups = 1
@@ -190,11 +200,6 @@ def _read_entropy_image(
         mh = _div_round_up(h, 1 << meta_bits)
         meta = _decode_image_data(r, mw, mh, allow_meta=False)
         n_groups = max((p >> 8) & 0xFFFF for p in meta) + 1
-    cache_bits = 0
-    if r.read(1):  # color cache
-        cache_bits = r.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError("vp8l: invalid color cache size")
     groups = []
     for _ in range(n_groups):
         g = _Group(
@@ -561,7 +566,7 @@ class _BitsW:
             self._n = 0
 
 
-def _write_flat8_code(w: _BitsW, alphabet_size: int) -> None:
+def _write_flat8_code(w: _BitsW, _alphabet_size: int) -> None:
     """Normal prefix code: symbols 0..255 all length 8 (complete),
     symbols ≥256 absent — written via the code-length code."""
     w.write(0, 1)  # not simple
@@ -610,9 +615,9 @@ def encode_vp8l(width: int, height: int, pixels: list[int]) -> bytes:
     w.write(1, 1)  # alpha hint
     w.write(0, 3)  # version
     w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no color cache (cache-info precedes the meta bit)
     w.write(0, 1)  # no huffman (meta) image
-    w.write(0, 1)  # no color cache
-    _write_flat8_code(w, 256 + 24)  # green
+    _write_flat8_code(w, 256 + 24)  # green (length symbols absent)
     _write_flat8_code(w, 256)       # red
     _write_flat8_code(w, 256)       # blue
     _write_flat8_code(w, 256)       # alpha

@@ -106,8 +106,8 @@ def test_hand_lz77_backref_with_distance_map():
     w = _BitsW()
     _header(w, None, 4, 2) if False else _header(w, 2, 4, 2)
     w.write(0, 1)  # no transform
-    w.write(0, 1)  # no meta image
     w.write(0, 1)  # no color cache
+    w.write(0, 1)  # no meta image
     # green: symbols {50 literal, 259 = length-code 3 → length 4}
     _two_symbol_normal(w, 50, 259, 256 + 24)
     _single_symbol(w, 60)    # red
@@ -132,9 +132,9 @@ def test_hand_color_cache_hit():
     w = _BitsW()
     _header(w, 2, 2, 1)
     w.write(0, 1)  # no transform
-    w.write(0, 1)  # no meta
-    w.write(1, 1)  # color cache present
+    w.write(1, 1)  # color cache present (cache-info precedes meta bit)
     w.write(cache_bits, 4)
+    w.write(0, 1)  # no meta
     # green alphabet = 256 + 24 + 2; symbols {50, 280 + idx}
     _two_symbol_normal(w, 50, 256 + 24 + idx, 256 + 24 + 2)
     _single_symbol(w, 60)
@@ -155,8 +155,8 @@ def test_hand_subtract_green_transform():
     w.write(1, 1)  # a transform
     w.write(2, 2)  # SUBTRACT_GREEN
     w.write(0, 1)  # no more transforms
-    w.write(0, 1)  # no meta
     w.write(0, 1)  # no cache
+    w.write(0, 1)  # no meta
     _single_symbol(w, 20)   # green
     _single_symbol(w, 10)   # red (residual)
     _single_symbol(w, 30)   # blue (residual)
@@ -196,8 +196,8 @@ def test_hand_palette_with_subbyte_packing():
     b0 = 0 | (1 << 2) | (2 << 4) | (3 << 6)
     b1 = 2
     w.write(0, 1)  # no more transforms
-    w.write(0, 1)  # no meta
     w.write(0, 1)  # no cache
+    w.write(0, 1)  # no meta
     _two_symbol_normal(w, min(b0, b1), max(b0, b1), 256 + 24)  # green
     _single_symbol(w, 0)    # red
     _single_symbol(w, 0)    # blue
@@ -234,8 +234,8 @@ def test_hand_predictor_transform_left_mode():
     _single_symbol(w, 0)
     _single_symbol(w, 0)
     w.write(0, 1)  # no more transforms
-    w.write(0, 1)  # no meta
     w.write(0, 1)  # no cache
+    w.write(0, 1)  # no meta
     # residuals: all pixels (a=1, r=2, g=3, b=4)
     _single_symbol(w, 3)
     _single_symbol(w, 2)
