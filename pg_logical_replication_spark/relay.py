@@ -22,10 +22,7 @@ from __future__ import annotations
 
 import time
 
-from pg_logical_replication_spark.sources.transport import (
-    WalTransport,
-    forward_acks_upstream,
-)
+from pg_logical_replication_spark.sources.transport import WalTransport
 
 
 def run_relay(
@@ -59,16 +56,33 @@ def run_relay(
 
     Returns the total frame count relayed.
     """
+    from pg_logical_replication_spark.model import long_to_lsn
     from pg_logical_replication_spark.sources.transport import (
         FrameLogWriter,
-        resend_last_status,
+        read_statuses_since,
     )
 
     writer = FrameLogWriter(
         log_dir, segment_frames=segment_frames, rotate_bytes=rotate_bytes
     )
+
+    def forward(transport, log_dir, byte_off, last_flushed):
+        """Incremental ack forward: O(new acks) per interval."""
+        statuses, byte_off = read_statuses_since(log_dir, byte_off)
+        for s in statuses:
+            # re-send at the recorded position (frame builder re-applies
+            # +1, so step back one byte — same rule as
+            # forward_acks_upstream)
+            transport.send_standby_status(
+                long_to_lsn(s["flushed"] - 1), ping=s["ping"]
+            )
+        if statuses:
+            last_flushed = statuses[-1]["flushed"]
+        return byte_off, last_flushed
+
     total = 0
-    ack_cursor = 0
+    ack_off = 0
+    last_flushed: int | None = None
     last_status = time.monotonic()
     started = time.monotonic()
     while True:
@@ -76,15 +90,23 @@ def run_relay(
         total += wrote
         now = time.monotonic()
         if wrote or now - last_status >= status_interval:
-            new_cursor = forward_acks_upstream(log_dir, transport, ack_cursor)
+            prev_off = ack_off
+            ack_off, last_flushed = forward(
+                transport, log_dir, ack_off, last_flushed
+            )
             if (
-                new_cursor == ack_cursor
+                ack_off == prev_off
                 and not wrote
                 and now - last_status >= status_interval
             ):
-                # idle with no progress: keep the walsender alive
-                resend_last_status(log_dir, transport)
-            ack_cursor = new_cursor
+                # idle with no progress: keep the walsender alive by
+                # re-acking the last recorded position (reference
+                # :238-247); zero-position keepalive before any ack
+                transport.send_standby_status(
+                    long_to_lsn(last_flushed - 1)
+                    if last_flushed is not None
+                    else "0/00000000"
+                )
             last_status = now
         if stop_after_frames is not None and total >= stop_after_frames:
             break
@@ -93,7 +115,7 @@ def run_relay(
         if not wrote:
             time.sleep(poll_interval)
     # final ack flush so a drain-style run leaves nothing behind
-    forward_acks_upstream(log_dir, transport, ack_cursor)
+    forward(transport, log_dir, ack_off, last_flushed)
     return total
 
 
@@ -126,9 +148,10 @@ def run_multi_relay(
     """
     import os
 
+    from pg_logical_replication_spark.model import long_to_lsn
     from pg_logical_replication_spark.sources.transport import (
         FrameLogWriter,
-        resend_last_status,
+        read_statuses_since,
     )
 
     class _Slot:
@@ -141,9 +164,22 @@ def run_multi_relay(
                 segment_frames=segment_frames,
                 rotate_bytes=rotate_bytes,
             )
-            self.ack_cursor = 0
+            self.ack_off = 0
+            self.last_flushed: int | None = None
             self.last_status = time.monotonic()
             self.total = 0
+
+        def forward(self) -> bool:
+            statuses, self.ack_off = read_statuses_since(
+                self.dir, self.ack_off
+            )
+            for st in statuses:
+                self.transport.send_standby_status(
+                    long_to_lsn(st["flushed"] - 1), ping=st["ping"]
+                )
+            if statuses:
+                self.last_flushed = statuses[-1]["flushed"]
+            return bool(statuses)
 
     slots = [_Slot(n, t) for n, t in transports.items()]
     started = time.monotonic()
@@ -155,16 +191,18 @@ def run_multi_relay(
             any_wrote = any_wrote or wrote > 0
             now = time.monotonic()
             if wrote or now - s.last_status >= status_interval:
-                new_cursor = forward_acks_upstream(
-                    s.dir, s.transport, s.ack_cursor
-                )
+                forwarded = s.forward()
                 if (
-                    new_cursor == s.ack_cursor
+                    not forwarded
                     and not wrote
                     and now - s.last_status >= status_interval
                 ):
-                    resend_last_status(s.dir, s.transport)
-                s.ack_cursor = new_cursor
+                    # idle keepalive re-ack, per slot
+                    s.transport.send_standby_status(
+                        long_to_lsn(s.last_flushed - 1)
+                        if s.last_flushed is not None
+                        else "0/00000000"
+                    )
                 s.last_status = now
         total = sum(s.total for s in slots)
         now = time.monotonic()
@@ -175,7 +213,7 @@ def run_multi_relay(
         if not any_wrote:
             time.sleep(poll_interval)
     for s in slots:
-        s.ack_cursor = forward_acks_upstream(s.dir, s.transport, s.ack_cursor)
+        s.forward()
     return {s.name: s.total for s in slots}
 
 

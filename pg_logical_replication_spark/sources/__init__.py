@@ -46,6 +46,7 @@ from pg_logical_replication_spark.sources.transport import (  # noqa: F401
     WalsenderTransport,
     WalTransport,
     forward_acks_upstream,
+    read_statuses_since,
     relay_to_frame_log,
     resend_last_status,
 )

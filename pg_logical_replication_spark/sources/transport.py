@@ -177,10 +177,15 @@ class FrameLogTailTransport(WalTransport):
             name = segs[idx]
             if name != self._seg:
                 self._seg, self._pos = name, 0
+            # incremental read from the cursor: a tailing reader must
+            # not re-read a growing segment from byte 0 on every poll
+            # (O(segment²) over the segment's life at 100k frames)
             with open(os.path.join(self.path, name), "rb") as f:
+                f.seek(self._pos)
                 buf = f.read()
             want = None if max_frames is None else max_frames - len(out)
-            frames, self._pos = _read_frames(buf, self._pos, want)
+            frames, consumed = _read_frames(buf, 0, want)
+            self._pos += consumed
             out.extend(frames)
             if max_frames is not None and len(out) >= max_frames:
                 break
@@ -766,6 +771,24 @@ def forward_acks_upstream(
             long_to_lsn(s["flushed"] - 1), ping=s["ping"]
         )
     return len(statuses)
+
+
+def read_statuses_since(
+    log_path: str, offset: int
+) -> tuple[list[dict], int]:
+    """Incremental read of ``status.log`` from a byte offset → (new
+    statuses, new offset). The relay's ack loop uses this instead of
+    re-parsing the whole file every interval — O(new acks), not
+    O(all acks ever), which matters for a relay running for weeks."""
+    p = os.path.join(log_path, FrameLogTailTransport.STATUS_FILE)
+    try:
+        with open(p, "rb") as f:
+            f.seek(offset)
+            buf = f.read()
+    except FileNotFoundError:
+        return [], offset
+    frames, consumed = _read_frames(buf, 0, None)
+    return [parse_standby_status(fr) for fr in frames], offset + consumed
 
 
 def resend_last_status(log_path: str, transport: WalTransport) -> bool:

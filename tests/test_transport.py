@@ -1395,3 +1395,24 @@ def test_multi_slot_relay_and_independent_restart(spark, tmp_path):
     # rotation happened inside each slot dir (segment_frames=2)
     assert len([f for f in os.listdir(os.path.join(base, "slot_a"))
                 if f.endswith(".seg")]) >= 2
+
+
+def test_read_statuses_since_incremental(tmp_path):
+    """Ack forwarding reads only NEW status frames per interval."""
+    from pg_logical_replication_spark.sources.transport import (
+        read_statuses_since,
+    )
+
+    d = str(tmp_path / "wal")
+    t = FrameLogTailTransport(d)
+    t.send_standby_status("0/100")
+    s1, off1 = read_statuses_since(d, 0)
+    assert [x["flushed"] for x in s1] == [0x101] and off1 > 0
+    s2, off2 = read_statuses_since(d, off1)
+    assert s2 == [] and off2 == off1
+    t.send_standby_status("0/200", ping=True)
+    s3, off3 = read_statuses_since(d, off2)
+    assert [x["flushed"] for x in s3] == [0x201] and s3[0]["ping"]
+    assert off3 > off2
+    # missing dir/file → empty, offset unchanged
+    assert read_statuses_since(str(tmp_path / "nope"), 0) == ([], 0)
