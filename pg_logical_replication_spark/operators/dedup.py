@@ -245,6 +245,102 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the published O(log n)-round algorithm for graphs whose DIAMETER is
+    too large for per-hop label propagation.
+
+    Where :func:`connected_components` needs one round per hop (a
+    10,000-link duplicate chain = 10,000 shuffles), star operations
+    contract chains geometrically: each round rewires every node toward
+    the minimum of its neighborhood, so even pathological chains close
+    in ~log₂(n) rounds. Per round: two groupBys on the node id over
+    (long, long) edges — no payloads — plus a limit(1) convergence
+    probe; lineage truncated per round like every Pregel-style loop.
+
+    Returns (doc_id, label) with label = component minimum — the same
+    contract as :func:`connected_components`, agreement-tested.
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e):
+        # both orientations; per node u: m = min(neighborhood ∪ {u});
+        # connect every STRICTLY LARGER neighbor to m
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # canonical orientation u > v; per node u: m = min(smaller
+        # neighbors ∪ {u}); connect u and every smaller neighbor to m
+        canon = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = canon.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        with_m = canon.join(m, "u")
+        rewired = with_m.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        return rewired.filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_rounds):
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(nxt).limit(1).count()
+        )
+        prev, edges = edges, nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds"
+        )
+    # converged star graph: every non-root points directly at its
+    # component minimum; roots map to themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("doc_id"), "label"
+    )
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Representative (min id) per exact text; adds group size.
 

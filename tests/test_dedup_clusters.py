@@ -84,3 +84,38 @@ def test_converged_mode_loud_cap(spark):
     df = spark.createDataFrame(chain, "a_id long, b_id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, until_converged=True, max_iterations=1)
+
+
+# ------------------------------------ large-star/small-star CC (r4)
+def test_star_cc_agrees_with_label_propagation(spark):
+    """Random graph: star-contraction labels must equal the converged
+    label-propagation labels exactly."""
+    import random
+
+    from pg_logical_replication_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(45)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    star = {r["doc_id"]: r["label"]
+            for r in connected_components_star(df).collect()}
+    conv = {r["doc_id"]: r["label"]
+            for r in connected_components(df, until_converged=True).collect()}
+    assert star == conv
+
+
+def test_star_cc_long_chain(spark):
+    from pg_logical_replication_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    # log2(65) ≈ 6.02 — a cap of 12 is generous for the log bound and
+    # impossibly small for per-hop propagation (which needs 64)
+    out = {r["doc_id"]: r["label"]
+           for r in connected_components_star(df, max_rounds=12).collect()}
+    assert set(out.values()) == {0} and len(out) == 65
