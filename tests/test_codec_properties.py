@@ -414,3 +414,48 @@ def test_flac_roundtrip_lossless_property(samples, block_size):
         encode_flac(samples, sample_rate=16000, block_size=block_size)
     )
     assert chans[0] == samples and (nc, bps) == (1, 16)
+
+
+# ------------------------------------------ round-4 decoder fuzzing
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+@settings(max_examples=120, deadline=None)
+def test_new_decoders_fail_cleanly_on_garbage(data, which):
+    """Random bytes must produce a clean exception (or a valid parse),
+    never a hang or a non-Exception crash — the DLQ contract every
+    mapInPandas decode stage relies on."""
+    from pg_logical_replication_spark.functions.flac import decode_flac
+    from pg_logical_replication_spark.functions.jpeg import decode_jpeg
+    from pg_logical_replication_spark.functions.mediainfo import (
+        mp3_info,
+        mp4_info,
+        webm_info,
+        webp_info,
+    )
+    from pg_logical_replication_spark.functions.vp8l import decode_vp8l
+
+    decoders = [
+        decode_jpeg, decode_flac, decode_vp8l,
+        lambda b: (mp3_info(b), mp4_info(b), webp_info(b), webm_info(b)),
+    ]
+    try:
+        decoders[which](data)
+    except Exception:
+        pass  # any clean exception is acceptable; hangs/aborts are not
+
+
+@given(st.binary(min_size=8, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_truncated_valid_jpeg_prefix_fails_cleanly(junk):
+    """A VALID header followed by truncation/junk — the harder fuzz
+    case than pure noise, since parsing gets deep before failing."""
+    from pg_logical_replication_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, bytes(64), 1)
+    for cut in (len(good) // 3, len(good) // 2):
+        try:
+            decode_jpeg(good[:cut] + junk)
+        except Exception:
+            pass

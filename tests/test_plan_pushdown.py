@@ -166,3 +166,29 @@ def test_ivf_assignment_is_shuffle_free(spark):
     # the pushed IsNotNull must not carry the argmax into the scan
     scan = [line for line in plan.splitlines() if "FileScan" in line][0]
     assert "array_max" not in scan, scan
+
+
+def test_linear_quality_scorer_has_no_exchange(spark):
+    """The hashed-linear classifier is a pure scan-stage expression:
+    no shuffle, no Python — the 100 TB first-pass-filter shape."""
+    df = QUERIES["q_text_quality_linear"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # only the two needed columns reach the parquet read
+    scan = _scan_of(df, "documents")
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_codec_queries_are_scan_plus_mapinpandas_only(spark):
+    """Real-codec round-trips must not shuffle: payload bytes stay in
+    the partition that synthesized them (decode parallelism = partition
+    count). The only allowed exchange is the small-input respread."""
+    for name in ("q_mm_jpeg_decode", "q_mm_flac_decode",
+                 "q_mm_webp_decode", "q_mm_media_probe"):
+        df = QUERIES[name].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert all("RoundRobin" in ln for ln in exchanges), (name, exchanges)
+        assert plan.count("MapInPandas") == 2, name  # synth + decode
