@@ -583,8 +583,13 @@ def test_full_chain_fake_pg_to_spark_snapshot(spark, tmp_path):
 
     frames = [w2j(i, 0x3000 + 8 * i) for i in range(5)]
     frames.append(_keepalive(0x3030, should_respond=True))
-    srv = _FakePgServer(password=None, frames=frames)
-    t = WalsenderTransport("127.0.0.1", srv.port, user="rep", database="app")
+    # the full chain authenticates over SCRAM-SHA-256 — what a stock
+    # PG >= 14 demands (r4; refusal-only before this round)
+    srv = _FakePgServer(password="chain-pw", auth="scram", frames=frames)
+    t = WalsenderTransport(
+        "127.0.0.1", srv.port, user="rep", database="app",
+        password="chain-pw",
+    )
     t.start_replication("slot1", "0/3000", options={"format-version": "1"})
 
     log = str(tmp_path / "wal")
