@@ -257,6 +257,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--poll-interval", type=float, default=0.2)
     p.add_argument("--status-interval", type=float, default=10.0)
     p.add_argument("--segment-frames", type=int, default=100_000)
+    p.add_argument(
+        "--rotate-bytes", type=int, default=256 * 1024 * 1024,
+        help="seal a segment at this byte size even before "
+        "--segment-frames is reached (no frame is ever dropped)",
+    )
     args = p.parse_args(argv)
 
     import os
@@ -293,6 +298,7 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval=args.poll_interval,
                 status_interval=args.status_interval,
                 segment_frames=args.segment_frames,
+                rotate_bytes=args.rotate_bytes,
             )
         finally:
             t.close()
@@ -309,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
             poll_interval=args.poll_interval,
             status_interval=args.status_interval,
             segment_frames=args.segment_frames,
+            rotate_bytes=args.rotate_bytes,
         )
     finally:
         for t in transports.values():
