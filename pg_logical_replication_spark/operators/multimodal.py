@@ -563,6 +563,90 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_gif_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL GIF payloads (``functions/gif.py``, real LZW).
+
+    Deterministic 8-bit indexed images over the grayscale ramp:
+    width = 8 + doc_id % 24, height = 8 + doc_id % 12,
+    index[i] = (doc_id·31 + i·7) mod 256 — lossless through genuine
+    LZW compression, interlaced for odd doc_ids so both row orders are
+    exercised, so the closed-form oracle survives the full codec.
+    """
+    from pg_logical_replication_spark.functions.gif import encode_gif
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + did % 12
+                px = bytes(
+                    (did * 31 + i * 7) % 256 for i in range(w * h)
+                )
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(
+                    encode_gif(w, h, px, interlace=bool(did % 2))
+                )
+                metas.append(
+                    {
+                        "codec": "gif",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def decode_gif_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→pixels GIF decode (LZW, interlace, color tables):
+    dims + mean pixel over the grayscale palette — same feature shape
+    as the PNG/JPEG queries, null rows for undecodable payloads."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.gif import decode_gif
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, frames = decode_gif(bytes(buf))
+                    idx = frames[0]["indices"]
+                    pal = frames[0]["palette"]
+                    # grayscale ramp ⇒ pixel value == palette red channel
+                    vals = [pal[i][0] for i in idx]
+                    rows.append(
+                        (
+                            aid, w, h, 1, w * h,
+                            round(sum(vals) / len(vals), 6)
+                            if vals else None,
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "n_pixels", "mean_pixel",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=PNG_FEATURE_SCHEMA
+    )
+
+
 def synthesize_webp_assets(documents: DataFrame) -> DataFrame:
     """documents → REAL lossless WebP payloads (``functions/vp8l.py``).
 

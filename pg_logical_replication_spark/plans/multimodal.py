@@ -301,6 +301,38 @@ def q_mm_flac_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_gif_decode",
+    """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 24 AS INT) AS w,
+             CAST(8 + doc_id % 12 AS INT) AS h
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           w AS width, h AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(w * h AS INT) AS n_pixels,
+           ROUND(list_avg(list_transform(generate_series(0, w*h - 1),
+               i -> (doc_id * 31 + i * 7) % 256)), 6) AS mean_pixel
+    FROM spec
+    """,
+    "REAL GIF codec round-trip (functions/gif.py): 8-bit indexed "
+    "images through genuine variable-width LZW compression — "
+    "interlaced for odd doc_ids, so both four-pass and sequential row "
+    "orders run — with dims + mean pixel matching the closed-form "
+    "oracle exactly (GIF is lossless)",
+)
+def q_mm_gif_decode(spark, sf_dir):
+    """index[i] = (doc_id*31 + i*7) mod 256 over the grayscale ramp;
+    any LZW/interlace/color-table bug breaks the hash match."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_gif_assets(docs)
+    return MM.decode_gif_features(assets)
+
+
+@register(
     "q_mm_webp_decode",
     """
     WITH spec AS (
