@@ -57,6 +57,7 @@ HEADLINE = [
     "q_cdc_wal2json_chunked",
     "q_mm_flac_decode",
     "q_mm_webp_decode",
+    "q_mm_gif_decode",
 ]
 
 
