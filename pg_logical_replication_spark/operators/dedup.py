@@ -454,23 +454,25 @@ def simhash(
     assert bits % 4 == 0
     tok = F.explode(tokens_expr(text_col)).alias("tok")
     base = df.select(F.col(id_col), tok).withColumn("h", F.md5(F.col("tok")))
-    char_vals = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring("h", c + 1, 1)) - 1)
-        for c in range(bits // 4)
-    ]
+    # expressions assembled as SQL strings: ONE parse instead of ~5×bits
+    # py4j Column round trips per plan build (the SCALE.md round-3
+    # plan-build finding; measured ~0.4 s/build at bits=16)
     bit_votes = []
-    for c, v in enumerate(char_vals):
+    for c in range(bits // 4):
+        v = f"(instr('0123456789abcdef', substring(h, {c + 1}, 1)) - 1)"
         for j in range(4):
-            bit = F.floor(v / (2**j)) % 2
+            bit = f"(floor({v} / {2 ** j}) % 2)"
             bit_votes.append(
-                F.sum(bit * 2 - 1).alias(f"vote_{c * 4 + j}")
+                F.expr(f"sum({bit} * 2 - 1)").alias(f"vote_{c * 4 + j}")
             )
     votes = base.groupBy(id_col).agg(*bit_votes)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"vote_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN vote_{i} > 0 THEN {2 ** i}L ELSE 0L END)"
+        for i in range(bits)
+    )
+    return votes.select(
+        F.col(id_col), F.expr(f"CAST(({sig}) AS BIGINT)").alias("simhash")
+    )
 
 
 def _candidate_pair_stats(
