@@ -1699,3 +1699,57 @@ def q_corpus_drift(spark, sf_dir):
 )
 def q_text_quality_linear(spark, sf_dir):
     return TX.linear_quality_score(t(spark, sf_dir, "documents"))
+
+
+def _star_clusters_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    """TRUE-component oracle: recursive-CTE transitive closure over the
+    LSH candidate graph, min reachable id per node — exactly what the
+    converged star contraction must produce (no round-count to mirror,
+    unlike the fixed-round label-propagation oracle)."""
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled),
+    bands AS ({bands}),
+    pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    nodes AS (SELECT DISTINCT a_id AS doc_id FROM pairs
+              UNION SELECT DISTINCT b_id FROM pairs),
+    uedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+               UNION SELECT b_id, a_id FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN uedges e ON e.u = r.dst
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS label
+    FROM reach GROUP BY src
+    """
+
+
+@register(
+    "q_dedup_clusters_star",
+    _star_clusters_oracle(),
+    "connected components by large-star/small-star contraction "
+    "(Kiveris et al.): the O(log n)-round algorithm for graphs whose "
+    "diameter breaks per-hop propagation, hash-checked against a TRUE "
+    "transitive-closure oracle (recursive CTE) — a data-dependent "
+    "iterative algorithm under an exact value gate",
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Labels are the component minima exactly — no fixed round count
+    to mirror, because star contraction converges and the oracle
+    computes real reachability."""
+    pairs = D.minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    return D.connected_components_star(pairs).orderBy("doc_id")
