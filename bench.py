@@ -58,6 +58,7 @@ HEADLINE = [
     "q_mm_flac_decode",
     "q_mm_webp_decode",
     "q_mm_gif_decode",
+    "q_mm_tiff_decode",
 ]
 
 

@@ -563,6 +563,78 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_tiff_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL TIFF payloads (``functions/tiff.py``,
+    PackBits-compressed grayscale strips): width = 8 + doc_id % 20,
+    height = 8 + doc_id % 10, pixel[i] = (doc_id·29 + i·13) mod 256 —
+    the scanned-document format, lossless, closed-form."""
+    from pg_logical_replication_spark.functions.tiff import encode_tiff
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 20, 8 + did % 10
+                px = bytes(
+                    (did * 29 + i * 13) % 256 for i in range(w * h)
+                )
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(encode_tiff(w, h, px, 1, "packbits"))
+                metas.append(
+                    {
+                        "codec": "tiff",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def decode_tiff_features(assets: DataFrame) -> DataFrame:
+    """REAL byte→pixels TIFF decode (IFD walk, strip reassembly,
+    PackBits/LZW): dims + mean pixel, null rows for undecodable."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.tiff import decode_tiff
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, ch, px, _pages = decode_tiff(bytes(buf))
+                    rows.append(
+                        (
+                            aid, w, h, ch, w * h,
+                            round(sum(px) / len(px), 6) if px else None,
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "n_pixels", "mean_pixel",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=PNG_FEATURE_SCHEMA
+    )
+
+
 def synthesize_gif_assets(documents: DataFrame) -> DataFrame:
     """documents → REAL GIF payloads (``functions/gif.py``, real LZW).
 

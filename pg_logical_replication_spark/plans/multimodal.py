@@ -301,6 +301,37 @@ def q_mm_flac_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_tiff_decode",
+    """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 20 AS INT) AS w,
+             CAST(8 + doc_id % 10 AS INT) AS h
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           w AS width, h AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(w * h AS INT) AS n_pixels,
+           ROUND(list_avg(list_transform(generate_series(0, w*h - 1),
+               i -> (doc_id * 29 + i * 13) % 256)), 6) AS mean_pixel
+    FROM spec
+    """,
+    "REAL TIFF codec round-trip (functions/tiff.py, TIFF 6.0 baseline): "
+    "PackBits-compressed grayscale strips through the IFD walk and "
+    "strip reassembly, dims + mean pixel matching the closed-form "
+    "oracle exactly — the scanned-document format of OCR corpora",
+)
+def q_mm_tiff_decode(spark, sf_dir):
+    """pixel[i] = (doc_id*29 + i*13) mod 256; any IFD/strip/RLE bug
+    breaks the hash match."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_tiff_assets(docs)
+    return MM.decode_tiff_features(assets)
+
+
+@register(
     "q_mm_gif_decode",
     """
     WITH spec AS (
