@@ -59,6 +59,7 @@ HEADLINE = [
     "q_mm_webp_decode",
     "q_mm_gif_decode",
     "q_mm_tiff_decode",
+    "q_mm_warc_records",
 ]
 
 

@@ -563,6 +563,104 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     )
 
 
+WARC_RECORD_SCHEMA = (
+    "asset_id bigint, rec_idx int, warc_type string, uri string, "
+    "block_bytes int"
+)
+
+
+def synthesize_warc_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL WARC payloads (``functions/warc.py``), the
+    Common Crawl ingestion shape: one warcinfo + 1 + doc_id % 4
+    response records per asset, response block j =
+    'x' × (10 + (doc_id·7 + j·13) mod 50); odd doc_ids use the
+    record-per-gzip-member ``.warc.gz`` layout — both container forms
+    exercised, all counts closed-form."""
+    import gzip as _gzip
+
+    from pg_logical_replication_spark.functions.warc import build_warc
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = [{"type": "warcinfo", "block": b"software: plrs\r\n"}]
+                for j in range(1 + did % 4):
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"https://example.com/{did}/{j}",
+                            "block": b"x" * (10 + (did * 7 + j * 13) % 50),
+                        }
+                    )
+                if did % 2:
+                    payload = b"".join(
+                        _gzip.compress(build_warc([r]), mtime=0)
+                        for r in recs
+                    )
+                else:
+                    payload = build_warc(recs)
+                ids.append(did)
+                kinds.append("archive")
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "codec": "warc",
+                        "width": None,
+                        "height": None,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def warc_records(assets: DataFrame) -> DataFrame:
+    """REAL WARC record split per asset (version line, header parse,
+    Content-Length framing, gzip-member handling): one row per record
+    with type/URI/block size — the fan-out step of web-archive
+    ingestion. Unparseable payloads yield one null-typed row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.warc import parse_warc
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    for i, rec in enumerate(parse_warc(bytes(buf))):
+                        rows.append(
+                            (
+                                aid,
+                                i,
+                                rec["headers"].get("WARC-Type"),
+                                rec["headers"].get("WARC-Target-URI"),
+                                len(rec["block"]),
+                            )
+                        )
+                except Exception:
+                    rows.append((aid, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "rec_idx", "warc_type", "uri", "block_bytes",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=WARC_RECORD_SCHEMA
+    )
+
+
 def synthesize_tiff_assets(documents: DataFrame) -> DataFrame:
     """documents → REAL TIFF payloads (``functions/tiff.py``,
     PackBits-compressed grayscale strips): width = 8 + doc_id % 20,

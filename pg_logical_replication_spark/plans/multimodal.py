@@ -301,6 +301,49 @@ def q_mm_flac_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_warc_records",
+    """
+    WITH spec AS (
+      SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n_resp FROM documents)
+    SELECT doc_id AS asset_id,
+           CAST(1 + n_resp AS INT) AS n_records,
+           n_resp AS n_responses,
+           CAST(16 + list_sum(list_transform(
+               generate_series(0, n_resp - 1),
+               j -> 10 + (doc_id * 7 + j * 13) % 50)) AS BIGINT)
+             AS total_block_bytes,
+           CAST(list_max(list_transform(
+               generate_series(0, n_resp - 1),
+               j -> 10 + (doc_id * 7 + j * 13) % 50)) AS INT)
+             AS max_response_bytes
+    FROM spec
+    """,
+    "REAL WARC (ISO 28500) record split — the Common Crawl ingestion "
+    "fan-out: version line, header parse, Content-Length framing, and "
+    "the record-per-gzip-member .warc.gz layout (odd doc_ids), with "
+    "record counts and block byte totals matching the closed-form "
+    "oracle exactly",
+)
+def q_mm_warc_records(spark, sf_dir):
+    """Both container forms (plain + gzip members) parse to identical
+    record structure; any framing/length/gzip bug breaks the hash."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    recs = MM.warc_records(MM.synthesize_warc_assets(docs))
+    return recs.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_records"),
+        F.sum(F.when(F.col("warc_type") == "response", 1).otherwise(0))
+        .cast("int")
+        .alias("n_responses"),
+        F.sum("block_bytes").alias("total_block_bytes"),
+        F.max(
+            F.when(F.col("warc_type") == "response", F.col("block_bytes"))
+        ).alias("max_response_bytes"),
+    )
+
+
+@register(
     "q_mm_tiff_decode",
     """
     WITH spec AS (
