@@ -563,6 +563,117 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     )
 
 
+ARCHIVE_MEMBER_SCHEMA = (
+    "asset_id bigint, member_idx int, name string, n_bytes bigint, "
+    "archive_format string"
+)
+
+
+def synthesize_archive_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL zip (even doc_ids) / tar.gz (odd) archives
+    (stdlib zipfile/tarfile): 1 + doc_id % 5 members named
+    ``doc<did>/part<j>.txt`` with ``'y' × (5 + (doc_id·3 + j·11) mod
+    40)`` bytes — the dataset-distribution containers, closed-form."""
+    import gzip as _gzip
+    import io
+    import tarfile
+    import zipfile
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                members = [
+                    (
+                        f"doc{did}/part{j}.txt",
+                        b"y" * (5 + (did * 3 + j * 11) % 40),
+                    )
+                    for j in range(1 + did % 5)
+                ]
+                buf = io.BytesIO()
+                if did % 2 == 0:
+                    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                        for name, body in members:
+                            z.writestr(
+                                zipfile.ZipInfo(name), body
+                            )
+                else:
+                    raw = io.BytesIO()
+                    with tarfile.open(fileobj=raw, mode="w") as tf:
+                        for name, body in members:
+                            info = tarfile.TarInfo(name)
+                            info.size = len(body)
+                            tf.addfile(info, io.BytesIO(body))
+                    buf.write(_gzip.compress(raw.getvalue(), mtime=0))
+                ids.append(did)
+                kinds.append("archive")
+                payloads.append(buf.getvalue())
+                metas.append(
+                    {
+                        "codec": "zip" if did % 2 == 0 else "tar.gz",
+                        "width": None,
+                        "height": None,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def archive_members(assets: DataFrame) -> DataFrame:
+    """Enumerate zip / tar(.gz) members per asset (stdlib, magic-byte
+    dispatch) — the first step of ingesting dataset tarballs: one row
+    per member with name + UNCOMPRESSED size, before extracting a
+    single byte of content. Unreadable payloads yield a null row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(buf)
+                try:
+                    if b[:4] == b"PK\x03\x04" or b[:4] == b"PK\x05\x06":
+                        with zipfile.ZipFile(io.BytesIO(b)) as z:
+                            for i, zi in enumerate(z.infolist()):
+                                rows.append(
+                                    (aid, i, zi.filename, zi.file_size, "zip")
+                                )
+                    else:
+                        with tarfile.open(
+                            fileobj=io.BytesIO(b), mode="r:*"
+                        ) as tf:
+                            for i, m in enumerate(tf.getmembers()):
+                                rows.append(
+                                    (aid, i, m.name, m.size, "tar")
+                                )
+                except Exception:
+                    rows.append((aid, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "member_idx", "name", "n_bytes",
+                    "archive_format",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=ARCHIVE_MEMBER_SCHEMA
+    )
+
+
 WARC_RECORD_SCHEMA = (
     "asset_id bigint, rec_idx int, warc_type string, uri string, "
     "block_bytes int"

@@ -301,6 +301,41 @@ def q_mm_flac_decode(spark, sf_dir):
 
 
 @register(
+    "q_mm_archive_members",
+    """
+    WITH spec AS (
+      SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS n FROM documents)
+    SELECT doc_id AS asset_id,
+           n AS n_members,
+           CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END
+             AS archive_format,
+           CAST(list_sum(list_transform(generate_series(0, n - 1),
+               j -> 5 + (doc_id * 3 + j * 11) % 40)) AS BIGINT)
+             AS total_bytes,
+           CAST(list_max(list_transform(generate_series(0, n - 1),
+               j -> 5 + (doc_id * 3 + j * 11) % 40)) AS BIGINT)
+             AS max_member_bytes
+    FROM spec
+    """,
+    "zip / tar.gz member enumeration (stdlib, magic-byte dispatch) — "
+    "the first pass over dataset tarballs: member names + UNCOMPRESSED "
+    "sizes without extracting content, counts and byte totals matching "
+    "the closed-form oracle for both container families",
+)
+def q_mm_archive_members(spark, sf_dir):
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    members = MM.archive_members(MM.synthesize_archive_assets(docs))
+    return members.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_members"),
+        F.first("archive_format").alias("archive_format"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_member_bytes"),
+    )
+
+
+@register(
     "q_mm_warc_records",
     """
     WITH spec AS (
