@@ -456,3 +456,82 @@ def linear_quality_score(
         F.round(score.cast("double") / n, 6).alias("score_per_token"),
         (score >= 0).alias("keep"),
     )
+
+
+def canonical_url_expr(col: Column) -> Column:
+    """URL canonicalization as pure JVM expressions (RE2∩Java regex
+    subset, DuckDB-replayable): lowercase scheme+host, strip default
+    ports (:80 http / :443 https), drop the fragment, strip a trailing
+    slash on a bare path, and SORT the query parameters — the classic
+    pre-dedup normalization of web-scrape pipelines (two crawls of the
+    same page rarely agree on parameter order or fragment).
+    """
+    # fragment off first
+    u = F.regexp_replace(col, r"#.*$", "")
+    # lowercase scheme://host[:port] (group 1), keep the rest verbatim
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    head = F.regexp_replace(head, r"^(http://[^/:]*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]*):443$", r"$1")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"^(/.+?)/$", r"$1")
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        head,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def canonical_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, url) → (id, url, canonical_url) — dedup key for crawl
+    frontier / corpus URL dedup; zero shuffle, zero Python."""
+    return df.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonical_url_expr(F.col(url_col)).alias("canonical_url"),
+    )
+
+
+def html_to_text_expr(col: Column) -> Column:
+    """Regex HTML→text (the C4/CCNet quick pass, NOT a DOM parser):
+    drop script/style/head blocks and comments, strip tags, decode the
+    five XML entities, collapse whitespace. All patterns in the
+    RE2∩Java subset so a SQL oracle replays the exact fold; (?is) makes
+    the block patterns case-insensitive and dot-matches-newline in both
+    engines.
+    """
+    out = col
+    for pat in (
+        r"(?is)<script\b.*?</script>",
+        r"(?is)<style\b.*?</style>",
+        r"(?is)<head\b.*?</head>",
+        r"(?s)<!--.*?-->",
+        r"(?s)<[^>]*>",
+    ):
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape safe)
+    ):
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, html) → (id, text, n_chars) — executor-side, whole-stage
+    codegen; the extraction step between WARC response bodies and
+    every text operator in this package."""
+    text = html_to_text_expr(F.col(html_col))
+    return df.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.length(text).alias("n_chars"),
+    )

@@ -1753,3 +1753,139 @@ def q_dedup_clusters_star(spark, sf_dir):
     computes real reachability."""
     pairs = D.minhash_candidate_pairs(t(spark, sf_dir, "documents"))
     return D.connected_components_star(pairs).orderBy("doc_id")
+
+
+@register(
+    "q_text_url_canonical",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTP://ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+             CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+             '/Path' || CAST(doc_id % 5 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+             '?b=' || CAST(doc_id % 2 AS VARCHAR) ||
+             '&a=' || CAST(doc_id % 6 AS VARCHAR) ||
+             '#frag' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS s
+           FROM urls),
+    c1 AS (SELECT doc_id, s,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)),
+                 '^(http://[^/:]*):80$', '\1', 'g'),
+               '^(https://[^/:]*):443$', '\1', 'g') AS head,
+             regexp_replace(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '', 'g')
+               AS rest
+           FROM c0),
+    c2 AS (SELECT doc_id, head,
+             regexp_extract(rest, '^([^?]*)', 1) AS rawpath,
+             regexp_extract(rest, '\?(.*)$', 1) AS query
+           FROM c1),
+    canon AS (SELECT doc_id,
+             head ||
+             CASE WHEN rawpath = '' THEN '/'
+                  ELSE regexp_replace(rawpath, '^(/.+?)/$', '\1', 'g') END ||
+             CASE WHEN query = '' THEN ''
+                  ELSE '?' || array_to_string(
+                         list_sort(string_split(query, '&')), '&') END
+               AS canonical_url
+           FROM c2)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM canon GROUP BY canonical_url
+    """,
+    "URL canonicalization for crawl dedup (lowercase scheme+host, "
+    "default-port strip, fragment drop, trailing-slash strip, SORTED "
+    "query params) — pure JVM regex/array expressions, zero shuffle "
+    "before the dedup groupBy; the oracle replays the exact fold",
+)
+def q_text_url_canonical(spark, sf_dir):
+    """Synthesized messy URLs (mixed case, :80, param order, fragments)
+    collapse to canonical keys; group count = the crawl-dedup shape."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://ExAmple"), (d % 7).cast("string"), F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Path"), (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b="), (d % 2).cast("string"),
+        F.lit("&a="), (d % 6).cast("string"),
+        F.lit("#frag"), d.cast("string"),
+    )
+    urls = t(spark, sf_dir, "documents").select(d.alias("doc_id"), url.alias("url"))
+    canon = TX.canonical_urls(urls)
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_urls"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "q_text_html_extract",
+    r"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>T' || CAST(doc_id AS VARCHAR) ||
+             '</title></head><BODY><p>doc ' || CAST(doc_id AS VARCHAR) ||
+             ' says &amp;hello&lt;world&gt;</p>' ||
+             '<script>var x = ' || CAST(doc_id AS VARCHAR) ||
+             '; if (x &lt; 2) alert("hi");</script>' ||
+             '<!-- c' || CAST(doc_id AS VARCHAR) || ' -->' ||
+             '<div  class="z">tail ' || CAST(doc_id % 10 AS VARCHAR) ||
+             '</div></BODY></html>' AS html
+      FROM documents),
+    txt AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script\b.*?</script>', ' ', 'g'),
+                 '(?is)<style\b.*?</style>', ' ', 'g'),
+                 '(?is)<head\b.*?</head>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+                 '&quot;', '"', 'g'),
+                 '&#39;', CHR(39), 'g'),
+                 '&amp;', '&', 'g')) AS text
+      FROM pages)
+    SELECT doc_id,
+           regexp_replace(text, '\s+', ' ', 'g') AS text,
+           CAST(length(regexp_replace(text, '\s+', ' ', 'g')) AS INT)
+             AS n_chars
+    FROM txt
+    """,
+    "regex HTML-to-text (the C4/CCNet quick pass): script/style/head/"
+    "comment blocks dropped, tags stripped, XML entities decoded "
+    "(&amp; last — double-escape safe), whitespace collapsed — "
+    "whole-stage-codegen JVM regexes, the step between WARC response "
+    "bodies and every text operator here",
+)
+def q_text_html_extract(spark, sf_dir):
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>T"), d.cast("string"),
+        F.lit("</title></head><BODY><p>doc "), d.cast("string"),
+        F.lit(" says &amp;hello&lt;world&gt;</p>"),
+        F.lit("<script>var x = "), d.cast("string"),
+        F.lit('; if (x &lt; 2) alert("hi");</script>'),
+        F.lit("<!-- c"), d.cast("string"), F.lit(" -->"),
+        F.lit('<div  class="z">tail '), (d % 10).cast("string"),
+        F.lit("</div></BODY></html>"),
+    )
+    pages = t(spark, sf_dir, "documents").select(
+        d.alias("doc_id"), html.alias("html")
+    )
+    out = TX.html_to_text(pages)
+    return out.withColumn("n_chars", F.col("n_chars").cast("int"))
