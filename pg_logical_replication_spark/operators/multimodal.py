@@ -674,6 +674,110 @@ def archive_members(assets: DataFrame) -> DataFrame:
     )
 
 
+WARC_PAGE_SCHEMA = (
+    "asset_id bigint, rec_idx int, uri string, status int, html string"
+)
+
+
+def synthesize_web_warc_assets(documents: DataFrame) -> DataFrame:
+    """documents → WARC files whose response blocks are REAL HTTP
+    responses carrying deterministic HTML — the web-scrape shape the
+    composite pipeline query ingests. Per doc: 1 + doc_id % 3 response
+    records, uri = https://Site<doc_id%7>.COM/p<j>?b=<j%2>&a=<doc_id%5>,
+    html = title/paragraph/script/comment page keyed by (doc_id, j)."""
+    from pg_logical_replication_spark.functions.warc import build_warc
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = [{"type": "warcinfo", "block": b"software: plrs\r\n"}]
+                for j in range(1 + did % 3):
+                    html = (
+                        f"<html><head><title>T{did}</title></head>"
+                        f"<BODY><p>doc {did}-{j} says &amp;hello&lt;w&gt;</p>"
+                        f"<script>var x={j};</script>"
+                        f"<!-- c{did} -->"
+                        f"<div>tail {(did + j) % 10}</div></BODY></html>"
+                    )
+                    block = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + html.encode()
+                    )
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"https://Site{did % 7}.COM/p{j}"
+                            f"?b={j % 2}&a={did % 5}#frag",
+                            "block": block,
+                        }
+                    )
+                ids.append(did)
+                kinds.append("archive")
+                payloads.append(build_warc(recs))
+                metas.append(
+                    {
+                        "codec": "warc",
+                        "width": None,
+                        "height": None,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def warc_html_pages(assets: DataFrame) -> DataFrame:
+    """WARC assets → one row per HTTP response with its raw HTML — the
+    fan-out between archive bytes and the JVM-side text pipeline
+    (html_to_text / quality / canonical-URL all run as expressions on
+    the result). Python touches only container framing, never text
+    analytics."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.warc import (
+            parse_warc,
+            split_http_response,
+        )
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    for i, rec in enumerate(parse_warc(bytes(buf))):
+                        if rec["headers"].get("WARC-Type") != "response":
+                            continue
+                        status, _h, body = split_http_response(rec["block"])
+                        rows.append(
+                            (
+                                aid,
+                                i,
+                                rec["headers"].get("WARC-Target-URI"),
+                                status,
+                                body.decode("utf-8", "replace"),
+                            )
+                        )
+                except Exception:
+                    rows.append((aid, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "rec_idx", "uri", "status", "html"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=WARC_PAGE_SCHEMA
+    )
+
+
 WARC_RECORD_SCHEMA = (
     "asset_id bigint, rec_idx int, warc_type string, uri string, "
     "block_bytes int"

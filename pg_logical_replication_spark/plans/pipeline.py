@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from pg_logical_replication_spark.model import lsn_str_expr
 from pg_logical_replication_spark.operators import dedup as D
+from pg_logical_replication_spark.operators import multimodal as MM
 from pg_logical_replication_spark.operators import similarity as S
 from pg_logical_replication_spark.operators import text as TX
 from pg_logical_replication_spark.plans.registry import register, t
@@ -1889,3 +1890,90 @@ def q_text_html_extract(spark, sf_dir):
     )
     out = TX.html_to_text(pages)
     return out.withColumn("n_chars", F.col("n_chars").cast("int"))
+
+
+@register(
+    "q_pipeline_web_to_corpus",
+    r"""
+    WITH spec AS (
+      SELECT doc_id, CAST(unnest(generate_series(0, doc_id % 3)) AS INT) AS j
+      FROM documents),
+    pages AS (
+      SELECT doc_id, j,
+             '<html><head><title>T' || CAST(doc_id AS VARCHAR) ||
+             '</title></head><BODY><p>doc ' || CAST(doc_id AS VARCHAR) ||
+             '-' || CAST(j AS VARCHAR) ||
+             ' says &amp;hello&lt;w&gt;</p><script>var x=' ||
+             CAST(j AS VARCHAR) || ';</script><!-- c' ||
+             CAST(doc_id AS VARCHAR) || ' --><div>tail ' ||
+             CAST((doc_id + j) % 10 AS VARCHAR) ||
+             '</div></BODY></html>' AS html,
+             'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' ||
+             CAST(j AS VARCHAR) || '?a=' || CAST(doc_id % 5 AS VARCHAR) ||
+             '&b=' || CAST(j % 2 AS VARCHAR) AS canonical_url
+      FROM spec),
+    txt AS (
+      SELECT doc_id, j, canonical_url,
+             regexp_replace(trim(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script\b.*?</script>', ' ', 'g'),
+                 '(?is)<style\b.*?</style>', ' ', 'g'),
+                 '(?is)<head\b.*?</head>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+                 '&quot;', '"', 'g'),
+                 '&#39;', CHR(39), 'g'),
+                 '&amp;', '&', 'g')), '\s+', ' ', 'g') AS text
+      FROM pages),
+    scored AS (
+      SELECT canonical_url,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                 x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15) AS BIGINT)
+                        % 1024) * 31 + 7) % 1001 - 500)) AS BIGINT)
+               AS lm_score
+      FROM txt)
+    SELECT lm_score >= 0 AS keep,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(lm_score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY 1
+    """,
+    "THE web-scrape pipeline, composed end-to-end from this round's "
+    "primitives: WARC bytes -> record split -> HTTP response split -> "
+    "regex HTML-to-text -> hashed-linear quality score -> canonical-URL "
+    "dedup keys -> keep/drop rollup. Python touches only container "
+    "framing; every text stage is a JVM expression. The oracle replays "
+    "the whole chain in closed form.",
+)
+def q_pipeline_web_to_corpus(spark, sf_dir):
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    pages = MM.warc_html_pages(MM.synthesize_web_warc_assets(docs))
+    txt = pages.select(
+        (F.col("asset_id") * 10 + F.col("rec_idx")).alias("page_id"),
+        TX.canonical_url_expr(F.col("uri")).alias("canonical_url"),
+        TX.html_to_text_expr(F.col("html")).alias("text"),
+    )
+    scored = TX.linear_quality_score(txt, text_col="text", id_col="page_id")
+    joined = txt.select("page_id", "canonical_url").join(scored, "page_id")
+    return joined.groupBy("keep").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("canonical_url").alias("n_urls"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("lm_score").alias("sum_score"),
+    )
