@@ -535,3 +535,91 @@ def html_to_text(
         text.alias("text"),
         F.length(text).alias("n_chars"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_mod: int = 10,
+    top_bigrams: int = 50_000,
+    top_unigrams: int = 20_000,
+    keep_num: int = 9,
+    keep_den: int = 2,
+) -> DataFrame:
+    """Bigram language-model quality filter — the CCNet/KenLM pattern:
+    train an n-gram LM on a trusted reference slice, score every
+    document by how "surprising" its bigrams are under that LM, and
+    keep the low-perplexity (in-distribution) documents.
+
+    Unlike :func:`linear_quality_score` (frozen hashed weights), this
+    LM is genuinely TRAINED ON THE DATA: the reference slice is
+    ``doc_id % ref_mod == 0``; bigram counts c2(w1,w2) and context
+    counts c1(w1) are distributed aggregations over it. Scoring uses
+    add-one-smoothed inverse probability, integer-quantized so the
+    whole contract is exact int64 cross-engine (same trick as
+    tfidf's ⌊log2⌋ idf):
+
+        quotient  = max((c1(w1) + V) DIV (c2(w1,w2) + 1), 1)
+        surprisal = ⌊log2(quotient)⌋        -- length(bin(q)) - 1
+        keep      = Σ surprisal · keep_den <= n_bigrams · keep_num
+
+    i.e. keep when the mean bigram surprisal is at most
+    keep_num/keep_den bits (defaults: 4.5 bits). Unseen contexts back
+    off to (0 + V) DIV 1 = V, the uniform-over-vocab cost.
+
+    Scale: the LM tables are capped at ``top_bigrams``/``top_unigrams``
+    entries via distributed top-K (TakeOrderedAndProject — count DESC,
+    key tie-break, NO single-partition window), so both sides of the
+    scoring join are broadcastable no matter the corpus size. Scoring
+    is one scan, two broadcast hash joins, and one partial-aggregated
+    groupBy(doc_id) — nothing corpus-sized shuffles except the per-doc
+    rollup, which hash-aggregates map-side first.
+    """
+    tk = F.transform(tokens_expr(text_col), lambda x: F.lower(x))
+    base = df.select(F.col(id_col), tk.alias("tk")).where(F.size("tk") >= 2)
+    bgs = F.expr(
+        "transform(slice(tk, 1, size(tk) - 1),"
+        " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+    )
+    pairs = base.select(F.col(id_col), F.explode(bgs).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+
+    ref = pairs.where(F.col(id_col) % ref_mod == 0)
+    c2k = (
+        ref.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(top_bigrams)
+    )
+    c1k = (
+        ref.groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+        .orderBy(F.desc("c1"), "w1")
+        .limit(top_unigrams)
+    )
+    vocab = ref.agg(F.countDistinct("w1").alias("v"))
+
+    scored = (
+        pairs.join(F.broadcast(c2k), ["w1", "w2"], "left")
+        .join(F.broadcast(c1k), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    quo = F.greatest(
+        F.expr("(coalesce(c1, 0) + v) DIV (coalesce(c2, 0) + 1)"), F.lit(1)
+    )
+    surp = (F.length(F.bin(quo)) - 1).cast("long")
+    doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(surp).alias("surprisal"),
+    )
+    return doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        "surprisal",
+        F.round(F.col("surprisal").cast("double") / F.col("n_bigrams"), 6)
+        .alias("avg_surprisal"),
+        (F.col("surprisal") * keep_den <= F.col("n_bigrams") * keep_num)
+        .alias("keep"),
+    )

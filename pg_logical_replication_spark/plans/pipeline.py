@@ -1977,3 +1977,52 @@ def q_pipeline_web_to_corpus(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("lm_score").alias("sum_score"),
     )
+
+
+@register(
+    "q_text_lm_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    pairs AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+              FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+              WHERE len(tk) >= 2),
+    ref AS (SELECT w1, w2 FROM pairs WHERE doc_id % 10 = 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rn
+           FROM ref GROUP BY 1, 2),
+    c2k AS (SELECT w1, w2, c2 FROM c2 WHERE rn <= 50000),
+    c1 AS (SELECT w1, COUNT(*) AS c1,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1) AS rn
+           FROM ref GROUP BY 1),
+    c1k AS (SELECT w1, c1 FROM c1 WHERE rn <= 20000),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM ref),
+    q AS (SELECT p.doc_id,
+                 GREATEST((COALESCE(u.c1, 0) + v.v) // (COALESCE(b.c2, 0) + 1),
+                          1) AS quo
+          FROM pairs p
+          LEFT JOIN c2k b ON p.w1 = b.w1 AND p.w2 = b.w2
+          LEFT JOIN c1k u ON p.w1 = u.w1
+          CROSS JOIN v),
+    doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(length(bin(quo)) - 1) AS BIGINT) AS surprisal
+            FROM q GROUP BY 1)
+    SELECT doc_id, n_bigrams, surprisal,
+           ROUND(surprisal / n_bigrams, 6) AS avg_surprisal,
+           surprisal * 2 <= n_bigrams * 9 AS keep
+    FROM doc
+    """,
+    "bigram LM perplexity filter (the CCNet/KenLM corpus-quality "
+    "pattern): train bigram/context counts on the doc_id%10 reference "
+    "slice, score every document's mean add-one-smoothed surprisal in "
+    "integer ⌊log2⌋ bits (exact cross-engine), keep docs under 4.5 "
+    "bits/bigram — a genuinely data-trained filter, unlike the frozen-"
+    "weight hashed-linear one; LM tables capped by distributed top-K "
+    "so both scoring joins broadcast at any corpus size",
+)
+def q_text_lm_perplexity(spark, sf_dir):
+    """One scan explodes bigrams; the LM aggregations run over the 10%
+    reference slice; scoring is two broadcast joins + one map-side-
+    combined groupBy(doc_id). See operators/text.py:bigram_lm_score."""
+    return TX.bigram_lm_score(t(spark, sf_dir, "documents"))

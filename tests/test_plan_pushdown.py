@@ -193,3 +193,17 @@ def test_codec_queries_are_scan_plus_mapinpandas_only(spark):
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
         assert all("RoundRobin" in ln for ln in exchanges), (name, exchanges)
         assert plan.count("MapInPandas") == 2, name  # synth + decode
+
+
+def test_bigram_lm_scoring_joins_broadcast(spark):
+    """The LM scoring joins (pairs x c2k, pairs x c1k) must broadcast:
+    the LM tables are top-K-capped so nothing corpus-sized ever
+    sort-merge-joins, and scoring stays a single scan + broadcast
+    probes at any corpus size. No Python anywhere."""
+    df = QUERIES["q_text_lm_perplexity"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # LM tables are capped by distributed top-K, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
