@@ -623,3 +623,98 @@ def bigram_lm_score(
         (F.col("surprisal") * keep_den <= F.col("n_bigrams") * keep_num)
         .alias("keep"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+    top_words: int = 20_000,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Train BPE merges on the corpus — the Sennrich subword pattern
+    every LLM tokenizer (GPT-2/LLaMA via HF ``tokenizers``) is built on:
+    collapse the corpus to a word-frequency table, then repeatedly merge
+    the globally most frequent adjacent symbol pair.
+
+    Returns ``num_merges`` rows: (merge_rank, lhs, rhs, pair_count) —
+    the learned merge table, in order.
+
+    Exactness: words are lowercased ``[a-z]+`` runs; symbol sequences
+    are encoded as ``||s1||s2||…||`` strings, where replacing
+    ``|a||b|`` → ``|ab|`` is PROVABLY exact greedy left-to-right BPE:
+    every occurrence is a pair of whole adjacent symbols (symbols never
+    contain ``|``, and the pattern's flanking pipes force alignment),
+    consecutive overlapping pairs share only the *outer* pipes so
+    non-overlapping scan order = BPE's greedy order (``aaaaa`` →
+    ``aa aa a``). Ties break on (count DESC, lhs, rhs) cross-engine.
+
+    Scale: the ONLY corpus-sized stage is the word-count explode +
+    map-side-combined groupBy, capped to ``top_words`` via distributed
+    top-K (TakeOrderedAndProject) — exactly how hf-tokenizers trains
+    (on word counts, not raw text). Every merge round then runs on the
+    capped vocab: a vocab-sized pair aggregation and a broadcast
+    1-row-best cross join; nothing returns to the driver.
+
+    ``checkpoint_rounds`` (default on) ``localCheckpoint``s the capped
+    word table and each round's vocab — the same lineage-truncation
+    the PageRank join-loop uses (operators/graph.py). Without it the
+    per-round lineage re-inlines every earlier round into every later
+    one (O(2^N) subplans, 63 exchanges at N=6); with it the corpus is
+    scanned exactly once and each round is one 20k-row shuffle plus a
+    1-row broadcast. Results are identical either way.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_words)
+    )
+    if checkpoint_rounds:
+        words = words.localCheckpoint(eager=True)
+    vocab = words.select(
+        F.concat(
+            F.lit("||"), F.expr("regexp_replace(word, '(.)', '$1||')")
+        ).alias("s"),
+        "freq",
+    )
+
+    merges = None
+    for rank in range(1, num_merges + 1):
+        syms = F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
+        prs = F.expr(
+            "transform(slice(syms, 1, size(syms) - 1),"
+            " (x, i) -> struct(x AS w1, syms[i + 1] AS w2))"
+        )
+        best = (
+            vocab.select(syms.alias("syms"), "freq")
+            .where(F.size("syms") >= 2)
+            .select(F.explode(prs).alias("p"), "freq")
+            .groupBy("p.w1", "p.w2")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "w1", "w2")
+            .limit(1)
+        )
+        ranked = best.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("w1").alias("lhs"),
+            F.col("w2").alias("rhs"),
+            "pair_count",
+        )
+        merges = ranked if merges is None else merges.unionByName(ranked)
+        if rank < num_merges:
+            vocab = vocab.crossJoin(F.broadcast(best)).select(
+                F.expr(
+                    "replace(s, '|' || w1 || '||' || w2 || '|',"
+                    " '|' || w1 || w2 || '|')"
+                ).alias("s"),
+                "freq",
+            )
+            if checkpoint_rounds:
+                vocab = vocab.localCheckpoint(eager=True)
+    return merges.orderBy("merge_rank")

@@ -2026,3 +2026,67 @@ def q_text_lm_perplexity(spark, sf_dir):
     reference slice; scoring is two broadcast joins + one map-side-
     combined groupBy(doc_id). See operators/text.py:bigram_lm_score."""
     return TX.bigram_lm_score(t(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
+    """Unrolled BPE-merge training oracle (pattern: _kmeans_oracle).
+
+    Same double-pipe encoding as operators/text.py:bpe_train_merges —
+    plain non-overlapping replace() IS greedy left-to-right BPE there,
+    so DuckDB's replace and Spark's replace agree byte-for-byte."""
+    parts = [
+        f"""
+    words AS (SELECT w AS word, COUNT(*) AS freq
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                     '[a-z]+')) AS w
+                    FROM documents)
+              GROUP BY 1 ORDER BY freq DESC, word LIMIT {top_words}),
+    v1 AS (SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s,
+                  freq
+           FROM words)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""
+    p{r} AS (SELECT syms[i] AS w1, syms[i+1] AS w2,
+                    CAST(SUM(freq) AS BIGINT) AS pair_count
+             FROM (SELECT list_filter(string_split(s, '||'),
+                                      x -> x <> '') AS syms, freq
+                   FROM v{r}) t,
+                  UNNEST(range(1, len(syms))) AS u(i)
+             WHERE len(syms) >= 2
+             GROUP BY 1, 2),
+    b{r} AS (SELECT w1, w2, pair_count FROM p{r}
+             ORDER BY pair_count DESC, w1, w2 LIMIT 1)""")
+        if r < num_merges:
+            parts.append(f"""
+    v{r + 1} AS (SELECT replace(s, '|' || b.w1 || '||' || b.w2 || '|',
+                                '|' || b.w1 || b.w2 || '|') AS s, freq
+                 FROM v{r} CROSS JOIN b{r} b)""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, w1 AS lhs, w2 AS rhs, pair_count "
+        f"FROM b{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return (
+        "WITH" + ",".join(parts)
+        + f"\n    SELECT * FROM ({sel}) ORDER BY merge_rank"
+    )
+
+
+@register(
+    "q_text_bpe_train",
+    _bpe_oracle(6, 20_000),
+    "BPE tokenizer TRAINING (the Sennrich/HF-tokenizers pattern): "
+    "collapse the corpus to a top-20k word-frequency table (the only "
+    "corpus-sized stage, one map-side-combined groupBy + distributed "
+    "top-K), then 6 merge rounds on the capped vocab — each round a "
+    "vocab-sized pair count, a deterministic 1-row global best, and a "
+    "broadcast merge application; replace() on the double-pipe symbol "
+    "encoding is provably exact greedy left-to-right BPE in both "
+    "engines",
+)
+def q_text_bpe_train(spark, sf_dir):
+    """See operators/text.py:bpe_train_merges — learned merge table,
+    genuinely trained on the data (like q_text_lm_perplexity and
+    q_embed_kmeans, not frozen weights)."""
+    return TX.bpe_train_merges(t(spark, sf_dir, "documents"))

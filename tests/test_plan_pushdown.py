@@ -207,3 +207,18 @@ def test_bigram_lm_scoring_joins_broadcast(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # LM tables are capped by distributed top-K, not a global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_train_rounds_are_vocab_sized(spark):
+    """BPE training must touch the corpus exactly once (word-count
+    top-K onto a localCheckpoint); each of the 6 merge rounds is then
+    one vocab-sized pair aggregation — no join at all, no Python,
+    and no O(2^N) lineage re-inlining (63 exchanges without the
+    checkpoint; 6 with it)."""
+    df = QUERIES["q_text_bpe_train"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 6, plan
+    assert plan.count("TakeOrderedAndProject") == 6, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed vocab
