@@ -419,18 +419,23 @@ def q_cdc_wal2json_chunked(spark, sf_dir):
             )
         ).alias("pos", "value"),
     ).select((F.col("event_id") * 3 + F.col("pos")).alias("seq"), "value")
-    # reassemble FIRST (the ordered window is single-partition by
-    # nature), then spread the stitched documents across all cores for
-    # the CPU-heavy from_json decode — repartitioning before the window
-    # would be a wasted shuffle straight into a SinglePartition exchange
+    # Reassemble per frame-log SEGMENT (1000 changesets per segment
+    # here): chunk boundaries never cross segment seals, so the depth-
+    # scan window parallelizes across segments instead of running one
+    # global serial pass — the documented scale path of
+    # reassemble_json_documents(partition_col=...). The stitched
+    # documents then spread across all cores for the CPU-heavy
+    # from_json decode.
     from pg_logical_replication_spark.sources.wal2json import (
         reassemble_json_documents,
     )
 
-    docs = reassemble_json_documents(frags)
-    decoded = decode_wal2json(
-        docs.repartition(spark.sparkContext.defaultParallelism)
-    )
+    frags = frags.withColumn("seg", F.expr("(seq DIV 3) DIV 1000"))
+    docs = reassemble_json_documents(frags, partition_col="seg")
+    # the per-(seg, doc) stitch already hash-spread the documents across
+    # all shuffle partitions — re-repartitioning here would shuffle the
+    # full stitched-document bytes a second time for nothing
+    decoded = decode_wal2json(docs)
     eid = F.coalesce(
         F.col("after").getItem("event_id"), F.col("key").getItem("event_id")
     ).cast("bigint")

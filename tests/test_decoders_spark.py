@@ -1213,3 +1213,28 @@ def test_wal2json_cosmetic_options_serialize_for_start_replication():
         "\"pretty-print\" 'on'",
     ):
         assert frag in sql, (frag, sql)
+
+
+def test_reassemble_partitioned_by_segment_matches_global(spark):
+    """partition_col (the per-frame-log-segment scale path the chunked
+    headline query uses) must stitch the same documents as the global
+    serial window when chunk boundaries don't cross segments."""
+    import json
+
+    from pg_logical_replication_spark.sources.wal2json import (
+        reassemble_json_documents,
+    )
+
+    rows, seq = [], 0
+    for i in range(40):
+        s = json.dumps({"change": [], "xid": i})
+        head, tail = s[: len(s) // 2], s[len(s) // 2:]
+        for frag in (head, tail):
+            rows.append((seq, seq // 20, frag))  # 10 docs per segment
+            seq += 1
+    raw = spark.createDataFrame(rows, "seq long, seg long, value string")
+    glob = {r["value"] for r in
+            reassemble_json_documents(raw.drop("seg")).collect()}
+    part = reassemble_json_documents(raw, partition_col="seg")
+    assert {r["value"] for r in part.collect()} == glob
+    assert part.count() == 40
