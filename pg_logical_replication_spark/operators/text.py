@@ -664,6 +664,24 @@ def bpe_train_merges(
     scanned exactly once and each round is one 20k-row shuffle plus a
     1-row broadcast. Results are identical either way.
     """
+    _, merges = _bpe_chain(df, text_col, num_merges, top_words, checkpoint_rounds)
+    return merges.orderBy("merge_rank")
+
+
+def _bpe_chain(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    top_words: int,
+    checkpoint_rounds: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE training loop: returns (vocab_final, merges).
+
+    ``vocab_final`` is (word, s, freq) with ALL ``num_merges`` merges
+    applied to the symbol encoding ``s`` — the lookup table the encode
+    side broadcasts. It is left LAZY (no checkpoint after the last
+    apply) so merge-only callers never pay for it.
+    """
     words = (
         df.select(
             F.explode(
@@ -678,6 +696,7 @@ def bpe_train_merges(
     if checkpoint_rounds:
         words = words.localCheckpoint(eager=True)
     vocab = words.select(
+        "word",
         F.concat(
             F.lit("||"), F.expr("regexp_replace(word, '(.)', '$1||')")
         ).alias("s"),
@@ -707,14 +726,65 @@ def bpe_train_merges(
             "pair_count",
         )
         merges = ranked if merges is None else merges.unionByName(ranked)
-        if rank < num_merges:
-            vocab = vocab.crossJoin(F.broadcast(best)).select(
-                F.expr(
-                    "replace(s, '|' || w1 || '||' || w2 || '|',"
-                    " '|' || w1 || w2 || '|')"
-                ).alias("s"),
-                "freq",
-            )
-            if checkpoint_rounds:
-                vocab = vocab.localCheckpoint(eager=True)
-    return merges.orderBy("merge_rank")
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "word",
+            F.expr(
+                "replace(s, '|' || w1 || '||' || w2 || '|',"
+                " '|' || w1 || w2 || '|')"
+            ).alias("s"),
+            "freq",
+        )
+        if checkpoint_rounds and rank < num_merges:
+            vocab = vocab.localCheckpoint(eager=True)
+    return vocab, merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 6,
+    top_words: int = 20_000,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Apply the corpus-trained BPE vocab back to the corpus — the
+    other half of the tokenizer lifecycle: train merges (see
+    :func:`bpe_train_merges`), then answer "how many tokens is this
+    corpus under MY tokenizer", per document.
+
+    Per document: n_words ([a-z]+ runs), n_bpe_tokens (symbols after
+    the learned merges; out-of-vocab words fall back to one token per
+    character — byte-fallback's analogue), n_chars (word chars), and
+    chars_per_token (the compression ratio the merges bought).
+
+    Scale: training touches the corpus once (word-count top-K); the
+    trained (word → symbol-count) table is top_words-capped, so
+    encoding is one corpus scan + ONE BROADCAST JOIN + a map-side-
+    combined groupBy(doc_id) — the text itself never shuffles.
+    """
+    vocab, _ = _bpe_chain(df, text_col, num_merges, top_words, checkpoint_rounds)
+    lut = vocab.select(
+        "word",
+        F.size(F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")).alias(
+            "n_syms"
+        ),
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    per_word = doc_words.join(F.broadcast(lut), "word", "left").select(
+        id_col,
+        F.coalesce(F.col("n_syms"), F.length("word")).alias("n_toks"),
+        F.length("word").alias("n_chars"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
+        ).alias("chars_per_token"),
+    )

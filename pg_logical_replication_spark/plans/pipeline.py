@@ -2028,12 +2028,15 @@ def q_text_lm_perplexity(spark, sf_dir):
     return TX.bigram_lm_score(t(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
-    """Unrolled BPE-merge training oracle (pattern: _kmeans_oracle).
+def _bpe_chain_sql(num_merges: int, top_words: int) -> list[str]:
+    """Unrolled BPE vocab-chain CTEs (pattern: _kmeans_oracle), shared
+    by the train and encode oracles.
 
-    Same double-pipe encoding as operators/text.py:bpe_train_merges —
+    Same double-pipe encoding as operators/text.py:_bpe_chain —
     plain non-overlapping replace() IS greedy left-to-right BPE there,
-    so DuckDB's replace and Spark's replace agree byte-for-byte."""
+    so DuckDB's replace and Spark's replace agree byte-for-byte.
+    Produces words, v1..v{{N+1}}, p1..pN, b1..bN (v{{N+1}} has all N
+    merges applied — the encode side's lookup table)."""
     parts = [
         f"""
     words AS (SELECT w AS word, COUNT(*) AS freq
@@ -2041,7 +2044,8 @@ def _bpe_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
                                                      '[a-z]+')) AS w
                     FROM documents)
               GROUP BY 1 ORDER BY freq DESC, word LIMIT {top_words}),
-    v1 AS (SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s,
+    v1 AS (SELECT word,
+                  '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s,
                   freq
            FROM words)"""
     ]
@@ -2056,20 +2060,50 @@ def _bpe_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
              WHERE len(syms) >= 2
              GROUP BY 1, 2),
     b{r} AS (SELECT w1, w2, pair_count FROM p{r}
-             ORDER BY pair_count DESC, w1, w2 LIMIT 1)""")
-        if r < num_merges:
-            parts.append(f"""
-    v{r + 1} AS (SELECT replace(s, '|' || b.w1 || '||' || b.w2 || '|',
+             ORDER BY pair_count DESC, w1, w2 LIMIT 1),
+    v{r + 1} AS (SELECT word,
+                        replace(s, '|' || b.w1 || '||' || b.w2 || '|',
                                 '|' || b.w1 || b.w2 || '|') AS s, freq
                  FROM v{r} CROSS JOIN b{r} b)""")
+    return parts
+
+
+def _bpe_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, w1 AS lhs, w2 AS rhs, pair_count "
         f"FROM b{r}"
         for r in range(1, num_merges + 1)
     )
     return (
-        "WITH" + ",".join(parts)
+        "WITH" + ",".join(_bpe_chain_sql(num_merges, top_words))
         + f"\n    SELECT * FROM ({sel}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
+    parts = _bpe_chain_sql(num_merges, top_words)
+    parts.append(f"""
+    lut AS (SELECT word,
+                   len(list_filter(string_split(s, '||'),
+                                   x -> x <> '')) AS n_syms
+            FROM v{num_merges + 1}),
+    dw AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents)""")
+    return (
+        "WITH" + ",".join(parts)
+        + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(n_syms, length(dw.word))) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           ROUND(SUM(length(dw.word))
+                 / SUM(COALESCE(n_syms, length(dw.word))), 6)
+               AS chars_per_token
+    FROM dw LEFT JOIN lut ON dw.word = lut.word
+    GROUP BY doc_id
+    """
     )
 
 
@@ -2090,3 +2124,22 @@ def q_text_bpe_train(spark, sf_dir):
     genuinely trained on the data (like q_text_lm_perplexity and
     q_embed_kmeans, not frozen weights)."""
     return TX.bpe_train_merges(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_bpe_encode",
+    _bpe_encode_oracle(6, 20_000),
+    "BPE tokenizer APPLY (the other half of the lifecycle): encode the "
+    "corpus under its own trained merges — per-doc word/token/char "
+    "counts and the chars-per-token compression the merges bought; "
+    "training scans the corpus once, then encoding is one scan + ONE "
+    "broadcast join against the capped (word -> symbol-count) table + "
+    "a map-side-combined groupBy(doc_id) — document text never "
+    "shuffles; OOV words fall back to per-char tokens (byte-fallback's "
+    "analogue)",
+)
+def q_text_bpe_encode(spark, sf_dir):
+    """See operators/text.py:bpe_encode_stats — train + apply on the
+    same corpus, the 'how many tokens is this corpus under MY
+    tokenizer' question every pretraining budget starts with."""
+    return TX.bpe_encode_stats(t(spark, sf_dir, "documents"))

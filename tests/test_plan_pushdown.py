@@ -222,3 +222,16 @@ def test_bpe_train_rounds_are_vocab_sized(spark):
     assert plan.count("TakeOrderedAndProject") == 6, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed vocab
+
+
+def test_bpe_encode_is_one_broadcast_join(spark):
+    """Encoding under the trained vocab: corpus scan + ONE broadcast
+    hash join against the capped lookup table + map-side-combined
+    groupBy(doc_id). Document text must never reach a sort-merge join."""
+    df = QUERIES["q_text_bpe_encode"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    # the only nested-loop is the 1-row final-merge singleton cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
