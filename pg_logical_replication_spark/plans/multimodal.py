@@ -558,3 +558,45 @@ def q_mm_media_probe(spark, sf_dir):
 def q_mm_wav_loudest_frame(spark, sf_dir):
     assets = MM.synthesize_wav_assets(t(spark, sf_dir, "documents"))
     return MM.wav_loudest_frame(assets)
+
+
+@register(
+    "q_mm_adpcm_decode",
+    """
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(64 + doc_id % 200 AS INT) AS n,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT)
+               AS rate
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           rate AS sample_rate,
+           n AS n_samples,
+           CAST((n + 128) // 129 AS INT) AS n_blocks,
+           CAST((doc_id * 41) % 2001 - 1000 AS INT) AS first_sample,
+           CAST(list_sum(list_transform(
+               generate_series(0, (n + 128) // 129 - 1),
+               b -> (doc_id * 41 + b * 129 * 97) % 2001 - 1000))
+             AS BIGINT) AS sum_block_preds,
+           TRUE AS err_ok
+    FROM spec
+    """,
+    "REAL IMA-ADPCM codec round-trip (WAVE fmt 0x0011, the 4-bit "
+    "telephony/game-audio format): encode executor-side, decode the "
+    "RIFF walk + block headers + adaptive nibble expansion back; "
+    "block-header predictors and all counts are EXACT vs the "
+    "closed-form oracle, the lossy samples carry a bounded-error "
+    "contract (max<=4095, mean<=512) — the lossy-audio twin of "
+    "q_mm_jpeg_decode",
+)
+def q_mm_adpcm_decode(spark, sf_dir):
+    """IMA ADPCM stores each block's first sample verbatim in the
+    4-byte block header, so rate / sample count / block count / every
+    block-anchor sample are integer-exact cross-engine while Spark
+    actually runs the adaptive step-table codec on executors; any
+    step/index/nibble bug breaks err_ok or the anchors."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_adpcm_assets(docs)
+    return MM.decode_adpcm_features(assets)
