@@ -788,3 +788,92 @@ def bpe_encode_stats(
             F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
         ).alias("chars_per_token"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    k: int = 200,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the likelihood ratio of its HASHED n-gram features under a
+    target distribution vs the raw-corpus distribution, then keep the
+    top-k — the standard recipe for skimming a web crawl for
+    target-domain-looking documents.
+
+    Features are bigrams hashed into ``n_buckets`` md5 buckets — the
+    method's point: memory is O(n_buckets) regardless of vocabulary,
+    so the two distribution tables stay broadcast-sized at ANY corpus
+    size (DSIR's hashed n-gram trick, same role as in the paper).
+
+    Exact integer contract (cross-engine): per-bucket score
+    ``s_b = ⌊log2((cnt_target[b]+1) · 2^20 DIV (cnt_raw[b]+1))⌋``
+    (add-one smoothing; the 2^20 scale keeps the ratio integral), doc
+    score = Σ s_bucket over bigram instances, ranking by the
+    length-normalized average (score DESC, id tie-break).
+
+    Scale: one corpus scan explodes bigram instances; both
+    distribution tables are ≤``n_buckets``-row map-side-combined aggs;
+    scoring is ONE broadcast join + a per-doc rollup; selection is
+    distributed top-K (TakeOrderedAndProject). Document text never
+    shuffles.
+    """
+    tk = F.transform(tokens_expr(text_col), lambda x: F.lower(x))
+    base = df.select(
+        F.col(id_col), F.col(target_col).alias("__t"), tk.alias("tk")
+    ).where(F.size("tk") >= 2)
+    bgs = F.expr(
+        "transform(slice(tk, 1, size(tk) - 1),"
+        " (x, i) -> concat(x, ' ', tk[i + 1]))"
+    )
+    inst = base.select(
+        id_col,
+        "__t",
+        F.explode(bgs).alias("bg"),
+    ).select(
+        id_col,
+        "__t",
+        (F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+         % n_buckets).alias("bucket"),
+    )
+
+    # both distributions in ONE conditional agg pass (one corpus scan,
+    # one B-bounded exchange) — a raw/target join here would re-execute
+    # the bigram lineage, i.e. a second full corpus scan at 100 TB
+    lut = inst.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"),
+        F.count(F.when(F.col("__t") == target_value, 1)).alias("c_tgt"),
+    ).select(
+        "bucket",
+        (
+            F.length(F.bin(F.expr("(c_tgt + 1) * 1048576 DIV (c_raw + 1)")))
+            - 1
+        ).cast("long").alias("s"),
+    )
+
+    # lang rides through the rollup (per-doc constant) — no third scan
+    doc = (
+        inst.join(F.broadcast(lut), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("s").alias("score"),
+            F.min("__t").alias(target_col),
+        )
+        .withColumn(
+            "avg_score",
+            F.round(F.col("score").cast("double") / F.col("n_bigrams"), 6),
+        )
+    )
+    return (
+        doc.select(
+            id_col, "n_bigrams", "score", "avg_score", target_col
+        )
+        .orderBy(F.desc("avg_score"), id_col)
+        .limit(k)
+    )

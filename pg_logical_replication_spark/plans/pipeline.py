@@ -2143,3 +2143,46 @@ def q_text_bpe_encode(spark, sf_dir):
     same corpus, the 'how many tokens is this corpus under MY
     tokenizer' question every pretraining budget starts with."""
     return TX.bpe_encode_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_dsir_select",
+    f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    inst AS (SELECT doc_id, lang,
+                    ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))
+                      ::UBIGINT % 4096 AS bucket
+             FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+             WHERE len(tk) >= 2),
+    raw_cnt AS (SELECT bucket, COUNT(*) AS c_raw FROM inst GROUP BY 1),
+    tgt_cnt AS (SELECT bucket, COUNT(*) AS c_tgt FROM inst
+                WHERE lang = 'en' GROUP BY 1),
+    lut AS (SELECT r.bucket,
+                   CAST(length(bin((COALESCE(t.c_tgt, 0) + 1) * 1048576
+                                   // (r.c_raw + 1))) - 1 AS BIGINT) AS s
+            FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.bucket = t.bucket),
+    doc AS (SELECT i.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(s) AS BIGINT) AS score
+            FROM inst i JOIN lut ON i.bucket = lut.bucket
+            GROUP BY 1)
+    SELECT d.doc_id, n_bigrams, score,
+           ROUND(score / n_bigrams, 6) AS avg_score, docs.lang
+    FROM doc d JOIN documents docs ON d.doc_id = docs.doc_id
+    ORDER BY avg_score DESC, d.doc_id LIMIT 200
+    """,
+    "DSIR-style data selection (Xie et al. 2023): hashed-bigram "
+    "likelihood ratio of a target distribution (lang='en' slice) vs "
+    "the raw corpus, integer-log2 quantized per 4096-bucket md5 "
+    "feature, top-200 by length-normalized score — distribution "
+    "tables are O(buckets) broadcast-sized at any corpus scale (the "
+    "paper's hashed n-gram memory bound), scoring one scan + one "
+    "broadcast join + distributed top-K",
+)
+def q_text_dsir_select(spark, sf_dir):
+    """See operators/text.py:dsir_select — the third genuinely
+    data-TRAINED filter (with the bigram LM and BPE), this one a
+    two-distribution importance ratio over hashed features."""
+    return TX.dsir_select(t(spark, sf_dir, "documents"))

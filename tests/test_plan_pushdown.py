@@ -236,3 +236,18 @@ def test_bpe_encode_is_one_broadcast_join(spark):
     # the only nested-loop is the 1-row final-merge singleton cross
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_two_scans_one_broadcast(spark):
+    """DSIR selection: the bucket LUT builds in ONE conditional-agg
+    pass (raw + target distributions together — a raw/tgt join would
+    re-execute the corpus lineage), scoring is one broadcast join, and
+    selection is distributed top-K. Exactly 2 corpus scans, no
+    sort-merge join, no Python."""
+    df = QUERIES["q_text_dsir_select"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
