@@ -132,3 +132,49 @@ def test_register_tables_plain_sql_surface(spark):
         """
     ).first()
     assert row["n_orders"] > 0 and isinstance(row["n_name"], str)
+
+
+# ------------------------------------------------- BPE encoding property
+def test_double_pipe_replace_is_exact_greedy_bpe():
+    """The correctness keystone of bpe_train_merges/bpe_encode_stats:
+    on the ||s1||s2||…|| encoding, plain non-overlapping replace() of
+    '|a||b|' -> '|ab|' must equal classic greedy left-to-right BPE
+    merging (merge at the leftmost occurrence, never re-using a symbol
+    consumed by the previous merge). Property-checked against a direct
+    list-walk reference over adversarial alphabets (self-runs like
+    'aaaaa', alternations, symbols that prefix each other)."""
+    import itertools
+    import random
+
+    def greedy_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def pipe_merge(syms, a, b):
+        s = "||" + "||".join(syms) + "||"
+        s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+        return [x for x in s.split("||") if x]
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "ba", "aa", "c"]
+    for trial in range(2000):
+        n = rng.randint(1, 10)
+        syms = [rng.choice(alphabet) for _ in range(n)]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        assert pipe_merge(syms, a, b) == greedy_merge(syms, a, b), (
+            syms, a, b)
+    # exhaustive over short sequences of a 2-symbol alphabet
+    for n in range(1, 7):
+        for syms in itertools.product("ab", repeat=n):
+            for a, b in itertools.product("ab", repeat=2):
+                syms_l = list(syms)
+                assert pipe_merge(syms_l, a, b) == greedy_merge(
+                    syms_l, a, b
+                ), (syms_l, a, b)
