@@ -600,3 +600,31 @@ def q_mm_adpcm_decode(spark, sf_dir):
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     assets = MM.synthesize_adpcm_assets(docs)
     return MM.decode_adpcm_features(assets)
+
+
+@register(
+    "q_mm_tar_shards",
+    """
+    SELECT doc_id // 50 AS shard_id,
+           CAST(COUNT(*) AS INT) AS n_members,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_payload_bytes,
+           CAST(((SUM(512 + (octet_length(encode(text)) + 511) // 512 * 512)
+                  + 1024 + 10239) // 10240) * 10240 AS BIGINT) AS tar_bytes,
+           TRUE AS members_ok
+    FROM documents GROUP BY 1
+    """,
+    "WebDataset-style tar shard EXPORT (the write path the archive "
+    "readers mirror): pack the corpus into deterministic POSIX tar "
+    "training shards (50 docs/shard, zero-padded member keys, mtime=0), "
+    "each shard re-enumerated by tarfile before emission (write "
+    "verified by read); the oracle pins the EXACT tar byte size "
+    "structurally (512-header + 512-padded bodies + end blocks, "
+    "10240 blocking) — any framing bug changes the length",
+)
+def q_mm_tar_shards(spark, sf_dir):
+    """One shuffle co-locates each shard's members (doc_id DIV 50 —
+    webdataset's sequential shard convention); tar assembly is
+    Arrow-batched Python per shard; the query emits the structural
+    stats, the payload column carries the actual shard bytes."""
+    shards = MM.pack_tar_shards(t(spark, sf_dir, "documents"))
+    return shards.drop("payload")

@@ -119,3 +119,40 @@ def test_wav_codec_real_roundtrip(spark):
     )
     out = MM.decode_wav_features(bad).first()
     assert out["sample_rate"] is None and out["sum_abs"] is None
+
+
+def test_pack_tar_shards_roundtrips_through_tarfile(spark):
+    """The shard writer's payload must be a valid POSIX tar whose
+    members reproduce the input docs byte-for-byte, in doc order with
+    zero-padded keys — and shard bytes must be deterministic across
+    runs (mtime=0)."""
+    import io
+    import tarfile
+
+    from pg_logical_replication_spark.operators.multimodal import (
+        pack_tar_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i} " + "x" * (i * 7 % 300)) for i in range(120)],
+        "doc_id long, text string",
+    )
+    shards = {r["shard_id"]: r for r in pack_tar_shards(docs).collect()}
+    assert sorted(shards) == [0, 1, 2]
+    seen = {}
+    for sid, r in shards.items():
+        assert r["members_ok"]
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["payload"]))) as tf:
+            names = []
+            for m in tf.getmembers():
+                body = tf.extractfile(m).read()
+                names.append(m.name)
+                seen[int(m.name.split(".")[0])] = body
+            assert names == sorted(names)  # doc order within shard
+        assert r["tar_bytes"] == len(bytes(r["payload"]))
+    assert len(seen) == 120
+    for i in range(120):
+        assert seen[i].decode() == f"text body {i} " + "x" * (i * 7 % 300)
+    again = {r["shard_id"]: bytes(r["payload"])
+             for r in pack_tar_shards(docs).collect()}
+    assert all(again[s] == bytes(shards[s]["payload"]) for s in shards)

@@ -251,3 +251,17 @@ def test_dsir_two_scans_one_broadcast(spark):
     assert plan.count("Scan parquet") == 2, plan
     assert plan.count("TakeOrderedAndProject") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tar_shard_writer_single_exchange(spark):
+    """Shard export: exactly ONE exchange (the shard-id co-location
+    feeding applyInPandas) — text shuffles once, into its shard, and
+    never again."""
+    df = QUERIES["q_mm_tar_shards"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchange == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
