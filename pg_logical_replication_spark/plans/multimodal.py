@@ -628,3 +628,61 @@ def q_mm_tar_shards(spark, sf_dir):
     stats, the payload column carries the actual shard bytes."""
     shards = MM.pack_tar_shards(t(spark, sf_dir, "documents"))
     return shards.drop("payload")
+
+
+@register(
+    "q_mm_tar_shards_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(SUM(('0x' || substr(md5(text), 1, 8))::UBIGINT) AS BIGINT)
+             AS sum_text_hash
+    FROM documents
+    """,
+    "shard export->import composite (the format-agreement pattern for "
+    "the corpus write path): pack every document into tar shards, "
+    "EXTRACT the members back executor-side (tarfile), and the "
+    "recovered corpus must aggregate identically to the source table "
+    "(count, distinct ids, byte total, md5 content checksum) — any "
+    "loss, duplication, reorder-corruption or encoding bug in the "
+    "shard writer breaks the hash match",
+)
+def q_mm_tar_shards_roundtrip(spark, sf_dir):
+    """pack (1 shuffle) -> extract (narrow mapInPandas over shard
+    payloads) -> aggregate; the md5 checksum rides per-doc so a single
+    flipped byte anywhere in any shard fails the oracle."""
+    from typing import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    shards = MM.pack_tar_shards(t(spark, sf_dir, "documents"))
+
+    def extract(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, texts = [], []
+            for blob in pdf["payload"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        ids.append(int(m.name.split(".")[0]))
+                        texts.append(
+                            tf.extractfile(m).read().decode("utf-8")
+                        )
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    docs = shards.select("payload").mapInPandas(
+        extract, schema="doc_id bigint, text string"
+    )
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum(F.octet_length("text")).alias("sum_bytes"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        ).alias("sum_text_hash"),
+    )
