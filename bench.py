@@ -64,6 +64,9 @@ HEADLINE = [
     # data-trained corpus filters (late round 4)
     "q_text_lm_perplexity",
     "q_text_bpe_train",
+    "q_text_bpe_encode",
+    "q_text_dsir_select",
+    "q_mm_tar_shards",
 ]
 
 
