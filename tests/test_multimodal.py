@@ -156,3 +156,58 @@ def test_pack_tar_shards_roundtrips_through_tarfile(spark):
     again = {r["shard_id"]: bytes(r["payload"])
              for r in pack_tar_shards(docs).collect()}
     assert all(again[s] == bytes(shards[s]["payload"]) for s in shards)
+
+
+def test_streaming_shard_export_via_foreach_batch(spark, tmp_path):
+    """Live corpus ingestion → per-micro-batch tar shard export (the
+    foreachBatch write-path pattern): each batch's documents pack into
+    deterministic shards on executors, and the accumulated shard set
+    must round-trip every streamed document exactly once."""
+    import io
+    import json
+    import os
+    import tarfile
+    import time
+
+    from pg_logical_replication_spark.operators.multimodal import (
+        pack_tar_shards,
+    )
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    for b in range(2):
+        with open(os.path.join(d, f"b{b}.jsonl"), "w") as f:
+            for i in range(b * 60, b * 60 + 60):
+                f.write(json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n")
+
+    shards = []
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(d)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _b: shards.extend(pack_tar_shards(df).collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if sum(r["n_members"] for r in shards) >= 120:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    seen = {}
+    for r in shards:
+        assert r["members_ok"]
+        with tarfile.open(fileobj=io.BytesIO(bytes(r["payload"]))) as tf:
+            for m in tf.getmembers():
+                did = int(m.name.split(".")[0])
+                assert did not in seen  # batches don't overlap shards
+                seen[did] = tf.extractfile(m).read().decode()
+    assert sorted(seen) == list(range(120))
+    assert all(seen[i] == f"doc {i}" for i in range(120))
