@@ -746,3 +746,84 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 20,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every ``gram``-token window that occurs more than once in the
+    corpus (any repeat — across documents or within one), and report
+    per document how many of its tokens are covered by at least one
+    such repeated span. The dup_ratio is the signal ExactSubstr cuts
+    on; the span bounds are what a remover would splice out.
+
+    Pipeline (all JVM expressions): one scan explodes stride-1
+    ``gram``-token window digests with their positions → repeated
+    digests found by a count ≥ 2 aggregate → positions of repeated
+    windows rejoin on the digest → per-doc interval-union via a
+    running-max window (spans [pos, pos+gram) overlap heavily; the
+    union length is Σ max(0, end − max(start, prev_max_end))) —
+    integer-exact cross-engine.
+
+    Scale: the digest explosion is ~n_tokens rows per doc but carries
+    (16-byte digest, doc_id, pos) only — text never shuffles. The
+    rejoin is digest-equality (shuffle join on the hash, co-partitioned
+    both sides). A pathologically common window (boilerplate) fans out
+    its posting list; ``df_cap`` drops digests hotter than the cap
+    (their docs are boilerplate-dominated and get flagged by the
+    repetition/quality filters instead) — the same valve as
+    ``jaccard_pairs``. The interval-union window partitions by doc_id:
+    embarrassingly parallel.
+    """
+    tk = F.transform(tokens_expr(text_col), lambda x: F.lower(x))
+    base = df.select(F.col(id_col), tk.alias("tk")).where(
+        F.size("tk") >= gram
+    )
+    wins = F.expr(
+        f"transform(sequence(1, size(tk) - {gram - 1}),"
+        f" i -> struct(i AS pos,"
+        f" md5(concat_ws(' ', slice(tk, i, {gram}))) AS h))"
+    )
+    inst = base.select(
+        id_col, F.size("tk").alias("n_tokens"), F.explode(wins).alias("w")
+    ).select(id_col, "n_tokens", "w.pos", "w.h")
+
+    hot = inst.groupBy("h").agg(F.count("*").alias("c")).where(
+        F.col("c") >= 2
+    )
+    if df_cap is not None:
+        hot = hot.where(F.col("c") <= df_cap)
+
+    dup = inst.join(hot.select("h"), "h")
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + gram).over(w_prev)
+    delta = F.greatest(
+        F.lit(0),
+        (F.col("pos") + gram)
+        - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    return (
+        dup.withColumn("_d", delta)
+        .groupBy(id_col)
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_dup_windows"),
+            F.sum("_d").cast("long").alias("n_dup_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_tokens").cast("double") / F.col("n_tokens"), 6),
+        )
+    )

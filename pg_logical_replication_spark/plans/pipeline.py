@@ -2186,3 +2186,43 @@ def q_text_dsir_select(spark, sf_dir):
     data-TRAINED filter (with the bigram LM and BPE), this one a
     two-distribution importance ratio over hashed features."""
     return TX.dsir_select(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_substr_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    inst AS (SELECT doc_id, len(tk) AS n_tokens, i AS pos,
+                    md5(array_to_string(tk[i : i + 19], ' ')) AS h
+             FROM toks, UNNEST(range(1, len(tk) - 18)) AS u(i)
+             WHERE len(tk) >= 20),
+    hot AS (SELECT h FROM inst GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT i.* FROM inst i JOIN hot USING (h)),
+    win AS (SELECT doc_id, n_tokens, pos,
+                   GREATEST(0, pos + 20 - GREATEST(pos,
+                     COALESCE(MAX(pos + 20) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       pos))) AS d
+            FROM dup)
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS INT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(d) AS BIGINT) AS n_dup_tokens,
+           ROUND(SUM(d) / MIN(n_tokens), 6) AS dup_ratio
+    FROM win GROUP BY doc_id
+    """,
+    "ExactSubstr-style duplicated-span coverage (Lee et al. 2022): "
+    "every 20-token window repeated anywhere in the corpus, per-doc "
+    "tokens covered by repeated spans via an integer interval-union "
+    "window — the splice-out signal token-level dedup cuts on; digest "
+    "explosion carries (16-byte hash, id, pos) only, text never "
+    "shuffles, df_cap valve available for boilerplate-hot windows",
+)
+def q_dedup_substr_coverage(spark, sf_dir):
+    """See operators/dedup.py:duplicated_span_coverage — the token-
+    level member of the dedup family (exact doc / near-dup / winnow /
+    ... / repeated-substring)."""
+    return D.duplicated_span_coverage(t(spark, sf_dir, "documents"))

@@ -119,3 +119,29 @@ def test_star_cc_long_chain(spark):
     out = {r["doc_id"]: r["label"]
            for r in connected_components_star(df, max_rounds=12).collect()}
     assert set(out.values()) == {0} and len(out) == 65
+
+
+def test_duplicated_span_coverage_planted_overlap(spark):
+    """Two docs share exactly one 25-token span: its 6 stride-1
+    20-grams repeat, and the interval union must collapse them to
+    exactly 25 covered tokens per doc — not 6x20. A third unique doc
+    must not appear."""
+    from pg_logical_replication_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 b1 c1 d1 e1 " + span + " x1 y1 z1"),
+            (2, "p2 q2 r2 " + span + " k2"),
+            (3, " ".join(f"unique{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_span_coverage(docs).collect()}
+    assert sorted(got) == [1, 2]
+    for did in (1, 2):
+        assert got[did]["n_dup_windows"] == 6
+        assert got[did]["n_dup_tokens"] == 25, got[did]
+    assert got[1]["n_tokens"] == 33 and got[2]["n_tokens"] == 29
