@@ -412,6 +412,27 @@ def cms_heavy_hitters(
     return out.orderBy(F.col("est_count").desc(), "token").limit(k)
 
 
+def linear_score_expr(toks: Column, buckets: int = 1024) -> Column:
+    """The hashed-linear weight sum as a bare expression (shared by the
+    standalone scorer and the one-scan full-curation composite).
+
+    Portable token hash: md5 hex -> 15 hex digits (< 2^60) -> int,
+    identical in Spark (conv) and DuckDB ('0x...'::BIGINT); frozen
+    weight w(b) = (b*31 + 7) mod 1001 - 500."""
+
+    def weight(x: Column) -> Column:
+        h = (
+            F.conv(F.substring(F.md5(F.lower(x)), 1, 15), 16, 10)
+            .cast("bigint")
+            % buckets
+        )
+        return (h * 31 + 7) % 1001 - 500
+
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+
+
 def linear_quality_score(
     df: DataFrame,
     text_col: str = "text",
@@ -434,20 +455,7 @@ def linear_quality_score(
     are THE first-pass quality filter at 100 TB.
     """
     toks = tokens_expr(text_col)
-
-    def weight(x: Column) -> Column:
-        # portable token hash: md5 hex → 15 hex digits (< 2^60) → int,
-        # identical in Spark (conv) and DuckDB ('0x…'::BIGINT)
-        h = (
-            F.conv(F.substring(F.md5(F.lower(x)), 1, 15), 16, 10)
-            .cast("bigint")
-            % buckets
-        )
-        return (h * 31 + 7) % 1001 - 500
-
-    score = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
-    )
+    score = linear_score_expr(toks, buckets)
     n = F.size(toks)
     return df.select(
         F.col(id_col),

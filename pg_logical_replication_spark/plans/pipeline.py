@@ -2226,3 +2226,97 @@ def q_dedup_substr_coverage(spark, sf_dir):
     level member of the dedup family (exact doc / near-dup / winnow /
     ... / repeated-substring)."""
     return D.duplicated_span_coverage(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_pipeline_full_curation",
+    f"""
+    WITH rec AS (
+      SELECT doc_id, lang,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(tk,
+                 x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15) AS BIGINT)
+                        % 1024) * 31 + 7) % 1001 - 500)) AS BIGINT)
+               AS lm_score,
+             md5(text) AS digest,
+             md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp
+      FROM (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents)),
+    kept AS (SELECT * FROM rec WHERE lm_score >= 0 AND n_tokens >= 40),
+    u1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id)
+                       AS rn FROM kept),
+    u2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS rn2 FROM u1 WHERE rn = 1),
+    quota AS (SELECT *, ROUND(lm_score / n_tokens, 6) AS spt,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY ROUND(lm_score / n_tokens, 6) DESC, doc_id)
+                       AS rnk
+              FROM u2 WHERE rn2 = 1),
+    budget AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM quota WHERE rnk <= 50)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(lm_score) AS BIGINT) AS sum_score,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM budget WHERE cum <= 15000 GROUP BY lang
+    """,
+    "the FULL modern curation chain in one query — quality gate "
+    "(hashed-linear score + length) -> exact dedup (md5 digest) -> "
+    "near dedup (order-insensitive fingerprint) -> per-language "
+    "quality quota (top-50 by score/token) -> per-language token "
+    "budget (greedy 15k cumulative cut) -> mixture rollup; ONE text "
+    "scan computes the per-doc record, every later stage shuffles "
+    "only that record (digest/fp/lang keys), text never moves again",
+)
+def q_pipeline_full_curation(spark, sf_dir):
+    """The showcase composite: a user's entire curation run as one
+    lazy DataFrame. All stages are record-level windows over narrow
+    keys; the heaviest shuffle carries ~60 bytes/doc at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tk = D.tokens_expr("text")
+    rec = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tk).cast("long").alias("n_tokens"),
+        TX.linear_score_expr(tk).alias("lm_score"),
+        F.md5("text").alias("digest"),
+        TX.fingerprint_expr(tk).alias("fp"),
+    )
+    kept = rec.where((F.col("lm_score") >= 0) & (F.col("n_tokens") >= 40))
+    w_d = Window.partitionBy("digest").orderBy("doc_id")
+    uniq1 = kept.withColumn("rn", F.row_number().over(w_d)).where(
+        F.col("rn") == 1
+    )
+    w_f = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = uniq1.withColumn("rn2", F.row_number().over(w_f)).where(
+        F.col("rn2") == 1
+    )
+    spt = F.round(F.col("lm_score").cast("double") / F.col("n_tokens"), 6)
+    w_l = Window.partitionBy("lang").orderBy(
+        F.desc("spt"), "doc_id"
+    )
+    quota = (
+        uniq.withColumn("spt", spt)
+        .withColumn("rnk", F.row_number().over(w_l))
+        .where(F.col("rnk") <= 50)
+    )
+    w_b = (
+        Window.partitionBy("lang")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = quota.withColumn("cum", F.sum("n_tokens").over(w_b)).where(
+        F.col("cum") <= 15000
+    )
+    return budget.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("lm_score").cast("long").alias("sum_score"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -265,3 +265,19 @@ def test_tar_shard_writer_single_exchange(spark):
     )
     assert n_exchange == 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_full_curation_one_scan_three_record_exchanges(spark):
+    """The showcase composite: ONE text scan builds the per-doc record;
+    exact dedup, fingerprint dedup, language quota and token budget are
+    record-level windows — exactly 3 exchanges (digest, fp, lang; the
+    budget window reuses the quota's lang partitioning), no Python."""
+    df = QUERIES["q_pipeline_full_curation"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    n_exchange = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchange == 3, plan
+    assert "EvalPython" not in plan
