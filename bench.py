@@ -67,6 +67,8 @@ HEADLINE = [
     "q_text_bpe_encode",
     "q_text_dsir_select",
     "q_mm_tar_shards",
+    "q_dedup_substr_coverage",
+    "q_pipeline_full_curation",
 ]
 
 
