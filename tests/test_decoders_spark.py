@@ -1238,3 +1238,39 @@ def test_reassemble_partitioned_by_segment_matches_global(spark):
     part = reassemble_json_documents(raw, partition_col="seg")
     assert {r["value"] for r in part.collect()} == glob
     assert part.count() == 40
+
+
+def test_wal2json_numeric_values_as_numbers_or_strings_decode_identically(spark):
+    """The numeric-data-types-as-string / include-domain-data-type /
+    include-lsn cosmetic options (wal2json-plugin-options.type.ts:33,
+    :65-74) only change the JSON SHAPE: numbers vs quoted numbers,
+    domain vs underlying type names, an extra nextlsn key. The decoder
+    must produce identical events for both value shapes."""
+    import json
+
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    def doc(table, vals, types):
+        return json.dumps({
+            "change": [{
+                "kind": "insert", "schema": "public", "table": table,
+                "columnnames": ["id", "price", "note"],
+                "columntypes": types,
+                "columnvalues": vals,
+            }],
+            "nextlsn": "0/1A0",
+        })
+
+    # numeric-data-types-as-string OFF: raw JSON numbers; domain type
+    as_numbers = doc("t_num", [7, 19.25, "x"],
+                     ["bigint", "money_domain", "text"])
+    # ON: every numeric quoted; include-domain-data-type ON: base type
+    as_strings = doc("t_str", ["7", "19.25", "x"],
+                     ["bigint", "numeric(10,2)", "text"])
+    raw = spark.createDataFrame(
+        [(0, as_numbers), (1, as_strings)], "seq long, value string"
+    )
+    rows = {r["table"]: r for r in decode_wal2json(raw).collect()}
+    a, b = rows["t_num"], rows["t_str"]
+    assert a["after"] == b["after"] == {"id": "7", "price": "19.25", "note": "x"}
+    assert a["op"] == b["op"] == "insert" and a["lsn"] == b["lsn"] == "0/1A0"
