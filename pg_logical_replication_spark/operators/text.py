@@ -885,3 +885,61 @@ def dsir_select(
         .orderBy(F.desc("avg_score"), id_col)
         .limit(k)
     )
+
+
+#: the canonical Gopher stopword list (Rae et al. 2021, appendix A1.1):
+#: a document must contain >= 2 of these to pass the rules.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1) — the named filter set
+    most open-corpus pipelines (MassiveText, RefinedWeb, Dolma) start
+    from. Per document:
+
+    * word count in [50, 100_000]
+    * mean word length in [3, 10]
+    * symbol-to-word ratio (# and ellipsis) < 0.1
+    * > 80% of words contain at least one alphabetic character
+    * >= 2 hits from the canonical 8-stopword list
+
+    All five rules are narrow JVM expressions over the token array —
+    zero shuffle, zero Python: the first-pass 100 TB filter shape, like
+    ``linear_quality_score``. The mean-word-length bounds compare as
+    integer cross-multiplications (3·n ≤ Σlen ≤ 10·n) so the contract
+    is exact; the reported mean rides along rounded for humans.
+    """
+    tk = tokens_expr(text_col)
+    base = df.select(F.col(id_col), tk.alias("tk"), F.col(text_col).alias("_t"))
+    n = F.size("tk")
+    total_len = F.aggregate(
+        F.col("tk"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_symbol = F.size(
+        F.filter(F.col("tk"), lambda x: x.isin("#", "...") | x.rlike("^…$"))
+    )
+    n_alpha = F.size(F.filter(F.col("tk"), lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.filter(F.col("tk"), lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+    )
+    checks = {
+        "ok_word_count": (n >= 50) & (n <= 100_000),
+        "ok_mean_len": (total_len >= 3 * n) & (total_len <= 10 * n),
+        "ok_symbol_ratio": n_symbol * 10 < n,
+        "ok_alpha_words": n_alpha * 5 > n * 4,
+        "ok_stopwords": n_stop >= 2,
+    }
+    out = base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(total_len.cast("double") / n, 6).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        *[c.alias(name) for name, c in checks.items()],
+    )
+    passed = None
+    for name in checks:
+        passed = F.col(name) if passed is None else passed & F.col(name)
+    return out.withColumn("gopher_pass", passed)

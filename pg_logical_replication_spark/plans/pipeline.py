@@ -2320,3 +2320,45 @@ def q_pipeline_full_curation(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "q_text_gopher_rules",
+    f"""
+    WITH m AS (
+      SELECT doc_id, len(tk) AS n,
+             list_sum(list_transform(tk, x -> length(x))) AS total_len,
+             len(list_filter(tk, x -> x IN ('#', '...')
+                 OR regexp_matches(x, '^…$'))) AS n_symbol,
+             len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS n_alpha,
+             len(list_filter(tk, x -> lower(x) IN
+                 ('the','be','to','of','and','that','have','with')))
+               AS n_stop
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents))
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           ROUND(total_len / n, 6) AS mean_word_len,
+           CAST(n_stop AS BIGINT) AS n_stop_hits,
+           n >= 50 AND n <= 100000 AS ok_word_count,
+           total_len >= 3 * n AND total_len <= 10 * n AS ok_mean_len,
+           n_symbol * 10 < n AS ok_symbol_ratio,
+           n_alpha * 5 > n * 4 AS ok_alpha_words,
+           n_stop >= 2 AS ok_stopwords,
+           (n >= 50 AND n <= 100000)
+             AND (total_len >= 3 * n AND total_len <= 10 * n)
+             AND n_symbol * 10 < n
+             AND n_alpha * 5 > n * 4
+             AND n_stop >= 2 AS gopher_pass
+    FROM m
+    """,
+    "the published Gopher quality rules (Rae et al. 2021 A1.1, the "
+    "named filter set MassiveText/RefinedWeb/Dolma start from): word "
+    "count, mean word length (integer cross-multiplied, exact), "
+    "symbol ratio, alphabetic-word fraction, canonical-stopword "
+    "requirement — all five as narrow JVM expressions, zero shuffle, "
+    "zero Python",
+)
+def q_text_gopher_rules(spark, sf_dir):
+    """See operators/text.py:gopher_quality_filter."""
+    return TX.gopher_quality_filter(t(spark, sf_dir, "documents"))

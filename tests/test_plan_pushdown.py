@@ -281,3 +281,11 @@ def test_full_curation_one_scan_three_record_exchanges(spark):
     )
     assert n_exchange == 3, plan
     assert "EvalPython" not in plan
+
+
+def test_gopher_rules_scan_stage_only(spark):
+    """All five Gopher rules are narrow expressions in the scan stage —
+    no shuffle, no Python (the first-pass 100 TB filter shape)."""
+    df = QUERIES["q_text_gopher_rules"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
