@@ -943,3 +943,74 @@ def gopher_quality_filter(
     for name in checks:
         passed = F.col(name) if passed is None else passed & F.col(name)
     return out.withColumn("gopher_pass", passed)
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    epoch_cap: int = 3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling"): split a total token
+    budget across languages as evenly as possible, but cap every
+    language at ``epoch_cap`` epochs of its available data — surplus
+    from capped (low-resource) languages water-fills into the rest.
+
+    Closed form instead of the paper's greedy loop: in capacity-
+    ascending order, the capped languages form a PREFIX (the greedy's
+    cap condition is monotone), so one cumulative window finds the
+    boundary: language i is capped iff
+    ``capacity_i · (k − i + 1) ≤ budget − Σ_{{j<i}} capacity_j``
+    (integer cross-multiplication, exact); every uncapped language gets
+    the floor of the remaining budget over the uncapped count.
+
+    Scale: one corpus scan → per-language token totals (map-side
+    combined); everything after runs on the k-row language table.
+    """
+    from pyspark.sql import Window
+
+    tk = tokens_expr(text_col)
+    per_lang = (
+        df.select(F.col(lang_col).alias("lang"), F.size(tk).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("tokens"))
+        .withColumn("capacity", F.col("tokens") * epoch_cap)
+    )
+    w_ord = Window.orderBy("capacity", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    k = per_lang.count()  # k languages: constant-sized driver value
+    ranked = per_lang.withColumn("idx", F.row_number().over(w_ord)).withColumn(
+        "cum_prev", F.coalesce(F.sum("capacity").over(w_prev), F.lit(0))
+    )
+    B = F.lit(budget_tokens)
+    capped = (F.col("capacity") * (F.lit(k) - F.col("idx") + 1)) <= (
+        B - F.col("cum_prev")
+    )
+    ranked = ranked.withColumn("capped", capped)
+    totals = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("capacity")))
+        .cast("long").alias("s_capped"),
+        F.count(F.when(F.col("capped"), 1)).alias("n_capped"),
+    )
+    uncapped_share = F.expr(
+        f"({budget_tokens} - coalesce(s_capped, 0))"
+        f" DIV greatest(1, {k} - n_capped)"
+    )
+    out = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "alloc",
+        F.when(F.col("capped"), F.col("capacity"))
+        .otherwise(uncapped_share)
+        .cast("long"),
+    )
+    return out.select(
+        "lang",
+        "tokens",
+        "capacity",
+        "capped",
+        "alloc",
+        F.round(F.col("alloc").cast("double") / F.col("tokens"), 6).alias(
+            "epochs"
+        ),
+    )

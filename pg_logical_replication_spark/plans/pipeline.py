@@ -2362,3 +2362,54 @@ def q_pipeline_full_curation(spark, sf_dir):
 def q_text_gopher_rules(spark, sf_dir):
     """See operators/text.py:gopher_quality_filter."""
     return TX.gopher_quality_filter(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_corpus_unimax_alloc",
+    f"""
+    WITH per AS (SELECT lang, CAST(SUM(len(tk)) AS BIGINT) AS tokens
+                 FROM (SELECT lang, {_TOKS} AS tk FROM documents)
+                 GROUP BY lang),
+    cap AS (SELECT lang, tokens, tokens * 3 AS capacity FROM per),
+    b AS (SELECT CAST(SUM(tokens) * 5 // 2 AS BIGINT) AS budget FROM per),
+    rk AS (SELECT cap.*, b.budget,
+                  ROW_NUMBER() OVER (ORDER BY capacity, lang) AS idx,
+                  COALESCE(SUM(capacity) OVER (ORDER BY capacity, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_prev,
+                  COUNT(*) OVER () AS k
+           FROM cap CROSS JOIN b),
+    c AS (SELECT *, capacity * (k - idx + 1) <= budget - cum_prev AS capped
+          FROM rk),
+    tot AS (SELECT COALESCE(SUM(CASE WHEN capped THEN capacity END), 0)
+                     AS s_capped,
+                   COUNT(CASE WHEN capped THEN 1 END) AS n_capped
+            FROM c)
+    SELECT lang, tokens, capacity, capped,
+           CAST(CASE WHEN capped THEN capacity
+                ELSE (budget - s_capped) // GREATEST(1, k - n_capped)
+                END AS BIGINT) AS alloc,
+           ROUND(CAST(CASE WHEN capped THEN capacity
+                 ELSE (budget - s_capped) // GREATEST(1, k - n_capped)
+                 END AS BIGINT) / tokens, 6) AS epochs
+    FROM c CROSS JOIN tot
+    """,
+    "UniMax language-budget allocation (Chung et al. 2023): split a "
+    "2.5x-corpus token budget across languages, each capped at 3 "
+    "epochs of its data, surplus water-filling into the rest — the "
+    "greedy loop collapsed to ONE cumulative window (capped languages "
+    "form a prefix in capacity order; the cap test is an integer "
+    "cross-multiplication, exact); one corpus scan, then a k-row "
+    "language table",
+)
+def q_corpus_unimax_alloc(spark, sf_dir):
+    """Budget = 2.5x total corpus tokens so the low-resource languages
+    genuinely hit their 3-epoch cap at any scale factor. The one
+    driver-side value is the scalar token total (constant-sized, the
+    kmeans-centroid precedent)."""
+    docs = t(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(D.tokens_expr("text"))).cast("long").alias("t")
+    ).collect()[0]["t"]
+    return TX.unimax_allocation(docs, budget_tokens=int(total) * 5 // 2,
+                                epoch_cap=3)
