@@ -513,11 +513,13 @@ def q_ts_similarity_topk(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
-    """Unrolled Lloyd iterations for the k-means builder: assignment =
-    argmin of decimal-stabilized squared distances (ties on cluster id),
-    update = decimal-stabilized per-dimension means. Deterministic init:
-    cluster c starts as the mean of vectors with vec_id % k = c."""
+def _kmeans_chain(iters: int = 2, k: int = 4) -> str:
+    """Unrolled Lloyd iterations (shared by the k-means and D4-prune
+    oracles): assignment = argmin of decimal-stabilized squared
+    distances (ties on cluster id), update = decimal-stabilized
+    per-dimension means. Deterministic init: cluster c starts as the
+    mean of vectors with vec_id % k = c. Produces ex, c0..c{iters},
+    d1..d{iters}, a1..a{iters}."""
     head = f"""
     WITH ex AS (
       SELECT vec_id, t.j,
@@ -548,10 +550,12 @@ def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
              CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS v
       FROM ex e JOIN a{i} a ON a.vec_id = e.vec_id
       GROUP BY a.c, e.j)""")
+    return head + "," + ",".join(steps)
+
+
+def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
     return (
-        head
-        + ","
-        + ",".join(steps)
+        _kmeans_chain(iters, k)
         + f"""
     SELECT a.c AS cluster, COUNT(DISTINCT a.vec_id) AS n,
            ROUND(CAST(SUM(CAST(c.v * c.v AS DECIMAL(38,18))) AS DOUBLE)
@@ -562,31 +566,53 @@ def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
     )
 
 
-@register(
-    "q_embed_kmeans",
-    _kmeans_oracle(2, 4),
-    "deterministic k-means (k=4, 2 Lloyd rounds, modulo-init) over the "
-    "embedding table — the cluster-balanced-sampling / semantic-"
-    "clustering primitive, every round's float math decimal-stabilized "
-    "so assignments match the DuckDB unrolled twin exactly",
-)
-def q_embed_kmeans(spark, sf_dir):
-    """Lloyd on Spark without MLlib: each round is (a) a distance
-    aggregate against the BROADCAST k×64 centroid table — narrow map +
-    map-side partial sum, (b) an argmin window per vector, (c) a
-    per-(cluster, dim) mean — shuffle width k×64 regardless of input
-    size. The 100 TB never re-scans: `ex` is the one exploded pass,
-    cached; iteration cost is O(n·k·d) compute with O(k·d) shuffle.
-    Ties (equidistant centroids) break on cluster id in both engines."""
+def _d4_oracle(iters: int = 2, k: int = 4) -> str:
+    """D4-style prototype pruning on top of the Lloyd chain: final
+    per-vector distance to its own centroid, per-cluster rank (rounded
+    distance ASC, id tie-break), drop the closest half (the redundant
+    prototypical core), keep the diverse half."""
+    return (
+        _kmeans_chain(iters, k)
+        + f""",
+    fd AS (
+      SELECT e.vec_id, a.c,
+             CAST(SUM(CAST((e.x - c.v) * (e.x - c.v) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dist
+      FROM ex e
+      JOIN a{iters} a ON a.vec_id = e.vec_id
+      JOIN c{iters} c ON c.c = a.c AND c.j = e.j
+      GROUP BY e.vec_id, a.c),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c
+                                   ORDER BY ROUND(dist, 9), vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c) AS n_c
+      FROM fd)
+    SELECT c AS cluster,
+           CAST(MAX(n_c) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN rn * 2 > n_c THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(MIN(CASE WHEN rn * 2 > n_c THEN vec_id END) AS BIGINT)
+             AS first_kept,
+           ROUND(SUM(CASE WHEN rn * 2 > n_c THEN ROUND(dist, 9) END)
+                 / COUNT(CASE WHEN rn * 2 > n_c THEN 1 END), 6)
+             AS mean_kept_dist
+    FROM rk GROUP BY c ORDER BY c
+    """
+    )
+
+
+def _kmeans_fit(spark, sf_dir, k: int = 4, iters: int = 2):
+    """The shared Lloyd loop (see q_embed_kmeans docstring for the
+    scale shape); returns (ex, assign, cent) for downstream consumers
+    (the k-means rollup and the D4 prototype prune)."""
     from pyspark.sql import Window as W
 
-    K = 4
     emb = t(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("j", "x")
     ).withColumn("x", F.col("x").cast("double")).persist()
     cent = (
-        ex.groupBy((F.col("vec_id") % K).cast("bigint").alias("c"), "j")
+        ex.groupBy((F.col("vec_id") % k).cast("bigint").alias("c"), "j")
         .agg(
             (
                 F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
@@ -594,7 +620,8 @@ def q_embed_kmeans(spark, sf_dir):
             ).alias("v")
         )
     )
-    for _ in range(2):
+    assign = None
+    for _ in range(iters):
         dist = (
             ex.join(F.broadcast(cent), "j")
             .groupBy("vec_id", "c")
@@ -627,6 +654,26 @@ def q_embed_kmeans(spark, sf_dir):
                 ).alias("v")
             )
         )
+    return ex, assign, cent
+
+
+@register(
+    "q_embed_kmeans",
+    _kmeans_oracle(2, 4),
+    "deterministic k-means (k=4, 2 Lloyd rounds, modulo-init) over the "
+    "embedding table — the cluster-balanced-sampling / semantic-"
+    "clustering primitive, every round's float math decimal-stabilized "
+    "so assignments match the DuckDB unrolled twin exactly",
+)
+def q_embed_kmeans(spark, sf_dir):
+    """Lloyd on Spark without MLlib: each round is (a) a distance
+    aggregate against the BROADCAST k×64 centroid table — narrow map +
+    map-side partial sum, (b) an argmin window per vector, (c) a
+    per-(cluster, dim) mean — shuffle width k×64 regardless of input
+    size. The 100 TB never re-scans: `ex` is the one exploded pass,
+    cached; iteration cost is O(n·k·d) compute with O(k·d) shuffle.
+    Ties (equidistant centroids) break on cluster id in both engines."""
+    ex, assign, cent = _kmeans_fit(spark, sf_dir)
     return (
         assign.join(F.broadcast(cent), "c")
         .groupBy(F.col("c").alias("cluster"))
@@ -1604,6 +1651,62 @@ def q_dedup_semantic(spark, sf_dir):
             "n_vecs",
             F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q_embed_d4_prune",
+    _d4_oracle(2, 4),
+    "D4-style diversity pruning (Abbas et al. 2023, 'SemDeDup + "
+    "prototypes'): after the deterministic Lloyd fit, rank every "
+    "vector by distance to its OWN centroid and drop the closest half "
+    "per cluster — the redundant prototypical core — keeping the "
+    "diverse half; rank on round(dist,9) with id tie-break so the cut "
+    "is exact cross-engine; iteration shuffle stays O(k·d), the final "
+    "rank is one window per cluster",
+)
+def q_embed_d4_prune(spark, sf_dir):
+    """The data-pruning member of the embedding family: SemDeDup
+    removes near-identical pairs, D4 additionally prunes cluster
+    cores. Reuses the shared _kmeans_fit chain (same decimal-stabilized
+    float contract as q_embed_kmeans)."""
+    from pyspark.sql import Window as W
+
+    ex, assign, cent = _kmeans_fit(spark, sf_dir)
+    fd = (
+        ex.join(F.broadcast(assign), "vec_id")
+        .join(F.broadcast(cent), ["c", "j"])
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("v")) * (F.col("x") - F.col("v")))
+                .cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("dist")
+        )
+    )
+    w = W.partitionBy("c").orderBy(F.round("dist", 9), "vec_id")
+    wc = W.partitionBy("c")
+    rk = fd.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_c", F.count("*").over(wc)
+    )
+    keep = F.col("rn") * 2 > F.col("n_c")
+    return (
+        rk.groupBy(F.col("c").alias("cluster"))
+        .agg(
+            F.max("n_c").cast("long").alias("n"),
+            F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+            F.min(F.when(keep, F.col("vec_id"))).cast("long").alias(
+                "first_kept"
+            ),
+            F.round(
+                F.sum(F.when(keep, F.round("dist", 9)))
+                / F.count(F.when(keep, 1)),
+                6,
+            ).alias("mean_kept_dist"),
         )
         .orderBy("cluster")
     )
