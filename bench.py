@@ -69,6 +69,7 @@ HEADLINE = [
     "q_mm_tar_shards",
     "q_dedup_substr_coverage",
     "q_pipeline_full_curation",
+    "q_text_gopher_rules",
 ]
 
 

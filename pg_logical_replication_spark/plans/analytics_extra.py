@@ -644,8 +644,11 @@ def _kmeans_fit(spark, sf_dir, k: int = 4, iters: int = 2):
             .filter(F.col("rn") == 1)
             .select("vec_id", "c")
         )
+        # assign is CORPUS-sized (one row per vector): no broadcast
+        # hint — AQE picks broadcast at small scale and a co-partitioned
+        # shuffle join at 100 TB, where broadcasting it would be fatal
         cent = (
-            ex.join(F.broadcast(assign), "vec_id")
+            ex.join(assign, "vec_id")
             .groupBy("c", "j")
             .agg(
                 (
@@ -1676,7 +1679,7 @@ def q_embed_d4_prune(spark, sf_dir):
 
     ex, assign, cent = _kmeans_fit(spark, sf_dir)
     fd = (
-        ex.join(F.broadcast(assign), "vec_id")
+        ex.join(assign, "vec_id")  # corpus-sized: AQE decides (see _kmeans_fit)
         .join(F.broadcast(cent), ["c", "j"])
         .groupBy("vec_id", "c")
         .agg(
