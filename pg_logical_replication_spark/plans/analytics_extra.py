@@ -996,16 +996,18 @@ def _pagerank_oracle(iters: int = 5) -> str:
 
 def _trade_edge_graph(spark, sf_dir):
     """supplier-nation → customer-nation weighted edge list: ONE pass
-    over lineitem (two broadcast dims + a partial-aggregated groupBy to
-    the ~|nations|² reduction) — the only stage that grows at 100 TB."""
+    over lineitem (two dim joins — AQE broadcasts them while they fit,
+    shuffle-joins co-partitioned when they don't — + a partial-aggregated
+    groupBy to the ~|nations|² reduction), the only stage that grows at
+    100 TB."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
@@ -1631,8 +1633,8 @@ def q_dedup_semantic(spark, sf_dir):
     )
     na, nb = nrm.alias("na"), nrm.alias("nb")
     dups = (
-        dots.join(F.broadcast(na), F.col("na.vec_id") == F.col("va"))
-        .join(F.broadcast(nb), F.col("nb.vec_id") == F.col("vb"))
+        dots.join(na, F.col("na.vec_id") == F.col("va"))  # norms are corpus-
+        .join(nb, F.col("nb.vec_id") == F.col("vb"))   # sized: AQE decides
         .filter(
             F.col("dp") / (F.sqrt(F.col("na.n2")) * F.sqrt(F.col("nb.n2")))
             > THR

@@ -202,7 +202,7 @@ def q_dedup_keep_best(spark, sf_dir):
     labels = D.connected_components(pairs)
     scored = (
         docs.select("doc_id", "lang", "n_chars")
-        .join(F.broadcast(labels), "doc_id", "left")
+        .join(labels, "doc_id", "left")  # labels are corpus-sized: AQE decides
         .withColumn("label", F.coalesce("label", "doc_id"))
     )
     rn = F.row_number().over(

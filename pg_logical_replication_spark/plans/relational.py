@@ -90,7 +90,7 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])  # customer SCALES: AQE decides
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(ssum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -129,7 +129,8 @@ def q5_local_supplier(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            # supplier SCALES with SF: no hint, AQE decides
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -890,7 +891,7 @@ def q2_min_cost_supplier(spark, sf_dir):
             & (cost["unit_cost"] == best["min_cost"]),
         )
         .join(p, p["p_partkey"] == cost["l_partkey"])
-        .join(F.broadcast(s), s["s_suppkey"] == cost["l_suppkey"])
+        .join(s, s["s_suppkey"] == cost["l_suppkey"])  # supplier SCALES: AQE decides
         .select(
             "p_partkey", "p_brand", "s_name", F.round("unit_cost", 6).alias("unit_cost")
         )

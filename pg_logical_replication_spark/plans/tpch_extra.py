@@ -70,7 +70,7 @@ def q7_volume_shipping(spark, sf_dir):
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])  # supplier SCALES: AQE decides
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
