@@ -1014,3 +1014,87 @@ def unimax_allocation(
             "epochs"
         ),
     )
+
+
+def zipf_profile(
+    df: DataFrame, text_col: str = "text", n_buckets: int = 12
+) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary — the
+    statistical fingerprint data-quality work reads first (natural
+    language sits near slope −1; boilerplate-heavy or synthetic text
+    bends the curve).
+
+    Tokens → frequency → rank (count DESC, token tie-break) → dyadic
+    rank buckets (⌊log2 rank⌋) → per-bucket token count, total
+    occurrences, and mean ⌊log2 freq⌋ in integer bits. Everything is
+    integer-exact cross-engine (the tf·idf ⌊log2⌋ trick applied to
+    both axes); the slope between adjacent bucket means IS the Zipf
+    exponent estimate, left to the analyst as exact data.
+
+    Scale: one explode + one map-side-combined groupBy(token); the
+    rank window runs over the VOCABULARY (Zipf-small), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(text_col)
+    freq = (
+        df.select(F.explode(toks).alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("freq"), "tok")
+    )
+    ranked = freq.withColumn("rank", rank).withColumn(
+        "bucket", (F.length(F.bin("rank")) - 1).cast("long")
+    ).where(F.col("bucket") < n_buckets)
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.round(
+                F.avg((F.length(F.bin("freq")) - 1).cast("double")), 6
+            ).alias("mean_log2_freq"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n: int = 3,
+) -> DataFrame:
+    """Per-group n-gram diversity — the distinct-over-total ratio
+    (the corpus-level cousin of Self-BLEU): low values mean the group
+    repeats itself (template/boilerplate-heavy or mode-collapsed
+    synthetic data), high values mean fresh text.
+
+    One explode + one two-level aggregation; the distinct count
+    shuffles 16-byte digests, never text.
+    """
+    tk = F.transform(tokens_expr(text_col), lambda x: F.lower(x))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(tk) - {n - 1}, 0)),"
+        f" i -> md5(concat_ws(' ', slice(tk, i, {n}))))"
+    )
+    inst = (
+        df.select(F.col(group_col).alias("grp"), tk.alias("tk"))
+        .where(F.size("tk") >= n)
+        .select("grp", F.explode(grams).alias("g"))
+    )
+    return (
+        inst.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.countDistinct("g").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "diversity",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_grams"), 6),
+        )
+        .orderBy("grp")
+    )

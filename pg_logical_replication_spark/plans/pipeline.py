@@ -2413,3 +2413,56 @@ def q_corpus_unimax_alloc(spark, sf_dir):
     ).collect()[0]["t"]
     return TX.unimax_allocation(docs, budget_tokens=int(total) * 5 // 2,
                                 epoch_cap=3)
+
+
+@register(
+    "q_text_zipf_profile",
+    f"""
+    WITH freq AS (SELECT lower(tok) AS tok, COUNT(*) AS freq
+                  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                  GROUP BY 1),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+           FROM freq),
+    b AS (SELECT *, CAST(length(bin(rank)) - 1 AS BIGINT) AS bucket
+          FROM rk WHERE length(bin(rank)) - 1 < 12)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+           ROUND(AVG(CAST(length(bin(freq)) - 1 AS DOUBLE)), 6)
+             AS mean_log2_freq
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "Zipf rank-frequency profile: vocabulary ranked by frequency, "
+    "dyadic log2-rank buckets vs mean log2-frequency in integer bits "
+    "(the tf-idf floor-log2 trick on both axes, exact cross-engine) — "
+    "the statistical fingerprint separating natural text (slope ~ -1) "
+    "from boilerplate/synthetic corpora; the rank window runs over the "
+    "Zipf-small vocabulary, never the corpus",
+)
+def q_text_zipf_profile(spark, sf_dir):
+    """See operators/text.py:zipf_profile."""
+    return TX.zipf_profile(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_corpus_ngram_diversity",
+    f"""
+    WITH toks AS (SELECT lang AS grp,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    inst AS (SELECT grp, md5(array_to_string(tk[i : i + 2], ' ')) AS g
+             FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+             WHERE len(tk) >= 3)
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           ROUND(COUNT(DISTINCT g) / COUNT(*), 6) AS diversity
+    FROM inst GROUP BY grp ORDER BY grp
+    """,
+    "per-language 3-gram diversity (distinct/total — the corpus-level "
+    "cousin of Self-BLEU): low = template/boilerplate-heavy or "
+    "mode-collapsed synthetic data; digests shuffle, text never moves",
+)
+def q_corpus_ngram_diversity(spark, sf_dir):
+    """See operators/text.py:ngram_diversity."""
+    return TX.ngram_diversity(t(spark, sf_dir, "documents"))
