@@ -1,0 +1,106 @@
+"""Web-crawl governance operators: robots.txt (RFC 9309) parsing and
+URL rule matching — the ingestion-side gate every crawl pipeline runs
+before a fetch ever happens.
+
+All JVM-side expressions (split / regexp / windows): the robots corpus
+is one file per site (tiny next to the URL frontier), the frontier
+joins it on the site key, and longest-match resolution is one window
+per URL. DuckDB twins replay every step for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    site_col: str = "site",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt text → (site, verb, path) rule rows for one
+    user-agent, per RFC 9309 group semantics: a rule line belongs to
+    the most recent ``User-agent:`` line(s) above it; we keep the
+    ``*`` group (or an explicit agent). Lines are matched
+    case-insensitively on the field name, values taken verbatim.
+
+    One narrow pass: split lines → posexplode → a last-non-null window
+    per site attributes each rule to its group — no Python, no joins.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(site_col).alias("site"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    ag = F.when(
+        F.col("line").rlike(r"(?i)^user-agent:"),
+        F.trim(F.regexp_replace(F.col("line"), r"(?i)^user-agent:", "")),
+    )
+    w = (
+        Window.partitionBy("site")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = lines.withColumn(
+        "agent", F.last(ag, ignorenulls=True).over(w)
+    )
+    verb = F.when(F.col("line").rlike(r"(?i)^allow:"), "allow").when(
+        F.col("line").rlike(r"(?i)^disallow:"), "disallow"
+    )
+    path = F.trim(F.regexp_replace(F.col("line"), r"(?i)^(dis)?allow:", ""))
+    return (
+        attributed.withColumn("verb", verb)
+        .where(F.col("verb").isNotNull() & (F.col("agent") == agent))
+        .where(path != "")  # an empty Disallow: means "allow all" — no rule
+        .select("site", "verb", path.alias("path"))
+    )
+
+
+def robots_match(
+    urls: DataFrame,
+    rules: DataFrame,
+    site_col: str = "site",
+    path_col: str = "url_path",
+) -> DataFrame:
+    """URL frontier × robots rules → fetch verdict per URL, RFC 9309
+    resolution: the longest matching rule path wins; on a length tie
+    Allow wins; no matching rule means allowed.
+
+    The rules side is one small table per site (robots files are KB);
+    the join key is the site, then prefix-match + a per-URL window
+    picks the winner. The frontier shuffles once on site; at crawl
+    scale that is the co-location you want anyway (per-host
+    politeness).
+    """
+    from pyspark.sql import Window
+
+    cand = urls.join(rules, on=site_col, how="left").withColumn(
+        "hit",
+        F.col("path").isNotNull()
+        & F.col(path_col).startswith(F.col("path")),
+    )
+    # keep every URL: non-matching rule rows rank below any hit, so a
+    # URL whose site has rules but none matching still surfaces once
+    # (as a non-hit row → allowed). RFC tie-break among hits: longest
+    # path first, then 'allow' < 'disallow'.
+    w = Window.partitionBy(site_col, path_col).orderBy(
+        F.col("hit").desc(),
+        F.length(F.coalesce(F.col("path"), F.lit(""))).desc(),
+        F.col("verb"),
+    )
+    top = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return top.select(
+        site_col,
+        path_col,
+        F.when(F.col("hit"), F.col("verb") == "allow")
+        .otherwise(F.lit(True))
+        .alias("allowed"),
+        F.when(F.col("hit"), F.col("path")).otherwise(F.lit("")).alias(
+            "matched_rule"
+        ),
+    )

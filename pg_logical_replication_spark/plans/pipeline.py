@@ -2466,3 +2466,104 @@ def q_text_zipf_profile(spark, sf_dir):
 def q_corpus_ngram_diversity(spark, sf_dir):
     """See operators/text.py:ngram_diversity."""
     return TX.ngram_diversity(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_web_robots_gate",
+    """
+    WITH sites AS (SELECT DISTINCT doc_id % 20 AS site FROM documents),
+    robots AS (SELECT site,
+                      'User-agent: *' || chr(10) ||
+                      'Disallow: /private' || site || '/' || chr(10) ||
+                      'Allow: /private' || site || '/public/' || chr(10) ||
+                      'Disallow: /tmp/' || chr(10) ||
+                      'User-agent: badbot' || chr(10) ||
+                      'Disallow: /' AS txt
+               FROM sites),
+    ls AS (SELECT site, string_split(txt, chr(10)) AS lns FROM robots),
+    lines AS (SELECT site, i AS pos, lns[i] AS line
+              FROM ls, UNNEST(range(1, len(lns) + 1)) AS u(i)),
+    att AS (SELECT site, pos, line,
+                   LAST_VALUE(CASE WHEN regexp_matches(line,
+                                     '(?i)^user-agent:')
+                              THEN trim(regexp_replace(line,
+                                     '(?i)^user-agent:', ''))
+                              END IGNORE NULLS)
+                     OVER (PARTITION BY site ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS agent
+            FROM lines),
+    rules AS (SELECT site,
+                     CASE WHEN regexp_matches(line, '(?i)^allow:')
+                          THEN 'allow'
+                          WHEN regexp_matches(line, '(?i)^disallow:')
+                          THEN 'disallow' END AS verb,
+                     trim(regexp_replace(line, '(?i)^(dis)?allow:', ''))
+                       AS path
+              FROM att
+              WHERE agent = '*'
+                AND regexp_matches(line, '(?i)^(dis)?allow:')
+                AND trim(regexp_replace(line, '(?i)^(dis)?allow:', ''))
+                    <> ''),
+    urls AS (SELECT doc_id % 20 AS site,
+                    CASE doc_id % 4
+                      WHEN 0 THEN '/private' || (doc_id % 20) || '/a'
+                                  || doc_id
+                      WHEN 1 THEN '/private' || (doc_id % 20)
+                                  || '/public/b' || doc_id
+                      WHEN 2 THEN '/tmp/c' || doc_id
+                      ELSE '/ok/d' || doc_id END AS url_path
+             FROM documents),
+    cand AS (SELECT u.site, u.url_path, r.verb, r.path,
+                    r.path IS NOT NULL
+                      AND starts_with(u.url_path, r.path) AS hit
+             FROM urls u LEFT JOIN rules r ON u.site = r.site),
+    top AS (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY site, url_path
+                ORDER BY hit DESC,
+                         length(COALESCE(path, '')) DESC, verb) AS rn
+            FROM cand)
+    SELECT site, url_path,
+           CASE WHEN hit THEN verb = 'allow' ELSE TRUE END AS allowed,
+           CASE WHEN hit THEN path ELSE '' END AS matched_rule
+    FROM top WHERE rn = 1
+    """,
+    "robots.txt crawl gate (RFC 9309): per-site robots files PARSED "
+    "from text (line split, group attribution via a last-non-null "
+    "window, '*' group selection), URL frontier matched longest-rule-"
+    "wins with Allow beating Disallow on ties, unmatched URLs allowed "
+    "— the ingestion-governance pass every crawl pipeline runs; rules "
+    "are KB-per-site, the frontier shuffles once on the site key "
+    "(per-host politeness co-location)",
+)
+def q_web_robots_gate(spark, sf_dir):
+    """See operators/web.py — parse_robots_rules + robots_match over a
+    deterministic 20-site robots corpus and a 4-shape URL frontier
+    (deny-by-prefix, allow-override, deny-tmp, no-rule)."""
+    from pg_logical_replication_spark.operators import web as WB
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 20).alias("site")
+    robots = docs.select(site).distinct().select(
+        "site",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private"),
+            F.col("site"),
+            F.lit("/\nAllow: /private"),
+            F.col("site"),
+            F.lit("/public/\nDisallow: /tmp/\nUser-agent: badbot\nDisallow: /"),
+        ).alias("robots_txt"),
+    )
+    urls = docs.select(
+        site,
+        F.expr(
+            "CASE doc_id % 4"
+            " WHEN 0 THEN '/private' || (doc_id % 20) || '/a' || doc_id"
+            " WHEN 1 THEN '/private' || (doc_id % 20) || '/public/b'"
+            "      || doc_id"
+            " WHEN 2 THEN '/tmp/c' || doc_id"
+            " ELSE '/ok/d' || doc_id END"
+        ).alias("url_path"),
+    )
+    rules = WB.parse_robots_rules(robots)
+    return WB.robots_match(urls, rules)
