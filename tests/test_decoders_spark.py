@@ -1274,3 +1274,64 @@ def test_wal2json_numeric_values_as_numbers_or_strings_decode_identically(spark)
     a, b = rows["t_num"], rows["t_str"]
     assert a["after"] == b["after"] == {"id": "7", "price": "19.25", "note": "x"}
     assert a["op"] == b["op"] == "insert" and a["lsn"] == b["lsn"] == "0/1A0"
+
+
+def test_reassemble_random_fragmentation_property(spark):
+    """Property: ANY fragmentation of a JSON document stream at
+    structural boundaries (the plugin's chunking contract — never
+    inside a string literal) reassembles to exactly the original
+    documents. Randomized: 30 documents with brace-y/quote-y values,
+    each split at 1-4 random token-safe points, seeded RNG."""
+    import json
+    import random
+    import re
+
+    from pg_logical_replication_spark.sources.wal2json import (
+        reassemble_json_documents,
+    )
+
+    rng = random.Random(7)
+    docs, rows, seq = [], [], 0
+    for i in range(30):
+        val = rng.choice(
+            ['plain', 'br{ace}', 'q"uo\\"te', '\\\\back', '{"nested": [1]}',
+             'unié', '[{]}']
+        )
+        s = json.dumps(
+            {"change": [{"kind": "insert", "v": val, "n": i}], "xid": i}
+        )
+        docs.append(s)
+        # token-safe split points: outside string literals. Find
+        # positions just after structural chars in the stripped view.
+        stripped_spans = []
+        in_str, esc = False, False
+        for pos, ch in enumerate(s):
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+                continue
+            if ch == '"':
+                in_str = True
+            elif ch in ",:{}[] ":
+                stripped_spans.append(pos + 1)
+        cuts = sorted(rng.sample(stripped_spans,
+                                 min(rng.randint(1, 4),
+                                     len(stripped_spans))))
+        prev = 0
+        for c in cuts + [len(s)]:
+            frag = s[prev:c]
+            prev = c
+            if frag:
+                rows.append((seq, frag))
+                seq += 1
+    raw = spark.createDataFrame(rows, "seq long, value string")
+    out = reassemble_json_documents(raw)
+    got = sorted(
+        re.sub(r"\s", "", r["value"]) for r in out.collect()
+    )
+    want = sorted(re.sub(r"\s", "", d) for d in docs)
+    assert got == want
