@@ -104,3 +104,56 @@ def robots_match(
             "matched_rule"
         ),
     )
+
+
+def parse_sitemap_urls(
+    sitemaps: DataFrame,
+    site_col: str = "site",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """sitemap.xml → (site, url_path, lastmod) rows (sitemaps.org
+    protocol subset: ``<url><loc>…</loc><lastmod>…</lastmod></url>``
+    entries extracted with one regexp_extract_all pass — the entry
+    grammar is regular, no XML library needed for the protocol subset).
+
+    One narrow pass; a site's sitemap is KB-sized next to the frontier.
+    """
+    entries = F.regexp_extract_all(
+        F.col(xml_col),
+        F.lit(r"<url>\s*<loc>([^<]*)</loc>\s*<lastmod>([^<]*)</lastmod>"),
+        0,
+    )
+    ex = sitemaps.select(
+        F.col(site_col).alias("site"), F.explode(entries).alias("e")
+    )
+    return ex.select(
+        "site",
+        F.regexp_extract("e", r"<loc>([^<]*)</loc>", 1).alias("url_path"),
+        F.to_date(
+            F.regexp_extract("e", r"<lastmod>([^<]*)</lastmod>", 1)
+        ).alias("lastmod"),
+    )
+
+
+def crawl_waves(
+    urls: DataFrame,
+    per_wave: int = 8,
+    site_col: str = "site",
+    path_col: str = "url_path",
+    order_col: str = "lastmod",
+) -> DataFrame:
+    """Per-host politeness scheduling: within each site, order URLs
+    freshness-first (``order_col`` DESC, path tie-break) and assign
+    fetch waves of ``per_wave`` URLs — wave w across all sites fetches
+    concurrently, but each host sees at most ``per_wave`` requests per
+    wave. One window per site; the frontier shuffles once on the host
+    key (the same co-location robots_match uses).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(site_col).orderBy(
+        F.col(order_col).desc(), path_col
+    )
+    return urls.withColumn(
+        "wave", ((F.row_number().over(w) - 1) / per_wave).cast("long")
+    )

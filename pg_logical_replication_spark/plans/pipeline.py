@@ -2567,3 +2567,114 @@ def q_web_robots_gate(spark, sf_dir):
     )
     rules = WB.parse_robots_rules(robots)
     return WB.robots_match(urls, rules)
+
+
+@register(
+    "q_web_crawl_plan",
+    """
+    WITH ent AS (
+      SELECT doc_id % 20 AS site,
+             '<url><loc>' ||
+             CASE doc_id % 4
+               WHEN 0 THEN '/private' || (doc_id % 20) || '/a' || doc_id
+               WHEN 1 THEN '/private' || (doc_id % 20) || '/public/b'
+                           || doc_id
+               WHEN 2 THEN '/tmp/c' || doc_id
+               ELSE '/ok/d' || doc_id END ||
+             '</loc><lastmod>' ||
+             CAST(DATE '2024-01-01' + CAST(doc_id % 90 AS INT) AS VARCHAR) ||
+             '</lastmod></url>' AS entry
+      FROM documents),
+    sm AS (SELECT site, '<urlset>' || string_agg(entry, '' ORDER BY entry)
+                         || '</urlset>' AS xml
+           FROM ent GROUP BY site),
+    parsed AS (SELECT site,
+                      regexp_extract(e, '<loc>([^<]*)</loc>', 1)
+                        AS url_path,
+                      CAST(regexp_extract(e,
+                            '<lastmod>([^<]*)</lastmod>', 1) AS DATE)
+                        AS lastmod
+               FROM (SELECT site, unnest(regexp_extract_all(xml,
+                       '<url>\\s*<loc>([^<]*)</loc>\\s*<lastmod>([^<]*)'
+                       || '</lastmod>')) AS e
+                     FROM sm)),
+    allowed AS (SELECT p.* FROM parsed p
+                WHERE p.url_path NOT LIKE '/tmp/%'
+                  AND (p.url_path NOT LIKE '/private%'
+                       OR p.url_path LIKE '/private' || p.site
+                          || '/public/%')),
+    waved AS (SELECT site, url_path, lastmod,
+                     CAST((ROW_NUMBER() OVER (PARTITION BY site
+                            ORDER BY lastmod DESC, url_path) - 1) // 8
+                          AS BIGINT) AS wave
+              FROM allowed)
+    SELECT site, wave,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MIN(lastmod) AS oldest,
+           MAX(lastmod) AS newest
+    FROM waved GROUP BY site, wave
+    """,
+    "crawl PLANNING composite: per-site sitemap.xml built and PARSED "
+    "back (sitemaps.org regex subset), gated through the RFC 9309 "
+    "robots rules, then scheduled into per-host politeness waves of 8 "
+    "freshness-first — sitemap and robots are KB-per-site, the "
+    "frontier shuffles once on the host key through gate and "
+    "scheduler alike; the oracle replays the gate closed-form",
+)
+def q_web_crawl_plan(spark, sf_dir):
+    """sitemap parse -> robots gate -> politeness waves, on the same
+    deterministic 20-site corpus as q_web_robots_gate (the oracle
+    short-circuits the gate closed-form: /tmp and /private deny,
+    /private*/public allows, /ok passes unmatched)."""
+    from pg_logical_replication_spark.operators import web as WB
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 20).alias("site")
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.expr(
+            "CASE doc_id % 4"
+            " WHEN 0 THEN '/private' || (doc_id % 20) || '/a' || doc_id"
+            " WHEN 1 THEN '/private' || (doc_id % 20) || '/public/b'"
+            "      || doc_id"
+            " WHEN 2 THEN '/tmp/c' || doc_id"
+            " ELSE '/ok/d' || doc_id END"
+        ),
+        F.lit("</loc><lastmod>"),
+        F.expr("CAST(date_add(DATE '2024-01-01', "
+               "CAST(doc_id % 90 AS INT)) AS STRING)"),
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        docs.select(site, entry.alias("entry"))
+        .groupBy("site")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    parsed = WB.parse_sitemap_urls(sitemaps)
+    robots = docs.select(site).distinct().select(
+        "site",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private"),
+            F.col("site"),
+            F.lit("/\nAllow: /private"),
+            F.col("site"),
+            F.lit("/public/\nDisallow: /tmp/\nUser-agent: badbot\nDisallow: /"),
+        ).alias("robots_txt"),
+    )
+    verdict = WB.robots_match(parsed, WB.parse_robots_rules(robots))
+    allowed = parsed.join(
+        verdict.where("allowed").select("site", "url_path"),
+        ["site", "url_path"],
+    )
+    waved = WB.crawl_waves(allowed, per_wave=8)
+    return waved.groupBy("site", "wave").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("lastmod").alias("oldest"),
+        F.max("lastmod").alias("newest"),
+    )
