@@ -1098,3 +1098,71 @@ def ngram_diversity(
         )
         .orderBy("grp")
     )
+
+
+def chat_render_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    turn_tokens: int = 12,
+) -> DataFrame:
+    """SFT/chat-data preparation: split each document into fixed-size
+    turns, assign roles, VALIDATE role alternation (starts with user,
+    no two consecutive turns share a role — the malformed-conversation
+    gate every SFT pipeline runs), render the ChatML-style template
+    ``<|role|>text<|end|>``…, and account the loss mask (assistant
+    characters / rendered length — what supervised fine-tuning
+    actually trains on).
+
+    Roles are an md5-derived function of (doc, turn) so the validator
+    exercises both outcomes on real data. All narrow JVM expressions —
+    one scan, no shuffle, no Python: the same first-pass shape as the
+    quality filters; only valid conversations render (others carry
+    NULL template stats).
+    """
+    tk = tokens_expr(text_col)
+    base = df.select(F.col(id_col), tk.alias("tk")).where(F.size("tk") >= 1)
+    n_turns = F.ceil(F.size("tk") / F.lit(turn_tokens)).cast("int")
+    base = base.select(
+        id_col, F.size("tk").alias("n_tokens"), n_turns.alias("n_turns"), "tk"
+    )
+    # the role hash references the doc id inside the lambda
+    turns = F.expr(
+        f"transform(sequence(1, cast(ceil(size(tk) / {turn_tokens}) as int)),"
+        f" j -> struct(j AS j,"
+        f" concat_ws(' ', slice(tk, (j - 1) * {turn_tokens} + 1,"
+        f" {turn_tokens})) AS txt,"
+        f" CASE WHEN conv(substring(md5(concat(cast({id_col} as string),"
+        f" ':', cast(j as string))), 1, 4), 16, 10) % 2 = 0"
+        f" THEN 'user' ELSE 'assistant' END AS role))"
+    )
+    wt = base.withColumn("turns", turns)
+    ok = F.expr(
+        "turns[0].role = 'user' AND forall("
+        "slice(turns, 1, size(turns) - 1),"
+        " t -> t.role != turns[t.j].role)"
+    )
+    rendered = F.expr(
+        "aggregate(turns, cast('' as string),"
+        " (acc, t) -> acc || '<|' || t.role || '|>' || t.txt || '<|end|>')"
+    )
+    a_chars = F.expr(
+        "aggregate(turns, 0L, (acc, t) ->"
+        " acc + CASE WHEN t.role = 'assistant'"
+        " THEN length(t.txt) ELSE 0 END)"
+    )
+    out = wt.withColumn("alternation_ok", ok)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_turns",
+        "alternation_ok",
+        F.when(F.col("alternation_ok"), F.length(rendered)).cast("long")
+        .alias("rendered_len"),
+        F.when(F.col("alternation_ok"), a_chars).cast("long")
+        .alias("assistant_chars"),
+        F.when(
+            F.col("alternation_ok"),
+            F.round(a_chars.cast("double") / F.length(rendered), 6),
+        ).alias("mask_ratio"),
+    )

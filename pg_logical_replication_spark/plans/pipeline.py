@@ -2678,3 +2678,56 @@ def q_web_crawl_plan(spark, sf_dir):
         F.min("lastmod").alias("oldest"),
         F.max("lastmod").alias("newest"),
     )
+
+
+@register(
+    "q_sft_chat_render",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                  WHERE len({_TOKS}) >= 1),
+    turns AS (SELECT doc_id, len(tk) AS n_tokens,
+                     CAST(CEIL(len(tk) / 12.0) AS INT) AS n_turns,
+                     j,
+                     array_to_string(tk[(j - 1) * 12 + 1 : j * 12], ' ')
+                       AS txt,
+                     CASE WHEN ('0x' || substr(md5(doc_id || ':' || j),
+                                               1, 4))::UBIGINT % 2 = 0
+                          THEN 'user' ELSE 'assistant' END AS role
+              FROM toks,
+                   UNNEST(range(1, CAST(CEIL(len(tk) / 12.0) AS INT) + 1))
+                     AS u(j)),
+    conv AS (SELECT doc_id, MIN(n_tokens) AS n_tokens,
+                    MIN(n_turns) AS n_turns,
+                    MIN(CASE WHEN j = 1 THEN role END) = 'user'
+                      AND COALESCE(bool_and(role <> next_role), TRUE)
+                      AS alternation_ok,
+                    string_agg('<|' || role || '|>' || txt || '<|end|>',
+                               '' ORDER BY j) AS rendered,
+                    CAST(SUM(CASE WHEN role = 'assistant'
+                             THEN length(txt) ELSE 0 END) AS BIGINT)
+                      AS a_chars
+             FROM (SELECT *, LEAD(role) OVER (PARTITION BY doc_id
+                                              ORDER BY j) AS next_role
+                   FROM turns)
+             GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_turns, alternation_ok,
+           CASE WHEN alternation_ok
+                THEN CAST(length(rendered) AS BIGINT) END AS rendered_len,
+           CASE WHEN alternation_ok THEN a_chars END AS assistant_chars,
+           CASE WHEN alternation_ok
+                THEN ROUND(a_chars / length(rendered), 6) END AS mask_ratio
+    FROM conv
+    """,
+    "SFT chat-data preparation: fixed-size turn split, md5-derived "
+    "roles, role-alternation VALIDATION (starts-with-user + no "
+    "consecutive repeats — the malformed-conversation gate), "
+    "ChatML-style template rendering, and loss-mask accounting "
+    "(assistant chars / rendered length, what fine-tuning actually "
+    "trains on) — all narrow scan-stage expressions, invalid "
+    "conversations carry NULL template stats",
+)
+def q_sft_chat_render(spark, sf_dir):
+    """See operators/text.py:chat_render_stats. bool_and over the
+    LEAD comparison in the oracle == the forall-adjacent check in the
+    Spark array expression."""
+    return TX.chat_render_stats(t(spark, sf_dir, "documents"))
