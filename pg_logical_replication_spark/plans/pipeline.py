@@ -2731,3 +2731,104 @@ def q_sft_chat_render(spark, sf_dir):
     LEAD comparison in the oracle == the forall-adjacent check in the
     Spark array expression."""
     return TX.chat_render_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dpo_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                  WHERE len({_TOKS}) >= 24),
+    halves AS (SELECT doc_id,
+                      md5(array_to_string(tk[1:12], ' ')) AS prompt_fp,
+                      array_to_string(tk[13 : 12 + (len(tk) - 12) // 2],
+                                      ' ') AS resp_a,
+                      array_to_string(tk[13 + (len(tk) - 12) // 2 :
+                                         len(tk)], ' ') AS resp_b
+               FROM toks),
+    scored AS (SELECT doc_id, prompt_fp,
+                      CAST(list_sum(list_transform(string_split(resp_a, ' '),
+                          x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15)
+                                 AS BIGINT) % 1024) * 31 + 7) % 1001 - 500))
+                        AS BIGINT) AS score_a,
+                      CAST(list_sum(list_transform(string_split(resp_b, ' '),
+                          x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15)
+                                 AS BIGINT) % 1024) * 31 + 7) % 1001 - 500))
+                        AS BIGINT) AS score_b,
+                      length(resp_a) AS len_a, length(resp_b) AS len_b
+               FROM halves),
+    pairs AS (SELECT *,
+                     CASE WHEN score_a >= score_b THEN 'a' ELSE 'b' END
+                       AS chosen,
+                     ABS(score_a - score_b) AS margin,
+                     ROW_NUMBER() OVER (PARTITION BY prompt_fp
+                                        ORDER BY doc_id) AS rn
+              FROM scored)
+    SELECT doc_id, prompt_fp, chosen,
+           CAST(margin AS BIGINT) AS margin,
+           CAST(CASE WHEN chosen = 'a' THEN len_a ELSE len_b END AS BIGINT)
+             AS chosen_len,
+           CAST(CASE WHEN chosen = 'a' THEN len_b ELSE len_a END AS BIGINT)
+             AS rejected_len
+    FROM pairs WHERE rn = 1 AND margin >= 500
+    """,
+    "DPO/RLHF preference-pair construction: per document a prompt "
+    "(first 12 tokens) and two candidate responses (the remaining "
+    "halves) scored by the hashed-linear reward stand-in; chosen = "
+    "higher score, pairs kept only above a margin threshold and "
+    "deduped per prompt fingerprint (first doc wins) — the pairing + "
+    "margin-filter + prompt-dedup shape of real preference pipelines; "
+    "one scan, the only shuffle is the prompt-dedup window over "
+    "32-byte fingerprints",
+)
+def q_dpo_pairs(spark, sf_dir):
+    """Post-training data prep member three (with SFT render and the
+    quality filters): construct (chosen, rejected) pairs with a
+    deterministic reward stand-in — swapping a trained RM in changes
+    the score expression, not the pipeline shape."""
+    from pyspark.sql import Window
+
+    tk = D.tokens_expr("text")
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("tk"))
+        .where(F.size("tk") >= 24)
+    )
+    halves = toks.select(
+        "doc_id",
+        F.md5(F.expr("concat_ws(' ', slice(tk, 1, 12))")).alias("prompt_fp"),
+        F.expr(
+            "concat_ws(' ', slice(tk, 13, (size(tk) - 12) DIV 2))"
+        ).alias("resp_a"),
+        F.expr(
+            "concat_ws(' ', slice(tk, 13 + (size(tk) - 12) DIV 2,"
+            " size(tk)))"
+        ).alias("resp_b"),
+    )
+    score = lambda c: TX.linear_score_expr(F.split(F.col(c), " "))  # noqa: E731
+    scored = halves.select(
+        "doc_id",
+        "prompt_fp",
+        score("resp_a").alias("score_a"),
+        score("resp_b").alias("score_b"),
+        F.length("resp_a").alias("len_a"),
+        F.length("resp_b").alias("len_b"),
+    )
+    pairs = scored.withColumn(
+        "chosen",
+        F.when(F.col("score_a") >= F.col("score_b"), "a").otherwise("b"),
+    ).withColumn("margin", F.abs(F.col("score_a") - F.col("score_b")))
+    w = Window.partitionBy("prompt_fp").orderBy("doc_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("margin") >= 500))
+        .select(
+            "doc_id",
+            "prompt_fp",
+            "chosen",
+            F.col("margin").cast("long").alias("margin"),
+            F.when(F.col("chosen") == "a", F.col("len_a"))
+            .otherwise(F.col("len_b")).cast("long").alias("chosen_len"),
+            F.when(F.col("chosen") == "a", F.col("len_b"))
+            .otherwise(F.col("len_a")).cast("long").alias("rejected_len"),
+        )
+    )
