@@ -70,6 +70,8 @@ HEADLINE = [
     "q_dedup_substr_coverage",
     "q_pipeline_full_curation",
     "q_text_gopher_rules",
+    "q_web_crawl_plan",
+    "q_sft_chat_render",
 ]
 
 
