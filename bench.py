@@ -61,6 +61,7 @@ HEADLINE = [
     "q_mm_tiff_decode",
     "q_mm_warc_records",
     "q_mm_adpcm_decode",
+    "q_mm_bmp_decode",
     # data-trained corpus filters (late round 4)
     "q_text_lm_perplexity",
     "q_text_bpe_train",

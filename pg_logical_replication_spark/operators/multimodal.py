@@ -1654,3 +1654,95 @@ def pack_tar_shards(
         F.expr(f"{id_col} DIV {docs_per_shard}").alias("__sid"),
     )
     return base.groupBy("__sid").applyInPandas(build, schema=SHARD_SCHEMA)
+
+
+def synthesize_bmp_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL BMP payloads (functions/bmp.py), cycling the
+    profile by doc_id % 3: 8-bit paletted raw, 24-bit BGR, 8-bit RLE8.
+    Closed-form pixels: w = 8 + doc_id % 16, h = 8 + doc_id % 8,
+    pixel[i] = (doc_id·29 + i·11) mod 256.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.bmp import encode_bmp
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + did % 8
+                px = [(did * 29 + i * 11) % 256 for i in range(w * h)]
+                mode = did % 3
+                payloads.append(
+                    encode_bmp(
+                        w, h, px,
+                        bits=24 if mode == 1 else 8,
+                        rle=mode == 2,
+                    )
+                )
+                ids.append(did)
+                kinds.append("image")
+                metas.append(
+                    {
+                        "codec": "bmp",
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+BMP_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, bits int, rle boolean, "
+    "n_pixels int, mean_pixel double"
+)
+
+
+def decode_bmp_features(assets: DataFrame) -> DataFrame:
+    """REAL BMP decode per asset (header walk, bottom-up rows, padding,
+    palette/truecolor/RLE8) → dims + profile + mean pixel; undecodable
+    payloads yield null-feature rows."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.bmp import decode_bmp
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    data = bytes(buf)
+                    w, h, px = decode_bmp(data)
+                    bits, comp = _struct.unpack("<HI", data[28:34])
+                    rows.append(
+                        (
+                            int(aid), w, h, bits, comp == 1, len(px),
+                            round(sum(px) / len(px), 6),
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(aid), None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "bits", "rle",
+                    "n_pixels", "mean_pixel",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=BMP_FEATURE_SCHEMA
+    )

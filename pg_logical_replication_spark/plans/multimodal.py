@@ -686,3 +686,34 @@ def q_mm_tar_shards_roundtrip(spark, sf_dir):
             F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
         ).alias("sum_text_hash"),
     )
+
+
+@register(
+    "q_mm_bmp_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 24 ELSE 8 END AS INT) AS bits,
+           doc_id % 3 = 2 AS rle,
+           CAST((8 + doc_id % 16) * (8 + doc_id % 8) AS INT) AS n_pixels,
+           ROUND(list_avg(list_transform(
+               generate_series(0, (8 + doc_id % 16) * (8 + doc_id % 8) - 1),
+               i -> (doc_id * 29 + i * 11) % 256)), 6) AS mean_pixel
+    FROM documents
+    """,
+    "REAL BMP codec round-trip (the legacy DIB raster scanned-document "
+    "corpora carry): 8-bit paletted, 24-bit BGR and RLE8 profiles "
+    "cycled per asset, encoded and decoded executor-side with the "
+    "stdlib codec; dims + profile + mean pixel hash-matched against "
+    "the closed-form oracle — the ninth real codec",
+)
+def q_mm_bmp_decode(spark, sf_dir):
+    """pixel[i] = (doc_id*29 + i*11) mod 256 — arithmetic, so DuckDB
+    predicts every decoded statistic while Spark runs the actual
+    header/padding/palette/RLE8 walk on executors."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    assets = MM.synthesize_bmp_assets(docs)
+    return MM.decode_bmp_features(assets)

@@ -436,12 +436,13 @@ def test_new_decoders_fail_cleanly_on_garbage(data, which):
     from pg_logical_replication_spark.functions.warc import parse_warc
     from pg_logical_replication_spark.functions.vp8l import decode_vp8l
     from pg_logical_replication_spark.functions.adpcm import decode_wav_adpcm
+    from pg_logical_replication_spark.functions.bmp import decode_bmp
 
     decoders = [
         decode_jpeg, decode_flac, decode_vp8l,
         lambda b: (mp3_info(b), mp4_info(b), webp_info(b), webm_info(b),
                    decode_gif(b), decode_tiff(b), parse_warc(b),
-                   decode_wav_adpcm(b)),
+                   decode_wav_adpcm(b), decode_bmp(b)),
     ]
     try:
         decoders[which](data)

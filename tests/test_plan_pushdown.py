@@ -188,7 +188,7 @@ def test_codec_queries_are_scan_plus_mapinpandas_only(spark):
     for name in ("q_mm_jpeg_decode", "q_mm_flac_decode",
                  "q_mm_webp_decode", "q_mm_gif_decode",
                  "q_mm_tiff_decode", "q_mm_media_probe",
-                 "q_mm_adpcm_decode"):
+                 "q_mm_adpcm_decode", "q_mm_bmp_decode"):
         df = QUERIES[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
