@@ -1166,3 +1166,310 @@ def chat_render_stats(
             F.round(a_chars.cast("double") / F.length(rendered), 6),
         ).alias("mask_ratio"),
     )
+
+
+# ------------------------------------------------------------- unigram LM
+def unigram_compositions(
+    max_word_len: int = 8, max_piece_len: int = 3
+) -> list[tuple[int, int, list[int], list[int], int]]:
+    """All ordered compositions of each word length 1..``max_word_len``
+    into piece lengths 1..``max_piece_len`` — the closed segmentation
+    lattice the unigram trainer joins against.
+
+    Rows are ``(word_len, comp_id, starts, lens, n_parts)``; ``comp_id``
+    is the 1-based ordinal of the composition in lexicographic order of
+    its part-length tuple, deterministic so it can serve as the final
+    Viterbi tie-break IDENTICALLY in Spark and in the DuckDB oracle
+    (both sides are generated from this one function). Row count is the
+    tribonacci prefix sum — 176 at the defaults — a driver-side literal
+    like the IVF centroid tables (operators/similarity.py).
+    """
+    rows: list[tuple[int, int, list[int], list[int], int]] = []
+    for length in range(1, max_word_len + 1):
+        comps: list[list[int]] = []
+
+        def rec(remaining: int, acc: list[int]) -> None:
+            if remaining == 0:
+                comps.append(list(acc))
+                return
+            for k in range(1, min(max_piece_len, remaining) + 1):
+                acc.append(k)
+                rec(remaining - k, acc)
+                acc.pop()
+
+        rec(length, [])
+        for cid, lens in enumerate(comps, start=1):
+            starts, pos = [], 1
+            for k in lens:
+                starts.append(pos)
+                pos += k
+            rows.append((length, cid, starts, lens, len(lens)))
+    return rows
+
+
+def _unigram_with_costs(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt) → (piece, cnt, cost) with the exact integer cost
+    ``length(bin(total DIV cnt))`` = ⌊log2(total/cnt)⌋ + 1 bits — the
+    add-nothing integer surrogate for -log p(piece) (same ⌊log2⌋ trick
+    as tfidf / bigram_lm_score, so the whole EM chain stays int64-exact
+    cross-engine)."""
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.length(F.bin(F.expr("total DIV cnt"))).cast("long").alias("cost"),
+    )
+
+
+def _unigram_chain(
+    df: DataFrame,
+    text_col: str,
+    top_words: int,
+    max_word_len: int,
+    max_piece_len: int,
+    top_pieces: int,
+    budgets: tuple[int, ...],
+    checkpoint_rounds: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared unigram-LM training loop → (words, final vocab, comps).
+
+    SentencePiece's unigram trainer (Kudo 2018, arXiv:1804.10959), the
+    OTHER tokenizer family next to BPE, re-expressed as a fully
+    declarative hard-EM over a CLOSED segmentation lattice:
+
+    * corpus → top-``top_words`` word-frequency table (words are
+      lowercase ``[a-z]+`` runs of length ≤ ``max_word_len``; longer
+      words take the per-char fallback at encode time) — the ONLY
+      corpus-sized stage, one map-side-combined groupBy + distributed
+      top-K, exactly like ``bpe_train_merges``;
+    * seed vocabulary = the ``top_pieces`` most frequent multi-char
+      substrings (length ≤ ``max_piece_len``, counted with multiplicity
+      × word freq) ∪ ALL single chars — chars guarantee every word
+      stays segmentable, SentencePiece's required-character set;
+    * per EM round (one per entry in ``budgets``):
+      E-step: Viterbi segmentation of every word = min total piece cost
+      over the composition lattice — a broadcast join of the 176-row
+      lattice against the capped word table, pieces sliced JVM-side
+      (``substring``), costs joined from the broadcast vocab, invalid
+      compositions (any piece out-of-vocab) dropped by the
+      ``got = n_parts`` guard, winner per word by
+      ``min(struct(cost, n_parts, comp_id))``;
+      M-step: piece usage in winning segmentations weighted by word
+      freq; PRUNE multi-char pieces to the round's budget by
+      (usage DESC, piece) — unigram's defining vocabulary-shrink step —
+      chars always retained; Laplace +1 on retained pieces, costs
+      recomputed.
+
+    Scale: after the word-count top-K NOTHING is corpus-sized — every
+    round is (20k words × 176 comps) exploded to ≲2M piece rows, two
+    broadcast joins and two vocab-sized aggregations; document text
+    never shuffles and never enters Python (the lattice replaces the
+    per-word DP loop SentencePiece runs in C++). ``localCheckpoint``
+    per round truncates the O(2^rounds) lineage like the BPE/PageRank
+    chains.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .where(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_words)
+    )
+    if checkpoint_rounds:
+        words = words.localCheckpoint(eager=True)
+
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), i ->"
+        f" transform(sequence(1, least({max_piece_len},"
+        " length(word) - i + 1)),"
+        " k -> substring(word, i, k))))"
+    )
+    seeds = (
+        words.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    multi = (
+        seeds.where(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(top_pieces)
+    )
+    chars = seeds.where(F.length("piece") == 1)
+    vocab = _unigram_with_costs(multi.unionByName(chars))
+    if checkpoint_rounds:
+        vocab = vocab.localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    comps = spark.createDataFrame(
+        unigram_compositions(max_word_len, max_piece_len),
+        "word_len int, comp_id int, starts array<int>, "
+        "lens array<int>, n_parts int",
+    )
+
+    for budget in budgets:
+        best = _unigram_viterbi(words, vocab, comps)
+        usage = (
+            best.join(
+                F.broadcast(comps),
+                (F.length("word") == F.col("word_len"))
+                & (best["comp_id"] == comps["comp_id"]),
+            )
+            .select(
+                "word",
+                "freq",
+                F.explode(F.arrays_zip("starts", "lens")).alias("z"),
+            )
+            .select(
+                F.expr("substring(word, z.starts, z.lens)").alias("piece"),
+                "freq",
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("used"))
+        )
+        multi_kept = (
+            usage.where(F.length("piece") >= 2)
+            .orderBy(F.desc("used"), "piece")
+            .limit(budget)
+        )
+        chars_kept = (
+            vocab.where(F.length("piece") == 1)
+            .select("piece")
+            .join(usage, "piece", "left")
+            .select("piece", F.coalesce("used", F.lit(0)).alias("used"))
+        )
+        vocab = _unigram_with_costs(
+            multi_kept.unionByName(chars_kept).select(
+                "piece", (F.col("used") + 1).cast("long").alias("cnt")
+            )
+        )
+        if checkpoint_rounds:
+            vocab = vocab.localCheckpoint(eager=True)
+    return words, vocab, comps
+
+
+def _unigram_viterbi(
+    words: DataFrame, vocab: DataFrame, comps: DataFrame
+) -> DataFrame:
+    """E-step: per word the min-cost in-vocab composition →
+    (word, freq, comp_id, n_parts). Ties break on
+    (cost, n_parts, comp_id) — lexicographic struct-min, mirrored by
+    the oracle's ROW_NUMBER ordering."""
+    pieces = (
+        words.join(F.broadcast(comps), F.length("word") == F.col("word_len"))
+        .select(
+            "word",
+            "freq",
+            "comp_id",
+            "n_parts",
+            F.explode(F.arrays_zip("starts", "lens")).alias("z"),
+        )
+        .select(
+            "word",
+            "freq",
+            "comp_id",
+            "n_parts",
+            F.expr("substring(word, z.starts, z.lens)").alias("piece"),
+        )
+    )
+    scored = (
+        pieces.join(F.broadcast(vocab.select("piece", "cost")), "piece")
+        .groupBy("word", "comp_id")
+        .agg(
+            F.count("*").alias("got"),
+            F.min("n_parts").alias("n_parts"),
+            F.sum("cost").cast("long").alias("cost"),
+            F.min("freq").alias("freq"),
+        )
+        .where(F.col("got") == F.col("n_parts"))
+    )
+    return scored.groupBy("word").agg(
+        F.min(F.struct("cost", "n_parts", "comp_id")).alias("b"),
+        F.min("freq").alias("freq"),
+    ).select(
+        "word",
+        "freq",
+        F.col("b.comp_id").alias("comp_id"),
+        F.col("b.n_parts").alias("n_parts"),
+        F.col("b.cost").alias("cost"),
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    top_words: int = 20_000,
+    max_word_len: int = 8,
+    max_piece_len: int = 3,
+    top_pieces: int = 2_000,
+    budgets: tuple[int, ...] = (1_200, 800),
+    top_out: int = 30,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Train a SentencePiece-style unigram-LM tokenizer vocabulary on
+    the corpus (see :func:`_unigram_chain`) and return the ``top_out``
+    pieces of the final vocabulary as
+    (piece, piece_len, cnt, cost) by (cnt DESC, piece)."""
+    _, vocab, _ = _unigram_chain(
+        df, text_col, top_words, max_word_len, max_piece_len,
+        top_pieces, budgets, checkpoint_rounds,
+    )
+    return (
+        vocab.select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "cnt",
+            "cost",
+        )
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(top_out)
+    )
+
+
+def unigram_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_words: int = 20_000,
+    max_word_len: int = 8,
+    max_piece_len: int = 3,
+    top_pieces: int = 2_000,
+    budgets: tuple[int, ...] = (1_200, 800),
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Encode the corpus under its own trained unigram vocabulary —
+    the unigram twin of :func:`bpe_encode_stats`: per document the
+    word/token/char counts and compression ratio, where a word's token
+    count is its final-vocab Viterbi segment count and out-of-table
+    words (rare, or longer than ``max_word_len``) take the per-char
+    fallback. One corpus scan + ONE broadcast join against the capped
+    (word → n_parts) table + a map-side-combined groupBy(doc_id)."""
+    words, vocab, comps = _unigram_chain(
+        df, text_col, top_words, max_word_len, max_piece_len,
+        top_pieces, budgets, checkpoint_rounds,
+    )
+    lut = _unigram_viterbi(words, vocab, comps).select("word", "n_parts")
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    per_word = doc_words.join(F.broadcast(lut), "word", "left").select(
+        id_col,
+        F.coalesce(F.col("n_parts").cast("long"), F.length("word").cast("long"))
+        .alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_toks").cast("long").alias("n_unigram_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
+        ).alias("chars_per_token"),
+    )

@@ -2832,3 +2832,170 @@ def q_dpo_pairs(spark, sf_dir):
             .otherwise(F.col("len_a")).cast("long").alias("rejected_len"),
         )
     )
+
+
+def _unigram_chain_sql(
+    top_words: int = 20_000,
+    max_word_len: int = 8,
+    max_piece_len: int = 3,
+    top_pieces: int = 2_000,
+    budgets: tuple[int, ...] = (1_200, 800),
+    extra_estep: bool = False,
+) -> tuple[list[str], int]:
+    """Unrolled unigram-LM EM chain (pattern: _bpe_chain_sql), shared by
+    the train and encode oracles. The composition lattice is inlined as
+    a VALUES literal built by the SAME ``TX.unigram_compositions`` the
+    Spark side joins — comp_id enumeration (the Viterbi tie-break)
+    cannot drift between engines. Returns (CTE parts, last round #)."""
+    vals = ",".join(
+        f"({L},{cid},{starts},{lens},{n})".replace(" ", "")
+        for (L, cid, starts, lens, n) in TX.unigram_compositions(
+            max_word_len, max_piece_len
+        )
+    )
+    parts = [
+        f"""
+    uwords AS (SELECT w AS word, COUNT(*) AS freq
+               FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                      '[a-z]+')) AS w
+                     FROM documents)
+               WHERE length(w) <= {max_word_len}
+               GROUP BY 1 ORDER BY freq DESC, word LIMIT {top_words}),
+    useeds AS (SELECT substr(word, i, k) AS piece,
+                      CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM uwords,
+                    UNNEST(range(1, length(word) + 1)) AS u(i),
+                    UNNEST(range(1, least({max_piece_len},
+                                          length(word) - i + 1) + 1)) AS v(k)
+               GROUP BY 1),
+    uv0 AS (SELECT piece, cnt
+            FROM (SELECT piece, cnt FROM useeds WHERE length(piece) >= 2
+                  ORDER BY cnt DESC, piece LIMIT {top_pieces})
+            UNION ALL
+            SELECT piece, cnt FROM useeds WHERE length(piece) = 1),
+    uc0 AS (SELECT piece, cnt,
+                   CAST(length(bin((SELECT SUM(cnt) FROM uv0) // cnt))
+                        AS BIGINT) AS cost
+            FROM uv0),
+    ucomps(word_len, comp_id, starts, lens, n_parts) AS (VALUES {vals})"""
+    ]
+    rounds = list(budgets) + ([None] if extra_estep else [])
+    last = 0
+    for r, budget in enumerate(rounds, start=1):
+        last = r
+        parts.append(f"""
+    ucand{r} AS (SELECT w.word, w.freq, c.comp_id, c.n_parts,
+                        substr(w.word, c.starts[j], c.lens[j]) AS piece
+                 FROM uwords w, ucomps c,
+                      UNNEST(range(1, c.n_parts + 1)) AS u(j)
+                 WHERE length(w.word) = c.word_len),
+    usc{r} AS (SELECT d.word, MIN(d.freq) AS freq, d.comp_id,
+                      MIN(d.n_parts) AS n_parts, COUNT(*) AS got,
+                      CAST(SUM(v.cost) AS BIGINT) AS cost
+               FROM ucand{r} d JOIN uc{r - 1} v ON d.piece = v.piece
+               GROUP BY d.word, d.comp_id),
+    ubest{r} AS (SELECT word, freq, comp_id, n_parts
+                 FROM (SELECT word, freq, comp_id, n_parts,
+                              ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY cost, n_parts, comp_id) AS rn
+                       FROM usc{r} WHERE got = n_parts)
+                 WHERE rn = 1)""")
+        if budget is None:  # encode-side final E-step: no M-step after
+            break
+        parts.append(f"""
+    uusage{r} AS (SELECT substr(b.word, c.starts[j], c.lens[j]) AS piece,
+                         CAST(SUM(b.freq) AS BIGINT) AS used
+                  FROM ubest{r} b, ucomps c,
+                       UNNEST(range(1, c.n_parts + 1)) AS u(j)
+                  WHERE length(b.word) = c.word_len
+                    AND b.comp_id = c.comp_id
+                  GROUP BY 1),
+    uv{r} AS (SELECT piece, used + 1 AS cnt
+              FROM (SELECT piece, used FROM
+                      (SELECT piece, used FROM uusage{r}
+                       WHERE length(piece) >= 2
+                       ORDER BY used DESC, piece LIMIT {budget})
+                    UNION ALL
+                    SELECT v.piece, COALESCE(u.used, 0) AS used
+                    FROM uc{r - 1} v LEFT JOIN uusage{r} u
+                      ON v.piece = u.piece
+                    WHERE length(v.piece) = 1)),
+    uc{r} AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+                     CAST(length(bin((SELECT SUM(cnt) FROM uv{r}) // cnt))
+                          AS BIGINT) AS cost
+              FROM uv{r})""")
+    return parts, last
+
+
+def _unigram_train_oracle(top_out: int = 30) -> str:
+    parts, last = _unigram_chain_sql()
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt, cost
+    FROM uc{last} ORDER BY cnt DESC, piece LIMIT {top_out}
+    """
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    parts, last = _unigram_chain_sql(extra_estep=True)
+    return (
+        "WITH" + ",".join(parts)
+        + f""",
+    ulut AS (SELECT word, n_parts FROM ubest{last}),
+    udw AS (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(l.n_parts, length(udw.word))) AS BIGINT)
+               AS n_unigram_tokens,
+           CAST(SUM(length(udw.word)) AS BIGINT) AS n_chars,
+           ROUND(SUM(length(udw.word))
+                 / SUM(COALESCE(l.n_parts, length(udw.word))), 6)
+               AS chars_per_token
+    FROM udw LEFT JOIN ulut l ON udw.word = l.word
+    GROUP BY doc_id
+    """
+    )
+
+
+@register(
+    "q_text_unigram_train",
+    _unigram_train_oracle(),
+    "Unigram-LM tokenizer TRAINING (Kudo 2018 / SentencePiece, the "
+    "other tokenizer family next to BPE): seed vocabulary = top-2000 "
+    "multi-char substrings + all chars of a top-20k word-frequency "
+    "table, then hard-EM rounds — Viterbi segmentation expressed as a "
+    "broadcast join against a CLOSED 176-row composition lattice (no "
+    "per-word DP loop, no Python), usage-weighted M-step, and "
+    "unigram's defining vocabulary PRUNE to a shrinking budget "
+    "(1200, 800); integer ⌊log2⌋ piece costs keep the whole EM chain "
+    "int64-exact cross-engine; only the word-count top-K touches the "
+    "corpus",
+)
+def q_text_unigram_train(spark, sf_dir):
+    """See operators/text.py:unigram_train — the trained vocabulary's
+    top pieces (piece, piece_len, cnt, cost), genuinely learned from
+    the data like q_text_bpe_train."""
+    return TX.unigram_train(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_unigram_encode",
+    _unigram_encode_oracle(),
+    "Unigram-LM tokenizer APPLY: encode the corpus under its own "
+    "trained unigram vocabulary — per-doc word/token/char counts and "
+    "chars-per-token, a word's token count = its final-vocab Viterbi "
+    "segment count (final E-step over the same composition lattice), "
+    "out-of-table words fall back to per-char tokens; one corpus scan "
+    "+ ONE broadcast join against the capped (word -> n_parts) table + "
+    "a map-side-combined groupBy(doc_id) — document text never "
+    "shuffles",
+)
+def q_text_unigram_encode(spark, sf_dir):
+    """See operators/text.py:unigram_encode_stats — the unigram twin of
+    q_text_bpe_encode; 'how many tokens is this corpus under MY
+    tokenizer', under the OTHER tokenizer family."""
+    return TX.unigram_encode_stats(t(spark, sf_dir, "documents"))

@@ -178,3 +178,84 @@ def test_double_pipe_replace_is_exact_greedy_bpe():
                 assert pipe_merge(syms_l, a, b) == greedy_merge(
                     syms_l, a, b
                 ), (syms_l, a, b)
+
+
+# ------------------------------------------------- unigram-LM tokenizer
+def test_unigram_composition_lattice():
+    """The 176-row composition lattice is the Viterbi search space —
+    pin that it is exhaustive (tribonacci counts), correctly offset
+    (prefix-sum starts, parts covering the word exactly), and
+    deterministic in its comp_id enumeration."""
+    from pg_logical_replication_spark.operators.text import (
+        unigram_compositions,
+    )
+
+    rows = unigram_compositions(8, 3)
+    trib = {1: 1, 2: 2, 3: 4, 4: 7, 5: 13, 6: 24, 7: 44, 8: 81}
+    by_len = {}
+    for word_len, comp_id, starts, lens, n_parts in rows:
+        by_len.setdefault(word_len, []).append((comp_id, starts, lens))
+        assert n_parts == len(lens) == len(starts)
+        assert sum(lens) == word_len
+        assert all(1 <= k <= 3 for k in lens)
+        pos = 1
+        for s, k in zip(starts, lens):
+            assert s == pos
+            pos += k
+    assert {k: len(v) for k, v in by_len.items()} == trib
+    assert len(rows) == sum(trib.values())
+    for word_len, comps in by_len.items():
+        # comp_id dense 1..N, lexicographic by part tuple — the exact
+        # tie-break order the oracle's VALUES literal replays
+        assert [c[0] for c in comps] == list(range(1, len(comps) + 1))
+        lens_seq = [tuple(c[2]) for c in comps]
+        assert lens_seq == sorted(lens_seq)
+    # deterministic across calls
+    assert rows == unigram_compositions(8, 3)
+
+
+def test_unigram_viterbi_is_min_cost_segmentation(spark):
+    """The lattice-join E-step must equal a classic per-word DP: on a
+    tiny corpus with a hand-set vocab, every word's chosen segmentation
+    cost equals the DP minimum under the same (cost, n_parts, comp_id)
+    tie-break, and every word is segmentable (char coverage)."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(
+            ["aba abab bab", "abab ab a", "bb aab abab baba", "a b ab"]
+        )],
+        "doc_id long, text string",
+    )
+    words, vocab, comps = TX._unigram_chain(
+        docs, "text", top_words=100, max_word_len=8, max_piece_len=3,
+        top_pieces=50, budgets=(), checkpoint_rounds=False,
+    )
+    best = {
+        r["word"]: (r["cost"], r["n_parts"])
+        for r in TX._unigram_viterbi(words, vocab, comps).collect()
+    }
+    costs = {r["piece"]: r["cost"] for r in vocab.collect()}
+    corpus_words = {w for r in docs.collect() for w in r["text"].split()}
+    assert set(best) == corpus_words  # coverage: every word segmented
+
+    def dp(word):
+        # min (cost, n_parts) over all segmentations into vocab pieces
+        import functools
+
+        @functools.lru_cache(None)
+        def go(i):
+            if i == len(word):
+                return (0, 0)
+            cands = []
+            for k in (1, 2, 3):
+                piece = word[i:i + k]
+                if len(piece) == k and piece in costs:
+                    c, n = go(i + k)
+                    cands.append((costs[piece] + c, n + 1))
+            return min(cands)
+
+        return go(0)
+
+    for w in corpus_words:
+        assert best[w] == dp(w), w
