@@ -1473,3 +1473,122 @@ def unigram_encode_stats(
             F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
         ).alias("chars_per_token"),
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    ref_mod: int = 10,
+    top_bigrams: int = 50_000,
+    top_unigrams: int = 20_000,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    upweight the domains where a small proxy model's loss most EXCEEDS
+    a reference baseline — the one-shot excess-loss form of the paper's
+    Group-DRO loop (we take the first-round weights rather than
+    iterating proxy retraining, and the proxy is the same add-one
+    bigram LM :func:`bigram_lm_score` trains on the ``doc_id %
+    ref_mod`` reference slice).
+
+    Per domain d: n_d bigram instances, S_d total integer surprisal
+    (⌊log2⌋ bits — exact, same quantization as the perplexity filter).
+    Excess loss vs the corpus mean is kept EXACT by cross-
+    multiplication instead of division:
+
+        excess_d = S_d · n_tot − S_tot · n_d     (>0 ⟺ above-mean loss)
+        weight_bp_d = (max(excess_d, 0) · 10000) DIV Σ max(excess, 0)
+
+    i.e. integer basis points ∝ positive excess; if NO domain is above
+    the mean (degenerate single-domain corpora), weights fall back to
+    uniform 10000 DIV n_domains. int64-exact for corpora up to ~1e9
+    bigrams (10·B² < 2^63); beyond that the same plan runs with DOUBLE
+    ratios — the exact form is what the cross-engine oracle gates.
+
+    Scale: identical shape to :func:`bigram_lm_score` — one corpus
+    scan explodes bigrams, LM tables are top-K-capped broadcasts, and
+    the ONLY additions are a domain-sized (handful of rows) rollup and
+    two single-partition windows OVER THAT DOMAIN-SIZED FRAME (a
+    5-row window, not a corpus-sized one). Document text never
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    tk = F.transform(tokens_expr(text_col), lambda x: F.lower(x))
+    base = df.select(
+        F.col(id_col), F.col(domain_col).alias("__d"), tk.alias("tk")
+    ).where(F.size("tk") >= 2)
+    bgs = F.expr(
+        "transform(slice(tk, 1, size(tk) - 1),"
+        " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+    )
+    pairs = base.select(
+        F.col(id_col), "__d", F.explode(bgs).alias("bg")
+    ).select(id_col, "__d", "bg.w1", "bg.w2")
+
+    ref = pairs.where(F.col(id_col) % ref_mod == 0)
+    c2k = (
+        ref.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(top_bigrams)
+    )
+    c1k = (
+        ref.groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+        .orderBy(F.desc("c1"), "w1")
+        .limit(top_unigrams)
+    )
+    vocab = ref.agg(F.countDistinct("w1").alias("v"))
+
+    scored = (
+        pairs.join(F.broadcast(c2k), ["w1", "w2"], "left")
+        .join(F.broadcast(c1k), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    quo = F.greatest(
+        F.expr("(coalesce(c1, 0) + v) DIV (coalesce(c2, 0) + 1)"), F.lit(1)
+    )
+    surp = (F.length(F.bin(quo)) - 1).cast("long")
+    dom = scored.groupBy(F.col("__d").alias(domain_col)).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(surp).alias("surprisal"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    d2 = dom.select(
+        domain_col,
+        "n_docs",
+        "n_bigrams",
+        "surprisal",
+        (
+            F.col("surprisal") * F.sum("n_bigrams").over(w)
+            - F.sum("surprisal").over(w) * F.col("n_bigrams")
+        ).alias("excess"),
+        F.count("*").over(w).alias("__nd"),
+    )
+    pos_tot = F.sum(F.greatest(F.col("excess"), F.lit(0))).over(w)
+    return d2.select(
+        domain_col,
+        "n_docs",
+        "n_bigrams",
+        "surprisal",
+        "excess",
+        pos_tot.alias("__pt"),
+        F.col("__nd"),
+    ).select(
+        domain_col,
+        "n_docs",
+        "n_bigrams",
+        "surprisal",
+        "excess",
+        F.when(
+            F.col("__pt") > 0,
+            F.expr("(greatest(excess, 0) * 10000) DIV __pt"),
+        )
+        .otherwise(F.expr("10000 DIV __nd"))
+        .cast("long")
+        .alias("weight_bp"),
+    ).orderBy(domain_col)

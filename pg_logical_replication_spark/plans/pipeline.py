@@ -2999,3 +2999,62 @@ def q_text_unigram_encode(spark, sf_dir):
     q_text_bpe_encode; 'how many tokens is this corpus under MY
     tokenizer', under the OTHER tokenizer family."""
     return TX.unigram_encode_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_corpus_doremi_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    pairs AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+              FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+              WHERE len(tk) >= 2),
+    ref AS (SELECT w1, w2 FROM pairs WHERE doc_id % 10 = 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rn
+           FROM ref GROUP BY 1, 2),
+    c2k AS (SELECT w1, w2, c2 FROM c2 WHERE rn <= 50000),
+    c1 AS (SELECT w1, COUNT(*) AS c1,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1) AS rn
+           FROM ref GROUP BY 1),
+    c1k AS (SELECT w1, c1 FROM c1 WHERE rn <= 20000),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM ref),
+    q AS (SELECT p.doc_id, p.lang,
+                 GREATEST((COALESCE(u.c1, 0) + v.v) // (COALESCE(b.c2, 0) + 1),
+                          1) AS quo
+          FROM pairs p
+          LEFT JOIN c2k b ON p.w1 = b.w1 AND p.w2 = b.w2
+          LEFT JOIN c1k u ON p.w1 = u.w1
+          CROSS JOIN v),
+    dom AS (SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(length(bin(quo)) - 1) AS BIGINT) AS surprisal
+            FROM q GROUP BY 1),
+    d2 AS (SELECT lang, n_docs, n_bigrams, surprisal,
+                  CAST(surprisal * SUM(n_bigrams) OVER ()
+                       - SUM(surprisal) OVER () * n_bigrams
+                       AS BIGINT) AS excess,
+                  COUNT(*) OVER () AS nd
+           FROM dom)
+    SELECT lang, n_docs, n_bigrams, surprisal, excess,
+           CAST(CASE WHEN SUM(GREATEST(excess, 0)) OVER () > 0
+                THEN (GREATEST(excess, 0) * 10000)
+                     // SUM(GREATEST(excess, 0)) OVER ()
+                ELSE 10000 // nd END AS BIGINT) AS weight_bp
+    FROM d2 ORDER BY lang
+    """,
+    "DoReMi-style domain reweighting (Xie et al. 2023): score every "
+    "language domain's EXCESS loss under the data-trained proxy bigram "
+    "LM (the one-shot excess-loss form of the paper's Group-DRO loop), "
+    "and emit mixture weights in integer basis points proportional to "
+    "positive excess — cross-multiplied instead of divided so the "
+    "whole contract is int64-exact; one corpus scan, broadcast LM "
+    "joins, then only domain-sized (handful-of-rows) windows",
+)
+def q_corpus_doremi_weights(spark, sf_dir):
+    """See operators/text.py:doremi_weights — upweight the domains the
+    proxy model finds hardest, the data-mixing complement of UniMax's
+    supply-driven allocation (q_corpus_unimax_alloc)."""
+    return TX.doremi_weights(t(spark, sf_dir, "documents"))

@@ -259,3 +259,32 @@ def test_unigram_viterbi_is_min_cost_segmentation(spark):
 
     for w in corpus_words:
         assert best[w] == dp(w), w
+
+
+def test_doremi_weights_semantics(spark):
+    """Hard domains (above-mean proxy loss) get weight proportional to
+    positive excess; easy domains get 0; Σ weight_bp ≤ 10000 (floor
+    division); the excess column is exactly the cross-multiplied
+    surplus S_d·n_tot − S_tot·n_d."""
+    from pg_logical_replication_spark.operators.text import doremi_weights
+
+    rows = []
+    # domain 'easy': repetitive text the bigram LM predicts well;
+    # domain 'hard': shuffled rare words (every doc_id % 10 == 0 doc
+    # trains the LM, so 'easy' bigrams dominate the reference counts)
+    for i in range(40):
+        rows.append((i * 2, "easy", "the cat sat on the mat " * 4))
+        rows.append((i * 2 + 1, "hard",
+                     f"zx{i} qv{i * 7} wm{i * 13} kj{i * 3} pn{i * 11}"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in doremi_weights(df).collect()}
+    assert set(out) == {"easy", "hard"}
+    n_tot = sum(r["n_bigrams"] for r in out.values())
+    s_tot = sum(r["surprisal"] for r in out.values())
+    for r in out.values():
+        assert r["excess"] == r["surprisal"] * n_tot - s_tot * r["n_bigrams"]
+    assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
+    assert out["hard"]["weight_bp"] == 10000  # sole positive-excess domain
+    assert out["easy"]["weight_bp"] == 0
+    total_bp = sum(r["weight_bp"] for r in out.values())
+    assert total_bp <= 10000
