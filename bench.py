@@ -73,6 +73,10 @@ HEADLINE = [
     "q_text_gopher_rules",
     "q_web_crawl_plan",
     "q_sft_chat_render",
+    # this session: the unigram tokenizer lifecycle (lattice-join EM)
+    "q_text_unigram_train",
+    "q_text_unigram_encode",
+    "q_text_wordpiece_train",
 ]
 
 

@@ -1592,3 +1592,232 @@ def doremi_weights(
         .cast("long")
         .alias("weight_bp"),
     ).orderBy(domain_col)
+
+
+# ------------------------------------------------------------ WordPiece
+def _wordpiece_chain(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    top_words: int,
+    checkpoint_rounds: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared WordPiece training loop → (vocab_final, merges).
+
+    Structurally :func:`_bpe_chain` (same capped word table, same
+    provably-greedy double-pipe merge application), but merge SELECTION
+    uses WordPiece's likelihood objective (Schuster & Nakajima 2012;
+    the BERT tokenizer's trainer) instead of raw pair frequency:
+    maximize  score = c(lhs,rhs) / (c(lhs) · c(rhs))  — the pair that
+    most increases corpus likelihood under a unigram-of-symbols model.
+    Quantized to the exact integer
+    ``score_q = (c_pair << 20) DIV (c_lhs · c_rhs)`` so the argmax is
+    int64-exact cross-engine (ties → lhs, rhs ascending); int64-safe
+    while symbol counts stay under ~3e9 (c_pair·2^20 and the count
+    product both < 2^63), which the top-20k word cap guarantees at any
+    corpus size.
+
+    Scale: identical to BPE training — corpus touched once for the
+    word-count top-K; each round is two vocab-sized aggregations (pair
+    counts + symbol counts), two broadcast joins, and a 1-row best.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_words)
+    )
+    if checkpoint_rounds:
+        words = words.localCheckpoint(eager=True)
+    vocab = words.select(
+        "word",
+        F.concat(
+            F.lit("||"), F.expr("regexp_replace(word, '(.)', '$1||')")
+        ).alias("s"),
+        "freq",
+    )
+
+    merges = None
+    for rank in range(1, num_merges + 1):
+        syms = F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
+        sym_rows = vocab.select(F.explode(syms).alias("sym"), "freq")
+        c_sym = sym_rows.groupBy("sym").agg(
+            F.sum("freq").cast("long").alias("c")
+        )
+        prs = F.expr(
+            "transform(slice(syms, 1, size(syms) - 1),"
+            " (x, i) -> struct(x AS w1, syms[i + 1] AS w2))"
+        )
+        pairs = (
+            vocab.select(syms.alias("syms"), "freq")
+            .where(F.size("syms") >= 2)
+            .select(F.explode(prs).alias("p"), "freq")
+            .groupBy("p.w1", "p.w2")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(c_sym.select(F.col("sym").alias("w1"),
+                                         F.col("c").alias("c_lhs"))),
+                "w1",
+            )
+            .join(
+                F.broadcast(c_sym.select(F.col("sym").alias("w2"),
+                                         F.col("c").alias("c_rhs"))),
+                "w2",
+            )
+            .select(
+                "w1",
+                "w2",
+                "pair_count",
+                F.expr("(pair_count * 1048576) DIV (c_lhs * c_rhs)")
+                .cast("long")
+                .alias("score_q"),
+            )
+            .orderBy(F.desc("score_q"), "w1", "w2")
+            .limit(1)
+        )
+        ranked = best.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("w1").alias("lhs"),
+            F.col("w2").alias("rhs"),
+            "pair_count",
+            "score_q",
+        )
+        merges = ranked if merges is None else merges.unionByName(ranked)
+        vocab = vocab.crossJoin(F.broadcast(best.select("w1", "w2"))).select(
+            "word",
+            F.expr(
+                "replace(s, '|' || w1 || '||' || w2 || '|',"
+                " '|' || w1 || w2 || '|')"
+            ).alias("s"),
+            "freq",
+        )
+        if checkpoint_rounds and rank < num_merges:
+            vocab = vocab.localCheckpoint(eager=True)
+    return vocab, merges
+
+
+def wordpiece_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+    top_words: int = 20_000,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Train WordPiece merges (likelihood objective — see
+    :func:`_wordpiece_chain`); returns the learned merge table
+    (merge_rank, lhs, rhs, pair_count, score_q) in order."""
+    _, merges = _wordpiece_chain(
+        df, text_col, num_merges, top_words, checkpoint_rounds
+    )
+    return merges.orderBy("merge_rank")
+
+
+def wordpiece_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 6,
+    top_words: int = 20_000,
+    max_word_len: int = 8,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Encode the corpus with WordPiece's OWN encoder: greedy
+    longest-match-first (MaxMatch) against the trained piece vocabulary
+    — NOT merge replay (that is BPE's apply). Expressed declaratively
+    over the full composition lattice (parts up to ``max_word_len``):
+    among the compositions whose pieces are all in the vocabulary, the
+    MaxMatch segmentation is the one with lexicographically-largest
+    part-length sequence — longest first piece, then longest second
+    piece, … — with backtracking (the MaxMatch variant that always
+    finds a valid segmentation when one exists, instead of emitting
+    [UNK] like BERT's encoder; words with no valid segmentation, or
+    longer than ``max_word_len``, take the per-char fallback).
+
+    Per document: n_words, n_wordpiece_tokens, n_chars,
+    chars_per_token — same contract as the BPE/unigram encode twins.
+    Scale: training is the BPE shape; encoding is one corpus scan +
+    ONE broadcast join against the capped (word → n_parts) table.
+    """
+    vocab, _ = _wordpiece_chain(
+        df, text_col, num_merges, top_words, checkpoint_rounds
+    )
+    syms = F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
+    pv = (
+        vocab.select(F.explode(syms).alias("piece")).distinct()
+    )
+    words = vocab.select("word").where(F.length("word") <= max_word_len)
+
+    spark = df.sparkSession
+    comp_rows = [
+        (L, cid, starts, lens, n, "".join(str(k) for k in lens))
+        for (L, cid, starts, lens, n) in unigram_compositions(
+            max_word_len, max_word_len
+        )
+    ]
+    comps = spark.createDataFrame(
+        comp_rows,
+        "word_len int, comp_id int, starts array<int>, lens array<int>, "
+        "n_parts int, lens_key string",
+    )
+    cand = (
+        words.join(F.broadcast(comps), F.length("word") == F.col("word_len"))
+        .select(
+            "word",
+            "comp_id",
+            "n_parts",
+            "lens_key",
+            F.explode(F.arrays_zip("starts", "lens")).alias("z"),
+        )
+        .select(
+            "word",
+            "comp_id",
+            "n_parts",
+            "lens_key",
+            F.expr("substring(word, z.starts, z.lens)").alias("piece"),
+        )
+    )
+    valid = (
+        cand.join(F.broadcast(pv), "piece")
+        .groupBy("word", "comp_id")
+        .agg(
+            F.count("*").alias("got"),
+            F.min("n_parts").alias("n_parts"),
+            F.min("lens_key").alias("lens_key"),
+        )
+        .where(F.col("got") == F.col("n_parts"))
+    )
+    # MaxMatch: lexicographically-largest part-length key. Distinct
+    # compositions have distinct keys (equal sums forbid prefixes), so
+    # no further tie-break is needed.
+    lut = (
+        valid.groupBy("word")
+        .agg(F.max(F.struct("lens_key", "n_parts")).alias("b"))
+        .select("word", F.col("b.n_parts").alias("n_parts"))
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    per_word = doc_words.join(F.broadcast(lut), "word", "left").select(
+        id_col,
+        F.coalesce(F.col("n_parts").cast("long"), F.length("word").cast("long"))
+        .alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_toks").cast("long").alias("n_wordpiece_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
+        ).alias("chars_per_token"),
+    )

@@ -17,6 +17,17 @@ from pg_logical_replication_spark.operators import similarity as S
 from pg_logical_replication_spark.operators import text as TX
 from pg_logical_replication_spark.plans.registry import register, t
 
+def _mat(sql: str) -> str:
+    """Force MATERIALIZED on every chain CTE: DuckDB's planner inlines
+    some multiply-referenced CTEs, re-evaluating each chain level at
+    every reference — the 6-round WordPiece train oracle measured
+    365 s -> 0.1 s at sf0.01 with the hint. Values are unchanged (a
+    materialization hint, not a semantic one)."""
+    import re as _re
+
+    return _re.sub(r"(\n    \w+ AS) \(", r"\1 MATERIALIZED (", sql)
+
+
 # DuckDB building blocks mirroring operators/dedup.py expressions
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 _SHINGLES = (
@@ -2929,7 +2940,7 @@ def _unigram_chain_sql(
 
 def _unigram_train_oracle(top_out: int = 30) -> str:
     parts, last = _unigram_chain_sql()
-    return (
+    return _mat(
         "WITH" + ",".join(parts)
         + f"""
     SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt, cost
@@ -2940,7 +2951,7 @@ def _unigram_train_oracle(top_out: int = 30) -> str:
 
 def _unigram_encode_oracle() -> str:
     parts, last = _unigram_chain_sql(extra_estep=True)
-    return (
+    return _mat(
         "WITH" + ",".join(parts)
         + f""",
     ulut AS (SELECT word, n_parts FROM ubest{last}),
@@ -3058,3 +3069,150 @@ def q_corpus_doremi_weights(spark, sf_dir):
     proxy model finds hardest, the data-mixing complement of UniMax's
     supply-driven allocation (q_corpus_unimax_alloc)."""
     return TX.doremi_weights(t(spark, sf_dir, "documents"))
+
+
+def _wordpiece_chain_sql(num_merges: int, top_words: int) -> list[str]:
+    """Unrolled WordPiece training CTEs (pattern: _bpe_chain_sql, with
+    the likelihood-score argmax instead of the frequency argmax).
+    Produces wwords, wv1..wv{N+1}, wsy/wp/wb per round."""
+    parts = [
+        f"""
+    wwords AS (SELECT w AS word, COUNT(*) AS freq
+               FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                      '[a-z]+')) AS w
+                     FROM documents)
+               GROUP BY 1 ORDER BY freq DESC, word LIMIT {top_words}),
+    wv1 AS (SELECT word,
+                   '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s,
+                   freq
+            FROM wwords)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""
+    wsy{r} AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS c
+               FROM (SELECT unnest(list_filter(string_split(s, '||'),
+                                               x -> x <> '')) AS sym, freq
+                     FROM wv{r})
+               GROUP BY 1),
+    wp{r} AS (SELECT syms[i] AS w1, syms[i+1] AS w2,
+                     CAST(SUM(freq) AS BIGINT) AS pair_count
+              FROM (SELECT list_filter(string_split(s, '||'),
+                                       x -> x <> '') AS syms, freq
+                    FROM wv{r}) t,
+                   UNNEST(range(1, len(syms))) AS u(i)
+              WHERE len(syms) >= 2
+              GROUP BY 1, 2),
+    wb{r} AS (SELECT w1, w2, pair_count,
+                     CAST((pair_count * 1048576) // (sl.c * sr.c)
+                          AS BIGINT) AS score_q
+              FROM wp{r} JOIN wsy{r} sl ON w1 = sl.sym
+                         JOIN wsy{r} sr ON w2 = sr.sym
+              ORDER BY score_q DESC, w1, w2 LIMIT 1),
+    wv{r + 1} AS (SELECT word,
+                         replace(s, '|' || b.w1 || '||' || b.w2 || '|',
+                                 '|' || b.w1 || b.w2 || '|') AS s, freq
+                  FROM wv{r} CROSS JOIN wb{r} b)""")
+    return parts
+
+
+def _wordpiece_oracle(num_merges: int = 6, top_words: int = 20_000) -> str:
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, w1 AS lhs, w2 AS rhs, pair_count, "
+        f"score_q FROM wb{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return _mat(
+        "WITH" + ",".join(_wordpiece_chain_sql(num_merges, top_words))
+        + f"\n    SELECT * FROM ({sel}) ORDER BY merge_rank"
+    )
+
+
+def _wordpiece_encode_oracle(
+    num_merges: int = 6, top_words: int = 20_000, max_word_len: int = 8
+) -> str:
+    vals = ",".join(
+        "({},{},{},{},{},'{}')".format(
+            L, cid, starts, lens, n, "".join(str(k) for k in lens)
+        ).replace(" ", "")
+        for (L, cid, starts, lens, n) in TX.unigram_compositions(
+            max_word_len, max_word_len
+        )
+    )
+    parts = _wordpiece_chain_sql(num_merges, top_words)
+    parts.append(f"""
+    wpv AS (SELECT DISTINCT sym AS piece
+            FROM (SELECT unnest(list_filter(string_split(s, '||'),
+                                            x -> x <> '')) AS sym
+                  FROM wv{num_merges + 1})),
+    wcomps(word_len, comp_id, starts, lens, n_parts, lens_key)
+        AS (VALUES {vals}),
+    wcand AS (SELECT w.word, c.comp_id, c.n_parts, c.lens_key,
+                     substr(w.word, c.starts[j], c.lens[j]) AS piece
+              FROM (SELECT word FROM wwords
+                    WHERE length(word) <= {max_word_len}) w, wcomps c,
+                   UNNEST(range(1, c.n_parts + 1)) AS u(j)
+              WHERE length(w.word) = c.word_len),
+    wvalid AS (SELECT word, comp_id, COUNT(*) AS got,
+                      MIN(n_parts) AS n_parts, MIN(lens_key) AS lens_key
+               FROM wcand JOIN wpv USING (piece)
+               GROUP BY 1, 2),
+    wlut AS (SELECT word, n_parts
+             FROM (SELECT word, n_parts,
+                          ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY lens_key DESC) AS rn
+                   FROM wvalid WHERE got = n_parts)
+             WHERE rn = 1),
+    wdw AS (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)""")
+    return _mat(
+        "WITH" + ",".join(parts)
+        + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(l.n_parts, length(wdw.word))) AS BIGINT)
+               AS n_wordpiece_tokens,
+           CAST(SUM(length(wdw.word)) AS BIGINT) AS n_chars,
+           ROUND(SUM(length(wdw.word))
+                 / SUM(COALESCE(l.n_parts, length(wdw.word))), 6)
+               AS chars_per_token
+    FROM wdw LEFT JOIN wlut l ON wdw.word = l.word
+    GROUP BY doc_id
+    """
+    )
+
+
+@register(
+    "q_text_wordpiece_train",
+    _wordpiece_oracle(6, 20_000),
+    "WordPiece tokenizer TRAINING (Schuster & Nakajima 2012, the BERT "
+    "tokenizer's trainer — the THIRD tokenizer family next to BPE and "
+    "unigram): same capped word table and provably-greedy double-pipe "
+    "merge application as BPE, but merges are selected by the "
+    "likelihood objective score = c(pair)/(c(lhs)·c(rhs)), quantized "
+    "to the exact integer (c_pair << 20) DIV (c_lhs·c_rhs) so the "
+    "argmax is int64-exact cross-engine; each round is two vocab-sized "
+    "aggregations + broadcast joins, corpus touched once",
+)
+def q_text_wordpiece_train(spark, sf_dir):
+    """See operators/text.py:wordpiece_train_merges."""
+    return TX.wordpiece_train_merges(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_wordpiece_encode",
+    _wordpiece_encode_oracle(6, 20_000, 8),
+    "WordPiece ENCODING with WordPiece's own algorithm — greedy "
+    "longest-match-first (MaxMatch) against the trained piece "
+    "vocabulary, not merge replay: over the full composition lattice, "
+    "the MaxMatch segmentation is the lexicographically-largest "
+    "part-length sequence among vocab-valid compositions (backtracking "
+    "variant; unsegmentable or >8-char words fall back to per-char "
+    "tokens); one corpus scan + ONE broadcast join against the capped "
+    "(word -> n_parts) table",
+)
+def q_text_wordpiece_encode(spark, sf_dir):
+    """See operators/text.py:wordpiece_encode_stats — completes the
+    train+apply lifecycle for all THREE tokenizer families (BPE,
+    unigram, WordPiece)."""
+    return TX.wordpiece_encode_stats(t(spark, sf_dir, "documents"))

@@ -288,3 +288,92 @@ def test_doremi_weights_semantics(spark):
     assert out["easy"]["weight_bp"] == 0
     total_bp = sum(r["weight_bp"] for r in out.values())
     assert total_bp <= 10000
+
+
+# ------------------------------------------------- WordPiece tokenizer
+def test_wordpiece_maxmatch_matches_greedy_longest_first(spark):
+    """The lattice max-lex rule must equal classic greedy
+    longest-match-first wherever plain greedy succeeds (first piece is
+    the longest vocab prefix, then recurse), and must still find a
+    valid segmentation by backtracking where plain greedy dead-ends."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    # vocab engineered so 'abcd' breaks plain greedy: longest prefix
+    # 'abc' leaves 'd' ∉ V, but 'ab'+'cd' is valid -> backtracking
+    docs = spark.createDataFrame(
+        [(0, "ab cd abc abcd abab cdcd abcabc")],
+        "doc_id long, text string",
+    )
+    vocab, _ = TX._wordpiece_chain(
+        docs, "text", num_merges=4, top_words=100, checkpoint_rounds=False
+    )
+    pieces = {
+        p
+        for r in vocab.collect()
+        for p in r["s"].split("||")
+        if p
+    }
+
+    def greedy(word):
+        toks, i = [], 0
+        while i < len(word):
+            for k in range(len(word) - i, 0, -1):
+                if word[i:i + k] in pieces:
+                    toks.append(word[i:i + k])
+                    i += k
+                    break
+            else:
+                return None
+        return toks
+
+    def maxmatch(word):
+        # reference: max lexicographic part-length sequence over valid
+        best = None
+        def rec(i, lens):
+            nonlocal best
+            if i == len(word):
+                if best is None or lens > best:
+                    best = list(lens)
+                return
+            for k in range(len(word) - i, 0, -1):
+                if word[i:i + k] in pieces:
+                    rec(i + k, lens + [k])
+        rec(0, [])
+        return best
+
+    enc = {
+        r["doc_id"]: r
+        for r in TX.wordpiece_encode_stats(
+            docs, num_merges=4, top_words=100, checkpoint_rounds=False
+        ).collect()
+    }
+    words = "ab cd abc abcd abab cdcd abcabc".split()
+    expect = 0
+    for w in words:
+        mm = maxmatch(w)
+        g = greedy(w)
+        if g is not None:
+            assert mm == [len(p) for p in g], (w, mm, g)
+        expect += len(mm) if mm else len(w)
+    assert enc[0]["n_wordpiece_tokens"] == expect
+    assert enc[0]["n_words"] == len(words)
+
+
+def test_wordpiece_score_prefers_cohesive_pairs(spark):
+    """The likelihood objective must out-rank raw frequency: a pair
+    whose parts appear ONLY together (q+u) beats a more frequent pair
+    of individually-common symbols (t+h in 'the'/'that'/'th') — the
+    defining difference from BPE's frequency argmax."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    # ('this' avoided: its (i,s) pair would TIE (q,u) at 6/(6*6))
+    text = " ".join(["the that thee then them"] * 6 + ["qu ququ"] * 2)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wp = TX.wordpiece_train_merges(
+        docs, num_merges=1, top_words=100, checkpoint_rounds=False
+    ).collect()
+    bpe = TX.bpe_train_merges(
+        docs, num_merges=1, top_words=100, checkpoint_rounds=False
+    ).collect()
+    assert (bpe[0]["lhs"], bpe[0]["rhs"]) == ("t", "h")
+    assert (wp[0]["lhs"], wp[0]["rhs"]) == ("q", "u")
