@@ -76,6 +76,9 @@ HEADLINE = [
     # this session: the unigram tokenizer lifecycle (lattice-join EM)
     "q_text_unigram_train",
     "q_text_unigram_encode",
+    # named corpus governance: Gopher A1.2 + CCNet buckets + WordPiece
+    "q_text_gopher_repetition",
+    "q_corpus_ccnet_buckets",
     "q_text_wordpiece_train",
 ]
 

@@ -1821,3 +1821,230 @@ def wordpiece_encode_stats(
             F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ------------------------------------------- Gopher repetition (A1.2)
+GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_repetition_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher REPETITION rules (Rae et al. 2021,
+    appendix A1.2) — the second half of the named Gopher filter next
+    to :func:`gopher_quality_filter` (A1.1). Per document:
+
+    * duplicate line / paragraph fraction <= 30%
+    * duplicate line / paragraph CHARACTER fraction <= 20%
+    * top word-{2,3,4}-gram character fraction <= 20/18/16%
+    * duplicate word-{5..10}-gram character fraction <= 15..10%
+
+    Character-fraction convention (documented deterministic variant,
+    the occurrence-weighted form most public reimplementations use):
+    "characters in duplicated n-grams" = sum over grams with count>=2
+    of count x gram-length; "characters in the top n-gram" =
+    top-count x gram-length, counted only when the top gram occurs at
+    least TWICE (a gram seen once is not repetition — without the
+    guard every short document fails on its first 2-gram);
+    denominator = length(text). Overlapping
+    occurrences may double-count characters, so a fraction can exceed
+    1 — thresholds compare as exact integer cross-multiplications
+    (chars x 100 <= pct x n_chars) so the contract is int64-exact
+    cross-engine; the reported fractions ride along rounded. Top-gram
+    ties break to the lexicographically LARGEST gram (max over
+    (count, gram) structs — deterministic both engines).
+
+    Scale: line/paragraph stats are pure array expressions (zero
+    shuffle, O(L^2) within-row on the handful of lines per doc). The
+    n-gram stats are ONE explode producing ~9x-words (n, gram) rows,
+    one map-side-combined groupBy(doc, n, gram), a tiny per-(doc, n)
+    rollup, and a doc-keyed join back — no corpus text ever shuffles,
+    only grams.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        tokens_expr(text_col).alias("tk"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+    # ---- line / paragraph duplicate stats: array expressions only
+    def _segs(sep: str) -> Column:
+        return F.filter(
+            F.split(F.col("_t"), sep), lambda x: F.trim(x) != ""
+        )
+
+    def _seg_cols(segs: Column, pfx: str) -> list[Column]:
+        n = F.size(segs)
+        nd = F.size(F.array_distinct(segs))
+        tot = F.aggregate(
+            segs, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dup = F.aggregate(
+            segs,
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.when(
+                F.size(F.filter(segs, lambda y: y == x)) >= 2, F.length(x)
+            ).otherwise(F.lit(0)),
+        )
+        return [
+            n.cast("long").alias(f"_{pfx}_n"),
+            nd.cast("long").alias(f"_{pfx}_nd"),
+            tot.alias(f"_{pfx}_tot"),
+            dup.alias(f"_{pfx}_dup"),
+        ]
+
+    seg = base.select(
+        F.col(id_col),
+        "n_chars",
+        *_seg_cols(_segs("\n"), "ln"),
+        *_seg_cols(_segs("\n\n"), "pg"),
+    )
+
+    # ---- n-gram stats: one explode over all n in [2, 10]
+    # guarded index list: slice(sequence(1, max(cnt,1)), 1, max(cnt,0))
+    # is [1..cnt] when cnt >= 1 and [] otherwise (sequence alone would
+    # generate a DESCENDING run for cnt < 1)
+    grams_expr = F.expr(
+        "flatten(transform(sequence(2, 10), n -> transform("
+        " slice(sequence(1, greatest(size(tk) - n + 1, 1)),"
+        "       1, greatest(size(tk) - n + 1, 0)),"
+        " i -> named_struct('n', n, 'gram',"
+        "                   concat_ws(' ', slice(tk, i, n))))))"
+    )
+    grams = base.select(F.col(id_col), F.explode(grams_expr).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    cnt = grams.groupBy(id_col, "n", "gram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    # one conditional aggregation straight off the (doc, n, gram)
+    # counts — (doc, n) is a refinement of (doc), so a separate per-n
+    # rollup would only add an exchange
+    def _top_chars(k: int) -> Column:
+        best = F.max(F.when(F.col("n") == k, F.struct("c", "gram")))
+        return F.when(
+            best["c"] >= 2, best["c"] * F.length(best["gram"])
+        ).otherwise(F.lit(0)).cast("long")
+
+    wide = cnt.groupBy(id_col).agg(
+        *[
+            _top_chars(k).alias(f"_top{k}")
+            for k in GOPHER_TOP_NGRAM_PCT
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("n") == k) & (F.col("c") >= 2),
+                    F.col("c") * F.length("gram"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"_dup{k}")
+            for k in GOPHER_DUP_NGRAM_PCT
+        ],
+    )
+
+    j = seg.join(wide, id_col, "left")
+    frac_cols: list[Column] = []
+    checks: list[Column] = []
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.round(num.cast("double") / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    for pfx, out in (("ln", "line"), ("pg", "para")):
+        n, nd = F.col(f"_{pfx}_n"), F.col(f"_{pfx}_nd")
+        tot, dup = F.col(f"_{pfx}_tot"), F.col(f"_{pfx}_dup")
+        frac_cols.append(_frac(n - nd, n).alias(f"dup_{out}_frac"))
+        frac_cols.append(_frac(dup, tot).alias(f"dup_{out}_char_frac"))
+        checks.append((n - nd) * 100 <= 30 * n)
+        checks.append(dup * 100 <= 20 * F.greatest(tot, F.lit(1)))
+    for k, pct in GOPHER_TOP_NGRAM_PCT.items():
+        chars = F.coalesce(F.col(f"_top{k}"), F.lit(0))
+        frac_cols.append(_frac(chars, F.col("n_chars")).alias(f"top{k}_frac"))
+        checks.append(chars * 100 <= pct * F.col("n_chars"))
+    for k, pct in GOPHER_DUP_NGRAM_PCT.items():
+        chars = F.coalesce(F.col(f"_dup{k}"), F.lit(0))
+        frac_cols.append(_frac(chars, F.col("n_chars")).alias(f"dup{k}_frac"))
+        checks.append(chars * 100 <= pct * F.col("n_chars"))
+
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    return j.select(
+        F.col(id_col), F.col("n_chars"), *frac_cols,
+        passed.alias("gopher_rep_pass"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    **lm_kwargs,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data")
+    — the named step after language ID: score every document with a
+    language-model perplexity (here :func:`bigram_lm_score`'s exact
+    integer surprisal, the KenLM stand-in), then split EACH LANGUAGE
+    into three equal-mass buckets by score; downstream pipelines keep
+    ``head`` (and often ``middle``) and drop ``tail``.
+
+    Cutoffs are VALUE-based, the paper's percentile-threshold form
+    (CCNet computes p33/p67 cutoffs then assigns by comparison), not
+    row-number NTILE: the per-language cutoff is the smallest
+    quantized score ``ppl_q = surprisal*1_000_000 DIV n_bigrams`` at
+    which the cumulative doc count reaches 1/3 (resp. 2/3) of the
+    language — exact integer logic (cum*3 >= total), ties-by-value all
+    land in the same bucket, so the contract needs no doc ordering.
+
+    Scale: LM train/score is :func:`bigram_lm_score` (capped broadcast
+    tables). Bucketing adds one map-side-combined histogram aggregate
+    over (lang, ppl_q), a per-language cumulative window over the
+    HISTOGRAM (|distinct scores| rows, not documents), and a broadcast
+    join of the per-language cutoff row — no corpus-sized sort.
+    Documents with fewer than 2 tokens have no bigrams and are absent,
+    matching the scorer.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(df, text_col, id_col, **lm_kwargs)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    j = scored.join(langs, id_col).select(
+        id_col,
+        "lang",
+        "n_bigrams",
+        "surprisal",
+        F.expr("surprisal * 1000000 DIV n_bigrams").alias("ppl_q"),
+    )
+    hist = j.groupBy("lang", "ppl_q").agg(F.count("*").alias("h"))
+    w = Window.partitionBy("lang").orderBy("ppl_q")
+    cum = hist.select(
+        "lang",
+        "ppl_q",
+        F.sum("h").over(w).alias("cum"),
+        F.sum("h").over(Window.partitionBy("lang")).alias("total"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("total"), F.col("ppl_q")))
+        .alias("head_cut"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("total"), F.col("ppl_q")))
+        .alias("tail_cut"),
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        F.col(id_col),
+        "lang",
+        "n_bigrams",
+        "surprisal",
+        "ppl_q",
+        F.when(F.col("ppl_q") <= F.col("head_cut"), F.lit("head"))
+        .when(F.col("ppl_q") <= F.col("tail_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -3216,3 +3216,179 @@ def q_text_wordpiece_encode(spark, sf_dir):
     train+apply lifecycle for all THREE tokenizer families (BPE,
     unigram, WordPiece)."""
     return TX.wordpiece_encode_stats(t(spark, sf_dir, "documents"))
+
+
+def _gopher_rep_oracle() -> str:
+    """DuckDB twin of operators/text.py:gopher_repetition_filter."""
+    top_pct = TX.GOPHER_TOP_NGRAM_PCT
+    dup_pct = TX.GOPHER_DUP_NGRAM_PCT
+    top_cols = ",\n           ".join(
+        f"MAX(CASE WHEN n = {k} THEN top_chars END) AS top{k}"
+        for k in top_pct
+    )
+    dup_cols = ",\n           ".join(
+        f"MAX(CASE WHEN n = {k} THEN dup_chars END) AS dup{k}"
+        for k in dup_pct
+    )
+    frac: list[str] = []
+    checks: list[str] = []
+    for pfx, out in (("ln", "line"), ("pg", "para")):
+        frac.append(
+            f"CASE WHEN {pfx}_n > 0 THEN ROUND(({pfx}_n - {pfx}_nd)"
+            f" / {pfx}_n, 6) ELSE 0.0 END AS dup_{out}_frac"
+        )
+        frac.append(
+            f"CASE WHEN {pfx}_tot > 0 THEN ROUND({pfx}_dup / {pfx}_tot, 6)"
+            f" ELSE 0.0 END AS dup_{out}_char_frac"
+        )
+        checks.append(f"({pfx}_n - {pfx}_nd) * 100 <= 30 * {pfx}_n")
+        checks.append(f"{pfx}_dup * 100 <= 20 * GREATEST({pfx}_tot, 1)")
+    for k, pct in top_pct.items():
+        frac.append(
+            f"CASE WHEN n_chars > 0 THEN ROUND(COALESCE(top{k}, 0)"
+            f" / n_chars, 6) ELSE 0.0 END AS top{k}_frac"
+        )
+        checks.append(f"COALESCE(top{k}, 0) * 100 <= {pct} * n_chars")
+    for k, pct in dup_pct.items():
+        frac.append(
+            f"CASE WHEN n_chars > 0 THEN ROUND(COALESCE(dup{k}, 0)"
+            f" / n_chars, 6) ELSE 0.0 END AS dup{k}_frac"
+        )
+        checks.append(f"COALESCE(dup{k}, 0) * 100 <= {pct} * n_chars")
+    frac_sql = ",\n           ".join(frac)
+    pass_sql = "\n             AND ".join(checks)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+             string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    seg AS (
+      SELECT doc_id, n_chars,
+             CAST(len(ls) AS BIGINT) AS ln_n,
+             CAST(len(list_distinct(ls)) AS BIGINT) AS ln_nd,
+             CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+                  AS BIGINT) AS ln_tot,
+             CAST(COALESCE(list_sum(list_transform(ls,
+                    x -> CASE WHEN len(list_filter(ls, y -> y = x)) >= 2
+                         THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS ln_dup,
+             CAST(len(ps) AS BIGINT) AS pg_n,
+             CAST(len(list_distinct(ps)) AS BIGINT) AS pg_nd,
+             CAST(COALESCE(list_sum(list_transform(ps, x -> length(x))), 0)
+                  AS BIGINT) AS pg_tot,
+             CAST(COALESCE(list_sum(list_transform(ps,
+                    x -> CASE WHEN len(list_filter(ps, y -> y = x)) >= 2
+                         THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS pg_dup
+      FROM (SELECT doc_id, n_chars,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS ls,
+                   list_filter(string_split(text, chr(10) || chr(10)),
+                               x -> trim(x) <> '') AS ps
+            FROM base)),
+    grams AS (
+      SELECT doc_id, n, array_to_string(tk[i:i+n-1], ' ') AS gram
+      FROM base, UNNEST(range(2, 11)) AS tn(n),
+           UNNEST(range(1, GREATEST(len(tk) - n + 2, 1))) AS ti(i)),
+    cnt AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+            FROM grams GROUP BY 1, 2, 3),
+    per_n AS (
+      SELECT doc_id, n,
+             MAX(CASE WHEN rn = 1 AND c >= 2
+                      THEN c * length(gram) ELSE 0 END) AS top_chars,
+             CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+                  AS BIGINT) AS dup_chars
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                        ORDER BY c DESC, gram DESC) AS rn FROM cnt)
+      GROUP BY 1, 2),
+    wide AS (
+      SELECT doc_id,
+           {top_cols},
+           {dup_cols}
+      FROM per_n GROUP BY doc_id)
+    SELECT seg.doc_id, n_chars,
+           {frac_sql},
+           ({pass_sql}) AS gopher_rep_pass
+    FROM seg LEFT JOIN wide ON seg.doc_id = wide.doc_id
+    """
+
+
+@register(
+    "q_text_gopher_repetition",
+    _gopher_rep_oracle(),
+    "the published Gopher REPETITION rules (Rae et al. 2021 A1.2 — "
+    "the second half of the named Gopher filter): duplicate line / "
+    "paragraph fractions and character fractions, top-{2,3,4}-gram "
+    "and duplicated-{5..10}-gram character fractions, thresholds as "
+    "exact integer cross-multiplications; line stats are zero-shuffle "
+    "array expressions, n-gram stats ONE explode + map-side-combined "
+    "count — only grams shuffle, never documents",
+)
+def q_text_gopher_repetition(spark, sf_dir):
+    """See operators/text.py:gopher_repetition_filter."""
+    return TX.gopher_repetition_filter(t(spark, sf_dir, "documents"))
+
+
+_CCNET_SCORE_CTES = f"""
+    toks AS (SELECT doc_id,
+                    list_transform({_TOKS}, x -> lower(x)) AS tk
+             FROM documents),
+    pairs AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+              FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+              WHERE len(tk) >= 2),
+    ref AS (SELECT w1, w2 FROM pairs WHERE doc_id % 10 = 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rn
+           FROM ref GROUP BY 1, 2),
+    c2k AS (SELECT w1, w2, c2 FROM c2 WHERE rn <= 50000),
+    c1 AS (SELECT w1, COUNT(*) AS c1,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1) AS rn
+           FROM ref GROUP BY 1),
+    c1k AS (SELECT w1, c1 FROM c1 WHERE rn <= 20000),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM ref),
+    q AS (SELECT p.doc_id,
+                 GREATEST((COALESCE(u.c1, 0) + v.v) // (COALESCE(b.c2, 0) + 1),
+                          1) AS quo
+          FROM pairs p
+          LEFT JOIN c2k b ON p.w1 = b.w1 AND p.w2 = b.w2
+          LEFT JOIN c1k u ON p.w1 = u.w1
+          CROSS JOIN v),
+    doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(length(bin(quo)) - 1) AS BIGINT) AS surprisal
+            FROM q GROUP BY 1)"""
+
+
+@register(
+    "q_corpus_ccnet_buckets",
+    f"""
+    WITH {_CCNET_SCORE_CTES},
+    j AS (SELECT d.doc_id, docs.lang, d.n_bigrams, d.surprisal,
+                 CAST(d.surprisal * 1000000 // d.n_bigrams AS BIGINT)
+                   AS ppl_q
+          FROM doc d JOIN documents docs ON d.doc_id = docs.doc_id),
+    hist AS (SELECT lang, ppl_q, COUNT(*) AS h FROM j GROUP BY 1, 2),
+    cum AS (SELECT lang, ppl_q,
+                   SUM(h) OVER (PARTITION BY lang ORDER BY ppl_q) AS cum,
+                   SUM(h) OVER (PARTITION BY lang) AS total
+            FROM hist),
+    cuts AS (SELECT lang,
+                    MIN(CASE WHEN cum * 3 >= total THEN ppl_q END)
+                      AS head_cut,
+                    MIN(CASE WHEN cum * 3 >= 2 * total THEN ppl_q END)
+                      AS tail_cut
+             FROM cum GROUP BY 1)
+    SELECT j.doc_id, j.lang, j.n_bigrams, j.surprisal, j.ppl_q,
+           CASE WHEN j.ppl_q <= c.head_cut THEN 'head'
+                WHEN j.ppl_q <= c.tail_cut THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN cuts c ON j.lang = c.lang
+    """,
+    "CCNet head/middle/tail bucketing (Wenzek et al. 2020 — the named "
+    "per-language perplexity split after language ID): bigram-LM "
+    "integer surprisal scores (the KenLM stand-in, exact cross-"
+    "engine), per-language equal-mass cutoffs computed VALUE-wise "
+    "from a (lang, score) histogram — cumulative window over the "
+    "histogram, not a corpus-sized NTILE sort — then one broadcast "
+    "cutoff join assigns buckets",
+)
+def q_corpus_ccnet_buckets(spark, sf_dir):
+    """See operators/text.py:ccnet_perplexity_buckets."""
+    return TX.ccnet_perplexity_buckets(t(spark, sf_dir, "documents"))

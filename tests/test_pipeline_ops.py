@@ -2,6 +2,8 @@
 parity tests cover the bulk path on driver data; these pin the corners).
 """
 
+import pytest
+
 from pg_logical_replication_spark.operators.dedup import contamination
 from pg_logical_replication_spark.operators.packing import pack_sequences
 from pg_logical_replication_spark.operators.text import pii_scrub, repetition_stats
@@ -377,3 +379,60 @@ def test_wordpiece_score_prefers_cohesive_pairs(spark):
     ).collect()
     assert (bpe[0]["lhs"], bpe[0]["rhs"]) == ("t", "h")
     assert (wp[0]["lhs"], wp[0]["rhs"]) == ("q", "u")
+
+
+# ------------------------------------------- Gopher A1.2 / CCNet
+def test_gopher_repetition_line_and_ngram_rules(spark):
+    """Crafted docs pin each rule family: duplicate lines/paragraphs,
+    top-n-gram coverage, duplicated-5-gram coverage."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            # 3/5 duplicate lines (0.4 > 0.3) -> fails line rule
+            (0, "dup line\ndup line\nunique one\n\npara\n\npara"),
+            # one dominant bigram -> fails top-2-gram coverage
+            (1, "a b a b a b a b a b c d e f g h"),
+            # clean: no repetition anywhere
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           TX.gopher_repetition_filter(docs).collect()}
+    assert not out[0]["gopher_rep_pass"]
+    assert out[0]["dup_line_frac"] == 0.4
+    assert out[0]["dup_para_frac"] == pytest.approx(0.333333)
+    assert not out[1]["gopher_rep_pass"]
+    assert out[1]["top2_frac"] > 0.2
+    assert out[1]["dup5_frac"] > 0.15  # overlapping occurrences >1 ok
+    assert out[2]["gopher_rep_pass"]
+    assert out[2]["dup5_frac"] == 0.0
+
+
+def test_ccnet_buckets_equal_mass_and_ordering(spark):
+    """Per language: buckets are ordered by score (max(head) <=
+    min(middle) <= ... value-wise) and each holds >= 1/3 of the docs
+    up to value ties; every scored doc is assigned exactly once."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    rows = []
+    # two languages x 30 docs with varying repetition -> score spread
+    for lang in ("en", "fr"):
+        for i in range(30):
+            doc_id = (0 if lang == "en" else 1000) + i
+            words = ["w%d" % (j % (i + 1)) for j in range(40)]
+            rows.append((doc_id, lang, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = TX.ccnet_perplexity_buckets(docs).collect()
+    assert len(out) == 60
+    for lang in ("en", "fr"):
+        by_bucket = {}
+        for r in out:
+            if r["lang"] == lang:
+                by_bucket.setdefault(r["bucket"], []).append(r["ppl_q"])
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+        # head reaches at least 1/3 of the language's mass
+        assert len(by_bucket["head"]) * 3 >= 30
