@@ -146,14 +146,14 @@ def _clusters_cte(num_hashes: int = 8, band_size: int = 2, iters: int = 6) -> st
 
 
 def _clusters_oracle(num_hashes: int = 8, band_size: int = 2, iters: int = 6) -> str:
-    return f"""{_clusters_cte(num_hashes, band_size, iters)}
+    return _mat(f"""{_clusters_cte(num_hashes, band_size, iters)}
     SELECT label AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM lab{iters} GROUP BY label HAVING COUNT(*) > 1
-    """
+    """)
 
 
 def _keep_best_oracle(iters: int = 6) -> str:
-    return f"""{_clusters_cte(iters=iters)},
+    return _mat(f"""{_clusters_cte(iters=iters)},
     scored AS (SELECT d.doc_id, d.lang, d.n_chars,
                       COALESCE(l.label, d.doc_id) AS label
                FROM documents d
@@ -169,7 +169,7 @@ def _keep_best_oracle(iters: int = 6) -> str:
            CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
              AS chars_kept
     FROM ranked GROUP BY lang ORDER BY lang
-    """
+    """)
 
 
 @register(

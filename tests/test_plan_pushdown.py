@@ -289,3 +289,41 @@ def test_gopher_rules_scan_stage_only(spark):
     df = QUERIES["q_text_gopher_rules"].builder(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_gopher_repetition_three_exchanges_no_python(spark):
+    """A1.2's shape: line/paragraph stats are scan-stage array
+    expressions; the n-gram side is one (doc,n,gram) count exchange,
+    one doc rollup, one doc-keyed join — 3 exchanges, zero Python, and
+    the documents scan prunes to (doc_id, text)."""
+    df = QUERIES["q_text_gopher_repetition"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3, plan
+    assert "EvalPython" not in plan and "InMemoryTableScan" not in plan
+    scan = _scan_of(df, "documents")
+    assert "lang" not in scan.split("ReadSchema:")[1]
+
+
+def test_ccnet_cutoffs_window_runs_on_histogram_not_corpus(spark):
+    """CCNet's bucket cutoffs must come from the (lang, ppl_q)
+    HISTOGRAM window, never a corpus-sized per-language sort: the
+    Window operator's child must contain the histogram aggregate."""
+    df = QUERIES["q_corpus_ccnet_buckets"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert win, plan
+    below_first_window = "\n".join(lines[win[0]:])
+    # the histogram aggregate (count per (lang, ppl_q)) feeds the window
+    assert "HashAggregate" in below_first_window, plan
+    # and the cutoff join against the corpus-side broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_wordpiece_encode_single_broadcast_join_on_corpus_side(spark):
+    """WordPiece APPLY touches the corpus once: the (word -> n_parts)
+    LUT joins broadcast; no corpus-sized sort-merge join anywhere."""
+    df = QUERIES["q_text_wordpiece_encode"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
