@@ -2048,3 +2048,59 @@ def ccnet_perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer-fertility comparison across all THREE
+    trained tokenizer families — the selection table a tokenizer-
+    choice pipeline produces before committing a vocabulary: train BPE
+    (frequency argmax), unigram-LM (Viterbi under the EM-pruned
+    vocab), and WordPiece (likelihood argmax + MaxMatch) each on the
+    corpus itself, encode the corpus under each, and report per
+    language the corpus mass and each family's chars-per-token
+    compression (higher = fewer tokens for the same text = cheaper
+    training/inference for that language).
+
+    Scale: the three training chains each touch the corpus once for
+    their capped word table; encoding is three broadcast-LUT joins;
+    the final rollup groups by (lang) after a doc-level join of the
+    three per-doc stat tables — record-level columns only, text never
+    re-shuffles.
+    """
+    bpe = bpe_encode_stats(df, text_col, id_col).select(
+        id_col, "n_words", "n_chars", "n_bpe_tokens"
+    )
+    uni = unigram_encode_stats(df, text_col, id_col).select(
+        id_col, "n_unigram_tokens"
+    )
+    wp = wordpiece_encode_stats(df, text_col, id_col).select(
+        id_col, "n_wordpiece_tokens"
+    )
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    j = bpe.join(uni, id_col).join(wp, id_col).join(langs, id_col)
+
+    def _cpt(tok_col: str) -> Column:
+        return F.round(
+            F.sum("n_chars").cast("double") / F.sum(tok_col), 6
+        )
+
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("n_unigram_tokens").cast("long").alias("unigram_tokens"),
+            F.sum("n_wordpiece_tokens").cast("long").alias("wordpiece_tokens"),
+            _cpt("n_bpe_tokens").alias("bpe_chars_per_token"),
+            _cpt("n_unigram_tokens").alias("unigram_chars_per_token"),
+            _cpt("n_wordpiece_tokens").alias("wordpiece_chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -3392,3 +3392,49 @@ _CCNET_SCORE_CTES = f"""
 def q_corpus_ccnet_buckets(spark, sf_dir):
     """See operators/text.py:ccnet_perplexity_buckets."""
     return TX.ccnet_perplexity_buckets(t(spark, sf_dir, "documents"))
+
+
+def _fertility_oracle() -> str:
+    """Each family's full encode oracle nests as one MATERIALIZED CTE
+    (their chain-CTE names are disjoint by prefix, but nesting keeps
+    each family self-contained); the rollup joins the three per-doc
+    stat tables and groups by language."""
+    return f"""
+    WITH bpe AS MATERIALIZED ({_bpe_encode_oracle()}),
+    uni AS MATERIALIZED ({_unigram_encode_oracle()}),
+    wp AS MATERIALIZED ({_wordpiece_encode_oracle()})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(bpe.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(uni.n_unigram_tokens) AS BIGINT) AS unigram_tokens,
+           CAST(SUM(wp.n_wordpiece_tokens) AS BIGINT) AS wordpiece_tokens,
+           ROUND(SUM(bpe.n_chars) / SUM(bpe.n_bpe_tokens), 6)
+               AS bpe_chars_per_token,
+           ROUND(SUM(bpe.n_chars) / SUM(uni.n_unigram_tokens), 6)
+               AS unigram_chars_per_token,
+           ROUND(SUM(bpe.n_chars) / SUM(wp.n_wordpiece_tokens), 6)
+               AS wordpiece_chars_per_token
+    FROM documents d
+    JOIN bpe ON d.doc_id = bpe.doc_id
+    JOIN uni ON d.doc_id = uni.doc_id
+    JOIN wp ON d.doc_id = wp.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+@register(
+    "q_text_tokenizer_fertility",
+    _fertility_oracle(),
+    "per-language tokenizer-fertility table across all THREE trained "
+    "families (BPE frequency argmax, unigram-LM Viterbi, WordPiece "
+    "likelihood+MaxMatch): train each on the corpus, encode the "
+    "corpus under each, report per-language chars-per-token — the "
+    "vocabulary-selection step of a tokenizer pipeline; three capped "
+    "training chains + three broadcast-LUT encodes + one record-level "
+    "doc join, text never re-shuffles",
+)
+def q_text_tokenizer_fertility(spark, sf_dir):
+    """See operators/text.py:tokenizer_fertility."""
+    return TX.tokenizer_fertility(t(spark, sf_dir, "documents"))
