@@ -3438,3 +3438,56 @@ def _fertility_oracle() -> str:
 def q_text_tokenizer_fertility(spark, sf_dir):
     """See operators/text.py:tokenizer_fertility."""
     return TX.tokenizer_fertility(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_nb_langid",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang AS actual, lower(tk) AS token
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tk FROM documents)),
+    ref AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 10 = 0),
+    langs AS (SELECT DISTINCT actual AS lang FROM ref),
+    totals AS (SELECT actual AS lang, CAST(COUNT(*) AS BIGINT) AS t_lang
+               FROM ref GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM ref),
+    kept AS (SELECT token FROM (
+               SELECT token, COUNT(*) AS _tot,
+                      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                        AS rn
+               FROM ref GROUP BY 1) WHERE rn <= 20000),
+    model AS MATERIALIZED (
+      SELECT r.token, r.actual AS lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ref r JOIN kept k ON r.token = k.token
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT t.doc_id, t.actual, l.lang,
+             CAST(length(bin((tt.t_lang + v.v) // (COALESCE(m.c, 0) + 1)))
+                  - 1 AS BIGINT) AS bits
+      FROM toks t
+      CROSS JOIN langs l
+      LEFT JOIN model m ON t.token = m.token AND l.lang = m.lang
+      JOIN totals tt ON l.lang = tt.lang
+      CROSS JOIN v),
+    per_lang AS (SELECT doc_id, actual, lang,
+                        SUM(bits) AS total_bits
+                 FROM scored GROUP BY 1, 2, 3),
+    best AS (SELECT doc_id, actual, lang AS predicted
+             FROM (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY total_bits, lang) AS rn
+                   FROM per_lang)
+             WHERE rn = 1)
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "multinomial Naive-Bayes language ID TRAINED ON THE DATA (the "
+    "fastText/cc_net lang-id pattern's exact-arithmetic core): "
+    "per-language token counts from the doc_id%10 reference slice, "
+    "add-one-smoothed integer-log2 surprisal argmin per document, "
+    "reported as the actual-by-predicted confusion matrix; the model "
+    "is a top-K-capped broadcastable table, scoring is one token "
+    "explode + broadcast joins + map-side-combined rollups",
+)
+def q_text_nb_langid(spark, sf_dir):
+    """See operators/text.py:nb_langid."""
+    return TX.nb_langid(t(spark, sf_dir, "documents"))
