@@ -1746,3 +1746,103 @@ def decode_bmp_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         batches, schema=BMP_FEATURE_SCHEMA
     )
+
+
+def wav_frame_energies(assets: DataFrame, frame: int = 32) -> DataFrame:
+    """(asset_id, frame_idx, energy) — per-window integer PCM energy
+    (Σ sample²) from REAL WAV decode. Python touches bytes only for the
+    codec (Arrow-batched); everything downstream is Catalyst."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct as _struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                r = wave.open(io.BytesIO(bytes(buf)), "rb")
+                n = r.getnframes()
+                samples = _struct.unpack(f"<{n}h", r.readframes(n))
+                for f in range((n + frame - 1) // frame):
+                    rows.append(
+                        (
+                            aid,
+                            f,
+                            sum(
+                                s * s
+                                for s in samples[f * frame : (f + 1) * frame]
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "energy"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema="asset_id long, frame_idx int, energy long"
+    )
+
+
+def wav_vad_segments(
+    assets: DataFrame,
+    frame: int = 32,
+    threshold_num: int = 1,
+    threshold_den: int = 4,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the silence-trim
+    / utterance-split pass a speech-corpus pipeline runs before ASR or
+    TTS training: a frame is VOICED when its energy reaches
+    ``threshold_num/threshold_den`` of the asset's loudest frame
+    (integer cross-multiplied — exact), and voiced frames group into
+    maximal contiguous segments via the gaps-and-islands rule
+    (frame_idx − ROW_NUMBER over voiced frames).
+
+    Per asset: n_frames, n_voiced, n_segments, longest_segment,
+    first_voiced_frame. Decode is the only Python (codec necessity);
+    thresholding, islands, and rollup are whole-stage-codegen SQL —
+    the shape that scales to a million-hour corpus (everything keys on
+    asset_id; segments never leave the executors).
+    """
+    from pyspark.sql import Window
+
+    en = wav_frame_energies(assets, frame)
+    mx = en.groupBy("asset_id").agg(
+        F.max("energy").alias("_mx"),
+        F.count("*").cast("int").alias("n_frames"),
+    )
+    voiced = (
+        en.join(mx, "asset_id")
+        .where(
+            F.col("energy") * threshold_den >= F.col("_mx") * threshold_num
+        )
+        .select("asset_id", "frame_idx")
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("_grp")
+    segs = (
+        voiced.select("asset_id", "frame_idx", grp)
+        .groupBy("asset_id", "_grp")
+        .agg(
+            F.count("*").cast("int").alias("seg_len"),
+            F.min("frame_idx").alias("seg_start"),
+        )
+    )
+    roll = segs.groupBy("asset_id").agg(
+        F.sum("seg_len").cast("int").alias("n_voiced"),
+        F.count("*").cast("int").alias("n_segments"),
+        F.max("seg_len").cast("int").alias("longest_segment"),
+        F.min("seg_start").cast("int").alias("first_voiced_frame"),
+    )
+    return mx.select("asset_id", "n_frames").join(
+        roll, "asset_id", "left"
+    ).select(
+        "asset_id",
+        "n_frames",
+        F.coalesce("n_voiced", F.lit(0)).alias("n_voiced"),
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
+        F.col("first_voiced_frame"),
+    )

@@ -717,3 +717,57 @@ def q_mm_bmp_decode(spark, sf_dir):
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     assets = MM.synthesize_bmp_assets(docs)
     return MM.decode_bmp_features(assets)
+
+
+@register(
+    "q_mm_wav_vad_segments",
+    """
+    WITH spec AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
+                  FROM documents),
+    fr AS (SELECT doc_id, n,
+                  list_transform(
+                    generate_series(0, (n + 31) // 32 - 1),
+                    f -> list_sum(list_transform(
+                           generate_series(f * 32, least(n, (f + 1) * 32) - 1),
+                           i -> CAST((doc_id * 37 + i * 101) % 2001 - 1000
+                                AS BIGINT)
+                              * CAST((doc_id * 37 + i * 101) % 2001 - 1000
+                                AS BIGINT)))) AS sums
+           FROM spec),
+    en AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS frame_idx,
+                  sums[u.i] AS energy
+           FROM fr, UNNEST(generate_series(1, len(sums))) AS u(i)),
+    mx AS (SELECT doc_id, MAX(energy) AS mx,
+                  CAST(COUNT(*) AS INT) AS n_frames
+           FROM en GROUP BY 1),
+    v AS (SELECT en.doc_id, frame_idx
+          FROM en JOIN mx USING (doc_id)
+          WHERE energy * 4 >= mx * 1),
+    g AS (SELECT doc_id, frame_idx,
+                 frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY frame_idx) AS grp
+          FROM v),
+    segs AS (SELECT doc_id, grp, CAST(COUNT(*) AS INT) AS seg_len,
+                    MIN(frame_idx) AS seg_start
+             FROM g GROUP BY 1, 2)
+    SELECT mx.doc_id AS asset_id, mx.n_frames,
+           CAST(COALESCE(SUM(seg_len), 0) AS INT) AS n_voiced,
+           CAST(COUNT(segs.grp) AS INT) AS n_segments,
+           CAST(COALESCE(MAX(seg_len), 0) AS INT) AS longest_segment,
+           CAST(MIN(seg_start) AS INT) AS first_voiced_frame
+    FROM mx LEFT JOIN segs ON mx.doc_id = segs.doc_id
+    GROUP BY 1, 2
+    """,
+    "energy-threshold voice-activity segmentation over REAL decoded "
+    "PCM — the silence-trim / utterance-split pass before ASR/TTS "
+    "training: voiced = frame energy >= 1/4 of the asset's max "
+    "(integer cross-multiplied), maximal contiguous segments via "
+    "gaps-and-islands; decode is the only Python, thresholding and "
+    "islands are whole-stage-codegen SQL keyed on asset_id",
+)
+def q_mm_wav_vad_segments(spark, sf_dir):
+    """See operators/multimodal.py:wav_vad_segments."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    return MM.wav_vad_segments(MM.synthesize_wav_assets(docs))
