@@ -1846,3 +1846,83 @@ def wav_vad_segments(
         F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
         F.col("first_voiced_frame"),
     )
+
+
+def synthesize_g711_assets(documents: DataFrame) -> DataFrame:
+    """documents → REAL G.711 telephone-audio payloads
+    (``functions/g711.py``): RIFF/WAVE with format tag 7 (μ-law, even
+    doc_id) or 6 (A-law, odd doc_id) at 8 kHz — the container every
+    telephone-speech corpus (Switchboard/Fisher) ships in.
+
+    Closed-form source signal: n = 64 + doc_id % 192 samples,
+    sample[i] = ((doc_id·43 + i·89) mod 2001) − 1000. G.711 companding
+    is memoryless integer arithmetic, so the SQL oracle replays the
+    LOSSY decode(encode(s)) round-trip exactly.
+    """
+    from pg_logical_replication_spark.functions.g711 import encode_wav_g711
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 192
+                law = "ulaw" if did % 2 == 0 else "alaw"
+                samples = [((did * 43 + i * 89) % 2001) - 1000 for i in range(n)]
+                ids.append(did)
+                kinds.append("audio")
+                payloads.append(encode_wav_g711(samples, 8000, law))
+                metas.append(
+                    {
+                        "codec": law,
+                        "width": None,
+                        "height": None,
+                        "sample_rate": 8000,
+                        "duration_ms": (n * 1000) // 8000,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def g711_decode_features(assets: DataFrame) -> DataFrame:
+    """REAL G.711 decode executor-side: per asset the recovered-PCM
+    statistics (law, rate, count, sum, max |sample|) — every value
+    integer-exact against the closed-form companding oracle."""
+    from pg_logical_replication_spark.functions.g711 import decode_wav_g711
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                samples, rate, law = decode_wav_g711(bytes(buf))
+                rows.append(
+                    (
+                        aid,
+                        law,
+                        rate,
+                        len(samples),
+                        sum(samples),
+                        max(abs(s) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "law", "sample_rate", "n_samples",
+                    "sum_decoded", "max_abs_decoded",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches,
+        schema="asset_id long, law string, sample_rate int, "
+        "n_samples int, sum_decoded long, max_abs_decoded long",
+    )

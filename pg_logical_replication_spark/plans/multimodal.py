@@ -771,3 +771,64 @@ def q_mm_wav_vad_segments(spark, sf_dir):
 
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     return MM.wav_vad_segments(MM.synthesize_wav_assets(docs))
+
+
+@register(
+    "q_mm_g711_decode",
+    """
+    WITH spec AS (SELECT doc_id, CAST(64 + doc_id % 192 AS INT) AS n,
+                         doc_id % 2 = 0 AS is_ulaw
+                  FROM documents),
+    s AS (SELECT doc_id, n, is_ulaw,
+                 CAST((doc_id * 43 + u.i * 89) % 2001 - 1000 AS BIGINT) AS sv
+          FROM spec, UNNEST(generate_series(0, n - 1)) AS u(i)),
+    comp AS (SELECT doc_id, n, is_ulaw, sv,
+                    CASE WHEN is_ulaw
+                         THEN CASE WHEN sv >= 0 THEN sv // 4
+                              ELSE (3 - sv) // 4 END + 33
+                         ELSE CASE WHEN sv >= 0 THEN sv // 8
+                              ELSE (-sv - 1) // 8 END
+                    END AS pcm
+             FROM s),
+    seg AS (SELECT *,
+                   CASE WHEN is_ulaw
+                        THEN GREATEST(length(bin(pcm)) - 6, 0)
+                        ELSE GREATEST(length(bin(pcm)) - 5, 0)
+                   END AS sg
+            FROM comp),
+    dec AS (SELECT doc_id, n, is_ulaw,
+                   CASE WHEN is_ulaw THEN
+                     CASE WHEN sv >= 0 THEN 1 ELSE -1 END
+                     * ((((pcm >> (sg + 1)) & 15) * 8 + 132) * (1 << sg)
+                        - 132)
+                   ELSE
+                     CASE WHEN sv >= 0 THEN 1 ELSE -1 END
+                     * (CASE WHEN sg = 0
+                             THEN ((pcm >> 1) & 15) * 16 + 8
+                             ELSE (((pcm >> sg) & 15) * 16 + 264)
+                                  * (1 << (sg - 1)) END)
+                   END AS y
+            FROM seg)
+    SELECT doc_id AS asset_id,
+           CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(SUM(y) AS BIGINT) AS sum_decoded,
+           CAST(MAX(ABS(y)) AS BIGINT) AS max_abs_decoded
+    FROM dec GROUP BY 1, 2, 3, 4
+    """,
+    "REAL G.711 telephone-audio codec (functions/g711.py, the TENTH "
+    "real codec): mu-law and A-law companding per the Sun/CCITT "
+    "reference (pinned byte-equal to audioop over the full 16-bit "
+    "range), hand-rolled RIFF container with format tags 7/6. G.711 "
+    "is memoryless, so the oracle replays the LOSSY decode(encode(s)) "
+    "round-trip in closed-form integer SQL — segment via bin-length, "
+    "mantissa via shifts, both laws in one query",
+)
+def q_mm_g711_decode(spark, sf_dir):
+    """See operators/multimodal.py:synthesize_g711_assets /
+    g711_decode_features; codec cited to ITU-T G.711 (Sun g711.c)."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    return MM.g711_decode_features(MM.synthesize_g711_assets(docs))
