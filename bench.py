@@ -80,6 +80,10 @@ HEADLINE = [
     "q_text_gopher_repetition",
     "q_corpus_ccnet_buckets",
     "q_text_wordpiece_train",
+    # trained lang-id, audio analysis, the tenth codec
+    "q_text_nb_langid",
+    "q_mm_wav_vad_segments",
+    "q_mm_g711_decode",
 ]
 
 
