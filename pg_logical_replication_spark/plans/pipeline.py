@@ -3491,3 +3491,134 @@ def q_text_tokenizer_fertility(spark, sf_dir):
 def q_text_nb_langid(spark, sf_dir):
     """See operators/text.py:nb_langid."""
     return TX.nb_langid(t(spark, sf_dir, "documents"))
+
+
+_BQ_WORD = (
+    "CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+    "embedding[i + 1 + {off}] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT "
+    "END)) AS BIGINT)"
+)
+
+
+@register(
+    "q_ann_bq_topk",
+    f"""
+    WITH qc AS (SELECT vec_id AS q_id,
+                       {_BQ_WORD.format(off=0)} AS qw0,
+                       {_BQ_WORD.format(off=32)} AS qw1
+                FROM embeddings WHERE vec_id < 10),
+    cc AS (SELECT vec_id AS n_id,
+                  {_BQ_WORD.format(off=0)} AS cw0,
+                  {_BQ_WORD.format(off=32)} AS cw1
+           FROM embeddings),
+    cand AS (SELECT q_id, n_id,
+                    bit_count(xor(cw0, qw0)) + bit_count(xor(cw1, qw1))
+                      AS hamming
+             FROM cc CROSS JOIN qc WHERE n_id <> q_id),
+    short AS (SELECT q_id, n_id, hamming FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY hamming, n_id) AS r FROM cand)
+              WHERE r <= 100),
+    qv AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cv AS (SELECT vec_id AS n_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+    rer AS (SELECT s.q_id, s.n_id, s.hamming, {_COS} AS cosine
+            FROM short s JOIN cv ON s.n_id = cv.n_id
+                         JOIN qv ON s.q_id = qv.q_id)
+    SELECT q_id, n_id, CAST(hamming AS INT) AS hamming, cosine,
+           CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, n_id) AS rnk FROM rer)
+    WHERE rnk <= 5
+    """,
+    "binary-quantization ANN (the faiss/weaviate BQ recipe, 1 bit/dim "
+    "= 32x compression): sign-quantize, shortlist 20k-per-k candidates per "
+    "query by XOR+popcount Hamming over two packed 32-bit words "
+    "(carry-free power-of-two sums — bit-exact cross-engine), exact "
+    "float-cosine re-rank of the shortlist only; completes the "
+    "SQ8/PQ/BQ quantization family",
+)
+def q_ann_bq_topk(spark, sf_dir):
+    """See operators/similarity.py:bq_hamming_topk."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = spread_if_narrow(emb, spark)
+    out = S.bq_hamming_topk(
+        corpus, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "q_ann_bq_recall",
+    f"""
+    WITH qc AS (SELECT vec_id AS q_id,
+                       {_BQ_WORD.format(off=0)} AS qw0,
+                       {_BQ_WORD.format(off=32)} AS qw1
+                FROM embeddings WHERE vec_id < 10),
+    cc AS (SELECT vec_id AS n_id,
+                  {_BQ_WORD.format(off=0)} AS cw0,
+                  {_BQ_WORD.format(off=32)} AS cw1
+           FROM embeddings),
+    cand AS (SELECT q_id, n_id,
+                    bit_count(xor(cw0, qw0)) + bit_count(xor(cw1, qw1))
+                      AS hamming
+             FROM cc CROSS JOIN qc WHERE n_id <> q_id),
+    short AS (SELECT q_id, n_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY hamming, n_id) AS r FROM cand)
+              WHERE r <= 100),
+    qv AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cv AS (SELECT vec_id AS n_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+    rer AS (SELECT s.q_id, s.n_id, {_COS} AS cosine
+            FROM short s JOIN cv ON s.n_id = cv.n_id
+                         JOIN qv ON s.q_id = qv.q_id),
+    bq AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, n_id) AS rnk FROM rer)
+           WHERE rnk <= 5),
+    ex AS (SELECT q_id, n_id FROM (
+             SELECT qv.q_id, cv.n_id,
+                    ROW_NUMBER() OVER (PARTITION BY qv.q_id
+                      ORDER BY {_COS} DESC, cv.n_id) AS rnk
+             FROM cv CROSS JOIN qv WHERE cv.n_id <> qv.q_id)
+           WHERE rnk <= 5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_expected,
+           CAST(SUM(CASE WHEN bq.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           SUM(CASE WHEN bq.n_id IS NOT NULL THEN 1 ELSE 0 END) * 10
+             >= COUNT(*) * 5 AS recall_ok
+    FROM ex LEFT JOIN bq ON ex.q_id = bq.q_id AND ex.n_id = bq.n_id
+    """,
+    "BQ accuracy contract: recall@5 of the sign-bit shortlist+rerank "
+    "vs exact brute-force cosine must reach 0.5 — the oracle replays "
+    "shortlist, rerank, exact ranking, and the recall arithmetic "
+    "end-to-end",
+)
+def q_ann_bq_recall(spark, sf_dir):
+    """Recall gate for q_ann_bq_topk (pattern: q_ann_lsh_recall)."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = spread_if_narrow(emb, spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bq = S.bq_hamming_topk(corpus, queries, k=5).select("q_id", "n_id")
+    ex = S.cosine_topk(corpus, queries, k=5).select("q_id", "n_id")
+    return ex.join(
+        bq.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left"
+    ).agg(
+        F.count("*").cast("long").alias("n_expected"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10
+            >= F.count("*") * 5
+        ).alias("recall_ok"),
+    )
