@@ -3622,3 +3622,72 @@ def q_ann_bq_recall(spark, sf_dir):
             >= F.count("*") * 5
         ).alias("recall_ok"),
     )
+
+
+@register(
+    "q_ann_matryoshka_recall",
+    f"""
+    WITH qp AS (SELECT vec_id AS q_id,
+                       list_transform(embedding[1:16],
+                                      x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id < 10),
+    cp AS (SELECT vec_id AS n_id,
+                  list_transform(embedding[1:16],
+                                 x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+    pref AS (SELECT q_id, n_id FROM (
+               SELECT qp.q_id, cp.n_id,
+                      ROW_NUMBER() OVER (PARTITION BY qp.q_id
+                        ORDER BY {_COS} DESC, cp.n_id) AS rnk
+               FROM cp CROSS JOIN qp WHERE cp.n_id <> qp.q_id)
+             WHERE rnk <= 5),
+    qv AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cv AS (SELECT vec_id AS n_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+    ex AS (SELECT q_id, n_id FROM (
+             SELECT qv.q_id, cv.n_id,
+                    ROW_NUMBER() OVER (PARTITION BY qv.q_id
+                      ORDER BY {_COS} DESC, cv.n_id) AS rnk
+             FROM cv CROSS JOIN qv WHERE cv.n_id <> qv.q_id)
+           WHERE rnk <= 5)
+    SELECT CAST(16 AS INT) AS prefix_dims,
+           CAST(COUNT(*) AS BIGINT) AS n_expected,
+           CAST(SUM(CASE WHEN pref.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM ex LEFT JOIN pref ON ex.q_id = pref.q_id AND ex.n_id = pref.n_id
+    """,
+    "Matryoshka-style truncation eval (Kusupati et al. 2022 MRL): "
+    "top-5 cosine using only the FIRST 16 of 64 dimensions vs the "
+    "full-dimension exact ranking, reported as recall@5 — the "
+    "dimension-budget selection readout before serving truncated "
+    "embeddings (4x cheaper scans); prefix search is the same "
+    "broadcast-query scan shape reading 1/4 of each vector",
+)
+def q_ann_matryoshka_recall(spark, sf_dir):
+    """Prefix-vs-full recall via two cosine_topk runs over sliced and
+    full vectors (operators/similarity.py:cosine_topk). NOTE: these
+    synthetic embeddings are NOT MRL-trained, so the measured recall
+    is the untrained baseline the MRL paper improves on — the readout
+    shape is the deliverable."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    emb = t(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    corpus_p = spread_if_narrow(sliced, spark)
+    corpus_f = spread_if_narrow(emb, spark)
+    qp = sliced.filter(F.col("vec_id") < 10)
+    qf = emb.filter(F.col("vec_id") < 10)
+    pref = S.cosine_topk(corpus_p, qp, k=5).select("q_id", "n_id")
+    ex = S.cosine_topk(corpus_f, qf, k=5).select("q_id", "n_id")
+    return ex.join(
+        pref.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left"
+    ).agg(
+        F.lit(16).cast("int").alias("prefix_dims"),
+        F.count("*").cast("long").alias("n_expected"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+    )
