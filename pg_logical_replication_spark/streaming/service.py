@@ -356,6 +356,45 @@ class LogicalReplicationService:
         (≙ ``lastLsn()``, reference :65-68); None before any data."""
         return self._last_lsn.get(slot_name)
 
+    def slot_status(self, slot_name: str) -> dict:
+        """Monitoring readout ≙ what an operator reads from
+        ``pg_replication_slots`` / ``pg_stat_replication`` on a live
+        source: delivered position (``last_lsn``), acknowledged
+        position (``acked_lsn`` — the slot's ``confirmed_flush_lsn``
+        analogue), the newest durable WAL position in the event log
+        (frame-log form), and the byte lag between log head and
+        acknowledged position — the retention/alerting signal. Reads
+        durable state, so it works with no live query; ``active``
+        reflects the registered query handle.
+        """
+        from pg_logical_replication_spark.model import lsn_to_long
+
+        newest = None
+        try:  # text-line logs have no frame structure — lag unknown
+            from pg_logical_replication_spark.sources.transport import (
+                last_logged_lsn,
+            )
+
+            newest = last_logged_lsn(self.event_log_dir)
+        except Exception:
+            newest = None
+        acked = self._acked_lsn.get(slot_name)
+        lag = (
+            max(lsn_to_long(newest) - lsn_to_long(acked), 0)
+            if newest is not None and acked is not None
+            else None
+        )
+        q = self._queries.get(slot_name)
+        return {
+            "slot": slot_name,
+            "active": bool(q is not None and q.isActive),
+            "last_lsn": self._last_lsn.get(slot_name),
+            "acked_lsn": acked,
+            "newest_lsn": newest,
+            "lag_bytes": lag,
+            "has_checkpoint": os.path.exists(self._checkpoint(slot_name)),
+        }
+
     def replay_all(self, slot_name: str) -> None:
         """Drop the slot's checkpoint ⇒ next subscribe replays the whole
         log (≙ re-subscribing from ``0/00000000``,

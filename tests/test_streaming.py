@@ -745,3 +745,68 @@ def test_frames_pgoutput_unseen_relation_degrades_to_error_rows(
         assert got2[1]["table"] == "t"
     finally:
         q2.stop()
+
+
+def test_slot_status_lag_readout(spark, tmp_path):
+    """slot_status(): the pg_replication_slots-style monitoring
+    surface — delivered/acked positions, newest durable WAL position
+    in the frame log, and lag_bytes = log head − acked (clamped >= 0);
+    works with no live query and reflects ack progress."""
+    import json
+    import struct
+    import time
+
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    seg = os.path.join(log, "000001.seg")
+
+    def w2j_frame(rid, lsn_long):
+        payload = json.dumps({
+            "change": [{
+                "kind": "insert", "schema": "public", "table": "t",
+                "columnnames": ["id"], "columntypes": ["bigint"],
+                "columnvalues": [rid],
+            }],
+        }).encode()
+        return b"w" + struct.pack(">QQQ", lsn_long, lsn_long + 8, 0) + payload
+
+    with open(seg, "ab") as f:
+        for i in range(3):
+            write_frame(f, w2j_frame(i, 0x9000 + 8 * i))
+
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    # before any subscription: durable log head visible, nothing acked
+    st = svc.slot_status("s1")
+    assert st == {
+        "slot": "s1", "active": False, "last_lsn": None,
+        "acked_lsn": None, "newest_lsn": "00000000/00009010",
+        "lag_bytes": None, "has_checkpoint": False,
+    }
+
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), key_columns=["id"], table="t"
+    )
+    q = svc.subscribe(
+        "wal2json", "s1", tbl.writer(), available_now=False, source="frames"
+    )
+    try:
+        deadline = time.time() + 30
+        while svc.acked_lsn("s1") is None and time.time() < deadline:
+            time.sleep(0.1)
+        st = svc.slot_status("s1")
+        assert st["active"] and st["has_checkpoint"]
+        assert st["last_lsn"] == "00000000/00009010"
+        # ack = last + 1 (32-bit carry rule) -> head - acked clamps to 0
+        assert st["acked_lsn"] == "00000000/00009011"
+        assert st["newest_lsn"] == "00000000/00009010"
+        assert st["lag_bytes"] == 0
+    finally:
+        q.stop()
+    st = svc.slot_status("s1")
+    assert st["active"] is False and st["has_checkpoint"] is True
