@@ -810,3 +810,70 @@ def test_slot_status_lag_readout(spark, tmp_path):
         q.stop()
     st = svc.slot_status("s1")
     assert st["active"] is False and st["has_checkpoint"] is True
+
+
+def test_streaming_curation_quality_filter_on_live_stream(spark, tmp_path):
+    """Corpus curation ON the live CDC stream: frames → wal2json decode
+    → (doc_id, text) projection → gopher_quality_filter applied to the
+    UNBOUNDED DataFrame (all scan-stage expressions, so the same
+    operator runs batch and streaming unchanged) → memory sink. The
+    100 TB/day ingest shape: quality gating happens before anything is
+    materialized."""
+    import json
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.text import (
+        gopher_quality_filter,
+    )
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    texts = {
+        1: "the data " + "word stop and that with have to of be " * 8,
+        2: "tiny",  # fails word-count rule
+    }
+    with open(os.path.join(log, "000001.seg"), "ab") as f:
+        for rid, txt in texts.items():
+            payload = json.dumps({
+                "change": [{
+                    "kind": "insert", "schema": "public", "table": "docs",
+                    "columnnames": ["doc_id", "text"],
+                    "columntypes": ["bigint", "text"],
+                    "columnvalues": [rid, txt],
+                }],
+            }).encode()
+            lsn = 0x7000 + rid * 8
+            write_frame(
+                f, b"w" + struct.pack(">QQQ", lsn, lsn + 8, 0) + payload
+            )
+
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    events = svc.changes("wal2json", source="frames")
+    assert events.isStreaming
+    docs = events.where(F.col("op") == "insert").select(
+        F.col("after")["doc_id"].cast("long").alias("doc_id"),
+        F.col("after")["text"].alias("text"),
+    )
+    gated = gopher_quality_filter(docs)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["gopher_pass"] is False
+    assert rows[2]["n_words"] == 1
