@@ -877,3 +877,88 @@ def test_streaming_curation_quality_filter_on_live_stream(spark, tmp_path):
     assert rows[1]["gopher_pass"] is True
     assert rows[2]["gopher_pass"] is False
     assert rows[2]["n_words"] == 1
+
+
+def test_stream_near_dup_gate_minhash_bands(spark, tmp_path):
+    """streaming/dedup.py near-dup gate: a cross-batch NEAR-duplicate
+    (one word changed) loses at least one band to the original and is
+    flagged; an unrelated doc claims all bands and is novel. The
+    expression-form signature must agree with the batch groupBy path."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.dedup import (
+        minhash_bands, minhash_signature,
+    )
+    from pg_logical_replication_spark.streaming.dedup import (
+        minhash_bands_expr, near_dup_gate_rollup, stream_near_dup_gate,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    near = base.replace("dark", "cold")          # shares most shingles
+    other = ("completely different text about spark structured "
+             "streaming state stores and watermark eviction rules")
+
+    # --- agreement: expression-form band keys == batch explode/groupBy
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    expr_bands = {
+        (r["doc_id"], r["e"]["band_idx"], r["e"]["band_key"])
+        for r in docs.select(
+            "doc_id", F.explode(minhash_bands_expr()).alias("e")
+        ).select("doc_id", F.struct("e.band_idx", "e.band_key").alias("e"))
+        .collect()
+    }
+    batch_bands = {
+        (r["doc_id"], r["band_idx"], r["band_key"])
+        for r in minhash_bands(minhash_signature(docs)).collect()
+    }
+    assert expr_bands == batch_bands
+
+    # --- streaming gate across micro-batches
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batch(name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for rid, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": rid, "text": text, "ts": ts}) + "\n")
+
+    write_batch("b0.jsonl", [(1, base, "2024-01-01 00:00:00")])
+    verdicts = {}
+
+    def sink(df, _b):
+        for r in near_dup_gate_rollup(df, n_bands=4).collect():
+            verdicts[r["doc_id"]] = (r["n_claimed"], r["novel"])
+
+    stream = spark.readStream.schema(schema).json(d)
+    q = (
+        stream_near_dup_gate(stream, watermark="1 hour")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while 1 not in verdicts and time.time() < deadline:
+            time.sleep(0.1)
+        assert verdicts[1] == (4, True)  # first doc claims all 4 bands
+
+        write_batch("b1.jsonl", [
+            (2, near, "2024-01-01 00:10:00"),
+            (3, other, "2024-01-01 00:10:01"),
+        ])
+        while len(verdicts) < 3 and time.time() < deadline:
+            time.sleep(0.1)
+        n2, novel2 = verdicts[2]
+        assert not novel2 and n2 < 4   # near-dup lost band(s) to doc 1
+        assert verdicts[3] == (4, True)  # unrelated doc is novel
+    finally:
+        q.stop()
