@@ -84,6 +84,7 @@ HEADLINE = [
     "q_text_nb_langid",
     "q_mm_wav_vad_segments",
     "q_mm_g711_decode",
+    "q_ann_bq_topk",
 ]
 
 
