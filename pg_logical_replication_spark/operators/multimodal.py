@@ -1926,3 +1926,76 @@ def g711_decode_features(assets: DataFrame) -> DataFrame:
         schema="asset_id long, law string, sample_rate int, "
         "n_samples int, sum_decoded long, max_abs_decoded long",
     )
+
+
+def png_pixels(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode returning the raw greyscale pixel array —
+    the bridge from codec-Python to Catalyst image analytics: every
+    downstream pixel computation (perceptual hashing, downsampling,
+    histogram) stays in whole-stage-codegen SQL over ``array<int>``."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pg_logical_replication_spark.functions.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _ch, px = decode_png(bytes(buf))
+                rows.append((aid, w, h, list(px)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "pixels"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches,
+        schema="asset_id long, width int, height int, pixels array<int>",
+    )
+
+
+def image_ahash_words(
+    pixel_col: str = "pixels", w_col: str = "width", h_col: str = "height"
+) -> tuple["Column", "Column"]:
+    """Average-hash (aHash — the classic perceptual-hash family member)
+    as pure SQL expressions over a decoded pixel array: sample an 8×8
+    nearest-neighbor grid (src row = r·h DIV 8, col = c·w DIV 8), set
+    bit (r·8+c) when the sample exceeds the 64-sample mean — exact
+    integer comparison ``p·64 > Σ`` — and pack into two 32-bit words
+    (the BQ trick: carry-free power-of-two sums, XOR+popcount-ready).
+    """
+    grid = (
+        f"transform(sequence(0, 63), k -> element_at({pixel_col}, "
+        f"CAST((k DIV 8) * {h_col} DIV 8 AS INT) * {w_col} + "
+        f"CAST((k % 8) * {w_col} DIV 8 AS INT) + 1))"
+    )
+    total = f"aggregate({grid}, 0L, (a, x) -> a + x)"
+
+    def word(lo: int) -> "Column":
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), 0L, (a, k) -> a + "
+            f"(CASE WHEN element_at({grid}, k + 1) * 64 > {total} "
+            f"THEN shiftleft(1L, k - {lo}) ELSE 0L END))"
+        )
+
+    return word(0), word(32)
+
+
+def image_ahash_dedup(assets: DataFrame) -> DataFrame:
+    """Perceptual-duplicate groups by aHash: decode (codec Python),
+    hash + group (Catalyst). Output one row per hash with >1 image —
+    the image twin of ``exact_dedup``: only 16-byte hash words
+    shuffle, never pixels."""
+    px = png_pixels(assets)
+    w0, w1 = image_ahash_words()
+    hashed = px.select(
+        "asset_id", w0.alias("hash_w0"), w1.alias("hash_w1")
+    )
+    return (
+        hashed.groupBy("hash_w0", "hash_w1")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("asset_id").alias("representative_id"),
+        )
+        .where(F.col("n_images") > 1)
+    )

@@ -832,3 +832,52 @@ def q_mm_g711_decode(spark, sf_dir):
 
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     return MM.g711_decode_features(MM.synthesize_g711_assets(docs))
+
+
+@register(
+    "q_mm_image_ahash_dedup",
+    """
+    WITH spec AS (SELECT doc_id,
+                         CAST(8 + doc_id % 16 AS INT) AS w,
+                         CAST(8 + doc_id % 8 AS INT) AS h
+                  FROM documents),
+    grid AS (SELECT doc_id,
+                    list_transform(generate_series(0, 63), k ->
+                      CAST((doc_id * 31 +
+                            (((k // 8) * h // 8) * w
+                             + ((k % 8) * w // 8)) * 7) % 256
+                           AS BIGINT)) AS g
+             FROM spec),
+    tot AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total
+            FROM grid),
+    hw AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(generate_series(0, 31),
+                        k -> CASE WHEN g[k + 1] * 64 > total
+                             THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+                       AS BIGINT) AS hash_w0,
+                  CAST(list_sum(list_transform(generate_series(32, 63),
+                        k -> CASE WHEN g[k + 1] * 64 > total
+                             THEN (1::BIGINT << (k - 32)) ELSE 0::BIGINT
+                             END)) AS BIGINT) AS hash_w1
+           FROM tot)
+    SELECT hash_w0, hash_w1,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS representative_id
+    FROM hw GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
+    "perceptual image dedup by average-hash (aHash, the classic "
+    "pHash-family member) over REAL PNG decode: 8x8 nearest-neighbor "
+    "grid sample, bit = sample*64 > grid sum (exact integer), packed "
+    "into two 32-bit words (the BQ pack) — decode is the only Python, "
+    "hashing is codegen SQL, and only 16-byte hashes shuffle, never "
+    "pixels; the image twin of exact_dedup",
+)
+def q_mm_image_ahash_dedup(spark, sf_dir):
+    """See operators/multimodal.py:image_ahash_dedup. The synthetic
+    PNG generator cycles with period 256 in doc_id, so doc_id and
+    doc_id+256 are pixel-identical — planted perceptual duplicates the
+    oracle predicts in closed form."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    return MM.image_ahash_dedup(MM.synthesize_png_assets(docs))
