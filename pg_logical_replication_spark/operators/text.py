@@ -1903,19 +1903,45 @@ def gopher_repetition_filter(
         *_seg_cols(_segs("\n\n"), "pg"),
     )
 
-    # ---- n-gram stats: one explode over all n in [2, 10]
-    # guarded index list: slice(sequence(1, max(cnt,1)), 1, max(cnt,0))
-    # is [1..cnt] when cnt >= 1 and [] otherwise (sequence alone would
-    # generate a DESCENDING run for cnt < 1)
-    grams_expr = F.expr(
-        "flatten(transform(sequence(2, 10), n -> transform("
-        " slice(sequence(1, greatest(size(tk) - n + 1, 1)),"
-        "       1, greatest(size(tk) - n + 1, 0)),"
-        " i -> named_struct('n', n, 'gram',"
-        "                   concat_ws(' ', slice(tk, i, n))))))"
+    # ---- n-gram stats: ONE posexplode + lead(1..9) window builds all
+    # nine gram widths per token position (the exploded_shingles
+    # rationale: higher-order transform lambdas run interpreted per
+    # element — this exact stage measured 12 s at sf0.1 as nested
+    # HOFs, ~3 s as the codegen'd window form); a window gram is valid
+    # only when its last lead is non-null (full windows only, matching
+    # the size>=n contract)
+    from pyspark.sql import Window
+
+    max_n = max(GOPHER_DUP_NGRAM_PCT)
+    pos = base.repartition(F.col(id_col)).select(
+        F.col(id_col), F.posexplode("tk").alias("_pos", "_tok")
     )
-    grams = base.select(F.col(id_col), F.explode(grams_expr).alias("g")).select(
-        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    led = pos.select(
+        F.col(id_col),
+        "_tok",
+        *[
+            F.lead("_tok", j).over(w).alias(f"_l{j}")
+            for j in range(1, max_n)
+        ],
+    )
+    leads = [F.col(f"_l{j}") for j in range(1, max_n)]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    leads[n - 2].isNotNull(),
+                    F.concat_ws(" ", F.col("_tok"), *leads[: n - 1]),
+                ).alias("gram"),
+            )
+            for n in range(2, max_n + 1)
+        ]
+    )
+    grams = (
+        led.select(F.col(id_col), F.explode(entries).alias("g"))
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .where(F.col("gram").isNotNull())
     )
     cnt = grams.groupBy(id_col, "n", "gram").agg(
         F.count("*").cast("long").alias("c")
