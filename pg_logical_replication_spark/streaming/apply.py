@@ -86,7 +86,10 @@ class MergeOnReadTable:
         # visibility latency at 32 shuffle partitions for 100 rows.
         # The count is one cheap job (the service path hands this sink
         # a persisted batch); large batches keep full parallelism.
-        if events.count() <= self.small_batch_rows:
+        n_rows = getattr(events, "_plrs_rowcount", None)
+        if n_rows is None:  # direct callers without the service's hint
+            n_rows = events.count()
+        if n_rows <= self.small_batch_rows:
             out = out.coalesce(1)
         out.write.mode("overwrite").parquet(
             os.path.join(self.path, f"batch={batch_id}")

@@ -259,8 +259,6 @@ class LogicalReplicationService:
         # on the visibility-latency path, so consumers who don't ask
         # don't pay.
         if "metrics" in self._handlers:
-            from pyspark.sql import functions as F
-
             def _n(op: str):
                 # coalesce: F.sum over an empty micro-batch is NULL, and
                 # the event contract promises integer counters
@@ -283,6 +281,17 @@ class LogicalReplicationService:
             # decode job on the visibility-latency path)
             batch_df.persist()
             try:
+                # ONE aggregate job computes the row count and the max
+                # LSN together (each was its own job — two scheduler
+                # round-trips per micro-batch on the visibility-latency
+                # path); the count rides to size-aware sinks as a hint
+                # (MergeOnReadTable.apply_batch skips its own count)
+                stats = batch_df.agg(
+                    F.count("*").alias("n"),
+                    F.max("lsn_long").alias("m"),
+                    F.max_by("lsn", "lsn_long").alias("s"),
+                ).first()
+                batch_df._plrs_rowcount = stats["n"]  # hint protocol
                 try:
                     sink(batch_df, batch_id)
                 except Exception as e:  # noqa: BLE001 — handler decides
@@ -294,7 +303,7 @@ class LogicalReplicationService:
                 # (reference :173): recorded only after the sink succeeds,
                 # i.e. at the moment the reference would auto-ack
                 # (:187-192).
-                lsn = max_lsn(batch_df)
+                lsn = None if stats["m"] is None else stats["s"]
                 if lsn is not None:
                     self._last_lsn[slot_name] = lsn
                     self._emit("data", lsn, batch_id)
