@@ -2224,3 +2224,54 @@ def nb_langid(
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+def c4_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning...", §2.2 — the filter behind the most-used
+    public pretraining corpus). Line level: keep only lines that end in
+    terminal punctuation (. ! ? ") AND contain at least five words AND
+    do not mention "javascript" (case-insensitive). Page level: drop
+    the page when the kept text has fewer than 3 sentences (terminal
+    punctuation marks), or mentions "lorem ipsum", or contains a curly
+    brace (code).
+
+    Per document: n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, kept_chars, kept_hash (md5 of the newline-joined kept
+    lines — the cleaned page), c4_keep. Pure scan-stage array
+    expressions — zero shuffle, zero Python, the same first-pass shape
+    as the Gopher rules; runs unchanged on a stream.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+    )
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    # sentence count = terminal-punct chars in the KEPT text (translate
+    # strips them; the length delta is the count — codegen, no split)
+    n_sentences = F.length(kept_text) - F.length(
+        F.translate(kept_text, ".!?", "")
+    )
+    lower = F.lower(F.col(text_col))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{") | F.col(text_col).contains("}")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        F.md5(kept_text).alias("kept_hash"),
+        (
+            (n_sentences >= 3) & ~has_lorem & ~has_brace
+        ).alias("c4_keep"),
+    )

@@ -3691,3 +3691,90 @@ def q_ann_matryoshka_recall(spark, sf_dir):
         F.count("*").cast("long").alias("n_expected"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
     )
+
+
+# shared closed-form synthesis: line-structured pages from the flat
+# corpus (6-word lines, rotating terminal punctuation with every 4th
+# line unpunctuated; every 17th doc gains a lorem-ipsum line, every
+# 13th a javascript/brace line) — the corpus has no newlines, so the
+# C4 rules need pages WITH lines, built identically in both engines
+_C4_LINES_SPARK = (
+    "concat(transform(sequence(0, CAST((size(tk) + 5) DIV 6 AS INT) - 1),"
+    " i -> concat(concat_ws(' ', slice(tk, i * 6 + 1, 6)),"
+    "             element_at(array('.', '!', '?', ''),"
+    "                        CAST((doc_id + i) % 4 AS INT) + 1))),"
+    " CASE WHEN doc_id % 17 = 0"
+    "      THEN array('lorem ipsum dolor sit amet consectetur adipiscing.')"
+    "      ELSE array() END,"
+    " CASE WHEN doc_id % 13 = 0"
+    "      THEN array('var f = function() { return javascript; }')"
+    "      ELSE array() END)"
+)
+
+_C4_LINES_DUCK = """
+      list_concat(list_concat(
+        list_transform(range(0, (len(tk) + 5) // 6),
+          i -> array_to_string(tk[i * 6 + 1 : i * 6 + 6], ' ')
+               || (['.', '!', '?', ''])[(doc_id + i) % 4 + 1]),
+        CASE WHEN doc_id % 17 = 0
+             THEN ['lorem ipsum dolor sit amet consectetur adipiscing.']
+             ELSE [] END),
+        CASE WHEN doc_id % 13 = 0
+             THEN ['var f = function() { return javascript; }']
+             ELSE [] END)"""
+
+
+@register(
+    "q_text_c4_rules",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_C4_LINES_DUCK} AS ls
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    k AS (
+      SELECT doc_id,
+             list_filter(ls, x -> trim(x) <> '') AS lines,
+             list_filter(ls, x ->
+               trim(x) <> ''
+               AND regexp_matches(x, '[.!?"]\\s*$')
+               AND len(string_split_regex(trim(x), '\\s+')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept,
+             COALESCE(array_to_string(ls, chr(10)), '') AS full_text
+      FROM pages),
+    m AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             COALESCE(array_to_string(kept, chr(10)), '') AS kt,
+             contains(lower(full_text), 'lorem ipsum') AS has_lorem,
+             (contains(full_text, '{{') OR contains(full_text, '}}'))
+               AS has_brace
+      FROM k)
+    SELECT doc_id, n_lines, n_kept_lines,
+           CAST(length(kt) - length(translate(kt, '.!?', '')) AS BIGINT)
+             AS n_sentences,
+           has_lorem, has_brace,
+           CAST(length(kt) AS BIGINT) AS kept_chars,
+           md5(kt) AS kept_hash,
+           (length(kt) - length(translate(kt, '.!?', '')) >= 3
+            AND NOT has_lorem AND NOT has_brace) AS c4_keep
+    FROM m
+    """,
+    "the C4 cleaning rules (Raffel et al. 2020 SS2.2 — the filter "
+    "behind the most-used public pretraining corpus) over closed-form "
+    "line-structured pages: keep lines ending in terminal punctuation "
+    "with >=5 words and no 'javascript'; drop pages with <3 sentences, "
+    "'lorem ipsum', or curly braces; kept text hash-pinned — all "
+    "scan-stage array expressions, zero shuffle, zero Python",
+)
+def q_text_c4_rules(spark, sf_dir):
+    """See operators/text.py:c4_filter; pages synthesized in closed
+    form (the corpus itself has no newlines)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+        .select(
+            "doc_id",
+            F.expr(f"array_join({_C4_LINES_SPARK}, '\\n')").alias("text"),
+        )
+    )
+    return TX.c4_filter(docs)

@@ -436,3 +436,37 @@ def test_ccnet_buckets_equal_mass_and_ordering(spark):
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
         # head reaches at least 1/3 of the language's mass
         assert len(by_bucket["head"]) * 3 >= 30
+
+
+def test_c4_filter_rules(spark):
+    """Each C4 rule pinned: terminal punctuation, >=5 words,
+    javascript line drop, <3 sentences page drop, lorem/brace flags."""
+    from pg_logical_replication_spark.operators.text import c4_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good sentences -> keep
+            (0, "one two three four five ok.\nsix seven eight nine ten!\n"
+                "more words in this line here?"),
+            # only 2 sentences -> drop
+            (1, "one two three four five ok.\nanother good line right here!"),
+            # javascript + brace page
+            (2, "one two three four five ok.\nsix seven eight nine ten!\n"
+                "call javascript now please sir.\nvar x = { }"),
+            # lorem ipsum page
+            (3, "one two three four five ok.\nsix seven eight nine ten!\n"
+                "also lorem ipsum dolor sit amet."),
+            # short lines / no punctuation -> nothing kept
+            (4, "tiny line.\nno punct here at all ever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_filter(docs).collect()}
+    assert out[0]["c4_keep"] and out[0]["n_kept_lines"] == 3
+    assert not out[1]["c4_keep"] and out[1]["n_sentences"] == 2
+    assert not out[2]["c4_keep"] and out[2]["has_brace"]
+    assert out[2]["n_kept_lines"] == 2  # javascript line dropped
+    assert not out[3]["c4_keep"] and out[3]["has_lorem"]
+    assert out[4]["n_kept_lines"] == 0 and not out[4]["c4_keep"]
+    import hashlib
+    assert out[4]["kept_hash"] == hashlib.md5(b"").hexdigest()
