@@ -470,3 +470,70 @@ def test_c4_filter_rules(spark):
     assert out[4]["n_kept_lines"] == 0 and not out[4]["c4_keep"]
     import hashlib
     assert out[4]["kept_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_gopher_repetition_matches_python_reference(spark):
+    """Property: the distributed A1.2 stats equal a direct pure-Python
+    reference over randomized multi-line documents (seeded) — pins the
+    window-form gram builder, the line/paragraph array expressions, and
+    the occurrence-weighted char-fraction convention in one sweep."""
+    import random
+
+    from pg_logical_replication_spark.operators.text import (
+        GOPHER_DUP_NGRAM_PCT,
+        GOPHER_TOP_NGRAM_PCT,
+        gopher_repetition_filter,
+    )
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "ccc", "dd", "e", "ffff"]
+    rows = []
+    for did in range(40):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(0, 12)
+            lines.append(" ".join(rng.choice(vocab) for _ in range(k)))
+        if rng.random() < 0.4 and lines:
+            lines.append(lines[0])  # plant a duplicate line
+        sep = "\n\n" if rng.random() < 0.3 else "\n"
+        rows.append((did, sep.join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition_filter(docs).collect()}
+
+    def ref(text):
+        out = {}
+        nch = len(text)
+        import re as _re
+        toks = _re.split(r"\s+", text.strip()) if text.strip() else [""]
+        for pfx, segs in (
+            ("line", [x for x in text.split("\n") if x.strip()]),
+            ("para", [x for x in text.split("\n\n") if x.strip()]),
+        ):
+            n = len(segs)
+            nd = len(set(segs))
+            tot = sum(len(x) for x in segs)
+            dup = sum(len(x) for x in segs if segs.count(x) >= 2)
+            out[f"dup_{pfx}_frac"] = round((n - nd) / n, 6) if n else 0.0
+            out[f"dup_{pfx}_char_frac"] = round(dup / tot, 6) if tot else 0.0
+        for k in range(2, 11):
+            grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+            from collections import Counter
+            c = Counter(grams)
+            if k in GOPHER_TOP_NGRAM_PCT:
+                tops = [(v, g) for g, v in c.items()]
+                chars = 0
+                if tops:
+                    v, g = max(tops)
+                    if v >= 2:
+                        chars = v * len(g)
+                out[f"top{k}_frac"] = round(chars / nch, 6) if nch else 0.0
+            else:
+                dup = sum(v * len(g) for g, v in c.items() if v >= 2)
+                out[f"dup{k}_frac"] = round(dup / nch, 6) if nch else 0.0
+        return out
+
+    for did, text in rows:
+        want = ref(text)
+        for col, val in want.items():
+            assert got[did][col] == pytest.approx(val), (did, col, text)

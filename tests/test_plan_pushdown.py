@@ -327,3 +327,13 @@ def test_wordpiece_encode_single_broadcast_join_on_corpus_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bq_shortlist_joins_broadcast_no_smj(spark):
+    """BQ ANN: the code-side shortlist and the float re-rank must both
+    broadcast the query side — no SortMergeJoin anywhere; the corpus
+    embedding scan is touched, codes are computed in-scan."""
+    df = QUERIES["q_ann_bq_topk"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
