@@ -85,6 +85,8 @@ HEADLINE = [
     "q_mm_wav_vad_segments",
     "q_mm_g711_decode",
     "q_ann_bq_topk",
+    "q_text_c4_rules",
+    "q_mm_image_ahash_dedup",
 ]
 
 
