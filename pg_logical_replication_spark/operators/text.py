@@ -2275,3 +2275,46 @@ def c4_filter(
             (n_sentences >= 3) & ~has_lorem & ~has_brace
         ).alias("c4_keep"),
     )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document paragraph deduplication — CCNet's preprocessing
+    step (Wenzek et al. 2020 §3.1: paragraphs are hashed and every
+    paragraph seen elsewhere in the corpus shard is removed — the
+    boilerplate killer that deletes headers/footers/cookie banners).
+    Per document: paragraph count, how many are corpus-level
+    boilerplate (hash occurs >= ``min_count`` times across ALL docs),
+    and the character fraction boilerplate removal would delete.
+
+    Scale: paragraphs explode to (doc, md5, length) rows — the 32-byte
+    hash is the ONLY text-derived value that shuffles (exact_dedup's
+    rule); one map-side-combined count on the hash, one hash-keyed join
+    back, one doc rollup.
+    """
+    paras = F.filter(
+        F.split(F.col(text_col), "\n\n"), lambda x: F.trim(x) != ""
+    )
+    ex = df.select(F.col(id_col), F.explode(paras).alias("_p")).select(
+        id_col,
+        F.md5(F.trim(F.col("_p"))).alias("ph"),
+        F.length(F.trim(F.col("_p"))).cast("long").alias("chars"),
+    )
+    counts = ex.groupBy("ph").agg(F.count("*").cast("long").alias("gc"))
+    j = ex.join(counts, "ph")
+    boiler = (F.col("gc") >= min_count).cast("long")
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(boiler).cast("long").alias("n_boiler"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum(F.col("chars") * boiler).cast("long").alias("boiler_chars"),
+        F.round(
+            F.sum(F.col("chars") * boiler).cast("double")
+            / F.greatest(F.sum("chars"), F.lit(1)),
+            6,
+        ).alias("boiler_char_frac"),
+    )

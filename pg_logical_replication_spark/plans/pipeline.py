@@ -3778,3 +3778,50 @@ def q_text_c4_rules(spark, sf_dir):
         )
     )
     return TX.c4_filter(docs)
+
+
+@register(
+    "q_text_paragraph_dedup",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_C4_LINES_DUCK} AS ls
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    ex AS (
+      SELECT doc_id, md5(trim(p)) AS ph,
+             CAST(length(trim(p)) AS BIGINT) AS chars
+      FROM pages, UNNEST(ls) AS u(p)
+      WHERE trim(p) <> ''),
+    counts AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS gc
+               FROM ex GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN gc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN gc >= 2 THEN chars ELSE 0 END) AS BIGINT)
+             AS boiler_chars,
+           ROUND(SUM(CASE WHEN gc >= 2 THEN chars ELSE 0 END)
+                 / GREATEST(SUM(chars), 1), 6) AS boiler_char_frac
+    FROM ex JOIN counts USING (ph)
+    GROUP BY doc_id
+    """,
+    "cross-document paragraph deduplication (CCNet SS3.1 — hash every "
+    "paragraph, anything seen elsewhere in the corpus is boilerplate: "
+    "headers/footers/cookie banners): per-doc boilerplate paragraph "
+    "count and removable character fraction over the synthesized "
+    "line-structured pages (the planted lorem/javascript lines become "
+    "real cross-doc boilerplate); only 32-byte hashes shuffle",
+)
+def q_text_paragraph_dedup(spark, sf_dir):
+    """See operators/text.py:paragraph_dedup_stats; pages synthesized
+    as in q_text_c4_rules (paragraph separator = newline there, so the
+    operator is applied with paragraphs pre-joined on blank lines)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+        .select(
+            "doc_id",
+            F.expr(f"array_join({_C4_LINES_SPARK}, '\\n\\n')").alias("text"),
+        )
+    )
+    return TX.paragraph_dedup_stats(docs)
