@@ -1999,3 +1999,98 @@ def image_ahash_dedup(assets: DataFrame) -> DataFrame:
         )
         .where(F.col("n_images") > 1)
     )
+
+
+def image_dhash_words(
+    pixel_col: str = "pixels", w_col: str = "width", h_col: str = "height"
+) -> tuple["Column", "Column"]:
+    """Difference-hash (dHash): sample a 9-column × 8-row grid and set
+    bit (r·8+c) when the sample is strictly brighter than its right
+    neighbour — gradient structure, robust to global brightness shifts
+    where aHash is not. Same carry-free two-word pack as
+    :func:`image_ahash_words`; all indices integer (src col =
+    c·w DIV 9, row = r·h DIV 8)."""
+
+    def sample(rk: str, ck: str) -> str:
+        return (
+            f"element_at({pixel_col}, CAST(({rk}) * {h_col} DIV 8 AS INT) "
+            f"* {w_col} + CAST(({ck}) * {w_col} DIV 9 AS INT) + 1)"
+        )
+
+    def word(lo: int) -> "Column":
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), 0L, (a, k) -> a + "
+            f"(CASE WHEN {sample('k DIV 8', 'k % 8')} > "
+            f"{sample('k DIV 8', 'k % 8 + 1')} "
+            f"THEN shiftleft(1L, k - {lo}) ELSE 0L END))"
+        )
+
+    return word(0), word(32)
+
+
+def image_dhash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """NEAR-duplicate image pairs by dHash: band each 64-bit hash into
+    four 16-bit keys, candidate pairs agree on >= 1 band (the LSH
+    guarantee: hamming <= 3 pairs ALWAYS share a clean band; <= 6
+    usually), then exact XOR+popcount Hamming gates the candidates.
+    Only hash words shuffle; the band join is the same inverted-index
+    shape as MinHash-LSH."""
+    px = png_pixels(assets)
+    w0, w1 = image_dhash_words()
+    hashed = px.select(
+        F.col("asset_id"), w0.alias("hw0"), w1.alias("hw1")
+    )
+    bands = hashed.select(
+        "asset_id",
+        "hw0",
+        "hw1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(e).alias("band_val"),
+                    )
+                    for i, e in enumerate(
+                        (
+                            "hw0 & 65535",
+                            "shiftright(hw0, 16) & 65535",
+                            "hw1 & 65535",
+                            "shiftright(hw1, 16) & 65535",
+                        )
+                    )
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "hw0", "hw1", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("asset_id").alias("a_id"),
+        F.col("hw0").alias("a0"),
+        F.col("hw1").alias("a1"),
+    )
+    b = bands.select(
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
+        F.col("asset_id").alias("b_id"),
+        F.col("hw0").alias("b0"),
+        F.col("hw1").alias("b1"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band_idx == b.band_idx_b)
+            & (a.band_val == b.band_val_b)
+            & (a.a_id < b.b_id),
+        )
+        .select("a_id", "b_id", "a0", "a1", "b0", "b1")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
+    ).cast("int")
+    return (
+        cand.select("a_id", "b_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

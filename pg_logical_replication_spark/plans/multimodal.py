@@ -881,3 +881,60 @@ def q_mm_image_ahash_dedup(spark, sf_dir):
 
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     return MM.image_ahash_dedup(MM.synthesize_png_assets(docs))
+
+
+@register(
+    "q_mm_image_dhash_pairs",
+    """
+    WITH spec AS (SELECT doc_id,
+                         CAST(8 + doc_id % 16 AS INT) AS w,
+                         CAST(8 + doc_id % 8 AS INT) AS h
+                  FROM documents),
+    hw AS (SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31), k ->
+               CASE WHEN (doc_id * 31 + (((k // 8) * h // 8) * w
+                          + ((k % 8) * w // 9)) * 7) % 256
+                       > (doc_id * 31 + (((k // 8) * h // 8) * w
+                          + (((k % 8) + 1) * w // 9)) * 7) % 256
+                    THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+               AS BIGINT) AS hw0,
+             CAST(list_sum(list_transform(generate_series(32, 63), k ->
+               CASE WHEN (doc_id * 31 + (((k // 8) * h // 8) * w
+                          + ((k % 8) * w // 9)) * 7) % 256
+                       > (doc_id * 31 + (((k // 8) * h // 8) * w
+                          + (((k % 8) + 1) * w // 9)) * 7) % 256
+                    THEN (1::BIGINT << (k - 32)) ELSE 0::BIGINT END))
+               AS BIGINT) AS hw1
+           FROM spec),
+    bands AS (
+      SELECT doc_id, hw0, hw1, i AS band_idx,
+             CASE i WHEN 0 THEN hw0 & 65535
+                    WHEN 1 THEN (hw0 >> 16) & 65535
+                    WHEN 2 THEN hw1 & 65535
+                    ELSE (hw1 >> 16) & 65535 END AS band_val
+      FROM hw, UNNEST(range(0, 4)) AS u(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hw0 AS a0, a.hw1 AS a1, b.hw0 AS b0, b.hw1 AS b1
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
+    """,
+    "NEAR-duplicate image pairs by difference-hash (dHash — gradient "
+    "bits, brightness-shift robust where aHash is not): four 16-bit "
+    "LSH bands generate candidates (the MinHash inverted-index "
+    "shape), exact XOR+popcount Hamming <= 6 gates them; only hash "
+    "words shuffle, never pixels",
+)
+def q_mm_image_dhash_pairs(spark, sf_dir):
+    """See operators/multimodal.py:image_dhash_pairs; the 9-column
+    grid's right-neighbour comparison replays in closed form."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    return MM.image_dhash_pairs(MM.synthesize_png_assets(docs))
