@@ -214,6 +214,7 @@ class LogicalReplicationService:
         isolate_errors: bool = False,
         auto_acknowledge: bool = True,
         source: str = "files",
+        upto_lsn: str | None = None,
     ) -> StreamingQuery:
         """Start streaming decoded changes into ``sink`` (foreachBatch).
 
@@ -222,7 +223,10 @@ class LogicalReplicationService:
         False for a continuously running query (micro-batch default
         trigger). The checkpoint under ``<root>/<slot_name>`` is the
         slot: re-subscribing with the same name resumes from the last
-        committed offset (≙ ``uptoLsn`` resume, reference :134-137).
+        committed offset; ``upto_lsn`` adds the reference's EXPLICIT
+        form (:126-137) — events at or below that position are not
+        emitted, for consumers tracking positions outside the
+        checkpoint.
 
         ``isolate_errors`` ≙ the reference's flow-control error handling
         (:213-216): a sink exception emits ``error`` and the stream
@@ -251,6 +255,17 @@ class LogicalReplicationService:
             prev.stop()
 
         ev = self.changes(fmt, source=source, **(decode_options or {}))
+        if upto_lsn is not None:
+            # ≙ the reference's subscribe(..., uptoLsn) third argument
+            # (:126-137): positions at or below uptoLsn are considered
+            # already consumed and are NOT emitted — the explicit-resume
+            # form for consumers that track positions outside the
+            # checkpoint (e.g. after bootstrap_events at a snapshot LSN).
+            # A scan-stage filter, so Catalyst prunes before any decode
+            # output materializes.
+            from pg_logical_replication_spark.model import lsn_to_long
+
+            ev = ev.filter(F.col("lsn_long") > lsn_to_long(upto_lsn))
         # observed metrics ride the existing plan (aggregates computed
         # alongside the batch, no second scan) and surface on the
         # 'metrics' event via the progress listener. Only attached when

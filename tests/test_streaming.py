@@ -962,3 +962,33 @@ def test_stream_near_dup_gate_minhash_bands(spark, tmp_path):
         assert verdicts[3] == (4, True)  # unrelated doc is novel
     finally:
         q.stop()
+
+
+def test_subscribe_upto_lsn_skips_consumed_prefix(spark, log_dirs):
+    """subscribe(upto_lsn=...) ≙ the reference's third argument:
+    events at or below the position are not delivered even on a fresh
+    checkpoint; later events flow normally."""
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log, ckpt, _mor = log_dirs
+    svc = LogicalReplicationService(spark, log, ckpt)
+    _append(log, "000.jsonl", BATCH1)
+    _append(log, "001.jsonl", BATCH2)
+    got = []
+    svc.subscribe_and_wait(
+        "wal2json",
+        "upto_slot",
+        lambda df, _b: got.extend(df.collect()),
+        upto_lsn="0/1000200",
+    )
+    assert got, "nothing delivered"
+    assert all(r["lsn_long"] > 0x1000200 for r in got)
+    # a fresh slot without the bound delivers the earlier events too
+    got2 = []
+    svc.subscribe_and_wait(
+        "wal2json", "upto_slot2", lambda df, _b: got2.extend(df.collect())
+    )
+    assert any(r["lsn_long"] <= 0x1000200 for r in got2)
+    assert len(got2) > len(got)
