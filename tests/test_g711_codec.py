@@ -88,3 +88,30 @@ def test_container_rejects_non_g711():
         decode_wav_g711(buf.getvalue())
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav_g711(b"\x00" * 64)
+
+
+def test_container_fuzz_never_crashes():
+    """Random bytes either raise ValueError/struct.error or decode to a
+    sane sample list — never crash the worker another way (the DLQ
+    contract every codec in this repo honors)."""
+    import random
+    import struct as _struct
+
+    rng = random.Random(99)
+    ok = 0
+    for trial in range(300):
+        n = rng.randint(0, 120)
+        buf = bytes(rng.randrange(256) for _ in range(n))
+        if rng.random() < 0.3:  # bias toward plausible RIFF headers
+            buf = b"RIFF" + buf
+        if rng.random() < 0.2:
+            buf = b"RIFF" + _struct.pack("<I", n) + b"WAVE" + buf
+        try:
+            samples, rate, law = decode_wav_g711(buf)
+            ok += 1
+            assert law in ("ulaw", "alaw")
+            assert all(-32768 <= s <= 32767 for s in samples)
+        except (ValueError, _struct.error):
+            pass
+    # overwhelmingly rejects; decoding garbage silently is its own bug
+    assert ok <= 3
