@@ -2318,3 +2318,42 @@ def paragraph_dedup_stats(
             6,
         ).alias("boiler_char_frac"),
     )
+
+
+def temperature_sampling_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based multilingual sampling weights — the
+    exponential smoothing mT5 / XLM-R use to up-sample low-resource
+    languages: p_l ∝ n_l^alpha with alpha = 1/2 (alpha is FIXED at 1/2
+    here because IEEE-754 ``sqrt`` is correctly rounded and therefore
+    bit-identical across engines, unlike ``pow`` with a fractional
+    exponent, whose libm rounding may differ). Weights are reported in
+    parts-per-``scale`` via floor division, summing to <= scale.
+
+    Scale: one map-side-combined token count per language, then
+    arithmetic over the |languages|-row table — nothing else moves.
+    """
+    per = (
+        df.select(F.col(lang_col).alias("lang"), tokens_expr(text_col).alias("tk"))
+        .groupBy("lang")
+        .agg(F.sum(F.size("tk")).cast("long").alias("tokens"))
+    )
+    smoothed = per.select(
+        "lang", "tokens", F.sqrt(F.col("tokens").cast("double")).alias("_s")
+    )
+    total = smoothed.agg(F.sum("_s").alias("_tot"))
+    return (
+        smoothed.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "tokens",
+            F.floor(F.col("_s") * scale / F.col("_tot"))
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -3825,3 +3825,27 @@ def q_text_paragraph_dedup(spark, sf_dir):
         )
     )
     return TX.paragraph_dedup_stats(docs)
+
+
+@register(
+    "q_corpus_temperature_weights",
+    f"""
+    WITH per AS (SELECT lang, CAST(SUM(len(tk)) AS BIGINT) AS tokens
+                 FROM (SELECT lang, {_TOKS} AS tk FROM documents)
+                 GROUP BY lang),
+    s AS (SELECT lang, tokens, SQRT(CAST(tokens AS DOUBLE)) AS sv
+          FROM per),
+    tot AS (SELECT SUM(sv) AS tv FROM s)
+    SELECT lang, tokens,
+           CAST(FLOOR(sv * 1000000 / tv) AS BIGINT) AS weight_ppm
+    FROM s CROSS JOIN tot ORDER BY lang
+    """,
+    "temperature-based multilingual sampling weights (the mT5/XLM-R "
+    "exponential smoothing, p proportional to n^alpha): alpha fixed at "
+    "1/2 because IEEE sqrt is correctly rounded and thus bit-identical "
+    "cross-engine (fractional pow is not); third member of the mixture "
+    "family next to UniMax supply caps and DoReMi loss reweighting",
+)
+def q_corpus_temperature_weights(spark, sf_dir):
+    """See operators/text.py:temperature_sampling_weights."""
+    return TX.temperature_sampling_weights(t(spark, sf_dir, "documents"))
