@@ -337,3 +337,17 @@ def test_bq_shortlist_joins_broadcast_no_smj(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_paragraph_dedup_shuffles_hashes_only(spark):
+    """CCNet paragraph dedup: every Exchange key set is the md5 hash or
+    the doc id — the paragraph TEXT never shuffles (it is projected
+    away before the first exchange)."""
+    df = QUERIES["q_text_paragraph_dedup"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "ph#" in line or "doc_id#" in line, line
+    # no exploded paragraph string survives into any exchange row:
+    # the explode's output column feeds md5/length projections only
+    assert "EvalPython" not in plan
