@@ -2357,3 +2357,99 @@ def temperature_sampling_weights(
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------ content-defined chunking (CDC)
+CDC_WINDOW = 8
+CDC_BASE = 257
+CDC_MOD = 1_000_003
+CDC_DIVISOR = 64
+
+
+def content_defined_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking — the Rabin-fingerprint boundary rule
+    of LBFS / FastCDC, the storage-dedup chunker: a chunk boundary
+    falls after any ``CDC_WINDOW``-char window whose rolling hash is
+    0 mod ``CDC_DIVISOR`` (expected chunk ≈ 64 chars + window). Unlike
+    fixed-stride chunking (``doc_chunks``), boundaries move WITH the
+    content: inserting a prefix shifts every fixed-stride chunk but
+    leaves CDC boundaries after the edit point intact — the property
+    that makes cross-document chunk dedup survive edits (test-pinned).
+
+    Hash: Horner fold ``H = (H*257 + code(char)) mod 1_000_003`` over
+    each window — all int64, exact in any engine (values stay under
+    2^38). Per doc emits (chunk_idx, chunk_md5, chunk_len). One narrow
+    projection + explode; zero shuffle until the caller aggregates.
+    """
+    L = F.length(F.col(text_col))
+    npos = F.greatest(L - (CDC_WINDOW - 1), F.lit(0))
+    # guarded 1..npos index list (sequence alone descends for npos < 1)
+    idx = F.expr(
+        f"slice(sequence(1, greatest(length({text_col}) - {CDC_WINDOW - 1},"
+        f" 1)), 1, greatest(length({text_col}) - {CDC_WINDOW - 1}, 0))"
+    )
+    hashes = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(CDC_WINDOW - 1)),
+            F.lit(0).cast("long"),
+            lambda a, j: (
+                a * CDC_BASE
+                + F.ascii(F.col(text_col).substr(i + j, F.lit(1)))
+            )
+            % CDC_MOD,
+        ),
+    )
+    # boundary ENDS: i + window - 1 for positions whose hash divides
+    ends = F.filter(
+        F.zip_with(idx, hashes, lambda i, h: F.when(h % CDC_DIVISOR == 0, i + (CDC_WINDOW - 1))),
+        lambda e: e.isNotNull(),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(ends, lambda e: e + 1))
+    allends = F.concat(ends, F.array(L))
+    spans = F.filter(
+        F.zip_with(starts, allends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda z: z["s"] <= z["e"],
+    )
+    chunks = F.transform(
+        spans,
+        lambda z: F.col(text_col).substr(z["s"], z["e"] - z["s"] + 1),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    )
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.md5(F.col("_c")).alias("chunk_md5"),
+        F.length(F.col("_c")).cast("long").alias("chunk_len"),
+    )
+
+
+def cdc_chunk_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document chunk dedup over content-defined chunks: per doc
+    the chunk count and the character fraction covered by chunks whose
+    hash occurs >= ``min_count`` times corpus-wide — the storage-dedup
+    ratio readout. Only 32-byte chunk hashes shuffle."""
+    ex = content_defined_chunks(df, text_col, id_col)
+    counts = ex.groupBy("chunk_md5").agg(
+        F.count("*").cast("long").alias("gc")
+    )
+    j = ex.join(counts, "chunk_md5")
+    shared = (F.col("gc") >= min_count).cast("long")
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(shared).cast("long").alias("n_shared_chunks"),
+        F.sum("chunk_len").cast("long").alias("total_chars"),
+        F.sum(F.col("chunk_len") * shared).cast("long").alias("shared_chars"),
+        F.round(
+            F.sum(F.col("chunk_len") * shared).cast("double")
+            / F.greatest(F.sum("chunk_len"), F.lit(1)),
+            6,
+        ).alias("shared_char_frac"),
+    )

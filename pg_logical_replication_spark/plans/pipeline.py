@@ -3849,3 +3849,68 @@ def q_text_paragraph_dedup(spark, sf_dir):
 def q_corpus_temperature_weights(spark, sf_dir):
     """See operators/text.py:temperature_sampling_weights."""
     return TX.temperature_sampling_weights(t(spark, sf_dir, "documents"))
+
+
+def _cdc_chunk_oracle() -> str:
+    """Horner rolling hash unrolled to 8 nested mod-folds."""
+    h = "0"
+    for j in range(TX.CDC_WINDOW):
+        h = (
+            f"(({h}) * {TX.CDC_BASE} + ascii(substr(text, i + {j}, 1)))"
+            f" % {TX.CDC_MOD}"
+        )
+    return f"""
+    WITH base AS (SELECT doc_id, text,
+                         CAST(length(text) AS BIGINT) AS L
+                  FROM documents),
+    pos AS (SELECT doc_id, text, L, u.i
+            FROM base,
+                 UNNEST(range(1, GREATEST(L - {TX.CDC_WINDOW - 2}, 1)))
+                   AS u(i)),
+    b AS (SELECT doc_id,
+                 list_sort(list(i + {TX.CDC_WINDOW - 1})) AS ends
+          FROM pos WHERE ({h}) % {TX.CDC_DIVISOR} = 0
+          GROUP BY doc_id),
+    sp AS (SELECT base.doc_id, text, L,
+                  COALESCE(ends, []::BIGINT[]) AS ends
+           FROM base LEFT JOIN b USING (doc_id)),
+    spans AS (SELECT doc_id, text,
+                     CASE WHEN u.k = 0 THEN 1 ELSE ends[u.k] + 1 END AS s,
+                     CASE WHEN u.k = len(ends) THEN L
+                          ELSE ends[u.k + 1] END AS e
+              FROM sp, UNNEST(range(0, len(ends) + 1)) AS u(k)),
+    ch AS (SELECT doc_id,
+                  md5(substr(text, CAST(s AS INT),
+                             CAST(e - s + 1 AS INT))) AS chunk_md5,
+                  CAST(e - s + 1 AS BIGINT) AS chunk_len
+           FROM spans WHERE s <= e),
+    counts AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS gc
+               FROM ch GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN gc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN gc >= 2 THEN chunk_len ELSE 0 END)
+                AS BIGINT) AS shared_chars,
+           ROUND(SUM(CASE WHEN gc >= 2 THEN chunk_len ELSE 0 END)
+                 / GREATEST(SUM(chunk_len), 1), 6) AS shared_char_frac
+    FROM ch JOIN counts USING (chunk_md5)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "q_corpus_content_chunks",
+    _cdc_chunk_oracle(),
+    "content-defined chunking (the LBFS/FastCDC Rabin-boundary rule: "
+    "cut after any 8-char window whose Horner rolling hash is 0 mod "
+    "64) + cross-document chunk dedup — the storage-dedup ratio "
+    "readout; boundaries move WITH content so chunk hashes survive "
+    "edits (shift-resistance test-pinned), unlike fixed-stride "
+    "q_doc_chunks; only 32-byte chunk hashes shuffle",
+)
+def q_corpus_content_chunks(spark, sf_dir):
+    """See operators/text.py:content_defined_chunks /
+    cdc_chunk_dedup_stats."""
+    return TX.cdc_chunk_dedup_stats(t(spark, sf_dir, "documents"))

@@ -537,3 +537,32 @@ def test_gopher_repetition_matches_python_reference(spark):
         want = ref(text)
         for col, val in want.items():
             assert got[did][col] == pytest.approx(val), (did, col, text)
+
+
+def test_cdc_chunking_is_shift_resistant(spark):
+    """The CDC selling point: an inserted prefix changes fixed-stride
+    chunking everywhere but leaves content-defined boundaries after the
+    edit intact — most chunk hashes survive."""
+    import random
+
+    from pg_logical_replication_spark.operators.text import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(5)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lumen mossy quark rivet stone tiger umbra vexed wharf").split()
+    base = " ".join(rng.choice(vocab) for _ in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "ZZZ INSERT " + base)], "doc_id long, text string"
+    )
+    rows = content_defined_chunks(docs).collect()
+    h1 = [r["chunk_md5"] for r in rows if r["doc_id"] == 1]
+    h2 = [r["chunk_md5"] for r in rows if r["doc_id"] == 2]
+    assert len(h1) >= 4, len(h1)  # varied text produces boundaries
+    shared = set(h1) & set(h2)
+    # everything after doc 2's first boundary realigns with doc 1
+    assert len(shared) >= len(h1) - 1, (len(h1), len(h2), len(shared))
+    # chunk lens cover the text exactly
+    tot = sum(r["chunk_len"] for r in rows if r["doc_id"] == 1)
+    assert tot == len(base)
