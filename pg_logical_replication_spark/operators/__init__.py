@@ -27,6 +27,7 @@ from pg_logical_replication_spark.operators.dedup import (  # noqa: F401
     winnow_fingerprints,
 )
 from pg_logical_replication_spark.operators.similarity import (  # noqa: F401
+    bq_hamming_topk,
     cosine_near_dup_pairs,
     cosine_near_dup_pairs_bucketed,
     cosine_topk,
@@ -38,8 +39,27 @@ from pg_logical_replication_spark.operators.graph import pagerank  # noqa: F401
 from pg_logical_replication_spark.operators.multimodal import (  # noqa: F401
     decode_png_features,
     decode_wav_features,
+    g711_decode_features,
+    image_ahash_dedup,
+    image_dhash_pairs,
+    synthesize_g711_assets,
     synthesize_png_assets,
     synthesize_wav_assets,
     wav_loudest_frame,
+    wav_vad_segments,
+)
+from pg_logical_replication_spark.operators.text import (  # noqa: F401
+    c4_filter,
+    ccnet_perplexity_buckets,
+    cdc_chunk_dedup_stats,
+    content_defined_chunks,
+    gopher_quality_filter,
+    gopher_repetition_filter,
+    nb_langid,
+    paragraph_dedup_stats,
+    temperature_sampling_weights,
+    tokenizer_fertility,
+    wordpiece_encode_stats,
+    wordpiece_train_merges,
 )
 from pg_logical_replication_spark.operators.packing import pack_sequences  # noqa: F401
