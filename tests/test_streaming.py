@@ -992,3 +992,75 @@ def test_subscribe_upto_lsn_skips_consumed_prefix(spark, log_dirs):
     )
     assert any(r["lsn_long"] <= 0x1000200 for r in got2)
     assert len(got2) > len(got)
+
+
+def test_tokenizer_trained_offline_applies_on_stream(spark, tmp_path):
+    """Train-offline / encode-online: the BPE LUT trained on the batch
+    corpus applies to a live document stream as a stream-static
+    broadcast join (stateless), and the per-doc token stats match the
+    batch encoder exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.text import (
+        _bpe_chain, bpe_encode_stats,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50).cache()
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_stats(corpus, num_merges=3).collect()
+    }
+
+    vocab, _ = _bpe_chain(corpus, "text", 3, 20_000, True)
+    lut = vocab.select(
+        "word",
+        F.size(
+            F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
+        ).alias("n_syms"),
+    ).cache()
+    lut.count()
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    with open(os.path.join(d, "b0.jsonl"), "w") as f:
+        for r in corpus.select("doc_id", "text").collect():
+            f.write(json.dumps(
+                {"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    got = {}
+
+    def sink(batch_df, _b):
+        words = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z]+"), 0
+                )
+            ).alias("word"),
+        )
+        per = (
+            words.join(F.broadcast(lut), "word", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_words"),
+                F.sum(
+                    F.coalesce(F.col("n_syms"), F.length("word"))
+                ).alias("n_bpe_tokens"),
+            )
+        )
+        for r in per.collect():
+            got[r["doc_id"]] = (r["n_words"], r["n_bpe_tokens"])
+
+    stream = spark.readStream.schema("doc_id long, text string").json(d)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want
