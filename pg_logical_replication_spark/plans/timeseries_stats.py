@@ -914,3 +914,89 @@ def q_chunk_dedup(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "chunk_md5")
         .limit(25)
     )
+
+
+@register(
+    "q_events_cusum",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    base AS (
+      SELECT day, c,
+             ROW_NUMBER() OVER (ORDER BY day) AS idx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(c) OVER () AS BIGINT) AS total
+      FROM daily),
+    cs AS (
+      SELECT idx, day, c, n, total,
+             GREATEST(CAST(0 AS BIGINT),
+                      n * c - total - total // 10) AS s
+      FROM base WHERE idx = 1
+      UNION ALL
+      SELECT b.idx, b.day, b.c, b.n, b.total,
+             GREATEST(CAST(0 AS BIGINT),
+                      cs.s + b.n * b.c - b.total - b.total // 10) AS s
+      FROM cs JOIN base b ON b.idx = cs.idx + 1)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(total) AS BIGINT) AS total_events,
+           CAST(MAX(s) AS BIGINT) AS max_cusum_scaled,
+           CAST(SUM(CASE WHEN s >= 2 * total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN s >= 2 * total THEN day END) AS first_alarm_day
+    FROM cs
+    """,
+    "CUSUM change-point detection (Page 1954 — the classic sequential "
+    "drift alarm) on daily event counts, in EXACT scaled integers: "
+    "S_i = max(0, S_(i-1) + n*c_i - total - total/10) (slack k = "
+    "mean/10, threshold h = 2*mean, both scaled by n so everything "
+    "stays int64) — the raw scan reduces to one daily rollup, the "
+    "sequential fold runs over the tiny day array",
+)
+def q_events_cusum(spark, sf_dir):
+    """Spark side folds the ordered daily array with F.aggregate (the
+    recurrence has a max() so it is not a prefix sum; the fold input is
+    the DAY-level aggregate, bounded by the date range, never raw
+    rows); the oracle replays it as a recursive CTE."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    one = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "c"))).alias("arr"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    folded = one.select(
+        "n",
+        "total",
+        F.expr(
+            """
+            aggregate(
+              arr,
+              named_struct('s', 0L, 'mx', 0L, 'alarms', 0L,
+                           'first_day', CAST(NULL AS DATE)),
+              (acc, x) -> named_struct(
+                's', greatest(0L, acc.s + n * x.c - total - total DIV 10),
+                'mx', greatest(acc.mx,
+                       greatest(0L, acc.s + n * x.c - total
+                                - total DIV 10)),
+                'alarms', acc.alarms + (CASE WHEN
+                       greatest(0L, acc.s + n * x.c - total
+                                - total DIV 10) >= 2 * total
+                       THEN 1L ELSE 0L END),
+                'first_day', CASE WHEN acc.first_day IS NULL AND
+                       greatest(0L, acc.s + n * x.c - total
+                                - total DIV 10) >= 2 * total
+                       THEN x.day ELSE acc.first_day END))
+            """
+        ).alias("f"),
+    )
+    return folded.select(
+        F.col("n").alias("n_days"),
+        F.col("total").alias("total_events"),
+        F.col("f.mx").alias("max_cusum_scaled"),
+        F.col("f.alarms").alias("n_alarm_days"),
+        F.col("f.first_day").alias("first_alarm_day"),
+    )
