@@ -3914,3 +3914,95 @@ def q_corpus_content_chunks(spark, sf_dir):
     """See operators/text.py:content_defined_chunks /
     cdc_chunk_dedup_stats."""
     return TX.cdc_chunk_dedup_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_filter_agreement",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    gop AS (
+      SELECT doc_id,
+             (len(tk) >= 50 AND len(tk) <= 100000)
+             AND (list_sum(list_transform(tk, x -> length(x))) >= 3 * len(tk)
+                  AND list_sum(list_transform(tk, x -> length(x)))
+                      <= 10 * len(tk))
+             AND len(list_filter(tk, x -> x IN ('#', '...')
+                     OR regexp_matches(x, '^…$'))) * 10 < len(tk)
+             AND len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+                 * 5 > len(tk) * 4
+             AND len(list_filter(tk, x -> lower(x) IN
+                 ('the','be','to','of','and','that','have','with'))) >= 2
+               AS gopher_pass
+      FROM toks),
+    lin AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(tk,
+                 x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15) AS BIGINT)
+                        % 1024) * 31 + 7) % 1001 - 500)) AS BIGINT) >= 0
+               AS linear_keep
+      FROM toks),
+    lpairs AS (SELECT doc_id, lower(tk[i]) AS w1, lower(tk[i+1]) AS w2
+               FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+               WHERE len(tk) >= 2),
+    ref AS (SELECT w1, w2 FROM lpairs WHERE doc_id % 10 = 0),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rn
+           FROM ref GROUP BY 1, 2),
+    c2k AS (SELECT w1, w2, c2 FROM c2 WHERE rn <= 50000),
+    c1 AS (SELECT w1, COUNT(*) AS c1,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1) AS rn
+           FROM ref GROUP BY 1),
+    c1k AS (SELECT w1, c1 FROM c1 WHERE rn <= 20000),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM ref),
+    q AS (SELECT p.doc_id,
+                 GREATEST((COALESCE(u.c1, 0) + v.v) // (COALESCE(b.c2, 0) + 1),
+                          1) AS quo
+          FROM lpairs p
+          LEFT JOIN c2k b ON p.w1 = b.w1 AND p.w2 = b.w2
+          LEFT JOIN c1k u ON p.w1 = u.w1
+          CROSS JOIN v),
+    lm AS (SELECT doc_id,
+                  CAST(SUM(length(bin(quo)) - 1) AS BIGINT) * 2
+                    <= CAST(COUNT(*) AS BIGINT) * 9 AS lm_keep
+           FROM q GROUP BY 1)
+    SELECT gopher_pass, linear_keep,
+           COALESCE(lm_keep, FALSE) AS lm_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM gop
+    JOIN lin USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "filter-agreement cross-tab — the governance readout before "
+    "stacking filters: the Gopher A1.1 rules, the frozen hashed-linear "
+    "classifier, and the data-trained bigram-LM keep decision counted "
+    "over all 8 agreement cells (docs too short for the LM count as "
+    "lm_keep=false); three independent scan lineages, one record-level "
+    "doc join, integer-exact everywhere",
+)
+def q_text_filter_agreement(spark, sf_dir):
+    """Where named filters disagree is where curation thresholds get
+    reviewed — the cross-tab quantifies it. Reuses
+    gopher_quality_filter, linear_quality_score, bigram_lm_score."""
+    docs = t(spark, sf_dir, "documents")
+    g = TX.gopher_quality_filter(docs).select("doc_id", "gopher_pass")
+    lin = TX.linear_quality_score(docs).select(
+        "doc_id", F.col("keep").alias("linear_keep")
+    )
+    lm = TX.bigram_lm_score(docs).select(
+        "doc_id", F.col("keep").alias("lm_keep")
+    )
+    j = (
+        g.join(lin, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select(
+            "gopher_pass",
+            "linear_keep",
+            F.coalesce("lm_keep", F.lit(False)).alias("lm_keep"),
+        )
+    )
+    return (
+        j.groupBy("gopher_pass", "linear_keep", "lm_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("gopher_pass", "linear_keep", "lm_keep")
+    )
