@@ -4006,3 +4006,116 @@ def q_text_filter_agreement(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("gopher_pass", "linear_keep", "lm_keep")
     )
+
+
+def _method_agreement_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1})"
+        f" AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    w = 4
+    sh_bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * w}) & 15 AS band_key FROM sims"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled),
+    bands AS ({bands}),
+    mh_pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    sims AS ({_simhash_oracle()}),
+    banded AS ({sh_bands}),
+    sh_pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    u AS (SELECT a_id, b_id,
+                 CAST(MAX(in_mh) AS BOOLEAN) AS in_minhash,
+                 CAST(MAX(in_sh) AS BOOLEAN) AS in_simhash
+          FROM (SELECT a_id, b_id, 1 AS in_mh, 0 AS in_sh FROM mh_pairs
+                UNION ALL
+                SELECT a_id, b_id, 0, 1 FROM sh_pairs)
+          GROUP BY 1, 2),
+    jac AS (SELECT u.a_id, u.b_id, in_minhash, in_simhash,
+                   len(list_intersect(sa.sh, sb.sh)) AS inter,
+                   len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+            FROM u JOIN shingled sa ON u.a_id = sa.doc_id
+                   JOIN shingled sb ON u.b_id = sb.doc_id)
+    SELECT in_minhash, in_simhash,
+           inter * 10 >= uni * 3 AS jaccard_ge_03,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+@register(
+    "q_dedup_method_agreement",
+    _method_agreement_oracle(),
+    "dedup-method agreement cross-tab — the governance readout for the "
+    "near-dup family: candidate pairs from MinHash-LSH vs banded "
+    "SimHash, each pair verified against exact shingle Jaccard >= 0.3 "
+    "(integer cross-multiplied); tells you which index finds real "
+    "duplicates and which hallucinates before you trust either at "
+    "100 TB; shingle arrays join back only for the candidate union",
+)
+def q_dedup_method_agreement(spark, sf_dir):
+    """Candidates by method x exact-Jaccard verdict, counted over the
+    union; reuses minhash_candidate_pairs / simhash_pairs /
+    word_shingles_expr."""
+    from pg_logical_replication_spark.operators.dedup import (
+        word_shingles_expr,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    mh = D.minhash_candidate_pairs(docs).select(
+        "a_id", "b_id", F.lit(1).alias("in_mh"), F.lit(0).alias("in_sh")
+    )
+    sh = D.simhash_pairs(docs).select(
+        "a_id", "b_id", F.lit(0).alias("in_mh"), F.lit(1).alias("in_sh")
+    )
+    u = (
+        mh.unionByName(sh)
+        .groupBy("a_id", "b_id")
+        .agg(
+            (F.max("in_mh") == 1).alias("in_minhash"),
+            (F.max("in_sh") == 1).alias("in_simhash"),
+        )
+    )
+    shing = docs.select(
+        F.col("doc_id"), word_shingles_expr("text").alias("sh")
+    )
+    j = (
+        u.join(
+            shing.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa")),
+            "a_id",
+        )
+        .join(
+            shing.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb")),
+            "b_id",
+        )
+        .select(
+            "in_minhash",
+            "in_simhash",
+            (
+                F.size(F.array_intersect("sa", "sb")) * 10
+                >= F.size(F.array_union("sa", "sb")) * 3
+            ).alias("jaccard_ge_03"),
+        )
+    )
+    return (
+        j.groupBy("in_minhash", "in_simhash", "jaccard_ge_03")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("in_minhash", "in_simhash", "jaccard_ge_03")
+    )
