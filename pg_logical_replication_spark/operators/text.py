@@ -2380,44 +2380,64 @@ def content_defined_chunks(
 
     Hash: Horner fold ``H = (H*257 + code(char)) mod 1_000_003`` over
     each window — all int64, exact in any engine (values stay under
-    2^38). Per doc emits (chunk_idx, chunk_md5, chunk_len). One narrow
-    projection + explode; zero shuffle until the caller aggregates.
+    2^38).
+
+    Shape: the SAME computation as nested higher-order lambdas ran
+    66 s at sf0.1 (interpreted per element — the exploded_shingles /
+    Gopher-A1.2 finding); this form posexplodes characters once, takes
+    lead(1..7) over the doc-ordered window, computes each window hash
+    as a plain codegen expression, and collects the per-doc boundary
+    list (tiny) to cut chunk spans — a few seconds at the same scale.
     """
-    L = F.length(F.col(text_col))
-    npos = F.greatest(L - (CDC_WINDOW - 1), F.lit(0))
-    # guarded 1..npos index list (sequence alone descends for npos < 1)
-    idx = F.expr(
-        f"slice(sequence(1, greatest(length({text_col}) - {CDC_WINDOW - 1},"
-        f" 1)), 1, greatest(length({text_col}) - {CDC_WINDOW - 1}, 0))"
+    from pyspark.sql import Window
+
+    chars = df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "")).alias("_pos", "_ch"),
     )
-    hashes = F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.sequence(F.lit(0), F.lit(CDC_WINDOW - 1)),
-            F.lit(0).cast("long"),
-            lambda a, j: (
-                a * CDC_BASE
-                + F.ascii(F.col(text_col).substr(i + j, F.lit(1)))
-            )
-            % CDC_MOD,
-        ),
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    cols = [F.ascii("_ch")] + [
+        F.ascii(F.lead("_ch", j).over(w)) for j in range(1, CDC_WINDOW)
+    ]
+    h = F.lit(0).cast("long")
+    for c in cols:
+        h = (h * CDC_BASE + c) % CDC_MOD
+    led = chars.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.lead("_ch", CDC_WINDOW - 1).over(w).isNotNull().alias("_full"),
+        h.alias("_h"),
     )
-    # boundary ENDS: i + window - 1 for positions whose hash divides
-    ends = F.filter(
-        F.zip_with(idx, hashes, lambda i, h: F.when(h % CDC_DIVISOR == 0, i + (CDC_WINDOW - 1))),
-        lambda e: e.isNotNull(),
+    ends = (
+        led.where(F.col("_full") & (F.col("_h") % CDC_DIVISOR == 0))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("_pos") + CDC_WINDOW)
+            ).alias("_ends")
+        )
     )
-    starts = F.concat(F.array(F.lit(1)), F.transform(ends, lambda e: e + 1))
-    allends = F.concat(ends, F.array(L))
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("long").alias("_L"),
+    ).join(ends, id_col, "left")
+    endsc = F.coalesce(F.col("_ends"), F.array().cast("array<long>"))
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(endsc, lambda e: e + 1),
+    )
+    allends = F.concat(endsc, F.array(F.col("_L")))
     spans = F.filter(
-        F.zip_with(starts, allends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        F.zip_with(
+            starts, allends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
         lambda z: z["s"] <= z["e"],
     )
     chunks = F.transform(
-        spans,
-        lambda z: F.col(text_col).substr(z["s"], z["e"] - z["s"] + 1),
+        spans, lambda z: F.col("_t").substr(z["s"], z["e"] - z["s"] + 1)
     )
-    ex = df.select(
+    ex = base.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
     )
     return ex.select(
