@@ -87,6 +87,8 @@ HEADLINE = [
     "q_ann_bq_topk",
     "q_text_c4_rules",
     "q_mm_image_ahash_dedup",
+    "q_corpus_content_chunks",
+    "q_events_cusum",
 ]
 
 

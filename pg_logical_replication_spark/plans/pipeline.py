@@ -4073,7 +4073,10 @@ def _method_agreement_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
 def q_dedup_method_agreement(spark, sf_dir):
     """Candidates by method x exact-Jaccard verdict, counted over the
     union; reuses minhash_candidate_pairs / simhash_pairs /
-    word_shingles_expr."""
+    word_shingles_expr. Cost note: this runs BOTH index pipelines plus
+    a verification join (~18 s at sf0.1) — it is the periodic
+    governance audit you run on a sample when tuning thresholds, not a
+    per-ingest operator."""
     from pg_logical_replication_spark.operators.dedup import (
         word_shingles_expr,
     )
