@@ -2473,3 +2473,30 @@ def cdc_chunk_dedup_stats(
             6,
         ).alias("shared_char_frac"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: tuple[str, ...] = ("spamword", "casino", "viagra", "xxx"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist gating — the C4 §2.2 "bad words" step (C4 uses the
+    LDNOOBW list; the list here is a CONFIGURABLE parameter with a
+    spam-flavored default, since the mechanism — not the lexicon — is
+    the operator). A document is dropped when any blocked word appears
+    as a whole token (lowercased); per doc: hit count, distinct terms
+    hit, and the keep flag.
+
+    Scale: the list is a literal in the scan-stage expression (the
+    broadcast-LUT degenerate case) — zero shuffle, zero Python,
+    streaming-safe like every first-pass gate here.
+    """
+    toks = F.transform(tokens_expr(text_col), lambda x: F.lower(x))
+    hits = F.filter(toks, lambda x: x.isin(*blocklist))
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_blocked_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_blocked_terms"),
+        (F.size(hits) == 0).alias("blocklist_pass"),
+    )

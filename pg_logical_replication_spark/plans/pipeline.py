@@ -4122,3 +4122,28 @@ def q_dedup_method_agreement(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("in_minhash", "in_simhash", "jaccard_ge_03")
     )
+
+
+@register(
+    "q_text_blocklist_filter",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(list_transform({_TOKS}, x -> lower(x)),
+                         x -> x IN ('spamword', 'casino', 'viagra', 'xxx'))
+               AS hits
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_blocked_hits,
+           CAST(len(list_distinct(hits)) AS BIGINT) AS n_blocked_terms,
+           len(hits) = 0 AS blocklist_pass
+    FROM m
+    """,
+    "blocklist gating (the C4 SS2.2 bad-words step — mechanism over "
+    "lexicon: the list is a configurable literal, spam-flavored "
+    "default here): whole-token lowercased match, hit/term counts + "
+    "keep flag, zero shuffle, zero Python, streaming-safe",
+)
+def q_text_blocklist_filter(spark, sf_dir):
+    """See operators/text.py:blocklist_filter."""
+    return TX.blocklist_filter(t(spark, sf_dir, "documents"))
