@@ -483,3 +483,52 @@ def test_stream_gate_state_survives_query_restart(spark, tmp_path):
     vs = [r["after"]["v"] for r in rows if r["op"] == "insert"]
     assert vs == ["kept"]
     assert rows[0]["xid"] == 100 and rows[0]["commit_ts"] is not None
+
+
+def test_pack_sequences_stream_agrees_with_batch(spark, tmp_path):
+    """Streaming packing across TWO micro-batches (doc_id arrival
+    order) must equal the batch pack of the same corpus — including a
+    bin left half-open at the batch boundary being continued, not
+    restarted."""
+    import json
+    import os
+
+    from pg_logical_replication_spark.operators.packing import pack_sequences
+    from pg_logical_replication_spark.streaming.packing import (
+        pack_sequences_stream,
+    )
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["bin_id"], r["bin_seq"])
+        for r in pack_sequences(docs, budget=16, bucket_size=20).collect()
+    }
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    # two batches split MID-bucket so open bins must carry across
+    for bname, chunk in (("b0.jsonl", rows[:25]), ("b1.jsonl", rows[25:])):
+        with open(os.path.join(d, bname), "w") as f:
+            for rid, text in chunk:
+                f.write(json.dumps({"doc_id": rid, "text": text}) + "\n")
+        ts = 1_700_000_000 + (0 if bname == "b0.jsonl" else 100)
+        os.utime(os.path.join(d, bname), (ts, ts))
+
+    got = {}
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(d)
+    q = (
+        pack_sequences_stream(stream, budget=16, bucket_size=20)
+        .writeStream.foreachBatch(
+            lambda df, _b: got.update(
+                {r["doc_id"]: (r["bin_id"], r["bin_seq"]) for r in df.collect()}
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want
