@@ -211,3 +211,42 @@ def test_streaming_shard_export_via_foreach_batch(spark, tmp_path):
                 seen[did] = tf.extractfile(m).read().decode()
     assert sorted(seen) == list(range(120))
     assert all(seen[i] == f"doc {i}" for i in range(120))
+
+
+def test_codec_decode_runs_on_a_stream(spark, tmp_path):
+    """Arrow-batched codec decode (mapInPandas) is stateless, so the
+    SAME operator runs on a readStream of asset files — the live-ingest
+    shape: bytes arrive, features come out, no batch/stream fork."""
+    import os
+
+    from pg_logical_replication_spark.operators.multimodal import (
+        g711_decode_features, synthesize_g711_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    assets = synthesize_g711_assets(docs).select("asset_id", "payload")
+    d = str(tmp_path / "assets")
+    assets.write.mode("overwrite").parquet(d)
+    want = {
+        r["asset_id"]: (r["law"], r["n_samples"], r["sum_decoded"])
+        for r in g711_decode_features(spark.read.parquet(d)).collect()
+    }
+
+    got = {}
+    stream = spark.readStream.schema("asset_id long, payload binary").parquet(d)
+    q = (
+        g711_decode_features(stream)
+        .writeStream.foreachBatch(
+            lambda df, _b: got.update(
+                {r["asset_id"]: (r["law"], r["n_samples"], r["sum_decoded"])
+                 for r in df.collect()}
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    assert got == want and len(got) == 12
