@@ -532,3 +532,45 @@ def test_pack_sequences_stream_agrees_with_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == want
+
+
+def test_cusum_stream_alarms_on_level_shift(spark, tmp_path):
+    """Streaming CUSUM: an in-control first micro-batch raises no
+    alarm; a level-shifted second batch trips the HIGH chart with the
+    cumulative sum carried across the batch boundary; the chart resets
+    after the alarm."""
+    import json
+    import os
+
+    from pg_logical_replication_spark.streaming.monitor import cusum_stream
+
+    d = str(tmp_path / "vals")
+    os.makedirs(d)
+
+    def write(name, rows, ts):
+        with open(os.path.join(d, name), "w") as f:
+            for o, v in rows:
+                f.write(json.dumps({"key": "m", "ord": o, "value": v}) + "\n")
+        os.utime(os.path.join(d, name), (ts, ts))
+
+    # mean_ref=10, k=1, h=12: in-control batch (values 9..11) never
+    # accumulates; the shifted batch (value 15 -> +4/step) alarms on
+    # the 3rd shifted point (4+4+4 = 12 >= h)
+    write("b0.jsonl", [(i, 10 + (i % 3) - 1) for i in range(6)], 1_700_000_000)
+    write("b1.jsonl", [(10 + i, 15) for i in range(4)], 1_700_000_100)
+
+    got = []
+    stream = spark.readStream.schema(
+        "key string, ord long, value long"
+    ).option("maxFilesPerTrigger", 1).json(d)
+    q = (
+        cusum_stream(stream, mean_ref=10, k=1, h=12)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 1, got
+    a = got[0]
+    assert (a["direction"], a["ord"], a["s_hi"]) == ("high", 12, 12)
