@@ -2094,3 +2094,82 @@ def image_dhash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
         cand.select("a_id", "b_id", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def synthesize_ogg_assets(documents: DataFrame) -> DataFrame:
+    """documents → spec-valid Ogg streams (``functions/ogg.py``):
+    Vorbis (even doc_id, 44100 Hz) or Opus (odd, 48000 Hz), channels =
+    1 + doc_id%2, 2 + doc_id%5 data pages of 4800 samples each —
+    every probed fact closed-form."""
+    from pg_logical_replication_spark.functions.ogg import encode_ogg_stream
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codec = "vorbis" if did % 2 == 0 else "opus"
+                rate = 44100 if codec == "vorbis" else 48000
+                ch = 1 + did % 2
+                n = 2 + did % 5
+                ids.append(did)
+                kinds.append("audio")
+                payloads.append(
+                    encode_ogg_stream(codec, ch, rate, n, 4800,
+                                      serial=did + 1)
+                )
+                metas.append(
+                    {
+                        "codec": codec,
+                        "width": None,
+                        "height": None,
+                        "sample_rate": rate,
+                        "duration_ms": (n * 4800 * 1000) // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def probe_ogg_features(assets: DataFrame) -> DataFrame:
+    """REAL Ogg page walk executor-side (capture pattern + page CRC
+    verified, first packet reassembled from lacing values): codec,
+    channels, rate, page count, duration — the filter-before-decode
+    pass for the web's free-audio container."""
+    from pg_logical_replication_spark.functions.ogg import probe_ogg
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                info = probe_ogg(bytes(buf))
+                rows.append(
+                    (
+                        aid,
+                        info["codec_name"],
+                        info["channels"],
+                        info["sample_rate"],
+                        info["n_pages"],
+                        info["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "codec_name", "channels", "sample_rate",
+                    "n_pages", "duration_ms",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches,
+        schema="asset_id long, codec_name string, channels int, "
+        "sample_rate int, n_pages int, duration_ms long",
+    )

@@ -938,3 +938,33 @@ def q_mm_image_dhash_pairs(spark, sf_dir):
 
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     return MM.image_dhash_pairs(MM.synthesize_png_assets(docs))
+
+
+@register(
+    "q_mm_ogg_probe",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+             AS codec_name,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+                AS INT) AS sample_rate,
+           CAST(3 + doc_id % 5 AS INT) AS n_pages,
+           CAST((2 + doc_id % 5) * 4800 * 1000
+                // (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    "REAL Ogg container probe (RFC 3533): page walk with the Ogg "
+    "CRC-32 (0x04C11DB7, unreflected — not zlib's), packet reassembly "
+    "from lacing values, Vorbis/Opus ID-header identification, "
+    "duration from the last granule position — the fifth container "
+    "family next to WARC/RIFF/BMFF/EBML, all facts closed-form",
+)
+def q_mm_ogg_probe(spark, sf_dir):
+    """See functions/ogg.py; synthesis per operators/multimodal.py:
+    synthesize_ogg_assets."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    return MM.probe_ogg_features(MM.synthesize_ogg_assets(docs))
