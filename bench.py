@@ -89,6 +89,7 @@ HEADLINE = [
     "q_mm_image_ahash_dedup",
     "q_corpus_content_chunks",
     "q_events_cusum",
+    "q_mm_ogg_probe",
 ]
 
 
