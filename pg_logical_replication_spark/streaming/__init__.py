@@ -30,3 +30,14 @@ from pg_logical_replication_spark.streaming.stateful import (  # noqa: F401
     resolve_transactions_stream,
     toast_fill_stream,
 )
+from pg_logical_replication_spark.streaming.dedup import (  # noqa: F401
+    near_dup_gate_rollup,
+    stream_exact_dedup,
+    stream_near_dup_gate,
+)
+from pg_logical_replication_spark.streaming.monitor import (  # noqa: F401
+    cusum_stream,
+)
+from pg_logical_replication_spark.streaming.packing import (  # noqa: F401
+    pack_sequences_stream,
+)
