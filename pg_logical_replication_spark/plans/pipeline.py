@@ -4147,3 +4147,48 @@ def q_dedup_method_agreement(spark, sf_dir):
 def q_text_blocklist_filter(spark, sf_dir):
     """See operators/text.py:blocklist_filter."""
     return TX.blocklist_filter(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dq_k_anonymity",
+    """
+    WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS grp
+               FROM documents GROUP BY 1, 2)
+    SELECT CAST(MIN(grp) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+             AS n_rows_below_5,
+           ROUND(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END)
+                 / SUM(grp), 6) AS frac_below_5
+    FROM g
+    """,
+    "k-anonymity audit (Sweeney 1998 — the structured-PII governance "
+    "readout that complements regex scrubbing): minimum equivalence-"
+    "class size over the (lang, source) quasi-identifiers, class "
+    "count, and the row fraction in classes smaller than k=5 — the "
+    "re-identification risk measure a release review reads; one "
+    "map-side-combined group + a scalar rollup",
+)
+def q_dq_k_anonymity(spark, sf_dir):
+    """Quasi-identifiers here are the corpus's categorical columns;
+    real deployments pass their own. Two-level aggregation only —
+    nothing row-sized leaves the first combine."""
+    g = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("grp"))
+    )
+    return g.agg(
+        F.min("grp").cast("long").alias("k_anonymity"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_5"),
+        F.round(
+            F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("grp"),
+            6,
+        ).alias("frac_below_5"),
+    )
