@@ -118,7 +118,11 @@ def main() -> None:
     # genuine regressions and a mean amplifies outliers. Spread
     # (min/max over the 5) is emitted per query so noise is
     # distinguishable from real movement across rounds.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # default 3 since HEADLINE grew 28 -> 68 entries over round 4: a
+    # 5-rep sweep at sf0.1 is ~55 min wall; median-of-3 with the
+    # min/max spread keeps regressions visible at ~60% of the cost
+    # (the "reps" field records which was used)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
