@@ -477,6 +477,35 @@ def _near_dup_pairs_global(
     )
 
 
+def bucket_sub_salt_expr(
+    id_col: str = "_id", tbl_col: str = "tbl", count_col: str = "_bn",
+    cap: int = 4096,
+) -> str:
+    """Deterministic sub-bucket assignment for oversized LSH buckets:
+    16-bit value from the first 4 md5 hex chars of ``id:tbl``, modulo
+    ``n_sub = ceil(bucket_count / cap)``. Including the TABLE in the
+    hash input decorrelates the split across hash tables — with a
+    table-independent salt (e.g. ``id % n_sub``) a pair separated in
+    one table would be separated in ALL of them and recall would not
+    recover; with per-table salts a hot-bucket pair survives with
+    ~1-(1-1/s)^T. Engine-portable: md5 + STRPOS arithmetic replays
+    bit-identically in DuckDB (the SimHash-oracle idiom)."""
+    h = (
+        f"md5(concat(CAST({id_col} AS STRING), ':', "
+        f"CAST({tbl_col} AS STRING)))"
+    )
+    h16 = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    n_sub = (
+        f"greatest(CAST(1 AS BIGINT), "
+        f"CAST(ceil({count_col} / {float(cap)}) AS BIGINT))"
+    )
+    return f"pmod(CAST({h16} AS BIGINT), {n_sub})"
+
+
 def cosine_near_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,
@@ -485,6 +514,7 @@ def cosine_near_dup_pairs_bucketed(
     dims: int = 64,
     planes: int = 4,
     tables: int = 8,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Distributed near-dup pairs: the exact matmul kernel of
     :func:`_near_dup_pairs_global`, run INSIDE each random-hyperplane
@@ -498,8 +528,24 @@ def cosine_near_dup_pairs_bucketed(
     ~n/2^planes rows — nothing corpus-sized touches the driver. A true
     pair is missed only if it splits in EVERY table (recall
     1-(1-r)^L); near-dup thresholds (≥0.95 cosine) put r near 1, which
-    the sf0.001 agreement test pins. Hot buckets (dense clusters) are
-    the knob: raise ``planes`` to shrink them.
+    the sf0.001 agreement test pins.
+
+    ``bucket_cap`` is the hot-bucket valve (the ``df_cap`` precedent
+    from ``dedup._candidate_pair_stats``): a dense duplicate cluster —
+    the NORMAL case in a web corpus — lands k near-identical
+    signatures in ONE bucket of EVERY table, making one task O(k²)
+    regardless of ``planes``. When a (table, bucket) group holds more
+    than ``bucket_cap`` rows it is split into ``s = ceil(k/cap)``
+    sub-buckets by a deterministic per-table md5 salt
+    (:func:`bucket_sub_salt_expr`), bounding every task's pair work at
+    ~cap². Semantics: reported pairs are still EXACT cosines; only
+    recall inside oversized buckets drops — a hot-bucket pair is
+    co-bucketed per table with probability ~1/s, surviving any of the
+    ``tables`` tables with ~1-(1-1/s)^T (and a 10k-identical cluster
+    still links into one connected component through its surviving
+    pairs, which is what dedup consumes). The bucket-size census is a
+    ≤ tables·2^planes-row aggregate, broadcast back — no extra
+    full-width shuffle. ``bucket_cap=None`` disables the valve.
 
     The per-bucket cosine arithmetic is identical to the global kernel
     (same float64 matmul, same round-6), so any pair found by both
@@ -517,6 +563,21 @@ def cosine_near_dup_pairs_bucketed(
         F.posexplode(sig_arr).alias("tbl", "bucket"),
     )
 
+    group_cols = ["tbl", "bucket"]
+    if bucket_cap is not None:
+        # Bucket census: at most tables·2^planes distinct keys, so the
+        # aggregate is map-side-combined to a handful of rows and the
+        # join back is a broadcast — the valve costs a second corpus
+        # scan, never a second full-width shuffle.
+        census = F.broadcast(
+            ex.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))
+        )
+        ex = ex.join(census, ["tbl", "bucket"]).withColumn(
+            "sub",
+            F.expr(bucket_sub_salt_expr(cap=bucket_cap)),
+        )
+        group_cols = ["tbl", "bucket", "sub"]
+
     def bucket_pairs(pdf):
         import pandas as pd
 
@@ -532,7 +593,7 @@ def cosine_near_dup_pairs_bucketed(
         ai, bj = np.nonzero(keep)
         return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bj], "cosine": C[ai, bj]})
 
-    pairs = ex.groupBy("tbl", "bucket").applyInPandas(
+    pairs = ex.groupBy(*group_cols).applyInPandas(
         bucket_pairs, schema="a_id long, b_id long, cosine double"
     )
     # same pair may surface from several tables with an identical score

@@ -1377,26 +1377,43 @@ def q_pipeline_cdc_to_corpus(spark, sf_dir):
     )
 
 
-def _bucketed_near_dup_oracle(dims=64, planes=4, tables=8) -> str:
+def _bucketed_near_dup_oracle(dims=64, planes=4, tables=8, cap=4096) -> str:
     """DuckDB twin of cosine_near_dup_pairs_bucketed: the md5-parity
     hyperplanes are Python-computed literals at plan-build time, so the
-    SAME ±1 weight arrays inline into SQL; bucket membership and the
-    per-bucket exact cosine replay in full. An oracle for the SCALE
-    path itself — the LSH bucketing is deterministic, only recall vs
-    the global kernel is probabilistic (and irrelevant here: the oracle
-    mirrors the bucketed semantics, not the global ones)."""
+    SAME ±1 weight arrays inline into SQL; bucket membership, the
+    hot-bucket sub-salt valve (bucket census → ceil(k/cap) sub-buckets
+    by per-table md5 — bucket_sub_salt_expr's exact arithmetic), and
+    the per-bucket exact cosine all replay in full. An oracle for the
+    SCALE path itself — the LSH bucketing is deterministic, only
+    recall vs the global kernel is probabilistic (and irrelevant here:
+    the oracle mirrors the bucketed semantics, not the global ones)."""
     sigs = _hyperplane_sigs_sql(dims, planes, tables)
+    h = "md5(CAST(s.vec_id AS VARCHAR) || ':' || CAST(s.tbl AS VARCHAR))"
+    h16 = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (3 - i)}"
+        for i in range(4)
+    )
     return f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     sigs AS ({sigs}),
+    census AS (SELECT tbl, bucket, COUNT(*) AS bn
+               FROM sigs GROUP BY 1, 2),
+    salted AS (SELECT s.vec_id, s.v, s.tbl, s.bucket,
+                      CAST({h16} AS BIGINT)
+                      % GREATEST(CAST(1 AS BIGINT),
+                                 CAST(CEIL(c.bn / {float(cap)}) AS BIGINT))
+                        AS sub
+               FROM sigs s JOIN census c
+                 ON s.tbl = c.tbl AND s.bucket = c.bucket),
     cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
                     ROUND(list_dot_product(a.v, b.v) /
                           (SQRT(list_dot_product(a.v, a.v)) *
                            SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
-             FROM sigs a JOIN sigs b
-               ON a.tbl = b.tbl AND a.bucket = b.bucket
+             FROM salted a JOIN salted b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sub = b.sub
               AND a.vec_id < b.vec_id)
     SELECT a_id, b_id, cosine FROM cand
     ORDER BY cosine DESC, a_id, b_id LIMIT 20

@@ -104,3 +104,73 @@ def test_near_dup_guard_routes_to_bucketed(spark):
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert routed.count() == 20
+
+
+def test_hot_bucket_valve_bounds_task_size(spark):
+    """A dense duplicate cluster (10k IDENTICAL vectors — every one
+    lands in the same bucket of every table) must not produce an O(k²)
+    task: with bucket_cap the per-(table, bucket, sub) groups stay
+    ~cap-sized, every reported pair is still an exact cosine 1.0, and
+    (nearly) every member of the cluster survives into at least one
+    pair, so connected-component dedup still collapses the cluster
+    (VERDICT r4 #2 done-criterion)."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.operators.similarity import (
+        bucket_sub_salt_expr,
+        cosine_near_dup_pairs_bucketed,
+        hyperplane_signs,
+    )
+
+    n, cap = 10_000, 64
+    vec = [float((d * 7) % 13 - 6) for d in range(64)]
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(x) for x in vec])
+            .cast("array<double>")
+            .alias("embedding"),
+        )
+    )
+
+    # Bounded tasks: replay the valve's grouping and check the max
+    # sub-group size (expected ~cap; 2*cap is ~8 sigma of the md5 salt).
+    sig_arr = F.array(
+        *[hyperplane_signs("embedding", 64, 4, table=t_) for t_ in range(8)]
+    )
+    ex = emb.select(
+        F.col("vec_id").alias("_id"), F.posexplode(sig_arr).alias("tbl", "bucket")
+    )
+    census = ex.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))
+    sized = (
+        ex.join(F.broadcast(census), ["tbl", "bucket"])
+        .withColumn("sub", F.expr(bucket_sub_salt_expr(cap=cap)))
+        .groupBy("tbl", "bucket", "sub")
+        .count()
+    )
+    stats = sized.agg(
+        F.max("count").alias("mx"), F.count("*").alias("groups")
+    ).collect()[0]
+    assert stats["mx"] <= 2 * cap, stats
+    assert stats["groups"] >= 8 * (n // cap) // 2, stats
+
+    pairs = cosine_near_dup_pairs_bucketed(
+        emb, threshold=0.95, bucket_cap=cap
+    )
+    got = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("cosine").alias("mn"),
+        (
+            F.size(
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.array("a_id", "b_id")))
+                )
+            )
+        ).alias("n_members"),
+    ).collect()[0]
+    assert got["n_pairs"] > 0
+    assert got["mn"] == 1.0  # exact cosine on identical vectors
+    # each survivor links into the cluster; singleton sub-buckets are
+    # ~impossible at these sizes, but allow a handful
+    assert got["n_members"] >= n - 10, got
