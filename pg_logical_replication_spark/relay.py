@@ -94,20 +94,26 @@ def run_relay(
             ack_off, last_flushed = forward(
                 transport, log_dir, ack_off, last_flushed
             )
-            if (
-                ack_off == prev_off
-                and not wrote
-                and now - last_status >= status_interval
-            ):
-                # idle with no progress: keep the walsender alive by
-                # re-acking the last recorded position (reference
-                # :238-247); zero-position keepalive before any ack
+            sent = ack_off != prev_off
+            if not sent and now - last_status >= status_interval:
+                # No downstream ack progress within the interval —
+                # whether the relay is idle OR under sustained traffic
+                # with a lagging/absent consumer: re-ack the last
+                # recorded position so wal_sender_timeout (default 60s)
+                # never fires (reference :238-247 re-acks on every
+                # timer expiry regardless of traffic); zero-position
+                # keepalive before any ack.
                 transport.send_standby_status(
                     long_to_lsn(last_flushed - 1)
                     if last_flushed is not None
                     else "0/00000000"
                 )
-            last_status = now
+                sent = True
+            if sent:
+                # last_status tracks when a Standby Status Update
+                # actually went upstream — resetting it on mere frame
+                # traffic starved the keepalive under load.
+                last_status = now
         if stop_after_frames is not None and total >= stop_after_frames:
             break
         if stop_after_seconds is not None and now - started >= stop_after_seconds:
@@ -192,18 +198,19 @@ def run_multi_relay(
             now = time.monotonic()
             if wrote or now - s.last_status >= status_interval:
                 forwarded = s.forward()
-                if (
-                    not forwarded
-                    and not wrote
-                    and now - s.last_status >= status_interval
-                ):
-                    # idle keepalive re-ack, per slot
+                if not forwarded and now - s.last_status >= status_interval:
+                    # keepalive re-ack, per slot — fires on the timer
+                    # whether the slot is idle or its consumer lags
+                    # (same fix as run_relay: traffic alone must not
+                    # starve the Standby Status Update)
                     s.transport.send_standby_status(
                         long_to_lsn(s.last_flushed - 1)
                         if s.last_flushed is not None
                         else "0/00000000"
                     )
-                s.last_status = now
+                    forwarded = True
+                if forwarded:
+                    s.last_status = now
         total = sum(s.total for s in slots)
         now = time.monotonic()
         if stop_after_frames is not None and total >= stop_after_frames:

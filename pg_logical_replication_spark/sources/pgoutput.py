@@ -236,7 +236,7 @@ def decode_pgoutput(
                     ev = fmt.parse_message(
                         bytes(data), relations, streamed=in_stream
                     )
-                except (KeyError, fmt.MissingRelationError) as e:
+                except fmt.MissingRelationError as e:
                     # unseen relation oid. In BATCH mode the pre-scan
                     # guarantees every R is registered, so this is a
                     # hard protocol error — raise. In STREAMING mode the
@@ -249,9 +249,13 @@ def decode_pgoutput(
                     # avoid the degraded rows entirely by passing the
                     # relations= registry (like the reference's
                     # _relationCache living across messages).
+                    # Only the typed error is degraded: a bare KeyError
+                    # from a corrupt frame must crash loudly, not
+                    # masquerade as an 'unseen relation' row with a
+                    # bogus oid (ADVICE r4 low).
                     if not lenient:
                         raise
-                    oid = getattr(e, "oid", None) or e.args[0]
+                    oid = e.oid
                     ev = {
                         "op": "error",
                         "meta": {

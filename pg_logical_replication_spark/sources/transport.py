@@ -592,9 +592,18 @@ class WalsenderTransport(WalTransport):
             else:
                 have_full = False
             if not have_full:
-                r, _, _ = select.select([self._sock], [], [], 0)
-                if not r:
-                    break
+                # After TLS negotiation self._sock is an SSLSocket:
+                # decrypted bytes buffered INSIDE the TLS layer do not
+                # make the underlying fd readable, so a message whose
+                # tail sits in the SSL buffer would stall until the
+                # next wire bytes (e.g. a server keepalive seconds
+                # later) — check pending() before consulting select()
+                # (ADVICE r4 medium).
+                pending = getattr(self._sock, "pending", lambda: 0)()
+                if not pending:
+                    r, _, _ = select.select([self._sock], [], [], 0)
+                    if not r:
+                        break
                 chunk = self._sock.recv(1 << 16)
                 if not chunk:
                     break
@@ -738,17 +747,33 @@ def relay_to_frame_log(
     Appends are frame-atomic from the reader's perspective: the tail
     transport's splitter stops before a partial frame, so a reader
     racing this writer sees only complete frames.
+
+    The writer is cached per (path, segment, rotate_bytes): its
+    __init__ scans the last segment to find the resume point, so a
+    fresh writer per call would cost O(segment bytes, up to
+    rotate_bytes) per poll — the same O(segment²) tailing pattern the
+    r4 tailer fix removed (ADVICE r4 low). Loop callers wanting full
+    control should hold a FrameLogWriter directly, like run_relay.
     """
     frames = transport.poll(max_frames)
     if not frames:
         return 0
-    writer = FrameLogWriter(
-        path,
-        segment_frames=2**62,  # byte-capped only, per the original contract
-        rotate_bytes=rotate_bytes,
-        start_segment=segment_name,
-    )
+    key = (os.path.abspath(path), segment_name, rotate_bytes)
+    writer = _RELAY_WRITERS.get(key)
+    if writer is not None and not os.path.isdir(path):
+        writer = None  # log dir removed since the last call: rebuild
+    if writer is None:
+        writer = _RELAY_WRITERS[key] = FrameLogWriter(
+            path,
+            # byte-capped only, per the original contract
+            segment_frames=2**62,
+            rotate_bytes=rotate_bytes,
+            start_segment=segment_name,
+        )
     return writer.append(frames)
+
+
+_RELAY_WRITERS: dict[tuple[str, str, int], "FrameLogWriter"] = {}
 
 
 def forward_acks_upstream(

@@ -1088,6 +1088,64 @@ def test_run_relay_idle_reack_keeps_walsender_alive(tmp_path):
     assert all(lsn_to_long(lsn) == 0x100 for lsn, _ in t.statuses)
 
 
+def test_run_relay_reacks_under_sustained_traffic(tmp_path):
+    """ADVICE r4 medium: with frames arriving on every poll but NO
+    downstream acks (a lagging/absent consumer), the old loop reset its
+    status timer on mere traffic and never sent a Standby Status Update
+    — the server's wal_sender_timeout would kill the slot. The timer
+    must track when a status actually went upstream."""
+    from pg_logical_replication_spark.relay import run_relay
+
+    class _FireHose(_ListTransport):
+        """Never-empty transport: one fresh frame per poll."""
+
+        def __init__(self):
+            super().__init__([])
+            self._n = 0
+
+        def poll(self, max_frames=None):
+            self._n += 1
+            return [_xlog(0x100 + 8 * self._n)]
+
+    d = str(tmp_path / "wal")
+    t = _FireHose()
+    run_relay(
+        t, d,
+        poll_interval=0.02,
+        status_interval=0.1,
+        stop_after_seconds=0.6,
+    )
+    # several intervals elapsed under load: keepalive must have fired
+    assert len(t.statuses) >= 2
+    assert all(lsn == "0/00000000" for lsn, _ in t.statuses)
+
+
+def test_run_multi_relay_reacks_under_sustained_traffic(tmp_path):
+    """Same traffic-starvation fix, per slot in the multiplexed relay."""
+    from pg_logical_replication_spark.relay import run_multi_relay
+
+    class _FireHose(_ListTransport):
+        def __init__(self):
+            super().__init__([])
+            self._n = 0
+
+        def poll(self, max_frames=None):
+            self._n += 1
+            return [_xlog(0x100 + 8 * self._n)]
+
+    a, b = _FireHose(), _FireHose()
+    run_multi_relay(
+        {"a": a, "b": b},
+        str(tmp_path / "wal"),
+        poll_interval=0.02,
+        status_interval=0.1,
+        stop_after_seconds=0.6,
+    )
+    for t in (a, b):
+        assert len(t.statuses) >= 2
+        assert all(lsn == "0/00000000" for lsn, _ in t.statuses)
+
+
 def test_run_relay_idle_reack_with_no_recorded_acks(tmp_path):
     """Before any Spark commit exists, idle re-ack sends a
     zero-position status — resets the server timeout, moves no slot."""
