@@ -276,10 +276,17 @@ class WalsenderTransport(WalTransport):
     spec (postgresql.org/docs/current/protocol-replication.html):
 
     * optional TLS via libpq's SSLRequest dance (``sslmode=`` disable/
-      prefer/require, stdlib ``ssl``);
+      prefer/require/verify-ca/verify-full, stdlib ``ssl``; the verify
+      modes build a CERT_REQUIRED context from ``sslrootcert`` or the
+      system trust store, verify-full additionally checking the
+      hostname — libpq's table at
+      postgresql.org/docs/current/libpq-ssl.html);
     * AuthenticationOk / cleartext / MD5 / SCRAM-SHA-256 password
-      responses (``sources/scram.py``, the PG ≥ 14 default; unknown
-      SASL mechanisms and channel-binding -PLUS are refused loudly);
+      responses (``sources/scram.py``, the PG ≥ 14 default), upgrading
+      to SCRAM-SHA-256-PLUS with RFC 5929 tls-server-end-point channel
+      binding whenever TLS is up and the server offers it (an HBA line
+      can REQUIRE the -PLUS mechanism); genuinely unknown SASL
+      mechanisms are refused loudly;
     * ``START_REPLICATION SLOT <slot> LOGICAL <lsn> (<options>)`` via
       simple Query, expecting CopyBothResponse;
     * :meth:`poll` drains CopyData ('d') messages — each carrying one
@@ -303,6 +310,7 @@ class WalsenderTransport(WalTransport):
         connect_timeout: float = 10.0,
         sslmode: str = "disable",
         ssl_context=None,
+        sslrootcert: str | None = None,
     ):
         import socket
 
@@ -313,37 +321,59 @@ class WalsenderTransport(WalTransport):
         self._copy_ended = False
         self.parameters: dict[str, str] = {}
         self.ssl_in_use = False
-        if sslmode not in ("disable", "prefer", "require"):
+        if sslmode not in (
+            "disable", "prefer", "require", "verify-ca", "verify-full"
+        ):
             raise ValueError(
-                f"sslmode {sslmode!r}: expected disable|prefer|require"
+                f"sslmode {sslmode!r}: expected disable|prefer|require|"
+                "verify-ca|verify-full"
             )
         if sslmode != "disable":
-            self._negotiate_ssl(host, sslmode, ssl_context)
+            self._negotiate_ssl(host, sslmode, ssl_context, sslrootcert)
         self._handshake(user, database, password)
 
-    def _negotiate_ssl(self, host: str, sslmode: str, ssl_context) -> None:
+    def _negotiate_ssl(
+        self, host: str, sslmode: str, ssl_context, sslrootcert
+    ) -> None:
         """libpq's SSLRequest dance (protocol §55.2.10): magic 80877103,
         single-byte reply — 'S' proceed with TLS, 'N' server declines.
         ``sslmode='require'`` mirrors libpq: encryption mandatory, no
-        certificate verification unless the caller passes a verifying
-        ``ssl_context`` (verify-full = stdlib default client context)."""
+        certificate verification. ``verify-ca`` builds a CERT_REQUIRED
+        context from ``sslrootcert`` (or the system trust store);
+        ``verify-full`` additionally checks the hostname against the
+        certificate — the safe mode reachable without a hand-built
+        ``ssl_context`` (ADVICE r4 low)."""
         import ssl as _ssl
 
         self._sock.sendall(struct.pack(">II", 8, 80877103))
         resp = self._sock.recv(1)
         if resp == b"S":
             if ssl_context is None:
-                ssl_context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
-                ssl_context.check_hostname = False
-                ssl_context.verify_mode = _ssl.CERT_NONE
-            self._sock = ssl_context.wrap_socket(
-                self._sock, server_hostname=host
-            )
+                if sslmode in ("verify-ca", "verify-full"):
+                    ssl_context = _ssl.create_default_context(
+                        cafile=sslrootcert
+                    )
+                    # create_default_context is verify-full shaped;
+                    # verify-ca relaxes only the hostname check
+                    ssl_context.check_hostname = sslmode == "verify-full"
+                else:
+                    ssl_context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+                    ssl_context.check_hostname = False
+                    ssl_context.verify_mode = _ssl.CERT_NONE
+            try:
+                self._sock = ssl_context.wrap_socket(
+                    self._sock, server_hostname=host
+                )
+            except _ssl.SSLCertVerificationError as e:
+                raise ConnectionError(
+                    f"walsender: server certificate rejected "
+                    f"(sslmode={sslmode}): {e}"
+                ) from e
             self.ssl_in_use = True
         elif resp == b"N":
-            if sslmode == "require":
+            if sslmode in ("require", "verify-ca", "verify-full"):
                 raise ConnectionError(
-                    "walsender: server refused SSL but sslmode=require"
+                    f"walsender: server refused SSL but sslmode={sslmode}"
                 )
             # prefer: fall back to plaintext on the same connection
         else:
@@ -421,26 +451,55 @@ class WalsenderTransport(WalTransport):
                 elif code == 10:  # AuthenticationSASL: mechanism offer
                     from pg_logical_replication_spark.sources.scram import (
                         ScramClient,
+                        cert_cb_data,
                     )
 
                     mechs = [
                         m.decode() for m in body[4:].split(b"\x00") if m
                     ]
-                    if "SCRAM-SHA-256" not in mechs:
-                        # refuse loudly rather than downgrade: -PLUS
-                        # (channel binding) and unknown mechanisms are
+                    if password is None and (
+                        "SCRAM-SHA-256" in mechs
+                        or "SCRAM-SHA-256-PLUS" in mechs
+                    ):
+                        raise ConnectionError("walsender: password required")
+                    if self.ssl_in_use and "SCRAM-SHA-256-PLUS" in mechs:
+                        # prefer channel binding whenever possible —
+                        # libpq's rule, and the only way through an HBA
+                        # line that REQUIRES the -PLUS mechanism. The
+                        # binding data is the RFC 5929 hash of the
+                        # exact certificate this TLS session presented.
+                        der = self._sock.getpeercert(binary_form=True)
+                        self._scram = ScramClient(
+                            password, channel_binding=cert_cb_data(der)
+                        )
+                        mech = b"SCRAM-SHA-256-PLUS"
+                    elif "SCRAM-SHA-256" in mechs:
+                        # gs2 'y' flag on TLS (we support CB, server
+                        # didn't offer it) lets a genuine server detect
+                        # a stripped -PLUS offer; 'n' on plaintext
+                        self._scram = ScramClient(
+                            password, tls_without_plus=self.ssl_in_use
+                        )
+                        mech = b"SCRAM-SHA-256"
+                    else:
+                        # refuse loudly rather than guess: unknown
+                        # mechanisms (or -PLUS-only without TLS) are
                         # out of the supported profile
                         raise NotImplementedError(
                             f"walsender: SASL mechanisms {mechs} "
-                            "unsupported (SCRAM-SHA-256 only)"
+                            "unsupported (SCRAM-SHA-256[-PLUS] only"
+                            + (
+                                "; -PLUS requires sslmode != disable"
+                                if "SCRAM-SHA-256-PLUS" in mechs
+                                else ""
+                            )
+                            + ")"
                         )
-                    if password is None:
-                        raise ConnectionError("walsender: password required")
-                    self._scram = ScramClient(password)
                     first = self._scram.client_first()
                     self._send_msg(
                         b"p",
-                        b"SCRAM-SHA-256\x00"
+                        mech
+                        + b"\x00"
                         + struct.pack(">i", len(first))
                         + first,
                     )

@@ -253,6 +253,7 @@ class _FakePgServer:
         ssl_ctx=None,
         ssl_reply=None,
         scram_tamper_signature=False,
+        cert_der=None,
     ):
         self.password = password
         self.frames = list(frames)
@@ -261,6 +262,10 @@ class _FakePgServer:
         self.ssl_ctx = ssl_ctx  # server-side SSLContext → answer 'S'
         self.ssl_reply = ssl_reply  # force 'N' to decline SSLRequest
         self.scram_tamper_signature = scram_tamper_signature
+        # server cert DER → offer SCRAM-SHA-256-PLUS and validate the
+        # RFC 5929 tls-server-end-point binding the client sends
+        self.cert_der = cert_der
+        self.negotiated_mechanism = None
         self.received_copydone = False
         self.received_statuses = []
         self.created_slots = []
@@ -334,17 +339,35 @@ class _FakePgServer:
         import hmac as _hmac
         import os as _os
 
-        self._send(
-            conn, b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"
+        offer = (
+            b"SCRAM-SHA-256-PLUS\x00SCRAM-SHA-256\x00\x00"
+            if self.cert_der is not None
+            else b"SCRAM-SHA-256\x00\x00"
         )
+        self._send(conn, b"R", struct.pack(">I", 10) + offer)
         tag, body = self._recv_msg(conn)
         assert tag == b"p"
         mech, rest = body.split(b"\x00", 1)
-        assert mech == b"SCRAM-SHA-256", mech
+        assert mech in (b"SCRAM-SHA-256", b"SCRAM-SHA-256-PLUS"), mech
+        self.negotiated_mechanism = mech.decode()
         (ln,) = struct.unpack_from(">i", rest, 0)
         client_first = rest[4 : 4 + ln].decode()
-        assert client_first.startswith("n,,"), client_first
-        bare = client_first[3:]
+        # split the gs2 header ('n,,' / 'y,,' / 'p=<type>,,') from the
+        # bare message and pin the channel-binding rules (RFC 5802 §7)
+        g0, g1, bare = client_first.split(",", 2)
+        gs2 = f"{g0},{g1},"
+        if mech == b"SCRAM-SHA-256-PLUS":
+            assert self.cert_der is not None
+            assert gs2 == "p=tls-server-end-point,,", client_first
+            from pg_logical_replication_spark.sources.scram import (
+                cert_cb_data,
+            )
+
+            cb_data = cert_cb_data(self.cert_der)
+        else:
+            assert g0 in ("n", "y"), client_first
+            cb_data = b""
+        expected_c = base64.b64encode(gs2.encode() + cb_data).decode()
         cnonce = dict(
             kv.split("=", 1) for kv in bare.split(",") if "=" in kv
         )["r"]
@@ -361,6 +384,9 @@ class _FakePgServer:
         assert tag == b"p"
         client_final = body.decode()
         without_proof, proof_b64 = client_final.rsplit(",p=", 1)
+        # c= must replay the gs2 header + binding data byte-for-byte —
+        # a stock PG rejects a mismatched binding here
+        assert without_proof.startswith(f"c={expected_c},"), client_final
         salted = hashlib.pbkdf2_hmac(
             "sha256", self.password.encode(), salt, iters
         )
@@ -1261,26 +1287,45 @@ def test_walsender_scram_detects_forged_server():
     srv.close()
 
 
-@pytest.fixture(scope="module")
-def _tls_ctx(tmp_path_factory):
+class _TlsFixture:
+    def __init__(self, ctx, cert, key, der):
+        self.ctx = ctx  # server-side SSLContext
+        self.cert = cert  # PEM path (doubles as the client's CA file)
+        self.key = key
+        self.der = der  # DER bytes (for RFC 5929 binding checks)
+
+
+def _mint_tls(d, name="cert"):
     """Self-signed server cert via the openssl CLI (stdlib ssl cannot
-    mint certs); yields a server-side SSLContext."""
+    mint certs); SAN covers localhost + 127.0.0.1 so verify-full's
+    hostname check can pass (python ssl ignores the CN)."""
     import ssl
     import subprocess
 
-    d = tmp_path_factory.mktemp("tls")
-    key, cert = str(d / "key.pem"), str(d / "cert.pem")
+    key, cert = str(d / f"{name}-key.pem"), str(d / f"{name}.pem")
     subprocess.run(
         [
             "openssl", "req", "-x509", "-newkey", "rsa:2048",
             "-keyout", key, "-out", cert, "-days", "2", "-nodes",
             "-subj", "/CN=localhost",
+            "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
         ],
         check=True, capture_output=True,
     )
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
     ctx.load_cert_chain(cert, key)
-    return ctx
+    der = ssl.PEM_cert_to_DER_cert(open(cert).read())
+    return _TlsFixture(ctx, cert, key, der)
+
+
+@pytest.fixture(scope="module")
+def _tls(tmp_path_factory):
+    return _mint_tls(tmp_path_factory.mktemp("tls"))
+
+
+@pytest.fixture(scope="module")
+def _tls_ctx(_tls):
+    return _tls.ctx
 
 
 def test_walsender_tls_sslmode_require(_tls_ctx):
@@ -1346,6 +1391,128 @@ def test_walsender_tls_declined():
     assert got
     t.close()
     srv2.close()
+
+
+def test_walsender_tls_verify_full_and_scram_plus(_tls):
+    """sslmode=verify-full against the minted CA: certificate verified,
+    hostname checked, and — because the server offers it over TLS —
+    the client upgrades to SCRAM-SHA-256-PLUS with the RFC 5929
+    tls-server-end-point binding, which the fake server validates
+    byte-for-byte against its own certificate hash (VERDICT r4 #5)."""
+    import time as _t
+
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    frames = [_xlog(0xC000)]
+    srv = _FakePgServer(
+        password="pw", auth="scram", frames=frames,
+        ssl_ctx=_tls.ctx, cert_der=_tls.der,
+    )
+    t = WalsenderTransport(
+        "localhost", srv.port, user="rep", database="app", password="pw",
+        sslmode="verify-full", sslrootcert=_tls.cert,
+    )
+    assert t.ssl_in_use
+    assert srv.negotiated_mechanism == "SCRAM-SHA-256-PLUS"
+    t.start_replication("s", "0/C000")
+    got = []
+    deadline = _t.time() + 5
+    while not got and _t.time() < deadline:
+        got.extend(t.poll())
+    assert got and got[0][:1] == b"w"
+    t.close()
+    srv.close()
+
+
+def test_walsender_tls_verify_rejects_unknown_ca(_tls, tmp_path):
+    """verify-ca with a DIFFERENT self-signed CA must refuse the
+    connection — the whole point of the verify modes."""
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    other = _mint_tls(tmp_path, "other")
+    srv = _FakePgServer(password="pw", auth="scram", ssl_ctx=_tls.ctx)
+    with pytest.raises(ConnectionError, match="certificate rejected"):
+        WalsenderTransport(
+            "localhost", srv.port, user="rep", database="app",
+            password="pw", sslmode="verify-ca", sslrootcert=other.cert,
+        )
+    srv.close()
+
+
+def test_walsender_tls_verify_refuses_ssl_decline(_tls):
+    """Server answering 'N' to SSLRequest under verify-* is fatal,
+    exactly like require."""
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    srv = _FakePgServer(password=None, frames=[], ssl_reply="N")
+    with pytest.raises(ConnectionError, match="sslmode=verify-full"):
+        WalsenderTransport(
+            "127.0.0.1", srv.port, user="r", database="d",
+            sslmode="verify-full", sslrootcert=_tls.cert,
+        )
+    srv.close()
+
+
+def test_scram_gs2_y_flag_on_tls_without_plus(_tls):
+    """TLS up but the server offers only plain SCRAM (no cert_der →
+    no -PLUS in the offer): the client's gs2 flag must be 'y' — the
+    RFC 5802 §7 downgrade canary — and auth still succeeds (the fake
+    server validates c=base64('y,,'))."""
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    srv = _FakePgServer(
+        password="pw", auth="scram", frames=[], ssl_ctx=_tls.ctx
+    )
+    t = WalsenderTransport(
+        "127.0.0.1", srv.port, user="rep", database="app", password="pw",
+        sslmode="require",
+    )
+    assert t.ssl_in_use
+    assert srv.negotiated_mechanism == "SCRAM-SHA-256"
+    t.close()
+    srv.close()
+
+
+def test_scram_plus_channel_binding_rfc5929_vector():
+    """Pin cert_cb_data: a sha256WithRSAEncryption certificate hashes
+    with SHA-256 (RFC 5929 §4.1), and the -PLUS client-first/gs2/c=
+    shapes follow RFC 5802 §7."""
+    import base64 as _b64
+    import hashlib as _hl
+    import ssl as _ssl
+
+    from pg_logical_replication_spark.sources.scram import (
+        ScramClient,
+        cert_cb_data,
+    )
+
+    # any RSA cert minted by the fixture is sha256-signed; build one
+    # directly here so the test is self-contained
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        import pathlib
+
+        f = _mint_tls(pathlib.Path(d))
+        der = f.der
+    assert cert_cb_data(der) == _hl.sha256(der).digest()
+
+    cb = cert_cb_data(der)
+    c = ScramClient("pw", nonce="NONCE", channel_binding=cb)
+    assert c.client_first() == b"p=tls-server-end-point,,n=,r=NONCE"
+    server_first = b"r=NONCE+srv,s=" + _b64.b64encode(b"salt") + b",i=4096"
+    final = c.client_final(server_first).decode()
+    want_c = _b64.b64encode(b"p=tls-server-end-point,," + cb).decode()
+    assert final.startswith(f"c={want_c},r=NONCE+srv,p=")
 
 
 def test_scram_non_ascii_password_refused():
