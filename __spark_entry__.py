@@ -60,6 +60,30 @@ def _round_number() -> int:
     return best + 1
 
 
+def _checked_history() -> dict[str, int]:
+    """query name → latest round whose driver correctness artifact
+    contains it (absent = never driver-checked)."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _interleaved() -> list[str]:
     """Registry order, round-robined across operator families, with the
     WITHIN-family order rotated by the round number.
@@ -74,6 +98,14 @@ def _interleaved() -> list[str]:
     ~50-query prefix three rounds in a row; rotating each family bucket
     left by ~(prefix share) × (round-1) keeps the prefix representative
     while successive rounds cumulatively cover the whole inventory.
+
+    Never-checked-first rationale (review r4 #6): rotation alone still
+    re-sampled ~14 already-green queries per round. The committed
+    CORRECTNESS_r*.json artifacts record exactly which queries every
+    past driver run checked, so each family bucket now orders
+    never-checked queries first, then checked ones oldest-first —
+    any prefix maximizes NEW coverage, self-adapting as artifacts
+    accumulate (the rotation still varies order within each group).
     """
     from collections import defaultdict
 
@@ -85,9 +117,14 @@ def _interleaved() -> list[str]:
     # stride chosen to maximize prefix turnover vs the r03 coverage
     # (co-prime-ish with the family bucket sizes)
     shift = (_round_number() - 1) * 6
+    latest = _checked_history()
     for cat, names in buckets.items():
         k = shift % len(names)
-        buckets[cat] = names[k:] + names[:k]
+        rotated = names[k:] + names[:k]
+        # stable sort: never-checked (0) ahead of checked, oldest
+        # check first; rotation order preserved within each group
+        rotated.sort(key=lambda n: latest.get(n, 0))
+        buckets[cat] = rotated
     order = ["q_cdc", "relational", "q_dedup", "q_text", "q_ann", "q_mm"]
     out: list[str] = []
     idx = 0

@@ -146,21 +146,38 @@ def main() -> None:
     decode_tp = _pgoutput_decode_throughput(spark, cpus)
     latency = _e2e_visibility_latency(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(per_query.values()), 3),
-                "unit": "sec",
-                "queries": per_query,
-                "spread": spread,
-                "reps": reps,
-                "sf": sf,
-                "pgoutput_decode_500k": decode_tp,
-                "e2e_visibility_ms": latency,
-            }
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "spread": spread,
+        "reps": reps,
+        "sf": sf,
+        "pgoutput_decode_500k": decode_tp,
+        "e2e_visibility_ms": latency,
+    }
+    print(json.dumps(result))
+
+    # Also persist the full record as a committable artifact: the
+    # driver's BENCH_r{N}.json has head-truncated the stdout line
+    # before (r4 lost the medians for 19 core queries), so the repo
+    # keeps its own durable copy per round (review r4 #4).
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from __spark_entry__ import _round_number
+
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_local_r{_round_number():02d}.json",
         )
-    )
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(f"# full record written to {out}", file=sys.stderr)
+    except Exception as e:  # the stdout contract must never break
+        print(f"# local artifact write failed: {e}", file=sys.stderr)
 
 
 def _pgoutput_decode_throughput(spark, cpus: int) -> dict:
