@@ -572,9 +572,15 @@ def cosine_near_dup_pairs_bucketed(
         census = F.broadcast(
             ex.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))
         )
+        # md5 sub-salt only where a bucket actually exceeds the cap —
+        # on a healthy corpus (no bucket over cap) the valve costs the
+        # census pass and nothing per-row (n_sub=1 ⇒ sub=0 anyway)
         ex = ex.join(census, ["tbl", "bucket"]).withColumn(
             "sub",
-            F.expr(bucket_sub_salt_expr(cap=bucket_cap)),
+            F.when(
+                F.col("_bn") > bucket_cap,
+                F.expr(bucket_sub_salt_expr(cap=bucket_cap)),
+            ).otherwise(F.lit(0).cast("bigint")),
         )
         group_cols = ["tbl", "bucket", "sub"]
 
