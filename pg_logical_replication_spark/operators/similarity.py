@@ -853,3 +853,109 @@ def bq_hamming_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "hamming", "cosine", F.col("rnk").cast("long"))
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    domain-discovery primitive of a data-mixing pipeline (cluster a
+    corpus into k pseudo-domains, then weight/sample per cluster the
+    way DoReMi/UniMax weight named domains; also the trained-quantizer
+    upgrade path :func:`ivf_cosine_topk` points at). Returns one row
+    per vector: (id, cluster, n_iters).
+
+    Engine-portable by construction, like ``hyperplane_band_pairs``:
+
+    * vectors are INTEGERIZED once (``floor(x·scale)`` per dimension),
+      so per-cluster sums — the only multi-row reduction — are exact
+      integer arithmetic, immune to float summation order;
+    * centroids stay exact ``(sum, count)`` pairs; the per-row distance
+      ``Σ (x_i − s_i/c)²`` divides the same int64s into IEEE doubles in
+      any engine and folds over a fixed 64-step order, so every
+      assignment (argmin with cluster-id tie-break) is bit-reproducible
+      in DuckDB — full ``iters``-deep hash parity, not rows-only;
+    * seeds are the k first vectors in md5(id) order — the same
+      reproducible engine-portable shuffle ``q_corpus_quota_sample``
+      uses (seeded rand() is engine-specific, md5 is not).
+
+    Scale shape: each iteration is ONE corpus scan. The assignment is a
+    per-row expression over broadcast-inlined centroid literals (k·d
+    doubles — bytes, the IVF precedent), ZERO shuffle; the centroid
+    update shuffles only map-side-combined partials (≤ k·d rows per
+    partition) and collects k·d rows to the driver — constant-sized,
+    like the IVF centroid collect. Nothing corpus-sized moves: at
+    100 TB the cost is iters × (scan + k·d·n multiply-adds), the
+    textbook distributed-k-means profile. ``k``/``iters`` stay small
+    and explicit because every +1 iteration is +1 full scan — the
+    caller budgets scans, not the operator.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_assign: k and iters must be >= 1")
+    xq = (
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.expr(xq).alias("_xq"))
+
+    # deterministic seeds: first k in md5(id) order (ties by id)
+    seed_rows = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"kmeans_assign: k={k} > corpus size {len(seed_rows)}")
+    means = [[float(v) for v in r["_xq"]] for r in seed_rows]
+
+    def _assign(m: list[list[float]]) -> DataFrame:
+        # ONE SQL string per plan build (the IVF lesson: py4j lambda
+        # composition costs seconds per plan; string assembly does not)
+        structs = []
+        for j, mj in enumerate(m):
+            arr = "array(" + ",".join(repr(x) + "D" for x in mj) + ")"
+            d = (
+                f"aggregate(zip_with(_xq, {arr}, "
+                "(x, mm) -> (CAST(x AS DOUBLE) - mm) * (CAST(x AS DOUBLE) - mm)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            # round-6 before the argmin: the repo-wide float-oracle
+            # discipline (both engines fold the same 64 doubles in
+            # order; rounding absorbs any last-ULP divergence)
+            structs.append(f"named_struct('d', round({d}, 6), 'cl', {j})")
+        argmin = f"array_min(array({', '.join(structs)})).cl"
+        return base.withColumn("cluster", F.expr(argmin))
+
+    assigned = _assign(means)
+    for _ in range(iters - 1):
+        # exact integer partial sums; k·d rows reach the driver
+        sums = (
+            assigned.select("cluster", F.posexplode("_xq").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        by_cl: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cl.setdefault(r["cluster"], []).append((r["pos"], r["s"], r["c"]))
+        nxt = []
+        for j in range(k):
+            if j in by_cl:
+                row = sorted(by_cl[j])
+                nxt.append([s / c for _, s, c in row])
+            else:  # empty cluster keeps its previous centroid
+                nxt.append(means[j])
+        means = nxt
+        assigned = _assign(means)
+
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.lit(iters).cast("int").alias("n_iters"),
+    )

@@ -4209,3 +4209,144 @@ def q_dq_k_anonymity(spark, sf_dir):
             6,
         ).alias("frac_below_5"),
     )
+
+
+def _kmeans_ctes(k=8, iters=2, dims=64, scale=1000) -> tuple[str, str]:
+    """Shared DuckDB CTE chain replaying similarity.kmeans_assign,
+    iteration-exact: the integerized vectors make every per-cluster
+    sum exact, the centroid means divide the same int64s into IEEE
+    doubles, and each assignment round replays as a cross-join argmin
+    (round-6 distance, cluster-id tie-break) — so the FULL Lloyd's
+    trajectory, not just the final histogram shape, hash-matches.
+    Chain: seeds → m0 → (a_i → c_i → m_i)*; returns (cte_sql,
+    final_assignment_cte_name) so queries can compose on top."""
+    dist = (
+        "ROUND(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (CAST(e.xq[i] AS DOUBLE) - {m}.m[i]) "
+        "* (CAST(e.xq[i] AS DOUBLE) - {m}.m[i]))), 6)"
+    )
+
+    def assign(name, mtab):
+        return f"""{name} AS (SELECT vec_id, xq, cl FROM (
+        SELECT e.vec_id, e.xq, {mtab}.cl,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {dist.format(d=dims, m=mtab)}, {mtab}.cl) AS rn
+        FROM e CROSS JOIN {mtab}) WHERE rn = 1)"""
+
+    ctes = [
+        f"""e AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS xq
+           FROM embeddings)""",
+        f"""ranked AS (SELECT vec_id, xq,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cl
+           FROM e)""",
+        f"""m0 AS (SELECT cl, list_transform(xq, v -> CAST(v AS DOUBLE)) AS m
+           FROM ranked WHERE cl < {k})""",
+        assign("a0", "m0"),
+    ]
+    for it in range(1, iters):
+        ctes += [
+            f"""c{it} AS (SELECT cl, g.i AS pos,
+                 CAST(SUM(xq[g.i]) AS BIGINT) AS s, COUNT(*) AS c
+               FROM a{it - 1} CROSS JOIN generate_series(1, {dims}) AS g(i)
+               GROUP BY cl, g.i)""",
+            f"""c{it}l AS (SELECT cl, list(CAST(s AS DOUBLE) / c
+                                           ORDER BY pos) AS m
+               FROM c{it} GROUP BY cl)""",
+            f"""m{it} AS (SELECT p.cl, COALESCE(c{it}l.m, p.m) AS m
+               FROM m{it - 1} AS p LEFT JOIN c{it}l ON p.cl = c{it}l.cl)""",
+            assign(f"a{it}", f"m{it}"),
+        ]
+    return ",\n    ".join(ctes), f"a{iters - 1}"
+
+
+def _kmeans_oracle(k=8, iters=2, dims=64, scale=1000) -> str:
+    ctes, final = _kmeans_ctes(k, iters, dims, scale)
+    return f"""WITH {ctes}
+    SELECT cl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(vec_id) AS min_member,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_members
+    FROM {final} GROUP BY cl ORDER BY cl
+    """
+
+
+@register(
+    "q_embed_kmeans_domains",
+    _kmeans_oracle(),
+    "distributed Lloyd's k-means over the embedding corpus (k=8, 2 "
+    "rounds, md5-order seeds) — the domain-discovery primitive for "
+    "data mixing: cluster the corpus into pseudo-domains, then weight "
+    "per cluster like DoReMi/UniMax weight named domains. Integerized "
+    "vectors make per-cluster sums exact and every assignment round "
+    "bit-replayable, so the oracle checks the full iteration "
+    "trajectory; per iteration ONE corpus scan, centroids broadcast as "
+    "k*d literals, only k*d-row partial sums shuffle",
+)
+def q_embed_kmeans_domains(spark, sf_dir):
+    """See operators/similarity.py:kmeans_assign — per-cluster rollup
+    (size, min member, member-id sum) after two exact Lloyd rounds."""
+    assigned = S.kmeans_assign(t(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return (
+        assigned.groupBy(F.col("cluster").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.sum("vec_id").cast("long").alias("sum_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_sample_oracle(per_cluster=15) -> str:
+    ctes, final = _kmeans_ctes()
+    return f"""WITH {ctes},
+    joined AS (SELECT a.cl, d.doc_id, d.lang, d.n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY a.cl
+                        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                        AS rn
+               FROM {final} a JOIN documents d ON d.doc_id = a.vec_id)
+    SELECT cl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM joined WHERE rn <= {per_cluster}
+    GROUP BY cl ORDER BY cl
+    """
+
+
+@register(
+    "q_embed_cluster_sample",
+    _cluster_sample_oracle(),
+    "cluster-balanced corpus sampling: k-means pseudo-domains (the "
+    "q_embed_kmeans_domains assignment) joined back to documents, "
+    "md5-order quota of 15 docs per cluster — semantic stratification "
+    "for a training mix, the embedding-space twin of per-language "
+    "quota sampling (q_corpus_quota_sample); assignment is zero-"
+    "shuffle, the join is id-equi on the doc key, the quota window "
+    "partitions by the k tiny cluster ids",
+)
+def q_embed_cluster_sample(spark, sf_dir):
+    """kmeans_assign → join documents on vec_id=doc_id → per-cluster
+    md5-order quota (the reproducible engine-portable shuffle)."""
+    from pyspark.sql import Window
+
+    assigned = S.kmeans_assign(t(spark, sf_dir, "embeddings"), k=8, iters=2)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    joined = assigned.join(docs, assigned["vec_id"] == docs["doc_id"])
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .groupBy(F.col("cluster").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("cluster_id")
+    )

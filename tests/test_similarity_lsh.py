@@ -174,3 +174,69 @@ def test_hot_bucket_valve_bounds_task_size(spark):
     # each survivor links into the cluster; singleton sub-buckets are
     # ~impossible at these sizes, but allow a handful
     assert got["n_members"] >= n - 10, got
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    """Three well-separated blobs, k=3: Lloyd's must recover the exact
+    planted partition in 2 rounds, the per-row assignment must be a
+    zero-shuffle plan (centroids are inlined literals), and k > n must
+    raise loudly."""
+    import numpy as np
+    import pytest as _pt
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = np.zeros(64)
+        center[c * 20] = 50.0  # far-apart axis blobs
+        for _ in range(40):
+            v = center + 0.1 * rng.standard_normal(64)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, true_blob int, embedding array<float>"
+    )
+    out = kmeans_assign(df, k=3, iters=2)
+    joined = out.join(df.select("vec_id", "true_blob"), "vec_id")
+    # each k-means cluster maps 1:1 onto one planted blob
+    purity = joined.groupBy("cluster").agg(
+        F.countDistinct("true_blob").alias("nb"), F.count("*").alias("n")
+    )
+    got = purity.collect()
+    assert len(got) == 3
+    assert all(r["nb"] == 1 and r["n"] == 40 for r in got), got
+
+    # the returned assignment plan moves no rows: scan + project only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    with _pt.raises(ValueError, match="k=200 > corpus size"):
+        kmeans_assign(df, k=200, iters=1)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A seed that captures no members on re-assignment must keep its
+    previous centroid (no division by zero, stable cluster count)."""
+    from pg_logical_replication_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    # two tight blobs, k=3: one seed inevitably goes memberless after
+    # the first update when both blob centroids absorb everything
+    rows = [(i, [10.0] * 64) for i in range(20)]
+    rows += [(100 + i, [-10.0] * 64) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=3, iters=3)
+    import pyspark.sql.functions as F
+
+    sizes = {r["cluster"]: r["n"] for r in
+             out.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == 40
+    # identical vectors per blob: each blob lands in exactly one cluster
+    assert len(sizes) <= 3
