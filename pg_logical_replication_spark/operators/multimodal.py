@@ -2041,27 +2041,43 @@ def image_ahash_dedup(assets: DataFrame) -> DataFrame:
     )
 
 
-def image_dhash_words(
+def image_grid9_expr(
     pixel_col: str = "pixels", w_col: str = "width", h_col: str = "height"
-) -> tuple["Column", "Column"]:
-    """Difference-hash (dHash): sample a 9-column × 8-row grid and set
-    bit (r·8+c) when the sample is strictly brighter than its right
-    neighbour — gradient structure, robust to global brightness shifts
-    where aHash is not. Same carry-free two-word pack as
-    :func:`image_ahash_words`; all indices integer (src col =
-    c·w DIV 9, row = r·h DIV 8)."""
+) -> str:
+    """9-column × 8-row nearest-neighbor sample grid for dHash as one
+    ``array<bigint>`` of 72 values, row-major (sample(r, c) =
+    grid9[r·9 + c + 1]). Materialized once per row like
+    :func:`image_grid_expr` — the inlined form evaluated 2 samples per
+    bit (128 element_at + index arithmetic per row); here adjacent
+    bits SHARE the 72 samples and the words read plain array cells."""
+    return (
+        f"transform(sequence(0, 71), k -> element_at({pixel_col}, "
+        f"CAST((k DIV 9) * {h_col} DIV 8 AS INT) * {w_col} + "
+        f"CAST((k % 9) * {w_col} DIV 9 AS INT) + 1))"
+    )
 
-    def sample(rk: str, ck: str) -> str:
+
+def image_dhash_words(
+    grid_col: str = "dhash_grid",
+) -> tuple["Column", "Column"]:
+    """Difference-hash (dHash): bit (r·8+c) set when grid9[r][c] is
+    strictly brighter than its right neighbour grid9[r][c+1] —
+    gradient structure, robust to global brightness shifts where aHash
+    is not. Same carry-free two-word pack as :func:`image_ahash_words`;
+    operates on the MATERIALIZED :func:`image_grid9_expr` column (bit
+    k compares cells k DIV 8 · 9 + k % 8 and +1)."""
+
+    def cell(off: int) -> str:
+        # DIV yields BIGINT; element_at's index must be INT
         return (
-            f"element_at({pixel_col}, CAST(({rk}) * {h_col} DIV 8 AS INT) "
-            f"* {w_col} + CAST(({ck}) * {w_col} DIV 9 AS INT) + 1)"
+            f"element_at({grid_col}, "
+            f"CAST((k DIV 8) * 9 + (k % 8) + {off + 1} AS INT))"
         )
 
     def word(lo: int) -> "Column":
         return F.expr(
             f"aggregate(sequence({lo}, {lo + 31}), 0L, (a, k) -> a + "
-            f"(CASE WHEN {sample('k DIV 8', 'k % 8')} > "
-            f"{sample('k DIV 8', 'k % 8 + 1')} "
+            f"(CASE WHEN {cell(0)} > {cell(1)} "
             f"THEN shiftleft(1L, k - {lo}) ELSE 0L END))"
         )
 
@@ -2076,8 +2092,11 @@ def image_dhash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
     Only hash words shuffle; the band join is the same inverted-index
     shape as MinHash-LSH."""
     px = png_pixels(assets)
+    grid = px.select(
+        "asset_id", F.expr(image_grid9_expr()).alias("dhash_grid")
+    )
     w0, w1 = image_dhash_words()
-    hashed = px.select(
+    hashed = grid.select(
         F.col("asset_id"), w0.alias("hw0"), w1.alias("hw1")
     )
     bands = hashed.select(

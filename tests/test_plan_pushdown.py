@@ -121,17 +121,25 @@ def test_capped_jaccard_single_lineage_plan(spark):
 
 
 def test_bucketed_near_dup_single_shuffle_plan(spark):
-    """The per-LSH-bucket near-dup kernel: one scan, exactly two
+    """The per-LSH-bucket near-dup kernel, both valve modes.
+
+    bucket_cap=None (the pre-r5 contract): one scan, exactly two
     Exchanges — the groupBy(tbl, bucket) feeding applyInPandas (corpus
     rows, the one heavy shuffle) and the cross-table pair dedup (only
-    (a_id, b_id, cosine) triples). No joins, no broadcast, nothing
-    corpus-sized on the driver."""
+    (a_id, b_id, cosine) triples). No joins, no broadcast.
+
+    Default bucket_cap: the hot-bucket census joins back as exactly ONE
+    BroadcastExchange of a ≤ tables·2^planes-row aggregate; corpus-row
+    exchanges stay at two (group + dedup) plus the census's own tiny
+    partial-agg exchange — the valve must never add a full-width
+    shuffle or a non-broadcast join."""
     from pg_logical_replication_spark.operators.similarity import (
         cosine_near_dup_pairs_bucketed,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    pairs = cosine_near_dup_pairs_bucketed(emb, threshold=0.9)
+
+    pairs = cosine_near_dup_pairs_bucketed(emb, threshold=0.9, bucket_cap=None)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("BroadcastExchange") == 0
@@ -141,6 +149,25 @@ def test_bucketed_near_dup_single_shuffle_plan(spark):
     )
     assert n_exchange == 2, plan
     assert "Join" not in plan
+
+    capped = cosine_near_dup_pairs_bucketed(emb, threshold=0.9)
+    plan_c = capped._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_c
+    n_bcast = sum(
+        1 for line in plan_c.splitlines()
+        if "BroadcastExchange" in line and "Reused" not in line
+    )
+    assert n_bcast == 1, plan_c  # the census, nothing else
+    assert "BroadcastHashJoin" in plan_c
+    assert "SortMergeJoin" not in plan_c and "ShuffledHashJoin" not in plan_c
+    n_exchange_c = sum(
+        1 for line in plan_c.splitlines()
+        if "Exchange" in line
+        and "Reused" not in line
+        and "BroadcastExchange" not in line
+    )
+    # group + dedup + the census partial-agg (≤ tables·2^planes rows)
+    assert n_exchange_c == 3, plan_c
 
 
 def test_ivf_assignment_is_shuffle_free(spark):
