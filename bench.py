@@ -90,6 +90,9 @@ HEADLINE = [
     "q_corpus_content_chunks",
     "q_events_cusum",
     "q_mm_ogg_probe",
+    # round 5: k-means domain discovery + cluster-balanced sampling
+    "q_embed_kmeans_domains",
+    "q_embed_cluster_sample",
 ]
 
 

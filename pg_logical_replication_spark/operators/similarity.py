@@ -515,6 +515,7 @@ def cosine_near_dup_pairs_bucketed(
     planes: int = 4,
     tables: int = 8,
     bucket_cap: int | None = 4096,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Distributed near-dup pairs: the exact matmul kernel of
     :func:`_near_dup_pairs_global`, run INSIDE each random-hyperplane
@@ -554,8 +555,22 @@ def cosine_near_dup_pairs_bucketed(
     """
     import numpy as np
 
-    sig_arr = F.array(
-        *[hyperplane_signs(vec_col, dims, planes, table=t) for t in range(tables)]
+    # ``sig_col`` names a WRITE-TIME signature column (array<string>,
+    # one bucket key per table — :func:`ann_signature_col`): the
+    # production path at 100 TB, where signatures are materialized at
+    # ingest and neither the bucketing pass nor the census recomputes
+    # a single dot product. Without it, signatures are computed from
+    # the vectors in-plan (and the census pass recomputes them — the
+    # price of a data-dependent valve on ephemeral columns).
+    sig_arr = (
+        F.col(sig_col)
+        if sig_col is not None
+        else F.array(
+            *[
+                hyperplane_signs(vec_col, dims, planes, table=t)
+                for t in range(tables)
+            ]
+        )
     )
     ex = df.select(
         F.col(id_col).alias("_id"),
@@ -958,4 +973,28 @@ def kmeans_assign(
         F.col("_id").alias(id_col),
         F.col("cluster").cast("int").alias("cluster"),
         F.lit(iters).cast("int").alias("n_iters"),
+    )
+
+
+def ann_signature_col(
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+    tables: int = 8,
+) -> Column:
+    """The write-time ANN signature column: one hyperplane bucket key
+    per hash table (``array<string>``), exactly what
+    :func:`cosine_near_dup_pairs_bucketed` / :func:`lsh_cosine_topk`
+    compute in-plan. Materialize it at INGEST (one projection in the
+    write pipeline, ~tables·planes dot products per row, bytes per
+    row on disk) and pass ``sig_col=`` downstream: dedup/search then
+    never touch the float vectors for bucketing, the hot-bucket census
+    becomes a column scan, and the bucketing is stable across runs
+    because the hyperplanes are deterministic md5-parity literals —
+    re-signing after an engine upgrade is a no-op diff."""
+    return F.array(
+        *[
+            hyperplane_signs(vec_col, dims, planes, table=t)
+            for t in range(tables)
+        ]
     )

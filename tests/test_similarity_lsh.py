@@ -240,3 +240,39 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert sum(sizes.values()) == 40
     # identical vectors per blob: each blob lands in exactly one cluster
     assert len(sizes) <= 3
+
+
+def test_precomputed_signature_column_matches_inline(spark, tmp_path):
+    """The write-time path: materializing ann_signature_col at INGEST
+    (parquet round trip, like a production write pipeline) and passing
+    sig_col= must produce the identical pair set (same valve, same
+    kernel) with zero hyperplane dot products left in the read plan."""
+    from pg_logical_replication_spark.operators.similarity import (
+        ann_signature_col,
+        cosine_near_dup_pairs_bucketed,
+    )
+
+    emb = _near_dup_fixture(spark)
+    inline = sorted(
+        tuple(r)
+        for r in cosine_near_dup_pairs_bucketed(emb, threshold=0.95).collect()
+    )
+    path = str(tmp_path / "signed")
+    emb.withColumn("sig", ann_signature_col()).write.parquet(path)
+    signed = spark.read.parquet(path)
+    pre = sorted(
+        tuple(r)
+        for r in cosine_near_dup_pairs_bucketed(
+            signed, threshold=0.95, sig_col="sig"
+        ).collect()
+    )
+    assert pre == inline and len(pre) == 20
+    # with signatures on disk, the read plan contains no hyperplane
+    # dot products (zip_with exists only at signature WRITE time)
+    plan = (
+        cosine_near_dup_pairs_bucketed(signed, threshold=0.95, sig_col="sig")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "zip_with" not in plan, plan
