@@ -90,9 +90,11 @@ HEADLINE = [
     "q_corpus_content_chunks",
     "q_events_cusum",
     "q_mm_ogg_probe",
-    # round 5: k-means domain discovery + cluster-balanced sampling
+    # round 5: k-means domain discovery + cluster-balanced sampling,
+    # trained-quantizer IVF (kmeans centroids -> cell assignment)
     "q_embed_kmeans_domains",
     "q_embed_cluster_sample",
+    "q_ann_ivf_trained_topk",
 ]
 
 

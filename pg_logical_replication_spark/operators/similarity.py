@@ -969,10 +969,42 @@ def kmeans_assign(
         means = nxt
         assigned = _assign(means)
 
-    return assigned.select(
+    out = assigned.select(
         F.col("_id").alias(id_col),
         F.col("cluster").cast("int").alias("cluster"),
         F.lit(iters).cast("int").alias("n_iters"),
+    )
+    out._kmeans_means = means  # the trained centroids, scaled space
+    return out
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """The TRAINED coarse quantizer: run :func:`kmeans_assign` and
+    return the final centroid means as a k-row DataFrame
+    (``id_col``, ``vec_col`` double arrays in the floor(x·scale)
+    space) — exactly the shape :func:`ivf_cosine_topk` accepts as
+    ``centroids=``, closing its docstring's "production trains
+    centroids and passes them in" loop. Cosine is scale-invariant, so
+    the scaled-space centroids quantize raw vectors directly; the
+    values are the same exact int-sum/count divisions the oracle
+    replays, so a trained-IVF query stays hash-checkable end-to-end.
+    """
+    assigned = kmeans_assign(
+        df, k=k, iters=iters, id_col=id_col,
+        vec_col=vec_col, dims=dims, scale=scale,
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, m) for j, m in enumerate(assigned._kmeans_means)],
+        f"{id_col} long, {vec_col} array<double>",
     )
 
 

@@ -4350,3 +4350,70 @@ def q_embed_cluster_sample(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+def _ivf_trained_oracle(k=5, kk=8, iters=2, n_probe=2, n_queries=10) -> str:
+    """IVF with the TRAINED k-means quantizer, end-to-end: the kmeans
+    CTE chain (exact trajectory) feeds its final means in as the cell
+    centroids, then the standard IVF assign/probe/re-rank replays.
+    Cosine is scale-invariant, so the floor(x·1000)-space centroids
+    quantize the raw double vectors directly in both engines."""
+    ctes, _final = _kmeans_ctes(k=kk, iters=iters)
+
+    def cos(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(SQRT(list_dot_product({a}, {a})) * "
+            f"SQRT(list_dot_product({b}, {b}))), 6)"
+        )
+
+    return f"""WITH {ctes},
+    ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    AS v FROM embeddings),
+    cent AS (SELECT cl AS cent_id, m AS cv FROM m{iters - 1}),
+    asgn AS (SELECT vec_id AS n_id, v AS nv, cent_id FROM (
+        SELECT ev.vec_id, ev.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+                 ORDER BY {cos('ev.v', 'cent.cv')} DESC, cent.cent_id) AS rn
+        FROM ev CROSS JOIN cent) WHERE rn = 1),
+    probes AS (SELECT q_id, qv, cent_id FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos('q.v', 'cent.cv')} DESC, cent.cent_id) AS rn
+        FROM ev q CROSS JOIN cent WHERE q.vec_id < {n_queries})
+        WHERE rn <= {n_probe}),
+    scored AS (SELECT p.q_id, a.n_id, {cos('p.qv', 'a.nv')} AS cosine
+               FROM probes p JOIN asgn a ON a.cent_id = p.cent_id
+               WHERE a.n_id <> p.q_id)
+    SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rnk
+      FROM scored) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_ann_ivf_trained_topk",
+    _ivf_trained_oracle(),
+    "IVF ANN with a TRAINED coarse quantizer: kmeans_centroids (2 "
+    "exact Lloyd rounds) feeds ivf_cosine_topk as its cell centroids "
+    "— the production 'train centroids, pass them in' loop closed "
+    "end-to-end and still hash-checkable (the oracle chains the full "
+    "k-means trajectory into the IVF assign/probe/re-rank); cells "
+    "are disk partitions at 100 TB, a probe is partition pruning",
+)
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """kmeans_centroids → ivf_cosine_topk(centroids=...): the trained
+    quantizer replaces the id<n_centroids placeholder, nothing else
+    changes — see similarity.py:ivf_cosine_topk docstring."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = S.kmeans_centroids(emb, k=8, iters=2)
+    out = S.ivf_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        centroids=cent,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
