@@ -27,11 +27,14 @@ from pg_logical_replication_spark.operators.dedup import (  # noqa: F401
     winnow_fingerprints,
 )
 from pg_logical_replication_spark.operators.similarity import (  # noqa: F401
+    ann_signature_col,
     bq_hamming_topk,
     cosine_near_dup_pairs,
     cosine_near_dup_pairs_bucketed,
     cosine_topk,
     ivf_cosine_topk,
+    kmeans_assign,
+    kmeans_centroids,
     lsh_cosine_topk,
     sq8_cosine_topk,
 )
