@@ -879,7 +879,9 @@ def kmeans_assign(
     dims: int = 64,
     scale: int = 1000,
 ) -> DataFrame:
-    """Distributed Lloyd's k-means over an embedding column — the
+    """Public wrapper over :func:`_kmeans_core` returning only the
+    assignment DataFrame; :func:`kmeans_centroids` returns the trained
+    means. Distributed Lloyd's k-means over an embedding column — the
     domain-discovery primitive of a data-mixing pipeline (cluster a
     corpus into k pseudo-domains, then weight/sample per cluster the
     way DoReMi/UniMax weight named domains; also the trained-quantizer
@@ -911,6 +913,19 @@ def kmeans_assign(
     and explicit because every +1 iteration is +1 full scan — the
     caller budgets scans, not the operator.
     """
+    return _kmeans_core(df, k, iters, id_col, vec_col, dims, scale)[0]
+
+
+def _kmeans_core(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    scale: int,
+) -> tuple[DataFrame, list[list[float]]]:
+    """(assignments, final means) — see :func:`kmeans_assign`."""
     if k < 1 or iters < 1:
         raise ValueError("kmeans_assign: k and iters must be >= 1")
     xq = (
@@ -974,8 +989,7 @@ def kmeans_assign(
         F.col("cluster").cast("int").alias("cluster"),
         F.lit(iters).cast("int").alias("n_iters"),
     )
-    out._kmeans_means = means  # the trained centroids, scaled space
-    return out
+    return out, means
 
 
 def kmeans_centroids(
@@ -997,13 +1011,9 @@ def kmeans_centroids(
     values are the same exact int-sum/count divisions the oracle
     replays, so a trained-IVF query stays hash-checkable end-to-end.
     """
-    assigned = kmeans_assign(
-        df, k=k, iters=iters, id_col=id_col,
-        vec_col=vec_col, dims=dims, scale=scale,
-    )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(j, m) for j, m in enumerate(assigned._kmeans_means)],
+    _, means = _kmeans_core(df, k, iters, id_col, vec_col, dims, scale)
+    return df.sparkSession.createDataFrame(
+        [(j, m) for j, m in enumerate(means)],
         f"{id_col} long, {vec_col} array<double>",
     )
 

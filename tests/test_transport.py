@@ -1646,3 +1646,33 @@ def test_read_statuses_since_incremental(tmp_path):
     assert off3 > off2
     # missing dir/file → empty, offset unchanged
     assert read_statuses_since(str(tmp_path / "nope"), 0) == ([], 0)
+
+
+def test_cert_cb_data_never_crashes_and_defaults_sha256():
+    """cert_cb_data walks untrusted DER: arbitrary bytes must never
+    raise (malformed input falls back to SHA-256 of the blob), and the
+    known signature OIDs map to their RFC 5929 hashes."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from pg_logical_replication_spark.sources.scram import (
+        _SIG_OID_HASH,
+        cert_cb_data,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def run(blob):
+        out = cert_cb_data(blob)
+        assert len(out) in (32, 48, 64)  # sha256/384/512 digests only
+        # fallback must be the sha256 of the exact input when the DER
+        # walk finds nothing recognizable
+        if out == hashlib.sha256(blob).digest():
+            return
+        assert len(out) in (48, 64)
+
+    run()
+    assert _SIG_OID_HASH["1.2.840.113549.1.1.11"] == "sha256"
+    assert _SIG_OID_HASH["1.2.840.113549.1.1.5"] == "sha256"  # sha1 → 256
+    assert _SIG_OID_HASH["1.2.840.10045.4.3.3"] == "sha384"
