@@ -134,6 +134,8 @@ def run_multi_relay(
     rotate_bytes: int = 256 * 1024 * 1024,
     stop_after_frames: int | None = None,
     stop_after_seconds: float | None = None,
+    isolate_errors: bool = False,
+    failures: dict[str, str] | None = None,
 ) -> dict[str, int]:
     """Multiplex SEVERAL replication slots through one relay process.
 
@@ -151,6 +153,15 @@ def run_multi_relay(
     invocation); per-slot resume/rotation semantics match
     :func:`run_relay` exactly, including the idle keepalive re-ack.
     Returns per-slot relayed frame counts.
+
+    ``isolate_errors=True`` keeps the other N-1 slots flowing when one
+    transport dies (ConnectionError/OSError): the failed slot stops
+    being polled, its error lands in the caller-supplied ``failures``
+    dict ({name: message}), and everything it relayed before the
+    failure stays durable in its frame log — the multi-slot analogue
+    of the reference emitting per-message 'error' events without
+    halting the queue. Default remains fail-fast (raise), the right
+    behavior when a supervisor owns restarts.
     """
     import os
 
@@ -188,38 +199,53 @@ def run_multi_relay(
             return bool(statuses)
 
     slots = [_Slot(n, t) for n, t in transports.items()]
+    live = list(slots)
     started = time.monotonic()
     while True:
         any_wrote = False
-        for s in slots:
-            wrote = s.writer.append(s.transport.poll(max_frames=segment_frames))
-            s.total += wrote
-            any_wrote = any_wrote or wrote > 0
-            now = time.monotonic()
-            if wrote or now - s.last_status >= status_interval:
-                forwarded = s.forward()
-                if not forwarded and now - s.last_status >= status_interval:
-                    # keepalive re-ack, per slot — fires on the timer
-                    # whether the slot is idle or its consumer lags
-                    # (same fix as run_relay: traffic alone must not
-                    # starve the Standby Status Update)
-                    s.transport.send_standby_status(
-                        long_to_lsn(s.last_flushed - 1)
-                        if s.last_flushed is not None
-                        else "0/00000000"
-                    )
-                    forwarded = True
-                if forwarded:
-                    s.last_status = now
+        for s in list(live):
+            try:
+                wrote = s.writer.append(
+                    s.transport.poll(max_frames=segment_frames)
+                )
+                s.total += wrote
+                any_wrote = any_wrote or wrote > 0
+                now = time.monotonic()
+                if wrote or now - s.last_status >= status_interval:
+                    forwarded = s.forward()
+                    if not forwarded and now - s.last_status >= status_interval:
+                        # keepalive re-ack, per slot — fires on the timer
+                        # whether the slot is idle or its consumer lags
+                        # (same fix as run_relay: traffic alone must not
+                        # starve the Standby Status Update)
+                        s.transport.send_standby_status(
+                            long_to_lsn(s.last_flushed - 1)
+                            if s.last_flushed is not None
+                            else "0/00000000"
+                        )
+                        forwarded = True
+                    if forwarded:
+                        s.last_status = now
+            except (ConnectionError, OSError) as e:
+                if not isolate_errors:
+                    raise
+                # one dead slot must not take down the other N-1:
+                # everything relayed so far is already durable in its
+                # frame log; record and stop polling this slot only
+                if failures is not None:
+                    failures[s.name] = f"{type(e).__name__}: {e}"
+                live.remove(s)
         total = sum(s.total for s in slots)
         now = time.monotonic()
         if stop_after_frames is not None and total >= stop_after_frames:
             break
         if stop_after_seconds is not None and now - started >= stop_after_seconds:
             break
+        if not live:
+            break  # every slot failed: nothing left to poll
         if not any_wrote:
             time.sleep(poll_interval)
-    for s in slots:
+    for s in live:
         s.forward()
     return {s.name: s.total for s in slots}
 

@@ -1676,3 +1676,56 @@ def test_cert_cb_data_never_crashes_and_defaults_sha256():
     assert _SIG_OID_HASH["1.2.840.113549.1.1.11"] == "sha256"
     assert _SIG_OID_HASH["1.2.840.113549.1.1.5"] == "sha256"  # sha1 → 256
     assert _SIG_OID_HASH["1.2.840.10045.4.3.3"] == "sha384"
+
+
+def test_multi_relay_isolates_dead_slot(tmp_path):
+    """One transport dying mid-stream must not take down the other
+    slots (isolate_errors=True): the healthy slot keeps relaying, the
+    failure is reported, and the dead slot's pre-failure frames stay
+    durable in its log. Default stays fail-fast."""
+    from pg_logical_replication_spark.relay import run_multi_relay
+
+    class _Dying(_ListTransport):
+        def __init__(self, frames, die_after):
+            super().__init__(frames)
+            self._left = die_after
+
+        def poll(self, max_frames=None):
+            if self._left <= 0:
+                raise ConnectionError("walsender: connection reset")
+            out = super().poll(1)
+            self._left -= 1
+            return out
+
+    healthy_frames = [_xlog(0x100 + 8 * i) for i in range(6)]
+    dead_frames = [_xlog(0x900 + 8 * i) for i in range(6)]
+
+    # fail-fast default: the error propagates
+    import pytest as _pt
+
+    with _pt.raises(ConnectionError):
+        run_multi_relay(
+            {"a": _ListTransport(healthy_frames),
+             "b": _Dying(dead_frames, die_after=2)},
+            str(tmp_path / "ff"),
+            poll_interval=0.01,
+            stop_after_frames=12,
+            stop_after_seconds=2.0,
+        )
+
+    fails: dict = {}
+    counts = run_multi_relay(
+        {"a": _ListTransport(list(healthy_frames)),
+         "b": _Dying(list(dead_frames), die_after=2)},
+        str(tmp_path / "iso"),
+        poll_interval=0.01,
+        stop_after_seconds=1.0,  # b dies on its 3rd poll, a drains fully
+        isolate_errors=True,
+        failures=fails,
+    )
+    assert counts["a"] == 6
+    assert counts["b"] == 2
+    assert "b" in fails and "connection reset" in fails["b"]
+    # the dead slot's pre-failure frames are durable on disk
+    segs = [f for f in os.listdir(tmp_path / "iso" / "b") if f.endswith(".seg")]
+    assert segs
