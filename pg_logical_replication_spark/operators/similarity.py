@@ -512,10 +512,11 @@ def cosine_near_dup_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
-    planes: int = 4,
+    planes: int | str = 4,
     tables: int = 8,
     bucket_cap: int | None = 4096,
     sig_col: str | None = None,
+    auto_target_bucket: int = 512,
 ) -> DataFrame:
     """Distributed near-dup pairs: the exact matmul kernel of
     :func:`_near_dup_pairs_global`, run INSIDE each random-hyperplane
@@ -554,6 +555,21 @@ def cosine_near_dup_pairs_bucketed(
     equality check, not an approximation bound.
     """
     import numpy as np
+
+    if planes == "auto":
+        # The round-5 10× probe's finding: at FIXED planes, per-bucket
+        # occupancy grows linearly with the corpus, so the in-bucket
+        # matmul grows QUADRATICALLY until bucket_cap bites. planes
+        # must track ~log2(n / target-occupancy); "auto" sizes it from
+        # a metadata-cheap count (parquet row-count pushdown — no data
+        # scan). More planes = smaller buckets = lower per-table
+        # recall for near-but-not-identical pairs (exact duplicates
+        # always collide); the `tables` OR-amplification compensates.
+        import math
+
+        n = df.count()
+        planes = max(4, math.ceil(math.log2(max(n, 1) / auto_target_bucket)))
+    assert isinstance(planes, int)
 
     # ``sig_col`` names a WRITE-TIME signature column (array<string>,
     # one bucket key per table — :func:`ann_signature_col`): the

@@ -276,3 +276,37 @@ def test_precomputed_signature_column_matches_inline(spark, tmp_path):
         .toString()
     )
     assert "zip_with" not in plan, plan
+
+
+def test_auto_planes_scales_with_corpus(spark):
+    """planes='auto' sizes the bucket count from the corpus row count
+    (~log2(n/512)), and exact duplicates survive any planes setting
+    (identical vectors always share every signature)."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.operators.similarity import (
+        cosine_near_dup_pairs_bucketed,
+    )
+
+    vec = [float((d * 5) % 11 - 5) for d in range(64)]
+    emb = spark.range(6000).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % 3000 < 1, F.array(*[F.lit(x) for x in vec]))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.col("id") * 37 + i * 11) % 97 - 48.0,
+            )
+        )
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+    # n=6000 → planes = max(4, ceil(log2(6000/512))) = 4; bump the
+    # target down to force more planes and check the knob moves
+    pairs_auto = cosine_near_dup_pairs_bucketed(
+        emb, threshold=0.999, planes="auto", auto_target_bucket=64
+    )
+    # ids 0 and 3000 carry the identical planted vector: exact dups
+    # must survive however many planes "auto" picks
+    got = {(r.a_id, r.b_id) for r in pairs_auto.collect()}
+    assert (0, 3000) in got
