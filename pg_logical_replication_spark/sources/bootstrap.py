@@ -1,0 +1,137 @@
+"""Initial table bootstrap: COPY snapshot → typed DataFrame.
+
+The reference streams changes only — a user switching a live table
+needs the INITIAL state too, the way PostgreSQL's own ``CREATE
+SUBSCRIPTION`` runs a table-sync COPY before applying the stream.
+The flow (single replication connection, the consistency window the
+protocol gives for free):
+
+    t = WalsenderTransport(...)
+    slot = t.create_replication_slot("s1", plugin="wal2json")
+    rows = copy_out(t, "COPY public.users TO STDOUT")   # snapshot
+    snap = snapshot_dataframe(spark, rows, {"id": "bigint", ...}, dir)
+    t.start_replication("s1", slot["consistent_point"], ...)
+    # stream events decode as usual; the current table is
+    # apply_changes over snapshot-as-inserts UNION the stream
+    # (see bootstrap_events)
+
+Scale note: one COPY is one ordered connection — the snapshot
+bandwidth ceiling is the socket, exactly like the reference's
+consumers. The Spark side starts at the staging write: raw COPY text
+lands in ``staging_dir`` untouched, and ALL parsing (tab split,
+escape folding, NULLs, typing) runs declaratively over
+``spark.read.text`` — whole-stage codegen, no Python per row.
+
+COPY text format (postgresql.org/docs/current/sql-copy.html): one
+line per row, real tab bytes ONLY as separators (tabs in data arrive
+as the two-character sequence ``\\t``), ``\\N`` alone is NULL,
+backslash escapes ``\\b \\f \\n \\r \\t \\v \\\\``. Octal/hex escapes
+(``\\digits``) are not folded — a loud ``raise_error`` guards them
+rather than silently corrupting a value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: placeholder for '\\' during escape folding: SOH never occurs in
+#: COPY text output (control chars are escaped by the server)
+_SOH = "\x01"
+
+_ESCAPES = [
+    ("\\\\b", "\b"),
+    ("\\\\f", "\f"),
+    ("\\\\n", "\n"),
+    ("\\\\r", "\r"),
+    ("\\\\t", "\t"),
+    ("\\\\v", "\v"),
+]
+
+
+def _unescape(col):
+    """Fold COPY text escapes, declaratively and order-correctly:
+    ``\\\\`` is hidden behind a placeholder FIRST so ``\\\\n`` (a
+    literal backslash + n) survives as ``\\n`` instead of becoming a
+    newline, then the single-char escapes fold, then any REMAINING
+    backslash (octal/hex escape or server/client mismatch) trips a
+    loud error, then the placeholder unhides."""
+    out = F.regexp_replace(col, "\\\\\\\\", _SOH)
+    for pat, repl in _ESCAPES:
+        out = F.regexp_replace(out, pat, repl)
+    out = F.when(
+        out.rlike("\\\\"),
+        F.raise_error(
+            F.concat(
+                F.lit("bootstrap: unsupported COPY escape in field: "), out
+            )
+        ),
+    ).otherwise(out)
+    return F.regexp_replace(out, _SOH, "\\\\")
+
+
+def snapshot_dataframe(
+    spark: SparkSession,
+    rows: list[bytes],
+    columns: dict[str, str],
+    staging_dir: str,
+) -> DataFrame:
+    """COPY text rows → typed snapshot DataFrame.
+
+    ``columns`` maps column name → PG type name IN COPY COLUMN ORDER
+    (the same shape ``apply_changes(columns=...)`` takes). The raw
+    rows are staged to ``staging_dir`` verbatim and every downstream
+    step is a Catalyst expression: split on the real-tab separator,
+    ``\\N`` → NULL, escape folding, then ``pg_value`` typing — the
+    identical text-format value domain the CDC decoders produce, so a
+    snapshot column and a streamed column of the same PG type compare
+    equal."""
+    from pg_logical_replication_spark.functions import pg_value
+
+    os.makedirs(staging_dir, exist_ok=True)
+    with open(os.path.join(staging_dir, "snapshot.copy"), "wb") as f:
+        for r in rows:
+            f.write(r + b"\n")
+    raw = spark.read.text(staging_dir)
+    parts = F.split(F.col("value"), "\t")
+    out = []
+    for i, (name, pg_type) in enumerate(columns.items()):
+        field = parts.getItem(i)
+        text = F.when(field == "\\N", F.lit(None)).otherwise(_unescape(field))
+        out.append(pg_value(text, pg_type).alias(name))
+    return raw.select(*out)
+
+
+def bootstrap_events(
+    snapshot: DataFrame,
+    table: str,
+    lsn: str = "0/00000000",
+) -> DataFrame:
+    """Snapshot rows → synthetic 'insert' ChangeEvents at the slot's
+    consistent point, unionable with the decoded stream so ONE
+    ``apply_changes`` materializes initial state + changes (stream
+    events carry later LSNs, so latest-image-per-key semantics give
+    streamed updates precedence automatically)."""
+    from pg_logical_replication_spark.model import lsn_to_long
+
+    cols = snapshot.columns
+    after = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.col(c).cast("string") for c in cols]),
+    )
+    return snapshot.select(
+        F.lit("insert").alias("op"),
+        F.lit(lsn).alias("lsn"),
+        F.lit(None).cast("long").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit(table.split(".")[-1]).alias("table"),
+        F.lit(None).cast("map<string,string>").alias("key"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        after.alias("after"),
+        F.create_map(F.lit("origin"), F.lit("bootstrap")).alias("meta"),
+        F.lit(lsn_to_long(lsn)).cast("long").alias("lsn_long"),
+        F.monotonically_increasing_id().alias("seq"),
+    )

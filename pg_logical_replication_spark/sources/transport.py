@@ -919,3 +919,32 @@ def last_logged_lsn(log_dir: str) -> str | None:
                 if best is None or v > best:
                     best = v
     return None if best is None else long_to_lsn(best)
+
+
+def copy_out(transport: "WalsenderTransport", sql: str) -> list[bytes]:
+    """``COPY ... TO STDOUT`` over the replication connection — the
+    INITIAL TABLE SNAPSHOT primitive (what ``CREATE SUBSCRIPTION``'s
+    table-sync worker runs; replication=database connections accept
+    plain COPY on PG >= 10). Returns the raw CopyData rows (PG text
+    format, one ``bytes`` per row, trailing newline stripped).
+
+    Protocol: Query → CopyOutResponse 'H' → CopyData 'd'× → CopyDone
+    'c' → CommandComplete → ReadyForQuery. The snapshot is consistent
+    with the slot's ``consistent_point`` when the COPY runs inside the
+    slot-creation transaction's exported snapshot — with a single
+    replication connection, run the COPY immediately after
+    CREATE_REPLICATION_SLOT and before START_REPLICATION, the same
+    window the reference's users rely on.
+    """
+    transport._send_msg(b"Q", sql.encode() + b"\x00")
+    rows: list[bytes] = []
+    while True:
+        tag, body = transport._recv_msg()
+        if tag == b"d":
+            rows.append(body.rstrip(b"\n"))
+        elif tag == b"E":
+            f = transport._error_fields(body)
+            raise ConnectionError(f"walsender: COPY failed: {f.get('M', '')}")
+        elif tag == b"Z":
+            return rows
+        # 'H' CopyOutResponse / 'c' CopyDone / 'C' CommandComplete: skip

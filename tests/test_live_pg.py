@@ -283,3 +283,57 @@ def test_live_optional_plugin_chain(spark, live, tmp_path, plugin):
     )
     assert {(r["id"], r["v"]) for r in snap.collect()} == EXPECTED
     s.close()
+
+
+def test_live_bootstrap_snapshot_plus_stream(spark, live, tmp_path):
+    """CREATE SUBSCRIPTION shape against the real server: rows present
+    BEFORE the slot exist only in the snapshot; rows after only in the
+    stream; one apply_changes over the union sees both."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources.bootstrap import (
+        bootstrap_events,
+        snapshot_dataframe,
+    )
+    from pg_logical_replication_spark.sources.test_decoding import (
+        decode_test_decoding,
+    )
+    from pg_logical_replication_spark.sources.transport import copy_out
+
+    t, tbl = live.admin, live.table
+    _exec_sql(t, f"DELETE FROM {tbl}")
+    _exec_sql(t, f"INSERT INTO {tbl} VALUES (100,'pre-a'),(101,'pre-b')")
+
+    s = _connect()
+    slot = live.slot(f"{live.table}_boot")
+    created = s.create_replication_slot(slot, plugin="test_decoding")
+    rows = copy_out(s, f"COPY {tbl} TO STDOUT")
+    snap = snapshot_dataframe(
+        spark, rows, {"id": "integer", "v": "text"},
+        str(tmp_path / "staging"),
+    )
+    assert {r["id"] for r in snap.collect()} == {100, 101}
+
+    _exec_sql(t, f"UPDATE {tbl} SET v='post-a' WHERE id=100")
+    _exec_sql(t, f"INSERT INTO {tbl} VALUES (102,'post-c')")
+
+    s.start_replication(slot, created["consistent_point"],
+                        plugin="test_decoding")
+    log = str(tmp_path / "boot")
+    assert _relay_until(s, log, want_frames=6) >= 6
+    raw = _frames_df(spark, log).select(
+        F.col("data").cast("string").alias("value"), "lsn", "seq"
+    )
+    events = bootstrap_events(
+        snap, tbl, lsn=created["consistent_point"]
+    ).unionByName(decode_test_decoding(raw), allowMissingColumns=True)
+    table = apply_changes(
+        events, key_columns=["id"], table=tbl,
+        columns={"id": "integer", "v": "text"},
+    )
+    got = {r["id"]: r["v"] for r in table.collect()}
+    assert got == {100: "post-a", 101: "pre-b", 102: "post-c"}
+    s.close()

@@ -266,6 +266,9 @@ class _FakePgServer:
         # RFC 5929 tls-server-end-point binding the client sends
         self.cert_der = cert_der
         self.negotiated_mechanism = None
+        # COPY ... TO STDOUT snapshot rows (PG text format, no newline)
+        self.copy_rows: list[bytes] = []
+        self.copy_sql = None
         self.received_copydone = False
         self.received_statuses = []
         self.created_slots = []
@@ -470,6 +473,19 @@ class _FakePgServer:
                 if sql.startswith("DROP_REPLICATION_SLOT"):
                     self.dropped_slots.append(sql)
                     self._send(conn, b"C", b"DROP_REPLICATION_SLOT\x00")
+                    self._send(conn, b"Z", b"I")
+                    continue
+                if sql.upper().startswith("COPY "):
+                    # table-sync snapshot: CopyOutResponse + text rows
+                    self.copy_sql = sql
+                    self._send(conn, b"H", b"\x00\x00\x01\x00\x00")
+                    for row in self.copy_rows:
+                        self._send(conn, b"d", row + b"\n")
+                    self._send(conn, b"c")
+                    self._send(
+                        conn, b"C",
+                        f"COPY {len(self.copy_rows)}\x00".encode(),
+                    )
                     self._send(conn, b"Z", b"I")
                     continue
                 self.start_replication_sql = sql
@@ -1729,3 +1745,88 @@ def test_multi_relay_isolates_dead_slot(tmp_path):
     # the dead slot's pre-failure frames are durable on disk
     segs = [f for f in os.listdir(tmp_path / "iso" / "b") if f.endswith(".seg")]
     assert segs
+
+
+def test_bootstrap_snapshot_plus_stream(spark, tmp_path):
+    """The CREATE SUBSCRIPTION shape on one replication connection:
+    create slot → COPY snapshot (consistent point) → stream changes →
+    ONE apply_changes over snapshot-as-inserts ∪ stream = current
+    table. Exercises COPY text escapes (\\t, \\\\, \\n) and \\N NULL."""
+    import json as _json
+    import time as _t
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources.bootstrap import (
+        bootstrap_events,
+        snapshot_dataframe,
+    )
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+        copy_out,
+    )
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    def w2j(payload: dict, lsn_long: int) -> bytes:
+        return _xlog(lsn_long, _json.dumps(payload).encode())
+
+    # stream AFTER the snapshot: id=2 updated, id=4 inserted
+    frames = [
+        w2j({"change": [{"kind": "update", "schema": "public", "table": "t",
+                         "columnnames": ["id", "v"],
+                         "columntypes": ["bigint", "text"],
+                         "columnvalues": [2, "two-v2"],
+                         "oldkeys": {"keynames": ["id"],
+                                     "keytypes": ["bigint"],
+                                     "keyvalues": [2]}}],
+             "nextlsn": "0/2000"}, 0x2000),
+        w2j({"change": [{"kind": "insert", "schema": "public", "table": "t",
+                         "columnnames": ["id", "v"],
+                         "columntypes": ["bigint", "text"],
+                         "columnvalues": [4, "four"]}],
+             "nextlsn": "0/2008"}, 0x2008),
+    ]
+    srv = _FakePgServer(password=None, frames=frames)
+    # snapshot rows in COPY text format: escaped tab, literal
+    # backslash+n (NOT a newline), real newline escape, and a NULL
+    srv.copy_rows = [
+        b"1\tone",
+        b"2\ttwo\\twith-tab",
+        b"3\t\\N",
+    ]
+    t = WalsenderTransport("127.0.0.1", srv.port, user="rep", database="app")
+    slot = t.create_replication_slot("boot", plugin="wal2json")
+    rows = copy_out(t, "COPY public.t TO STDOUT")
+    assert srv.copy_sql == "COPY public.t TO STDOUT"
+    snap = snapshot_dataframe(
+        spark, rows, {"id": "bigint", "v": "text"},
+        str(tmp_path / "staging"),
+    )
+    got_snap = {r["id"]: r["v"] for r in snap.collect()}
+    assert got_snap == {1: "one", 2: "two\twith-tab", 3: None}
+
+    t.start_replication("boot", slot["consistent_point"])
+    deadline, got = _t.time() + 5, []
+    while len(got) < 2 and _t.time() < deadline:
+        got.extend(t.poll())
+    assert len(got) == 2
+    raw = spark.createDataFrame(
+        [(fr[25:].decode(), i) for i, fr in enumerate(got)],
+        "value string, seq long",
+    )
+    stream_ev = decode_wal2json(raw)
+    snap_ev = bootstrap_events(snap, "t", lsn=slot["consistent_point"])
+    events = snap_ev.unionByName(
+        stream_ev, allowMissingColumns=True
+    )
+    table = apply_changes(
+        events, key_columns=["id"], table="t",
+        columns={"id": "bigint", "v": "text"},
+    )
+    final = {r["id"]: r["v"] for r in table.collect()}
+    assert final == {
+        1: "one", 2: "two-v2", 3: None, 4: "four",
+    }
+    t.close()
+    srv.close()
