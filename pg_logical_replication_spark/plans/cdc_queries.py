@@ -2387,3 +2387,50 @@ def q_cdc_dlq_stats(spark, sf_dir):
         .groupBy("channel")
         .agg(F.count("*").alias("n"), F.sum("eid").alias("sum_decoded_eid"))
     )
+
+
+@register(
+    "q_cdc_copy_text_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(LENGTH(text) + 3) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) AS BIGINT) AS n_suffix_ok
+    FROM documents
+    """,
+    "PostgreSQL COPY text-format render/parse roundtrip at corpus "
+    "scale: every document (with a planted tab+newline+backslash "
+    "suffix forcing the escape paths) renders via to_copy_text and "
+    "parses back via parse_copy_lines — the bootstrap-snapshot and "
+    "bulk-load (COPY FROM STDIN) codecs proven mutual inverses, all "
+    "in whole-stage codegen; the oracle is the identity on documents",
+)
+def q_cdc_copy_text_roundtrip(spark, sf_dir):
+    """sources/bootstrap.py: to_copy_text ∘ parse_copy_lines = id.
+    The suffix plants the three escape-relevant characters in every
+    row so the roundtrip exercises the fold/render pair corpus-wide,
+    not just on fixture rows."""
+    from pg_logical_replication_spark.sources.bootstrap import (
+        parse_copy_lines,
+        to_copy_text,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\t\n\\")).alias("text"),
+        "lang",
+    )
+    lines = to_copy_text(docs, ["doc_id", "text", "lang"])
+    back = parse_copy_lines(
+        lines, {"doc_id": "bigint", "text": "text", "lang": "text"}
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.col("text").endswith("\t\n\\").cast("long"))
+        .cast("long")
+        .alias("n_suffix_ok"),
+    )

@@ -88,20 +88,11 @@ def snapshot_dataframe(
     identical text-format value domain the CDC decoders produce, so a
     snapshot column and a streamed column of the same PG type compare
     equal."""
-    from pg_logical_replication_spark.functions import pg_value
-
     os.makedirs(staging_dir, exist_ok=True)
     with open(os.path.join(staging_dir, "snapshot.copy"), "wb") as f:
         for r in rows:
             f.write(r + b"\n")
-    raw = spark.read.text(staging_dir)
-    parts = F.split(F.col("value"), "\t")
-    out = []
-    for i, (name, pg_type) in enumerate(columns.items()):
-        field = parts.getItem(i)
-        text = F.when(field == "\\N", F.lit(None)).otherwise(_unescape(field))
-        out.append(pg_value(text, pg_type).alias(name))
-    return raw.select(*out)
+    return parse_copy_lines(spark.read.text(staging_dir), columns)
 
 
 def bootstrap_events(
@@ -134,4 +125,42 @@ def bootstrap_events(
         F.create_map(F.lit("origin"), F.lit("bootstrap")).alias("meta"),
         F.lit(lsn_to_long(lsn)).cast("long").alias("lsn_long"),
         F.monotonically_increasing_id().alias("seq"),
+    )
+
+
+def parse_copy_lines(
+    lines: DataFrame, columns: dict[str, str], value_col: str = "value"
+) -> DataFrame:
+    """The Catalyst core of :func:`snapshot_dataframe`, usable on any
+    DataFrame of COPY text lines (staged snapshot files, archived COPY
+    dumps, synthetic fixtures): tab split → ``\\N`` NULL → escape fold
+    → ``pg_value`` typing."""
+    from pg_logical_replication_spark.functions import pg_value
+
+    parts = F.split(F.col(value_col), "\t")
+    out = []
+    for i, (name, pg_type) in enumerate(columns.items()):
+        field = parts.getItem(i)
+        text = F.when(field == "\\N", F.lit(None)).otherwise(_unescape(field))
+        out.append(pg_value(text, pg_type).alias(name))
+    return lines.select(*out)
+
+
+def to_copy_text(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Render rows INTO PostgreSQL COPY text format (one ``value``
+    line per row) — the exact inverse of :func:`parse_copy_lines` and
+    the payload for :func:`copy_in`-based bulk loads back into PG
+    (``COPY ... FROM STDIN``). Escape order matters and mirrors the
+    server: backslash doubles FIRST, then tab/newline/CR fold to their
+    two-character escapes; NULL renders as ``\\N``. Pure codegen — the
+    render happens executor-side, only the socket write is serial."""
+
+    def esc(c):
+        out = F.regexp_replace(F.col(c).cast("string"), "\\\\", "\\\\\\\\")
+        for ch, rep in (("\t", "\\\\t"), ("\n", "\\\\n"), ("\r", "\\\\r")):
+            out = F.regexp_replace(out, ch, rep)
+        return F.coalesce(out, F.lit("\\N"))
+
+    return df.select(
+        F.concat_ws("\t", *[esc(c) for c in columns]).alias("value")
     )

@@ -948,3 +948,35 @@ def copy_out(transport: "WalsenderTransport", sql: str) -> list[bytes]:
         elif tag == b"Z":
             return rows
         # 'H' CopyOutResponse / 'c' CopyDone / 'C' CommandComplete: skip
+
+
+def copy_in(
+    transport: "WalsenderTransport", sql: str, rows: list[bytes]
+) -> int:
+    """``COPY ... FROM STDIN`` over the replication connection — the
+    BULK LOAD inverse of :func:`copy_out`: ship Spark-rendered COPY
+    text rows (``sources.bootstrap.to_copy_text``) back into a
+    PostgreSQL table, the standard fast-ingest path (one 'd' frame per
+    row, CopyDone, CommandComplete). Returns the number of rows sent.
+
+    Protocol: Query → CopyInResponse 'G' → client streams CopyData
+    'd' → client CopyDone 'c' → CommandComplete → ReadyForQuery. A
+    server error mid-COPY surfaces as ConnectionError."""
+    transport._send_msg(b"Q", sql.encode() + b"\x00")
+    while True:
+        tag, body = transport._recv_msg()
+        if tag == b"G":  # CopyInResponse: server is ready for rows
+            break
+        if tag == b"E":
+            f = transport._error_fields(body)
+            raise ConnectionError(f"walsender: COPY failed: {f.get('M', '')}")
+    for r in rows:
+        transport._send_msg(b"d", r + b"\n")
+    transport._send_msg(b"c", b"")
+    while True:
+        tag, body = transport._recv_msg()
+        if tag == b"E":
+            f = transport._error_fields(body)
+            raise ConnectionError(f"walsender: COPY failed: {f.get('M', '')}")
+        if tag == b"Z":
+            return len(rows)

@@ -269,6 +269,7 @@ class _FakePgServer:
         # COPY ... TO STDOUT snapshot rows (PG text format, no newline)
         self.copy_rows: list[bytes] = []
         self.copy_sql = None
+        self.copied_in: list[bytes] = []  # rows received via COPY FROM STDIN
         self.received_copydone = False
         self.received_statuses = []
         self.created_slots = []
@@ -473,6 +474,22 @@ class _FakePgServer:
                 if sql.startswith("DROP_REPLICATION_SLOT"):
                     self.dropped_slots.append(sql)
                     self._send(conn, b"C", b"DROP_REPLICATION_SLOT\x00")
+                    self._send(conn, b"Z", b"I")
+                    continue
+                if sql.upper().startswith("COPY ") and "FROM STDIN" in sql.upper():
+                    # bulk load: CopyInResponse, collect rows to CopyDone
+                    self.copy_sql = sql
+                    self._send(conn, b"G", b"\x00\x00\x01\x00\x00")
+                    while True:
+                        t2, b2 = self._recv_msg(conn)
+                        if t2 == b"d":
+                            self.copied_in.append(b2.rstrip(b"\n"))
+                        elif t2 == b"c":
+                            break
+                    self._send(
+                        conn, b"C",
+                        f"COPY {len(self.copied_in)}\x00".encode(),
+                    )
                     self._send(conn, b"Z", b"I")
                     continue
                 if sql.upper().startswith("COPY "):
@@ -1828,5 +1845,54 @@ def test_bootstrap_snapshot_plus_stream(spark, tmp_path):
     assert final == {
         1: "one", 2: "two-v2", 3: None, 4: "four",
     }
+    t.close()
+    srv.close()
+
+
+def test_copy_in_roundtrips_spark_rendered_rows(spark, tmp_path):
+    """The bulk-load inverse: Spark renders COPY text (to_copy_text),
+    copy_in ships it, and the server-received rows parse back to the
+    identical typed values — escape render/fold are exact inverses
+    (tab, newline, backslash, NULL all planted)."""
+    from pg_logical_replication_spark.sources.bootstrap import (
+        parse_copy_lines,
+        to_copy_text,
+    )
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+        copy_in,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, "plain"),
+            (2, "tab\there"),
+            (3, "line\nbreak"),
+            (4, "back\\slash"),
+            (5, None),
+        ],
+        "id bigint, v string",
+    )
+    rendered = [r["value"].encode() for r in to_copy_text(src, ["id", "v"]).collect()]
+    srv = _FakePgServer(password=None, frames=[])
+    t = WalsenderTransport("127.0.0.1", srv.port, user="rep", database="app")
+    n = copy_in(t, "COPY public.t FROM STDIN", rendered)
+    assert n == 5
+    import time as _t
+
+    deadline = _t.time() + 5
+    while len(srv.copied_in) < 5 and _t.time() < deadline:
+        _t.sleep(0.02)
+    assert len(srv.copied_in) == 5
+    back = parse_copy_lines(
+        spark.createDataFrame(
+            [(r.decode(),) for r in srv.copied_in], "value string"
+        ),
+        {"id": "bigint", "v": "text"},
+    )
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, "plain"), (2, "tab\there"), (3, "line\nbreak"),
+        (4, "back\\slash"), (5, None),
+    ]
     t.close()
     srv.close()
