@@ -2434,3 +2434,108 @@ def q_cdc_copy_text_roundtrip(spark, sf_dir):
         .cast("long")
         .alias("n_suffix_ok"),
     )
+
+
+@register(
+    "q_cdc_bootstrap_apply",
+    """
+    WITH snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    stream AS (
+      SELECT doc_id, text || ' v2' AS text FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 = 0),
+    final AS (
+      SELECT doc_id,
+             COALESCE(
+               (SELECT s.text FROM stream s WHERE s.doc_id = u.doc_id),
+               (SELECT sn.text FROM snap sn WHERE sn.doc_id = u.doc_id))
+               AS text
+      FROM (SELECT doc_id FROM snap UNION SELECT doc_id FROM stream) u)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM final
+    """,
+    "the full bootstrap deployment flow as one oracle-gated plan: "
+    "even-id documents arrive as a COPY snapshot (rendered to real "
+    "COPY text and parsed back — the escape codec in the loop), "
+    "multiples of 3 arrive as streamed wal2json updates and multiples "
+    "of 5 as streamed inserts of NEW keys; ONE apply_changes over "
+    "bootstrap_events UNION decode gives streamed rows precedence by "
+    "LSN — snapshot-only keys keep snapshot text, streamed keys win",
+)
+def q_cdc_bootstrap_apply(spark, sf_dir):
+    """sources/bootstrap.py end-to-end: to_copy_text → parse_copy_lines
+    → bootstrap_events at the consistent point, unioned with a decoded
+    wal2json stream carrying later LSNs, one apply_changes."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources.bootstrap import (
+        bootstrap_events,
+        parse_copy_lines,
+        to_copy_text,
+    )
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    docs = t(spark, sf_dir, "documents")
+    snap = parse_copy_lines(
+        to_copy_text(
+            docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
+            ["doc_id", "text"],
+        ),
+        {"doc_id": "bigint", "text": "text"},
+    )
+    snap_ev = bootstrap_events(snap, "docs", lsn="0/00000010")
+
+    def change(kind, id_col, text_col):
+        return F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(kind).alias("kind"),
+                        F.lit("public").alias("schema"),
+                        F.lit("docs").alias("table"),
+                        F.array(F.lit("doc_id"), F.lit("text")).alias(
+                            "columnnames"
+                        ),
+                        F.array(F.lit("bigint"), F.lit("text")).alias(
+                            "columntypes"
+                        ),
+                        F.array(
+                            id_col.cast("string"), text_col
+                        ).alias("columnvalues"),
+                    )
+                ).alias("change"),
+                lsn_str_expr((id_col * 8 + 0x1000).cast("long")).alias(
+                    "nextlsn"
+                ),
+            )
+        ).alias("value")
+
+    updates = docs.filter(F.col("doc_id") % 3 == 0).select(
+        change("update", F.col("doc_id"), F.concat("text", F.lit(" v2")))
+    )
+    inserts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        change("insert", F.col("doc_id") + 1_000_000, F.col("text"))
+    )
+    stream_ev = decode_wal2json(updates.unionByName(inserts))
+    events = snap_ev.unionByName(stream_ev, allowMissingColumns=True)
+    table = apply_changes(
+        events,
+        key_columns=["doc_id"],
+        table="docs",
+        columns={"doc_id": "bigint", "text": "text"},
+    )
+    return table.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(F.col("text").endswith(" v2").cast("long"))
+        .cast("long")
+        .alias("n_updated"),
+    )
