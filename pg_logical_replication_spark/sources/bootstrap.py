@@ -164,3 +164,71 @@ def to_copy_text(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(
         F.concat_ws("\t", *[esc(c) for c in columns]).alias("value")
     )
+
+
+def bootstrap_to_frame_log(
+    snapshot: DataFrame,
+    columns: dict[str, str],
+    table: str,
+    log_dir: str,
+    lsn: str = "0/00000010",
+) -> int:
+    """Write the snapshot INTO the frame log as wal2json insert frames
+    at the slot's consistent point — the STREAMING bootstrap: Spark
+    cannot union a static snapshot into a running stream, but the
+    frame log is an ordered medium, so snapshot rows land as ordinary
+    'w' frames in segments named BEFORE the relay's ``000001.seg``
+    (``000000.<part>.bootstrap.seg``) and one unmodified
+    ``subscribe(source='frames')`` replays initial state then live
+    changes, in order, through the same decode → apply path.
+
+    The render is declarative (``to_json`` struct per row — zero
+    Python in the row loop until the final file write); each Spark
+    partition writes its own segment, so the write parallelizes across
+    executors onto the shared log directory. Returns rows written."""
+    import struct as st
+
+    from pg_logical_replication_spark.model import lsn_to_long
+
+    names = list(columns)
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("insert").alias("kind"),
+                    F.lit("public").alias("schema"),
+                    F.lit(table.split(".")[-1]).alias("table"),
+                    F.array(*[F.lit(c) for c in names]).alias("columnnames"),
+                    F.array(*[F.lit(t) for t in columns.values()]).alias(
+                        "columntypes"
+                    ),
+                    F.array(*[F.col(c).cast("string") for c in names]).alias(
+                        "columnvalues"
+                    ),
+                )
+            ).alias("change"),
+            F.lit(lsn).alias("nextlsn"),
+        )
+    ).alias("value")
+    rendered = snapshot.select(payload)
+    lsn_long = lsn_to_long(lsn)
+    os.makedirs(log_dir, exist_ok=True)
+
+    def write_part(idx, it):
+        wrote = 0
+        path = os.path.join(log_dir, f"000000.{idx:05d}.bootstrap.seg")
+        fh = None
+        try:
+            for row in it:
+                if fh is None:  # no file for empty partitions
+                    fh = open(path, "wb")
+                pl = row["value"].encode()
+                frame = b"w" + st.pack(">QQQ", lsn_long, lsn_long, 0) + pl
+                fh.write(st.pack(">I", len(frame)) + frame)
+                wrote += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        yield wrote
+
+    return sum(rendered.rdd.mapPartitionsWithIndex(write_part).collect())

@@ -1064,3 +1064,70 @@ def test_tokenizer_trained_offline_applies_on_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == want
+
+
+def test_streaming_bootstrap_via_frame_log(spark, tmp_path):
+    """The STREAMING bootstrap: bootstrap_to_frame_log writes the
+    snapshot as wal2json frames in segments sorting before the relay's
+    000001.seg, so one unmodified subscribe(source='frames') replays
+    initial state then live changes through the same decode → MOR
+    path — the CREATE SUBSCRIPTION shape with zero special-casing in
+    the stream."""
+    import json
+    import struct
+    import time
+
+    from pg_logical_replication_spark.sources.bootstrap import (
+        bootstrap_to_frame_log,
+    )
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    snap = spark.createDataFrame(
+        [(1, "pre-one"), (2, "pre-two"), (3, "pre-three")],
+        "id bigint, v string",
+    ).repartition(2)
+    wrote = bootstrap_to_frame_log(
+        snap, {"id": "bigint", "v": "text"}, "t", log, lsn="0/00000010"
+    )
+    assert wrote == 3
+
+    def w2j_frame(rid, v, kind, lsn_long):
+        ch = {
+            "kind": kind, "schema": "public", "table": "t",
+            "columnnames": ["id", "v"], "columntypes": ["bigint", "text"],
+            "columnvalues": [rid, v],
+        }
+        if kind == "update":
+            ch["oldkeys"] = {
+                "keynames": ["id"], "keytypes": ["bigint"],
+                "keyvalues": [rid],
+            }
+        payload = json.dumps(
+            {"change": [ch], "nextlsn": f"0/{lsn_long:X}"}
+        ).encode()
+        return b"w" + struct.pack(">QQQ", lsn_long, lsn_long + 8, 0) + payload
+
+    # the "relay" lands live changes in 000001.seg, strictly after
+    with open(os.path.join(log, "000001.seg"), "ab") as f:
+        write_frame(f, w2j_frame(2, "live-two", "update", 0x6000))
+        write_frame(f, w2j_frame(4, "live-four", "insert", 0x6008))
+
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), key_columns=["id"], table="t"
+    )
+    svc.subscribe_and_wait("wal2json", "boot_slot", tbl.writer(),
+                           source="frames")
+    got = {
+        (r["id"], r["v"])
+        for r in tbl.snapshot_columns({"id": "bigint", "v": "text"}).collect()
+    }
+    assert got == {
+        (1, "pre-one"), (2, "live-two"), (3, "pre-three"), (4, "live-four"),
+    }
