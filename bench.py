@@ -95,6 +95,9 @@ HEADLINE = [
     "q_embed_kmeans_domains",
     "q_embed_cluster_sample",
     "q_ann_ivf_trained_topk",
+    # round 5: bootstrap/bulk-load COPY codec + the full flow
+    "q_cdc_copy_text_roundtrip",
+    "q_cdc_bootstrap_apply",
 ]
 
 

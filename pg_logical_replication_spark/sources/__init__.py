@@ -45,10 +45,19 @@ from pg_logical_replication_spark.sources.transport import (  # noqa: F401
     SocketFrameTransport,
     WalsenderTransport,
     WalTransport,
+    copy_in,
+    copy_out,
     forward_acks_upstream,
     read_statuses_since,
     relay_to_frame_log,
     resend_last_status,
+)
+from pg_logical_replication_spark.sources.bootstrap import (  # noqa: F401
+    bootstrap_events,
+    bootstrap_to_frame_log,
+    parse_copy_lines,
+    snapshot_dataframe,
+    to_copy_text,
 )
 from pg_logical_replication_spark.sources.plugin_options import (  # noqa: F401
     options_clause,
