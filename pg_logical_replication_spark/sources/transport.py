@@ -742,8 +742,19 @@ class FrameLogWriter:
                 with open(full, "r+b") as f:
                     f.truncate(pos)  # torn tail from a crashed writer
             self._idx = int(name.split(".")[0])
-            self._count = len(frames)
-            self._bytes = pos
+            if name != f"{self._idx:06d}.seg":
+                # Foreign-named segment (e.g. a bootstrap pre-segment
+                # like 000000.00001.bootstrap.seg): NEVER append to it
+                # and never open its bare index — a fresh 000000.seg
+                # would sort BEFORE the bootstrap files and the reader
+                # would replay live frames ahead of the snapshot. Open
+                # the next canonical segment instead.
+                self._idx += 1
+                self._count = 0
+                self._bytes = 0
+            else:
+                self._count = len(frames)
+                self._bytes = pos
         else:
             self._idx = int(start_segment.split(".")[0])
             self._count = 0

@@ -1896,3 +1896,35 @@ def test_copy_in_roundtrips_spark_rendered_rows(spark, tmp_path):
     ]
     t.close()
     srv.close()
+
+
+def test_writer_never_appends_before_bootstrap_segments(tmp_path, spark):
+    """A relay writer constructed over a log holding only bootstrap
+    pre-segments (000000.<part>.bootstrap.seg) must open 000001.seg —
+    a bare 000000.seg would sort BEFORE the bootstrap files and the
+    tailer would replay live frames ahead of the snapshot."""
+    from pg_logical_replication_spark.sources.bootstrap import (
+        bootstrap_to_frame_log,
+    )
+    from pg_logical_replication_spark.sources.transport import (
+        FrameLogTailTransport,
+        FrameLogWriter,
+    )
+
+    log = str(tmp_path / "wal")
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).repartition(2)
+    assert bootstrap_to_frame_log(
+        snap, {"id": "bigint", "v": "text"}, "t", log
+    ) == 2
+
+    w = FrameLogWriter(log)
+    assert w.segment_name == "000001.seg"
+    live = _xlog(0x7000)
+    w.append([live])
+    # reader order: both bootstrap frames first, the live frame last
+    frames = FrameLogTailTransport(log).poll()
+    assert len(frames) == 3
+    assert frames[-1] == live
+    assert all(fr[:1] == b"w" for fr in frames)
