@@ -1928,3 +1928,18 @@ def test_writer_never_appends_before_bootstrap_segments(tmp_path, spark):
     assert len(frames) == 3
     assert frames[-1] == live
     assert all(fr[:1] == b"w" for fr in frames)
+
+
+def test_copy_parse_octal_escape_guard(spark):
+    """Octal escapes (\\123) are out of the supported COPY fold set:
+    the parse must fail loudly, never silently corrupt the value."""
+    import pytest as _pt
+
+    from pg_logical_replication_spark.sources.bootstrap import (
+        parse_copy_lines,
+    )
+
+    lines = spark.createDataFrame([("1\tbad\\123",)], "value string")
+    df = parse_copy_lines(lines, {"id": "bigint", "v": "text"})
+    with _pt.raises(Exception, match="unsupported COPY escape"):
+        df.collect()
