@@ -972,7 +972,11 @@ def copy_in(
 
     Protocol: Query → CopyInResponse 'G' → client streams CopyData
     'd' → client CopyDone 'c' → CommandComplete → ReadyForQuery. A
-    server error mid-COPY surfaces as ConnectionError."""
+    server error mid-COPY surfaces as ConnectionError (PG discards the
+    partial COPY transactionally, so a failed bulk load leaves no
+    half-written rows). Rows stream without interleaved reads — for
+    multi-GB loads chunk the call (one COPY per bounded batch) so an
+    early server error is seen within a batch, not after the corpus."""
     transport._send_msg(b"Q", sql.encode() + b"\x00")
     while True:
         tag, body = transport._recv_msg()

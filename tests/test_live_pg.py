@@ -107,7 +107,6 @@ def _frames_df(spark, log_dir):
     """Relayed frame log → (lsn, seq, payload) rows of 'w' messages."""
     from pyspark.sql import functions as F
 
-    from pg_logical_replication_spark.model import long_to_lsn
     from pg_logical_replication_spark.sources.transport import (
         FrameLogTailTransport,
     )
