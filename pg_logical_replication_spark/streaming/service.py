@@ -215,6 +215,10 @@ class LogicalReplicationService:
         auto_acknowledge: bool = True,
         source: str = "files",
         upto_lsn: str | None = None,
+        bootstrap: "DataFrame | None" = None,
+        bootstrap_columns: dict[str, str] | None = None,
+        bootstrap_table: str = "t",
+        bootstrap_lsn: str = "0/00000010",
     ) -> StreamingQuery:
         """Start streaming decoded changes into ``sink`` (foreachBatch).
 
@@ -253,6 +257,44 @@ class LogicalReplicationService:
         prev = self._queries.get(slot_name)
         if prev is not None and prev.isActive:
             prev.stop()
+
+        if bootstrap is not None:
+            # Initial-load convenience (source='frames' only): write the
+            # snapshot as pre-stream bootstrap segments ONCE — only into
+            # a log that has no segments yet, so a re-subscribe (or a
+            # checkpoint resume) can never duplicate the initial state.
+            import os as _os
+
+            if source != "frames":
+                raise ValueError(
+                    "subscribe(bootstrap=...) requires source='frames' "
+                    "(the snapshot rides the frame log)"
+                )
+            if bootstrap_columns is None:
+                raise ValueError(
+                    "subscribe(bootstrap=...) needs bootstrap_columns="
+                    "{name: pg_type} in column order"
+                )
+            from pg_logical_replication_spark.sources.bootstrap import (
+                bootstrap_to_frame_log,
+            )
+
+            has_segments = any(
+                n.endswith(".seg")
+                for n in (
+                    _os.listdir(self.event_log_dir)
+                    if _os.path.isdir(self.event_log_dir)
+                    else []
+                )
+            )
+            if not has_segments:
+                bootstrap_to_frame_log(
+                    bootstrap,
+                    bootstrap_columns,
+                    bootstrap_table,
+                    self.event_log_dir,
+                    lsn=bootstrap_lsn,
+                )
 
         ev = self.changes(fmt, source=source, **(decode_options or {}))
         if upto_lsn is not None:

@@ -1131,3 +1131,69 @@ def test_streaming_bootstrap_via_frame_log(spark, tmp_path):
     assert got == {
         (1, "pre-one"), (2, "live-two"), (3, "pre-three"), (4, "live-four"),
     }
+
+
+def test_subscribe_bootstrap_convenience_idempotent(spark, tmp_path):
+    """subscribe(bootstrap=...) writes the snapshot segments exactly
+    once (only into a log with no segments), so a re-subscribe resumes
+    without duplicating initial state; guards enforce source='frames'
+    and column types."""
+    import json
+    import struct
+    import time
+
+    import pytest as _pt
+
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), key_columns=["id"], table="t"
+    )
+    cols = {"id": "bigint", "v": "text"}
+
+    with _pt.raises(ValueError, match="source='frames'"):
+        svc.subscribe("wal2json", "s", tbl.writer(), bootstrap=snap,
+                      bootstrap_columns=cols)
+    with _pt.raises(ValueError, match="bootstrap_columns"):
+        svc.subscribe("wal2json", "s", tbl.writer(), source="frames",
+                      bootstrap=snap)
+
+    svc.subscribe_and_wait(
+        "wal2json", "s", tbl.writer(), source="frames",
+        bootstrap=snap, bootstrap_columns=cols, bootstrap_table="t",
+    )
+    got = {(r["id"], r["v"])
+           for r in tbl.snapshot_columns(cols).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    n_boot_first = len([n for n in os.listdir(log) if "bootstrap" in n])
+    assert n_boot_first >= 1
+
+    # live frames arrive; re-subscribe with the SAME bootstrap args:
+    # the log already has segments, so nothing is re-bootstrapped
+    payload = json.dumps({
+        "change": [{"kind": "insert", "schema": "public", "table": "t",
+                    "columnnames": ["id", "v"],
+                    "columntypes": ["bigint", "text"],
+                    "columnvalues": [3, "c"]}],
+        "nextlsn": "0/7000"}).encode()
+    with open(os.path.join(log, "000001.seg"), "ab") as f:
+        write_frame(f, b"w" + struct.pack(">QQQ", 0x7000, 0x7008, 0) + payload)
+    svc.subscribe_and_wait(
+        "wal2json", "s", tbl.writer(), source="frames",
+        bootstrap=snap, bootstrap_columns=cols, bootstrap_table="t",
+    )
+    got2 = {(r["id"], r["v"])
+            for r in tbl.snapshot_columns(cols).collect()}
+    assert got2 == {(1, "a"), (2, "b"), (3, "c")}
+    # idempotence: the second subscribe added no new bootstrap segs
+    assert n_boot_first == len(
+        [n for n in os.listdir(log) if "bootstrap" in n]
+    )
