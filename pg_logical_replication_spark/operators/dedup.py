@@ -827,3 +827,84 @@ def duplicated_span_coverage(
             F.round(F.col("n_dup_tokens").cast("double") / F.col("n_tokens"), 6),
         )
     )
+
+
+def bloom_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    max_benchmark_shingles: int = 5_000_000,
+) -> DataFrame:
+    """Benchmark decontamination WITHOUT a corpus-side join: the
+    held-out set's shingles build an ``m_bits`` Bloom filter whose
+    words inline as ~``m_bits/64`` long literals, and every corpus doc
+    is flagged by a pure per-row expression — the scan stays
+    embarrassingly parallel, no shuffle, no broadcast table, nothing
+    but a filter in the projection. The Dolma-BFF shape, Spark-first.
+
+    vs :func:`contamination` (exact, broadcast shingle join): the
+    Bloom pass can FALSE-POSITIVE with rate ≈ (1−e^(−k·n/m))^k per
+    shingle (never false-negative — every truly shared shingle sets
+    its own bits), so flags are a SUPERSET of true contamination. The
+    production pattern is two-phase: Bloom-flag at scan speed over
+    100 TB, then run the exact join only on the flagged sliver.
+
+    Engine-portable by construction: positions are
+    ``int(md5(sh + '#' + i)[:15 hex], 16) % m`` (the
+    ``q_join_bloom_prune`` idiom), so DuckDB replays the whole filter
+    — including its false positives — bit-for-bit, which is what lets
+    the oracle hash-check an approximate operator exactly.
+
+    The benchmark shingle set is driver-collected (eval sets are small
+    by nature); ``max_benchmark_shingles`` guards the collect with a
+    bounded ``limit`` probe — a 'benchmark' that big is a corpus, and
+    the exact broadcast-join form is the right tool there.
+    """
+    import hashlib
+
+    sh_df = exploded_shingles(
+        benchmark, text_col=text_col, id_col=id_col, n=n
+    ).select("sh").distinct()
+    probe = sh_df.limit(max_benchmark_shingles + 1).count()
+    if probe > max_benchmark_shingles:
+        raise ValueError(
+            f"bloom_contamination_flags: benchmark exceeds "
+            f"{max_benchmark_shingles} distinct shingles — use "
+            "contamination() (broadcast join) for corpus-sized sets"
+        )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in sh_df.collect():
+        for i in range(k):
+            h = hashlib.md5(f"{r['sh']}#{i}".encode()).hexdigest()
+            pos = int(h[:15], 16) % m_bits
+            words[pos // 64] |= 1 << (pos % 64)
+    # SQL long literals are signed two's-complement
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    warr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    def bit(i: int) -> str:
+        pos = (
+            f"pmod(CAST(conv(substring(md5(concat(sh, '#{i}')), 1, 15), "
+            f"16, 10) AS BIGINT), {m_bits})"
+        )
+        return (
+            f"(shiftright(element_at({warr}, "
+            f"CAST({pos} DIV 64 AS INT) + 1), "
+            f"CAST({pos} % 64 AS INT)) & 1L) = 1L"
+        )
+
+    hit = " AND ".join(bit(i) for i in range(k))
+    flagged = F.expr(
+        f"exists(_shs, sh -> ({hit}))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            word_shingles_expr(text_col, n=n).alias("_shs"),
+        )
+        .select(F.col(id_col), flagged.alias("bloom_flagged"))
+    )

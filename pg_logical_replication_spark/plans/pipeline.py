@@ -4417,3 +4417,83 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
         centroids=cent,
     )
     return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def _bloom_decontam_oracle(n=5, m=1 << 16, k=3) -> str:
+    """DuckDB twin of dedup.bloom_contamination_flags — the filter is
+    not replayed as literal words (they depend on the SF's data) but
+    as its defining predicate: a corpus shingle 'hits' iff ALL k of
+    its md5 positions are in the set-bit SET built from the benchmark
+    shingles. Identical semantics, INCLUDING the false positives —
+    which is what makes an approximate operator exactly checkable."""
+    probes = ",".join(str(i) for i in range(k))
+
+    def pos(src):
+        return (
+            f"CAST('0x' || substr(md5({src} || '#' || i), 1, 15) "
+            f"AS BIGINT) % {m}"
+        )
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shing AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - {n - 1}, 1)),
+               i -> concat_ws(' ', {", ".join(f"tk[i+{j}]" for j in range(n))}))))
+             AS sh
+      FROM toks),
+    ii AS (SELECT unnest([{probes}]) AS i),
+    bits AS (SELECT DISTINCT {pos('sh')} AS pos
+             FROM (SELECT DISTINCT sh FROM shing WHERE doc_id % 97 = 0)
+             CROSS JOIN ii),
+    corpus_sh AS (SELECT DISTINCT doc_id, sh FROM shing
+                  WHERE doc_id % 97 <> 0),
+    hits AS (SELECT p.doc_id, p.sh
+             FROM (SELECT doc_id, sh, {pos('sh')} AS pos
+                   FROM corpus_sh CROSS JOIN ii) p
+             JOIN bits b ON p.pos = b.pos
+             GROUP BY p.doc_id, p.sh HAVING COUNT(*) = {k}),
+    flags AS (SELECT c.doc_id,
+                     MAX(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+                       AS flagged
+              FROM (SELECT DISTINCT doc_id FROM corpus_sh) c
+              LEFT JOIN hits h ON h.doc_id = c.doc_id
+              GROUP BY c.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN flagged = 1 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sum_flagged_ids
+    FROM flags
+    """
+
+
+@register(
+    "q_dedup_bloom_decontam",
+    _bloom_decontam_oracle(),
+    "Bloom-filter decontamination (the Dolma-BFF shape): benchmark "
+    "5-gram shingles set k=3 md5 positions in a 64k-bit filter whose "
+    "words inline as literals, and the 100 TB corpus is flagged by a "
+    "pure per-row scan expression — NO join, NO shuffle, flags a "
+    "superset of exact contamination (false positives replay "
+    "bit-for-bit in the oracle, so the approximate pass is "
+    "hash-checked exactly); two-phase production use: Bloom at scan "
+    "speed, exact join on the flagged sliver",
+)
+def q_dedup_bloom_decontam(spark, sf_dir):
+    """See operators/dedup.py:bloom_contamination_flags. doc_id %% 97
+    plays the held-out benchmark, as in q_text_contamination."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = D.bloom_contamination_flags(corpus, bench, n=5)
+    return flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("bloom_flagged").cast("long"))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(
+            F.when(F.col("bloom_flagged"), F.col("doc_id")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_flagged_ids"),
+    )

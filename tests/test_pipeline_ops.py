@@ -566,3 +566,48 @@ def test_cdc_chunking_is_shift_resistant(spark):
     # chunk lens cover the text exactly
     tot = sum(r["chunk_len"] for r in rows if r["doc_id"] == 1)
     assert tot == len(base)
+
+
+def test_bloom_decontam_flags_superset_of_exact(spark):
+    """Bloom flags can false-positive but never false-negative: every
+    doc the exact broadcast-join contamination finds must be flagged
+    (a truly shared shingle sets its own bits), and the planted
+    verbatim copy is always caught."""
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.operators.dedup import (
+        bloom_contamination_flags,
+        contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # plant one verbatim benchmark copy into the corpus
+    copy = bench.limit(1).select(
+        (F.col("doc_id") + 7_000_001).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(copy)
+
+    exact = {r["doc_id"] for r in contamination(corpus, bench, n=5).collect()}
+    flags = bloom_contamination_flags(corpus, bench, n=5)
+    flagged = {
+        r["doc_id"] for r in flags.filter("bloom_flagged").collect()
+    }
+    assert exact <= flagged  # no false negatives, ever
+    assert any(d > 7_000_000 for d in flagged)  # the planted copy
+
+
+def test_bloom_decontam_refuses_corpus_sized_benchmark(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from pg_logical_replication_spark.operators.dedup import (
+        bloom_contamination_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="exceeds 10 distinct shingles"):
+        bloom_contamination_flags(
+            docs, docs, n=5, max_benchmark_shingles=10
+        )
