@@ -98,6 +98,7 @@ HEADLINE = [
     # round 5: bootstrap/bulk-load COPY codec + the full flow
     "q_cdc_copy_text_roundtrip",
     "q_cdc_bootstrap_apply",
+    "q_dedup_bloom_decontam",
 ]
 
 

@@ -876,35 +876,39 @@ def bloom_contamination_flags(
             f"{max_benchmark_shingles} distinct shingles — use "
             "contamination() (broadcast join) for corpus-sized sets"
         )
+    if k > 3:
+        raise ValueError("bloom_contamination_flags: k <= 3 (one md5 "
+                         "yields three 40-bit position chunks)")
     words = [0] * ((m_bits + 63) // 64)
     for r in sh_df.collect():
+        h = hashlib.md5(r["sh"].encode()).hexdigest()
         for i in range(k):
-            h = hashlib.md5(f"{r['sh']}#{i}".encode()).hexdigest()
-            pos = int(h[:15], 16) % m_bits
+            pos = int(h[10 * i : 10 * i + 10], 16) % m_bits
             words[pos // 64] |= 1 << (pos % 64)
     # SQL long literals are signed two's-complement
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     warr = "array(" + ",".join(f"{w}L" for w in words) + ")"
 
-    def bit(i: int) -> str:
+    # Probe shape (measured, the exploded_shingles rule): a per-row
+    # `exists(shingles, sh -> md5...)` HOF is INTERPRETED per element —
+    # ~20 µs/probe, 14 s at sf0.1 — while the same arithmetic over
+    # exploded (id, sh) rows is whole-stage codegen. ONE md5 per
+    # shingle feeds all k positions (10-hex-char chunks); the words
+    # array is a constant-folded literal; the per-doc OR is a
+    # map-side-combined groupBy — only (id, bool) pairs shuffle,
+    # at most one per doc per partition.
+    sh = exploded_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sh = sh.withColumn("_h", F.md5("sh"))
+    bits = []
+    for i in range(k):
         pos = (
-            f"pmod(CAST(conv(substring(md5(concat(sh, '#{i}')), 1, 15), "
-            f"16, 10) AS BIGINT), {m_bits})"
+            f"pmod(CAST(conv(substring(_h, {10 * i + 1}, 10), 16, 10) "
+            f"AS BIGINT), {m_bits})"
         )
-        return (
+        bits.append(
             f"(shiftright(element_at({warr}, "
             f"CAST({pos} DIV 64 AS INT) + 1), "
             f"CAST({pos} % 64 AS INT)) & 1L) = 1L"
         )
-
-    hit = " AND ".join(bit(i) for i in range(k))
-    flagged = F.expr(
-        f"exists(_shs, sh -> ({hit}))"
-    )
-    return (
-        df.select(
-            F.col(id_col),
-            word_shingles_expr(text_col, n=n).alias("_shs"),
-        )
-        .select(F.col(id_col), flagged.alias("bloom_flagged"))
-    )
+    hit = F.expr(" AND ".join(bits))
+    return sh.groupBy(id_col).agg(F.max(hit).alias("bloom_flagged"))

@@ -4429,8 +4429,9 @@ def _bloom_decontam_oracle(n=5, m=1 << 16, k=3) -> str:
     probes = ",".join(str(i) for i in range(k))
 
     def pos(src):
+        # one md5 per shingle; probe i reads 10-hex-char chunk i
         return (
-            f"CAST('0x' || substr(md5({src} || '#' || i), 1, 15) "
+            f"CAST('0x' || substr(md5({src}), 1 + 10 * i, 10) "
             f"AS BIGINT) % {m}"
         )
 
