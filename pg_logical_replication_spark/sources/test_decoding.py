@@ -195,7 +195,14 @@ def decode_test_decoding(
         .cast("long")
         .alias("xid"),
         F.when(
-            F.col("_is_commit"), F.to_timestamp(F.regexp_extract("_line", _COMMIT_RE, 2))
+            F.col("_is_commit"),
+            # nullif('') first: without include-timestamp the real server
+            # emits bare "COMMIT <xid>" and the unmatched group extracts ''
+            # which to_timestamp rejects under ANSI mode (found by the
+            # live-PG 15.18 conformance run, round 6).
+            F.to_timestamp(
+                F.nullif(F.regexp_extract("_line", _COMMIT_RE, 2), F.lit(""))
+            ),
         ).alias("commit_ts"),
         F.when(is_dml, _unquote_ident(F.col("_sch_raw")))
         .when(F.col("_is_seq"), _unquote_ident(F.regexp_extract("_line", _SEQUENCE_RE, 1)))

@@ -92,15 +92,30 @@ def _exec_sql(t, sql):
 
 
 def _relay_until(t, log_dir, want_frames, timeout=30.0):
+    """Relay until the log holds >= want_frames DATA ('w') frames.
+
+    Counting relay_to_frame_log's raw return is wrong on a real server:
+    it includes keepalive ('k') frames, which PG sends eagerly at
+    connect and on wal_sender_timeout/2 ticks, so a raw count reaches
+    the threshold before the DML tail arrives (found by the live-PG
+    15.18 conformance run, round 6 — UPDATE/DELETE frames were still
+    in flight when the raw count hit the mark)."""
     from pg_logical_replication_spark.sources.transport import (
+        FrameLogTailTransport,
         relay_to_frame_log,
     )
 
-    total, deadline = 0, time.time() + timeout
-    while total < want_frames and time.time() < deadline:
-        total += relay_to_frame_log(t, log_dir)
+    deadline = time.time() + timeout
+    data = 0
+    while time.time() < deadline:
+        relay_to_frame_log(t, log_dir)
+        data = sum(
+            1 for fr in FrameLogTailTransport(log_dir).poll() if fr[:1] == b"w"
+        )
+        if data >= want_frames:
+            break
         time.sleep(0.05)
-    return total
+    return data
 
 
 def _frames_df(spark, log_dir):
@@ -171,6 +186,14 @@ def live(request):
     return _Live
 
 
+def _reset_table(live):
+    """Per-test isolation: the module-scope table is shared, so clear it
+    BEFORE each test creates its slot — rows from a previous test would
+    otherwise collide on the PK (and the cleanup deletes would pollute
+    the new slot's stream if issued after slot creation)."""
+    _exec_sql(live.admin, f"DELETE FROM {live.table}")
+
+
 def _dml_round(live):
     """The canonical change set: 3 inserts, 1 update, 1 delete →
     snapshot {(1, one2), (3, three)}."""
@@ -191,6 +214,7 @@ def test_live_pgoutput_chain(spark, live, tmp_path):
     )
     from pg_logical_replication_spark.sources.registry import decode
 
+    _reset_table(live)
     s = _connect()
     slot = live.slot(f"{live.table}_pgo")
     s.create_replication_slot(slot, plugin="pgoutput")
@@ -225,6 +249,7 @@ def test_live_test_decoding_chain(spark, live, tmp_path):
         decode_test_decoding,
     )
 
+    _reset_table(live)
     s = _connect()
     slot = live.slot(f"{live.table}_td")
     s.create_replication_slot(slot, plugin="test_decoding")
@@ -236,7 +261,7 @@ def test_live_test_decoding_chain(spark, live, tmp_path):
         F.col("data").cast("string").alias("value"), "lsn", "seq"
     )
     snap = apply_changes(
-        decode_test_decoding(raw),
+        decode_test_decoding(raw, lsn_col="lsn", seq_col="seq"),
         key_columns=["id"],
         table=live.table,
         columns={"id": "integer", "v": "text"},
@@ -256,6 +281,7 @@ def test_live_optional_plugin_chain(spark, live, tmp_path, plugin):
     )
     from pg_logical_replication_spark.sources.registry import decode
 
+    _reset_table(live)
     s = _connect()
     slot = live.slot(f"{live.table}_{plugin[:3]}")
     try:
@@ -328,7 +354,7 @@ def test_live_bootstrap_snapshot_plus_stream(spark, live, tmp_path):
     )
     events = bootstrap_events(
         snap, tbl, lsn=created["consistent_point"]
-    ).unionByName(decode_test_decoding(raw), allowMissingColumns=True)
+    ).unionByName(decode_test_decoding(raw, lsn_col="lsn", seq_col="seq"), allowMissingColumns=True)
     table = apply_changes(
         events, key_columns=["id"], table=tbl,
         columns={"id": "integer", "v": "text"},
@@ -336,3 +362,62 @@ def test_live_bootstrap_snapshot_plus_stream(spark, live, tmp_path):
     got = {r["id"]: r["v"] for r in table.collect()}
     assert got == {100: "post-a", 101: "pre-b", 102: "post-c"}
     s.close()
+
+
+# ---------------------------------------------------------------------------
+# Auth conformance (round 6): the SCRAM client and the TLS verify modes
+# were built against the in-process fake; these pin them against a real
+# server's SASL implementation. Opt-in via dedicated DSNs because they
+# need server-side setup (password_encryption=scram-sha-256, a scram
+# role, ssl=on + a CA cert the client can pin):
+#
+#   PLRS_LIVE_PG_SCRAM_DSN      plaintext DSN for a scram-sha-256 role
+#   PLRS_LIVE_PG_SCRAM_TLS_DSN  same role, sslmode=verify-ca&sslrootcert=
+# ---------------------------------------------------------------------------
+
+def _aux_connect(env):
+    dsn = os.environ.get(env, "")
+    if not dsn:
+        pytest.skip(f"{env} not set")
+    from pg_logical_replication_spark.sources.transport import (
+        WalsenderTransport,
+    )
+
+    u = urllib.parse.urlparse(dsn)
+    q = dict(urllib.parse.parse_qsl(u.query))
+    return WalsenderTransport(
+        host=u.hostname or "127.0.0.1",
+        port=u.port or 5432,
+        user=u.username or "postgres",
+        password=u.password,
+        database=(u.path or "/postgres").lstrip("/") or "postgres",
+        sslmode=q.get("sslmode", "prefer"),
+        sslrootcert=q.get("sslrootcert"),
+    )
+
+
+def test_live_scram_sha256_auth():
+    """SCRAM-SHA-256 (no TLS) against the real server's SASL stack:
+    nonce relay, SaltedPassword iteration count, server-signature
+    verification all come from the server, not the fake."""
+    t = _aux_connect("PLRS_LIVE_PG_SCRAM_DSN")
+    assert not t.ssl_in_use
+    # gs2 'n' = client could do CB but the channel has none (plaintext)
+    assert t._scram._gs2.startswith("n,,")
+    assert _exec_sql(t, "SELECT current_user")[0][0]
+    t.close()
+
+
+def test_live_scram_plus_channel_binding():
+    """SCRAM-SHA-256-PLUS over verify-ca TLS: the RFC 5929
+    tls-server-end-point binding hash is computed from the certificate
+    the real server presented — a wrong hash fails the exchange
+    server-side, so reaching ReadyForQuery proves the DER walk."""
+    t = _aux_connect("PLRS_LIVE_PG_SCRAM_TLS_DSN")
+    assert t.ssl_in_use
+    assert t._scram._gs2.startswith("p=tls-server-end-point")
+    assert _exec_sql(t, "SELECT current_user")[0][0]
+    # and the full replication surface works on the bound channel
+    rows = _exec_sql(t, "IDENTIFY_SYSTEM")
+    assert rows and rows[0][0]  # systemid
+    t.close()
