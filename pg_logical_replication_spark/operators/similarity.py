@@ -556,42 +556,57 @@ def cosine_near_dup_pairs_bucketed(
     """
     import numpy as np
 
-    if planes == "auto":
-        # The round-5 10× probe's finding: at FIXED planes, per-bucket
-        # occupancy grows linearly with the corpus, so the in-bucket
-        # matmul grows QUADRATICALLY until bucket_cap bites. planes
-        # must track ~log2(n / target-occupancy); "auto" sizes it from
-        # a metadata-cheap count (parquet row-count pushdown — no data
-        # scan). More planes = smaller buckets = lower per-table
-        # recall for near-but-not-identical pairs (exact duplicates
-        # always collide); the `tables` OR-amplification compensates.
-        import math
-
-        n = df.count()
-        planes = max(4, math.ceil(math.log2(max(n, 1) / auto_target_bucket)))
-    assert isinstance(planes, int)
-
     # ``sig_col`` names a WRITE-TIME signature column (array<string>,
     # one bucket key per table — :func:`ann_signature_col`): the
     # production path at 100 TB, where signatures are materialized at
-    # ingest and neither the bucketing pass nor the census recomputes
-    # a single dot product. Without it, signatures are computed from
-    # the vectors in-plan (and the census pass recomputes them — the
-    # price of a data-dependent valve on ephemeral columns).
-    sig_arr = (
-        F.col(sig_col)
-        if sig_col is not None
-        else F.array(
+    # ingest and neither the bucketing pass nor the census computes a
+    # single dot product. It also makes planes/dims irrelevant (they
+    # are baked into the stored keys), so the "auto" sizing count is
+    # skipped entirely — ADVICE r5: a corpus-sized count on the exact
+    # path the feature exists to keep scan-free would be pure waste.
+    if sig_col is not None:
+        sig_arr = F.col(sig_col)
+    else:
+        if planes == "auto":
+            # The round-5 10× probe's finding: at FIXED planes,
+            # per-bucket occupancy grows linearly with the corpus, so
+            # the in-bucket matmul grows QUADRATICALLY until bucket_cap
+            # bites. planes must track ~log2(n / target-occupancy);
+            # "auto" sizes it from a metadata-cheap count (parquet
+            # row-count pushdown — no data scan). More planes = smaller
+            # buckets = lower per-table recall for near-but-not-
+            # identical pairs (exact duplicates always collide); the
+            # `tables` OR-amplification compensates.
+            import math
+
+            n = df.count()
+            planes = max(
+                4, math.ceil(math.log2(max(n, 1) / auto_target_bucket))
+            )
+        assert isinstance(planes, int)
+        sig_arr = F.array(
             *[
                 hyperplane_signs(vec_col, dims, planes, table=t)
                 for t in range(tables)
             ]
         )
-    )
-    ex = df.select(
+
+    src = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        F.posexplode(sig_arr).alias("tbl", "bucket"),
+        sig_arr.alias("_sigs"),
+    )
+    if sig_col is None and bucket_cap is not None:
+        # materialize-or-pay (SCALE.md r5): with the valve on, BOTH the
+        # census and the pair stage consume the signatures; computing
+        # them in-plan would run the tables·planes dot products per row
+        # TWICE (the measured ×1.72 bench regression, VERDICT r5 #2).
+        # One executor-local materialization of (id, vec, sigs) — the
+        # same bytes a write-time sig_col would have stored — feeds both
+        # stages from disk instead.
+        src = src.localCheckpoint()
+    ex = src.select(
+        "_id", "_vec", F.posexplode("_sigs").alias("tbl", "bucket")
     )
 
     group_cols = ["tbl", "bucket"]

@@ -1484,6 +1484,64 @@ def q_corpus_quota_sample(spark, sf_dir):
     )
 
 
+def token_budget_select(docs, budget: int):
+    """EXACT longest-first budget prefix, without a corpus-wide sort.
+
+    Semantics: order ``docs`` by (n_tokens DESC, doc_id) globally and
+    keep the prefix whose running token sum stays <= ``budget`` — the
+    'train on the best N tokens' cut. The naive plan is a
+    single-partition window over ALL documents (the one true
+    scale-killer VERDICT r5 flagged); this is the two-pass form:
+
+      pass 1  bucket every doc by a MONOTONE value-range key
+              (floor(log2(n_tokens+2)*32): equal counts share a bucket,
+              a higher count can never land in a lower bucket, <= ~1.3k
+              buckets for any 32-bit count) and census per-bucket token
+              sums — a scan-side partial aggregate, k rows to the driver;
+      driver  walk buckets in descending order, accumulate, and pick the
+              BOUNDARY bucket where the budget crosses;
+      pass 2  buckets above the boundary are included whole (no sort —
+              their every prefix is inside the budget by construction);
+              ONLY the boundary bucket sorts, seeded with the driver's
+              offset; buckets below are pruned at the scan.
+
+    The sorted set shrinks from the corpus to one value-range slice
+    (~1/32 of a doubling in token length), which is what survives a
+    1000-executor run. Ties at the budget edge are exact: equal
+    n_tokens always share a bucket, so the (n_tokens DESC, doc_id)
+    tie-break happens inside the one sorted slice.
+
+    Returns the selected rows with ``docs``'s columns.
+    """
+    from pyspark.sql import Window as W
+
+    bucket = F.floor(F.log2(F.col("n_tokens") + F.lit(2.0)) * 32).cast("int")
+    b = docs.withColumn("_tb", bucket)
+    census = b.groupBy("_tb").agg(F.sum("n_tokens").alias("s")).collect()
+    cum, boundary, offset = 0, None, 0
+    for r in sorted(census, key=lambda r: -r["_tb"]):
+        if cum + r["s"] > budget:
+            boundary, offset = r["_tb"], cum
+            break
+        cum += r["s"]
+    if boundary is None:  # the whole corpus fits
+        return docs
+    cols = docs.columns
+    full = b.filter(F.col("_tb") > boundary).select(*cols)
+    w = W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    edge = (
+        b.filter(F.col("_tb") == boundary)
+        .withColumn("_cum", F.sum("n_tokens").over(w) + F.lit(offset))
+        .filter(F.col("_cum") <= budget)
+        .select(*cols)
+    )
+    return full.unionByName(edge)
+
+
+
+
 @register(
     "q_corpus_token_budget",
     f"""
@@ -1505,28 +1563,18 @@ def q_corpus_quota_sample(spark, sf_dir):
     "the selected set — the 'train on the best N tokens' primitive",
 )
 def q_corpus_token_budget(spark, sf_dir):
-    """The budget cut needs a GLOBAL prefix sum — a single-partition
-    window here. At 100 TB: two-pass instead (per-partition token sums
-    → driver picks the threshold partition → only that partition sorts),
-    or bucket by priority and binary-search the boundary bucket; the
-    cumulative-window form is the exact semantics both approximate."""
-    from pyspark.sql import Window as W
-
+    """Executed plan is the two-pass cut (``token_budget_select``):
+    bucket census → driver boundary pick → boundary-bucket-only sort.
+    The registered SQL keeps the global-window form as the oracle —
+    the exact semantics the two-pass plan must reproduce, hash-checked
+    (VERDICT r5 next-round #1)."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
-    cum = docs.withColumn(
-        "cum_tokens",
-        F.sum("n_tokens").over(
-            W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        ),
-    )
     return (
-        cum.filter(F.col("cum_tokens") <= 20000)
+        token_budget_select(docs, 20000)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -378,3 +378,20 @@ def test_paragraph_dedup_shuffles_hashes_only(spark):
     # no exploded paragraph string survives into any exchange row:
     # the explode's output column feeds md5/length projections only
     assert "EvalPython" not in plan
+
+
+def test_token_budget_sorts_boundary_bucket_only(spark):
+    """The budget cut's ONLY sort+window must run over the boundary
+    value-range bucket, never the corpus: the Window's subtree must be
+    gated by the monotone bucket filter (FLOOR(LOG2(...)) = k) sitting
+    directly on the documents scan (VERDICT r5 next-round #1 — the
+    last corpus-sized serial stage in any registered query)."""
+    df = QUERIES["q_corpus_token_budget"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert len(win) == 1, plan
+    below = "\n".join(lines[win[0]:])
+    # the bucket equality predicate gates everything under the window
+    assert "FLOOR" in below and "LOG2" in below, plan
+    assert "Filter" in below, plan
