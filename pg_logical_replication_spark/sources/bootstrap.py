@@ -37,6 +37,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Completion marker for bootstrap_to_frame_log: present in the log dir
+# only after EVERY bootstrap segment is renamed into place. Not a .seg
+# name, so the frame-log tailer never reads it.
+BOOTSTRAP_DONE_MARKER = "000000.bootstrap.done"
+
 #: placeholder for '\\' during escape folding: SOH never occurs in
 #: COPY text output (control chars are escaped by the server)
 _SOH = "\x01"
@@ -185,7 +190,14 @@ def bootstrap_to_frame_log(
     The render is declarative (``to_json`` struct per row — zero
     Python in the row loop until the final file write); each Spark
     partition writes its own segment, so the write parallelizes across
-    executors onto the shared log directory. Returns rows written."""
+    executors onto the shared log directory. Returns rows written.
+
+    Crash safety (ADVICE r5): partitions write ``*.seg.tmp`` names the
+    tailer ignores; only after EVERY partition succeeds does the driver
+    rename them into place and drop the ``BOOTSTRAP_DONE_MARKER`` file.
+    A crash mid-write therefore leaves no visible ``.seg`` and no
+    marker — the next subscribe sees an incomplete load and re-runs it
+    instead of silently streaming from partial initial state."""
     import struct as st
 
     from pg_logical_replication_spark.model import lsn_to_long
@@ -216,12 +228,12 @@ def bootstrap_to_frame_log(
 
     def write_part(idx, it):
         wrote = 0
-        path = os.path.join(log_dir, f"000000.{idx:05d}.bootstrap.seg")
+        name = f"000000.{idx:05d}.bootstrap.seg"
         fh = None
         try:
             for row in it:
                 if fh is None:  # no file for empty partitions
-                    fh = open(path, "wb")
+                    fh = open(os.path.join(log_dir, name + ".tmp"), "wb")
                 pl = row["value"].encode()
                 frame = b"w" + st.pack(">QQQ", lsn_long, lsn_long, 0) + pl
                 fh.write(st.pack(">I", len(frame)) + frame)
@@ -229,6 +241,17 @@ def bootstrap_to_frame_log(
         finally:
             if fh is not None:
                 fh.close()
-        yield wrote
+        yield (name, wrote)
 
-    return sum(rendered.rdd.mapPartitionsWithIndex(write_part).collect())
+    parts = rendered.rdd.mapPartitionsWithIndex(write_part).collect()
+    # every partition finished: publish atomically-per-file, then the
+    # marker commits the load as a whole
+    total = 0
+    for name, wrote in parts:
+        tmp = os.path.join(log_dir, name + ".tmp")
+        if wrote and os.path.exists(tmp):
+            os.rename(tmp, os.path.join(log_dir, name))
+        total += wrote
+    with open(os.path.join(log_dir, BOOTSTRAP_DONE_MARKER), "w") as f:
+        f.write(f"{total}\n")
+    return total

@@ -830,9 +830,23 @@ def relay_to_frame_log(
         return 0
     key = (os.path.abspath(path), segment_name, rotate_bytes)
     writer = _RELAY_WRITERS.get(key)
-    if writer is not None and not os.path.isdir(path):
-        writer = None  # log dir removed since the last call: rebuild
+    if writer is not None and not _writer_state_current(writer, path):
+        # Directory state diverged since the last call (dir deleted and
+        # recreated, or another writer appended/rotated the same dir):
+        # the cached _idx/_count/_bytes would resume at a wrong segment
+        # index with wrong rotation accounting (ADVICE r5). Rebuild —
+        # FrameLogWriter.__init__ re-derives the resume point from disk.
+        del _RELAY_WRITERS[key]
+        writer = None
     if writer is None:
+        if len(_RELAY_WRITERS) >= 64:
+            # bound the cache: evict entries whose log dir is gone
+            # (completed/teardown relays); the cap only matters for a
+            # process juggling many ephemeral log dirs
+            for k in [
+                k for k in _RELAY_WRITERS if not os.path.isdir(k[0])
+            ]:
+                del _RELAY_WRITERS[k]
         writer = _RELAY_WRITERS[key] = FrameLogWriter(
             path,
             # byte-capped only, per the original contract
@@ -841,6 +855,31 @@ def relay_to_frame_log(
             start_segment=segment_name,
         )
     return writer.append(frames)
+
+
+def _writer_state_current(writer: "FrameLogWriter", path: str) -> bool:
+    """True iff a cached FrameLogWriter's resume state still matches the
+    directory: its current segment file exists with exactly the byte
+    count it last wrote (a fresh writer that hasn't created its file yet
+    passes with _bytes == 0), and no LATER canonical segment appeared
+    behind its back."""
+    if not os.path.isdir(path):
+        return False
+    seg = os.path.join(path, writer.segment_name)
+    if writer._bytes == 0:
+        size_ok = (not os.path.exists(seg)) or os.path.getsize(seg) == 0
+    else:
+        size_ok = os.path.isfile(seg) and os.path.getsize(seg) == writer._bytes
+    if not size_ok:
+        return False
+    # another writer may have sealed this segment and rotated onward
+    later = any(
+        n.endswith(".seg")
+        and n[:6].isdigit()
+        and int(n.split(".")[0]) > writer._idx
+        for n in os.listdir(path)
+    )
+    return not later
 
 
 _RELAY_WRITERS: dict[tuple[str, str, int], "FrameLogWriter"] = {}
@@ -978,13 +1017,25 @@ def copy_in(
     multi-GB loads chunk the call (one COPY per bounded batch) so an
     early server error is seen within a batch, not after the corpus."""
     transport._send_msg(b"Q", sql.encode() + b"\x00")
+    err: str | None = None
     while True:
         tag, body = transport._recv_msg()
         if tag == b"G":  # CopyInResponse: server is ready for rows
             break
         if tag == b"E":
-            f = transport._error_fields(body)
-            raise ConnectionError(f"walsender: COPY failed: {f.get('M', '')}")
+            # drain to ReadyForQuery before raising so the connection
+            # stays usable, mirroring _exec-style error handling
+            err = transport._error_fields(body).get("M", "")
+        elif tag in (b"C", b"Z"):
+            # The statement completed WITHOUT entering COPY-in mode —
+            # e.g. a plain SQL string was passed. Silently continuing
+            # would block forever on the next _recv_msg (ADVICE r5).
+            if tag == b"Z":
+                raise ConnectionError(
+                    "walsender: COPY failed: "
+                    + (err or f"statement {sql!r} did not start COPY-in "
+                             "(no CopyInResponse)")
+                )
     for r in rows:
         transport._send_msg(b"d", r + b"\n")
     transport._send_msg(b"c", b"")

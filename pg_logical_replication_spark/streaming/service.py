@@ -276,18 +276,30 @@ class LogicalReplicationService:
                     "{name: pg_type} in column order"
                 )
             from pg_logical_replication_spark.sources.bootstrap import (
+                BOOTSTRAP_DONE_MARKER,
                 bootstrap_to_frame_log,
             )
 
-            has_segments = any(
-                n.endswith(".seg")
-                for n in (
-                    _os.listdir(self.event_log_dir)
-                    if _os.path.isdir(self.event_log_dir)
-                    else []
-                )
+            names = (
+                _os.listdir(self.event_log_dir)
+                if _os.path.isdir(self.event_log_dir)
+                else []
             )
-            if not has_segments:
+            # Once-only AND crash-safe (ADVICE r5): the load is complete
+            # only when its marker exists (bootstrap_to_frame_log drops
+            # it after all partitions rename into place). Live relay
+            # segments also veto a re-run — the stream is already past
+            # the snapshot point, re-loading would duplicate state.
+            done = BOOTSTRAP_DONE_MARKER in names
+            live_segments = any(
+                n.endswith(".seg") and ".bootstrap." not in n for n in names
+            )
+            if not done and not live_segments:
+                # stale partials from a crashed earlier attempt (visible
+                # .seg without a marker, or orphaned .tmp) are replaced
+                for n in names:
+                    if ".bootstrap.seg" in n:  # matches .seg and .seg.tmp
+                        _os.unlink(_os.path.join(self.event_log_dir, n))
                 bootstrap_to_frame_log(
                     bootstrap,
                     bootstrap_columns,

@@ -1197,3 +1197,67 @@ def test_subscribe_bootstrap_convenience_idempotent(spark, tmp_path):
     assert n_boot_first == len(
         [n for n in os.listdir(log) if "bootstrap" in n]
     )
+
+
+def test_subscribe_bootstrap_recovers_from_crashed_partial(spark, tmp_path):
+    """Crash-safety (ADVICE r5): a bootstrap that died mid-write leaves
+    SOME visible segments but no completion marker. The next
+    subscribe(bootstrap=) must treat the load as incomplete — replace
+    the stale partials and re-run it — not silently stream from
+    partially-loaded initial state (permanent data loss)."""
+    import struct as _st
+
+    from pg_logical_replication_spark.model import lsn_to_long
+    from pg_logical_replication_spark.sources.bootstrap import (
+        BOOTSTRAP_DONE_MARKER,
+    )
+    from pg_logical_replication_spark.sources.transport import write_frame
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    # simulate the crash: one partition's segment made it to its final
+    # name (holding ONLY id=1), another died as an orphaned .tmp — and
+    # no marker was ever written
+    lsn_long = lsn_to_long("0/00000010")
+    payload = (
+        b'{"change":[{"kind":"insert","schema":"public","table":"t",'
+        b'"columnnames":["id","v"],"columntypes":["bigint","text"],'
+        b'"columnvalues":[1,"stale-one"]}],"nextlsn":"0/00000010"}'
+    )
+    with open(os.path.join(log, "000000.00000.bootstrap.seg"), "wb") as f:
+        write_frame(f, b"w" + _st.pack(">QQQ", lsn_long, lsn_long, 0) + payload)
+    open(os.path.join(log, "000000.00001.bootstrap.seg.tmp"), "wb").close()
+    assert BOOTSTRAP_DONE_MARKER not in os.listdir(log)
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    )
+    cols = {"id": "bigint", "v": "text"}
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
+    tbl = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), key_columns=["id"], table="t"
+    )
+    svc.subscribe_and_wait(
+        "wal2json", "s", tbl.writer(), source="frames",
+        bootstrap=snap, bootstrap_columns=cols, bootstrap_table="t",
+    )
+    got = {(r["id"], r["v"]) for r in tbl.snapshot_columns(cols).collect()}
+    # the FULL snapshot, and the stale partial's value is gone
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    names = os.listdir(log)
+    assert BOOTSTRAP_DONE_MARKER in names
+    assert not any(n.endswith(".tmp") for n in names)
+
+    # completed load + marker: a re-subscribe must NOT re-bootstrap
+    n_boot = len([n for n in names if ".bootstrap.seg" in n])
+    svc.subscribe_and_wait(
+        "wal2json", "s", tbl.writer(), source="frames",
+        bootstrap=snap, bootstrap_columns=cols, bootstrap_table="t",
+    )
+    assert n_boot == len(
+        [n for n in os.listdir(log) if ".bootstrap.seg" in n]
+    )

@@ -1943,3 +1943,73 @@ def test_copy_parse_octal_escape_guard(spark):
     df = parse_copy_lines(lines, {"id": "bigint", "v": "text"})
     with _pt.raises(Exception, match="unsupported COPY escape"):
         df.collect()
+
+
+def test_relay_writer_cache_rebuilds_on_dir_recreation(tmp_path):
+    """ADVICE r5: a cached relay writer must not resume with stale
+    _idx/_count/_bytes after the log directory is deleted and recreated
+    (or after another writer appended/rotated the same dir) — it would
+    write into a fresh log at a wrong segment index with wrong rotation
+    accounting."""
+    from pg_logical_replication_spark.sources.transport import (
+        FrameLogWriter,
+        relay_to_frame_log,
+    )
+
+    d = str(tmp_path / "wal")
+    relay_to_frame_log(_ListTransport([_xlog(0x10), _xlog(0x18)]), d)
+    assert sorted(os.listdir(d)) == ["000001.seg"]
+
+    # dir deleted AND recreated between calls: cached state is stale
+    import shutil
+
+    shutil.rmtree(d)
+    os.makedirs(d)
+    relay_to_frame_log(_ListTransport([_xlog(0x20)]), d)
+    got = FrameLogTailTransport(d).poll()
+    assert [int.from_bytes(fr[1:9], "big") for fr in got] == [0x20]
+
+    # a FOREIGN writer rotates the same dir: cache must re-derive, not
+    # append at its remembered (now-sealed) segment
+    w = FrameLogWriter(d, segment_frames=1)
+    w.append([_xlog(0x28), _xlog(0x30)])  # seals 000001, writes 000002+
+    relay_to_frame_log(_ListTransport([_xlog(0x38)]), d)
+    vals = [
+        int.from_bytes(fr[1:9], "big")
+        for fr in FrameLogTailTransport(d).poll()
+    ]
+    assert vals == [0x20, 0x28, 0x30, 0x38]
+
+
+def test_copy_in_raises_on_non_copy_statement():
+    """ADVICE r5: a statement that completes normally (no
+    CopyInResponse 'G') yielded 'C'+'Z' which the pre-G loop silently
+    skipped, blocking forever on the next read. It must raise instead
+    — verified against real PG 15.18 in docs/LIVEPG_r06.md."""
+    from pg_logical_replication_spark.sources import transport as tr
+
+    class _Conn:
+        def __init__(self, msgs):
+            self._msgs = list(msgs)
+            self.sent = []
+
+        def _send_msg(self, tag, body):
+            self.sent.append((tag, body))
+
+        def _recv_msg(self):
+            return self._msgs.pop(0)
+
+        def _error_fields(self, body):
+            return {"M": body.decode()}
+
+    # SELECT-shaped flow: RowDescription, DataRow, CommandComplete, RFQ
+    conn = _Conn([
+        (b"T", b""), (b"D", b""), (b"C", b"SELECT 1"), (b"Z", b"I"),
+    ])
+    with pytest.raises(ConnectionError, match="did not start COPY-in"):
+        tr.copy_in(conn, "SELECT 1", [b"x"])
+
+    # error-then-ready flow keeps the server's message
+    conn2 = _Conn([(b"E", b"no such table"), (b"Z", b"I")])
+    with pytest.raises(ConnectionError, match="no such table"):
+        tr.copy_in(conn2, "COPY nope FROM STDIN", [b"x"])
