@@ -130,3 +130,98 @@ def zorder_sql(cols: list[str], bits: int = 16) -> str:
         for i in range(bits):
             terms.append(f"((({v} >> {i}) & 1) << {i * n + d})")
     return " | ".join(terms)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """EXACT global row_number over a TOTAL order, without the
+    single-partition sort ``Window.orderBy`` forces (VERDICT r5 #5 —
+    the scale shape for exact ranks/ntiles at 100 TB).
+
+    Requires ``order_cols`` to be unique per row (add a key column as
+    the last tie-break — uniqueness is what makes range boundaries
+    unambiguous). Three steps:
+
+      1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions``
+         — partition p holds a contiguous, sorted slice of the order;
+      2. ``monotonically_increasing_id`` (pid·2³³ + local index, a
+         documented layout) gives each row its partition id AND local
+         position with zero extra exchange; ``localCheckpoint`` then
+         FREEZES the (sampled, hence nondeterministic) range boundaries
+         so the offsets action and the output read identical data;
+      3. per-partition counts (≤ num_partitions rows to the driver)
+         become cumulative offsets, folded back as a literal map:
+         global rank = offset[pid] + local position.
+
+    Returns ``(df with out_col, total row count)``. Cost: ONE range
+    exchange of the input (vs a SinglePartition sort) plus a
+    partition-count-sized driver round trip.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or max(
+        2, spark.sparkContext.defaultParallelism
+    )
+    d = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = (F.col("_mono") / F.lit(1 << 33)).cast("long")
+    lrn = (F.col("_mono") % F.lit(1 << 33)) + 1
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy(pid.alias("_pid")).agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    total, offsets = 0, {}
+    for p in sorted(counts):  # range partition order IS rank order
+        offsets[p] = total
+        total += counts[p]
+    if not offsets:
+        return d.withColumn(out_col, F.lit(None).cast("long")).drop(
+            "_mono"
+        ), 0
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[pid]
+    return d.withColumn(out_col, (off_expr + lrn).cast("long")).drop(
+        "_mono"
+    ), total
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT ``NTILE(n)`` over a total order — bit-for-bit
+    the single-partition window's assignment (first ``n mod t`` tiles
+    get ``⌈n/t⌉`` rows, the rest ``⌊n/t⌋``), built on
+    :func:`global_row_number`'s closed form instead of a global sort.
+    ``order_cols`` must end in a unique tie-break column, exactly like
+    the ``NTILE(...) OVER (ORDER BY key, unique_key)`` it replaces."""
+    ranked, n = global_row_number(
+        df, order_cols, out_col="_gnr", num_partitions=num_partitions
+    )
+    if n == 0:
+        return ranked.withColumn(out_col, F.lit(None).cast("int")).drop(
+            "_gnr"
+        )
+    base, rem = divmod(n, n_tiles)
+    rnk = F.col("_gnr")
+    if base == 0:  # fewer rows than tiles: tile i holds row i alone
+        tile = rnk
+    else:
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        tile = F.when(
+            rnk <= big, F.floor((rnk - 1) / (base + 1)) + 1
+        ).otherwise(rem + F.floor((rnk - big - 1) / base) + 1)
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_gnr")

@@ -369,11 +369,14 @@ def q_udaf_weighted_median(spark, sf_dir):
 )
 def q_customer_rfm(spark, sf_dir):
     """One shuffle on custkey builds the per-customer profile; the
-    three ntile windows share one global sort each (at 100 TB replace
-    global ntile with approx-quantile cut points computed in one pass —
-    same segments, no global sort; here exactness keeps the oracle
-    bit-for-bit). Segment rollup is a 64-cell aggregate."""
-    from pyspark.sql import Window as W
+    three quartile assignments are EXACT distributed ntiles
+    (``operators.layout.exact_ntile``: range repartition + closed-form
+    tile from global rank — VERDICT r5 #5) instead of three
+    single-partition window sorts, so the plan survives a
+    customer dimension that doesn't fit one task. Bit-identical to the
+    oracle's NTILE (unique c_custkey tie-break). Segment rollup is a
+    64-cell aggregate."""
+    from pg_logical_replication_spark.operators.layout import exact_ntile
 
     c = t(spark, sf_dir, "customer").select("c_custkey")
     o = t(spark, sf_dir, "orders")
@@ -386,13 +389,9 @@ def q_customer_rfm(spark, sf_dir):
             ssum("o_totalprice").alias("monetary"),
         )
     )
-    scored = base.select(
-        "c_custkey",
-        "monetary",
-        F.ntile(4).over(W.orderBy("last_order", "c_custkey")).alias("r"),
-        F.ntile(4).over(W.orderBy("freq", "c_custkey")).alias("f"),
-        F.ntile(4).over(W.orderBy("monetary", "c_custkey")).alias("m"),
-    )
+    scored = exact_ntile(base, 4, ["last_order", "c_custkey"], "r")
+    scored = exact_ntile(scored, 4, ["freq", "c_custkey"], "f")
+    scored = exact_ntile(scored, 4, ["monetary", "c_custkey"], "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(

@@ -113,3 +113,64 @@ def test_table_partitioned_event_log_prunes(spark, tmp_path):
     plan = _physical_plan(df)
     scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
     assert "PartitionFilters" in scan and "users" in scan.split("PartitionFilters")[1], scan
+
+
+def test_global_row_number_matches_window(spark):
+    """Exact distributed rank == single-partition row_number, on a
+    multi-partition frame with heavy value ties (unique-key tie-break)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.layout import (
+        global_row_number,
+    )
+
+    random.seed(11)
+    rows = [(i, random.randint(0, 40)) for i in range(1201)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(9)
+    ranked, n = global_row_number(df, ["v", "k"], out_col="rnk")
+    assert n == 1201
+    got = {r["k"]: r["rnk"] for r in ranked.collect()}
+    want = {
+        r["k"]: r["rnk"]
+        for r in df.select(
+            "k", F.row_number().over(W.orderBy("v", "k")).alias("rnk")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """Distributed exact ntile == NTILE(4) OVER (ORDER BY v, k) —
+    including the n mod t remainder distribution and the n < tiles
+    edge."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.layout import exact_ntile
+
+    random.seed(13)
+    rows = [(i, random.randint(0, 30)) for i in range(997)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["tile"]
+        for r in exact_ntile(df, 4, ["v", "k"], "tile").collect()
+    }
+    want = {
+        r["k"]: r["tile"]
+        for r in df.select(
+            "k", F.ntile(4).over(W.orderBy("v", "k")).alias("tile")
+        ).collect()
+    }
+    assert got == want
+
+    small = spark.createDataFrame([(1, 9), (2, 3)], "k long, v long")
+    g = {
+        r["k"]: r["tile"]
+        for r in exact_ntile(small, 4, ["v", "k"], "tile").collect()
+    }
+    assert g == {2: 1, 1: 2}

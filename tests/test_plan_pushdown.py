@@ -395,3 +395,27 @@ def test_token_budget_sorts_boundary_bucket_only(spark):
     # the bucket equality predicate gates everything under the window
     assert "FLOOR" in below and "LOG2" in below, plan
     assert "Filter" in below, plan
+
+
+def test_zipf_profile_windows_over_frequency_histogram(spark):
+    """zipf_profile must never rank the vocabulary: its only window
+    runs over the (freq, n_types) HISTOGRAM — distinct-frequency-sized,
+    O(sqrt corpus) by Zipf — so the Window's direct subtree must be the
+    freq-keyed aggregate, not a token-level projection (VERDICT r5 #4)."""
+    df = QUERIES["q_text_zipf_profile"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert len(win) == 1, plan
+    below = "\n".join(lines[win[0]: win[0] + 8])
+    assert "HashAggregate(keys=[freq" in below, below
+
+
+def test_rfm_has_no_single_partition_window(spark):
+    """RFM quartiles must come from the distributed exact-ntile (range
+    repartition + closed-form tile), never three single-partition
+    NTILE sorts over the customer frame (VERDICT r5 #5)."""
+    df = QUERIES["q_customer_rfm"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0].split("Sort [r")[0], plan

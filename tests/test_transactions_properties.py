@@ -121,3 +121,81 @@ def test_resolve_transactions_random_interleavings(spark, seed):
     out = resolve_transactions(decode_pgoutput(raw))
     got = {r["after"]["id"] for r in out.filter("op = 'insert'").collect()}
     assert got == expected, f"seed {seed}: {sorted(got)} != {sorted(expected)}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_partitioned_framing_agrees_with_default(spark, seed):
+    """VERDICT r5 #6: resolve_transactions(partition_col=) must produce
+    the SAME surviving rows as the broadcast/global-lead form on random
+    interleavings, with segment cuts placed adversarially (transactions
+    and even streamed segments may span partition boundaries)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1000 + seed)
+    msgs, expected = _wire_and_truth(rng)
+    # adversarial segmentation: a new frame-log segment every 3-7
+    # messages, independent of transaction structure
+    segs, s, left = [], 0, rng.randint(3, 7)
+    for _ in msgs:
+        segs.append(s)
+        left -= 1
+        if left == 0:
+            s += 1
+            left = rng.randint(3, 7)
+    raw = spark.createDataFrame(
+        [
+            (f"0/{16 + 8 * i:X}", i, segs[i], bytearray(m))
+            for i, m in enumerate(msgs)
+        ],
+        "lsn string, seq long, seg int, data binary",
+    ).repartition(1)
+    # decode needs stream context in wire order (the production decode
+    # runs per relay chunk); the operator under test here is the
+    # PARTITIONED FRAMING, which gets the decoded events scattered
+    # across 4 partitions with the adversarial seg keys attached
+    ev = (
+        decode_pgoutput(raw)
+        .join(raw.select("seq", "seg"), "seq")
+        .repartition(4)
+    )
+    out = resolve_transactions(ev, partition_col="seg")
+    got = {r["after"]["id"] for r in out.filter("op = 'insert'").collect()}
+    assert got == expected, f"seed {seed}: {sorted(got)} != {sorted(expected)}"
+
+
+def test_assign_transactions_partitioned_agrees(spark):
+    """assign_transactions(partition_col=) == default on a stream whose
+    transactions span segments and whose middle segment has no begin."""
+    import datetime
+
+    from pg_logical_replication_spark.operators.transactions import (
+        assign_transactions,
+    )
+
+    TS = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (0, 0, "begin", 10, None), (1, 0, "insert", None, None),
+        (2, 0, "commit", 10, TS),
+        (3, 0, "begin", 20, None), (4, 0, "insert", None, None),
+        (5, 1, "insert", None, None), (6, 1, "update", None, None),
+        (7, 2, "insert", None, None),
+        (8, 2, "commit", 20, TS.replace(minute=5)),
+        (9, 2, "begin", 30, None), (10, 2, "delete", None, None),
+        (11, 2, "commit", 30, TS.replace(minute=7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, seg int, op string, xid long, commit_ts timestamp"
+    )
+    cols = ["seq", "op", "xid", "commit_ts"]
+    base = sorted(map(tuple, assign_transactions(df, "seq").select(*cols).collect()))
+    part = sorted(map(tuple, assign_transactions(
+        df, "seq", partition_col="seg").select(*cols).collect()))
+    assert base == part
+    # and the partitioned plan has no single-partition window over the
+    # stream: its only SinglePartition stage is the partition-count-
+    # sized carry table
+    plan = (
+        assign_transactions(df, "seq", partition_col="seg")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
