@@ -99,13 +99,17 @@ def _interleaved() -> list[str]:
     left by ~(prefix share) × (round-1) keeps the prefix representative
     while successive rounds cumulatively cover the whole inventory.
 
-    Never-checked-first rationale (review r4 #6): rotation alone still
-    re-sampled ~14 already-green queries per round. The committed
-    CORRECTNESS_r*.json artifacts record exactly which queries every
-    past driver run checked, so each family bucket now orders
-    never-checked queries first, then checked ones oldest-first —
-    any prefix maximizes NEW coverage, self-adapting as artifacts
-    accumulate (the rotation still varies order within each group).
+    Never-checked-first rationale (review r4 #6, tightened per VERDICT
+    r5 #7): rotation alone still re-sampled already-green queries per
+    round, and per-FAMILY never-first still diluted the prefix when
+    families exhausted unevenly (a simulated r6 prefix was only 32/50
+    new). The committed CORRECTNESS_r*.json artifacts record exactly
+    which queries every past driver run checked, so the ordering now
+    drains ALL never-checked queries first — round-robined across
+    families so any prefix stays a cross-section of SURVEY §2 — then
+    the checked ones oldest-check-first. A 50-query prefix is 100% new
+    coverage until the never-checked set is exhausted, self-adapting
+    as artifacts accumulate.
     """
     from collections import defaultdict
 
@@ -118,23 +122,25 @@ def _interleaved() -> list[str]:
     # (co-prime-ish with the family bucket sizes)
     shift = (_round_number() - 1) * 6
     latest = _checked_history()
+    never: dict[str, list[str]] = {}
+    seen: dict[str, list[str]] = {}
     for cat, names in buckets.items():
         k = shift % len(names)
         rotated = names[k:] + names[:k]
-        # stable sort: never-checked (0) ahead of checked, oldest
-        # check first; rotation order preserved within each group
-        rotated.sort(key=lambda n: latest.get(n, 0))
-        buckets[cat] = rotated
+        never[cat] = [n for n in rotated if n not in latest]
+        # checked: oldest driver check first (stable on rotation order)
+        seen[cat] = sorted(
+            (n for n in rotated if n in latest), key=lambda n: latest[n]
+        )
     order = ["q_cdc", "relational", "q_dedup", "q_text", "q_ann", "q_mm"]
     out: list[str] = []
-    idx = 0
-    while any(buckets.values()):
-        cat = order[idx % len(order)]
-        if buckets[cat]:
-            out.append(buckets[cat].pop(0))
-        idx += 1
-        if all(not buckets[c] for c in order):
-            break
+    for phase in (never, seen):
+        idx = 0
+        while any(phase.get(c) for c in order):
+            cat = order[idx % len(order)]
+            if phase.get(cat):
+                out.append(phase[cat].pop(0))
+            idx += 1
     return out
 
 
