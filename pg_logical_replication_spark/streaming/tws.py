@@ -165,3 +165,290 @@ def assemble_transactions_tws(
         outputMode="append",
         timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
+
+
+# --------------------------------------------------- TOAST fill (tws)
+def _toast_fill_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        _TOAST_OUT_COLS,
+        _as_dict,
+    )
+
+    class ToastFill(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # one post-fill row image per key — ValueState, but in the
+            # RocksDB store with per-column-family lifecycle instead of
+            # applyInPandasWithState's single opaque blob per key
+            self._img = handle.getValueState("img", "img string")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            img: dict[str, Any] = (
+                json.loads(self._img.get()[0]) if self._img.exists() else {}
+            )
+            recs: list[dict[str, Any]] = []
+            for pdf in rows:
+                recs.extend(pdf.to_dict("records"))
+            recs.sort(key=lambda r: (
+                0 if r.get("lsn_long") is None or pd.isna(r.get("lsn_long"))
+                else int(r["lsn_long"]),
+                0 if r.get("seq") is None or pd.isna(r.get("seq"))
+                else int(r.get("seq")),
+            ))
+            out = []
+            for row in recs:
+                after = _as_dict(row.get("after"))
+                if after is not None:
+                    # NOTE: the column is named t_toast, not _toast — the
+                    # transformWithState Arrow bridge renames leading-
+                    # underscore columns positionally (_toast arrived as
+                    # '_5'; found by the round-6 agreement test)
+                    toasted = set((row.get("t_toast") or "").split(",")) - {""}
+                    for c in toasted:
+                        if after.get(c) is None and c in img:
+                            after[c] = img[c]
+                    img.update(after)
+                row["after"] = after
+                row["key"] = _as_dict(row.get("key"))
+                row["before"] = _as_dict(row.get("before"))
+                out.append({f: row.get(f) for f in _TOAST_OUT_COLS})
+            self._img.update((json.dumps(img),))
+            if out:
+                yield pd.DataFrame(out, columns=_TOAST_OUT_COLS)
+
+        def close(self) -> None:
+            pass
+
+    return ToastFill
+
+
+def toast_fill_tws(events: DataFrame, key_columns: list[str]) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``streaming.stateful.toast_fill_stream`` — identical contract
+    (cross-micro-batch unchanged-TOAST completion, one row image per
+    (schema, table, key), explicit NULLs overwrite), agreement-tested
+    in tests/test_tws.py."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        _TOAST_OUT_COLS,
+        TOAST_OUTPUT_SCHEMA,
+    )
+
+    identity = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                F.col("key").getItem(k),
+                F.col("after").getItem(k),
+                F.lit("\x1e"),
+            )
+            for k in key_columns
+        ],
+    )
+    ev = events.select(
+        *[F.col(c) for c in _TOAST_OUT_COLS if c in events.columns],
+        *(
+            []
+            if "seq" in events.columns
+            else [F.lit(None).cast("long").alias("seq")]
+        ),
+        F.col("meta").getItem("unchanged_toast").alias("t_toast"),
+        identity.alias("t_identity"),
+    )
+    return ev.groupBy("schema", "table", "t_identity").transformWithStateInPandas(
+        statefulProcessor=_toast_fill_class()(),
+        outputStructType=TOAST_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
+# ------------------------------------- chunked-JSON reassembly (tws)
+def _reassembler_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Reassembler(StatefulProcessor):
+        """The genuinely-unbounded state case the ListState exists for:
+        a pending chunked wal2json document can be arbitrarily large
+        (one TOASTed row can exceed logical_decoding_work_mem — that is
+        WHY the plugin chunks). applyInPandasWithState rewrites the
+        whole carried text per micro-batch (O(doc²) total I/O over a
+        doc's lifetime); here each fragment APPENDS to a ListState and
+        the text is concatenated exactly once, at completion."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._frags = handle.getListState("frags", "frag string")
+            self._meta = handle.getValueState(
+                "meta", "depth long, start_seq long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            import re as _re
+
+            depth, start_seq = (
+                self._meta.get() if self._meta.exists() else (0, 0)
+            )
+            pending = self._frags.exists()
+            frags: list[tuple[int, str]] = []
+            for pdf in rows:
+                for row in pdf.to_dict("records"):
+                    v = row.get("value")
+                    if v is None or not str(v).strip():
+                        continue
+                    frags.append((int(row["seq"]), str(v)))
+            frags.sort()
+            out: list[tuple[int, str]] = []
+            for seq, val in frags:
+                stripped = _re.sub(r'"(?:\\.|[^"\\])*"', "", val)
+                delta = stripped.count("{") - stripped.count("}")
+                if not pending:
+                    start_seq = seq
+                self._frags.appendValue((val,))
+                pending = True
+                depth += delta
+                if depth == 0:
+                    doc = "".join(s for (s,) in self._frags.get())
+                    out.append((start_seq, doc))
+                    self._frags.clear()
+                    pending, depth = False, 0
+            self._meta.update((int(depth), int(start_seq)))
+            if out:
+                yield pd.DataFrame(out, columns=["seq", "value"])
+
+        def close(self) -> None:
+            pass
+
+    return Reassembler
+
+
+def reassemble_json_documents_tws(
+    raw: DataFrame,
+    value_col: str = "value",
+    order_col: str = "seq",
+    slot_col: str | None = None,
+) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``streaming.stateful.reassemble_json_documents_stream`` — identical
+    contract; pending fragments append to a ListState instead of
+    rewriting one carried blob per micro-batch."""
+    from pyspark.sql import functions as F
+
+    key = slot_col if slot_col is not None else "__slot"
+    df = raw.select(
+        *(
+            [F.col(slot_col)]
+            if slot_col is not None
+            else [F.lit(0).alias(key)]
+        ),
+        F.col(order_col).cast("long").alias("seq"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    out = df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_reassembler_class()(),
+        outputStructType="seq long, value string",
+        outputMode="append",
+        timeMode="None",
+    )
+    return out.withColumnRenamed("seq", order_col).withColumnRenamed(
+        "value", value_col
+    )
+
+
+# ------------------------------------------- sequence packing (tws)
+def _packer_class(budget: int):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pg_logical_replication_spark.operators.packing import BIN_STRIDE
+
+    class Packer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_bin", "nbin long, acc long, seq long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            (bucket,) = key
+            nbin, acc, seq = (
+                self._open.get()
+                if self._open.exists()
+                else (-1, budget + 1, 0)
+            )
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            pdf = pdf.sort_values("doc_id")
+            out_bin, out_seq = [], []
+            for n in pdf["n_tokens"]:
+                n = int(n)
+                if acc + n > budget:
+                    nbin += 1
+                    acc = n
+                    seq = 0
+                else:
+                    acc += n
+                    seq += 1
+                out_bin.append(nbin)
+                out_seq.append(seq)
+            if nbin >= BIN_STRIDE:
+                raise ValueError(
+                    f"pack_sequences_tws: bucket {bucket} exceeded the "
+                    f"{BIN_STRIDE} per-bucket bin band"
+                )
+            self._open.update((int(nbin), int(acc), int(seq)))
+            yield pdf.assign(
+                bin_id=pdf["bucket"] * BIN_STRIDE
+                + pd.Series(out_bin, index=pdf.index),
+                bin_seq=out_seq,
+            )
+
+        def close(self) -> None:
+            pass
+
+    return Packer
+
+
+def pack_sequences_tws(
+    stream: DataFrame,
+    budget: int = 512,
+    bucket_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``streaming.packing.pack_sequences_stream`` — identical greedy rule
+    and output schema; the open bin rides a typed ValueState."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.dedup import tokens_expr
+
+    counted = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_expr(text_col)).cast("int").alias("n_tokens"),
+        F.expr(f"{id_col} div {bucket_size}").alias("bucket"),
+    )
+    return counted.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=_packer_class(budget)(),
+        outputStructType=(
+            "doc_id long, n_tokens int, bucket long, bin_id long, "
+            "bin_seq int"
+        ),
+        outputMode="append",
+        timeMode="None",
+    )

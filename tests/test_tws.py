@@ -145,3 +145,169 @@ def test_tws_agrees_with_apply_in_pandas_with_state(rocksdb, tmp_path):
     b = run(assemble_transactions_stream, "tws_cmp_b", "ckpt_b")
     assert a == b
     assert len(a) == 3
+
+
+def test_toast_fill_tws_agrees_with_apply_in_pandas(rocksdb, tmp_path):
+    """Both stateful backends fill identically: cross-batch TOAST fill,
+    explicit NULL overwrite, NULL never resurrected."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        toast_fill_stream,
+    )
+    from pg_logical_replication_spark.streaming.tws import toast_fill_tws
+
+    spark = rocksdb
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+    src = tmp_path / "src"; src.mkdir()
+    batches = [
+        [dict(_ev("insert", 0x100, 0, 1, "users",
+                  {"id": "1", "doc": "BIGDOC", "v": "a"}), meta=None)],
+        [dict(_ev("update", 0x200, 1, 1, "users",
+                  {"id": "1", "doc": None, "v": "b"}),
+              meta={"unchanged_toast": "doc"})],
+        [dict(_ev("update", 0x300, 2, 1, "users",
+                  {"id": "1", "doc": None, "v": "c"}), meta=None)],
+        [dict(_ev("update", 0x400, 3, 1, "users",
+                  {"id": "1", "doc": None, "v": "d"}),
+              meta={"unchanged_toast": "doc"})],
+    ]
+    base = _time.time() - 10_000
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.jsonl"
+        with open(p, "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    def run(op, name, ckpt):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+        )
+        q = (
+            op(raw, key_columns=["id"]).writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            r["seq"]: dict(r["after"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    a = run(toast_fill_tws, "toast_tws", "ck_t1")
+    b = run(toast_fill_stream, "toast_aip", "ck_t2")
+    assert a == b
+    assert a[1] == {"id": "1", "doc": "BIGDOC", "v": "b"}
+    assert a[3]["doc"] is None
+
+
+def test_reassemble_tws_agrees_with_apply_in_pandas(rocksdb, tmp_path):
+    """Chunked-JSON reassembly: a document split across THREE
+    micro-batches completes identically on both backends (the ListState
+    path appends fragments; the value-state path rewrites the carry)."""
+    import os
+    import time as _time
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        reassemble_json_documents_stream,
+    )
+    from pg_logical_replication_spark.streaming.tws import (
+        reassemble_json_documents_tws,
+    )
+
+    spark = rocksdb
+    src = tmp_path / "src"; src.mkdir()
+    doc = '{"change":[{"kind":"insert","columnvalues":["a{b}c"]}],"x":1}'
+    # structural cut points only (the plugin's chunking contract: never
+    # inside a string literal): after '{"change":[' and before ',"x":1}'
+    cut1, cut2 = 11, len(doc) - 7
+    batches = [
+        [(0, '{"small":true}'), (1, doc[:cut1])],
+        [(2, doc[cut1:cut2])],
+        [(3, doc[cut2:]), (4, '{"tail":2}')],
+    ]
+    base = _time.time() - 10_000
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.jsonl"
+        with open(p, "w") as f:
+            for seq, frag in batch:
+                f.write(json.dumps({"seq": seq, "value": frag}) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    def run(op, name, ckpt):
+        raw = (
+            spark.readStream.schema("seq long, value string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            op(raw).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["seq"], r["value"])
+            for r in spark.sql(f"select * from {name}").collect()
+        )
+
+    a = run(reassemble_json_documents_tws, "re_tws", "ck_r1")
+    b = run(reassemble_json_documents_stream, "re_aip", "ck_r2")
+    assert a == b
+    assert (1, doc) in a and (0, '{"small":true}') in a and len(a) == 3
+
+
+def test_pack_tws_agrees_with_apply_in_pandas(rocksdb, tmp_path):
+    """Open packing bins continue across micro-batches identically on
+    both backends (and bit-identically to the batch packer when arrival
+    order == doc_id order)."""
+    import os
+    import time as _time
+
+    from pg_logical_replication_spark.streaming.packing import (
+        pack_sequences_stream,
+    )
+    from pg_logical_replication_spark.streaming.tws import pack_sequences_tws
+
+    spark = rocksdb
+    src = tmp_path / "src"; src.mkdir()
+    docs = [(i, "tok " * (3 + i % 5)) for i in range(40)]
+    base = _time.time() - 10_000
+    for b_i in range(4):
+        p = src / f"{b_i:03d}.jsonl"
+        with open(p, "w") as f:
+            for i, text in docs[b_i * 10:(b_i + 1) * 10]:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        os.utime(p, (base + b_i * 10, base + b_i * 10))
+
+    def run(op, name, ckpt):
+        raw = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            op(raw, budget=16, bucket_size=20)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r)
+            for r in spark.sql(
+                f"select doc_id, bin_id, bin_seq from {name}"
+            ).collect()
+        )
+
+    a = run(pack_sequences_tws, "pk_tws", "ck_p1")
+    b = run(pack_sequences_stream, "pk_aip", "ck_p2")
+    assert a == b and len(a) == 40
