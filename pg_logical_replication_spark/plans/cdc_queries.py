@@ -932,6 +932,72 @@ def q_cdc_txn_frames(spark, sf_dir):
 
 
 @register(
+    "q_cdc_txn_frames_partitioned",
+    """
+    SELECT CAST(event_id // 100 AS BIGINT) AS xid,
+           COUNT(*) AS n_changes,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           MAX(ts) AS commit_ts
+    FROM events GROUP BY 1
+    """,
+    "the 100 TB WAL-backfill shape of q_cdc_txn_frames: the SAME framed "
+    "stream split into frame-log segments whose cuts deliberately "
+    "MISALIGN with transaction boundaries (seg = seq div 1700 vs txns "
+    "spanning 1000), framed with assign_transactions(partition_col=) — "
+    "per-segment fill-forward windows + exact cross-partition carry, "
+    "no global lead over begin markers, no broadcast of the txn set; "
+    "identical oracle to the broadcast form",
+)
+def q_cdc_txn_frames_partitioned(spark, sf_dir):
+    """See operators/transactions.py module docstring (partition_col
+    mode, VERDICT r5 #6). Every ~10th transaction spans a segment cut
+    at this stride, so the carry path is load-bearing, not decorative."""
+    from pg_logical_replication_spark.operators.transactions import (
+        assign_transactions,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    txn = F.expr("event_id div 100")
+    dml = ev.select(
+        F.lit("insert").alias("op"),
+        (F.col("event_id") * 10).alias("seq"),
+        F.lit(None).cast("long").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.col("event_id").alias("eid"),
+    )
+    per_txn = ev.groupBy(txn.alias("txn")).agg(F.max("ts").alias("max_ts"))
+    begins = per_txn.select(
+        F.lit("begin").alias("op"),
+        (F.col("txn") * 1000 - 5).alias("seq"),
+        F.col("txn").alias("xid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    commits = per_txn.select(
+        F.lit("commit").alias("op"),
+        (F.col("txn") * 1000 + 995).alias("seq"),
+        F.col("txn").alias("xid"),
+        F.col("max_ts").cast("timestamp").alias("commit_ts"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    stream = (
+        dml.unionByName(begins)
+        .unionByName(commits)
+        .withColumn("seg", F.expr("seq div 1700"))
+    )
+    framed = assign_transactions(stream, seq_col="seq", partition_col="seg")
+    return (
+        framed.filter(F.col("op") == "insert")
+        .groupBy("xid")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.sum("eid").alias("sum_eid"),
+            F.max("commit_ts").alias("commit_ts"),
+        )
+    )
+
+
+@register(
     "q_cdc_streamed_txn",
     """
     SELECT CAST(event_id // 100 AS BIGINT) AS top_xid,
