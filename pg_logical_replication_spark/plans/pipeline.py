@@ -4546,3 +4546,79 @@ def q_dedup_bloom_decontam(spark, sf_dir):
         .cast("long")
         .alias("sum_flagged_ids"),
     )
+
+
+def _incremental_dedup_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    def bands_for(src):
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) "
+            f"AS band_key FROM {src}"
+            for b in range(num_hashes // band_size)
+        )
+    return f"""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+    newb AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 >= 8),
+    hist_dig AS (SELECT DISTINCT md5(text) AS digest FROM hist),
+    toks_h AS (SELECT doc_id, {_TOKS} AS tk FROM hist),
+    sh_h AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks_h),
+    sig_h AS (SELECT doc_id, {mh} FROM sh_h),
+    bands_h AS (SELECT DISTINCT band_idx, band_key FROM ({bands_for('sig_h')})),
+    toks_n AS (SELECT doc_id, {_TOKS} AS tk FROM newb),
+    sh_n AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks_n),
+    sig_n AS (SELECT doc_id, {mh} FROM sh_n),
+    bands_n AS ({bands_for('sig_n')}),
+    near AS (SELECT DISTINCT n.doc_id
+             FROM bands_n n JOIN bands_h h
+               ON n.band_idx = h.band_idx AND n.band_key = h.band_key),
+    flags AS (SELECT nb.doc_id, nb.lang,
+                     (d.digest IS NOT NULL) AS exact_dup,
+                     (nr.doc_id IS NOT NULL) AND d.digest IS NULL AS near_dup
+              FROM newb nb
+              LEFT JOIN hist_dig d ON md5(nb.text) = d.digest
+              LEFT JOIN near nr ON nr.doc_id = nb.doc_id)
+    SELECT lang,
+           COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(SUM(CASE WHEN NOT exact_dup AND NOT near_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM flags GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q_dedup_incremental_near",
+    _incremental_dedup_oracle(),
+    "incremental (continuous-ingestion) dedup: a new batch (doc_id%10>=8) "
+    "gated against the persisted index of the historical corpus "
+    "(doc_id%10<8) - exact digests + LSH band keys, per-lang "
+    "exact/near/clean admission counts; historical text is never re-read",
+)
+def q_dedup_incremental_near(spark, sf_dir):
+    """build_dedup_index (what ingest persists: 32-byte digests + band
+    keys, ~3% of corpus bytes) + dedup_new_against_index (two left-semi
+    probes co-partitioned on the key, no broadcast assumption, new text
+    never shuffles). The production shape for 'yesterday's 100 TB is
+    never rescanned to admit today's 1 TB'."""
+    docs = t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 < 8)
+    newb = docs.filter(F.col("doc_id") % 10 >= 8)
+    digests, bands = D.build_dedup_index(hist)
+    flagged = D.dedup_new_against_index(newb, digests, bands)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.col("exact_dup").cast("long")).alias("n_exact"),
+            F.sum(F.col("near_dup").cast("long")).alias("n_near"),
+            F.sum(
+                (~F.col("exact_dup") & ~F.col("near_dup")).cast("long")
+            ).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )

@@ -611,3 +611,35 @@ def test_bloom_decontam_refuses_corpus_sized_benchmark(spark):
         bloom_contamination_flags(
             docs, docs, n=5, max_benchmark_shingles=10
         )
+
+
+def test_incremental_dedup_flags(spark):
+    """dedup_new_against_index: exact hits (digest in history), near
+    hits (band collision, disjoint from exact), clean passes; the
+    historical side contributes digests/bands only."""
+    from pg_logical_replication_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_new_against_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup
+            (11, base + " lambda"),                       # near dup (shingle overlap)
+            (12, "totally different words with zero overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    digests, bands = build_dedup_index(hist)
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"])
+        for r in dedup_new_against_index(new, digests, bands).collect()
+    }
+    assert got[10] == (True, False)   # exact wins; categories disjoint
+    assert got[11] == (False, True)
+    assert got[12] == (False, False)
