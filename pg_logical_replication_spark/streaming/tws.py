@@ -452,3 +452,265 @@ def pack_sequences_tws(
         outputMode="append",
         timeMode="None",
     )
+
+
+# --------------------------------- streamed / two-phase txn gate (tws)
+def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        _DML_OPS,
+        _EVENT_FIELDS,
+        _OUT_COLUMNS,
+        _as_dict,
+    )
+
+    class StreamGate(StatefulProcessor):
+        """The LARGEST-state gate in the engine: a protocol-v2 streamed
+        transaction buffers its entire change volume until the fate row
+        arrives — the reference's huge-transaction scenario is 500k rows
+        (decoder-pgoutput.spec.ts:324-373). applyInPandasWithState
+        rewrites the whole buffered array every micro-batch the txn
+        stays open (O(txn²) total state I/O); here each batch's rows
+        APPEND to a ListState and the buffer is read exactly once, at
+        commit. ``ttl_ms`` maps the timeout-GC semantics onto state TTL:
+        an expired txn's state vanishes and a late fate finds nothing —
+        the same withhold the GroupState timeout implements."""
+
+        def __init__(self):
+            pass
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState(
+                "buffered", "ev string", ttlDurationMs=ttl_ms
+            )
+            self._aborted = handle.getListState(
+                "aborted", "sub long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            (top_xid,) = key
+            had_state = self._buf.exists() or self._aborted.exists()
+            aborted = (
+                {s for (s,) in self._aborted.get()}
+                if self._aborted.exists()
+                else set()
+            )
+            new_aborts: list[tuple[int]] = []
+
+            recs: list[dict[str, Any]] = []
+            for pdf in rows:
+                recs.extend(pdf.to_dict("records"))
+            recs.sort(key=lambda r: (
+                0 if r.get("lsn_long") is None or pd.isna(r.get("lsn_long"))
+                else int(r["lsn_long"]),
+                0 if r.get("seq") is None or pd.isna(r.get("seq"))
+                else int(r.get("seq")),
+            ))
+
+            # fate-only key with no buffered state: plain-2PC fates for
+            # a downstream prepared gate (see _make_stream_resolve)
+            if not had_state and recs and all(
+                r["op"] in ("commit_prepared", "rollback_prepared")
+                for r in recs
+            ):
+                if not reemit_unmatched_fates:
+                    return
+                out = []
+                for row in recs:
+                    ev = {f: row.get(f) for f in _EVENT_FIELDS}
+                    for f in ("lsn_long", "seq"):
+                        v = ev.get(f)
+                        ev[f] = None if v is None or pd.isna(v) else int(v)
+                    ev["xid"] = top_xid
+                    ts = row.get("commit_ts")
+                    ev["commit_ts"] = (
+                        None if ts is None or pd.isna(ts) else ts
+                    )
+                    for f in ("key", "before", "after"):
+                        ev[f] = _as_dict(ev.get(f))
+                    out.append(ev)
+                yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+                return
+
+            commit: dict[str, Any] | None = None
+            fresh: list[tuple[str]] = []
+            for row in recs:
+                op = row["op"]
+                if op in ("stream_commit", "commit_prepared"):
+                    ts = row.get("commit_ts")
+                    commit = {
+                        "commit_ts": None if ts is None or pd.isna(ts) else ts
+                    }
+                elif op == "rollback_prepared":
+                    self._buf.clear()
+                    self._aborted.clear()
+                    return
+                elif op == "stream_prepare":
+                    pass  # fate is the later commit/rollback_prepared
+                elif op == "stream_abort":
+                    sub = row.get("g_subxid")
+                    sub = None if sub is None or pd.isna(sub) else int(sub)
+                    if sub is None or sub == top_xid:  # top-level abort
+                        self._buf.clear()
+                        self._aborted.clear()
+                        return
+                    aborted.add(sub)
+                    new_aborts.append((sub,))
+                elif op in _DML_OPS:
+                    ev = {f: row.get(f) for f in _EVENT_FIELDS}
+                    for f in ("lsn_long", "seq"):
+                        v = ev.get(f)
+                        ev[f] = None if v is None or pd.isna(v) else int(v)
+                    rx = row.get("xid")
+                    ev["_rowxid"] = (
+                        None if rx is None or pd.isna(rx) else int(rx)
+                    )
+                    for f in ("key", "before", "after"):
+                        ev[f] = _as_dict(ev.get(f))
+                    ev["commit_ts"] = None
+                    fresh.append((json.dumps(ev),))
+
+            if commit is None:
+                if fresh:
+                    self._buf.appendList(fresh)  # incremental — no rewrite
+                if new_aborts:
+                    self._aborted.appendList(new_aborts)
+                return
+
+            buffered = (
+                [s for (s,) in self._buf.get()] if self._buf.exists() else []
+            )
+            buffered.extend(s for (s,) in fresh)
+            out = []
+            for s in buffered:
+                ev = json.loads(s)
+                if ev.pop("_rowxid", None) in aborted:
+                    continue
+                ev["xid"] = top_xid
+                ev["commit_ts"] = commit["commit_ts"]
+                out.append(ev)
+            out.sort(key=lambda r: (r.get("lsn_long") or 0, r.get("seq") or 0))
+            self._buf.clear()
+            self._aborted.clear()
+            if out:
+                yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+
+        def close(self) -> None:
+            pass
+
+    return StreamGate
+
+
+def _gated_stream_tws(
+    events: DataFrame,
+    top,
+    ctrl_ops: list[str],
+    ttl_ms: int | None,
+    passthrough: bool,
+    reemit_unmatched_fates: bool = True,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        TXN_OUTPUT_SCHEMA,
+    )
+
+    is_fate = F.col("op").isin(
+        "stream_commit", "stream_abort", "stream_prepare",
+        "commit_prepared", "rollback_prepared",
+    )
+    is_ctrl = F.col("op").isin(*ctrl_ops)
+    streamish = (top.isNotNull() | is_fate) & ~is_ctrl
+
+    cols = ["op", "lsn", "lsn_long", "xid", "commit_ts", "schema", "table",
+            "key", "before", "after"]
+    seq_cols = (
+        [F.col("seq").cast("long").alias("seq")]
+        if "seq" in events.columns
+        else [F.lit(None).cast("long").alias("seq")]
+    )
+    gated = (
+        events.filter(streamish)
+        .select(
+            *[F.col(c) for c in cols if c in events.columns],
+            *seq_cols,
+            # g_-prefixed, NOT _-prefixed: the tws Arrow bridge renames
+            # leading-underscore columns positionally (round-6 finding)
+            F.coalesce(top, F.col("xid")).alias("g_top"),
+            F.col("meta").getItem("subxid").cast("long").alias("g_subxid"),
+        )
+        .groupBy("g_top")
+        .transformWithStateInPandas(
+            statefulProcessor=_stream_gate_class(
+                ttl_ms, reemit_unmatched_fates
+            )(),
+            outputStructType=TXN_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="None" if ttl_ms is None else "ProcessingTime",
+        )
+    )
+    if not passthrough:
+        return gated
+    rest = events.filter(~streamish & ~is_ctrl).select(
+        *[
+            F.col(c)
+            if c in events.columns
+            else F.lit(None).cast("string").alias(c)
+            for c in ["op", "lsn"]
+        ],
+        F.col("lsn_long"),
+        *seq_cols,
+        F.col("xid"),
+        F.col("commit_ts"),
+        F.col("schema"),
+        F.col("table"),
+        F.col("key"),
+        F.col("before"),
+        F.col("after"),
+    )
+    return gated.unionByName(rest)
+
+
+def resolve_streamed_tws(
+    events: DataFrame, ttl_ms: int | None = None, passthrough: bool = True
+) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``streaming.stateful.resolve_streamed_stream`` — identical contract
+    (decode-time top-xid keying, commit flush minus aborted subxacts,
+    rollback invisibility, plain-2PC fate re-emission); the buffered
+    transaction rides a ListState so a 500k-row streamed txn appends
+    per batch instead of rewriting its whole buffer."""
+    from pyspark.sql import functions as F
+
+    top = F.col("meta").getItem("stream_top_xid").cast("long")
+    return _gated_stream_tws(
+        events, top, ["stream_start", "stream_stop"], ttl_ms, passthrough
+    )
+
+
+def resolve_transactions_tws(
+    events: DataFrame, ttl_ms: int | None = None, passthrough: bool = True
+) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``streaming.stateful.resolve_transactions_stream`` (combined
+    streamed + plain-2PC gate; unmatched fates swallowed)."""
+    from pyspark.sql import functions as F
+
+    top = F.coalesce(
+        F.col("meta").getItem("stream_top_xid").cast("long"),
+        F.col("meta").getItem("prepared_xid").cast("long"),
+    )
+    return _gated_stream_tws(
+        events,
+        top,
+        ["stream_start", "stream_stop", "begin_prepare", "prepare"],
+        ttl_ms,
+        passthrough,
+        reemit_unmatched_fates=False,
+    )

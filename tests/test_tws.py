@@ -311,3 +311,101 @@ def test_pack_tws_agrees_with_apply_in_pandas(rocksdb, tmp_path):
     a = run(pack_sequences_tws, "pk_tws", "ck_p1")
     b = run(pack_sequences_stream, "pk_aip", "ck_p2")
     assert a == b and len(a) == 40
+
+
+def _sev(op, lsn_long, seq, xid, top=None, sub=None, after=None,
+         commit_ts=None):
+    e = _ev(op, lsn_long, seq, xid, "users" if after else None, after,
+            commit_ts)
+    meta = {}
+    if top is not None:
+        meta["stream_top_xid"] = str(top)
+    if sub is not None:
+        meta["subxid"] = str(sub)
+    e["meta"] = meta or None
+    return e
+
+
+def test_stream_gate_tws_agrees_with_apply_in_pandas(rocksdb, tmp_path):
+    """The ListState streamed-txn gate == the applyInPandasWithState
+    gate on the full scenario matrix: cross-batch buffering, subxact
+    abort, top-level abort, streamed 2PC commit+rollback, plain v1
+    passthrough, and fate re-emission for plain-2PC keys."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_streamed_stream,
+    )
+    from pg_logical_replication_spark.streaming.tws import (
+        resolve_streamed_tws,
+    )
+
+    spark = rocksdb
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+    batches = [
+        [
+            _sev("insert", 0x101, 1, 100, top=100, after={"id": "1", "v": "keep"}),
+            _sev("insert", 0x102, 2, 101, top=100, after={"id": "2", "v": "subdrop"}),
+            _sev("insert", 0x201, 3, 200, top=200, after={"id": "9", "v": "topdrop"}),
+            _sev("insert", 0x301, 4, 300, after={"id": "5", "v": "plain"}),
+            _sev("insert", 0x401, 5, 400, top=400, after={"id": "7", "v": "kept2pc"}),
+            _sev("stream_prepare", 0x402, 6, 400),
+        ],
+        [
+            # more rows for the still-open txn 100 (cross-batch append)
+            _sev("insert", 0x103, 7, 100, top=100, after={"id": "3", "v": "keep2"}),
+            _sev("stream_abort", 0x110, 8, 100, sub=101),
+            _sev("insert", 0x501, 9, 500, top=500, after={"id": "8", "v": "rolled2pc"}),
+            _sev("stream_prepare", 0x502, 10, 500),
+        ],
+        [
+            _sev("stream_commit", 0x111, 11, 100,
+                 commit_ts="2026-08-13 00:00:07.000000"),
+            _sev("stream_abort", 0x210, 12, 200, sub=200),
+            _sev("commit_prepared", 0x410, 13, 400,
+                 commit_ts="2026-08-13 00:00:09.000000"),
+            _sev("rollback_prepared", 0x510, 14, 500),
+            # plain-2PC fate with no streamed state: re-emitted
+            _sev("commit_prepared", 0x610, 15, 600,
+                 commit_ts="2026-08-13 00:00:11.000000"),
+        ],
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    base = _time.time() - 10_000
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.jsonl"
+        with open(p, "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    def run(op, name, ckpt):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+        )
+        q = (
+            op(raw).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["op"], r["lsn_long"], r["xid"],
+             str(r["commit_ts"]), r["after"]["v"] if r["after"] else None)
+            for r in spark.sql(f"select * from {name}").collect()
+        )
+
+    a = run(resolve_streamed_tws, "sg_tws", "ck_g1")
+    b = run(resolve_streamed_stream, "sg_aip", "ck_g2")
+    assert a == b
+    vs = [x[4] for x in a]
+    assert "keep" in vs and "keep2" in vs and "plain" in vs and "kept2pc" in vs
+    assert "subdrop" not in vs and "topdrop" not in vs and "rolled2pc" not in vs
+    # the unmatched plain-2PC fate re-emitted on both paths
+    assert any(x[0] == "commit_prepared" and x[2] == 600 for x in a)
