@@ -476,7 +476,10 @@ def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
         rewrites the whole buffered array every micro-batch the txn
         stays open (O(txn²) total state I/O); here each batch's rows
         APPEND to a ListState and the buffer is read exactly once, at
-        commit. ``ttl_ms`` maps the timeout-GC semantics onto state TTL:
+        commit. Measured crossover (SCALE.md r6): the aip form's lower
+        per-batch constants win below ~2·10⁵ buffered rows; at the
+        500k-row scenario this gate wins ×1.56 and grows from there —
+        pick per workload. ``ttl_ms`` maps timeout GC onto state TTL:
         an expired txn's state vanishes and a late fate finds nothing —
         the same withhold the GroupState timeout implements."""
 
