@@ -99,8 +99,11 @@ HEADLINE = [
     "q_cdc_copy_text_roundtrip",
     "q_cdc_bootstrap_apply",
     "q_dedup_bloom_decontam",
-    # round 6: the two-pass budget cut (boundary-bucket-only sort)
+    # round 6: the two-pass budget cut (boundary-bucket-only sort),
+    # the segment-parallel txn framing, the incremental near-dup gate
     "q_corpus_token_budget",
+    "q_cdc_txn_frames_partitioned",
+    "q_dedup_incremental_near",
 ]
 
 

@@ -17,8 +17,10 @@ from pg_logical_replication_spark.operators.transactions import (  # noqa: F401
     resolve_transactions,
 )
 from pg_logical_replication_spark.operators.dedup import (  # noqa: F401
+    build_dedup_index,
     connected_components,
     containment_pairs,
+    dedup_new_against_index,
     exact_dedup,
     jaccard_pairs,
     minhash_candidate_pairs,
@@ -66,3 +68,9 @@ from pg_logical_replication_spark.operators.text import (  # noqa: F401
     wordpiece_train_merges,
 )
 from pg_logical_replication_spark.operators.packing import pack_sequences  # noqa: F401
+from pg_logical_replication_spark.operators.layout import (  # noqa: F401
+    exact_ntile,
+    global_row_number,
+    salted_equi_join,
+    write_bucketed,
+)
