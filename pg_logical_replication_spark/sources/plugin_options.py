@@ -88,6 +88,29 @@ def options_clause(plugin: str, options: dict | None = None) -> str:
             f"publication_names '{pubs}'",
             f"messages '{msg}'",
         ]
+        # optional pgoutput options (PostgreSQL docs, protocol §55.4
+        # "Logical Streaming Replication Parameters"): emitted only when
+        # the caller set them so the default serialization stays
+        # byte-identical to the pinned three-option form. streaming
+        # accepts on/off (v2, PG14+) and 'parallel' (PG16+); two_phase/
+        # binary are booleans; origin is 'none'|'any' (PG16+).
+        streaming = norm.get("streaming")
+        if streaming is not None:
+            sval = (
+                str(streaming).lower()
+                if str(streaming).lower() == "parallel"
+                else ("on" if streaming in (True, "on", "true", 1) else "off")
+            )
+            parts.append(f"streaming '{sval}'")
+        for flag in ("two-phase", "binary"):
+            v = norm.get(flag)
+            if v is not None:
+                parts.append(
+                    f"{flag.replace('-', '_')} "
+                    f"'{str(v in (True, 'on', 'true', 1)).lower()}'"
+                )
+        if norm.get("origin") is not None:
+            parts.append(f"origin '{norm['origin']}'")
         return f" ({', '.join(parts)})"
     if plugin == "decoderbufs":
         return ""
