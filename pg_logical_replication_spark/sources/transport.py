@@ -537,17 +537,25 @@ class WalsenderTransport(WalTransport):
                 continue  # NoticeResponse / NegotiateVersion etc.
 
     def create_replication_slot(
-        self, slot: str, plugin: str = "pgoutput", temporary: bool = False
+        self,
+        slot: str,
+        plugin: str = "pgoutput",
+        temporary: bool = False,
+        two_phase: bool = False,
     ) -> dict:
-        """``CREATE_REPLICATION_SLOT <slot> [TEMPORARY] LOGICAL <plugin>``
-        on the replication connection (the protocol-level twin of the
-        SQL ``pg_create_logical_replication_slot`` the reference's test
-        client issues, ``src/test/test-common.ts:9-18``). Returns the
-        result row: slot_name, consistent_point, snapshot_name,
-        output_plugin.
+        """``CREATE_REPLICATION_SLOT <slot> [TEMPORARY] LOGICAL <plugin>
+        [(TWO_PHASE)]`` on the replication connection (the
+        protocol-level twin of the SQL
+        ``pg_create_logical_replication_slot`` the reference's test
+        client issues, ``src/test/test-common.ts:9-18``). ``two_phase``
+        enables prepared-transaction decoding (PG 15+ protocol option —
+        begin_prepare/prepare/commit_prepared flow the v2/2PC decoder
+        consumes). Returns the result row: slot_name, consistent_point,
+        snapshot_name, output_plugin.
         """
         tmp = " TEMPORARY" if temporary else ""
-        sql = f'CREATE_REPLICATION_SLOT "{slot}"{tmp} LOGICAL {plugin}'
+        tp = " (TWO_PHASE)" if two_phase else ""
+        sql = f'CREATE_REPLICATION_SLOT "{slot}"{tmp} LOGICAL {plugin}{tp}'
         self._send_msg(b"Q", sql.encode() + b"\x00")
         fields: list[str] = []
         row: list[str | None] = []

@@ -691,3 +691,130 @@ def test_live_pgoutput_type_text_forms(spark, live, tmp_path):
         s.close()
         _exec_sql(t, f"DROP PUBLICATION IF EXISTS {tbl}_pub")
         _exec_sql(t, f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_live_pgoutput_two_phase_commit(spark, live, tmp_path):
+    """Real 2PC decode: a TWO_PHASE slot ships begin_prepare → changes →
+    prepare when PREPARE TRANSACTION runs, and the fate
+    (commit_prepared / rollback_prepared) arrives separately;
+    resolve_prepared gates to exactly the committed transaction's rows.
+    Requires max_prepared_transactions > 0 server-side; skips cleanly
+    otherwise. Beyond-reference surface (the reference parser is
+    v1-only), pinned here on stock-server bytes."""
+    from pg_logical_replication_spark.operators.transactions import (
+        resolve_prepared,
+    )
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    if int(_exec_sql(t, "SHOW max_prepared_transactions")[0][0]) < 1:
+        pytest.skip("max_prepared_transactions = 0 on the server")
+    tbl = f"{live.table}_2pc"
+    _exec_sql(t, f"CREATE TABLE {tbl} (id int PRIMARY KEY, v text)")
+    _exec_sql(t, f"CREATE PUBLICATION {tbl}_pub FOR TABLE {tbl}")
+    s = _connect()
+    slot = live.slot(f"{tbl[:20]}_sl")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput", two_phase=True)
+        _exec_sql(t, f"""
+            BEGIN;
+            INSERT INTO {tbl} VALUES (1, 'committed-2pc');
+            PREPARE TRANSACTION 'plrs_gid_commit';
+        """)
+        _exec_sql(t, f"""
+            BEGIN;
+            INSERT INTO {tbl} VALUES (2, 'rolled-2pc');
+            PREPARE TRANSACTION 'plrs_gid_abort';
+        """)
+        _exec_sql(t, "COMMIT PREPARED 'plrs_gid_commit'")
+        _exec_sql(t, "ROLLBACK PREPARED 'plrs_gid_abort'")
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={
+                # two_phase needs protocol v3 (PG 15's pgoutput)
+                "proto_version": "3",
+                "publication_names": f"{tbl}_pub",
+                "two_phase": True,
+                "streaming": True,
+            },
+        )
+        log = str(tmp_path / "p2")
+        # (BeginPrepare+Rel+Ins+Prepare) + (BeginPrepare+Ins+Prepare)
+        # + CommitPrepared + RollbackPrepared = 9 (Relation ships once)
+        assert _relay_until(s, log, want_frames=9) >= 9
+        ev = decode(_frames_df(spark, log).coalesce(1), "pgoutput")
+        ops = {r["op"] for r in ev.select("op").distinct().collect()}
+        assert {"begin_prepare", "prepare", "commit_prepared",
+                "rollback_prepared"} <= ops, ops
+        gated = resolve_prepared(ev, "seq")
+        rows = [r for r in gated.filter("op = 'insert'").collect()
+                if r["table"] == tbl]
+        assert [r["after"]["v"] for r in rows] == ["committed-2pc"]
+        assert rows[0]["gid"] == "plrs_gid_commit"
+        assert rows[0]["commit_ts"] is not None
+    finally:
+        s.close()
+        for gid in ("plrs_gid_commit", "plrs_gid_abort"):
+            try:
+                _exec_sql(t, f"ROLLBACK PREPARED '{gid}'")
+            except RuntimeError:
+                pass
+        _exec_sql(t, f"DROP PUBLICATION IF EXISTS {tbl}_pub")
+        _exec_sql(t, f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_live_pgoutput_origin_messages(spark, live, tmp_path):
+    """Replication origins on a real server: DML executed under
+    pg_replication_origin_session_setup ships 'O' origin frames;
+    filter_by_origin drops the foreign transaction and keeps local
+    traffic (the bidirectional-replication loop guard, reference
+    wal2json filter-origins semantics applied engine-side)."""
+    from pg_logical_replication_spark.operators.transactions import (
+        filter_by_origin,
+    )
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    tbl = f"{live.table}_org"
+    _exec_sql(t, f"CREATE TABLE {tbl} (id int PRIMARY KEY, v text)")
+    _exec_sql(t, f"CREATE PUBLICATION {tbl}_pub FOR TABLE {tbl}")
+    _exec_sql(t, "SELECT pg_replication_origin_create('plrs_remote')")
+    s = _connect()
+    slot = live.slot(f"{tbl[:20]}_sl")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput")
+        # foreign-origin txn: replays from 'another node'
+        _exec_sql(t, "SELECT pg_replication_origin_session_setup('plrs_remote')")
+        _exec_sql(t, f"INSERT INTO {tbl} VALUES (1, 'foreign')")
+        _exec_sql(t, "SELECT pg_replication_origin_session_reset()")
+        # local txn
+        _exec_sql(t, f"INSERT INTO {tbl} VALUES (2, 'local')")
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={
+                "proto_version": "1",
+                "publication_names": f"{tbl}_pub",
+                # origin filtering happens ENGINE-side from 'O' frames
+            },
+        )
+        log = str(tmp_path / "org")
+        # (Begin+Origin+Rel+Ins+Commit) + (Begin+Ins+Commit)
+        assert _relay_until(s, log, want_frames=8) >= 8
+        ev = decode(_frames_df(spark, log).coalesce(1), "pgoutput")
+        origins = [
+            (r["meta"] or {}).get("origin")
+            for r in ev.filter("op = 'origin'").collect()
+        ]
+        assert "plrs_remote" in origins, origins
+        kept = filter_by_origin(ev, "seq")  # default: drop ALL foreign
+        vs = [r["after"]["v"] for r in kept.filter("op = 'insert'").collect()
+              if r["table"] == tbl]
+        assert vs == ["local"], vs
+    finally:
+        s.close()
+        _exec_sql(t, f"DROP PUBLICATION IF EXISTS {tbl}_pub")
+        _exec_sql(t, f"DROP TABLE IF EXISTS {tbl}")
+        try:
+            _exec_sql(t, "SELECT pg_replication_origin_drop('plrs_remote')")
+        except RuntimeError:
+            pass
