@@ -818,3 +818,75 @@ def test_live_pgoutput_origin_messages(spark, live, tmp_path):
             _exec_sql(t, "SELECT pg_replication_origin_drop('plrs_remote')")
         except RuntimeError:
             pass
+
+
+def test_live_ack_loop_advances_confirmed_flush(spark, live, tmp_path):
+    """The deployment loop's acknowledge leg against the REAL server:
+    relay → pg_cdc stream → checkpoint-commit ack → status.log →
+    forward_acks_upstream → byte-exact 'r' frame → the server's own
+    pg_replication_slots.confirmed_flush_lsn ADVANCES. The hermetic
+    suite pins the frame bytes; only a live server can confirm PG
+    accepts them and moves the slot."""
+    import time as _t
+
+    from pg_logical_replication_spark.model import lsn_to_long
+    from pg_logical_replication_spark.sources.datasource import register
+    from pg_logical_replication_spark.sources.transport import (
+        forward_acks_upstream,
+        relay_to_frame_log,
+    )
+
+    register(spark)
+    t = live.admin
+    _reset_table(live)
+    s = _connect()
+    slot = live.slot(f"{live.table}_ack")
+    s.create_replication_slot(slot, plugin="test_decoding")
+    before = _exec_sql(
+        t,
+        "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+        f"WHERE slot_name = '{slot}'",
+    )[0][0]
+    _dml_round(live)
+    s.start_replication(slot, "0/0", plugin="test_decoding")
+    log = str(tmp_path / "ackloop")
+    assert _relay_until(s, log, want_frames=11) >= 11
+
+    got = []
+    q = (
+        spark.readStream.format("pg_cdc")
+        .option("path", log)
+        .option("transport", "frames")
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 30
+        while len(got) < 11 and _t.time() < deadline:
+            _t.sleep(0.1)
+        assert len(got) >= 11
+        # forward the checkpoint-commit acks up the LIVE connection and
+        # wait for the server to move the slot
+        target = max(lsn_to_long(r["lsn"]) for r in got if r["lsn"])
+        advanced = None
+        while _t.time() < deadline:
+            forward_acks_upstream(log, s)
+            # keep the relay draining so the ack round-trip stays live
+            relay_to_frame_log(s, log)
+            advanced = _exec_sql(
+                t,
+                "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+                f"WHERE slot_name = '{slot}'",
+            )[0][0]
+            if advanced and lsn_to_long(advanced) >= target:
+                break
+            _t.sleep(0.2)
+    finally:
+        q.stop()
+    assert advanced is not None
+    assert lsn_to_long(advanced) >= target, (before, advanced, hex(target))
+    assert before is None or lsn_to_long(advanced) > lsn_to_long(before)
+    s.close()
