@@ -1061,10 +1061,16 @@ def zipf_profile(
     hist = hist.withColumn(
         "off", F.coalesce(F.sum("n_f").over(w), F.lit(0)).cast("long")
     )
-    # dyadic buckets the group's rank interval [off+1, off+n_f] touches
+    # dyadic buckets the group's rank interval [off+1, off+n_f] touches.
+    # Groups that START beyond the last reported bucket must be dropped
+    # BEFORE the explode: F.sequence(lo, hi) with lo > hi generates a
+    # DESCENDING sequence, not an empty one, so an unguarded explode
+    # emits out-of-range buckets and negative overlap counts the moment
+    # the vocabulary exceeds 2^n_buckets types (round-6 review repro —
+    # exactly the corpus size this two-pass form exists for).
     b_lo = F.length(F.bin(F.col("off") + 1)) - 1
     b_hi = F.length(F.bin(F.col("off") + F.col("n_f"))) - 1
-    ex = hist.select(
+    ex = hist.filter(b_lo <= F.lit(n_buckets - 1)).select(
         "freq",
         "n_f",
         "off",

@@ -245,11 +245,22 @@ def bootstrap_to_frame_log(
 
     parts = rendered.rdd.mapPartitionsWithIndex(write_part).collect()
     # every partition finished: publish atomically-per-file, then the
-    # marker commits the load as a whole
+    # marker commits the load as a whole. A partition that reported
+    # rows but whose tmp file the driver cannot see (non-shared
+    # log_dir, attribute-cache lag) must FAIL the load — silently
+    # skipping it and still writing the marker would commit a partial
+    # snapshot as complete (round-6 review #2).
     total = 0
     for name, wrote in parts:
         tmp = os.path.join(log_dir, name + ".tmp")
-        if wrote and os.path.exists(tmp):
+        if wrote:
+            if not os.path.exists(tmp):
+                raise FileNotFoundError(
+                    f"bootstrap_to_frame_log: partition segment {tmp} "
+                    f"reported {wrote} rows but is not visible to the "
+                    "driver — log_dir must be shared storage; refusing "
+                    "to mark the load complete"
+                )
             os.rename(tmp, os.path.join(log_dir, name))
         total += wrote
     with open(os.path.join(log_dir, BOOTSTRAP_DONE_MARKER), "w") as f:

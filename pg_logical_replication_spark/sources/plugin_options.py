@@ -94,20 +94,33 @@ def options_clause(plugin: str, options: dict | None = None) -> str:
         # byte-identical to the pinned three-option form. streaming
         # accepts on/off (v2, PG14+) and 'parallel' (PG16+); two_phase/
         # binary are booleans; origin is 'none'|'any' (PG16+).
+        def _bool_word(name: str, v) -> str:
+            # case-folded and strict: an unrecognized value must raise,
+            # not silently serialize as off (round-6 review #4 — a
+            # config-file "True"/"ON" would otherwise disable the very
+            # feature it asked for)
+            s = str(v).strip().lower()
+            if v is True or s in ("on", "true", "1", "yes"):
+                return "true"
+            if v is False or s in ("off", "false", "0", "no"):
+                return "false"
+            raise ValueError(
+                f"pgoutput option {name}={v!r}: expected a boolean "
+                "(true/false/on/off/1/0/yes/no)"
+            )
+
         streaming = norm.get("streaming")
         if streaming is not None:
-            sval = (
-                str(streaming).lower()
-                if str(streaming).lower() == "parallel"
-                else ("on" if streaming in (True, "on", "true", 1) else "off")
-            )
+            if str(streaming).strip().lower() == "parallel":
+                sval = "parallel"
+            else:
+                sval = "on" if _bool_word("streaming", streaming) == "true" else "off"
             parts.append(f"streaming '{sval}'")
         for flag in ("two-phase", "binary"):
             v = norm.get(flag)
             if v is not None:
                 parts.append(
-                    f"{flag.replace('-', '_')} "
-                    f"'{str(v in (True, 'on', 'true', 1)).lower()}'"
+                    f"{flag.replace('-', '_')} '{_bool_word(flag, v)}'"
                 )
         if norm.get("origin") is not None:
             parts.append(f"origin '{norm['origin']}'")

@@ -870,7 +870,14 @@ def _writer_state_current(writer: "FrameLogWriter", path: str) -> bool:
     directory: its current segment file exists with exactly the byte
     count it last wrote (a fresh writer that hasn't created its file yet
     passes with _bytes == 0), and no LATER canonical segment appeared
-    behind its back."""
+    behind its back.
+
+    Cost discipline (round-6 review #5): the per-call checks are two
+    stats (segment size + directory mtime); the O(#segments) listdir
+    for the rare foreign-rotation question runs only when the
+    directory's mtime moved since this writer's last validated view —
+    appends to the current segment don't touch dir mtime, so a hot
+    relay poll loop normally never lists a long-retention log."""
     if not os.path.isdir(path):
         return False
     seg = os.path.join(path, writer.segment_name)
@@ -880,14 +887,22 @@ def _writer_state_current(writer: "FrameLogWriter", path: str) -> bool:
         size_ok = os.path.isfile(seg) and os.path.getsize(seg) == writer._bytes
     if not size_ok:
         return False
-    # another writer may have sealed this segment and rotated onward
+    dir_sig = os.stat(path).st_mtime_ns
+    if getattr(writer, "_plrs_dir_sig", None) == dir_sig:
+        return True
+    # dir contents changed (a file was created/renamed — possibly our
+    # own rotation, possibly a foreign writer): one full check, then
+    # cache the new signature
     later = any(
         n.endswith(".seg")
         and n[:6].isdigit()
         and int(n.split(".")[0]) > writer._idx
         for n in os.listdir(path)
     )
-    return not later
+    if later:
+        return False
+    writer._plrs_dir_sig = dir_sig
+    return True
 
 
 _RELAY_WRITERS: dict[tuple[str, str, int], "FrameLogWriter"] = {}

@@ -416,16 +416,21 @@ def resolve_transactions_stream(
     )
 
 
-def _gated_stream(
-    events: DataFrame,
-    top,
-    ctrl_ops: list[str],
-    timeout_ms: int | None,
-    passthrough: bool,
-    reemit_unmatched_fates: bool = True,
-) -> DataFrame:
+def gate_frames(
+    events: DataFrame, top, ctrl_ops: list[str], prefix: str
+) -> tuple[DataFrame, DataFrame, str]:
+    """Shared scaffolding for BOTH stateful-backend gates (this module's
+    applyInPandasWithState form and streaming/tws.py's
+    transformWithStateInPandas twin): the streamish predicate, the
+    gate-input projection, and the passthrough remainder — one source of
+    truth so the two contractually-agreeing gates cannot drift
+    (round-6 review #6; they already had once, over the tws Arrow
+    bridge's leading-underscore column rename — hence ``prefix``).
+
+    Returns ``(gate_input, passthrough_rest, key_col_name)`` where
+    gate_input carries ``{prefix}top`` / ``{prefix}subxid``.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     is_fate = F.col("op").isin(
         "stream_commit", "stream_abort", "stream_prepare",
@@ -441,29 +446,13 @@ def _gated_stream(
         if "seq" in events.columns
         else [F.lit(None).cast("long").alias("seq")]
     )
-    gated = (
-        events.filter(streamish)
-        .select(
-            *[F.col(c) for c in cols if c in events.columns],
-            *seq_cols,
-            F.coalesce(top, F.col("xid")).alias("_top"),
-            F.col("meta").getItem("subxid").cast("long").alias("_subxid"),
-        )
-        .groupBy("_top")
-        .applyInPandasWithState(
-            _make_stream_resolve(timeout_ms, reemit_unmatched_fates),
-            outputStructType=TXN_OUTPUT_SCHEMA,
-            stateStructType=STREAM_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=(
-                GroupStateTimeout.NoTimeout
-                if timeout_ms is None
-                else GroupStateTimeout.ProcessingTimeTimeout
-            ),
-        )
+    key_col = f"{prefix}top"
+    gate_input = events.filter(streamish).select(
+        *[F.col(c) for c in cols if c in events.columns],
+        *seq_cols,
+        F.coalesce(top, F.col("xid")).alias(key_col),
+        F.col("meta").getItem("subxid").cast("long").alias(f"{prefix}subxid"),
     )
-    if not passthrough:
-        return gated
     rest = events.filter(~streamish & ~is_ctrl).select(
         *[
             F.col(c) if c in events.columns else F.lit(None).cast("string").alias(c)
@@ -479,6 +468,33 @@ def _gated_stream(
         F.col("before"),
         F.col("after"),
     )
+    return gate_input, rest, key_col
+
+
+def _gated_stream(
+    events: DataFrame,
+    top,
+    ctrl_ops: list[str],
+    timeout_ms: int | None,
+    passthrough: bool,
+    reemit_unmatched_fates: bool = True,
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gate_input, rest, key_col = gate_frames(events, top, ctrl_ops, "_")
+    gated = gate_input.groupBy(key_col).applyInPandasWithState(
+        _make_stream_resolve(timeout_ms, reemit_unmatched_fates),
+        outputStructType=TXN_OUTPUT_SCHEMA,
+        stateStructType=STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    if not passthrough:
+        return gated
     return gated.unionByName(rest)
 
 

@@ -493,12 +493,25 @@ def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
             self._aborted = handle.getListState(
                 "aborted", "sub long", ttlDurationMs=ttl_ms
             )
+            # existence marker: the aip twin's state.update() runs even
+            # when a batch buffered nothing (e.g. a lone stream_prepare
+            # for a txn whose DML is all outside the publication), and
+            # the fate-only re-emit branch keys off state EXISTENCE —
+            # without this, the two "identical contract" gates diverge
+            # on that input (round-6 review #3)
+            self._seen = handle.getValueState(
+                "seen", "b boolean", ttlDurationMs=ttl_ms
+            )
 
         def handleInputRows(
             self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
         ) -> Iterator[pd.DataFrame]:
             (top_xid,) = key
-            had_state = self._buf.exists() or self._aborted.exists()
+            had_state = (
+                self._buf.exists()
+                or self._aborted.exists()
+                or self._seen.exists()
+            )
             aborted = (
                 {s for (s,) in self._aborted.get()}
                 if self._aborted.exists()
@@ -553,6 +566,7 @@ def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
                 elif op == "rollback_prepared":
                     self._buf.clear()
                     self._aborted.clear()
+                    self._seen.clear()
                     return
                 elif op == "stream_prepare":
                     pass  # fate is the later commit/rollback_prepared
@@ -562,6 +576,7 @@ def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
                     if sub is None or sub == top_xid:  # top-level abort
                         self._buf.clear()
                         self._aborted.clear()
+                        self._seen.clear()
                         return
                     aborted.add(sub)
                     new_aborts.append((sub,))
@@ -584,6 +599,7 @@ def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
                     self._buf.appendList(fresh)  # incremental — no rewrite
                 if new_aborts:
                     self._aborted.appendList(new_aborts)
+                self._seen.update((True,))
                 return
 
             buffered = (
@@ -601,6 +617,7 @@ def _stream_gate_class(ttl_ms: int | None, reemit_unmatched_fates: bool):
             out.sort(key=lambda r: (r.get("lsn_long") or 0, r.get("seq") or 0))
             self._buf.clear()
             self._aborted.clear()
+            self._seen.clear()
             if out:
                 yield pd.DataFrame(out, columns=_OUT_COLUMNS)
 
@@ -618,65 +635,25 @@ def _gated_stream_tws(
     passthrough: bool,
     reemit_unmatched_fates: bool = True,
 ) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from pg_logical_replication_spark.streaming.stateful import (
         TXN_OUTPUT_SCHEMA,
+        gate_frames,
     )
 
-    is_fate = F.col("op").isin(
-        "stream_commit", "stream_abort", "stream_prepare",
-        "commit_prepared", "rollback_prepared",
-    )
-    is_ctrl = F.col("op").isin(*ctrl_ops)
-    streamish = (top.isNotNull() | is_fate) & ~is_ctrl
-
-    cols = ["op", "lsn", "lsn_long", "xid", "commit_ts", "schema", "table",
-            "key", "before", "after"]
-    seq_cols = (
-        [F.col("seq").cast("long").alias("seq")]
-        if "seq" in events.columns
-        else [F.lit(None).cast("long").alias("seq")]
-    )
-    gated = (
-        events.filter(streamish)
-        .select(
-            *[F.col(c) for c in cols if c in events.columns],
-            *seq_cols,
-            # g_-prefixed, NOT _-prefixed: the tws Arrow bridge renames
-            # leading-underscore columns positionally (round-6 finding)
-            F.coalesce(top, F.col("xid")).alias("g_top"),
-            F.col("meta").getItem("subxid").cast("long").alias("g_subxid"),
-        )
-        .groupBy("g_top")
-        .transformWithStateInPandas(
-            statefulProcessor=_stream_gate_class(
-                ttl_ms, reemit_unmatched_fates
-            )(),
-            outputStructType=TXN_OUTPUT_SCHEMA,
-            outputMode="append",
-            timeMode="None" if ttl_ms is None else "ProcessingTime",
-        )
+    # g_-prefixed, NOT _-prefixed: the tws Arrow bridge renames
+    # leading-underscore columns positionally (round-6 finding); the
+    # scaffolding itself is shared with the aip gate (gate_frames)
+    gate_input, rest, key_col = gate_frames(events, top, ctrl_ops, "g_")
+    gated = gate_input.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_stream_gate_class(
+            ttl_ms, reemit_unmatched_fates
+        )(),
+        outputStructType=TXN_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
     if not passthrough:
         return gated
-    rest = events.filter(~streamish & ~is_ctrl).select(
-        *[
-            F.col(c)
-            if c in events.columns
-            else F.lit(None).cast("string").alias(c)
-            for c in ["op", "lsn"]
-        ],
-        F.col("lsn_long"),
-        *seq_cols,
-        F.col("xid"),
-        F.col("commit_ts"),
-        F.col("schema"),
-        F.col("table"),
-        F.col("key"),
-        F.col("before"),
-        F.col("after"),
-    )
     return gated.unionByName(rest)
 
 

@@ -643,3 +643,49 @@ def test_incremental_dedup_flags(spark):
     assert got[10] == (True, False)   # exact wins; categories disjoint
     assert got[11] == (False, True)
     assert got[12] == (False, False)
+
+
+def test_zipf_profile_vocabulary_beyond_bucket_range(spark):
+    """Round-6 review CONFIRMED bug: with > 2^n_buckets distinct tokens,
+    F.sequence(b_lo, hi) with b_lo > hi generated a DESCENDING sequence
+    — out-of-range buckets and negative overlap counts. The histogram
+    form must equal the explicit rank-window reference on a 9000-type
+    vocabulary with frequency ties straddling the last bucket."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.text import zipf_profile
+
+    rows = []
+    for i in range(9000):
+        reps = 3 if i < 1000 else (2 if i < 3000 else 1)
+        rows.append((i, " ".join([f"tok{i:05d}"] * reps)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["n_types"], r["n_occurrences"], r["mean_log2_freq"])
+        for r in zipf_profile(df, n_buckets=12).collect()
+    }
+    toks = df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    freq = (
+        toks.select(F.lower("tok").alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("freq"))
+    )
+    ranked = (
+        freq.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("freq"), "tok"))
+        )
+        .withColumn("bucket", (F.length(F.bin("rank")) - 1).cast("long"))
+        .where(F.col("bucket") < 12)
+    )
+    want = {
+        r["bucket"]: (r["n_types"], r["n_occurrences"], r["mean_log2_freq"])
+        for r in ranked.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.round(
+                F.avg((F.length(F.bin("freq")) - 1).cast("double")), 6
+            ).alias("mean_log2_freq"),
+        ).collect()
+    }
+    assert got == want
+    assert max(got) == 11 and 12 not in got

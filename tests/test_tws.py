@@ -409,3 +409,59 @@ def test_stream_gate_tws_agrees_with_apply_in_pandas(rocksdb, tmp_path):
     assert "subdrop" not in vs and "topdrop" not in vs and "rolled2pc" not in vs
     # the unmatched plain-2PC fate re-emitted on both paths
     assert any(x[0] == "commit_prepared" and x[2] == 600 for x in a)
+
+
+def test_stream_gate_tws_prepare_only_key_agrees(rocksdb, tmp_path):
+    """Round-6 review #3: a key whose FIRST batch contains only
+    stream_prepare (zero DML reached the gate) must behave identically
+    on both backends when its commit_prepared arrives later — the aip
+    twin arms state unconditionally and swallows the empty flush; the
+    tws twin must not take the fate-only re-emit branch."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        resolve_streamed_stream,
+    )
+    from pg_logical_replication_spark.streaming.tws import (
+        resolve_streamed_tws,
+    )
+
+    spark = rocksdb
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+    batches = [
+        [_sev("stream_prepare", 0x402, 1, 400)],
+        [_sev("commit_prepared", 0x410, 2, 400,
+              commit_ts="2026-08-13 00:00:09.000000")],
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    base = _time.time() - 10_000
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.jsonl"
+        with open(p, "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    def run(op, name, ckpt):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+        )
+        q = (
+            op(raw).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["op"], r["xid"]) for r in spark.sql(f"select * from {name}").collect()
+        )
+
+    a = run(resolve_streamed_tws, "po_tws", "ck_po1")
+    b = run(resolve_streamed_stream, "po_aip", "ck_po2")
+    assert a == b == []  # empty flush swallowed on BOTH paths
