@@ -320,7 +320,7 @@ def connected_components_star(
             nxt.exceptAll(edges).limit(1).count()
             + edges.exceptAll(nxt).limit(1).count()
         )
-        prev, edges = edges, nxt
+        edges = nxt
         if changed == 0:
             break
     else:
@@ -387,6 +387,12 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id", band_size: int = 2) ->
     generation.
     """
     mh_cols = [c for c in sig.columns if c.startswith("minhash_")]
+    if len(mh_cols) % band_size:
+        raise ValueError(
+            f"minhash_bands: {len(mh_cols)} minhashes do not fold into "
+            f"bands of {band_size} — trailing hashes would be silently "
+            "dropped (computed but contributing zero recall)"
+        )
     bands = len(mh_cols) // band_size
     entries = F.array(
         *[
@@ -418,9 +424,15 @@ def minhash_candidate_pairs(
     docs) are the classic skew case — AQE skew-join splits them. Never
     computes all-pairs.
     """
+    # materialize-or-pay (round-6 review #5): Spark plans no
+    # ReusedExchange across renamed self-join sides, so without this the
+    # ENTIRE shingle-explode + groupBy(min x K) signature pipeline runs
+    # twice — once per side (the _candidate_pair_stats measurement).
+    # One executor-local write of the (id, band_idx, band_key) triples
+    # feeds both sides.
     bands = minhash_bands(
         minhash_signature(df, text_col, id_col, num_hashes, shingle_n), id_col, band_size
-    )
+    ).localCheckpoint()
     a = bands.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("a_id")
     )
@@ -701,6 +713,14 @@ def simhash_pairs(
     bit-for-bit. Output: a_id, b_id, hamming.
     """
     assert bits % bands == 0
+    # pigeonhole bound: banding only guarantees a candidate band for
+    # pairs with hamming < bands; allowing max_hamming >= bands would
+    # return an input-dependent SUBSET of qualifying pairs (round-6
+    # review #4 — silent recall loss)
+    assert max_hamming < bands, (
+        f"simhash_pairs: max_hamming={max_hamming} must be < bands="
+        f"{bands} for the pigeonhole recall guarantee"
+    )
     w = bits // bands
     sig = simhash(df, text_col, id_col, bits)
     entries = F.array(
@@ -716,7 +736,9 @@ def simhash_pairs(
     )
     banded = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(entries).alias("e")
-    ).select(id_col, "simhash", "e.band_idx", "e.band_key")
+    ).select(id_col, "simhash", "e.band_idx", "e.band_key").localCheckpoint()
+    # (localCheckpoint: the renamed self-join would re-run the full
+    # per-token vote aggregation per side — round-6 review #5)
     a = banded.select(
         F.col(id_col).alias("a_id"),
         F.col("simhash").alias("sig_a"),
@@ -866,21 +888,24 @@ def bloom_contamination_flags(
     """
     import hashlib
 
+    if k > 3:
+        raise ValueError("bloom_contamination_flags: k <= 3 (one md5 "
+                         "yields three 40-bit position chunks)")
     sh_df = exploded_shingles(
         benchmark, text_col=text_col, id_col=id_col, n=n
     ).select("sh").distinct()
-    probe = sh_df.limit(max_benchmark_shingles + 1).count()
-    if probe > max_benchmark_shingles:
+    # ONE job guards and builds: collect limit(cap+1) — if the extra
+    # row came back, the benchmark is over the cap (round-6 review #8:
+    # the separate count() probe ran the whole shingle pipeline twice)
+    rows = sh_df.limit(max_benchmark_shingles + 1).collect()
+    if len(rows) > max_benchmark_shingles:
         raise ValueError(
             f"bloom_contamination_flags: benchmark exceeds "
             f"{max_benchmark_shingles} distinct shingles — use "
             "contamination() (broadcast join) for corpus-sized sets"
         )
-    if k > 3:
-        raise ValueError("bloom_contamination_flags: k <= 3 (one md5 "
-                         "yields three 40-bit position chunks)")
     words = [0] * ((m_bits + 63) // 64)
-    for r in sh_df.collect():
+    for r in rows:
         h = hashlib.md5(r["sh"].encode()).hexdigest()
         for i in range(k):
             pos = int(h[10 * i : 10 * i + 10], 16) % m_bits

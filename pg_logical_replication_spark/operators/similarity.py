@@ -95,11 +95,15 @@ def hyperplane_signs(vec_col: str, dims: int, planes: int, table: int = 0) -> Co
     # string assembly is microseconds and the parsed expressions — and
     # therefore every float result — are identical.
     parts = [
-        # loud guard: a vector shorter than `dims` would null-pad the
-        # zip_with, null every projection, and collapse all signatures
-        # to one bucket (silent brute-force; review r2)
-        f"CASE WHEN size(`{vec_col}`) >= {dims} THEN '' ELSE "
-        f"raise_error('hyperplane_signs: embedding shorter than dims={dims}') "
+        # loud guard, EXACT length: a vector shorter than `dims` would
+        # null-pad the zip_with (review r2) — and a vector LONGER than
+        # `dims` null-pads the WEIGHTS side instead, which nulls every
+        # projection the same way and collapses all signatures to one
+        # all-'0' bucket (round-6 review #1: silent brute-force for any
+        # corpus whose embedding width exceeds the configured dims)
+        f"CASE WHEN size(`{vec_col}`) = {dims} THEN '' ELSE "
+        f"raise_error('hyperplane_signs: embedding length must equal "
+        f"dims={dims}') "
         "END"
     ]
     for p in range(planes):
@@ -148,12 +152,23 @@ def lsh_cosine_topk(
     sigs = lambda: F.array(  # noqa: E731
         *[hyperplane_signs(vec_col, dims, planes, table=t) for t in range(tables)]
     )
+    # norms hoisted BELOW the join, once per row before the table
+    # explode (round-6 review #6 — the cosine_topk:52 finding applied
+    # here too: computing the interpreted-HOF norm per CANDIDATE pays
+    # it B times for a corpus row matching B queries; same doubles,
+    # evaluated once)
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sigs().alias("_sigs")
-    ).select("n_id", "n_vec", F.posexplode("_sigs").alias("tbl", "bucket"))
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+        sigs().alias("_sigs"),
+    ).select("n_id", "n_vec", "n_norm", F.posexplode("_sigs").alias("tbl", "bucket"))
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sigs().alias("_sigs")
-    ).select("q_id", "q_vec", F.posexplode("_sigs").alias("q_tbl", "q_bucket"))
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        sigs().alias("_sigs"),
+    ).select("q_id", "q_vec", "q_norm", F.posexplode("_sigs").alias("q_tbl", "q_bucket"))
     scored = (
         c.join(
             F.broadcast(q),
@@ -167,7 +182,7 @@ def lsh_cosine_topk(
             "n_id",
             F.round(
                 _dot(F.col("q_vec"), F.col("n_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                / (F.col("q_norm") * F.col("n_norm")),
                 6,
             ).alias("cosine"),
         )
@@ -337,7 +352,19 @@ def hyperplane_band_pairs(
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * quant).cast("long")
     )
-    base = df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+    # loud exact-length guard (round-6 review #3): element_at past a
+    # short vector returns null, which nulls every plane_dot and band
+    # signature — null join keys never match, so short rows would
+    # silently VANISH from the candidate set instead of erroring
+    guard = F.expr(
+        f"CASE WHEN size(`{vec_col}`) = {dim} THEN 0 ELSE "
+        f"raise_error('hyperplane_band_pairs: embedding length must "
+        f"equal dim={dim}') END"
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(qv, lambda x: x + guard).alias("qv"),
+    )
 
     def plane_dot(p: int) -> Column:
         def sgn(i: Column) -> Column:
@@ -362,13 +389,15 @@ def hyperplane_band_pairs(
             sig = sig + F.shiftleft(bit, j)
         return sig
 
+    # materialize-or-pay (round-6 review #5): the renamed self-join
+    # would otherwise run the planes x band_bits LCG dot products twice
     sigs = base.select(
         "id",
         "qv",
         F.posexplode(F.array(*[band_sig(b) for b in range(n_bands)])).alias(
             "band", "sig"
         ),
-    )
+    ).localCheckpoint()
     a = sigs.select(
         F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), "band", "sig"
     )
@@ -809,6 +838,13 @@ def bq_code_words(vec_col: str, dims: int = 64) -> tuple[Column, Column]:
     engine replays it exactly)."""
 
     def word(lo: int, hi: int) -> Column:
+        if hi <= lo:
+            # empty range: sequence(lo, hi-1) with lo > hi-1 generates a
+            # DESCENDING sequence, not an empty one (round-6 review #2 —
+            # for dims <= 32 the second word re-tested the last
+            # dimension and shiftleft(1L, -1) masked to bit 63,
+            # double-weighting it in every Hamming distance)
+            return F.lit(0).cast("long")
         return F.expr(
             f"aggregate(sequence({lo}, {hi - 1}), 0L, (a, i) -> a + "
             f"(CASE WHEN element_at({vec_col}, i + 1) > 0 "
@@ -974,6 +1010,14 @@ def _kmeans_core(
     if len(seed_rows) < k:
         raise ValueError(f"kmeans_assign: k={k} > corpus size {len(seed_rows)}")
     means = [[float(v) for v in r["_xq"]] for r in seed_rows]
+    # dims is a declared contract, not dead surface (round-6 review #9):
+    # a mismatched embedding width would null-poison the zip_with
+    # distances silently — validate it against the seeds we just read
+    if any(len(m) != dims for m in means):
+        raise ValueError(
+            f"kmeans_assign: dims={dims} but seed vectors have length "
+            f"{sorted({len(m) for m in means})}"
+        )
 
     def _assign(m: list[list[float]]) -> DataFrame:
         # ONE SQL string per plan build (the IVF lesson: py4j lambda

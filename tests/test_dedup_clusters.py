@@ -145,3 +145,31 @@ def test_duplicated_span_coverage_planted_overlap(spark):
         assert got[did]["n_dup_windows"] == 6
         assert got[did]["n_dup_tokens"] == 25, got[did]
     assert got[1]["n_tokens"] == 33 and got[2]["n_tokens"] == 29
+
+
+def test_simhash_pairs_rejects_unreachable_hamming(spark):
+    """Round-6 review #4: max_hamming >= bands breaks the pigeonhole
+    recall guarantee (input-dependent subset output) — must assert."""
+    import pytest
+
+    from pg_logical_replication_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_pairs(df, bits=16, bands=4, max_hamming=5)
+
+
+def test_minhash_bands_rejects_non_divisible_band_size(spark):
+    """Round-6 review #7: num_hashes not divisible by band_size
+    silently dropped trailing minhashes — must raise."""
+    import pytest
+
+    from pg_logical_replication_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sig = minhash_signature(df, num_hashes=9)
+    with pytest.raises(ValueError, match="do not fold"):
+        minhash_bands(sig, band_size=2)

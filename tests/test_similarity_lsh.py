@@ -310,3 +310,71 @@ def test_auto_planes_scales_with_corpus(spark):
     # must survive however many planes "auto" picks
     got = {(r.a_id, r.b_id) for r in pairs_auto.collect()}
     assert (0, 3000) in got
+
+
+def test_hyperplane_signs_rejects_wrong_length_vectors(spark):
+    """Round-6 review #1: a vector LONGER than dims null-padded the
+    weights side of the zip_with and collapsed every signature to one
+    all-'0' bucket (silent brute force). Both directions must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    long_vec = spark.createDataFrame(
+        [(1, [0.1] * 128)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="length must equal dims"):
+        long_vec.select(
+            hyperplane_signs("embedding", 64, 4).alias("s")
+        ).collect()
+    short_vec = spark.createDataFrame(
+        [(1, [0.1] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="length must equal dims"):
+        short_vec.select(
+            hyperplane_signs("embedding", 64, 4).alias("s")
+        ).collect()
+    ok = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<float>"
+    )
+    sig = ok.select(hyperplane_signs("embedding", 64, 4).alias("s")).collect()
+    assert len(sig[0]["s"]) == 4
+
+
+def test_bq_code_words_small_dims_no_double_count(spark):
+    """Round-6 review #2: for dims <= 32 the second word re-tested the
+    last dimension via a DESCENDING sequence and shiftleft(1L,-1) ->
+    bit 63. The second word must be 0 and the first exact."""
+    from pg_logical_replication_spark.operators.similarity import (
+        bq_code_words,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 32), (2, [-1.0] * 31 + [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    w0, w1 = bq_code_words("embedding", dims=32)
+    rows = {r["vec_id"]: (r["w0"], r["w1"])
+            for r in df.select("vec_id", w0.alias("w0"), w1.alias("w1")).collect()}
+    assert rows[1] == ((1 << 32) - 1, 0)      # all 32 bits in word0 only
+    assert rows[2] == (1 << 31, 0)            # last dim ONCE, bit 31
+
+
+def test_hyperplane_band_pairs_rejects_short_vectors(spark):
+    """Round-6 review #3: short vectors nulled every band signature and
+    silently vanished from the candidate join; they must raise."""
+    import pytest
+
+    from pg_logical_replication_spark.operators.similarity import (
+        hyperplane_band_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 32), (2, [0.5] * 32)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="length must equal dim"):
+        hyperplane_band_pairs(df, dim=64).collect()
