@@ -171,8 +171,11 @@ def global_row_number(
         .withColumn("_mono", F.monotonically_increasing_id())
         .localCheckpoint()
     )
-    pid = (F.col("_mono") / F.lit(1 << 33)).cast("long")
-    lrn = (F.col("_mono") % F.lit(1 << 33)) + 1
+    # integer arithmetic only (ADVICE r6): true division goes through
+    # double and loses exactness once _mono exceeds 2^53 (partition
+    # index >= 2^20) — the extreme partition counts this exists for
+    pid = F.shiftright(F.col("_mono"), 33)
+    lrn = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1)) + 1
     counts = {
         r["_pid"]: r["n"]
         for r in d.groupBy(pid.alias("_pid")).agg(
@@ -193,6 +196,77 @@ def global_row_number(
     return d.withColumn(out_col, (off_expr + lrn).cast("long")).drop(
         "_mono"
     ), total
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global running sum (``SUM(v) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``) without the SinglePartition sort that
+    window forces — :func:`global_row_number`'s layout applied to
+    prefix sums (VERDICT r6 #2: the boundary-bucket cut of
+    ``token_budget_select`` on length-homogeneous corpora).
+
+    ``order_cols`` may be Column expressions (``F.col("n").desc()``)
+    and must form a TOTAL order (end in a unique tie-break). Steps:
+
+      1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+         — partition p is a contiguous sorted slice; ``localCheckpoint``
+         freezes the sampled range boundaries;
+      2. per-partition value sums (≤ num_partitions rows to the driver)
+         fold into cumulative offsets, mapped back by the
+         ``monotonically_increasing_id`` partition id;
+      3. the running sum WITHIN each partition is a window partitioned
+         by that pid — a hash exchange of the input, never a
+         SinglePartition sort — plus the driver offset.
+
+    Cost: one range exchange + one hash exchange of ``df`` (both fully
+    parallel) + a partition-count driver round trip."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n_parts = num_partitions or max(
+        2, spark.sparkContext.defaultParallelism
+    )
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    d = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftright(F.col("_mono"), 33)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy(pid.alias("_pid"))
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    if not sums:
+        return d.withColumn(out_col, F.lit(None).cast("long")).drop(
+            "_mono"
+        )
+    total, offsets = 0, {}
+    for p in sorted(sums):  # range partition order IS the total order
+        offsets[p] = total
+        total += sums[p] or 0
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[pid]
+    w = (
+        W.partitionBy(pid)
+        .orderBy("_mono")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return d.withColumn(
+        out_col, off_expr + F.sum(value_col).over(w)
+    ).drop("_mono")
 
 
 def exact_ntile(

@@ -355,7 +355,11 @@ def hyperplane_band_pairs(
     # loud exact-length guard (round-6 review #3): element_at past a
     # short vector returns null, which nulls every plane_dot and band
     # signature — null join keys never match, so short rows would
-    # silently VANISH from the candidate set instead of erroring
+    # silently VANISH from the candidate set instead of erroring.
+    # Evaluated as the WHEN condition of the output column — NOT inside
+    # a transform() lambda, which never runs for empty arrays and
+    # yields null for NULL arrays, the exact silent-loss modes the
+    # guard exists to close (size(NULL) = -1 also trips it here).
     guard = F.expr(
         f"CASE WHEN size(`{vec_col}`) = {dim} THEN 0 ELSE "
         f"raise_error('hyperplane_band_pairs: embedding length must "
@@ -363,7 +367,7 @@ def hyperplane_band_pairs(
     ).cast("long")
     base = df.select(
         F.col(id_col).alias("id"),
-        F.transform(qv, lambda x: x + guard).alias("qv"),
+        F.when(guard == F.lit(0), qv).alias("qv"),
     )
 
     def plane_dot(p: int) -> Column:

@@ -913,7 +913,11 @@ def q_cdc_txn_frames(spark, sf_dir):
     )
     commits = per_txn.select(
         F.lit("commit").alias("op"),
-        (F.col("txn") * 1000 + 995).alias("seq"),
+        # +994, not +995: txn t+1's begin sits at 1000(t+1)-5 = 1000t+995,
+        # so +995 would TIE the fill-forward window on seq (ADVICE r6) —
+        # correctness then hangs on commit rows carrying their own
+        # xid/commit_ts through coalesce, not on deterministic framing
+        (F.col("txn") * 1000 + 994).alias("seq"),
         F.col("txn").alias("xid"),
         F.col("max_ts").cast("timestamp").alias("commit_ts"),
         F.lit(None).cast("long").alias("eid"),
@@ -975,7 +979,11 @@ def q_cdc_txn_frames_partitioned(spark, sf_dir):
     )
     commits = per_txn.select(
         F.lit("commit").alias("op"),
-        (F.col("txn") * 1000 + 995).alias("seq"),
+        # +994, not +995: txn t+1's begin sits at 1000(t+1)-5 = 1000t+995,
+        # so +995 would TIE the fill-forward window on seq (ADVICE r6) —
+        # correctness then hangs on commit rows carrying their own
+        # xid/commit_ts through coalesce, not on deterministic framing
+        (F.col("txn") * 1000 + 994).alias("seq"),
         F.col("txn").alias("xid"),
         F.col("max_ts").cast("timestamp").alias("commit_ts"),
         F.lit(None).cast("long").alias("eid"),

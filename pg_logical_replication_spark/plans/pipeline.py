@@ -1484,7 +1484,9 @@ def q_corpus_quota_sample(spark, sf_dir):
     )
 
 
-def token_budget_select(docs, budget: int):
+def token_budget_select(
+    docs, budget: int, boundary_rows_threshold: int = 2_000_000
+):
     """EXACT longest-first budget prefix, without a corpus-wide sort.
 
     Semantics: order ``docs`` by (n_tokens DESC, doc_id) globally and
@@ -1511,32 +1513,63 @@ def token_budget_select(docs, budget: int):
     n_tokens always share a bucket, so the (n_tokens DESC, doc_id)
     tie-break happens inside the one sorted slice.
 
-    Returns the selected rows with ``docs``'s columns.
+    Length-HOMOGENEOUS corpora (every doc in one value-range bucket —
+    a real shape after fixed-size chunking) would put the whole corpus
+    in the boundary slice, degenerating the slice sort back to the
+    SinglePartition window r5 flagged. Above
+    ``boundary_rows_threshold`` rows (census count, known before any
+    sort) the cut therefore switches to
+    :func:`~..operators.layout.global_running_sum` — range-partitioned
+    exact prefix sums, no single-partition stage at any size
+    (VERDICT r6 #2).
+
+    Requires ``doc_id`` unique (it is the tie-break of the total
+    order). Returns the selected rows with ``docs``'s columns.
     """
     from pyspark.sql import Window as W
 
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_sum,
+    )
+
     bucket = F.floor(F.log2(F.col("n_tokens") + F.lit(2.0)) * 32).cast("int")
     b = docs.withColumn("_tb", bucket)
-    census = b.groupBy("_tb").agg(F.sum("n_tokens").alias("s")).collect()
-    cum, boundary, offset = 0, None, 0
+    census = b.groupBy("_tb").agg(
+        F.sum("n_tokens").alias("s"), F.count("*").alias("n")
+    ).collect()
+    cum, boundary, offset, boundary_n = 0, None, 0, 0
     for r in sorted(census, key=lambda r: -r["_tb"]):
         if cum + r["s"] > budget:
-            boundary, offset = r["_tb"], cum
+            boundary, offset, boundary_n = r["_tb"], cum, r["n"]
             break
         cum += r["s"]
     if boundary is None:  # the whole corpus fits
         return docs
     cols = docs.columns
     full = b.filter(F.col("_tb") > boundary).select(*cols)
-    w = W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    edge = (
-        b.filter(F.col("_tb") == boundary)
-        .withColumn("_cum", F.sum("n_tokens").over(w) + F.lit(offset))
-        .filter(F.col("_cum") <= budget)
-        .select(*cols)
-    )
+    slice_df = b.filter(F.col("_tb") == boundary)
+    if boundary_n > boundary_rows_threshold:
+        edge = (
+            global_running_sum(
+                slice_df,
+                [F.col("n_tokens").desc(), F.col("doc_id")],
+                "n_tokens",
+                out_col="_cum",
+            )
+            .filter(F.col("_cum") + F.lit(offset) <= budget)
+            .select(*cols)
+        )
+    else:
+        w = W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        edge = (
+            slice_df.withColumn(
+                "_cum", F.sum("n_tokens").over(w) + F.lit(offset)
+            )
+            .filter(F.col("_cum") <= budget)
+            .select(*cols)
+        )
     return full.unionByName(edge)
 
 

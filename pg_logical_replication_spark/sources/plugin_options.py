@@ -123,7 +123,16 @@ def options_clause(plugin: str, options: dict | None = None) -> str:
                     f"{flag.replace('-', '_')} '{_bool_word(flag, v)}'"
                 )
         if norm.get("origin") is not None:
-            parts.append(f"origin '{norm['origin']}'")
+            # strict like _bool_word: PG16's filter accepts exactly
+            # none|any; interpolating anything else (typo, quote) would
+            # silently emit a malformed START_REPLICATION clause
+            oval = str(norm["origin"]).strip().lower()
+            if oval not in ("none", "any"):
+                raise ValueError(
+                    f"pgoutput option origin={norm['origin']!r}: "
+                    "expected 'none' or 'any'"
+                )
+            parts.append(f"origin '{oval}'")
         return f" ({', '.join(parts)})"
     if plugin == "decoderbufs":
         return ""

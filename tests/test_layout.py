@@ -142,6 +142,64 @@ def test_global_row_number_matches_window(spark):
     assert got == want
 
 
+def test_global_running_sum_matches_window(spark):
+    """Exact distributed prefix sum == single-partition SUM OVER
+    (ORDER BY v DESC, k ROWS UNBOUNDED PRECEDING), on a multi-partition
+    frame with heavy ties and a descending order column."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    random.seed(17)
+    rows = [(i, random.randint(0, 25)) for i in range(1103)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    order = [F.col("v").desc(), F.col("k")]
+    got = {
+        r["k"]: r["cum"]
+        for r in global_running_sum(df, order, "v", out_col="cum").collect()
+    }
+    w = W.orderBy(F.col("v").desc(), "k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r["k"]: r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_token_budget_homogeneous_corpus_distributed_cut(spark):
+    """VERDICT r6 #2: a length-homogeneous corpus (every doc in ONE
+    log2 value-range bucket — the post-chunking shape) must not fall
+    back to the corpus-sized SinglePartition window. Above the census
+    threshold the cut routes through global_running_sum: same selected
+    set as the window path, and no SinglePartition exchange anywhere
+    in the executed plan."""
+    from pg_logical_replication_spark.plans.pipeline import (
+        token_budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 7) for i in range(900)], "doc_id long, n_tokens long"
+    ).repartition(8)
+    # threshold=0 forces the distributed path; huge threshold = the
+    # window reference. Budget cuts mid-bucket (897*7 < 6283 < 898*7).
+    fast = token_budget_select(docs, 6283, boundary_rows_threshold=0)
+    slow = token_budget_select(
+        docs, 6283, boundary_rows_threshold=10**9
+    )
+    got = sorted(r["doc_id"] for r in fast.collect())
+    want = sorted(r["doc_id"] for r in slow.collect())
+    assert got == want and len(got) == 897
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_exact_ntile_matches_window_ntile(spark):
     """Distributed exact ntile == NTILE(4) OVER (ORDER BY v, k) —
     including the n mod t remainder distribution and the n < tiles

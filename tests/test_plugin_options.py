@@ -66,6 +66,24 @@ def test_pgoutput_serialization():
     ) == " (proto_version '2', publication_names 'p', messages 'true')"
 
 
+def test_pgoutput_origin_validation():
+    """ADVICE r6: origin must be validated like the strict booleans —
+    a typo or quote-bearing value otherwise interpolates a malformed
+    START_REPLICATION clause instead of raising."""
+    assert options_clause(
+        "pgoutput", {"protoVersion": 1, "publicationNames": "p", "origin": "NONE"}
+    ).endswith("origin 'none')")
+    assert options_clause(
+        "pgoutput", {"protoVersion": 1, "publicationNames": "p", "origin": "any"}
+    ).endswith("origin 'any')")
+    for bad in ("anny", "none'", "", "true"):
+        with pytest.raises(ValueError, match="origin"):
+            options_clause(
+                "pgoutput",
+                {"protoVersion": 1, "publicationNames": "p", "origin": bad},
+            )
+
+
 def test_decoderbufs_and_unknown():
     assert options_clause("decoderbufs", {"anything": True}) == ""
     with pytest.raises(ValueError, match="unknown plugin"):

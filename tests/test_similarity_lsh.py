@@ -378,3 +378,29 @@ def test_hyperplane_band_pairs_rejects_short_vectors(spark):
     )
     with pytest.raises(Exception, match="length must equal dim"):
         hyperplane_band_pairs(df, dim=64).collect()
+
+
+def test_hyperplane_band_pairs_rejects_empty_and_null_vectors(spark):
+    """ADVICE r6: transform() never evaluates its lambda for an empty
+    array and yields null for a NULL array, so a guard hidden inside
+    the element lambda missed exactly those rows — they silently
+    vanished from the candidate set. Both must raise now."""
+    import pytest
+
+    from pg_logical_replication_spark.operators.similarity import (
+        hyperplane_band_pairs,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, [0.5] * 32), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="length must equal dim"):
+        hyperplane_band_pairs(empty, dim=32).collect()
+
+    null = spark.createDataFrame(
+        [(1, [0.5] * 32), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="length must equal dim"):
+        hyperplane_band_pairs(null, dim=32).collect()
