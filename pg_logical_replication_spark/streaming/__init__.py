@@ -25,8 +25,11 @@ from pg_logical_replication_spark.streaming.apply import (  # noqa: F401
     MergeOnReadTable,
 )
 from pg_logical_replication_spark.streaming.stateful import (  # noqa: F401
+    TXN_GATE_LISTSTATE_CROSSOVER_ROWS,
     assemble_transactions_stream,
+    resolve_streamed_gate,
     resolve_streamed_stream,
+    resolve_transactions_gate,
     resolve_transactions_stream,
     toast_fill_stream,
 )

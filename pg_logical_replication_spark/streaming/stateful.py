@@ -416,6 +416,92 @@ def resolve_transactions_stream(
     )
 
 
+# Measured aip-vs-tws crossover (SCALE.md round 6, RocksDB store,
+# one txn held open across micro-batches, fate last): 64k buffered rows
+# aip wins (18.5 vs 30.2 s — tws pays per-batch state-server protocol
+# constants), ~192k near-tie, 500k ListState wins x1.56 and the gap
+# grows quadratically (aip rewrites the whole buffer per batch; tws
+# appends). This constant is that measurement, not an asymptotic guess.
+TXN_GATE_LISTSTATE_CROSSOVER_ROWS = 200_000
+
+
+def _pick_gate_backend(backend: str, expected_txn_rows: int | None) -> str:
+    if backend not in ("auto", "aip", "tws"):
+        raise ValueError(
+            f"backend={backend!r}: expected 'auto', 'aip', or 'tws'"
+        )
+    if backend != "auto":
+        return backend
+    if (
+        expected_txn_rows is not None
+        and expected_txn_rows >= TXN_GATE_LISTSTATE_CROSSOVER_ROWS
+    ):
+        return "tws"
+    return "aip"
+
+
+def resolve_streamed_gate(
+    events: DataFrame,
+    backend: str = "auto",
+    expected_txn_rows: int | None = None,
+    timeout_ms: int | None = None,
+    passthrough: bool = True,
+) -> DataFrame:
+    """Streamed-txn commit gate with an explicit state-backend pick —
+    the deployment rule from SCALE.md r6 as a flag (VERDICT r6 #7).
+
+    ``backend='aip'`` is the ``applyInPandasWithState`` form (lower
+    per-batch constants — wins for OLTP-shaped transactions);
+    ``backend='tws'`` is the ``transformWithStateInPandas`` ListState
+    twin (per-batch APPEND instead of full-buffer rewrite — wins when
+    one transaction buffers ~2×10⁵+ changes, exactly the workloads
+    ``logical_decoding_work_mem`` streaming exists for). ``'auto'``
+    picks by ``expected_txn_rows`` (e.g. the workload's
+    ``logical_decoding_work_mem`` row estimate) against the MEASURED
+    crossover ``TXN_GATE_LISTSTATE_CROSSOVER_ROWS``; with no estimate
+    it stays on aip, the right default for typical OLTP streams. The
+    two backends are contract-identical (agreement-tested on the full
+    scenario matrix in tests/test_tws.py). Note the tws backend needs
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — the default HDFS store
+    has no column families and fails the query at start."""
+    if _pick_gate_backend(backend, expected_txn_rows) == "tws":
+        from pg_logical_replication_spark.streaming.tws import (
+            resolve_streamed_tws,
+        )
+
+        return resolve_streamed_tws(
+            events, ttl_ms=timeout_ms, passthrough=passthrough
+        )
+    return resolve_streamed_stream(
+        events, timeout_ms=timeout_ms, passthrough=passthrough
+    )
+
+
+def resolve_transactions_gate(
+    events: DataFrame,
+    backend: str = "auto",
+    expected_txn_rows: int | None = None,
+    timeout_ms: int | None = None,
+    passthrough: bool = True,
+) -> DataFrame:
+    """Combined streamed + plain-2PC gate with the same backend flag as
+    :func:`resolve_streamed_gate` (see its docstring for the measured
+    crossover semantics)."""
+    if _pick_gate_backend(backend, expected_txn_rows) == "tws":
+        from pg_logical_replication_spark.streaming.tws import (
+            resolve_transactions_tws,
+        )
+
+        return resolve_transactions_tws(
+            events, ttl_ms=timeout_ms, passthrough=passthrough
+        )
+    return resolve_transactions_stream(
+        events, timeout_ms=timeout_ms, passthrough=passthrough
+    )
+
+
 def gate_frames(
     events: DataFrame, top, ctrl_ops: list[str], prefix: str
 ) -> tuple[DataFrame, DataFrame, str]:

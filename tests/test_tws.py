@@ -465,3 +465,96 @@ def test_stream_gate_tws_prepare_only_key_agrees(rocksdb, tmp_path):
     a = run(resolve_streamed_tws, "po_tws", "ck_po1")
     b = run(resolve_streamed_stream, "po_aip", "ck_po2")
     assert a == b == []  # empty flush swallowed on BOTH paths
+
+
+def test_resolve_gate_backend_auto_picks_by_expected_txn_rows(rocksdb, tmp_path):
+    """VERDICT r6 #7: the measured aip-vs-ListState crossover as a flag.
+    backend='auto' stays on applyInPandasWithState with no estimate or a
+    small one, and switches to the transformWithStateInPandas ListState
+    twin at/above TXN_GATE_LISTSTATE_CROSSOVER_ROWS; both backends agree
+    on the scenario matrix (cross-batch buffer, subxact abort, plain
+    passthrough)."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from pg_logical_replication_spark.streaming.stateful import (
+        TXN_GATE_LISTSTATE_CROSSOVER_ROWS,
+        resolve_streamed_gate,
+        resolve_transactions_gate,
+    )
+
+    spark = rocksdb
+    schema = EVENT_SCHEMA + ", meta map<string,string>"
+    batches = [
+        [
+            _sev("insert", 0x101, 1, 100, top=100, after={"id": "1", "v": "keep"}),
+            _sev("insert", 0x102, 2, 101, top=100, after={"id": "2", "v": "subdrop"}),
+            _sev("insert", 0x301, 3, 300, after={"id": "5", "v": "plain"}),
+        ],
+        [
+            _sev("stream_abort", 0x110, 4, 100, sub=101),
+            _sev("stream_commit", 0x111, 5, 100,
+                 commit_ts="2026-08-13 00:00:07.000000"),
+        ],
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    base = _time.time() - 10_000
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.jsonl"
+        with open(p, "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    def raw():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withColumn("commit_ts", F.to_timestamp("commit_ts"))
+        )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().logical().toString()
+
+    # backend pick is visible in the logical plan node
+    for gate in (resolve_streamed_gate, resolve_transactions_gate):
+        assert "FlatMapGroupsInPandasWithState" in plan_of(gate(raw()))
+        assert "FlatMapGroupsInPandasWithState" in plan_of(
+            gate(raw(), expected_txn_rows=TXN_GATE_LISTSTATE_CROSSOVER_ROWS - 1)
+        )
+        assert "TransformWithStateIn" in plan_of(
+            gate(raw(), expected_txn_rows=TXN_GATE_LISTSTATE_CROSSOVER_ROWS)
+        )
+        # explicit backend overrides the estimate
+        assert "TransformWithStateIn" in plan_of(gate(raw(), backend="tws"))
+        assert "FlatMapGroupsInPandasWithState" in plan_of(
+            gate(raw(), backend="aip", expected_txn_rows=10**9)
+        )
+        with pytest.raises(ValueError, match="backend"):
+            gate(raw(), backend="rocksdb")
+
+    # agreement: auto-small (aip) == auto-huge (tws) on the scenario
+    def run(df, name, ckpt):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["op"], r["lsn_long"], r["xid"],
+             str(r["commit_ts"]), r["after"]["v"] if r["after"] else None)
+            for r in spark.sql(f"select * from {name}").collect()
+        )
+
+    a = run(resolve_streamed_gate(raw()), "g_auto_aip", "ck_a1")
+    b = run(
+        resolve_streamed_gate(raw(), expected_txn_rows=10**6),
+        "g_auto_tws", "ck_a2",
+    )
+    assert a == b
+    vs = [x[4] for x in a]
+    assert "keep" in vs and "plain" in vs and "subdrop" not in vs
