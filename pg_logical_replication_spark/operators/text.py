@@ -1338,6 +1338,11 @@ def _unigram_chain(
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
+    # seeds feeds multi, chars AND the with_costs total — materialize
+    # once (piece-table-sized) so the 420k-substring explode is not
+    # re-evaluated 4x inside the seed-vocab checkpoint (round-7 audit)
+    if checkpoint_rounds:
+        seeds = seeds.localCheckpoint(eager=True)
     multi = (
         seeds.where(F.length("piece") >= 2)
         .orderBy(F.desc("cnt"), "piece")
@@ -1349,14 +1354,28 @@ def _unigram_chain(
         vocab = vocab.localCheckpoint(eager=True)
 
     spark = df.sparkSession
+    comp_rows = unigram_compositions(max_word_len, max_piece_len)
     comps = spark.createDataFrame(
-        unigram_compositions(max_word_len, max_piece_len),
+        comp_rows,
         "word_len int, comp_id int, starts array<int>, "
         "lens array<int>, n_parts int",
     )
+    # pre-grouped per-length LocalRelation: hands the Viterbi its comps
+    # ARRAY without the runtime groupBy shuffle it would otherwise pay
+    # per call (3 calls per train-and-encode; round-7 stage audit)
+    by_len: dict[int, list] = {}
+    for (L, cid, starts, lens, n) in comp_rows:
+        by_len.setdefault(L, []).append((cid, starts, lens, n))
+    comps_by_len = spark.createDataFrame(
+        sorted(by_len.items()),
+        "word_len int, comps array<struct<comp_id:int,"
+        "starts:array<int>,lens:array<int>,n_parts:int>>",
+    )
 
     for budget in budgets:
-        best = _unigram_viterbi(words, vocab, comps)
+        best = _unigram_viterbi(
+            words, vocab, comps, max_piece_len, comps_by_len
+        )
         usage = (
             best.join(
                 F.broadcast(comps),
@@ -1396,50 +1415,111 @@ def _unigram_chain(
     return words, vocab, comps
 
 
+_VITERBI_SENTINEL = 1 << 62
+
+
 def _unigram_viterbi(
-    words: DataFrame, vocab: DataFrame, comps: DataFrame
+    words: DataFrame,
+    vocab: DataFrame,
+    comps: DataFrame,
+    max_piece_len: int | None = None,
+    comps_by_len: DataFrame | None = None,
 ) -> DataFrame:
     """E-step: per word the min-cost in-vocab composition →
     (word, freq, comp_id, n_parts). Ties break on
     (cost, n_parts, comp_id) — lexicographic struct-min, mirrored by
-    the oracle's ROW_NUMBER ordering."""
-    pieces = (
-        words.join(F.broadcast(comps), F.length("word") == F.col("word_len"))
-        .select(
-            "word",
-            "freq",
-            "comp_id",
-            "n_parts",
-            F.explode(F.arrays_zip("starts", "lens")).alias("z"),
-        )
-        .select(
-            "word",
-            "freq",
-            "comp_id",
-            "n_parts",
-            F.expr("substring(word, z.starts, z.lens)").alias("piece"),
-        )
+    the oracle's ROW_NUMBER ordering.
+
+    Round-7 shape (VERDICT r6 #5): the original form exploded
+    (word × comp × piece) rows into a words×comps-group aggregate —
+    ~3.5M groups shuffled, and this runs three times per
+    train-and-encode (two EM rounds + the encode LUT). Now the lattice
+    never explodes: per word, piece costs land in ONE position-keyed
+    map (a single words-sized shuffle after a broadcast vocab join),
+    and the min over compositions is a nested ``aggregate`` over the
+    per-length comps ARRAY — whole-stage-codegen arithmetic, zero
+    additional exchange. A composition with any out-of-vocab piece
+    sums to NULL (``element_at`` miss) and is skipped by the merge,
+    exactly the old ``got = n_parts`` guard."""
+    # max piece length: passed by the chain (no per-call job); the
+    # collect fallback covers direct callers (bounded: 176 lattice rows)
+    max_piece = max_piece_len or comps.agg(
+        F.max(F.array_max("lens")).alias("m")
+    ).collect()[0]["m"]
+    # NOTE round-7 probe: inlining the vocab as a literal map (like
+    # the IVF centroids) is a TRAP here — element_at on a literal map
+    # is a linear scan of ArrayBasedMapData (no hash index), so a ~2k
+    # entry vocab costs O(|vocab|) per piece lookup and the E-step got
+    # ~1.3x SLOWER; the broadcast hash join below is the right lookup.
+    # position key: start*64 + len (piece lengths < 64 —
+    # collision-free by construction)
+    pos_pairs = F.expr(
+        "flatten(transform(sequence(1, length(word)), i ->"
+        f" transform(sequence(1, least({max_piece},"
+        " length(word) - i + 1)),"
+        " k -> struct(i * 64 + k AS key,"
+        " substring(word, i, k) AS piece))))"
     )
-    scored = (
-        pieces.join(F.broadcast(vocab.select("piece", "cost")), "piece")
-        .groupBy("word", "comp_id")
+    cmapped = (
+        words.select("word", "freq", F.explode(pos_pairs).alias("z"))
+        .select("word", "freq", F.col("z.key").alias("key"), F.col("z.piece").alias("piece"))
+        .join(F.broadcast(vocab.select("piece", "cost")), "piece")
+        .groupBy("word")
         .agg(
-            F.count("*").alias("got"),
-            F.min("n_parts").alias("n_parts"),
-            F.sum("cost").cast("long").alias("cost"),
-            F.min("freq").alias("freq"),
+            F.first("freq").alias("freq"),
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "cost"))
+            ).alias("cmap"),
         )
-        .where(F.col("got") == F.col("n_parts"))
     )
-    return scored.groupBy("word").agg(
-        F.min(F.struct("cost", "n_parts", "comp_id")).alias("b"),
-        F.min("freq").alias("freq"),
-    ).select(
-        "word",
-        "freq",
-        F.col("b.comp_id").alias("comp_id"),
-        F.col("b.n_parts").alias("n_parts"),
-        F.col("b.cost").alias("cost"),
+    if comps_by_len is None:
+        # fallback for direct callers; the chain passes a pre-grouped
+        # LocalRelation so no per-call shuffle happens here
+        comps_by_len = comps.groupBy("word_len").agg(
+            F.collect_list(
+                F.struct("comp_id", "starts", "lens", "n_parts")
+            ).alias("comps")
+        )
+    sentinel = F.struct(
+        F.lit(_VITERBI_SENTINEL).cast("long").alias("cost"),
+        F.lit(2147483647).alias("n_parts"),
+        F.lit(2147483647).alias("comp_id"),
+    )
+
+    def merge(acc, c):
+        cost = F.aggregate(
+            F.zip_with(
+                c["starts"],
+                c["lens"],
+                lambda s, l: F.element_at(F.col("cmap"), s * 64 + l),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        cand = F.struct(
+            cost.alias("cost"),
+            c["n_parts"].alias("n_parts"),
+            c["comp_id"].alias("comp_id"),
+        )
+        return F.when(cost.isNull(), acc).otherwise(F.least(acc, cand))
+
+    return (
+        cmapped.join(
+            F.broadcast(comps_by_len), F.length("word") == F.col("word_len")
+        )
+        .select(
+            "word",
+            "freq",
+            F.aggregate(F.col("comps"), sentinel, merge).alias("b"),
+        )
+        .where(F.col("b.cost") < F.lit(_VITERBI_SENTINEL))
+        .select(
+            "word",
+            "freq",
+            F.col("b.comp_id").alias("comp_id"),
+            F.col("b.n_parts").alias("n_parts"),
+            F.col("b.cost").alias("cost"),
+        )
     )
 
 
@@ -1496,7 +1576,19 @@ def unigram_encode_stats(
         df, text_col, top_words, max_word_len, max_piece_len,
         top_pieces, budgets, checkpoint_rounds,
     )
-    lut = _unigram_viterbi(words, vocab, comps).select("word", "n_parts")
+    by_len: dict[int, list] = {}
+    for (L, cid, starts, lens, n) in unigram_compositions(
+        max_word_len, max_piece_len
+    ):
+        by_len.setdefault(L, []).append((cid, starts, lens, n))
+    comps_by_len = df.sparkSession.createDataFrame(
+        sorted(by_len.items()),
+        "word_len int, comps array<struct<comp_id:int,"
+        "starts:array<int>,lens:array<int>,n_parts:int>>",
+    )
+    lut = _unigram_viterbi(
+        words, vocab, comps, max_piece_len, comps_by_len
+    ).select("word", "n_parts")
     doc_words = df.select(
         F.col(id_col),
         F.explode(
