@@ -644,6 +644,103 @@ def test_live_replica_identity_full_old_tuple(spark, live, tmp_path):
         _exec_sql(t, f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_live_pgoutput_column_list_publication(spark, live, tmp_path):
+    """PG15 column-list publications on a real server: CREATE
+    PUBLICATION ... FOR TABLE t (id, v) must narrow the Relation
+    message server-side, so the decoded after-image contains ONLY the
+    listed columns (the fake approximates this; the server defines it).
+    Upgrades SURVEY §2.1 #16 from local-only to live-pinned."""
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    tbl = f"{live.table}_cl"
+    _exec_sql(
+        t, f"CREATE TABLE {tbl} (id int PRIMARY KEY, v text, secret text)"
+    )
+    _exec_sql(t, f"CREATE PUBLICATION {tbl}_pub FOR TABLE {tbl} (id, v)")
+    s = _connect()
+    slot = live.slot(f"{tbl[:20]}_sl")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput")
+        _exec_sql(
+            t, f"INSERT INTO {tbl} VALUES (1, 'visible', 'never-ships')"
+        )
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={"proto_version": "1", "publication_names": f"{tbl}_pub"},
+        )
+        log = str(tmp_path / "cl")
+        # Begin + Relation + Insert + Commit
+        assert _relay_until(s, log, want_frames=4) >= 4
+        ev = decode(_frames_df(spark, log), "pgoutput")
+        ins = [r for r in ev.filter("op = 'insert'").collect()
+               if r["table"] == tbl]
+        assert ins, "no insert decoded"
+        assert ins[0]["after"] == {"id": "1", "v": "visible"}
+        assert "secret" not in ins[0]["after"]
+    finally:
+        s.close()
+        # drop the slot NOW, not at module teardown: the server's
+        # max_replication_slots is finite and the suite creates one
+        # slot per test — lazy cleanup overflowed it (round 7)
+        try:
+            _exec_sql(t, f"SELECT pg_drop_replication_slot('{slot}')")
+        except RuntimeError:
+            pass
+        _exec_sql(t, f"DROP PUBLICATION IF EXISTS {tbl}_pub")
+        _exec_sql(t, f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_live_pgoutput_row_filter_publication(spark, live, tmp_path):
+    """PG15 row-filter publications: FOR TABLE t WHERE (id % 2 = 0)
+    filters rows inside the walsender — only matching rows ever reach
+    the wire. The decoded stream must contain exactly the even ids."""
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    tbl = f"{live.table}_rf"
+    _exec_sql(t, f"CREATE TABLE {tbl} (id int PRIMARY KEY, v text)")
+    _exec_sql(
+        t,
+        f"CREATE PUBLICATION {tbl}_pub FOR TABLE {tbl} "
+        "WHERE (id % 2 = 0)",
+    )
+    s = _connect()
+    slot = live.slot(f"{tbl[:20]}_sl")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput")
+        _exec_sql(
+            t,
+            f"INSERT INTO {tbl} "
+            "SELECT i, 'r' || i FROM generate_series(1, 6) i",
+        )
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={"proto_version": "1", "publication_names": f"{tbl}_pub"},
+        )
+        log = str(tmp_path / "rf")
+        # Begin + Relation + 3 matching Inserts + Commit
+        assert _relay_until(s, log, want_frames=6) >= 6
+        ev = decode(_frames_df(spark, log), "pgoutput")
+        ids = sorted(
+            int(r["after"]["id"])
+            for r in ev.filter("op = 'insert'").collect()
+            if r["table"] == tbl
+        )
+        assert ids == [2, 4, 6], ids
+    finally:
+        s.close()
+        # drop the slot NOW, not at module teardown: the server's
+        # max_replication_slots is finite and the suite creates one
+        # slot per test — lazy cleanup overflowed it (round 7)
+        try:
+            _exec_sql(t, f"SELECT pg_drop_replication_slot('{slot}')")
+        except RuntimeError:
+            pass
+        _exec_sql(t, f"DROP PUBLICATION IF EXISTS {tbl}_pub")
+        _exec_sql(t, f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_live_pgoutput_type_text_forms(spark, live, tmp_path):
     """PG's REAL text output forms for non-trivial types (numeric,
     bool, bytea, timestamptz, float8, int[]) through the pgoutput
