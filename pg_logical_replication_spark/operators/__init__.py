@@ -71,6 +71,7 @@ from pg_logical_replication_spark.operators.packing import pack_sequences  # noq
 from pg_logical_replication_spark.operators.layout import (  # noqa: F401
     exact_ntile,
     global_row_number,
+    global_running_sum,
     salted_equi_join,
     write_bucketed,
 )

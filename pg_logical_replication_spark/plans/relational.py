@@ -313,6 +313,72 @@ def q_window_running(spark, sf_dir):
 
 
 @register(
+    "q_orders_revenue_milestones",
+    """
+    WITH cents AS (SELECT o_orderkey, o_orderdate,
+                          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+                   FROM orders),
+    cum AS (SELECT v, SUM(v) OVER (ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS c
+            FROM cents),
+    tot AS (SELECT SUM(v) AS t FROM cents)
+    SELECT CAST(k AS INTEGER) AS decile,
+           CAST(MIN(c) AS BIGINT) AS cum_cents
+    FROM cum, tot, (SELECT UNNEST(range(1, 11)) AS k) d
+    WHERE c * 10 >= t * k
+    GROUP BY 1 ORDER BY 1
+    """,
+    "GLOBAL revenue decile milestones: the cumulative cents value at "
+    "the first order (in (date, key) stream order) that crosses each "
+    "10%-of-total threshold — the oracle is a corpus-wide running-sum "
+    "window; the executed plan is layout.global_running_sum (range "
+    "exchange + per-partition offsets, no SinglePartition stage), and "
+    "only the <= 10 crossing rows survive to the aggregate",
+)
+def q_orders_revenue_milestones(spark, sf_dir):
+    """The new-in-r7 exact distributed prefix sum as a user query.
+    Crossing detection is per-row integer arithmetic: row crosses
+    decile k iff floor(prev*10/t) < k <= floor(c*10/t) (v > 0 so c is
+    strictly increasing and each decile is crossed exactly once) —
+    emitted via sequence(lo, hi) WITH the lo<=hi guard, because
+    sequence(lo>hi) generates a DESCENDING range, not an empty one
+    (SCALE.md r6 trap)."""
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        # explicit round: DuckDB ROUNDS double->bigint casts, Spark
+        # TRUNCATES -- the implicit cast diverges by 1 cent per row
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    cum = global_running_sum(
+        o, ["o_orderdate", "o_orderkey"], "v", out_col="c"
+    )
+    tot = o.agg(F.sum("v").alias("t"))
+    lo = F.expr("(c - v) * 10 div t") + F.lit(1).cast("long")
+    hi = F.expr("c * 10 div t")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .where(F.col("_hi") >= F.col("_lo"))
+        .select(
+            F.explode(F.sequence("_lo", "_hi")).alias("k"),
+            F.col("c").alias("cum_cents"),
+        )
+        .where((F.col("k") >= 1) & (F.col("k") <= 10))
+        .select(
+            F.col("k").cast("int").alias("decile"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "q_window_range_frame",
     """
     SELECT user_id, event_id,
