@@ -104,6 +104,8 @@ HEADLINE = [
     "q_corpus_token_budget",
     "q_cdc_txn_frames_partitioned",
     "q_dedup_incremental_near",
+    # round 7: the exact distributed prefix sum as a user query
+    "q_orders_revenue_milestones",
 ]
 
 
