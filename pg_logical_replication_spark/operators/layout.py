@@ -242,30 +242,44 @@ def global_running_sum(
         .localCheckpoint()
     )
     pid = F.shiftright(F.col("_mono"), 33)
-    sums = {
-        r["_pid"]: r["s"]
+    stats = {
+        r["_pid"]: (r["s"], r["c"])
         for r in d.groupBy(pid.alias("_pid"))
-        .agg(F.sum(value_col).alias("s"))
+        .agg(F.sum(value_col).alias("s"), F.count(value_col).alias("c"))
         .collect()
     }
-    if not sums:
+    if not stats:
         return d.withColumn(out_col, F.lit(None).cast("long")).drop(
             "_mono"
         )
-    total, offsets = 0, {}
-    for p in sorted(sums):  # range partition order IS the total order
-        offsets[p] = total
-        total += sums[p] or 0
-    off_expr = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    total, seen, offsets = 0, 0, {}
+    for p in sorted(stats):  # range partition order IS the total order
+        offsets[p] = (total, seen)
+        s, c = stats[p]
+        total += s or 0
+        seen += c
+    off_sum = F.create_map(
+        *[F.lit(x) for p, (s, _) in offsets.items() for x in (p, s)]
+    )[pid]
+    off_cnt = F.create_map(
+        *[F.lit(x) for p, (_, c) in offsets.items() for x in (p, c)]
     )[pid]
     w = (
         W.partitionBy(pid)
         .orderBy("_mono")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # SUM OVER semantics for NULLs: a row whose prefix has NO non-null
+    # value anywhere (not just in its own partition) is NULL; otherwise
+    # nulls contribute nothing. A naive off + sum(v) OVER w nulled every
+    # row in a partition whose LOCAL prefix was all-null, losing the
+    # carried offset (round-7 review repro).
+    local_cnt = F.count(value_col).over(w)
+    local_sum = F.sum(value_col).over(w)
     return d.withColumn(
-        out_col, off_expr + F.sum(value_col).over(w)
+        out_col,
+        F.when((off_cnt + local_cnt) == 0, F.lit(None).cast("long"))
+        .otherwise(off_sum + F.coalesce(local_sum, F.lit(0))),
     ).drop("_mono")
 
 

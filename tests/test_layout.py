@@ -173,6 +173,73 @@ def test_global_running_sum_matches_window(spark):
     assert got == want
 
 
+def test_global_running_sum_nulls_negatives_ties(spark):
+    """Edge semantics must be bit-identical to SUM OVER: NULL values
+    contribute nothing (a null-v row inherits the previous cum),
+    negatives make the sum non-monotone, heavy ties exercise the
+    range-boundary tie-break."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    random.seed(23)
+    rows = [
+        (i, random.randint(0, 6),
+         None if random.random() < 0.15 else random.randint(-50, 50))
+        for i in range(751)
+    ]
+    df = spark.createDataFrame(rows, "k long, o long, v long").repartition(7)
+    got = {
+        r["k"]: r["cum"]
+        for r in global_running_sum(
+            df, [F.col("o"), F.col("k")], "v", out_col="cum"
+        ).collect()
+    }
+    w = W.orderBy("o", "k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+    # deterministic regression (round-7 review): a partition whose
+    # LOCAL prefix is all-null must still carry the cross-partition
+    # offset — the naive off + SUM(v) OVER w nulled it
+    small = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 5), (5, None), (6, None)],
+        "k long, v long",
+    )
+    got2 = {
+        r["k"]: r["cum"]
+        for r in global_running_sum(
+            small, [F.col("k")], "v", out_col="cum", num_partitions=3
+        ).collect()
+    }
+    assert got2 == {1: 10, 2: 30, 3: 30, 4: 35, 5: 35, 6: 35}
+
+    # all-null global prefix stays NULL (SUM OVER semantics)
+    lead_null = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7), (4, None)], "k long, v long"
+    )
+    got3 = {
+        r["k"]: r["cum"]
+        for r in global_running_sum(
+            lead_null, [F.col("k")], "v", out_col="cum", num_partitions=2
+        ).collect()
+    }
+    assert got3 == {1: None, 2: None, 3: 7, 4: 7}
+
+    # empty frame: column exists, no rows explode
+    empty = spark.createDataFrame([], "k long, v long")
+    out = global_running_sum(empty, [F.col("k")], "v", out_col="cum")
+    assert out.count() == 0 and "cum" in out.columns
+
+
 def test_token_budget_homogeneous_corpus_distributed_cut(spark):
     """VERDICT r6 #2: a length-homogeneous corpus (every doc in ONE
     log2 value-range bucket — the post-chunking shape) must not fall
