@@ -1437,8 +1437,9 @@ def _unigram_viterbi(
     never explodes: per word, piece costs land in ONE position-keyed
     map (a single words-sized shuffle after a broadcast vocab join),
     and the min over compositions is a nested ``aggregate`` over the
-    per-length comps ARRAY — whole-stage-codegen arithmetic, zero
-    additional exchange. A composition with any out-of-vocab piece
+    per-length comps ARRAY — interpreted HOF arithmetic over capped
+    data, zero additional exchange. A composition with any
+    out-of-vocab piece
     sums to NULL (``element_at`` miss) and is skipped by the merge,
     exactly the old ``got = n_parts`` guard."""
     # max piece length: passed by the chain (no per-call job); the
