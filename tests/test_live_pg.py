@@ -270,6 +270,68 @@ def test_live_test_decoding_chain(spark, live, tmp_path):
     s.close()
 
 
+def test_live_test_decoding_options_timestamps(spark, live, tmp_path):
+    """test_decoding WITH include-timestamp/include-xids/skip-empty-xacts
+    pushed to a real server. Round 6's live run caught the
+    WITHOUT-timestamp branch crashing on bare COMMIT lines; this pins
+    the WITH branch — the server's actual '(at 2026-… TZ)' suffix must
+    parse into a non-null commit_ts on every framed DML row, and xids
+    must attribute."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources.test_decoding import (
+        decode_test_decoding,
+    )
+
+    _reset_table(live)
+    s = _connect()
+    slot = live.slot(f"{live.table}_tdo")
+    s.create_replication_slot(slot, plugin="test_decoding")
+    _dml_round(live)
+    s.start_replication(
+        slot, "0/0", plugin="test_decoding",
+        options={
+            "include-xids": True,
+            "include-timestamp": True,
+            "skip-empty-xacts": True,
+        },
+    )
+    log = str(tmp_path / "tdo")
+    try:
+        assert _relay_until(s, log, want_frames=11) >= 11
+        raw = _frames_df(spark, log).select(
+            F.col("data").cast("string").alias("value"), "lsn", "seq"
+        )
+        ev = decode_test_decoding(
+            raw, lsn_col="lsn", seq_col="seq",
+            include_xids=True, include_timestamp=True,
+        )
+        dml = [r for r in ev.collect()
+               if r["op"] in ("insert", "update", "delete")
+               and r["table"] == live.table]
+        assert dml, "no DML decoded"
+        # every framed DML row recovered the server's commit timestamp
+        # and its transaction id from the BEGIN/COMMIT envelope
+        assert all(r["commit_ts"] is not None for r in dml), dml[:3]
+        assert all(r["xid"] is not None and r["xid"] > 0 for r in dml)
+        snap = apply_changes(
+            ev, key_columns=["id"], table=live.table,
+            columns={"id": "integer", "v": "text"},
+        )
+        assert {(r["id"], r["v"]) for r in snap.collect()} == EXPECTED
+    finally:
+        s.close()
+        try:
+            _exec_sql(
+                live.admin, f"SELECT pg_drop_replication_slot('{slot}')"
+            )
+        except RuntimeError:
+            pass
+
+
 @pytest.mark.parametrize("plugin", ["wal2json", "decoderbufs"])
 def test_live_optional_plugin_chain(spark, live, tmp_path, plugin):
     """wal2json / decoderbufs when installed; a clean report (not a
