@@ -14,6 +14,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_TRACKING_PARAM_RE = "^(utm_[a-z0-9]*|fbclid|gclid)="
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a URL — the key of the URL-level dedup stage
+    every web corpus pipeline runs BEFORE content dedup (RefinedWeb
+    §3.2 "URL deduplication", CCNet's per-snapshot URL pass; the
+    reference has no crawl layer, so this is engine-side surface).
+
+    Rules (deterministic, engine-portable — the DuckDB twin in
+    ``q_web_url_dedup`` replays them verbatim):
+
+    1. lowercase the whole URL;
+    2. drop the fragment (``#…``);
+    3. drop a ``www.`` host prefix;
+    4. drop tracking params (``utm_*``, ``fbclid``, ``gclid``) and
+       SORT the survivors — param order never distinguishes pages;
+    5. drop a trailing slash on the pre-query part.
+
+    Pure JVM expressions (regexp/split/filter/array_sort): the frontier
+    is canonicalized in the scan, no shuffle until the dedup groupBy on
+    the canonical key."""
+    u = F.lower(col)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "://www\\.", "://")
+    parts = F.split(u, "\\?")
+    base = F.regexp_replace(parts[0], "/$", "")
+    q = F.when(F.size(parts) > 1, parts[1]).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed dedup: group by :func:`canonical_url`, keep the lowest
+    id as the representative. Returns (canonical_url, n_docs,
+    keep_id). One hash shuffle on the canonical key — at 100 TB this
+    runs BEFORE fetch/decode, so the shuffled rows are frontier
+    entries (url + id), not documents."""
+    return (
+        df.select(
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("_id").alias("keep_id"),
+        )
+    )
+
+
 def parse_robots_rules(
     robots: DataFrame,
     site_col: str = "site",

@@ -2790,6 +2790,100 @@ def q_web_crawl_plan(spark, sf_dir):
 
 
 @register(
+    "q_web_url_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+        'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        'site' || (doc_id // 3) % 20 || '.example.com' ||
+        '/p' || doc_id // 3 ||
+        CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+        CASE doc_id % 3
+          WHEN 0 THEN '?a=1&b=' || doc_id // 3 || '&utm_campaign=x'
+                      || doc_id
+          WHEN 1 THEN '?b=' || doc_id // 3 || '&a=1&fbclid=f' || doc_id
+          ELSE '?utm_source=s&b=' || doc_id // 3 || '&a=1' END ||
+        CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END AS u0
+      FROM documents),
+    up AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN upper(u0)
+                               ELSE u0 END AS url FROM raw),
+    lowered AS (SELECT doc_id, lower(url) AS u FROM up),
+    c1 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(u, '#.*$', ''),
+                                 '://www\\.', '://') AS u
+           FROM lowered),
+    sp AS (SELECT doc_id,
+                  regexp_replace(string_split(u, '?')[1], '/$', '')
+                    AS base,
+                  CASE WHEN len(string_split(u, '?')) > 1
+                       THEN string_split(u, '?')[2] ELSE '' END AS q
+           FROM c1),
+    k AS (SELECT doc_id, base,
+                 list_sort(list_filter(string_split(q, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                     '^(utm_[a-z0-9]*|fbclid|gclid)='))) AS kept
+          FROM sp),
+    canon AS (SELECT doc_id,
+                     CASE WHEN len(kept) > 0
+                          THEN base || '?' || array_to_string(kept, '&')
+                          ELSE base END AS canonical_url
+              FROM k)
+    SELECT canonical_url, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY 1 ORDER BY 1
+    """,
+    "URL-level dedup, the FIRST dedup stage of every web corpus "
+    "pipeline (RefinedWeb/CCNet run it before any content hash): "
+    "deterministic dirty URLs (www., fragments, utm_*/fbclid/gclid "
+    "tracking params, shuffled param order, trailing slashes, random "
+    "uppercasing) canonicalize so each synthetic page's ~3 variants "
+    "collapse to one key; output (canonical, n_docs, keep_id)",
+)
+def q_web_url_dedup(spark, sf_dir):
+    """operators/web.py canonical_url + url_dedup. Scale: the
+    canonicalization is scan-side string expressions over the frontier
+    (url + id only — never document payloads); the single shuffle is
+    the groupBy on the canonical key."""
+    from pg_logical_replication_spark.operators.web import url_dedup
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    page = F.expr("doc_id div 3")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (page % 20).cast("string"), F.lit(".example.com"),
+        F.lit("/p"), page.cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?a=1&b="), page.cast("string"),
+                     F.lit("&utm_campaign=x"), did),
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?b="), page.cast("string"),
+                     F.lit("&a=1&fbclid=f"), did),
+        ).otherwise(
+            F.concat(F.lit("?utm_source=s&b="), page.cast("string"),
+                     F.lit("&a=1"))
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("#sec"), did)
+        ).otherwise(F.lit("")),
+    )
+    url = F.when(F.col("doc_id") % 11 == 0, F.upper(raw)).otherwise(raw)
+    return (
+        url_dedup(d.select("doc_id", url.alias("url")))
+        .select(
+            "canonical_url",
+            "n_docs",
+            F.col("keep_id").cast("long").alias("keep_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+@register(
     "q_sft_chat_render",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents

@@ -56,3 +56,50 @@ def test_rfc_tiebreak_and_group_attribution(spark):
         "/only/f": (False, "/only/"),
         "/else": (True, ""),
     }
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule in isolation and combination: case,
+    fragment, www., tracking-param removal, param sort, trailing
+    slash, all-params-dropped, no-query passthrough."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.web import canonical_url
+
+    cases = [
+        ("https://Site.Example.com/P1", "https://site.example.com/p1"),
+        ("https://www.site.com/a#frag", "https://site.com/a"),
+        ("https://site.com/a/?b=2&a=1", "https://site.com/a?a=1&b=2"),
+        ("https://site.com/a?utm_source=x&b=1", "https://site.com/a?b=1"),
+        # every param is tracking -> bare base, no dangling '?'
+        ("https://site.com/a?utm_a=1&gclid=2&fbclid=3", "https://site.com/a"),
+        ("https://site.com/a", "https://site.com/a"),
+        # fragment after params, params shuffled, www + case
+        ("HTTPS://WWW.S.COM/P?B=2&UTM_C=9&A=1#X", "https://s.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_groups(spark):
+    from pg_logical_replication_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/x?utm_s=1"),
+            (2, "https://a.com/x/"),
+            (3, "HTTPS://A.COM/X#top"),
+            (4, "https://b.com/y?k=1"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canonical_url"]: (r["n_docs"], r["keep_id"])
+            for r in url_dedup(df).collect()}
+    assert rows == {
+        "https://a.com/x": (3, 1),
+        "https://b.com/y?k=1": (1, 4),
+    }
