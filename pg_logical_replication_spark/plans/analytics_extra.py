@@ -186,6 +186,56 @@ def q_corpus_hash_sample(spark, sf_dir):
 
 
 @register(
+    "q_corpus_priority_sample",
+    """
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               * 1000000 // n_chars AS priority
+      FROM documents WHERE n_chars > 0),
+    top AS (SELECT * FROM pri ORDER BY priority, doc_id LIMIT 60)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM top GROUP BY lang ORDER BY lang
+    """,
+    "weighted sampling WITHOUT replacement via priority sampling "
+    "(Duffield-Lund-Thorup): priority = u/w with u a deterministic "
+    "md5-derived uniform, keep the k smallest — longer docs "
+    "proportionally likelier, the reproducible WEIGHTED twin of "
+    "q_corpus_hash_sample's uniform split; integer-scaled priorities "
+    "so both engines rank bit-identically",
+)
+def q_corpus_priority_sample(spark, sf_dir):
+    """Priority sampling composes the md5 trick (cross-engine identical
+    u) with integer arithmetic (u32 * 1e6 DIV w < 2^52 — no float in
+    the ranking, so engines can never disagree at a tie). Scale: the
+    priority is a scan-side expression and the k-smallest is a
+    TakeOrdered reduction — no shuffle of the corpus, exactly like the
+    uniform hash sample; this is the primitive under weighted corpus
+    carving (sample tokens ∝ length, quality-weighted eval slices)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    top = (
+        d.select(
+            "doc_id", "lang", "n_chars", (u * 1000000).alias("_scaled")
+        )
+        .withColumn("priority", F.expr("_scaled div n_chars"))
+        .orderBy("priority", "doc_id")
+        .limit(60)
+    )
+    return (
+        top.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "q_events_histogram",
     """
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
