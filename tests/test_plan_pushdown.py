@@ -419,3 +419,24 @@ def test_rfm_has_no_single_partition_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0].split("Sort [r")[0], plan
+
+
+def test_revenue_milestones_has_no_single_partition_sort(spark):
+    """The global running sum behind q_orders_revenue_milestones must
+    be the range-partitioned prefix sum (per-pid window over the
+    localCheckpointed layout), never a corpus-wide SinglePartition
+    sort; the only Window allowed partitions by the pid (round 7)."""
+    df = QUERIES["q_orders_revenue_milestones"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scalar total's 1-row SinglePartition exchange is fine; what
+    # must NOT appear is a GLOBAL sort ("Sort [...], true" = requires
+    # a total ordering exchange of the corpus). The layout's
+    # sortWithinPartitions shows as "Sort [...], false" and the range
+    # exchange as rangepartitioning.
+    import re
+    global_sorts = [ln for ln in plan.splitlines()
+                    if re.search(r"\bSort \[.*\], true,", ln)
+                    and "decile" not in ln]  # final <=10-row orderBy
+    assert not global_sorts, plan
+    assert "rangepartitioning" in plan, plan
+    assert "Window" in plan and "shiftright" in plan.lower(), plan
