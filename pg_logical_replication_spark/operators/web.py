@@ -39,9 +39,13 @@ def canonical_url(col) -> "F.Column":
     u = F.lower(col)
     u = F.regexp_replace(u, "#.*$", "")
     u = F.regexp_replace(u, "://www\\.", "://")
-    parts = F.split(u, "\\?")
-    base = F.regexp_replace(parts[0], "/$", "")
-    q = F.when(F.size(parts) > 1, parts[1]).otherwise(F.lit(""))
+    # first-'?' semantics via regexp, NOT split: a stray second '?'
+    # (dirty crawl data) belongs to the query string, and split-based
+    # indexing would silently drop everything after it
+    base = F.regexp_replace(
+        F.regexp_replace(u, "\\?.*$", ""), "/$", ""
+    )
+    q = F.regexp_extract(u, "\\?(.*)$", 1)
     kept = F.array_sort(
         F.filter(
             F.split(q, "&"),

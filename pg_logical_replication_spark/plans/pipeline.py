@@ -2813,10 +2813,9 @@ def q_web_crawl_plan(spark, sf_dir):
                                  '://www\\.', '://') AS u
            FROM lowered),
     sp AS (SELECT doc_id,
-                  regexp_replace(string_split(u, '?')[1], '/$', '')
-                    AS base,
-                  CASE WHEN len(string_split(u, '?')) > 1
-                       THEN string_split(u, '?')[2] ELSE '' END AS q
+                  regexp_replace(regexp_replace(u, '\?.*$', ''),
+                                 '/$', '') AS base,
+                  regexp_extract(u, '\?(.*)$', 1) AS q
            FROM c1),
     k AS (SELECT doc_id, base,
                  list_sort(list_filter(string_split(q, '&'),

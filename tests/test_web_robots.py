@@ -76,6 +76,11 @@ def test_canonical_url_rules(spark):
         ("https://site.com/a", "https://site.com/a"),
         # fragment after params, params shuffled, www + case
         ("HTTPS://WWW.S.COM/P?B=2&UTM_C=9&A=1#X", "https://s.com/p?a=1&b=2"),
+        # dirty second '?': everything after the FIRST '?' is query —
+        # split-based indexing silently dropped the tail (round-7 fix)
+        ("https://s.com/p?b=2?x&a=1", "https://s.com/p?a=1&b=2?x"),
+        # '&&' produces an empty param: filtered, no dangling '&'
+        ("https://s.com/p?a=1&&b=2", "https://s.com/p?a=1&b=2"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i int, url string")
