@@ -242,6 +242,10 @@ def global_running_sum(
         .localCheckpoint()
     )
     pid = F.shiftright(F.col("_mono"), 33)
+    # the SUM dtype (long for integrals, double for double, widened
+    # decimal for decimals) keeps the output schema stable even on the
+    # empty-input early return (round-7 review)
+    sum_type = d.select(F.sum(value_col).alias("s")).schema["s"].dataType
     stats = {
         r["_pid"]: (r["s"], r["c"])
         for r in d.groupBy(pid.alias("_pid"))
@@ -249,21 +253,39 @@ def global_running_sum(
         .collect()
     }
     if not stats:
-        return d.withColumn(out_col, F.lit(None).cast("long")).drop(
+        return d.withColumn(out_col, F.lit(None).cast(sum_type)).drop(
             "_mono"
         )
-    total, seen, offsets = 0, 0, {}
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    if isinstance(sum_type, (DoubleType, FloatType)):
+        _conv = float
+    elif isinstance(sum_type, DecimalType):
+        import decimal
+
+        _conv = decimal.Decimal
+    else:
+        _conv = int
+    total, seen, off_rows = 0, 0, []
     for p in sorted(stats):  # range partition order IS the total order
-        offsets[p] = (total, seen)
+        off_rows.append((p, _conv(total), seen))
         s, c = stats[p]
         total += s or 0
         seen += c
-    off_sum = F.create_map(
-        *[F.lit(x) for p, (s, _) in offsets.items() for x in (p, s)]
-    )[pid]
-    off_cnt = F.create_map(
-        *[F.lit(x) for p, (_, c) in offsets.items() for x in (p, c)]
-    )[pid]
+    # broadcast-joined offsets, NOT literal create_map's: element_at on
+    # a literal map is a LINEAR ArrayBasedMapData scan per row (the
+    # measured text.py round-7 trap), which is O(num_partitions) per
+    # row at the partition counts this utility exists for
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off_df = spark.createDataFrame(
+        off_rows,
+        StructType([
+            StructField("_pid", LongType()),
+            StructField("_off_s", sum_type),
+            StructField("_off_c", LongType()),
+        ]),
+    )
     w = (
         W.partitionBy(pid)
         .orderBy("_mono")
@@ -276,11 +298,22 @@ def global_running_sum(
     # carried offset (round-7 review repro).
     local_cnt = F.count(value_col).over(w)
     local_sum = F.sum(value_col).over(w)
-    return d.withColumn(
-        out_col,
-        F.when((off_cnt + local_cnt) == 0, F.lit(None).cast("long"))
-        .otherwise(off_sum + F.coalesce(local_sum, F.lit(0))),
-    ).drop("_mono")
+    return (
+        d.withColumn("_pid", pid)
+        .withColumn("_lcnt", local_cnt)
+        .withColumn("_lsum", local_sum)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col,
+            F.when(
+                (F.col("_off_c") + F.col("_lcnt")) == 0,
+                F.lit(None).cast(sum_type),
+            ).otherwise(
+                F.col("_off_s") + F.coalesce(F.col("_lsum"), F.lit(0))
+            ),
+        )
+        .drop("_mono", "_pid", "_lcnt", "_lsum", "_off_s", "_off_c")
+    )
 
 
 def exact_ntile(

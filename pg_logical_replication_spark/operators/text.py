@@ -1251,6 +1251,22 @@ def unigram_compositions(
     return rows
 
 
+def _comps_by_len(spark, max_word_len: int, max_piece_len: int):
+    """Per-length comps-array LocalRelation for the Viterbi — ONE
+    source of truth for the grouping + schema (round-7 review: the
+    chain and the encode LUT each held a verbatim copy)."""
+    by_len: dict[int, list] = {}
+    for (L, cid, starts, lens, n) in unigram_compositions(
+        max_word_len, max_piece_len
+    ):
+        by_len.setdefault(L, []).append((cid, starts, lens, n))
+    return spark.createDataFrame(
+        sorted(by_len.items()),
+        "word_len int, comps array<struct<comp_id:int,"
+        "starts:array<int>,lens:array<int>,n_parts:int>>",
+    )
+
+
 def _unigram_with_costs(vocab: DataFrame) -> DataFrame:
     """(piece, cnt) → (piece, cnt, cost) with the exact integer cost
     ``length(bin(total DIV cnt))`` = ⌊log2(total/cnt)⌋ + 1 bits — the
@@ -1312,6 +1328,21 @@ def _unigram_chain(
     per round truncates the O(2^rounds) lineage like the BPE/PageRank
     chains.
     """
+    # validate BEFORE unigram_compositions: the lattice is tribonacci
+    # in max_word_len (2^79 entries at 80 — a driver hang, round-7
+    # review found the Viterbi-side guard fired too late), and the
+    # Viterbi position-key stride caps piece lengths at 63
+    if max_word_len > 24:
+        raise ValueError(
+            f"max_word_len={max_word_len} > 24: the composition "
+            "lattice grows ~1.84^len (tribonacci) — 24 is already "
+            "~1.4M lattice rows"
+        )
+    if max_piece_len >= 64:
+        raise ValueError(
+            f"max_piece_len={max_piece_len} >= 64: the Viterbi "
+            "position-key stride supports piece lengths up to 63"
+        )
     words = (
         df.select(
             F.explode(
@@ -1354,23 +1385,15 @@ def _unigram_chain(
         vocab = vocab.localCheckpoint(eager=True)
 
     spark = df.sparkSession
-    comp_rows = unigram_compositions(max_word_len, max_piece_len)
     comps = spark.createDataFrame(
-        comp_rows,
+        unigram_compositions(max_word_len, max_piece_len),
         "word_len int, comp_id int, starts array<int>, "
         "lens array<int>, n_parts int",
     )
     # pre-grouped per-length LocalRelation: hands the Viterbi its comps
     # ARRAY without the runtime groupBy shuffle it would otherwise pay
     # per call (3 calls per train-and-encode; round-7 stage audit)
-    by_len: dict[int, list] = {}
-    for (L, cid, starts, lens, n) in comp_rows:
-        by_len.setdefault(L, []).append((cid, starts, lens, n))
-    comps_by_len = spark.createDataFrame(
-        sorted(by_len.items()),
-        "word_len int, comps array<struct<comp_id:int,"
-        "starts:array<int>,lens:array<int>,n_parts:int>>",
-    )
+    comps_by_len = _comps_by_len(spark, max_word_len, max_piece_len)
 
     for budget in budgets:
         best = _unigram_viterbi(
@@ -1447,6 +1470,14 @@ def _unigram_viterbi(
     max_piece = max_piece_len or comps.agg(
         F.max(F.array_max("lens")).alias("m")
     ).collect()[0]["m"]
+    if max_piece >= 64:
+        # the position key packs (start, len) as start*64+len —
+        # collisions past 63 would silently mis-score compositions
+        # (or raise Duplicate map key) instead of erroring here
+        raise ValueError(
+            f"max_piece_len={max_piece} >= 64: the Viterbi position "
+            "key stride supports piece lengths up to 63"
+        )
     # NOTE round-7 probe: inlining the vocab as a literal map (like
     # the IVF centroids) is a TRAP here — element_at on a literal map
     # is a linear scan of ArrayBasedMapData (no hash index), so a ~2k
@@ -1577,15 +1608,8 @@ def unigram_encode_stats(
         df, text_col, top_words, max_word_len, max_piece_len,
         top_pieces, budgets, checkpoint_rounds,
     )
-    by_len: dict[int, list] = {}
-    for (L, cid, starts, lens, n) in unigram_compositions(
-        max_word_len, max_piece_len
-    ):
-        by_len.setdefault(L, []).append((cid, starts, lens, n))
-    comps_by_len = df.sparkSession.createDataFrame(
-        sorted(by_len.items()),
-        "word_len int, comps array<struct<comp_id:int,"
-        "starts:array<int>,lens:array<int>,n_parts:int>>",
+    comps_by_len = _comps_by_len(
+        df.sparkSession, max_word_len, max_piece_len
     )
     lut = _unigram_viterbi(
         words, vocab, comps, max_piece_len, comps_by_len

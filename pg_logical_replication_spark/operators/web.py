@@ -38,7 +38,13 @@ def canonical_url(col) -> "F.Column":
     the canonical key."""
     u = F.lower(col)
     u = F.regexp_replace(u, "#.*$", "")
-    u = F.regexp_replace(u, "://www\\.", "://")
+    # ANCHORED www. strip, as two literal-prefix replaces: Spark's
+    # regexp_replace is global while DuckDB's default is first-match,
+    # so an unanchored '://www.' diverged between engines AND
+    # false-merged URLs whose QUERY embeds another www. URL
+    # (round-7 review)
+    u = F.regexp_replace(u, "^http://www\\.", "http://")
+    u = F.regexp_replace(u, "^https://www\\.", "https://")
     # first-'?' semantics via regexp, NOT split: a stray second '?'
     # (dirty crawl data) belongs to the query string, and split-based
     # indexing would silently drop everything after it

@@ -2809,8 +2809,10 @@ def q_web_crawl_plan(spark, sf_dir):
                                ELSE u0 END AS url FROM raw),
     lowered AS (SELECT doc_id, lower(url) AS u FROM up),
     c1 AS (SELECT doc_id,
-                  regexp_replace(regexp_replace(u, '#.*$', ''),
-                                 '://www\\.', '://') AS u
+                  regexp_replace(regexp_replace(regexp_replace(
+                    u, '#.*$', ''),
+                    '^http://www\\.', 'http://'),
+                    '^https://www\\.', 'https://') AS u
            FROM lowered),
     sp AS (SELECT doc_id,
                   regexp_replace(regexp_replace(u, '\?.*$', ''),

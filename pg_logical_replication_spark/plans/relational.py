@@ -357,7 +357,9 @@ def q_orders_revenue_milestones(spark, sf_dir):
     cum = global_running_sum(
         o, ["o_orderdate", "o_orderkey"], "v", out_col="c"
     )
-    tot = o.agg(F.sum("v").alias("t"))
+    # grand total = max running sum (v > 0), read from the checkpointed
+    # cum frame — NOT a second full scan of orders (round-7 review)
+    tot = cum.agg(F.max("c").alias("t"))
     lo = F.expr("(c - v) * 10 div t") + F.lit(1).cast("long")
     hi = F.expr("c * 10 div t")
     return (

@@ -299,3 +299,29 @@ def test_exact_ntile_matches_window_ntile(spark):
         for r in exact_ntile(small, 4, ["v", "k"], "tile").collect()
     }
     assert g == {2: 1, 1: 2}
+
+
+def test_global_running_sum_schema_stable_on_empty_double(spark):
+    """Empty and non-empty frames must agree on the out_col dtype (the
+    SUM type of the value column) — a caller unioning per-batch results
+    hit a long-vs-double mismatch exactly on the empty batch
+    (round-7 review)."""
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    full = global_running_sum(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, v double"),
+        [F.col("k")], "v", out_col="cum",
+    )
+    empty = global_running_sum(
+        spark.createDataFrame([], "k long, v double"),
+        [F.col("k")], "v", out_col="cum",
+    )
+    assert full.schema["cum"].dataType == empty.schema["cum"].dataType
+    got = {r["k"]: r["cum"] for r in full.collect()}
+    assert got == {1: 1.5, 2: 4.0}
+    # unioning the two shapes must not raise
+    full.unionByName(empty).collect()

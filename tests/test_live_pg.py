@@ -289,18 +289,20 @@ def test_live_test_decoding_options_timestamps(spark, live, tmp_path):
     _reset_table(live)
     s = _connect()
     slot = live.slot(f"{live.table}_tdo")
-    s.create_replication_slot(slot, plugin="test_decoding")
-    _dml_round(live)
-    s.start_replication(
-        slot, "0/0", plugin="test_decoding",
-        options={
-            "include-xids": True,
-            "include-timestamp": True,
-            "skip-empty-xacts": True,
-        },
-    )
     log = str(tmp_path / "tdo")
     try:
+        # slot creation INSIDE the try: a setup failure must still drop
+        # the slot, or max_replication_slots overflows later tests
+        s.create_replication_slot(slot, plugin="test_decoding")
+        _dml_round(live)
+        s.start_replication(
+            slot, "0/0", plugin="test_decoding",
+            options={
+                "include-xids": True,
+                "include-timestamp": True,
+                "skip-empty-xacts": True,
+            },
+        )
         assert _relay_until(s, log, want_frames=11) >= 11
         raw = _frames_df(spark, log).select(
             F.col("data").cast("string").alias("value"), "lsn", "seq"

@@ -689,3 +689,26 @@ def test_zipf_profile_vocabulary_beyond_bucket_range(spark):
     }
     assert got == want
     assert max(got) == 11 and 12 not in got
+
+
+def test_unigram_chain_rejects_unsupported_widths(spark):
+    """Round-7 review: the Viterbi position key packs (start, len) as
+    start*64+len (collisions past len 63), and unigram_compositions is
+    tribonacci in max_word_len (2^79 lattice rows at 80 hung the
+    driver). Both limits must raise AT THE CHAIN ENTRY, before any
+    lattice enumeration."""
+    import pytest
+
+    from pg_logical_replication_spark.operators import text as TX
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_piece_len.*64"):
+        TX.unigram_train(
+            docs, max_word_len=8, max_piece_len=70, budgets=(),
+            checkpoint_rounds=False,
+        )
+    with pytest.raises(ValueError, match="max_word_len.*24"):
+        TX.unigram_train(
+            docs, max_word_len=80, max_piece_len=3, budgets=(),
+            checkpoint_rounds=False,
+        )

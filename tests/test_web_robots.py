@@ -81,6 +81,14 @@ def test_canonical_url_rules(spark):
         ("https://s.com/p?b=2?x&a=1", "https://s.com/p?a=1&b=2?x"),
         # '&&' produces an empty param: filtered, no dangling '&'
         ("https://s.com/p?a=1&&b=2", "https://s.com/p?a=1&b=2"),
+        # www. strip is ANCHORED: a www. URL embedded in the QUERY must
+        # survive, or two genuinely different pages false-merge (and
+        # DuckDB's first-match regexp_replace would disagree with
+        # Spark's global one) — round-7 review
+        ("https://a.com/r?to=https://www.b.com",
+         "https://a.com/r?to=https://www.b.com"),
+        ("https://www.a.com/r?to=https://www.b.com",
+         "https://a.com/r?to=https://www.b.com"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i int, url string")
