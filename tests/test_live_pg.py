@@ -153,6 +153,19 @@ def _frames_df(spark, log_dir):
 def live(request):
     """One admin connection for DDL/DML + guaranteed cleanup."""
     t = _connect()
+    # self-heal: reap INACTIVE slots from this suite's namespace left
+    # by earlier aborted runs — accumulated leaks eventually exhaust
+    # max_replication_slots mid-suite (round 7 hit exactly this)
+    for (name, active) in _exec_sql(
+        t,
+        "SELECT slot_name, active FROM pg_replication_slots "
+        "WHERE slot_name LIKE 'plrs_live_%'",
+    ):
+        if active == "f":
+            try:
+                _exec_sql(t, f"SELECT pg_drop_replication_slot('{name}')")
+            except RuntimeError:
+                pass
     sfx = str(int(time.time()))[-6:]
     tbl = f"plrs_live_{sfx}"
     _exec_sql(t, f"CREATE TABLE {tbl} (id int PRIMARY KEY, v text)")
