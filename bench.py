@@ -106,6 +106,11 @@ HEADLINE = [
     "q_dedup_incremental_near",
     # round 7: the exact distributed prefix sum as a user query
     "q_orders_revenue_milestones",
+    # round 7 (cont.): zero-shuffle entropy gate, leakage-free split,
+    # SoftDeDup reweighting
+    "q_text_char_entropy",
+    "q_corpus_leakage_split",
+    "q_dedup_soft_weights",
 ]
 
 

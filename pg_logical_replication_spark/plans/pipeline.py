@@ -4750,3 +4750,178 @@ def q_dedup_incremental_near(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _leakage_split_oracle(iters: int = 6) -> str:
+    return _mat(f"""{_clusters_cte(iters=iters)},
+    assigned AS (SELECT d.doc_id, d.lang, d.n_chars,
+                        COALESCE(l.label, d.doc_id) AS label
+                 FROM documents d
+                 LEFT JOIN lab{iters} l ON l.doc_id = d.doc_id),
+    split AS (SELECT *,
+                     CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 2) < '0d'
+                            THEN 'val'
+                          WHEN substr(md5(CAST(label AS VARCHAR)), 1, 2) < '1a'
+                            THEN 'test'
+                          ELSE 'train' END AS split
+              FROM assigned)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM split GROUP BY split ORDER BY split
+    """)
+
+
+@register(
+    "q_corpus_leakage_split",
+    _leakage_split_oracle(),
+    "leakage-free train/val/test carving: near-dup CLUSTERS (not "
+    "documents) are the split unit — every member of an LSH cluster "
+    "lands in the same split via md5(cluster label), so a near-"
+    "duplicate of a val document can never leak into train (the "
+    "grouped split ≙ sklearn GroupShuffleSplit, at corpus scale)",
+)
+def q_corpus_leakage_split(spark, sf_dir):
+    """q_corpus_hash_sample's md5 split primitive applied to the
+    CLUSTER representative instead of the doc id: split(doc) =
+    f(label(doc)), so split atomicity over near-dup groups is
+    structural, not probabilistic. Scale: clustering emits only
+    (doc_id, label) pairs for docs in candidate clusters (tiny at any
+    real dup rate — AQE broadcasts the join); the split predicate is a
+    scan-side md5 over a long — no new shuffle beyond the final
+    3-group rollup."""
+    docs = t(spark, sf_dir, "documents")
+    labels = D.connected_components(D.minhash_candidate_pairs(docs))
+    assigned = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(labels, "doc_id", "left")
+        .withColumn("label", F.coalesce("label", "doc_id"))
+    )
+    h2 = F.substring(F.md5(F.col("label").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "0d", "val").when(h2 < "1a", "test").otherwise("train")
+    )
+    return (
+        assigned.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("label").cast("bigint").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _soft_weights_oracle(iters: int = 6) -> str:
+    return _mat(f"""{_clusters_cte(iters=iters)},
+    sizes AS (SELECT label, COUNT(*) AS sz FROM lab{iters} GROUP BY label),
+    weighted AS (SELECT d.doc_id, d.lang,
+                        1000000 // COALESCE(s.sz, 1) AS w_ppm
+                 FROM documents d
+                 LEFT JOIN lab{iters} l ON l.doc_id = d.doc_id
+                 LEFT JOIN sizes s ON s.label = l.label)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(w_ppm) AS BIGINT) AS effective_docs_ppm,
+           CAST(COUNT(*) * 1000000 - SUM(w_ppm) AS BIGINT) AS dup_mass_ppm
+    FROM weighted GROUP BY lang ORDER BY lang
+    """)
+
+
+@register(
+    "q_dedup_soft_weights",
+    _soft_weights_oracle(),
+    "SoftDeDup reweighting (EMNLP'24): keep every duplicate but "
+    "down-weight it to 1/cluster-size for sampling — the soft "
+    "alternative to keep-best dropping; per language: raw docs, "
+    "effective docs (Σ weights, ppm-scaled integers so both engines "
+    "sum bit-identically), and the duplicated mass removed",
+)
+def q_dedup_soft_weights(spark, sf_dir):
+    """The weight is 10⁶ div cluster_size — scaled-integer like
+    q_corpus_priority_sample, so the reweighted totals are exact in
+    both engines (a float Σ1/k would be summation-order-dependent).
+    Scale: cluster sizes are one count over the (doc_id, label) pairs
+    table; the corpus joins only ids/labels (texts never move), then
+    one language rollup."""
+    docs = t(spark, sf_dir, "documents")
+    labels = D.connected_components(D.minhash_candidate_pairs(docs))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    weighted = (
+        docs.select("doc_id", "lang")
+        .join(labels, "doc_id", "left")
+        .join(sizes, "label", "left")
+        .selectExpr("lang", "1000000 div coalesce(sz, 1) AS w_ppm")
+    )
+    return (
+        weighted.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w_ppm").cast("bigint").alias("effective_docs_ppm"),
+            (F.count("*") * 1000000 - F.sum("w_ppm"))
+            .cast("bigint")
+            .alias("dup_mass_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _char_entropy_oracle() -> str:
+    _, (duck_counts, duck_bits) = TX.char_entropy_fragments()
+    return f"""
+    WITH s0 AS (SELECT doc_id, lang, lower(text) AS s
+                FROM documents WHERE length(text) > 0),
+    c AS (SELECT doc_id, lang, CAST(length(s) AS BIGINT) AS n,
+                 {duck_counts} AS cnts
+          FROM s0),
+    e AS (SELECT doc_id, lang, n,
+                 ({duck_bits}) * 1000000 // n AS bpc_ppm
+          FROM c)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bpc_ppm < 3400000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy,
+           CAST(SUM(CASE WHEN bpc_ppm >= 3750000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_entropy,
+           CAST(SUM(bpc_ppm) // COUNT(*) AS BIGINT) AS mean_bpc_ppm
+    FROM e GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q_text_char_entropy",
+    _char_entropy_oracle(),
+    "quantized character-entropy gate: ⌊log2⌋-bit Shannon surprisal "
+    "over a 27-bucket char histogram (replace-length counting — no "
+    "explode), flagging low-entropy filler and high-entropy "
+    "base64/binary spill per language — the pre-tokenization gibberish "
+    "screen (C4/RefinedWeb-style cleaning)",
+)
+def q_text_char_entropy(spark, sf_dir):
+    """operators/text.char_entropy: the whole histogram + surprisal is
+    a scan-stage expression tree (27 replace passes, integer ⌊log2⌋ via
+    length(bin()) — the module's cross-engine determinism contract), so
+    the gate costs one text scan and shuffles only the per-language
+    rollup. bpc thresholds: < 3.4 bits/char ⇒ repetitive filler,
+    ≥ 3.75 ⇒ near-uniform (encoded blob)."""
+    e = TX.char_entropy(
+        t(spark, sf_dir, "documents"), keep_cols=("lang",)
+    )
+    low = (F.col("bpc_ppm") < 3400000).cast("long")
+    high = (F.col("bpc_ppm") >= 3750000).cast("long")
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(low).cast("bigint").alias("n_low_entropy"),
+            F.sum(high).cast("bigint").alias("n_high_entropy"),
+            F.sum("bpc_ppm").cast("bigint").alias("_sum_bpc"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_low_entropy",
+            "n_high_entropy",
+            "_sum_bpc div n_docs AS mean_bpc_ppm",
+        )
+        .orderBy("lang")
+    )
