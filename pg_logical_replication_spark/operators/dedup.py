@@ -341,6 +341,31 @@ def connected_components_star(
     )
 
 
+def split_assign_expr(
+    label_col: str = "label", val_cut: str = "0d", test_cut: str = "1a"
+) -> Column:
+    """Cluster-atomic train/val/test assignment: md5 over the CLUSTER
+    label (not the doc id), first-two-hex-chars thresholds (each hex
+    pair = 1/256 of mass: '0d' ⇒ ~5% val, '1a' ⇒ the next ~5% test).
+    Because the split is a pure function of the label, every member of
+    a duplicate cluster lands in the same split — the leakage-free
+    property. Shared by q_corpus_leakage_split and its tests so the
+    shipped expression is the tested expression."""
+    h2 = F.substring(F.md5(F.col(label_col).cast("string")), 1, 2)
+    return (
+        F.when(h2 < val_cut, "val").when(h2 < test_cut, "test").otherwise("train")
+    )
+
+
+def soft_weight_expr(size_col: str = "sz", scale: int = 1_000_000) -> Column:
+    """SoftDeDup sampling weight as a scaled integer: ``scale div
+    cluster_size`` (NULL size = singleton = full weight). Integer so
+    reweighted totals are bit-exact in any engine and any summation
+    order — a float Σ1/k is order-dependent. ``size_col`` must be a
+    plain identifier (it is interpolated into a SQL expression)."""
+    return F.expr(f"{int(scale)} div coalesce({size_col}, 1)")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Representative (min id) per exact text; adds group size.
 

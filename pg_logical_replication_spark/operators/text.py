@@ -2669,12 +2669,16 @@ def blocklist_filter(
 CHAR_ENTROPY_ALPHABET: tuple[str, ...] = tuple("abcdefghijklmnopqrstuvwxyz") + (" ",)
 
 
-def char_entropy_fragments() -> tuple[tuple[str, str], tuple[str, str]]:
+def char_entropy_fragments(
+    s: str = "s", n: str = "n", cnts: str = "cnts"
+) -> tuple[tuple[str, str], tuple[str, str]]:
     """SQL fragments for the quantized char-entropy computation:
     ``((spark_counts, spark_bits), (duck_counts, duck_bits))``. The
     counts expression yields the 27-bucket histogram array from columns
     ``s`` (lowered text) and ``n`` (its length, BIGINT, > 0); the bits
     expression yields per-doc ``surprisal_bits`` from ``cnts`` + ``n``.
+    The column names are parameters (plain identifiers) so callers can
+    pick collision-proof internal names.
 
     The per-character counts use the replace-length trick —
     ``length(s) - length(replace(s, c, ''))`` — so the whole 27-bucket
@@ -2693,24 +2697,24 @@ def char_entropy_fragments() -> tuple[tuple[str, str], tuple[str, str]]:
     lits = ", ".join(f"'{c}'" for c in CHAR_ENTROPY_ALPHABET)
     spark_counts = (
         f"transform(array({lits}),"
-        f" ch -> CAST(length(s) - length(replace(s, ch, '')) AS BIGINT))"
+        f" ch -> CAST(length({s}) - length(replace({s}, ch, '')) AS BIGINT))"
     )
     spark_bits = (
-        "aggregate(filter(array_append(cnts,"
-        " n - aggregate(cnts, CAST(0 AS BIGINT), (a, x) -> a + x)),"
-        " x -> x > 0),"
-        " CAST(0 AS BIGINT),"
-        " (a, x) -> a + x * (length(bin(n div x)) - 1))"
+        f"aggregate(filter(array_append({cnts},"
+        f" {n} - aggregate({cnts}, CAST(0 AS BIGINT), (a, x) -> a + x)),"
+        f" x -> x > 0),"
+        f" CAST(0 AS BIGINT),"
+        f" (a, x) -> a + x * (length(bin({n} div x)) - 1))"
     )
     duck_counts = (
         f"list_transform([{lits}],"
-        f" ch -> CAST(length(s) - length(replace(s, ch, '')) AS BIGINT))"
+        f" ch -> CAST(length({s}) - length(replace({s}, ch, '')) AS BIGINT))"
     )
     duck_bits = (
-        "CAST(list_sum(list_transform(list_filter(list_append(cnts,"
-        " n - CAST(list_sum(cnts) AS BIGINT)),"
-        " x -> x > 0),"
-        " x -> x * (length(bin(n // x)) - 1))) AS BIGINT)"
+        f"CAST(list_sum(list_transform(list_filter(list_append({cnts},"
+        f" {n} - CAST(list_sum({cnts}) AS BIGINT)),"
+        f" x -> x > 0),"
+        f" x -> x * (length(bin({n} // x)) - 1))) AS BIGINT)"
     )
     return (spark_counts, spark_bits), (duck_counts, duck_bits)
 
@@ -2726,32 +2730,45 @@ def char_entropy(
     tokenization (low entropy ⇒ repetitive filler, high entropy ⇒
     base64/binary spill; both are cut in C4/RefinedWeb-style cleaning).
 
-    Output: ``id, keep_cols..., n_alpha_chars, surprisal_bits,
-    bpc_ppm`` where ``bpc_ppm`` is bits-per-char × 10⁶ (integer —
-    engines can never disagree). Histogram buckets are the 26 ASCII
-    letters + space over ``lower(text)``; everything else is one
-    "other" bucket, so CJK text scores as high-"other" mass rather
-    than crashing the alphabet.
+    Output: ``id, keep_cols..., n_chars_measured, surprisal_bits,
+    bpc_ppm`` where ``n_chars_measured`` is the full lowered-text
+    length (same name/meaning as token_stats) and ``bpc_ppm`` is
+    bits-per-char × 10⁶ (integer — engines can never disagree).
+    Histogram buckets are the 26 ASCII letters + space over
+    ``lower(text)``; everything else is one "other" bucket, so CJK
+    text scores as high-"other" mass rather than crashing the alphabet.
 
     Scale: a pure scan-stage projection (27 replace passes + integer
     arithmetic) — zero shuffle, zero explode, streaming-safe; composes
     with the other first-pass gates in one text scan.
     """
-    (sp_counts, sp_bits), _ = char_entropy_fragments()
+    reserved = {"_ce_s", "_ce_n", "_ce_cnts", "surprisal_bits", "bpc_ppm",
+                "n_chars_measured"}
+    clash = reserved & ({id_col} | set(keep_cols))
+    if clash:
+        raise ValueError(
+            f"char_entropy: column name(s) {sorted(clash)} collide with "
+            "the operator's output/internal names"
+        )
+    (sp_counts, sp_bits), _ = char_entropy_fragments(
+        s="_ce_s", n="_ce_n", cnts="_ce_cnts"
+    )
+    qid = f"`{id_col}`"
+    qkeep = [f"`{c}`" for c in keep_cols]
     s0 = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.lower(F.col(text_col)).alias("s"),
-    ).where(F.length("s") > 0)
+        F.lower(F.col(text_col)).alias("_ce_s"),
+    ).where(F.length("_ce_s") > 0)
     c = s0.selectExpr(
-        id_col, *keep_cols, "CAST(length(s) AS BIGINT) AS n", "s"
-    ).selectExpr(id_col, *keep_cols, "n", f"{sp_counts} AS cnts")
+        qid, *qkeep, "CAST(length(_ce_s) AS BIGINT) AS _ce_n", "_ce_s"
+    ).selectExpr(qid, *qkeep, "_ce_n", f"{sp_counts} AS _ce_cnts")
     return c.selectExpr(
-        id_col, *keep_cols, "n", f"({sp_bits}) AS surprisal_bits"
+        qid, *qkeep, "_ce_n", f"({sp_bits}) AS surprisal_bits"
     ).selectExpr(
-        id_col,
-        *keep_cols,
-        "n AS n_alpha_chars",
+        qid,
+        *qkeep,
+        "_ce_n AS n_chars_measured",
         "surprisal_bits",
-        "surprisal_bits * 1000000 div n AS bpc_ppm",
+        "surprisal_bits * 1000000 div _ce_n AS bpc_ppm",
     )

@@ -1811,11 +1811,13 @@ def q_text_quality_linear(spark, sf_dir):
     return TX.linear_quality_score(t(spark, sf_dir, "documents"))
 
 
-def _star_clusters_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
-    """TRUE-component oracle: recursive-CTE transitive closure over the
-    LSH candidate graph, min reachable id per node — exactly what the
-    converged star contraction must produce (no round-count to mirror,
-    unlike the fixed-round label-propagation oracle)."""
+def _star_labels_cte(num_hashes: int = 8, band_size: int = 2) -> str:
+    """Shared WITH-prefix ending in ``truelabs`` (doc_id, label): TRUE
+    transitive-closure components over the LSH candidate graph via a
+    recursive CTE, min reachable id per node — exactly what converged
+    star contraction must produce (no round-count to mirror, unlike the
+    fixed-round label-propagation oracle). Used by the cluster-star,
+    leakage-split and soft-weights oracles."""
     mh = ",\n           ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
         for i in range(num_hashes)
@@ -1842,9 +1844,14 @@ def _star_clusters_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
         SELECT doc_id, doc_id FROM nodes
         UNION
         SELECT r.src, e.v FROM reach r JOIN uedges e ON e.u = r.dst
-    )
-    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS label
-    FROM reach GROUP BY src
+    ),
+    truelabs AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS label
+                 FROM reach GROUP BY src)"""
+
+
+def _star_clusters_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    return f"""{_star_labels_cte(num_hashes, band_size)}
+    SELECT doc_id, label FROM truelabs
     """
 
 
@@ -4752,12 +4759,12 @@ def q_dedup_incremental_near(spark, sf_dir):
     )
 
 
-def _leakage_split_oracle(iters: int = 6) -> str:
-    return _mat(f"""{_clusters_cte(iters=iters)},
+def _leakage_split_oracle() -> str:
+    return f"""{_star_labels_cte()},
     assigned AS (SELECT d.doc_id, d.lang, d.n_chars,
                         COALESCE(l.label, d.doc_id) AS label
                  FROM documents d
-                 LEFT JOIN lab{iters} l ON l.doc_id = d.doc_id),
+                 LEFT JOIN truelabs l ON l.doc_id = d.doc_id),
     split AS (SELECT *,
                      CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 2) < '0d'
                             THEN 'val'
@@ -4769,40 +4776,40 @@ def _leakage_split_oracle(iters: int = 6) -> str:
            CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters,
            CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM split GROUP BY split ORDER BY split
-    """)
+    """
 
 
 @register(
     "q_corpus_leakage_split",
     _leakage_split_oracle(),
     "leakage-free train/val/test carving: near-dup CLUSTERS (not "
-    "documents) are the split unit — every member of an LSH cluster "
-    "lands in the same split via md5(cluster label), so a near-"
-    "duplicate of a val document can never leak into train (the "
-    "grouped split ≙ sklearn GroupShuffleSplit, at corpus scale)",
+    "documents) are the split unit — every member of a TRUE connected "
+    "component (converged star contraction, not fixed-round "
+    "propagation, so chains of ANY depth stay whole) lands in the same "
+    "split via md5(cluster label); a near-duplicate of a val document "
+    "can never leak into train (≙ sklearn GroupShuffleSplit at corpus "
+    "scale), hash-checked against a recursive-CTE closure oracle",
 )
 def q_corpus_leakage_split(spark, sf_dir):
     """q_corpus_hash_sample's md5 split primitive applied to the
     CLUSTER representative instead of the doc id: split(doc) =
     f(label(doc)), so split atomicity over near-dup groups is
-    structural, not probabilistic. Scale: clustering emits only
-    (doc_id, label) pairs for docs in candidate clusters (tiny at any
-    real dup rate — AQE broadcasts the join); the split predicate is a
-    scan-side md5 over a long — no new shuffle beyond the final
-    3-group rollup."""
+    structural, not probabilistic — and because the labels come from
+    connected_components_star (converged O(log n)-round contraction),
+    the atomicity holds for duplicate CHAINS of any diameter, not just
+    within a fixed hop budget. Scale: clustering emits only (doc_id,
+    label) pairs for docs in candidate clusters (tiny at any real dup
+    rate — AQE broadcasts the join); the split predicate is a scan-side
+    md5 over a long — no new shuffle beyond the final 3-group rollup."""
     docs = t(spark, sf_dir, "documents")
-    labels = D.connected_components(D.minhash_candidate_pairs(docs))
+    labels = D.connected_components_star(D.minhash_candidate_pairs(docs))
     assigned = (
         docs.select("doc_id", "lang", "n_chars")
         .join(labels, "doc_id", "left")
         .withColumn("label", F.coalesce("label", "doc_id"))
     )
-    h2 = F.substring(F.md5(F.col("label").cast("string")), 1, 2)
-    split = (
-        F.when(h2 < "0d", "val").when(h2 < "1a", "test").otherwise("train")
-    )
     return (
-        assigned.withColumn("split", split)
+        assigned.withColumn("split", D.split_assign_expr())
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -4813,19 +4820,19 @@ def q_corpus_leakage_split(spark, sf_dir):
     )
 
 
-def _soft_weights_oracle(iters: int = 6) -> str:
-    return _mat(f"""{_clusters_cte(iters=iters)},
-    sizes AS (SELECT label, COUNT(*) AS sz FROM lab{iters} GROUP BY label),
+def _soft_weights_oracle() -> str:
+    return f"""{_star_labels_cte()},
+    sizes AS (SELECT label, COUNT(*) AS sz FROM truelabs GROUP BY label),
     weighted AS (SELECT d.doc_id, d.lang,
                         1000000 // COALESCE(s.sz, 1) AS w_ppm
                  FROM documents d
-                 LEFT JOIN lab{iters} l ON l.doc_id = d.doc_id
+                 LEFT JOIN truelabs l ON l.doc_id = d.doc_id
                  LEFT JOIN sizes s ON s.label = l.label)
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(w_ppm) AS BIGINT) AS effective_docs_ppm,
            CAST(COUNT(*) * 1000000 - SUM(w_ppm) AS BIGINT) AS dup_mass_ppm
     FROM weighted GROUP BY lang ORDER BY lang
-    """)
+    """
 
 
 @register(
@@ -4833,25 +4840,27 @@ def _soft_weights_oracle(iters: int = 6) -> str:
     _soft_weights_oracle(),
     "SoftDeDup reweighting (EMNLP'24): keep every duplicate but "
     "down-weight it to 1/cluster-size for sampling — the soft "
-    "alternative to keep-best dropping; per language: raw docs, "
-    "effective docs (Σ weights, ppm-scaled integers so both engines "
-    "sum bit-identically), and the duplicated mass removed",
+    "alternative to keep-best dropping; cluster sizes from TRUE "
+    "components (converged star contraction vs a recursive-CTE closure "
+    "oracle); per language: raw docs, effective docs (Σ weights, "
+    "ppm-scaled integers so both engines sum bit-identically), and the "
+    "duplicated mass removed",
 )
 def q_dedup_soft_weights(spark, sf_dir):
-    """The weight is 10⁶ div cluster_size — scaled-integer like
-    q_corpus_priority_sample, so the reweighted totals are exact in
-    both engines (a float Σ1/k would be summation-order-dependent).
-    Scale: cluster sizes are one count over the (doc_id, label) pairs
-    table; the corpus joins only ids/labels (texts never move), then
-    one language rollup."""
+    """The weight is 10⁶ div cluster_size (operators/dedup.py
+    soft_weight_expr) — scaled-integer like q_corpus_priority_sample,
+    so the reweighted totals are exact in both engines (a float Σ1/k
+    would be summation-order-dependent). Scale: cluster sizes are one
+    count over the (doc_id, label) pairs table; the corpus joins only
+    ids/labels (texts never move), then one language rollup."""
     docs = t(spark, sf_dir, "documents")
-    labels = D.connected_components(D.minhash_candidate_pairs(docs))
+    labels = D.connected_components_star(D.minhash_candidate_pairs(docs))
     sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
     weighted = (
         docs.select("doc_id", "lang")
         .join(labels, "doc_id", "left")
         .join(sizes, "label", "left")
-        .selectExpr("lang", "1000000 div coalesce(sz, 1) AS w_ppm")
+        .select("lang", D.soft_weight_expr().alias("w_ppm"))
     )
     return (
         weighted.groupBy("lang")

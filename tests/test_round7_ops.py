@@ -6,9 +6,13 @@ plan shapes).
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from pg_logical_replication_spark.operators.dedup import (
-    connected_components,
+    connected_components_star,
     minhash_candidate_pairs,
+    soft_weight_expr,
+    split_assign_expr,
 )
 from pg_logical_replication_spark.operators.text import char_entropy
 
@@ -51,6 +55,24 @@ def test_char_entropy_plan_has_no_exchange(spark):
     assert "Generate" not in plan  # no explode
 
 
+def _split_per_cluster(docs):
+    """Assemble the q_corpus_leakage_split front half from the SAME
+    shipped pieces the query uses (connected_components_star +
+    split_assign_expr) and return distinct-splits-per-cluster rows."""
+    labels = connected_components_star(minhash_candidate_pairs(docs))
+    assigned = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("label", F.coalesce("label", "doc_id"))
+    )
+    return (
+        assigned.withColumn("split", split_assign_expr())
+        .groupBy("label")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+
+
 def test_leakage_split_is_cluster_atomic(spark):
     """Every member of a near-dup cluster must land in the same split —
     the property the operator exists for, checked structurally on a
@@ -64,27 +86,33 @@ def test_leakage_split_is_cluster_atomic(spark):
         text = base.replace("fox", f"fox{g}")
         for m in range(3):  # 3 near-identical members per group
             rows.append((g * 10 + m, (text + " extra") if m else text))
-    docs = _docs(spark, rows)
-    labels = connected_components(minhash_candidate_pairs(docs))
-    assigned = (
-        docs.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .withColumn("label", F.coalesce("label", "doc_id"))
-    )
-    h2 = F.substring(F.md5(F.col("label").cast("string")), 1, 2)
-    split = F.when(h2 < "0d", "val").when(h2 < "1a", "test").otherwise("train")
-    per_cluster = (
-        assigned.withColumn("split", split)
-        .groupBy("label")
-        .agg(F.countDistinct("split").alias("n_splits"))
-        .collect()
-    )
+    per_cluster = _split_per_cluster(_docs(spark, rows))
     assert per_cluster and all(r["n_splits"] == 1 for r in per_cluster)
+
+
+def test_leakage_split_atomic_on_deep_chain(spark):
+    """A 15-node candidate CHAIN (doc i adjacent only to doc i+1 —
+    diameter 14, far past any fixed hop budget) must still be ONE
+    cluster in ONE split: the reason the query uses converged star
+    contraction rather than fixed-round label propagation."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)], "a_id long, b_id long"
+    )
+    labels = connected_components_star(pairs)
+    assert labels.select("label").distinct().count() == 1
+    one_split = (
+        labels.withColumn("split", split_assign_expr())
+        .select("split")
+        .distinct()
+        .count()
+    )
+    assert one_split == 1
 
 
 def test_soft_weights_exact_small_clusters(spark):
     """Singletons weigh 1e6; a k-cluster weighs 1e6 div k per member
-    (ppm integers — the float-free SoftDeDup accounting)."""
+    (ppm integers — the float-free SoftDeDup accounting), via the SAME
+    shipped soft_weight_expr the query uses."""
     text = (
         "alpha beta gamma delta epsilon zeta eta theta iota kappa "
         "lambda mu nu xi omicron pi rho sigma tau upsilon"
@@ -92,15 +120,22 @@ def test_soft_weights_exact_small_clusters(spark):
     rows = [(1, text), (2, text), (3, text), (4, "totally different words "
             "describing an unrelated subject matter entirely elsewhere")]
     docs = _docs(spark, rows)
-    labels = connected_components(minhash_candidate_pairs(docs))
+    labels = connected_components_star(minhash_candidate_pairs(docs))
     sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
     weighted = (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
         .join(sizes, "label", "left")
-        .selectExpr("doc_id", "1000000 div coalesce(sz, 1) AS w_ppm")
+        .select("doc_id", soft_weight_expr().alias("w_ppm"))
         .collect()
     )
     w = {r["doc_id"]: r["w_ppm"] for r in weighted}
     assert w[4] == 1000000
     assert w[1] == w[2] == w[3] == 333333
+
+
+def test_char_entropy_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, "x", "y")], "doc_id long, text string, "
+                               "surprisal_bits string")
+    with pytest.raises(ValueError, match="collide"):
+        char_entropy(df, keep_cols=("surprisal_bits",))
