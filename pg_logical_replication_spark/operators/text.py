@@ -2753,8 +2753,11 @@ def char_entropy(
     (sp_counts, sp_bits), _ = char_entropy_fragments(
         s="_ce_s", n="_ce_n", cnts="_ce_cnts"
     )
-    qid = f"`{id_col}`"
-    qkeep = [f"`{c}`" for c in keep_cols]
+    def _q(name: str) -> str:  # backtick-quote, escaping embedded backticks
+        return "`" + name.replace("`", "``") + "`"
+
+    qid = _q(id_col)
+    qkeep = [_q(c) for c in keep_cols]
     s0 = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],

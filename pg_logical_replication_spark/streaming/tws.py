@@ -694,3 +694,103 @@ def resolve_transactions_tws(
         passthrough,
         reemit_unmatched_fates=False,
     )
+
+
+# ------------------------------------------ near-dup band gate (tws)
+def _band_claim_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BandClaim(StatefulProcessor):
+        """First-claim-wins per (band_idx, band_key): state is one
+        existence bit per claimed band — the same O(rate × horizon ×
+        bands) footprint as dropDuplicatesWithinWatermark's key store,
+        but in RocksDB column families with optional TTL eviction."""
+
+        def __init__(self, ttl_ms: int | None):
+            self._ttl_ms = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._claimed = handle.getValueState(
+                "claimed", "claimed boolean", ttlDurationMs=self._ttl_ms
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            if self._claimed.exists():
+                return  # claimed in an earlier micro-batch: suppress
+            recs: list[dict[str, Any]] = []
+            for pdf in rows:
+                recs.extend(pdf.to_dict("records"))
+            # within-batch tie: earliest event time, then smallest id —
+            # deterministic where the built-in keeps an arbitrary first
+            recs.sort(key=lambda r: (r["ts"], int(r["doc_id"])))
+            self._claimed.update((True,))
+            w = recs[0]
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": int(w["doc_id"]),
+                        "ts": w["ts"],
+                        "band_idx": int(key[0]),
+                        "band_key": key[1],
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return BandClaim
+
+
+def stream_near_dup_gate_tws(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``streaming.dedup.stream_near_dup_gate`` — same contract (explode
+    MinHash band keys, first claim per (band_idx, band_key) wins, feed
+    :func:`streaming.dedup.near_dup_gate_rollup` per micro-batch),
+    agreement-tested in tests/test_tws.py.
+
+    Horizon semantics differ by backend, same trade as the txn gate:
+    the built-in form evicts by EVENT-time watermark; this twin evicts
+    by processing-time state TTL (``ttl_ms``; ``None`` = unbounded
+    state — fine for bounded replays, not for a forever-run). Use the
+    built-in form when event-time retention matters; use this one when
+    the state store is RocksDB and per-key TTL + column-family
+    lifecycle beat the watermark bookkeeping.
+    """
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.dedup import (
+        minhash_bands_expr,
+    )
+
+    entries = minhash_bands_expr(text_col, num_hashes, band_size, shingle_n)
+    exploded = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        F.explode(entries).alias("e"),
+    ).select("doc_id", "ts", "e.band_idx", "e.band_key")
+    out = exploded.groupBy("band_idx", "band_key").transformWithStateInPandas(
+        statefulProcessor=_band_claim_class()(ttl_ms),
+        outputStructType=(
+            "doc_id long, ts timestamp, band_idx int, band_key string"
+        ),
+        outputMode="append",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
+    )
+    return out.withColumnRenamed("doc_id", id_col).withColumnRenamed(
+        "ts", ts_col
+    )

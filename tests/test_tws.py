@@ -558,3 +558,74 @@ def test_resolve_gate_backend_auto_picks_by_expected_txn_rows(rocksdb, tmp_path)
     assert a == b
     vs = [x[4] for x in a]
     assert "keep" in vs and "plain" in vs and "subdrop" not in vs
+
+
+def test_near_dup_gate_tws_agrees_with_builtin(rocksdb, tmp_path):
+    """tws twin of the MinHash band gate: same claimed-band verdicts as
+    the dropDuplicatesWithinWatermark form on a cross-batch scenario —
+    original claims all bands, a later near-duplicate loses band(s),
+    an unrelated doc is novel."""
+    import os
+
+    from pg_logical_replication_spark.streaming.dedup import (
+        near_dup_gate_rollup,
+        stream_near_dup_gate,
+    )
+    from pg_logical_replication_spark.streaming.tws import (
+        stream_near_dup_gate_tws,
+    )
+
+    spark = rocksdb
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    near = base.replace("dark", "cold")
+    other = ("completely different text about spark structured "
+             "streaming state stores and watermark eviction rules")
+
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batches(d):
+        os.makedirs(d)
+        with open(os.path.join(d, "b0.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"doc_id": 1, "text": base, "ts": "2024-01-01 00:00:00"}
+            ) + "\n")
+        with open(os.path.join(d, "b1.jsonl"), "w") as f:
+            for rid, text in [(2, near), (3, other)]:
+                f.write(json.dumps(
+                    {"doc_id": rid, "text": text,
+                     "ts": "2024-01-01 00:10:00"}) + "\n")
+
+    def run(gate_fn, d, ckpt, **kw):
+        verdicts = {}
+
+        def sink(df, _b):
+            for r in near_dup_gate_rollup(df, n_bands=4).collect():
+                verdicts[r["doc_id"]] = (r["n_claimed"], r["novel"])
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(d)
+        )
+        q = (
+            gate_fn(stream, **kw)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return verdicts
+
+    d1 = str(tmp_path / "docs_builtin")
+    d2 = str(tmp_path / "docs_tws")
+    write_batches(d1)
+    write_batches(d2)
+    builtin = run(stream_near_dup_gate, d1, str(tmp_path / "cp1"),
+                  watermark="1 hour")
+    tws = run(stream_near_dup_gate_tws, d2, str(tmp_path / "cp2"))
+
+    assert builtin == tws
+    assert tws[1] == (4, True)          # first doc claims all 4 bands
+    assert not tws[2][1] and tws[2][0] < 4   # near-dup lost band(s)
+    assert tws[3] == (4, True)          # unrelated doc is novel
