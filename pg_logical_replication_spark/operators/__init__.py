@@ -19,6 +19,7 @@ from pg_logical_replication_spark.operators.transactions import (  # noqa: F401
 from pg_logical_replication_spark.operators.dedup import (  # noqa: F401
     build_dedup_index,
     connected_components,
+    connected_components_star,
     containment_pairs,
     dedup_new_against_index,
     exact_dedup,
@@ -26,6 +27,8 @@ from pg_logical_replication_spark.operators.dedup import (  # noqa: F401
     minhash_candidate_pairs,
     simhash,
     simhash_pairs,
+    soft_weight_expr,
+    split_assign_expr,
     winnow_fingerprints,
 )
 from pg_logical_replication_spark.operators.similarity import (  # noqa: F401
@@ -57,6 +60,7 @@ from pg_logical_replication_spark.operators.text import (  # noqa: F401
     c4_filter,
     ccnet_perplexity_buckets,
     cdc_chunk_dedup_stats,
+    char_entropy,
     content_defined_chunks,
     gopher_quality_filter,
     gopher_repetition_filter,
