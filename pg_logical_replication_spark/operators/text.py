@@ -2758,10 +2758,13 @@ def char_entropy(
 
     qid = _q(id_col)
     qkeep = [_q(c) for c in keep_cols]
+    # F.col also parses backticks/dots, so the first projection must use
+    # the SAME quoted spellings as the selectExpr stages — otherwise an
+    # exotic column name fails here, before the escaping ever runs
     s0 = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        F.lower(F.col(text_col)).alias("_ce_s"),
+        F.col(qid),
+        *[F.col(q) for q in qkeep],
+        F.lower(F.col(_q(text_col))).alias("_ce_s"),
     ).where(F.length("_ce_s") > 0)
     c = s0.selectExpr(
         qid, *qkeep, "CAST(length(_ce_s) AS BIGINT) AS _ce_n", "_ce_s"

@@ -112,13 +112,39 @@ def stream_near_dup_gate(
     State: one 32-byte key per claimed band within the horizon —
     O(rate × horizon × bands), evicted by event time, never O(corpus).
     """
-    entries = minhash_bands_expr(text_col, num_hashes, band_size, shingle_n)
-    exploded = stream.select(
-        F.col(id_col), F.col(ts_col), F.explode(entries).alias("e")
-    ).select(id_col, ts_col, "e.band_idx", "e.band_key")
+    exploded = exploded_band_claims(
+        stream, text_col, id_col, ts_col, num_hashes, band_size, shingle_n
+    )
     return exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["band_idx", "band_key"]
     )
+
+
+def exploded_band_claims(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_out: str | None = None,
+    ts_out: str | None = None,
+) -> DataFrame:
+    """The band-claim projection shared by :func:`stream_near_dup_gate`
+    and its tws twin: (id, ts, band_idx, band_key) — one row per band
+    per document, the key structure both gates claim on. ``id_out`` /
+    ``ts_out`` rename the carried columns (the tws processor needs
+    canonical names); the band struct fields stay the single source of
+    truth here so the twins cannot silently diverge."""
+    entries = minhash_bands_expr(text_col, num_hashes, band_size, shingle_n)
+    id_out = id_out or id_col
+    ts_out = ts_out or ts_col
+    return stream.select(
+        F.col(id_col).alias(id_out),
+        F.col(ts_col).alias(ts_out),
+        F.explode(entries).alias("e"),
+    ).select(id_out, ts_out, "e.band_idx", "e.band_key")
 
 
 def near_dup_gate_rollup(

@@ -725,15 +725,25 @@ def _band_claim_class():
             recs: list[dict[str, Any]] = []
             for pdf in rows:
                 recs.extend(pdf.to_dict("records"))
+
             # within-batch tie: earliest event time, then smallest id —
-            # deterministic where the built-in keeps an arbitrary first
-            recs.sort(key=lambda r: (r["ts"], int(r["doc_id"])))
+            # deterministic where the built-in keeps an arbitrary first.
+            # NULL ids sort last and pass through as NULL (the built-in
+            # form emits them too; crashing the query on one malformed
+            # upstream row would be the wrong failure mode)
+            def _did(r):
+                d = r.get("doc_id")
+                return None if d is None or pd.isna(d) else int(d)
+
+            recs.sort(
+                key=lambda r: (r["ts"], _did(r) is None, _did(r) or 0)
+            )
             self._claimed.update((True,))
             w = recs[0]
             yield pd.DataFrame(
                 [
                     {
-                        "doc_id": int(w["doc_id"]),
+                        "doc_id": _did(w),
                         "ts": w["ts"],
                         "band_idx": int(key[0]),
                         "band_key": key[1],
@@ -771,18 +781,14 @@ def stream_near_dup_gate_tws(
     the state store is RocksDB and per-key TTL + column-family
     lifecycle beat the watermark bookkeeping.
     """
-    from pyspark.sql import functions as F
-
     from pg_logical_replication_spark.streaming.dedup import (
-        minhash_bands_expr,
+        exploded_band_claims,
     )
 
-    entries = minhash_bands_expr(text_col, num_hashes, band_size, shingle_n)
-    exploded = stream.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(ts_col).alias("ts"),
-        F.explode(entries).alias("e"),
-    ).select("doc_id", "ts", "e.band_idx", "e.band_key")
+    exploded = exploded_band_claims(
+        stream, text_col, id_col, ts_col, num_hashes, band_size, shingle_n,
+        id_out="doc_id", ts_out="ts",
+    )
     out = exploded.groupBy("band_idx", "band_key").transformWithStateInPandas(
         statefulProcessor=_band_claim_class()(ttl_ms),
         outputStructType=(

@@ -614,7 +614,7 @@ def test_near_dup_gate_tws_agrees_with_builtin(rocksdb, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination()  # blocking: availableNow terminates on drain
         return verdicts
 
     d1 = str(tmp_path / "docs_builtin")
@@ -629,3 +629,48 @@ def test_near_dup_gate_tws_agrees_with_builtin(rocksdb, tmp_path):
     assert tws[1] == (4, True)          # first doc claims all 4 bands
     assert not tws[2][1] and tws[2][0] < 4   # near-dup lost band(s)
     assert tws[3] == (4, True)          # unrelated doc is novel
+
+
+def test_near_dup_gate_tws_null_id_passes_through(rocksdb, tmp_path):
+    """A malformed row with doc_id NULL must not kill the query: the
+    claim emits with a null id (matching the built-in form) and later
+    claims on the same bands are still suppressed."""
+    import os
+
+    from pg_logical_replication_spark.streaming.tws import (
+        stream_near_dup_gate_tws,
+    )
+
+    spark = rocksdb
+    d = str(tmp_path / "docs"); os.makedirs(d)
+    text = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    with open(os.path.join(d, "b0.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": None, "text": text, "ts": "2024-01-01 00:00:00"}
+        ) + "\n")
+    with open(os.path.join(d, "b1.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 7, "text": text, "ts": "2024-01-01 00:10:00"}
+        ) + "\n")
+
+    claims = []
+
+    def sink(df, _b):
+        claims.extend(df.collect())
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).json(d)
+    )
+    q = (
+        stream_near_dup_gate_tws(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the null-id doc claimed all 4 bands; the identical doc 7 claims none
+    assert len(claims) == 4
+    assert all(r["doc_id"] is None for r in claims)
