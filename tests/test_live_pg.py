@@ -177,6 +177,7 @@ def live(request):
         admin = t
         table = tbl
         pub = f"{tbl}_pub"
+        created = created_slots
 
         @staticmethod
         def slot(name):
@@ -205,6 +206,23 @@ def _reset_table(live):
     otherwise collide on the PK (and the cleanup deletes would pollute
     the new slot's stream if issued after slot creation)."""
     _exec_sql(live.admin, f"DELETE FROM {live.table}")
+
+
+@pytest.fixture(autouse=True)
+def _slot_gc(live):
+    """Drop each test's slots at TEST end, not module teardown: the
+    suite is 18 tests against a 10-slot default pool, so deferring all
+    drops to module scope exhausts the pool around test 16 ('all
+    replication slots are in use' — hit twice now, r7 and r7-final).
+    Best-effort: a still-active slot (transport not yet closed) fails
+    the eager drop and is reaped by the module finalizer instead."""
+    before = len(live.created)
+    yield
+    for s in live.created[before:]:
+        try:
+            _exec_sql(live.admin, f"SELECT pg_drop_replication_slot('{s}')")
+        except RuntimeError:
+            pass
 
 
 def _dml_round(live):
