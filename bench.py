@@ -111,6 +111,7 @@ HEADLINE = [
     "q_text_char_entropy",
     "q_corpus_leakage_split",
     "q_dedup_soft_weights",
+    "q_corpus_fim_transform",
 ]
 
 

@@ -62,6 +62,7 @@ from pg_logical_replication_spark.operators.text import (  # noqa: F401
     cdc_chunk_dedup_stats,
     char_entropy,
     content_defined_chunks,
+    fim_transform,
     gopher_quality_filter,
     gopher_repetition_filter,
     nb_langid,

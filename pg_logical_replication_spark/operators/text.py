@@ -2778,3 +2778,67 @@ def char_entropy(
         "surprisal_bits",
         "surprisal_bits * 1000000 div _ce_n AS bpc_ppm",
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    min_chars: int = 16,
+    fim_rate_per256: int = 128,
+    pre: str = "<PRE>",
+    suf: str = "<SUF>",
+    mid: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): for a
+    deterministic ~``fim_rate_per256``/256 fraction of documents, pick
+    two md5-derived split points and emit PSM order —
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — so the model learns infill
+    alongside left-to-right; the rest pass through unchanged. The FIM
+    decision and both cut points derive from md5(doc_id) (the module's
+    cross-engine determinism contract), so the SAME documents get the
+    SAME transform in any engine and on any re-run — the
+    reproducibility property training-data transforms need.
+
+    Output: ``id, keep_cols..., fim_applied boolean, fim_text``.
+    Docs shorter than ``min_chars`` are passed through untransformed
+    (and marked fim_applied = false). Splits are character-based
+    (1 ≤ lo ≤ hi ≤ n-1 ⇒ prefix and suffix non-empty, middle may be
+    empty when lo == hi).
+
+    Scale: pure scan-stage string arithmetic — zero shuffle, zero
+    explode, streaming-safe; composes with the other per-doc transforms
+    in one text scan.
+    """
+    t = text_col
+    u32 = (
+        lambda salt: f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
+        f" '{salt}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    decide = (
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), ':fim')),"
+        f" 17, 2), 16, 10) AS INT) < {int(fim_rate_per256)}"
+    )
+    n = f"length({t})"
+    # greatest(n-1, 1): docs shorter than min_chars never take the FIM
+    # branch, but the modulus must stay nonzero even if an optimizer
+    # hoists the subexpression out of the CASE guard (ANSI mode errors
+    # on % 0; the oracle carries the same guard)
+    u = f"(1 + {u32(':u')} % greatest({n} - 1, 1))"
+    v = f"(1 + {u32(':v')} % greatest({n} - 1, 1))"
+    lo = f"least({u}, {v})"
+    hi = f"greatest({u}, {v})"
+    fim = (
+        f"concat('{pre}', substring({t}, 1, CAST({lo} AS INT)), "
+        f"'{suf}', substring({t}, CAST({hi} AS INT) + 1), "
+        f"'{mid}', substring({t}, CAST({lo} AS INT) + 1, CAST({hi} - {lo} AS INT)))"
+    )
+    applied = f"({n} >= {int(min_chars)} AND ({decide}))"
+    return df.selectExpr(
+        id_col,
+        *keep_cols,
+        f"{applied} AS fim_applied",
+        f"CASE WHEN {applied} THEN {fim} ELSE {t} END AS fim_text",
+    )

@@ -4934,3 +4934,64 @@ def q_text_char_entropy(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_corpus_fim_transform",
+    """
+    WITH decided AS (
+      SELECT doc_id, lang, text, length(text) AS n,
+             length(text) >= 16 AND
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'), 17, 2))::INT < 128
+               AS do_fim,
+             1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':u'), 1, 8))::UBIGINT
+                 % greatest(length(text) - 1, 1) AS u,
+             1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v'), 1, 8))::UBIGINT
+                 % greatest(length(text) - 1, 1) AS v
+      FROM documents),
+    fim AS (
+      SELECT doc_id, lang, do_fim,
+        CASE WHEN do_fim THEN
+          '<PRE>' || substr(text, 1, CAST(LEAST(u, v) AS INT)) ||
+          '<SUF>' || substr(text, CAST(GREATEST(u, v) AS INT) + 1) ||
+          '<MID>' || substr(text, CAST(LEAST(u, v) AS INT) + 1,
+                            CAST(GREATEST(u, v) - LEAST(u, v) AS INT))
+        ELSE text END AS out
+      FROM decided)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN do_fim THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+           CAST(SUM(length(out)) AS BIGINT) AS out_chars,
+           CAST(SUM(('0x' || substr(md5(out), 1, 8))::UBIGINT) AS BIGINT)
+             AS checksum
+    FROM fim GROUP BY lang ORDER BY lang
+    """,
+    "fill-in-the-middle transform (Bavarian et al. 2022): a "
+    "deterministic md5-selected ~50% of documents re-emitted in PSM "
+    "order <PRE>prefix<SUF>suffix<MID>middle with md5-derived cut "
+    "points — the infill-training data prep; the per-language checksum "
+    "(Σ of md5-prefix ints over the TRANSFORMED text) pins every "
+    "output byte across engines",
+)
+def q_corpus_fim_transform(spark, sf_dir):
+    """operators/text.fim_transform: decision + both cuts + the splice
+    are scan-stage string arithmetic keyed on md5(doc_id) — same docs,
+    same transform, any engine, any re-run. The checksum aggregate
+    (sum of 32-bit md5 prefixes of fim_text, exact in BIGINT) makes the
+    oracle sensitive to any single-byte divergence in any document.
+    Zero shuffle before the language rollup."""
+    d = TX.fim_transform(t(spark, sf_dir, "documents"), keep_cols=("lang",))
+    cks = F.expr(
+        "CAST(conv(substring(md5(fim_text), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("fim_applied").cast("long"))
+            .cast("bigint")
+            .alias("n_fim"),
+            F.sum(F.length("fim_text")).cast("bigint").alias("out_chars"),
+            F.sum(cks).cast("bigint").alias("checksum"),
+        )
+        .orderBy("lang")
+    )

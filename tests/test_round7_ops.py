@@ -139,3 +139,35 @@ def test_char_entropy_rejects_colliding_columns(spark):
                                "surprisal_bits string")
     with pytest.raises(ValueError, match="collide"):
         char_entropy(df, keep_cols=("surprisal_bits",))
+
+
+def test_fim_transform_deterministic_and_guarded(spark):
+    from pg_logical_replication_spark.operators.text import fim_transform
+
+    rows = [
+        (1, "x"),                                   # 1 char: mod guard
+        (2, "short doc"),                           # < 16 chars: pass-through
+        (3, "a" * 40),                              # eligible
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    out = {r["doc_id"]: r for r in fim_transform(_docs(spark, rows)).collect()}
+    assert not out[1]["fim_applied"] and out[1]["fim_text"] == "x"
+    assert not out[2]["fim_applied"] and out[2]["fim_text"] == "short doc"
+    for did, src in [(3, "a" * 40), (4, rows[3][1])]:
+        r = out[did]
+        if r["fim_applied"]:
+            ft = r["fim_text"]
+            assert ft.startswith("<PRE>") and "<SUF>" in ft and "<MID>" in ft
+            # splice is lossless: stripping sentinels and reordering
+            # SUF/MID back recovers the original text
+            body = ft[len("<PRE>"):]
+            pre, rest = body.split("<SUF>", 1)
+            sufx, midl = rest.split("<MID>", 1)
+            assert pre + midl + sufx == src
+            assert pre and sufx  # prefix/suffix non-empty by contract
+        else:
+            assert r["fim_text"] == src
+    # determinism: a second run emits byte-identical output
+    out2 = {r["doc_id"]: r["fim_text"]
+            for r in fim_transform(_docs(spark, rows)).collect()}
+    assert out2 == {k: v["fim_text"] for k, v in out.items()}
