@@ -314,13 +314,21 @@ def connected_components_star(
         ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
         return rewired.filter(F.col("u") != F.col("v")).distinct()
 
+    n_edges = edges.count()
     for _ in range(max_rounds):
         nxt = small_star(large_star(edges)).localCheckpoint()
+        # convergence probe, cheapest test first: both sides are
+        # distinct sets, so equal counts + empty one-sided difference ⇔
+        # set equality. Counts on localCheckpointed frames are near-free
+        # and differ on every non-final round, so the expensive
+        # exceptAll probe runs ~once per call instead of twice per round
+        n_nxt = nxt.count()
         changed = (
-            nxt.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(nxt).limit(1).count()
+            1
+            if n_nxt != n_edges
+            else nxt.exceptAll(edges).limit(1).count()
         )
-        edges = nxt
+        edges, n_edges = nxt, n_nxt
         if changed == 0:
             break
     else:
