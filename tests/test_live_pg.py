@@ -1147,3 +1147,39 @@ def test_live_resume_skips_acked_changes(live):
         "'one'" in p or "'two'" in p or "'three'" in p or "'one2'" in p
         for p in payloads
     ), payloads
+
+
+def test_live_pgoutput_truncate(spark, live, tmp_path):
+    """TRUNCATE on a real server → pgoutput 'T' frame → op='truncate'
+    naming the relation, with cascade/restart_identity flags decoded
+    (pgoutput_format.py 'T' branch; the fake emits our own encoder's
+    bytes — this pins the server's)."""
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    _reset_table(live)
+    s = _connect()
+    slot = live.slot(f"{live.table}_trunc")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput")
+        _exec_sql(t, f"INSERT INTO {live.table} VALUES (1,'one')")
+        _exec_sql(t, f"TRUNCATE {live.table} RESTART IDENTITY")
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={
+                "proto_version": "1",
+                "publication_names": live.pub,
+            },
+        )
+        log = str(tmp_path / "trunc")
+        # BEGIN/R/INSERT/COMMIT + BEGIN/R?/TRUNCATE/COMMIT
+        assert _relay_until(s, log, want_frames=7, timeout=30) >= 7
+        ev = decode(_frames_df(spark, log), "pgoutput")
+        tr = ev.filter("op = 'truncate'").collect()
+        assert len(tr) == 1, [r["op"] for r in ev.collect()]
+        assert tr[0]["table"] == live.table
+        meta = tr[0]["meta"] or {}
+        assert meta.get("restart_identity") == "true"
+        assert meta.get("cascade") == "false"
+    finally:
+        s.close()
