@@ -2812,13 +2812,30 @@ def fim_transform(
     explode, streaming-safe; composes with the other per-doc transforms
     in one text scan.
     """
-    t = text_col
+    reserved = {"fim_applied", "fim_text"}
+    clash = reserved & ({id_col} | set(keep_cols))
+    if clash:
+        raise ValueError(
+            f"fim_transform: column name(s) {sorted(clash)} collide with "
+            "the operator's output names"
+        )
+
+    def _q(name: str) -> str:  # backtick-quote, escaping embedded backticks
+        return "`" + name.replace("`", "``") + "`"
+
+    def _lit(s: str) -> str:  # SQL string literal, escaping quotes
+        return "'" + s.replace("'", "''") + "'"
+
+    qid = _q(id_col)
+    qkeep = [_q(c) for c in keep_cols]
+    t = _q(text_col)
+    pre, suf, mid = _lit(pre), _lit(suf), _lit(mid)
     u32 = (
-        lambda salt: f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
+        lambda salt: f"CAST(conv(substring(md5(concat(CAST({qid} AS STRING),"
         f" '{salt}')), 1, 8), 16, 10) AS BIGINT)"
     )
     decide = (
-        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), ':fim')),"
+        f"CAST(conv(substring(md5(concat(CAST({qid} AS STRING), ':fim')),"
         f" 17, 2), 16, 10) AS INT) < {int(fim_rate_per256)}"
     )
     n = f"length({t})"
@@ -2831,14 +2848,14 @@ def fim_transform(
     lo = f"least({u}, {v})"
     hi = f"greatest({u}, {v})"
     fim = (
-        f"concat('{pre}', substring({t}, 1, CAST({lo} AS INT)), "
-        f"'{suf}', substring({t}, CAST({hi} AS INT) + 1), "
-        f"'{mid}', substring({t}, CAST({lo} AS INT) + 1, CAST({hi} - {lo} AS INT)))"
+        f"concat({pre}, substring({t}, 1, CAST({lo} AS INT)), "
+        f"{suf}, substring({t}, CAST({hi} AS INT) + 1), "
+        f"{mid}, substring({t}, CAST({lo} AS INT) + 1, CAST({hi} - {lo} AS INT)))"
     )
     applied = f"({n} >= {int(min_chars)} AND ({decide}))"
     return df.selectExpr(
-        id_col,
-        *keep_cols,
+        qid,
+        *qkeep,
         f"{applied} AS fim_applied",
         f"CASE WHEN {applied} THEN {fim} ELSE {t} END AS fim_text",
     )

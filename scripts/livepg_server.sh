@@ -19,6 +19,12 @@ run_as_pg() {
   if [ "$(id -u)" = 0 ]; then su postgres -c "$*"; else bash -c "$*"; fi
 }
 
+# stop any postmaster still running from a previous invocation BEFORE
+# deleting its datadir — otherwise the old server keeps the fixed port
+# bound and serves stale state while the new start fails to bind
+if [ -f "$PGDATA/postmaster.pid" ]; then
+  run_as_pg "$PGBIN/pg_ctl -D $PGDATA stop -m immediate" || true
+fi
 rm -rf "$PGDATA"; mkdir -p "$PGDATA"
 [ "$(id -u)" = 0 ] && chown postgres:postgres "$PGDATA"
 run_as_pg "$PGBIN/initdb -D $PGDATA -U postgres --auth-local=trust --auth-host=trust" >/dev/null

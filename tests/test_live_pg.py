@@ -1096,9 +1096,6 @@ def test_live_resume_skips_acked_changes(live):
     _reset_table(live)
     s = _connect()
     slot = live.slot(f"{live.table}_resume")
-    s.create_replication_slot(slot, plugin="test_decoding")
-    _dml_round(live)
-    s.start_replication(slot, "0/0", plugin="test_decoding")
 
     def collect_data_frames(conn, want, timeout=20.0):
         frames, deadline = [], time.time() + timeout
@@ -1109,36 +1106,45 @@ def test_live_resume_skips_acked_changes(live):
             time.sleep(0.05)
         return frames
 
-    first = collect_data_frames(s, 11)
-    assert len(first) >= 11  # 3 txns: BEGIN/3xINSERT/COMMIT + UPDATE + DELETE
-    top = max(struct.unpack(">Q", fr[9:17])[0] for fr in first)
-    lsn = f"{top >> 32:X}/{top & 0xFFFFFFFF:X}"
-    s.send_standby_status(lsn)
-    # let the server consume the 'r' message before dropping the socket
-    deadline = time.time() + 10
-    confirmed = None
-    while time.time() < deadline:
-        row = _exec_sql(
-            t,
-            "SELECT confirmed_flush_lsn FROM pg_replication_slots "
-            f"WHERE slot_name = '{slot}'",
-        )[0][0]
-        if row:
-            from pg_logical_replication_spark.model import lsn_to_long
+    # close on ANY failure path: an active slot defeats the eager
+    # per-test slot GC and pins a pool entry for the rest of the module
+    try:
+        s.create_replication_slot(slot, plugin="test_decoding")
+        _dml_round(live)
+        s.start_replication(slot, "0/0", plugin="test_decoding")
+        first = collect_data_frames(s, 11)
+        assert len(first) >= 11  # 3 txns: BEGIN/3xINSERT/COMMIT + UPDATE + DELETE
+        top = max(struct.unpack(">Q", fr[9:17])[0] for fr in first)
+        lsn = f"{top >> 32:X}/{top & 0xFFFFFFFF:X}"
+        s.send_standby_status(lsn)
+        # let the server consume the 'r' message before dropping the socket
+        deadline = time.time() + 10
+        confirmed = None
+        while time.time() < deadline:
+            row = _exec_sql(
+                t,
+                "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+                f"WHERE slot_name = '{slot}'",
+            )[0][0]
+            if row:
+                from pg_logical_replication_spark.model import lsn_to_long
 
-            confirmed = lsn_to_long(row)
-            if confirmed >= top:
-                break
-        time.sleep(0.2)
-    s.close()
+                confirmed = lsn_to_long(row)
+                if confirmed >= top:
+                    break
+            time.sleep(0.2)
+    finally:
+        s.close()
     assert confirmed is not None and confirmed >= top
 
     # second change set, then reconnect asking for 0/0
     _exec_sql(t, f"INSERT INTO {live.table} VALUES (7,'seven'),(8,'eight')")
     s2 = _connect()
-    s2.start_replication(slot, "0/0", plugin="test_decoding")
-    second = collect_data_frames(s2, 4)  # BEGIN, 2x INSERT, COMMIT
-    s2.close()
+    try:
+        s2.start_replication(slot, "0/0", plugin="test_decoding")
+        second = collect_data_frames(s2, 4)  # BEGIN, 2x INSERT, COMMIT
+    finally:
+        s2.close()
     payloads = [fr[25:].decode(errors="replace") for fr in second]
     assert any("'seven'" in p for p in payloads), payloads
     assert any("'eight'" in p for p in payloads), payloads

@@ -144,29 +144,34 @@ def test_char_entropy_rejects_colliding_columns(spark):
 def test_fim_transform_deterministic_and_guarded(spark):
     from pg_logical_replication_spark.operators.text import fim_transform
 
+    # ids 8..11 ARE md5-selected for FIM (int(md5('<id>:fim')[16:18],16)
+    # < 128 — verified in pure Python); 1 and 4 are NOT. Pinning the
+    # selection both ways keeps the splice assertions from going dead.
     rows = [
         (1, "x"),                                   # 1 char: mod guard
-        (2, "short doc"),                           # < 16 chars: pass-through
-        (3, "a" * 40),                              # eligible
-        (4, "the quick brown fox jumps over the lazy dog"),
+        (4, "short doc"),                           # < 16 chars: pass-through
+        (8, "a" * 40),                              # eligible AND selected
+        (9, "the quick brown fox jumps over the lazy dog"),
+        (10, "another reasonably long document for the splice check"),
+        (3, "long enough but its md5 decision byte says no transform"),
     ]
     out = {r["doc_id"]: r for r in fim_transform(_docs(spark, rows)).collect()}
     assert not out[1]["fim_applied"] and out[1]["fim_text"] == "x"
-    assert not out[2]["fim_applied"] and out[2]["fim_text"] == "short doc"
-    for did, src in [(3, "a" * 40), (4, rows[3][1])]:
-        r = out[did]
-        if r["fim_applied"]:
-            ft = r["fim_text"]
-            assert ft.startswith("<PRE>") and "<SUF>" in ft and "<MID>" in ft
-            # splice is lossless: stripping sentinels and reordering
-            # SUF/MID back recovers the original text
-            body = ft[len("<PRE>"):]
-            pre, rest = body.split("<SUF>", 1)
-            sufx, midl = rest.split("<MID>", 1)
-            assert pre + midl + sufx == src
-            assert pre and sufx  # prefix/suffix non-empty by contract
-        else:
-            assert r["fim_text"] == src
+    assert not out[4]["fim_applied"] and out[4]["fim_text"] == "short doc"
+    assert not out[3]["fim_applied"]  # eligible length, md5-deselected
+    assert out[3]["fim_text"] == rows[5][1]
+    applied = [d for d in (8, 9, 10) if out[d]["fim_applied"]]
+    assert applied == [8, 9, 10], applied  # the selection is deterministic
+    for did, src in [(8, "a" * 40), (9, rows[3][1]), (10, rows[4][1])]:
+        ft = out[did]["fim_text"]
+        assert ft.startswith("<PRE>") and "<SUF>" in ft and "<MID>" in ft
+        # splice is lossless: stripping sentinels and reordering
+        # SUF/MID back recovers the original text
+        body = ft[len("<PRE>"):]
+        pre, rest = body.split("<SUF>", 1)
+        sufx, midl = rest.split("<MID>", 1)
+        assert pre + midl + sufx == src
+        assert pre and sufx  # prefix/suffix non-empty by contract
     # determinism: a second run emits byte-identical output
     out2 = {r["doc_id"]: r["fim_text"]
             for r in fim_transform(_docs(spark, rows)).collect()}
