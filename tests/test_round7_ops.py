@@ -176,3 +176,75 @@ def test_fim_transform_deterministic_and_guarded(spark):
     out2 = {r["doc_id"]: r["fim_text"]
             for r in fim_transform(_docs(spark, rows)).collect()}
     assert out2 == {k: v["fim_text"] for k, v in out.items()}
+
+
+# ---- property tests vs independent pure-Python references ----------
+# The DuckDB oracles share the SQL formulas; these references are a
+# THIRD implementation (hashlib + manual integer math), so a formula
+# bug mirrored into the oracle cannot survive here.
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# conservative alphabet: no exotic case mappings (Java toLowerCase and
+# str.lower() agree), NFC single-codepoint chars only
+_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " .,:;!?'\"-_()[]" "ñéü日本語汉字"
+)
+_text = st.text(alphabet=st.sampled_from(list(_CHARS)), min_size=0, max_size=120)
+
+
+def _ref_entropy(text):
+    s = text.lower()
+    n = len(s)
+    if n == 0:
+        return None
+    counts = [s.count(c) for c in "abcdefghijklmnopqrstuvwxyz "]
+    other = n - sum(counts)
+    bits = sum(
+        c * ((n // c).bit_length() - 1) for c in counts + [other] if c > 0
+    )
+    return n, bits, bits * 1_000_000 // n
+
+
+def _ref_fim(doc_id, text):
+    n = len(text)
+    h = lambda salt: hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()
+    applied = n >= 16 and int(h(":fim")[16:18], 16) < 128
+    if not applied:
+        return False, text
+    u = 1 + int(h(":u")[:8], 16) % max(n - 1, 1)
+    v = 1 + int(h(":v")[:8], 16) % max(n - 1, 1)
+    lo, hi = min(u, v), max(u, v)
+    return True, "<PRE>" + text[:lo] + "<SUF>" + text[hi:] + "<MID>" + text[lo:hi]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=40))
+def test_char_entropy_matches_python_reference(spark, texts):
+    from pg_logical_replication_spark.operators.text import char_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (r["n_chars_measured"], r["surprisal_bits"], r["bpc_ppm"])
+        for r in char_entropy(_docs(spark, rows)).collect()
+    }
+    for i, t in rows:
+        assert got.get(i) == _ref_entropy(t), (i, t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=40), st.integers(0, 2**31))
+def test_fim_transform_matches_python_reference(spark, texts, base_id):
+    from pg_logical_replication_spark.operators.text import fim_transform
+
+    rows = [(base_id + i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (r["fim_applied"], r["fim_text"])
+        for r in fim_transform(_docs(spark, rows)).collect()
+    }
+    for did, t in rows:
+        assert got[did] == _ref_fim(did, t), (did, t)
