@@ -2663,6 +2663,18 @@ def blocklist_filter(
     )
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr, escaping embedded
+    backticks — shared by every operator here that interpolates caller
+    column names into SQL strings."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str_lit(s: str) -> str:
+    """Render a Python string as a SQL string literal (quote doubling)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 # ---------------------------------------------------------------------------
 # Quantized character entropy (gibberish / encoded-blob signal)
 
@@ -2753,18 +2765,15 @@ def char_entropy(
     (sp_counts, sp_bits), _ = char_entropy_fragments(
         s="_ce_s", n="_ce_n", cnts="_ce_cnts"
     )
-    def _q(name: str) -> str:  # backtick-quote, escaping embedded backticks
-        return "`" + name.replace("`", "``") + "`"
-
-    qid = _q(id_col)
-    qkeep = [_q(c) for c in keep_cols]
+    qid = _quote_ident(id_col)
+    qkeep = [_quote_ident(c) for c in keep_cols]
     # F.col also parses backticks/dots, so the first projection must use
     # the SAME quoted spellings as the selectExpr stages — otherwise an
     # exotic column name fails here, before the escaping ever runs
     s0 = df.select(
         F.col(qid),
         *[F.col(q) for q in qkeep],
-        F.lower(F.col(_q(text_col))).alias("_ce_s"),
+        F.lower(F.col(_quote_ident(text_col))).alias("_ce_s"),
     ).where(F.length("_ce_s") > 0)
     c = s0.selectExpr(
         qid, *qkeep, "CAST(length(_ce_s) AS BIGINT) AS _ce_n", "_ce_s"
@@ -2820,16 +2829,10 @@ def fim_transform(
             "the operator's output names"
         )
 
-    def _q(name: str) -> str:  # backtick-quote, escaping embedded backticks
-        return "`" + name.replace("`", "``") + "`"
-
-    def _lit(s: str) -> str:  # SQL string literal, escaping quotes
-        return "'" + s.replace("'", "''") + "'"
-
-    qid = _q(id_col)
-    qkeep = [_q(c) for c in keep_cols]
-    t = _q(text_col)
-    pre, suf, mid = _lit(pre), _lit(suf), _lit(mid)
+    qid = _quote_ident(id_col)
+    qkeep = [_quote_ident(c) for c in keep_cols]
+    t = _quote_ident(text_col)
+    pre, suf, mid = _sql_str_lit(pre), _sql_str_lit(suf), _sql_str_lit(mid)
     u32 = (
         lambda salt: f"CAST(conv(substring(md5(concat(CAST({qid} AS STRING),"
         f" '{salt}')), 1, 8), 16, 10) AS BIGINT)"

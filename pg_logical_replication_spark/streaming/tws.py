@@ -730,13 +730,26 @@ def _band_claim_class():
             # deterministic where the built-in keeps an arbitrary first.
             # NULL ids sort last and pass through as NULL (the built-in
             # form emits them too; crashing the query on one malformed
-            # upstream row would be the wrong failure mode)
+            # upstream row would be the wrong failure mode). Ids keep
+            # their NATIVE type end-to-end (long, string, …) — the twin
+            # must not narrow stream_near_dup_gate's type-agnostic
+            # id contract; only same-typed values are ever compared
+            # (the placeholder for NULLs is shielded by the is-null
+            # tuple element before it).
             def _did(r):
                 d = r.get("doc_id")
-                return None if d is None or pd.isna(d) else int(d)
+                try:
+                    bad = d is None or pd.isna(d)
+                except (TypeError, ValueError):
+                    bad = False
+                return None if bad else d
 
             recs.sort(
-                key=lambda r: (r["ts"], _did(r) is None, _did(r) or 0)
+                key=lambda r: (
+                    r["ts"],
+                    _did(r) is None,
+                    0 if _did(r) is None else _did(r),
+                )
             )
             self._claimed.update((True,))
             w = recs[0]
@@ -789,10 +802,15 @@ def stream_near_dup_gate_tws(
         stream, text_col, id_col, ts_col, num_hashes, band_size, shingle_n,
         id_out="doc_id", ts_out="ts",
     )
+    # carry the caller's id/ts types through unchanged — the built-in
+    # twin is type-agnostic (string ids, UUIDs, …) and this one must
+    # not narrow that contract to longs
+    id_t = exploded.schema["doc_id"].dataType.simpleString()
+    ts_t = exploded.schema["ts"].dataType.simpleString()
     out = exploded.groupBy("band_idx", "band_key").transformWithStateInPandas(
         statefulProcessor=_band_claim_class()(ttl_ms),
         outputStructType=(
-            "doc_id long, ts timestamp, band_idx int, band_key string"
+            f"doc_id {id_t}, ts {ts_t}, band_idx int, band_key string"
         ),
         outputMode="append",
         timeMode="None" if ttl_ms is None else "ProcessingTime",

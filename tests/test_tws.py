@@ -674,3 +674,51 @@ def test_near_dup_gate_tws_null_id_passes_through(rocksdb, tmp_path):
     # the null-id doc claimed all 4 bands; the identical doc 7 claims none
     assert len(claims) == 4
     assert all(r["doc_id"] is None for r in claims)
+
+
+def test_near_dup_gate_tws_string_ids(rocksdb, tmp_path):
+    """The twin must keep stream_near_dup_gate's type-agnostic id
+    contract: string (UUID-ish) doc ids flow through the stateful
+    processor and the output schema unchanged."""
+    import os
+
+    from pg_logical_replication_spark.streaming.dedup import (
+        near_dup_gate_rollup,
+    )
+    from pg_logical_replication_spark.streaming.tws import (
+        stream_near_dup_gate_tws,
+    )
+
+    spark = rocksdb
+    d = str(tmp_path / "docs"); os.makedirs(d)
+    text = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    with open(os.path.join(d, "b0.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": "uuid-aaa", "text": text,
+                            "ts": "2024-01-01 00:00:00"}) + "\n")
+    with open(os.path.join(d, "b1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": "uuid-bbb", "text": text,
+                            "ts": "2024-01-01 00:10:00"}) + "\n")
+
+    verdicts = {}
+
+    def sink(df, _b):
+        for r in near_dup_gate_rollup(df, n_bands=4).collect():
+            verdicts[r["doc_id"]] = (r["n_claimed"], r["novel"])
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).json(d)
+    )
+    q = (
+        stream_near_dup_gate_tws(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert verdicts["uuid-aaa"] == (4, True)
+    # the identical doc loses ALL its bands to uuid-aaa: no claimed rows
+    # reach the rollup at all
+    assert "uuid-bbb" not in verdicts
