@@ -112,6 +112,7 @@ HEADLINE = [
     "q_corpus_leakage_split",
     "q_dedup_soft_weights",
     "q_corpus_fim_transform",
+    "q_mm_audio_fingerprint",
 ]
 
 

@@ -54,6 +54,7 @@ from pg_logical_replication_spark.operators.multimodal import (  # noqa: F401
     synthesize_png_assets,
     synthesize_wav_assets,
     wav_loudest_frame,
+    wav_robust_fingerprint,
     wav_vad_segments,
 )
 from pg_logical_replication_spark.operators.text import (  # noqa: F401

@@ -2232,3 +2232,88 @@ def probe_ogg_features(assets: DataFrame) -> DataFrame:
         schema="asset_id long, codec_name string, channels int, "
         "sample_rate int, n_pages int, duration_ms long",
     )
+
+
+def wav_robust_fingerprint(
+    assets: DataFrame, bands: int = 4, band_samples: int = 8
+) -> DataFrame:
+    """Haitsma-Kalker-style robust audio hash (Philips, ISMIR 2002: "A
+    Highly Robust Audio Fingerprinting System") over REAL decoded PCM —
+    the perceptual near-dup primitive for audio corpora, the audio
+    sibling of aHash/dHash for images.
+
+    Classic HK takes 32 FFT sub-bands; this integer-exact variant takes
+    ``bands`` consecutive TIME sub-blocks of ``band_samples`` samples
+    per frame and emits, per frame n ≥ 1, one bit per adjacent band
+    pair m: ``bit(n,m) = [ (E(n,m) − E(n,m+1)) − (E(n−1,m) −
+    E(n−1,m+1)) > 0 ]`` — the sign of the energy
+    difference-of-differences, HK's eq. (1) with time-domain energies
+    so the whole hash is integer arithmetic an SQL oracle replays
+    exactly (no FFT floats in the contract; a production variant swaps
+    the energy projection for filter-bank outputs and keeps this exact
+    shape).
+
+    Per asset: ``n_frames`` (complete frames), ``n_fp_frames`` (hashed
+    = frames with a predecessor), ``fp_ones`` (Σ set bits — the bit
+    bias a matcher thresholds on), ``fp_checksum``
+    (Σ frame_hash·(frame+1), exact BIGINT — pins every bit of the
+    fingerprint). Decode is the only Python (Arrow-batched); band
+    pivot, lag, sign bits and rollup are whole-stage-codegen SQL keyed
+    on asset_id — embarrassingly parallel at a million-hour corpus.
+    """
+    from pyspark.sql import Window
+
+    sub = wav_frame_energies(assets, band_samples)
+    piv = (
+        sub.groupBy(
+            "asset_id",
+            F.expr(f"frame_idx div {bands}").alias("frame"),
+        )
+        .agg(
+            F.count("*").alias("_nb"),
+            *[
+                F.max(
+                    F.when(F.col("frame_idx") % bands == m, F.col("energy"))
+                ).alias(f"e{m}")
+                for m in range(bands)
+            ],
+        )
+        .where(F.col("_nb") == bands)  # complete frames only (tail drops)
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame")
+    lagged = piv.select(
+        "asset_id",
+        "frame",
+        *[F.col(f"e{m}") for m in range(bands)],
+        *[F.lag(f"e{m}").over(w).alias(f"p{m}") for m in range(bands)],
+    ).where(F.col("p0").isNotNull())
+    h = None
+    for m in range(bands - 1):
+        bit = (
+            (F.col(f"e{m}") - F.col(f"e{m+1}"))
+            - (F.col(f"p{m}") - F.col(f"p{m+1}"))
+            > 0
+        ).cast("long") * (1 << (bands - 2 - m))
+        h = bit if h is None else h + bit
+    hashed = lagged.select("asset_id", "frame", h.alias("h"))
+    ones = sum(
+        (F.expr(f"(h div {1 << b}) % 2") for b in range(bands - 1)),
+        F.lit(0),
+    )
+    fp = hashed.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_fp_frames"),
+        F.sum(ones).cast("long").alias("fp_ones"),
+        F.sum(F.col("h") * (F.col("frame") + 1)).cast("long").alias(
+            "fp_checksum"
+        ),
+    )
+    n_complete = piv.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_frames")
+    )
+    return n_complete.join(fp, "asset_id", "left").select(
+        "asset_id",
+        "n_frames",
+        F.coalesce("n_fp_frames", F.lit(0)).alias("n_fp_frames"),
+        F.coalesce("fp_ones", F.lit(0)).alias("fp_ones"),
+        F.coalesce("fp_checksum", F.lit(0)).alias("fp_checksum"),
+    )

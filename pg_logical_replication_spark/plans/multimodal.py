@@ -968,3 +968,69 @@ def q_mm_ogg_probe(spark, sf_dir):
 
     docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
     return MM.probe_ogg_features(MM.synthesize_ogg_assets(docs))
+
+
+@register(
+    "q_mm_audio_fingerprint",
+    """
+    WITH spec AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
+                  FROM documents),
+    sub AS (SELECT doc_id, n,
+                   list_transform(
+                     generate_series(0, (n + 7) // 8 - 1),
+                     f -> list_sum(list_transform(
+                            generate_series(f * 8, least(n, (f + 1) * 8) - 1),
+                            i -> CAST((doc_id * 37 + i * 101) % 2001 - 1000
+                                 AS BIGINT)
+                               * CAST((doc_id * 37 + i * 101) % 2001 - 1000
+                                 AS BIGINT)))) AS es
+            FROM spec),
+    en AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS sub_idx, es[u.i] AS energy
+           FROM sub, UNNEST(generate_series(1, len(es))) AS u(i)),
+    pv AS (SELECT doc_id, sub_idx // 4 AS frame,
+                  MAX(CASE WHEN sub_idx % 4 = 0 THEN energy END) AS e0,
+                  MAX(CASE WHEN sub_idx % 4 = 1 THEN energy END) AS e1,
+                  MAX(CASE WHEN sub_idx % 4 = 2 THEN energy END) AS e2,
+                  MAX(CASE WHEN sub_idx % 4 = 3 THEN energy END) AS e3,
+                  COUNT(*) AS nb
+           FROM en GROUP BY 1, 2),
+    cmpl AS (SELECT * FROM pv WHERE nb = 4),
+    lagged AS (SELECT doc_id, frame, e0, e1, e2, e3,
+                      LAG(e0) OVER w AS p0, LAG(e1) OVER w AS p1,
+                      LAG(e2) OVER w AS p2, LAG(e3) OVER w AS p3
+               FROM cmpl
+               WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+    bits AS (SELECT doc_id, frame,
+                    CASE WHEN (e0 - e1) - (p0 - p1) > 0 THEN 4 ELSE 0 END +
+                    CASE WHEN (e1 - e2) - (p1 - p2) > 0 THEN 2 ELSE 0 END +
+                    CASE WHEN (e2 - e3) - (p2 - p3) > 0 THEN 1 ELSE 0 END AS h
+             FROM lagged WHERE p0 IS NOT NULL),
+    roll AS (SELECT doc_id,
+                    CAST(COUNT(*) AS INT) AS n_fp_frames,
+                    CAST(SUM((h // 4) % 2 + (h // 2) % 2 + h % 2) AS BIGINT)
+                      AS fp_ones,
+                    CAST(SUM(h * (frame + 1)) AS BIGINT) AS fp_checksum
+             FROM bits GROUP BY 1),
+    nf AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames
+           FROM cmpl GROUP BY 1)
+    SELECT nf.doc_id AS asset_id, nf.n_frames,
+           COALESCE(roll.n_fp_frames, 0) AS n_fp_frames,
+           CAST(COALESCE(roll.fp_ones, 0) AS BIGINT) AS fp_ones,
+           CAST(COALESCE(roll.fp_checksum, 0) AS BIGINT) AS fp_checksum
+    FROM nf LEFT JOIN roll ON nf.doc_id = roll.doc_id
+    """,
+    "Haitsma-Kalker-style robust audio hash over REAL decoded PCM "
+    "(Philips ISMIR'02, eq. 1 with integer time-band energies): per "
+    "frame, sign bits of the band-energy difference-of-differences — "
+    "the perceptual audio near-dup primitive; per asset the exact "
+    "fingerprint checksum pins every bit against the closed-form "
+    "oracle",
+)
+def q_mm_audio_fingerprint(spark, sf_dir):
+    """operators/multimodal.wav_robust_fingerprint over the synthesized
+    WAV assets: decode is the only Python; the 4-band pivot, frame lag,
+    sign bits and rollup are codegen SQL keyed on asset_id."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    return MM.wav_robust_fingerprint(MM.synthesize_wav_assets(docs))

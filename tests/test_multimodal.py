@@ -250,3 +250,41 @@ def test_codec_decode_runs_on_a_stream(spark, tmp_path):
     )
     q.awaitTermination(90)
     assert got == want and len(got) == 12
+
+
+def test_wav_robust_fingerprint_invariance(spark):
+    """Haitsma-Kalker robustness: identical audio → identical
+    fingerprint; a 2x amplitude-scaled copy ALSO matches (all band
+    energies scale by 4, so every difference-of-differences keeps its
+    sign) — while a genuinely different signal does not."""
+    import io
+    import struct as _struct
+    import wave
+
+    from pg_logical_replication_spark.operators.multimodal import (
+        wav_robust_fingerprint,
+    )
+
+    def wav(samples):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+        w.close()
+        return buf.getvalue()
+
+    base = [((i * 31) % 997) - 498 for i in range(96)]     # 3 full frames
+    scaled = [s * 2 for s in base]
+    other = [((i * 17) % 997) - 498 for i in range(96)]
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav(base))), (2, bytearray(wav(base))),
+         (3, bytearray(wav(scaled))), (4, bytearray(wav(other)))],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in wav_robust_fingerprint(assets).collect()}
+    sig = lambda r: (r["n_frames"], r["n_fp_frames"], r["fp_ones"],
+                     r["fp_checksum"])
+    assert sig(out[1]) == sig(out[2])          # bit-identical copy
+    assert sig(out[1]) == sig(out[3])          # amplitude-invariant
+    assert out[1]["n_frames"] == 3 and out[1]["n_fp_frames"] == 2
+    assert sig(out[4]) != sig(out[1])          # different content differs
