@@ -60,14 +60,31 @@ def _round_number() -> int:
     return best + 1
 
 
-def _checked_history() -> dict[str, int]:
-    """query name → latest round whose driver correctness artifact
-    contains it (absent = never driver-checked)."""
+def _row_failed(row: object) -> bool:
+    """True if a driver correctness row records a failure: a non-null
+    ``err`` or any present ``*_match`` flag that is False. Two shapes
+    that are NOT failures: absent flags (null), and ``err:
+    'no_oracle'`` — the driver's marker for a rows-only check on a
+    query that deliberately registers no oracle SQL."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") and row.get("err") != "no_oracle":
+        return True
+    return any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _checked_history() -> dict[str, tuple[int, bool]]:
+    """query name → (latest round whose driver correctness artifact
+    contains it, whether that latest check FAILED). Absent = never
+    driver-checked."""
     import glob
     import json
     import re
 
-    latest: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if not m:
@@ -79,8 +96,9 @@ def _checked_history() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            for name in data:
-                latest[name] = max(latest.get(name, 0), rnd)
+            for name, row in data.items():
+                if name not in latest or rnd > latest[name][0]:
+                    latest[name] = (rnd, _row_failed(row))
     return latest
 
 
@@ -110,6 +128,13 @@ def _interleaved() -> list[str]:
     the checked ones oldest-check-first. A 50-query prefix is 100% new
     coverage until the never-checked set is exhausted, self-adapting
     as artifacts accumulate.
+
+    Failed-first rationale (VERDICT r7 #1): a query whose LATEST driver
+    check failed must re-sample before anything merely stale — q12's
+    r01 hash-mismatch sat unre-checked for six rounds because the seen
+    phase sorted by check age alone. The seen phase now sorts by
+    (latest-check-FAILED first, then oldest check round), so any future
+    driver fail self-schedules into the very next round's prefix.
     """
     from collections import defaultdict
 
@@ -128,9 +153,11 @@ def _interleaved() -> list[str]:
         k = shift % len(names)
         rotated = names[k:] + names[:k]
         never[cat] = [n for n in rotated if n not in latest]
-        # checked: oldest driver check first (stable on rotation order)
+        # checked: latest-check-FAILED queries first, then oldest driver
+        # check first (stable on rotation order)
         seen[cat] = sorted(
-            (n for n in rotated if n in latest), key=lambda n: latest[n]
+            (n for n in rotated if n in latest),
+            key=lambda n: (not latest[n][1], latest[n][0]),
         )
     order = ["q_cdc", "relational", "q_dedup", "q_text", "q_ann", "q_mm"]
     out: list[str] = []

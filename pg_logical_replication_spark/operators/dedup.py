@@ -24,8 +24,17 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for SQL interpolation, escaping
+    embedded backticks — shared (via re-export in operators.text) by
+    every operator that interpolates caller column names into SQL."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def tokens_expr(text_col: str = "text") -> Column:
@@ -358,7 +367,20 @@ def split_assign_expr(
     Because the split is a pure function of the label, every member of
     a duplicate cluster lands in the same split — the leakage-free
     property. Shared by q_corpus_leakage_split and its tests so the
-    shipped expression is the tested expression."""
+    shipped expression is the tested expression.
+
+    ``val_cut``/``test_cut`` must each be two lowercase hex chars — md5
+    output is lowercase hex, so an uppercase or non-hex cut would
+    compare as a plain string and silently mis-assign fractions."""
+    for name, cut in (("val_cut", val_cut), ("test_cut", test_cut)):
+        if not re.fullmatch(r"[0-9a-f]{2}", cut):
+            raise ValueError(
+                f"{name} must be two lowercase hex chars, got {cut!r}"
+            )
+    if not val_cut <= test_cut:
+        raise ValueError(
+            f"val_cut must not exceed test_cut, got {val_cut!r} > {test_cut!r}"
+        )
     h2 = F.substring(F.md5(F.col(label_col).cast("string")), 1, 2)
     return (
         F.when(h2 < val_cut, "val").when(h2 < test_cut, "test").otherwise("train")
@@ -369,9 +391,10 @@ def soft_weight_expr(size_col: str = "sz", scale: int = 1_000_000) -> Column:
     """SoftDeDup sampling weight as a scaled integer: ``scale div
     cluster_size`` (NULL size = singleton = full weight). Integer so
     reweighted totals are bit-exact in any engine and any summation
-    order — a float Σ1/k is order-dependent. ``size_col`` must be a
-    plain identifier (it is interpolated into a SQL expression)."""
-    return F.expr(f"{int(scale)} div coalesce({size_col}, 1)")
+    order — a float Σ1/k is order-dependent. ``size_col`` is backtick-
+    quoted before interpolation into the SQL expression, so exotic
+    column names (spaces, dashes, keywords) are safe."""
+    return F.expr(f"{int(scale)} div coalesce({_quote_ident(size_col)}, 1)")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -2261,6 +2261,13 @@ def wav_robust_fingerprint(
     pivot, lag, sign bits and rollup are whole-stage-codegen SQL keyed
     on asset_id — embarrassingly parallel at a million-hour corpus.
     """
+    if bands < 2:
+        raise ValueError(
+            f"bands must be >= 2 (each bit compares adjacent band pairs), "
+            f"got {bands}"
+        )
+    if band_samples < 1:
+        raise ValueError(f"band_samples must be >= 1, got {band_samples}")
     from pyspark.sql import Window
 
     sub = wav_frame_energies(assets, band_samples)

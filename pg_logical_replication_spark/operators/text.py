@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pg_logical_replication_spark.operators.dedup import tokens_expr
+from pg_logical_replication_spark.operators.dedup import (
+    _quote_ident,
+    tokens_expr,
+)
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -2661,13 +2664,6 @@ def blocklist_filter(
         F.size(F.array_distinct(hits)).cast("long").alias("n_blocked_terms"),
         (F.size(hits) == 0).alias("blocklist_pass"),
     )
-
-
-def _quote_ident(name: str) -> str:
-    """Backtick-quote an identifier for selectExpr, escaping embedded
-    backticks — shared by every operator here that interpolates caller
-    column names into SQL strings."""
-    return "`" + name.replace("`", "``") + "`"
 
 
 def _sql_str_lit(s: str) -> str:

@@ -2798,7 +2798,7 @@ def q_web_crawl_plan(spark, sf_dir):
 
 @register(
     "q_web_url_dedup",
-    """
+    r"""
     WITH raw AS (
       SELECT doc_id,
         'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
@@ -2818,8 +2818,8 @@ def q_web_crawl_plan(spark, sf_dir):
     c1 AS (SELECT doc_id,
                   regexp_replace(regexp_replace(regexp_replace(
                     u, '#.*$', ''),
-                    '^http://www\\.', 'http://'),
-                    '^https://www\\.', 'https://') AS u
+                    '^http://www\.', 'http://'),
+                    '^https://www\.', 'https://') AS u
            FROM lowered),
     sp AS (SELECT doc_id,
                   regexp_replace(regexp_replace(u, '\?.*$', ''),

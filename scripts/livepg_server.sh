@@ -58,8 +58,11 @@ host    replication     scramuser       127.0.0.1/32            scram-sha-256
 HBA
 [ "$(id -u)" = 0 ] && chown postgres:postgres "$PGDATA/pg_hba.conf"
 
-run_as_pg "$PGBIN/pg_ctl -D $PGDATA -l $PGDATA/server.log start" >/dev/null
-sleep 2
+run_as_pg "$PGBIN/pg_ctl -D $PGDATA -l $PGDATA/server.log -w -t 60 start" >/dev/null
+for _ in $(seq 1 30); do
+  "$PGBIN/pg_isready" -h 127.0.0.1 -p "$PORT" -q && break
+  sleep 1
+done
 "$PGBIN/psql" -h 127.0.0.1 -p "$PORT" -U postgres -qc \
   "CREATE ROLE scramuser LOGIN REPLICATION PASSWORD 'scrampw';
    GRANT CREATE ON DATABASE postgres TO scramuser;
