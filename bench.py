@@ -168,6 +168,12 @@ def main() -> None:
 
     decode_tp = _pgoutput_decode_throughput(spark, cpus)
     latency = _e2e_visibility_latency(spark)
+    calibration = _calibration()
+    # decode throughput inflated back to quiet-host terms: the signal
+    # whose 337k→124k tenancy swing motivated the calibration
+    decode_tp["msgs_per_sec_normalized"] = round(
+        decode_tp["msgs_per_sec"] * calibration["cpu_scale"]
+    )
 
     # stdout line: headline numbers + per-query MEDIANS only. The
     # driver's BENCH_r{N}.json has head-truncated this line twice (r4
@@ -175,15 +181,21 @@ def main() -> None:
     # artifact) — keeping spread/min-max out of stdout halves the line
     # so the medians always fit; the full record (with spread) goes to
     # the committed local artifact below (VERDICT r5 #9).
+    total = round(sum(per_query.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(per_query.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": per_query,
         "reps": reps,
         "sf": sf,
         "pgoutput_decode_500k": decode_tp,
         "e2e_visibility_ms": latency,
+        "calibration": calibration,
+        # headline total deflated by the host-speed scale: comparable
+        # across rounds even when container tenancy shifts (VERDICT r7
+        # #2 — decode throughput swung 337k→124k msg/s on one commit)
+        "value_normalized": round(total / calibration["cpu_scale"], 3),
     }
     print(json.dumps(result))
 
@@ -206,6 +218,80 @@ def main() -> None:
         print(f"# full record written to {out}", file=sys.stderr)
     except Exception as e:  # the stdout contract must never break
         print(f"# local artifact write failed: {e}", file=sys.stderr)
+
+
+# Quiet-host reference times for the calibration kernels, pinned from
+# the best-of-many measurement on the round-8 build host (2026-08-16,
+# minimum across repeated trials — noise only ADDS time, so the min
+# approximates the unloaded host). All future rounds normalize against
+# these constants; re-pinning them would silently re-base the series.
+_CAL_REF_PY_DECODE_SEC = 0.65
+_CAL_REF_NP_SORT_SEC = 0.67
+
+
+def _calibration() -> dict:
+    """Fixed single-thread CPU calibration (VERDICT r7 #2): cross-round
+    BENCH ratios were noise-limited by container tenancy (the same
+    commit measured 337k→124k msg/s decode within one session). Two
+    kernels whose work is CONSTANT by construction — no Spark, no I/O,
+    one thread:
+
+    - py_decode: 60,000 pure-Python pgoutput message parses (the exact
+      CPython byte-twiddling profile of the decode hot path);
+    - np_sort: 4 × (sort + cumsum) over the same seeded 8M-float array
+      (the Arrow/numpy vectorized profile; np.sort is single-threaded,
+      unlike BLAS matmul which would measure thread scheduling).
+
+    ``cpu_scale`` = measured / pinned quiet-host reference (geometric
+    mean of the two kernels): 1.0 on a quiet host, >1 under tenancy
+    load. Headline totals are reported raw AND divided by cpu_scale, so
+    a plan regression is distinguishable from a noisy-neighbor round.
+    min-of-5 per kernel — load only inflates, never deflates."""
+    import numpy as np
+
+    from pg_logical_replication_spark.sources import pgoutput_format as fmt
+
+    rel = fmt.encode_relation(
+        16385,
+        "public",
+        "huge_transaction",
+        [(f"col{j:02d}", 25) for j in range(20)],
+        key_columns=["col00"],
+    )
+    cache: dict = {}
+    fmt.parse_message(rel, cache)
+    msgs = [
+        fmt.encode_insert(16385, [("t", f"v{i}_{j}") for j in range(20)])
+        for i in range(2000)
+    ]
+
+    def py_kernel() -> float:
+        t0 = time.perf_counter()
+        for _ in range(30):
+            for m in msgs:
+                fmt.parse_message(m, cache)
+        return time.perf_counter() - t0
+
+    rng = np.random.default_rng(42)
+    arr = rng.random(8_000_000)
+
+    def np_kernel() -> float:
+        t0 = time.perf_counter()
+        for _ in range(4):
+            b = np.sort(arr)
+            float(np.cumsum(b)[-1])
+        return time.perf_counter() - t0
+
+    py = min(py_kernel() for _ in range(5))
+    nps = min(np_kernel() for _ in range(5))
+    scale = ((py / _CAL_REF_PY_DECODE_SEC) * (nps / _CAL_REF_NP_SORT_SEC)) ** 0.5
+    return {
+        "py_decode_sec": round(py, 4),
+        "np_sort_sec": round(nps, 4),
+        "ref_py_decode_sec": _CAL_REF_PY_DECODE_SEC,
+        "ref_np_sort_sec": _CAL_REF_NP_SORT_SEC,
+        "cpu_scale": round(scale, 4),
+    }
 
 
 def _pgoutput_decode_throughput(spark, cpus: int) -> dict:

@@ -259,6 +259,7 @@ def connected_components_star(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_rounds: int = 32,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -275,6 +276,10 @@ def connected_components_star(
 
     Returns (doc_id, label) with label = component minimum — the same
     contract as :func:`connected_components`, agreement-tested.
+
+    ``stats``, if given, receives ``rounds`` (contraction rounds
+    executed to convergence) and ``edges_per_round`` — observability
+    for the O(log n)-round claim (SCALE.md records measured counts).
     """
     from pyspark.sql import functions as F
 
@@ -324,6 +329,8 @@ def connected_components_star(
         return rewired.filter(F.col("u") != F.col("v")).distinct()
 
     n_edges = edges.count()
+    rounds = 0
+    edges_per_round: list[int] = [n_edges]
     for _ in range(max_rounds):
         nxt = small_star(large_star(edges)).localCheckpoint()
         # convergence probe, cheapest test first: both sides are
@@ -338,6 +345,8 @@ def connected_components_star(
             else nxt.exceptAll(edges).limit(1).count()
         )
         edges, n_edges = nxt, n_nxt
+        rounds += 1
+        edges_per_round.append(n_nxt)
         if changed == 0:
             break
     else:
@@ -345,6 +354,9 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_rounds} "
             "rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges_per_round"] = edges_per_round
     # converged star graph: every non-root points directly at its
     # component minimum; roots map to themselves
     labels = edges.groupBy("u").agg(F.min("v").alias("label")).select(
