@@ -113,6 +113,11 @@ HEADLINE = [
     "q_dedup_soft_weights",
     "q_corpus_fim_transform",
     "q_mm_audio_fingerprint",
+    # round 8: one-scan filter-threshold calibration, key-skew census,
+    # multi-origin conflict detection
+    "q_text_quality_pr_sweep",
+    "q_diag_key_skew",
+    "q_cdc_update_conflicts",
 ]
 
 

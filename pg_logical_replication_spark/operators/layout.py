@@ -346,3 +346,75 @@ def exact_ntile(
             rnk <= big, F.floor((rnk - 1) / (base + 1)) + 1
         ).otherwise(rem + F.floor((rnk - big - 1) / base) + 1)
     return ranked.withColumn(out_col, tile.cast("int")).drop("_gnr")
+
+
+def key_skew_census(
+    df: DataFrame,
+    key_cols: list[str],
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Join/partition-key skew diagnostics — the census you run BEFORE
+    choosing a partitioning at 100 TB: per candidate key column, the
+    group-size distribution (exact rank-based percentiles, max, top-1
+    mass share) and the max/mean ratio that predicts whether AQE skew
+    splitting or explicit salting (:func:`salted_equi_join`) is needed.
+
+    All integer-exact (ppm/milli scaled via ``div``). Percentiles are
+    value-at-rank ``ceil(q·n_keys)`` over group sizes ascending — the
+    discrete percentile, deterministic across engines because every row
+    tied at a rank boundary carries the same size value.
+
+    Scale: one groupBy per key column (the aggregation Spark would run
+    for the real join anyway, minus the payload); percentile ranks come
+    from :func:`global_row_number`'s range-exchange form over the
+    GROUP-SIZE table (|distinct keys| rows, never the input), so there
+    is no single-partition sort anywhere. The final row is a 1×1
+    cross-join of two scalar aggregates — the scalar-subquery pattern.
+    """
+    outs = []
+    for key in key_cols:
+        sizes = (
+            df.groupBy(F.col(key).cast("string").alias("_k"))
+            .agg(F.count("*").alias("sz"))
+        )
+        ranked, n_keys = global_row_number(sizes, ["sz", "_k"], out_col="_r")
+        if n_keys == 0:
+            continue
+        ranks = {p: -(-p * n_keys // 100) for p in percentiles}  # ceil
+        picked = ranked.filter(
+            F.col("_r").isin(list(set(ranks.values())))
+        ).groupBy().agg(
+            *[
+                F.max(F.when(F.col("_r") == r, F.col("sz"))).alias(
+                    f"p{p}_group"
+                )
+                for p, r in ranks.items()
+            ]
+        )
+        stats = sizes.agg(
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("sz").cast("long").alias("max_group"),
+        )
+        row = (
+            stats.crossJoin(picked)
+            .select(
+                F.lit(key).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                F.expr("n_rows * 1000 div n_keys").alias("mean_group_milli"),
+                "max_group",
+                *[F.col(f"p{p}_group").cast("long") for p in percentiles],
+                F.expr("max_group * 1000000 div n_rows").alias(
+                    "top1_share_ppm"
+                ),
+                F.expr("max_group * n_keys * 1000 div n_rows").alias(
+                    "max_over_mean_milli"
+                ),
+            )
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_col")

@@ -469,6 +469,85 @@ def linear_quality_score(
     )
 
 
+def quality_pr_sweep(
+    df: DataFrame,
+    weak_label: Column,
+    thresholds_milli: tuple[int, ...] = (
+        -80000, -40000, -20000, -10000, 0, 10000, 20000, 40000, 80000,
+    ),
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Threshold calibration for the hashed-linear quality filter: for
+    each candidate per-token score threshold τ (milli-units), sweep the
+    whole corpus against a weak label and report the confusion counts
+    plus integer-exact precision/recall/F1 (ppm) — the
+    DataComp/fastText filter-tuning loop ("pick τ that keeps X% at
+    best agreement with the weak signal") as ONE query instead of one
+    scan per candidate.
+
+    Predicted-positive is evaluated by integer cross-multiplication
+    (``lm_score·1000 ≥ τ·n_tokens``) so no float division touches the
+    decision — every count and every ppm metric is bit-exact in any
+    engine (metrics use integer div; F1 folds the two ppms with one
+    more integer div).
+
+    Scale: ONE corpus scan; the threshold grid joins as a broadcast
+    literal (|grid| rows) and partial aggregation means the shuffle is
+    |grid| rows per partition regardless of corpus size. Doubling the
+    grid costs scan-side CPU only — exactly why the sweep form beats
+    re-running the filter per candidate τ at 100 TB.
+    """
+    toks = tokens_expr(text_col)
+    score = linear_score_expr(toks, buckets)
+    base = df.select(
+        score.alias("lm_score"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        weak_label.cast("boolean").alias("is_pos"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(int(t),) for t in thresholds_milli], "tau_milli int"
+    )
+    pred = F.col("lm_score") * 1000 >= F.col("tau_milli").cast("long") * F.col(
+        "n_tokens"
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = (
+        base.crossJoin(F.broadcast(grid))
+        .groupBy("tau_milli")
+        .agg(
+            cnt(pred & F.col("is_pos")).alias("tp"),
+            cnt(pred & ~F.col("is_pos")).alias("fp"),
+            cnt(~pred & F.col("is_pos")).alias("fn"),
+            cnt(~pred & ~F.col("is_pos")).alias("tn"),
+        )
+    )
+    # `div` (not `/` + floor): exact integer quotients at ANY row count
+    # — double division drifts past ~5e9-row denominators
+    out = agg.select(
+        "tau_milli",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) "
+            "ELSE 0 END"
+        ).cast("bigint").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) "
+            "ELSE 0 END"
+        ).cast("bigint").alias("recall_ppm"),
+    )
+    f1 = F.expr(
+        "CASE WHEN precision_ppm + recall_ppm > 0 THEN "
+        "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm) "
+        "ELSE 0 END"
+    )
+    return out.withColumn("f1_ppm", f1.cast("bigint")).orderBy("tau_milli")
+
+
 def canonical_url_expr(col: Column) -> Column:
     """URL canonicalization as pure JVM expressions (RE2∩Java regex
     subset, DuckDB-replayable): lowercase scheme+host, strip default

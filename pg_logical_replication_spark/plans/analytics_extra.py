@@ -1764,3 +1764,78 @@ def q_embed_d4_prune(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+def _skew_oracle() -> str:
+    """Value-at-rank percentile convention mirrored exactly: rank =
+    ROW_NUMBER() OVER (ORDER BY sz, k::VARCHAR), picked at
+    ceil(p·n_keys/100) = (p·n_keys+99)//100."""
+    blocks = []
+    rows = []
+    for sfx, tbl, key in (
+        ("o", "orders", "o_custkey"),
+        ("l", "lineitem", "l_suppkey"),
+        ("d", "documents", "lang"),
+    ):
+        blocks.append(f"""
+    s_{sfx} AS (SELECT CAST({key} AS VARCHAR) AS k,
+                       CAST(COUNT(*) AS BIGINT) AS sz
+                FROM {tbl} GROUP BY 1),
+    r_{sfx} AS (SELECT sz, ROW_NUMBER() OVER (ORDER BY sz, k) AS r
+                FROM s_{sfx}),
+    st_{sfx} AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+                        CAST(COUNT(*) AS BIGINT) AS n_keys,
+                        CAST(MAX(sz) AS BIGINT) AS max_group
+                 FROM s_{sfx}),
+    pick_{sfx} AS (SELECT
+        CAST(MAX(CASE WHEN r = (50 * n_keys + 99) // 100 THEN sz END)
+             AS BIGINT) AS p50_group,
+        CAST(MAX(CASE WHEN r = (90 * n_keys + 99) // 100 THEN sz END)
+             AS BIGINT) AS p90_group,
+        CAST(MAX(CASE WHEN r = (99 * n_keys + 99) // 100 THEN sz END)
+             AS BIGINT) AS p99_group
+        FROM r_{sfx}, st_{sfx}),
+    row_{sfx} AS (SELECT '{key}' AS key_col, n_rows, n_keys,
+        CAST(n_rows * 1000 // n_keys AS BIGINT) AS mean_group_milli,
+        max_group, p50_group, p90_group, p99_group,
+        CAST(max_group * 1000000 // n_rows AS BIGINT) AS top1_share_ppm,
+        CAST(max_group * n_keys * 1000 // n_rows AS BIGINT)
+          AS max_over_mean_milli
+        FROM st_{sfx}, pick_{sfx})""")
+        rows.append(f"SELECT * FROM row_{sfx}")
+    return (
+        "WITH " + ",".join(blocks) + "\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ORDER BY key_col"
+    )
+
+
+@register(
+    "q_diag_key_skew",
+    _skew_oracle(),
+    "join/partition-key skew census — the diagnostic you run before "
+    "choosing a partitioning at 100 TB: per candidate key, exact "
+    "rank-based group-size percentiles, top-1 mass share (ppm) and the "
+    "max/mean ratio (milli) that decides between AQE skew splitting "
+    "and explicit salting; percentile ranks via the range-exchange "
+    "global_row_number, never a single-partition sort",
+)
+def q_diag_key_skew(spark, sf_dir):
+    """operators/layout.py key_skew_census over three candidate keys
+    (orders.o_custkey, lineitem.l_suppkey, documents.lang). Scale: the
+    groupBy per key is the aggregation the real join would pay anyway
+    minus payload; ranks run over the GROUP-SIZE table (|keys| rows),
+    and the census row is a 1x1 scalar cross-join."""
+    from pg_logical_replication_spark.operators.layout import (
+        key_skew_census,
+    )
+
+    parts = [
+        key_skew_census(t(spark, sf_dir, "orders"), ["o_custkey"]),
+        key_skew_census(t(spark, sf_dir, "lineitem"), ["l_suppkey"]),
+        key_skew_census(t(spark, sf_dir, "documents"), ["lang"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_col")

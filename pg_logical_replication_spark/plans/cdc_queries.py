@@ -2613,3 +2613,68 @@ def q_cdc_bootstrap_apply(spark, sf_dir):
         .cast("long")
         .alias("n_updated"),
     )
+
+
+@register(
+    "q_cdc_update_conflicts",
+    """
+    WITH w AS (SELECT event_id // 100 AS win, event_id % 3 AS origin,
+                      user_id, event_id
+               FROM events),
+    per_key AS (SELECT win, user_id,
+                       COUNT(DISTINCT origin) AS n_origins,
+                       CAST(COUNT(*) AS BIGINT) AS n_writes,
+                       CAST(arg_max(origin, event_id) AS BIGINT)
+                         AS winner_origin
+                FROM w GROUP BY 1, 2)
+    SELECT CAST(win AS BIGINT) AS win, winner_origin,
+           CAST(COUNT(*) AS BIGINT) AS n_conflict_keys,
+           CAST(SUM(n_writes) AS BIGINT) AS n_conflict_writes
+    FROM per_key WHERE n_origins >= 2
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "multi-origin write-write conflict detection (the pglogical/BDR "
+    "conflict dashboard): within each reconciliation window (txn "
+    "block), keys written from >=2 replication origins are conflicts, "
+    "resolved last-writer-wins by stream position (arg_max / max_by) — "
+    "per (window, winning origin): conflicted keys + writes involved",
+)
+def q_cdc_update_conflicts(spark, sf_dir):
+    """Three synthetic origins interleave on event_id % 3 (the same
+    per-txn-block convention as q_cdc_origin_filter's every-4th-txn
+    marker). Scale: ONE shuffle keyed (window, key) — state is bounded
+    by the reconciliation window, not the stream; the winner falls out
+    of the same aggregate via max_by (no second pass, no window sort).
+    Reference parity: the reference surfaces origin per message
+    (pgoutput 'O' frames) but leaves conflict resolution to the
+    consumer — this is that consumer query, engine-side.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_key = (
+        ev.select(
+            F.expr("event_id div 100").alias("win"),
+            (F.col("event_id") % 3).alias("origin"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("win", "user_id")
+        .agg(
+            # ">=2 distinct origins" as min!=max: same predicate, no
+            # count-distinct Expand and no extra shuffle
+            F.min("origin").alias("o_min"),
+            F.max("origin").alias("o_max"),
+            F.count("*").cast("long").alias("n_writes"),
+            F.max_by("origin", "event_id").cast("long").alias(
+                "winner_origin"
+            ),
+        )
+    )
+    return (
+        per_key.filter(F.col("o_min") != F.col("o_max"))
+        .groupBy("win", "winner_origin")
+        .agg(
+            F.count("*").cast("long").alias("n_conflict_keys"),
+            F.sum("n_writes").cast("long").alias("n_conflict_writes"),
+        )
+        .orderBy("win", "winner_origin")
+    )

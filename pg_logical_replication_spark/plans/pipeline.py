@@ -4995,3 +4995,68 @@ def q_corpus_fim_transform(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_PR_GRID = (-80000, -40000, -20000, -10000, 0, 10000, 20000, 40000, 80000)
+
+
+@register(
+    "q_text_quality_pr_sweep",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS tk, n_chars FROM documents),
+    scored AS (
+      SELECT CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(tk,
+                 x -> ((CAST('0x' || substr(md5(lower(x)), 1, 15) AS BIGINT)
+                        % 1024) * 31 + 7) % 1001 - 500)) AS BIGINT)
+               AS lm_score,
+             n_chars >= 300 AS is_pos
+      FROM toks),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in _PR_GRID)})
+             AS g(tau_milli)),
+    conf AS (
+      SELECT tau_milli,
+             CAST(SUM(CASE WHEN lm_score * 1000 >= tau_milli * n_tokens
+                            AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN lm_score * 1000 >= tau_milli * n_tokens
+                            AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN lm_score * 1000 < tau_milli * n_tokens
+                            AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN lm_score * 1000 < tau_milli * n_tokens
+                            AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored CROSS JOIN grid GROUP BY 1),
+    metr AS (
+      SELECT *,
+             CAST(CASE WHEN tp + fp > 0
+                       THEN tp * 1000000 // (tp + fp) ELSE 0 END AS BIGINT)
+               AS precision_ppm,
+             CAST(CASE WHEN tp + fn > 0
+                       THEN tp * 1000000 // (tp + fn) ELSE 0 END AS BIGINT)
+               AS recall_ppm
+      FROM conf)
+    SELECT CAST(tau_milli AS INTEGER) AS tau_milli, tp, fp, fn, tn,
+           precision_ppm, recall_ppm,
+           CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                     THEN 2 * precision_ppm * recall_ppm
+                          // (precision_ppm + recall_ppm)
+                     ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM metr ORDER BY tau_milli
+    """,
+    "quality-filter threshold calibration: sweep the hashed-linear "
+    "scorer against a weak label (length>=300 heuristic) and report "
+    "integer-exact confusion counts + precision/recall/F1 (ppm) per "
+    "candidate threshold in ONE corpus scan — the DataComp/fastText "
+    "filter-tuning loop without one scan per tau",
+)
+def q_text_quality_pr_sweep(spark, sf_dir):
+    """operators/text.py quality_pr_sweep. Predicted-positive is the
+    integer cross-multiply lm_score*1000 >= tau*n_tokens (no float in
+    the decision); metrics use `div`, which matches DuckDB `//` because
+    every quotient here is non-negative (`div` truncates toward zero,
+    `//` floors — they only disagree below zero). Scale: one scan, the
+    9-row grid broadcast, partial aggregation leaves 9 rows per
+    partition on the shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return TX.quality_pr_sweep(
+        docs, weak_label=F.col("n_chars") >= 300, thresholds_milli=_PR_GRID
+    )

@@ -1,0 +1,136 @@
+"""Edge-case unit tests for the round-8 additions: quality PR sweep,
+key-skew census, multi-origin write-write conflict detection (oracle
+parity tests cover the bulk path on driver data; these pin semantics
+on hand-built inputs and plan shapes)."""
+
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators.layout import key_skew_census
+from pg_logical_replication_spark.operators.text import quality_pr_sweep
+
+
+def test_pr_sweep_confusion_invariants(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_pr_sweep(
+        df,
+        weak_label=F.col("doc_id") % 3 == 0,
+        thresholds_milli=(-100000, 0, 100000),
+    ).collect()
+    assert [r.tau_milli for r in out] == [-100000, 0, 100000]
+    n_pos = sum(1 for i in range(60) if i % 3 == 0)
+    for r in out:
+        # row conservation and label conservation at every threshold
+        assert r.tp + r.fp + r.fn + r.tn == 60
+        assert r.tp + r.fn == n_pos
+    # predicted-positive count is monotone non-increasing in tau
+    preds = [r.tp + r.fp for r in out]
+    assert preds == sorted(preds, reverse=True)
+
+
+def test_pr_sweep_degenerate_thresholds_zero_metrics(spark):
+    """A threshold above every score predicts nothing positive:
+    precision/recall/F1 must be 0 (guarded div), never a crash."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = quality_pr_sweep(
+        df, weak_label=F.lit(True), thresholds_milli=(10**9,)
+    ).collect()[0]
+    assert (row.tp, row.fp) == (0, 0)
+    assert row.precision_ppm == 0 and row.recall_ppm == 0 and row.f1_ppm == 0
+
+
+def test_pr_sweep_perfect_classifier_ppm(spark):
+    """When prediction == label exactly, precision = recall = f1 = 1e6."""
+    # score sign is deterministic per text; use labels FROM the scorer
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(8))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pg_logical_replication_spark.operators.text import (
+        linear_quality_score,
+    )
+
+    scored = linear_quality_score(df)
+    keep_ids = {
+        r.doc_id for r in scored.filter("keep").select("doc_id").collect()
+    }
+    assert 0 < len(keep_ids) < 40  # both classes present
+    row = quality_pr_sweep(
+        df, weak_label=F.col("doc_id").isin(keep_ids), thresholds_milli=(0,)
+    ).collect()[0]
+    assert row.fp == 0 and row.fn == 0
+    assert row.precision_ppm == row.recall_ppm == row.f1_ppm == 1000000
+
+
+def test_key_skew_census_planted_hot_key(spark):
+    # 90 rows on key 'hot', 10 singleton keys
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_census(df, ["k"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.key_col == "k"
+    assert r.n_rows == 100 and r.n_keys == 11
+    assert r.max_group == 90
+    assert r.top1_share_ppm == 900000
+    # mean = 100/11 -> 9090 milli; max/mean = 90*11*1000//100 = 9900 milli
+    assert r.mean_group_milli == 9090
+    assert r.max_over_mean_milli == 9900
+    # rank convention: sizes asc = [1x10, 90]; ceil(.5*11)=6 -> 1,
+    # ceil(.9*11)=10 -> 1, ceil(.99*11)=11 -> 90
+    assert (r.p50_group, r.p90_group, r.p99_group) == (1, 1, 90)
+
+
+def test_key_skew_census_uniform_keys(spark):
+    rows = [(f"k{i % 4}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_census(df, ["k"]).collect()[0]
+    assert r.max_group == 10 and r.n_keys == 4
+    assert r.max_over_mean_milli == 1000  # max == mean
+    assert (r.p50_group, r.p90_group, r.p99_group) == (10, 10, 10)
+
+
+def test_key_skew_census_no_single_partition_sort(spark):
+    rows = [(f"k{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, "k string")
+    plan = key_skew_census(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    # percentile ranks come from global_row_number (range exchange
+    # inside its localCheckpoint, invisible here) — what must NOT
+    # appear is the anti-pattern this exists to avoid: a window
+    # function or a global sort over the size table
+    low = plan.lower()
+    assert "window" not in low
+    assert "sort [" not in low  # no Sort operator anywhere
+    # the only SinglePartition exchanges are the two scalar aggregates
+    assert low.count("exchange singlepartition") <= 2
+
+
+def test_update_conflicts_hand_built(spark):
+    # window 0: key 1 written by origins 0 and 1 (conflict, last write
+    # event 31 -> origin 1); key 2 only origin 0 (no conflict).
+    # window 1: key 1 single write (no conflict).
+    rows = [
+        (30, 1),  # origin 0
+        (31, 1),  # origin 1 — winner (latest)
+        (33, 2),  # origin 0
+        (36, 2),  # origin 0 again — same origin, not a conflict
+        (130, 1),  # window 1, lone write
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = (
+        ev.select(
+            F.expr("event_id div 100").alias("win"),
+            (F.col("event_id") % 3).alias("origin"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("win", "user_id")
+        .agg(
+            F.countDistinct("origin").alias("n_origins"),
+            F.count("*").cast("long").alias("n_writes"),
+            F.max_by("origin", "event_id").cast("long").alias("winner_origin"),
+        )
+        .filter(F.col("n_origins") >= 2)
+        .collect()
+    )
+    assert len(out) == 1
+    c = out[0]
+    assert (c.win, c.user_id, c.n_writes, c.winner_origin) == (0, 1, 2, 1)
