@@ -118,6 +118,7 @@ HEADLINE = [
     "q_text_quality_pr_sweep",
     "q_diag_key_skew",
     "q_cdc_update_conflicts",
+    "q_events_watermark_lateness",
 ]
 
 

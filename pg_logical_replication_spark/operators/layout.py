@@ -418,3 +418,89 @@ def key_skew_census(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("key_col")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global running max (``MAX(v) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``) in :func:`global_running_sum`'s layout —
+    range exchange + per-partition window + driver-folded offsets,
+    never a SinglePartition sort. The prefix-max is the watermark
+    primitive: "max event-time seen so far" in arrival order is
+    exactly what a streaming watermark tracks, so this is how you
+    replay watermark behavior over historical data at corpus scale.
+
+    NULL semantics match MAX OVER: nulls never contribute; a row whose
+    whole prefix is null-only is NULL."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n_parts = num_partitions or max(
+        2, spark.sparkContext.defaultParallelism
+    )
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    d = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftright(F.col("_mono"), 33)
+    val_type = d.schema[value_col].dataType
+    stats = {
+        r["_pid"]: (r["m"], r["c"])
+        for r in d.groupBy(pid.alias("_pid"))
+        .agg(F.max(value_col).alias("m"), F.count(value_col).alias("c"))
+        .collect()
+    }
+    if not stats:
+        return d.withColumn(out_col, F.lit(None).cast(val_type)).drop(
+            "_mono"
+        )
+    run_max, seen, off_rows = None, 0, []
+    for p in sorted(stats):  # range partition order IS the total order
+        off_rows.append((p, run_max, seen))
+        m, c = stats[p]
+        if m is not None:
+            run_max = m if run_max is None else max(run_max, m)
+        seen += c
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off_df = spark.createDataFrame(
+        off_rows,
+        StructType([
+            StructField("_pid", LongType()),
+            StructField("_off_m", val_type),
+            StructField("_off_c", LongType()),
+        ]),
+    )
+    w = (
+        W.partitionBy(pid)
+        .orderBy("_mono")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("_pid", pid)
+        .withColumn("_lcnt", F.count(value_col).over(w))
+        .withColumn("_lmax", F.max(value_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col,
+            F.when(
+                (F.col("_off_c") + F.col("_lcnt")) == 0,
+                F.lit(None).cast(val_type),
+            ).otherwise(
+                # greatest() skips nulls: whichever of (carried max,
+                # local prefix max) exists wins
+                F.greatest(F.col("_off_m"), F.col("_lmax"))
+            ),
+        )
+        .drop("_mono", "_pid", "_lcnt", "_lmax", "_off_m", "_off_c")
+    )

@@ -1839,3 +1839,79 @@ def q_diag_key_skew(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("key_col")
+
+
+@register(
+    "q_events_watermark_lateness",
+    """
+    WITH o AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                      event_id + (event_id % 7) * 40 AS arr
+               FROM events),
+    m AS (SELECT event_type, ts_us,
+                 MAX(ts_us) OVER (ORDER BY arr, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS wm
+          FROM o),
+    l AS (SELECT event_type, wm - ts_us AS late_us FROM m)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS late_ppm,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(SUM(late_us) AS BIGINT) AS sum_late_us,
+           CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_10m
+    FROM l GROUP BY 1 ORDER BY 1
+    """,
+    "watermark sizing from history: per event type, how late events "
+    "arrive relative to the running max event-time in ARRIVAL order "
+    "(event_id) — late fraction (ppm), worst/total lateness, and how "
+    "many rows a 10-minute watermark would have dropped; the prefix-max "
+    "runs in global_running_max's range-exchange layout, never a "
+    "single-partition window sort",
+)
+def q_events_watermark_lateness(spark, sf_dir):
+    """The replay that answers 'what withWatermark() horizon does this
+    stream need': a streaming watermark IS the running max event-time,
+    so lateness = prefix_max(ts) - ts in arrival order. Scale: one
+    range exchange + one pid-partitioned window (operators/layout.py
+    global_running_max) + the event_type rollup — the naive
+    MAX() OVER (ORDER BY event_id) would serialize the whole history
+    through one partition."""
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_max,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        # deterministic delivery jitter (up to 240 stream positions):
+        # the fixture arrives in event-time order, so an identity
+        # arrival order would make every lateness 0 and leave the
+        # prefix-max path untested
+        (F.col("event_id") + (F.col("event_id") % 7) * 40).alias("arr"),
+    )
+    wm = global_running_max(ev, ["arr", "event_id"], "ts_us", out_col="wm")
+    late = wm.select(
+        "event_type", (F.col("wm") - F.col("ts_us")).alias("late_us")
+    )
+    is_late = F.when(F.col("late_us") > 0, 1).otherwise(0)
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(is_late).cast("long").alias("n_late"),
+            F.expr(
+                "sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 "
+                "div count(*)"
+            ).cast("long").alias("late_ppm"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum("late_us").cast("long").alias("sum_late_us"),
+            F.sum(F.when(F.col("late_us") > 600000000, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_at_10m"),
+        )
+        .orderBy("event_type")
+    )

@@ -134,3 +134,50 @@ def test_update_conflicts_hand_built(spark):
     assert len(out) == 1
     c = out[0]
     assert (c.win, c.user_id, c.n_writes, c.winner_origin) == (0, 1, 2, 1)
+
+
+def test_global_running_max_agrees_with_window(spark):
+    from pyspark.sql import Window as W
+
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_max,
+    )
+
+    rows = [(i, v) for i, v in enumerate([5, 3, None, 9, 1, None, 9, 12, 2])]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cum_max
+        for r in global_running_max(df, ["k"], "v", num_partitions=4).collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.k: r.m
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_max_all_null_prefix(spark):
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_max,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 7), (3, None)], "k long, v long"
+    )
+    got = {
+        r.k: r.cum_max
+        for r in global_running_max(df, ["k"], "v", num_partitions=3).collect()
+    }
+    assert got == {0: None, 1: None, 2: 7, 3: 7}
+
+
+def test_global_running_max_empty_input(spark):
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_max,
+    )
+
+    df = spark.createDataFrame([], "k long, v long")
+    out = global_running_max(df, ["k"], "v")
+    assert out.count() == 0
+    assert "cum_max" in out.columns
