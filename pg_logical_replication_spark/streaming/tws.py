@@ -818,3 +818,98 @@ def stream_near_dup_gate_tws(
     return out.withColumnRenamed("doc_id", id_col).withColumnRenamed(
         "ts", ts_col
     )
+
+
+# ------------------------------- multi-origin conflict monitor (tws)
+def _conflict_monitor_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ConflictMonitor(StatefulProcessor):
+        """Per (window, key): fold (min origin, max origin, writes,
+        last-writer) incrementally; emit the CURRENT conflict record
+        whenever a batch leaves the key in conflict (>=2 distinct
+        origins, tested as min!=max — the same predicate as
+        q_cdc_update_conflicts). Emissions are monotone refinements:
+        the LAST record per key equals the batch query's per-key row."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "conflict",
+                "o_min long, o_max long, n_writes long, "
+                "w_origin long, w_eid long",
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            win, user_id = key
+            st = (
+                self._st.get()
+                if self._st.exists()
+                else (None, None, 0, None, -1)
+            )
+            o_min, o_max, n_writes, w_origin, w_eid = st
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            for origin, eid in zip(pdf["origin"], pdf["event_id"]):
+                origin, eid = int(origin), int(eid)
+                o_min = origin if o_min is None else min(o_min, origin)
+                o_max = origin if o_max is None else max(o_max, origin)
+                n_writes += 1
+                if eid > w_eid:
+                    w_eid, w_origin = eid, origin
+            self._st.update(
+                (o_min, o_max, int(n_writes), w_origin, int(w_eid))
+            )
+            if o_min != o_max:
+                yield pd.DataFrame(
+                    {
+                        "win": [int(win)],
+                        "user_id": [int(user_id)],
+                        "n_writes": [int(n_writes)],
+                        "winner_origin": [int(w_origin)],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return ConflictMonitor
+
+
+def conflict_monitor_tws(
+    stream: DataFrame,
+    window_size: int = 100,
+    n_origins: int = 3,
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of ``q_cdc_update_conflicts``: live multi-origin
+    write-write conflict records as the stream drains. State per
+    (window, key) is five longs — O(active windows × keys), independent
+    of stream length; window close-out is the caller's retention policy
+    (drop state by timer once a window can no longer receive writes).
+
+    Emits one record per conflicted key per batch that touches it; the
+    last emission per key agrees with the batch query's per-key
+    aggregate (asserted in tests/test_tws.py)."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.expr(f"{id_col} div {window_size}").alias("win"),
+        (F.col(id_col) % n_origins).cast("long").alias("origin"),
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(id_col).cast("long").alias("event_id"),
+    )
+    return keyed.groupBy("win", "user_id").transformWithStateInPandas(
+        statefulProcessor=_conflict_monitor_class()(),
+        outputStructType=(
+            "win long, user_id long, n_writes long, winner_origin long"
+        ),
+        outputMode="append",
+        timeMode="None",
+    )

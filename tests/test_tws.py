@@ -722,3 +722,85 @@ def test_near_dup_gate_tws_string_ids(rocksdb, tmp_path):
     # the identical doc loses ALL its bands to uuid-aaa: no claimed rows
     # reach the rollup at all
     assert "uuid-bbb" not in verdicts
+
+
+def test_conflict_monitor_tws_agrees_with_batch(rocksdb, tmp_path):
+    """Streaming conflict monitor: last emission per (win,key) equals
+    the batch per-key aggregate of q_cdc_update_conflicts' first stage,
+    across a cross-batch scenario where the conflict only becomes
+    visible in the second micro-batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.tws import (
+        conflict_monitor_tws,
+    )
+
+    spark = rocksdb
+    # window 0: key 1 -> origins 0 (eid 30, batch 0) then 1 (eid 31,
+    # batch 1): conflict appears in batch 1. key 2 -> origin 0 twice:
+    # never a conflict. window 1: key 1 conflicted within one batch.
+    b0 = [(30, 1), (33, 2), (130, 1)]
+    b1 = [(31, 1), (36, 2), (131, 1), (134, 1)]
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    for i, batch in enumerate([b0, b1]):
+        with open(os.path.join(d, f"b{i}.jsonl"), "w") as f:
+            for eid, uid in batch:
+                f.write(json.dumps({"event_id": eid, "user_id": uid}) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    emissions = []
+
+    def sink(df, bid):
+        emissions.extend((bid, r) for r in df.collect())
+
+    q = (
+        conflict_monitor_tws(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    last = {}
+    for _bid, r in emissions:
+        last[(r.win, r.user_id)] = (r.n_writes, r.winner_origin)
+
+    # batch reference: same fold over the full event set
+    ev = spark.createDataFrame(b0 + b1, "event_id long, user_id long")
+    batch_rows = (
+        ev.select(
+            F.expr("event_id div 100").alias("win"),
+            (F.col("event_id") % 3).alias("origin"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("win", "user_id")
+        .agg(
+            F.min("origin").alias("o_min"),
+            F.max("origin").alias("o_max"),
+            F.count("*").alias("n_writes"),
+            F.max_by("origin", "event_id").alias("winner_origin"),
+        )
+        .filter(F.col("o_min") != F.col("o_max"))
+        .collect()
+    )
+    want = {
+        (r.win, r.user_id): (r.n_writes, r.winner_origin)
+        for r in batch_rows
+    }
+    assert last == want
+    # the cross-batch conflict (win 0, key 1) was only emitted once the
+    # second origin arrived — batch 0 must not contain it
+    assert all(
+        not (r.win == 0 and r.user_id == 1) for bid, r in emissions if bid == 0
+    )
+    # key 2 (single origin) never emits
+    assert all(r.user_id != 2 for _bid, r in emissions)
