@@ -119,6 +119,7 @@ HEADLINE = [
     "q_diag_key_skew",
     "q_cdc_update_conflicts",
     "q_events_watermark_lateness",
+    "q_text_mojibake",
 ]
 
 

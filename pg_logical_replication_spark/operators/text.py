@@ -2937,3 +2937,32 @@ def fim_transform(
         f"{applied} AS fim_applied",
         f"CASE WHEN {applied} THEN {fim} ELSE {t} END AS fim_text",
     )
+
+
+def mojibake_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document encoding-artifact counts — the census that decides
+    whether a corpus needs the unicode-fixing pass (ftfy-style) every
+    web pipeline (CCNet, Dolma) runs: UTF-8-bytes-read-as-Latin-1
+    lead-ins ('Ã', 'Â'), mojibake'd smart punctuation ('â€¦' family),
+    U+FFFD replacement chars (lossy prior transcode), and stray C0
+    control characters. Pure scan-side regexp_count — zero shuffle,
+    zero Python; detection, not repair (repair is a byte-level
+    transcode, done once the census says it pays)."""
+    t_ = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t_, F.lit("[ÃÂ]")).cast("long").alias("n_latin1"),
+        F.regexp_count(t_, F.lit("â€")).cast("long").alias("n_smartpunct"),
+        F.regexp_count(t_, F.lit("�")).cast("long").alias(
+            "n_replacement"
+        ),
+        F.regexp_count(
+            t_, F.lit("[\x01-\x08\x0b\x0c\x0e-\x1f]")
+        ).cast("long").alias("n_ctrl"),
+    ).withColumn(
+        "mojibake_suspect",
+        (F.col("n_latin1") + F.col("n_smartpunct") + F.col("n_replacement"))
+        > 0,
+    )

@@ -5060,3 +5060,100 @@ def q_text_quality_pr_sweep(spark, sf_dir):
     return TX.quality_pr_sweep(
         docs, weak_label=F.col("n_chars") >= 300, thresholds_milli=_PR_GRID
     )
+
+
+@register(
+    "q_text_mojibake",
+    """
+    WITH corrupted AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 0
+                  THEN replace(text, 'a', 'Ã©')
+                  WHEN doc_id % 17 = 0
+                  THEN text || chr(7) || 'seâ€¦quence'
+                  WHEN doc_id % 19 = 0
+                  THEN chr(65533) || text
+                  ELSE text END AS text
+      FROM documents),
+    census AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '[ÃÂ]')) AS BIGINT)
+               AS n_latin1,
+             CAST(len(regexp_extract_all(text, 'â€')) AS BIGINT)
+               AS n_smartpunct,
+             CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(text,
+                  '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12)
+                      || chr(14) || '-' || chr(31) || ']'))
+               AS BIGINT) AS n_ctrl
+      FROM corrupted)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_latin1 + n_smartpunct + n_replacement > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+           CAST(SUM(CASE WHEN n_latin1 + n_smartpunct + n_replacement > 0
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS suspect_ppm,
+           CAST(SUM(n_latin1) AS BIGINT) AS latin1_hits,
+           CAST(SUM(n_smartpunct) AS BIGINT) AS smartpunct_hits,
+           CAST(SUM(n_replacement) AS BIGINT) AS replacement_hits,
+           CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_hits
+    FROM census GROUP BY 1 ORDER BY 1
+    """,
+    "encoding-artifact (mojibake) census — the detector that gates the "
+    "ftfy-style unicode-fixing pass in CCNet/Dolma pipelines: "
+    "UTF-8-as-Latin-1 lead-ins, mojibake'd smart punctuation, U+FFFD, "
+    "C0 control chars; corruption synthesized deterministically (every "
+    "13th doc Latin-1-mangled, every 17th given control chars, every "
+    "19th U+FFFD-prefixed) because "
+    "the fixture corpus is clean ASCII",
+)
+def q_text_mojibake(spark, sf_dir):
+    """operators/text.py mojibake_census over deterministically
+    corrupted fixture docs (the fixture is clean ASCII — same
+    synthesize-the-defect pattern as the Gopher line rules). Scale:
+    corruption + census are one scan projection; the only shuffle is
+    the per-language rollup."""
+    docs = t(spark, sf_dir, "documents")
+    corrupted = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.expr("replace(text, 'a', 'Ã©')"),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\x07seâ€¦quence"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.lit("\ufffd"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c = TX.mojibake_census(corrupted).join(
+        corrupted.select("doc_id", "lang"), "doc_id"
+    )
+    suspect = F.when(F.col("mojibake_suspect"), 1).otherwise(0)
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(suspect).cast("long").alias("n_suspect"),
+            F.expr(
+                "sum(CASE WHEN mojibake_suspect THEN 1 ELSE 0 END) "
+                "* 1000000 div count(*)"
+            ).cast("long").alias("suspect_ppm"),
+            F.sum("n_latin1").cast("long").alias("latin1_hits"),
+            F.sum("n_smartpunct").cast("long").alias("smartpunct_hits"),
+            F.sum("n_replacement").cast("long").alias("replacement_hits"),
+            F.sum("n_ctrl").cast("long").alias("ctrl_hits"),
+        )
+        .orderBy("lang")
+    )

@@ -181,3 +181,24 @@ def test_global_running_max_empty_input(spark):
     out = global_running_max(df, ["k"], "v")
     assert out.count() == 0
     assert "cum_max" in out.columns
+
+
+def test_mojibake_census_hand_built(spark):
+    from pg_logical_replication_spark.operators.text import mojibake_census
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "cafÃ© menu"),          # 'cafÃ©' — latin1 lead-in
+        (3, "itâ€™s here"),     # 'itâ€™s' — smart punct
+        (4, "lossy � char"),              # U+FFFD
+        (5, "bell\x07 and esc\x1b"),           # control chars only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in mojibake_census(df).collect()}
+    assert not got[1].mojibake_suspect
+    assert got[2].n_latin1 == 1 and got[2].mojibake_suspect
+    assert got[3].n_smartpunct == 1 and got[3].mojibake_suspect
+    assert got[4].n_replacement == 1 and got[4].mojibake_suspect
+    # control chars alone flag n_ctrl but are NOT mojibake (legit in
+    # some formats; they gate a different cleanup)
+    assert got[5].n_ctrl == 2 and not got[5].mojibake_suspect
