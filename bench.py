@@ -120,6 +120,7 @@ HEADLINE = [
     "q_cdc_update_conflicts",
     "q_events_watermark_lateness",
     "q_text_mojibake",
+    "q_cdc_slot_retention",
 ]
 
 

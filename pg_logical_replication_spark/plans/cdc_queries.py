@@ -2678,3 +2678,81 @@ def q_cdc_update_conflicts(spark, sf_dir):
         )
         .orderBy("win", "winner_origin")
     )
+
+
+@register(
+    "q_cdc_slot_retention",
+    """
+    WITH rec AS (SELECT event_id // 100 AS seg,
+                        (event_id * 8 + 16) AS lsn_long,
+                        24 + len(COALESCE(props, '')) +
+                        len(COALESCE(event_type, '')) AS wal_bytes
+                 FROM events),
+    segs AS (SELECT seg,
+                    CAST(SUM(wal_bytes) AS BIGINT) AS seg_bytes,
+                    CAST(MAX(lsn_long) AS BIGINT) AS end_lsn_long
+             FROM rec GROUP BY 1),
+    tot AS (SELECT CAST(SUM(seg_bytes) AS BIGINT) AS total_bytes FROM segs),
+    cum AS (SELECT seg, seg_bytes, end_lsn_long,
+                   CAST(SUM(seg_bytes) OVER (ORDER BY seg
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+            FROM segs)
+    SELECT seg,
+           upper(lpad(to_hex(end_lsn_long // 4294967296), 8, '0')) || '/' ||
+           upper(lpad(to_hex(end_lsn_long % 4294967296), 8, '0'))
+             AS ack_lsn,
+           seg_bytes,
+           CAST(total_bytes - cum_bytes AS BIGINT) AS bytes_retained,
+           CAST((total_bytes - cum_bytes) * 1000000 // total_bytes
+                AS BIGINT) AS retained_ppm
+    FROM cum, tot ORDER BY seg
+    """,
+    "slot retention projection — logical replication's disk-pressure "
+    "model: per acknowledgeable position (segment end LSN), how many "
+    "WAL bytes the server must retain if the consumer's "
+    "confirmed_flush_lsn stops there; the operational readout behind "
+    "the reference's acknowledge() contract (a consumer that never "
+    "acks retains 100%)",
+)
+def q_cdc_slot_retention(spark, sf_dir):
+    """Prefix sum over per-segment WAL byte totals via
+    operators/layout.py global_running_sum (range exchange, no
+    SinglePartition window) — segments are the ack granularity, so the
+    running table is |segments| rows regardless of stream size. WAL
+    record cost model: 24-byte header + payload lengths; LSN = the
+    q_cdc family's event_id*8+16 convention."""
+    from pg_logical_replication_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    rec = ev.select(
+        F.expr("event_id div 100").alias("seg"),
+        (F.col("event_id") * 8 + 16).alias("lsn_long"),
+        (
+            F.lit(24)
+            + F.length(F.coalesce("props", F.lit("")))
+            + F.length(F.coalesce("event_type", F.lit("")))
+        ).alias("wal_bytes"),
+    )
+    segs = rec.groupBy("seg").agg(
+        F.sum("wal_bytes").cast("long").alias("seg_bytes"),
+        F.max("lsn_long").cast("long").alias("end_lsn_long"),
+    )
+    cum = global_running_sum(segs, ["seg"], "seg_bytes", out_col="cum_bytes")
+    tot = segs.agg(F.sum("seg_bytes").cast("long").alias("total_bytes"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            lsn_str_expr("end_lsn_long").alias("ack_lsn"),
+            "seg_bytes",
+            (F.col("total_bytes") - F.col("cum_bytes"))
+            .cast("long")
+            .alias("bytes_retained"),
+            F.expr(
+                "(total_bytes - cum_bytes) * 1000000 div total_bytes"
+            ).cast("long").alias("retained_ppm"),
+        )
+        .orderBy("seg")
+    )
