@@ -121,6 +121,7 @@ HEADLINE = [
     "q_events_watermark_lateness",
     "q_text_mojibake",
     "q_cdc_slot_retention",
+    "q_embed_mmr_select",
 ]
 
 

@@ -1119,3 +1119,103 @@ def ann_signature_col(
             for t in range(tables)
         ]
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    lam_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k items maximizing ``λ·rel(d) −
+    (1−λ)·max_{s∈S} sim(d, s)`` — relevance to the query balanced
+    against redundancy with what's already selected. THE diverse-subset
+    primitive for eval-set curation and dedup-aware retrieval.
+
+    Determinism contract: cosines round to 6 decimals (the ANN-family
+    convention), λ is an integer in milli; the per-step objective
+    ``lam·rel − (1000−lam)·maxsim`` combines identical doubles with
+    integer coefficients, so an SQL oracle unrolling the same k steps
+    reproduces every pick bit-for-bit (ties break on id).
+
+    Scale: greedy MMR is sequential BY DEFINITION (pick i depends on
+    picks 1..i−1) — the k-step driver loop is the published algorithm,
+    not a distribution failure. Per step the work IS distributed: one
+    corpus-partitioned pass scoring every candidate against the ≤k
+    broadcast selected vectors, then a TakeOrdered(1). rel() is
+    computed once and localCheckpointed; total cost = one scan + k
+    passes over the checkpointed (id, vec, rel) projection.
+
+    Returns (rnk, vec_id, rel, max_sim) — max_sim NULL for the first
+    pick (no selected set yet to be redundant with).
+    """
+    q = query.select(F.col(vec_col).alias("q_vec")).limit(1)
+    cand = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.round(
+                _dot(F.col(vec_col), F.col("q_vec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("q_vec"))),
+                6,
+            ).alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    spark = corpus.sparkSession
+    selected: list = []  # rows: (rnk, vec_id, v, rel, max_sim)
+    for rnk in range(1, k + 1):
+        remaining = cand.filter(
+            ~F.col("vec_id").isin([r[1] for r in selected])
+            if selected
+            else F.lit(True)
+        )
+        if not selected:
+            pick = remaining.orderBy(
+                F.col("rel").desc(), F.col("vec_id")
+            ).limit(1).collect()
+            if not pick:
+                break
+            r = pick[0]
+            selected.append((rnk, r.vec_id, r.v, r.rel, None))
+            continue
+        sel_df = F.broadcast(
+            spark.createDataFrame(
+                [(rid, v) for _, rid, v, _, _ in selected],
+                "s_id long, s_vec array<float>",
+            )
+        )
+        scored = (
+            remaining.crossJoin(sel_df)
+            .select(
+                "vec_id",
+                "v",
+                "rel",
+                F.round(
+                    _dot(F.col("v"), F.col("s_vec"))
+                    / (_norm(F.col("v")) * _norm(F.col("s_vec"))),
+                    6,
+                ).alias("s_sim"),
+            )
+            .groupBy("vec_id", "v", "rel")
+            .agg(F.max("s_sim").alias("max_sim"))
+        )
+        pick = scored.orderBy(
+            (
+                F.lit(lam_milli) * F.col("rel")
+                - F.lit(1000 - lam_milli) * F.col("max_sim")
+            ).desc(),
+            F.col("vec_id"),
+        ).limit(1).collect()
+        if not pick:
+            break
+        r = pick[0]
+        selected.append((rnk, r.vec_id, r.v, r.rel, r.max_sim))
+    return spark.createDataFrame(
+        [(rnk, rid, rel, ms) for rnk, rid, _v, rel, ms in selected],
+        "rnk long, vec_id long, rel double, max_sim double",
+    )

@@ -5157,3 +5157,70 @@ def q_text_mojibake(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _mmr_oracle(k: int = 5, lam: int = 700) -> str:
+    """Unrolled k-step greedy MMR chain (the BPE-style unrolled-chain
+    oracle pattern): each step excludes prior picks, folds max
+    similarity against the selected set, and takes the objective argmax
+    with the same round-6 / id tie-break contract as the operator."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * "
+        "SQRT(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS v
+          FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (SELECT vec_id, v, {cos.format(a="v", b="qv")} AS rel
+             FROM e, q WHERE vec_id <> 0),
+    p1 AS (SELECT vec_id, v, rel FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id, v, rel, CAST(NULL AS DOUBLE) AS max_sim,
+                    CAST(1 AS BIGINT) AS rnk
+             FROM p1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    mx{i} AS (SELECT c.vec_id,
+                     MAX({cos.format(a="c.v", b="s.v")}) AS max_sim
+              FROM cand c CROSS JOIN sel{i - 1} s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+              GROUP BY c.vec_id),
+    p{i} AS (SELECT c.vec_id, c.v, c.rel, m.max_sim
+             FROM cand c JOIN mx{i} m USING (vec_id)
+             ORDER BY ({lam} * c.rel - {1000 - lam} * m.max_sim) DESC,
+                      c.vec_id
+             LIMIT 1),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL
+               SELECT vec_id, v, rel, max_sim, CAST({i} AS BIGINT)
+               FROM p{i})""")
+    return _mat(
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT rnk, vec_id, rel, max_sim FROM sel{k} ORDER BY rnk"""
+    )
+
+
+@register(
+    "q_embed_mmr_select",
+    _mmr_oracle(),
+    "Maximal Marginal Relevance diverse top-5 (Carbonell & Goldstein "
+    "SIGIR'98): greedy lambda*rel - (1-lambda)*max-sim-to-selected "
+    "selection against query vec 0 — the eval-set-curation primitive; "
+    "each greedy pick replayed exactly by an unrolled 5-step SQL chain "
+    "(round-6 cosines, id tie-breaks)",
+)
+def q_embed_mmr_select(spark, sf_dir):
+    """operators/similarity.py mmr_select. Greedy MMR is sequential by
+    definition — k driver steps, each a DISTRIBUTED corpus pass against
+    the <=k broadcast selected vectors + TakeOrdered(1); rel() is one
+    scan, localCheckpointed and reused."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.mmr_select(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        lam_milli=700,
+    )

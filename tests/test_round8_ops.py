@@ -202,3 +202,67 @@ def test_mojibake_census_hand_built(spark):
     # control chars alone flag n_ctrl but are NOT mojibake (legit in
     # some formats; they gate a different cleanup)
     assert got[5].n_ctrl == 2 and not got[5].mojibake_suspect
+
+
+def test_mmr_pure_relevance_equals_cosine_order(spark):
+    """lambda = 1.0 degenerates MMR to plain relevance ranking."""
+    import math
+
+    from pg_logical_replication_spark.operators.similarity import mmr_select
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(i, vec(0.1 * i)) for i in range(1, 9)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = spark.createDataFrame(
+        [(0, vec(0.0))], "vec_id long, embedding array<float>"
+    )
+    out = mmr_select(corpus, query, k=3, lam_milli=1000).collect()
+    # closest angles first: 1, 2, 3
+    assert [r.vec_id for r in out] == [1, 2, 3]
+
+
+def test_mmr_skips_duplicate_of_first_pick(spark):
+    """A near-duplicate of pick 1 ranks second by relevance but MUST be
+    deferred by the redundancy penalty."""
+    import math
+
+    from pg_logical_replication_spark.operators.similarity import mmr_select
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus = spark.createDataFrame(
+        [
+            (1, vec(0.05)),   # most relevant
+            (2, vec(0.06)),   # near-duplicate of 1, second most relevant
+            (3, vec(0.80)),   # less relevant but diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    query = spark.createDataFrame(
+        [(0, vec(0.0))], "vec_id long, embedding array<float>"
+    )
+    # lambda=0.3: 2's near-1.0 redundancy penalty outweighs 3's
+    # relevance deficit (at lambda=0.5 the duplicate still wins here —
+    # its rel gap to pick 1 is only 0.0005)
+    out = mmr_select(corpus, query, k=2, lam_milli=300).collect()
+    assert [r.vec_id for r in out] == [1, 3]
+    # and the deferred duplicate's redundancy is visible in max_sim
+    out3 = mmr_select(corpus, query, k=3, lam_milli=300).collect()
+    assert out3[2].vec_id == 2 and out3[2].max_sim > 0.99
+
+
+def test_mmr_k_exceeds_corpus(spark):
+    from pg_logical_replication_spark.operators.similarity import mmr_select
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    query = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = mmr_select(corpus, query, k=10).collect()
+    assert [r.rnk for r in out] == [1, 2]  # stops when exhausted
