@@ -122,6 +122,7 @@ HEADLINE = [
     "q_text_mojibake",
     "q_cdc_slot_retention",
     "q_embed_mmr_select",
+    "q_ann_recall_curve",
 ]
 
 

@@ -5224,3 +5224,97 @@ def q_embed_mmr_select(spark, sf_dir):
         k=5,
         lam_milli=700,
     )
+
+
+_IVF_CURVE_PROBES = (1, 2, 4, 8, 16)
+
+
+def _ivf_recall_curve_oracle(k: int = 5, n_centroids: int = 16) -> str:
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * "
+        "SQRT(list_dot_product({b}, {b}))), 6)"
+    )
+    vals = ", ".join(f"({p})" for p in _IVF_CURVE_PROBES)
+    return _mat(f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             WHERE vec_id < {n_centroids}),
+    asgn AS (SELECT vec_id AS n_id, v AS nv, cent_id FROM (
+        SELECT e.vec_id, e.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.v", b="cent.cv")} DESC,
+                          cent.cent_id) AS rn
+        FROM e CROSS JOIN cent) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    probe_rank AS (SELECT q.q_id, q.qv, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {cos.format(a="q.qv", b="cent.cv")} DESC,
+                          cent.cent_id) AS rn
+        FROM q CROSS JOIN cent),
+    brute AS (SELECT q_id, n_id FROM (
+        SELECT q.q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {cos.format(a="q.qv", b="e.v")} DESC,
+                          e.vec_id) AS rnk
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+        WHERE rnk <= {k}),
+    grid AS (SELECT * FROM (VALUES {vals}) AS g(n_probe)),
+    ivf AS (SELECT n_probe, q_id, n_id FROM (
+        SELECT g.n_probe, p.q_id, a.n_id,
+               ROW_NUMBER() OVER (PARTITION BY g.n_probe, p.q_id
+                 ORDER BY {cos.format(a="p.qv", b="a.nv")} DESC,
+                          a.n_id) AS rnk
+        FROM grid g
+        JOIN probe_rank p ON p.rn <= g.n_probe
+        JOIN asgn a ON a.cent_id = p.cent_id
+        WHERE a.n_id <> p.q_id)
+        WHERE rnk <= {k})
+    SELECT CAST(n_probe AS INTEGER) AS n_probe,
+           CAST(COUNT(b.q_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(b.q_id) * 1000000 //
+                (SELECT COUNT(*) FROM brute) AS BIGINT) AS recall_ppm
+    FROM ivf i LEFT JOIN brute b USING (q_id, n_id)
+    GROUP BY 1 ORDER BY 1
+    """)
+
+
+@register(
+    "q_ann_recall_curve",
+    _ivf_recall_curve_oracle(),
+    "IVF recall curve — the n_probe sweep that sizes the ANN index: "
+    "recall@5 vs brute force at n_probe in (1,2,4,8,16), ppm-exact; "
+    "the n_probe = n_centroids endpoint MUST hit 1.0 (probing every "
+    "cell IS brute force) — the built-in sanity anchor",
+)
+def q_ann_recall_curve(spark, sf_dir):
+    """The ANN counterpart of q_text_quality_pr_sweep's one-query
+    calibration: pick n_probe from a measured recall/cost curve instead
+    of folklore. Scale: brute ranking is ONE corpus pass (queries
+    broadcast); each IVF point re-ranks only its probed cells — at a
+    partitioned-by-cell layout the sweep reads Σ n_probe/n_centroids of
+    the data, and the matched-pair join is |queries|·k rows per point."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.cosine_topk(emb, queries, k=5).select("q_id", "n_id")
+    n_brute = 10 * 5
+    outs = []
+    for np_ in _IVF_CURVE_PROBES:
+        ivf = S.ivf_cosine_topk(emb, queries, k=5, n_probe=np_).select(
+            "q_id", "n_id"
+        )
+        outs.append(
+            ivf.join(brute, ["q_id", "n_id"], "left_semi")
+            .agg(F.count("*").cast("long").alias("n_matched"))
+            .select(F.lit(np_).cast("int").alias("n_probe"), "n_matched")
+            .withColumn(
+                "recall_ppm",
+                F.expr(f"n_matched * 1000000 div {n_brute}").cast("long"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n_probe")

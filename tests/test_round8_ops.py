@@ -266,3 +266,16 @@ def test_mmr_k_exceeds_corpus(spark):
     )
     out = mmr_select(corpus, query, k=10).collect()
     assert [r.rnk for r in out] == [1, 2]  # stops when exhausted
+
+
+def test_ann_recall_curve_invariants(spark):
+    """Recall is monotone non-decreasing in n_probe and EXACTLY 1.0 at
+    n_probe = n_centroids (probing every cell is brute force)."""
+    from pg_logical_replication_spark.plans import QUERIES
+
+    rows = QUERIES["q_ann_recall_curve"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1].n_probe == 16 and rows[-1].recall_ppm == 1000000
