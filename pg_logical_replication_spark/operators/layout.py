@@ -414,6 +414,15 @@ def key_skew_census(
             )
         )
         outs.append(row)
+    if not outs:
+        # empty input: zero census rows, stable schema
+        schema = (
+            "key_col string, n_rows long, n_keys long, "
+            "mean_group_milli long, max_group long, "
+            + ", ".join(f"p{p}_group long" for p in percentiles)
+            + ", top1_share_ppm long, max_over_mean_milli long"
+        )
+        return df.sparkSession.createDataFrame([], schema)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

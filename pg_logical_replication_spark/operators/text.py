@@ -523,6 +523,15 @@ def quality_pr_sweep(
             cnt(~pred & ~F.col("is_pos")).alias("tn"),
         )
     )
+    # an empty corpus still has a defined (all-zero) confusion matrix
+    # at every threshold: re-anchor on the grid so no τ row vanishes
+    agg = grid.join(agg, "tau_milli", "left").select(
+        "tau_milli",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("tp", "fp", "fn", "tn")
+        ],
+    )
     # `div` (not `/` + floor): exact integer quotients at ANY row count
     # — double division drifts past ~5e9-row denominators
     out = agg.select(

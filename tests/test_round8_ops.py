@@ -279,3 +279,21 @@ def test_ann_recall_curve_invariants(spark):
     recalls = [r.recall_ppm for r in rows]
     assert recalls == sorted(recalls)
     assert rows[-1].n_probe == 16 and rows[-1].recall_ppm == 1000000
+
+
+def test_key_skew_census_empty_input(spark):
+    df = spark.createDataFrame([], "k string")
+    out = key_skew_census(df, ["k"])
+    assert out.count() == 0
+    assert "max_over_mean_milli" in out.columns
+
+
+def test_pr_sweep_empty_corpus_all_zero_rows(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = quality_pr_sweep(
+        df, weak_label=F.lit(True), thresholds_milli=(-100, 0, 100)
+    ).collect()
+    assert [r.tau_milli for r in out] == [-100, 0, 100]
+    assert all(
+        (r.tp, r.fp, r.fn, r.tn, r.f1_ppm) == (0, 0, 0, 0, 0) for r in out
+    )
