@@ -123,6 +123,7 @@ HEADLINE = [
     "q_cdc_slot_retention",
     "q_embed_mmr_select",
     "q_ann_recall_curve",
+    "q_dedup_lsh_band_curve",
 ]
 
 

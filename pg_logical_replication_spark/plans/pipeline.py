@@ -5318,3 +5318,175 @@ def q_ann_recall_curve(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("n_probe")
+
+
+_LSH_CURVE_BAND_SIZES = (1, 2, 4)
+_LSH_GOOD_MILLI = 500  # exact-Jaccard "good pair" threshold, milli
+
+
+def _lsh_band_curve_oracle(num_hashes: int = 8) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    parts = [f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled)"""]
+    tagged = []
+    for bs in _LSH_CURVE_BAND_SIZES:
+        n_bands = num_hashes // bs
+        band_rows = "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5({' || '.join(f'minhash_{b * bs + j}' for j in range(bs))})"
+            " AS band_key FROM sig"
+            for b in range(n_bands)
+        )
+        parts.append(f"""
+    bands_{bs} AS ({band_rows}),
+    cand_{bs} AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands_{bs} a JOIN bands_{bs} b
+                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)""")
+        tagged.append(f"SELECT {bs} AS band_size, a_id, b_id FROM cand_{bs}")
+    parts.append(f"""
+    tagged AS ({" UNION ALL ".join(tagged)}),
+    uniq AS (SELECT DISTINCT a_id, b_id FROM tagged),
+    jac AS (SELECT u.a_id, u.b_id,
+                   len(list_intersect(sa.sh, sb.sh)) AS inter,
+                   len(sa.sh) AS za, len(sb.sh) AS zb
+            FROM uniq u
+            JOIN shingled sa ON sa.doc_id = u.a_id
+            JOIN shingled sb ON sb.doc_id = u.b_id),
+    flags AS (SELECT a_id, b_id,
+                     CASE WHEN inter * 1000 >=
+                               {_LSH_GOOD_MILLI} * (za + zb - inter)
+                          THEN 1 ELSE 0 END AS good
+              FROM jac),
+    counts AS (SELECT band_size,
+                      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                      CAST(SUM(good) AS BIGINT) AS n_good
+               FROM tagged JOIN flags USING (a_id, b_id)
+               GROUP BY 1),
+    base AS (SELECT n_good AS good1 FROM counts WHERE band_size = 1)""")
+    return _mat(
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT CAST(band_size AS INTEGER) AS band_size,
+           CAST({num_hashes} // band_size AS BIGINT) AS n_bands,
+           n_candidates, n_good,
+           CAST(CASE WHEN n_candidates > 0
+                     THEN n_good * 1000000 // n_candidates
+                     ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN good1 > 0
+                     THEN n_good * 1000000 // good1
+                     ELSE 0 END AS BIGINT) AS recall_vs_b1_ppm
+    FROM counts, base ORDER BY band_size"""
+    )
+
+
+@register(
+    "q_dedup_lsh_band_curve",
+    _lsh_band_curve_oracle(),
+    "LSH band-size tuning curve — the S-curve table that sizes a "
+    "MinHash index: per band_size (1/2/4 over 8 hashes), candidate "
+    "count, good pairs (exact Jaccard >= 0.5, integer cross-multiply), "
+    "precision ppm, and recall vs the most permissive banding (whose "
+    "candidates provably superset the stricter ones — recall at "
+    "band_size=1 pins at exactly 1.0)",
+)
+def q_dedup_lsh_band_curve(spark, sf_dir):
+    """Completes the calibration trilogy (filter tau sweep, IVF n_probe
+    curve, LSH banding). Signatures computed ONCE (localCheckpoint) and
+    folded three ways; exact Jaccard runs only on the UNION of
+    candidate sets — at scale that union is the LSH output size, never
+    all-pairs, and the band self-joins are the same AQE-skew-split
+    shape as production minhash_candidate_pairs. Good-pair test is
+    inter*1000 >= 500*(union) — no float in any decision."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs).localCheckpoint()
+    tagged = None
+    for bs in _LSH_CURVE_BAND_SIZES:
+        bands = D.minhash_bands(sig, "doc_id", bs)
+        a = bands.select(
+            "band_idx", "band_key", F.col("doc_id").alias("a_id")
+        )
+        b = bands.select(
+            F.col("band_idx").alias("bi"),
+            F.col("band_key").alias("bk"),
+            F.col("doc_id").alias("b_id"),
+        )
+        cand = (
+            a.join(
+                b,
+                (a["band_idx"] == b["bi"])
+                & (a["band_key"] == b["bk"])
+                & (a["a_id"] < b["b_id"]),
+            )
+            .select("a_id", "b_id")
+            .distinct()
+            .withColumn("band_size", F.lit(bs).cast("int"))
+        )
+        tagged = cand if tagged is None else tagged.unionByName(cand)
+    tagged = tagged.localCheckpoint()
+    uniq = tagged.select("a_id", "b_id").distinct()
+    sh = docs.select(
+        F.col("doc_id"), D.word_shingles_expr().alias("sh")
+    )
+    jac = (
+        uniq.join(
+            sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa")),
+            "a_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("za"),
+            F.size("sb").alias("zb"),
+        )
+    )
+    flags = jac.select(
+        "a_id",
+        "b_id",
+        F.when(
+            F.col("inter") * 1000
+            >= _LSH_GOOD_MILLI * (F.col("za") + F.col("zb") - F.col("inter")),
+            1,
+        )
+        .otherwise(0)
+        .alias("good"),
+    )
+    counts = (
+        tagged.join(flags, ["a_id", "b_id"])
+        .groupBy("band_size")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum("good").cast("long").alias("n_good"),
+        )
+    )
+    base = counts.filter(F.col("band_size") == 1).select(
+        F.col("n_good").alias("good1")
+    )
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "band_size",
+            F.expr("8 div band_size").cast("long").alias("n_bands"),
+            "n_candidates",
+            "n_good",
+            F.expr(
+                "CASE WHEN n_candidates > 0 "
+                "THEN n_good * 1000000 div n_candidates ELSE 0 END"
+            ).cast("long").alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN good1 > 0 "
+                "THEN n_good * 1000000 div good1 ELSE 0 END"
+            ).cast("long").alias("recall_vs_b1_ppm"),
+        )
+        .orderBy("band_size")
+    )

@@ -297,3 +297,20 @@ def test_pr_sweep_empty_corpus_all_zero_rows(spark):
     assert all(
         (r.tp, r.fp, r.fn, r.tn, r.f1_ppm) == (0, 0, 0, 0, 0) for r in out
     )
+
+
+def test_lsh_band_curve_invariants(spark):
+    """Stricter bands (larger band_size) can only shrink the candidate
+    set (provable superset chain), recall vs the permissive banding is
+    <= 1 and pins at exactly 1.0 for band_size=1."""
+    from pg_logical_replication_spark.plans import QUERIES
+
+    rows = QUERIES["q_dedup_lsh_band_curve"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.band_size for r in rows] == [1, 2, 4]
+    cands = [r.n_candidates for r in rows]
+    assert cands == sorted(cands, reverse=True)
+    assert rows[0].recall_vs_b1_ppm == 1000000
+    assert all(r.recall_vs_b1_ppm <= 1000000 for r in rows)
+    assert all(r.n_good <= r.n_candidates for r in rows)
