@@ -124,6 +124,7 @@ HEADLINE = [
     "q_embed_mmr_select",
     "q_ann_recall_curve",
     "q_dedup_lsh_band_curve",
+    "q_corpus_pack_efficiency",
 ]
 
 

@@ -5490,3 +5490,69 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
         )
         .orderBy("band_size")
     )
+
+
+@register(
+    "q_corpus_pack_efficiency",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id // 100 AS bucket,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents),
+    ord AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                      AS rn FROM toks),
+    pack AS (
+      SELECT bucket, rn, doc_id, n_tokens, n_tokens AS acc,
+             0 AS bin, 0 AS seq
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN o.n_tokens
+                  ELSE p.acc + o.n_tokens END,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN 0 ELSE p.seq + 1 END
+      FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+    SELECT CAST(COUNT(DISTINCT bucket * 1000000 + bin) AS BIGINT) AS n_bins,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT bucket * 1000000 + bin) * 512 AS BIGINT)
+             AS capacity_tokens,
+           CAST(SUM(n_tokens) * 1000000 //
+                (COUNT(DISTINCT bucket * 1000000 + bin) * 512) AS BIGINT)
+             AS fill_ppm,
+           CAST(SUM(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversized_docs
+    FROM pack
+    """,
+    "packing efficiency audit — the padding-waste readout of the "
+    "greedy 512-token packer: bins, fill ratio (ppm of capacity; can "
+    "exceed 1.0 when oversized docs ride alone), oversized-doc count — "
+    "the number that decides whether the packing budget or the "
+    "chunking policy needs to change before a training run",
+)
+def q_corpus_pack_efficiency(spark, sf_dir):
+    """One aggregate over pack_sequences' output (same greedy chain the
+    oracle replays recursively). Scale: packing is bucket-local; this
+    rollup is a second pass over (doc_id, bin_id, n_tokens) — ids and
+    counts, never text."""
+    from pg_logical_replication_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    packed = pack_sequences(
+        t(spark, sf_dir, "documents"), budget=512, bucket_size=100
+    )
+    return packed.agg(
+        F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.countDistinct("bin_id") * 512).cast("long").alias(
+            "capacity_tokens"
+        ),
+        F.expr(
+            "sum(n_tokens) * 1000000 div (count(DISTINCT bin_id) * 512)"
+        ).cast("long").alias("fill_ppm"),
+        F.sum(F.when(F.col("n_tokens") > 512, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversized_docs"),
+    )
