@@ -498,6 +498,11 @@ def quality_pr_sweep(
     grid costs scan-side CPU only — exactly why the sweep form beats
     re-running the filter per candidate τ at 100 TB.
     """
+    if len(set(thresholds_milli)) != len(thresholds_milli):
+        raise ValueError(
+            f"thresholds_milli contains duplicates: {thresholds_milli!r} — "
+            "a duplicate tau would double-count every row in its group"
+        )
     toks = tokens_expr(text_col)
     score = linear_score_expr(toks, buckets)
     base = df.select(

@@ -314,3 +314,13 @@ def test_lsh_band_curve_invariants(spark):
     assert rows[0].recall_vs_b1_ppm == 1000000
     assert all(r.recall_vs_b1_ppm <= 1000000 for r in rows)
     assert all(r.n_good <= r.n_candidates for r in rows)
+
+
+def test_pr_sweep_rejects_duplicate_thresholds(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicates"):
+        quality_pr_sweep(
+            df, weak_label=F.lit(True), thresholds_milli=(0, 100, 0)
+        )
