@@ -411,17 +411,38 @@ class LogicalReplicationService:
     def _checkpoint(self, slot_name: str) -> str:
         return os.path.join(self.checkpoint_root, slot_name)
 
-    def acknowledge(self, slot_name: str, lsn: str) -> str:
+    def acknowledge(
+        self, slot_name: str, lsn: str, ping: bool = False
+    ) -> str:
         """Manually acknowledge up to ``lsn`` (manual-ack mode,
         reference README.md:171-196 / service :254-300): records the
         slot's acknowledged position as ``lsn + 1`` with 32-bit carry —
         the reference's exact standby-status arithmetic
         (:258-272, ``model.ack_lsn``) — and emits ``acknowledge``.
-        Returns the recorded position."""
+        Returns the recorded position.
+
+        ``ping=True`` ≙ the reference's second parameter
+        (``acknowledge(lsn, ping)``, service :250-254 "Request server
+        to respond"): the status frame appended to the frame log
+        carries the reply-requested flag, and the relay forwards it
+        upstream so the server answers with a keepalive. Only
+        meaningful for ``source='frames'`` subscriptions — for
+        text-format event logs there is no upstream to ping and the
+        frame is skipped."""
         from pg_logical_replication_spark.model import ack_lsn
 
         pos = ack_lsn(lsn)
         self._acked_lsn[slot_name] = pos
+        if ping:
+            from pg_logical_replication_spark.sources.transport import (
+                FrameLogTailTransport,
+            )
+
+            if os.path.isdir(self.event_log_dir):
+                # frame builder re-applies +1 — send the raw lsn
+                FrameLogTailTransport(self.event_log_dir).send_standby_status(
+                    lsn, ping=True
+                )
         self._emit("acknowledge", lsn)
         return pos
 

@@ -1261,3 +1261,31 @@ def test_subscribe_bootstrap_recovers_from_crashed_partial(spark, tmp_path):
     assert n_boot == len(
         [n for n in os.listdir(log) if ".bootstrap.seg" in n]
     )
+
+
+def test_manual_acknowledge_ping_requests_reply(spark, log_dirs):
+    """acknowledge(slot, lsn, ping=True) ≙ the reference's second
+    parameter (service :250-254 'Request server to respond'): a
+    reply-requested standby-status frame lands in the frame log's
+    status.log for the relay to forward upstream."""
+    from pg_logical_replication_spark.sources.transport import (
+        FrameLogTailTransport,
+    )
+
+    log, ckpt, _ = log_dirs
+    _append(log, "000.jsonl", [_changeset(1, "0/100", 1, [_ins("t", {"id": 1})])])
+    svc = LogicalReplicationService(spark, log, ckpt)
+    svc.subscribe_and_wait(
+        "wal2json", "ping_slot", lambda df, bid: df.count(),
+        auto_acknowledge=False,
+    )
+    # plain ack: no status frame written
+    svc.acknowledge("ping_slot", "0/100")
+    tail = FrameLogTailTransport(log)
+    assert tail.sent_statuses() == []
+    # ping ack: one reply-requested frame at the +1 position
+    svc.acknowledge("ping_slot", "0/100", ping=True)
+    statuses = tail.sent_statuses()
+    assert len(statuses) == 1
+    assert statuses[0]["ping"] is True
+    assert statuses[0]["flushed"] == 0x101
