@@ -5397,44 +5397,92 @@ def _lsh_band_curve_oracle(num_hashes: int = 8) -> str:
 )
 def q_dedup_lsh_band_curve(spark, sf_dir):
     """Completes the calibration trilogy (filter tau sweep, IVF n_probe
-    curve, LSH banding). Signatures computed ONCE (localCheckpoint) and
-    folded three ways; exact Jaccard runs only on the UNION of
-    candidate sets — at scale that union is the LSH output size, never
-    all-pairs, and the band self-joins are the same AQE-skew-split
-    shape as production minhash_candidate_pairs. Good-pair test is
-    inter*1000 >= 500*(union) — no float in any decision."""
-    docs = t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(docs).localCheckpoint()
-    tagged = None
-    for bs in _LSH_CURVE_BAND_SIZES:
-        bands = D.minhash_bands(sig, "doc_id", bs)
-        a = bands.select(
-            "band_idx", "band_key", F.col("doc_id").alias("a_id")
-        )
-        b = bands.select(
-            F.col("band_idx").alias("bi"),
-            F.col("band_key").alias("bk"),
-            F.col("doc_id").alias("b_id"),
-        )
-        cand = (
-            a.join(
-                b,
-                (a["band_idx"] == b["bi"])
-                & (a["band_key"] == b["bk"])
-                & (a["a_id"] < b["b_id"]),
-            )
-            .select("a_id", "b_id")
-            .distinct()
-            .withColumn("band_size", F.lit(bs).cast("int"))
-        )
-        tagged = cand if tagged is None else tagged.unionByName(cand)
-    tagged = tagged.localCheckpoint()
-    uniq = tagged.select("a_id", "b_id").distinct()
-    sh = docs.select(
-        F.col("doc_id"), D.word_shingles_expr().alias("sh")
+    curve, LSH banding). ONE band self-join total: candidates are
+    generated only at the most permissive banding (band_size=1), which
+    provably supersets every stricter one (band equality implies
+    component-hash equality) — each pair then joins the two signatures
+    back and derives its bs=2/bs=4 membership as row-level expressions
+    (the r8 bench measured the naive three-self-join form at 9.8 s, the
+    slowest headline query; this halves the band work). Exact Jaccard
+    runs once on the bs=1 set — at scale that is the LSH output size,
+    never all-pairs. Good-pair test is inter*1000 >= 500*(union) — no
+    float in any decision."""
+    from pg_logical_replication_spark.plans.registry import spread_if_narrow
+
+    # single-row-group testdata caps BOTH heavy scans (signature,
+    # shingle projection) at ONE task; no-op at any real scale
+    docs = spread_if_narrow(t(spark, sf_dir, "documents"), spark)
+    # shingle construction is the expensive scan (a transform over
+    # every token per doc) — build the per-doc shingle ARRAY once and
+    # derive BOTH the signatures (explode → groupBy min×8, identical
+    # values to minhash_signature) and the exact-Jaccard side from it
+    shingled = docs.select(
+        "doc_id", D.word_shingles_expr().alias("sh")
+    ).localCheckpoint()
+    ex = shingled.select("doc_id", F.explode("sh").alias("sh_el"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("sh_el")))
+            ).alias(f"minhash_{i}")
+            for i in range(8)
+        ]
+    ).localCheckpoint()
+    bands1 = D.minhash_bands(sig, "doc_id", 1)
+    a = bands1.select("band_idx", "band_key", F.col("doc_id").alias("a_id"))
+    b = bands1.select(
+        F.col("band_idx").alias("bi"),
+        F.col("band_key").alias("bk"),
+        F.col("doc_id").alias("b_id"),
     )
+    pairs1 = (
+        a.join(
+            b,
+            (a["band_idx"] == b["bi"])
+            & (a["band_key"] == b["bk"])
+            & (a["a_id"] < b["b_id"]),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    mh = [f"minhash_{i}" for i in range(8)]
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in mh],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in mh],
+    )
+    withsig = pairs1.join(sa, "a_id").join(sb, "b_id")
+
+    from functools import reduce
+
+    def member(bs: int):
+        # pair is a bs-candidate iff SOME band of bs consecutive
+        # hashes matches entirely
+        bands = []
+        for base in range(0, 8, bs):
+            bands.append(
+                reduce(
+                    lambda x, y: x & y,
+                    [
+                        F.col(f"a_minhash_{base + j}")
+                        == F.col(f"b_minhash_{base + j}")
+                        for j in range(bs)
+                    ],
+                )
+            )
+        return reduce(lambda x, y: x | y, bands)
+
+    tagged = withsig.select(
+        "a_id",
+        "b_id",
+        *[member(bs).alias(f"in_{bs}") for bs in _LSH_CURVE_BAND_SIZES],
+    ).localCheckpoint()
+    sh = shingled
     jac = (
-        uniq.join(
+        tagged.join(
             sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa")),
             "a_id",
         )
@@ -5443,32 +5491,28 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
             "b_id",
         )
         .select(
-            "a_id",
-            "b_id",
+            *[f"in_{bs}" for bs in _LSH_CURVE_BAND_SIZES],
             F.size(F.array_intersect("sa", "sb")).alias("inter"),
             F.size("sa").alias("za"),
             F.size("sb").alias("zb"),
         )
     )
-    flags = jac.select(
-        "a_id",
-        "b_id",
+    flagged = jac.withColumn(
+        "good",
         F.when(
             F.col("inter") * 1000
             >= _LSH_GOOD_MILLI * (F.col("za") + F.col("zb") - F.col("inter")),
             1,
-        )
-        .otherwise(0)
-        .alias("good"),
+        ).otherwise(0),
     )
-    counts = (
-        tagged.join(flags, ["a_id", "b_id"])
-        .groupBy("band_size")
-        .agg(
+    counts = None
+    for bs in _LSH_CURVE_BAND_SIZES:
+        c = flagged.filter(F.col(f"in_{bs}")).agg(
             F.count("*").cast("long").alias("n_candidates"),
             F.sum("good").cast("long").alias("n_good"),
-        )
-    )
+        ).select(F.lit(bs).cast("int").alias("band_size"), "n_candidates",
+                 "n_good")
+        counts = c if counts is None else counts.unionByName(c)
     base = counts.filter(F.col("band_size") == 1).select(
         F.col("n_good").alias("good1")
     )
@@ -5490,6 +5534,7 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
         )
         .orderBy("band_size")
     )
+
 
 
 @register(
