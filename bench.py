@@ -125,6 +125,8 @@ HEADLINE = [
     "q_ann_recall_curve",
     "q_dedup_lsh_band_curve",
     "q_corpus_pack_efficiency",
+    "q_dedup_source_overlap",
+    "q_text_burstiness",
 ]
 
 

@@ -5601,3 +5601,163 @@ def q_corpus_pack_efficiency(spark, sf_dir):
         .cast("long")
         .alias("n_oversized_docs"),
     )
+
+
+def _source_overlap_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) "
+        "AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sig AS (SELECT doc_id, {mh} FROM shingled),
+    bands AS ({bands}),
+    pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    tagged AS (SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b,
+                      p.a_id, p.b_id
+               FROM pairs p
+               JOIN documents da ON da.doc_id = p.a_id
+               JOIN documents db ON db.doc_id = p.b_id),
+    ex AS (SELECT source_a, source_b, a_id AS d FROM tagged
+           UNION ALL SELECT source_a, source_b, b_id FROM tagged)
+    SELECT t.source_a, t.source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT d) FROM ex e
+                 WHERE e.source_a = t.source_a
+                   AND e.source_b = t.source_b) AS BIGINT) AS n_docs
+    FROM tagged t GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "q_dedup_source_overlap",
+    _source_overlap_oracle(),
+    "inter-source duplication matrix — which SOURCES share near-dups "
+    "(the crawl-overlap heatmap that decides dedup ORDER and source "
+    "weighting before mixing): per unordered source pair, LSH candidate "
+    "pairs and distinct documents involved; the diagonal is "
+    "within-source duplication, off-diagonal cells are cross-crawl "
+    "overlap",
+)
+def q_dedup_source_overlap(spark, sf_dir):
+    """Scale: the pair table is the LSH output (never all-pairs); the
+    source join moves only (doc_id, source) pairs; the doc census
+    explodes pairs to 2 rows each — |pairs|-bounded, text never
+    shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a_id"), F.col("source").alias("sa")
+            ),
+            "a_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b_id"), F.col("source").alias("sb")
+            ),
+            "b_id",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "a_id",
+            "b_id",
+        )
+    )
+    n_pairs = tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        tagged.select(
+            "source_a",
+            "source_b",
+            F.explode(F.array("a_id", "b_id")).alias("d"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["source_a", "source_b"]).orderBy(
+        "source_a", "source_b"
+    )
+
+
+@register(
+    "q_text_burstiness",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+    percnt AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks, UNNEST(tk) AS u(t) GROUP BY 1, 2),
+    per_term AS (SELECT term,
+                        CAST(SUM(c) AS BIGINT) AS total_count,
+                        CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+                        CAST(COUNT(*) AS BIGINT) AS doc_freq
+                 FROM percnt GROUP BY 1)
+    SELECT term, total_count, doc_freq,
+           CAST((n_docs * sum_sq - total_count * total_count) * 1000 //
+                (total_count * (n_docs - 1)) AS BIGINT) AS vmr_milli
+    FROM per_term, n
+    ORDER BY total_count DESC, term LIMIT 15
+    """,
+    "term burstiness (Church & Gale): variance-to-mean ratio of "
+    "per-document counts over ALL docs (zero counts included, in closed "
+    "form) for the top-15 terms — VMR ~= 1.0 is Poisson-like "
+    "(function words / templated boilerplate), VMR >> 1 is bursty "
+    "content vocabulary; the corpus-linguistics signal that separates "
+    "topic words from boilerplate before keyword extraction",
+)
+def q_text_burstiness(spark, sf_dir):
+    """VMR over all N docs without materializing zeros: with zero
+    counts, mean = total/N and Σ(x−mean)² = Σx² − total²/N, so
+    VMR·1000 = (N·Σx² − total²)·1000 div (total·(N−1)) — all from the
+    nonzero (term, doc) counts. Scale: one explode → two hash
+    aggregations (term,doc) then (term) — partial aggregation combines
+    map-side; N is a broadcast scalar; top-15 is TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda x: F.lower(x)
+        ).alias("tk"),
+    )
+    n = toks.agg(F.count("*").cast("long").alias("n_docs"))
+    percnt = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_term = percnt.groupBy("term").agg(
+        F.sum("c").cast("long").alias("total_count"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        F.count("*").cast("long").alias("doc_freq"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "total_count",
+            "doc_freq",
+            F.expr(
+                "(n_docs * sum_sq - total_count * total_count) * 1000 "
+                "div (total_count * (n_docs - 1))"
+            ).cast("long").alias("vmr_milli"),
+        )
+        .orderBy(F.col("total_count").desc(), "term")
+        .limit(15)
+    )
