@@ -127,6 +127,7 @@ HEADLINE = [
     "q_corpus_pack_efficiency",
     "q_dedup_source_overlap",
     "q_text_burstiness",
+    "q_dedup_substr_removal",
 ]
 
 

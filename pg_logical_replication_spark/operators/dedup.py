@@ -1097,3 +1097,103 @@ def dedup_new_against_index(
         )
         .drop("_digest", "_exact", "_near")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 20,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022) — the action
+    :func:`duplicated_span_coverage` only measures: splice every token
+    covered by a corpus-repeated ``gram``-token window out of every
+    document (the aggressive variant: all copies cut; the keep-one
+    policy is a doc-level choice layered on q_dedup_keep_best).
+
+    Same machinery as the coverage operator (window digests → count≥2 →
+    positions rejoin), then covered positions compact into MERGED
+    intervals per doc (a new interval starts where pos exceeds the
+    running max end; running count of starts = interval id), the
+    interval list joins back (left — untouched docs pass through), and
+    the output tokens are filtered by an EXISTS over that per-doc
+    interval array. Output text is the kept ORIGINAL-case tokens joined
+    by single spaces (windows hash lowercased, the output keeps case) —
+    byte-deterministic, so an oracle can checksum every output byte.
+
+    Returns (id, out_text, n_tokens_before, n_tokens_after, spliced).
+
+    Scale: digests/positions shuffle, text never does (the interval
+    array per doc is tiny after compaction); the token filter is one
+    scan-side HOF pass, O(n_tokens × n_intervals) per doc.
+    """
+    from pyspark.sql import Window
+
+    tk_orig = tokens_expr(text_col)
+    tk_low = F.transform(tk_orig, lambda x: F.lower(x))
+    base = df.select(
+        F.col(id_col), tk_orig.alias("tko"), tk_low.alias("tk")
+    )
+    wins = F.expr(
+        f"transform(sequence(1, size(tk) - {gram - 1}),"
+        f" i -> struct(i AS pos,"
+        f" md5(concat_ws(' ', slice(tk, i, {gram}))) AS h))"
+    )
+    inst = (
+        base.where(F.size("tk") >= gram)
+        .select(id_col, F.explode(wins).alias("w"))
+        .select(id_col, "w.pos", "w.h")
+    )
+    hot = inst.groupBy("h").agg(F.count("*").alias("c")).where(
+        F.col("c") >= 2
+    )
+    if df_cap is not None:
+        hot = hot.where(F.col("c") <= df_cap)
+    dup = inst.join(hot.select("h"), "h")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + gram).over(w_prev)
+    marks = dup.withColumn(
+        "new_grp",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grps = marks.withColumn("g", F.sum("new_grp").over(w_run))
+    ivals = (
+        grps.groupBy(id_col, "g")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + gram).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("iv")
+        )
+    )
+    joined = base.join(ivals, id_col, "left")
+    kept = F.expr(
+        "filter(transform(tko, (x, i) -> struct(x AS x, i + 1 AS i)),"
+        " t -> iv IS NULL OR NOT exists(iv,"
+        " v -> t.i >= v.s AND t.i < v.e))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("tko").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(kept, lambda t: t.getField("x")), " "
+        ).alias("out_text"),
+        (F.size(kept) < F.size("tko")).alias("spliced"),
+    )

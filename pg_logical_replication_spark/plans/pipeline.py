@@ -5761,3 +5761,91 @@ def q_text_burstiness(spark, sf_dir):
         .orderBy(F.col("total_count").desc(), "term")
         .limit(15)
     )
+
+
+@register(
+    "q_dedup_substr_removal",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tko,
+                         list_transform({_TOKS}, x -> lower(x)) AS tk
+                  FROM documents),
+    inst AS (SELECT doc_id, i AS pos,
+                    md5(array_to_string(tk[i : i + 19], ' ')) AS h
+             FROM toks, UNNEST(range(1, len(tk) - 18)) AS u(i)
+             WHERE len(tk) >= 20),
+    hot AS (SELECT h FROM inst GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT i.doc_id, i.pos FROM inst i JOIN hot USING (h)),
+    marks AS (SELECT doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + 20) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1) THEN 1 ELSE 0 END AS new_grp
+              FROM dup),
+    grps AS (SELECT doc_id, pos,
+                    SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS g
+             FROM marks),
+    ivals AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+              FROM grps GROUP BY doc_id, g),
+    iv_arr AS (SELECT doc_id,
+                      list(struct_pack(s := s, e := e) ORDER BY s) AS iv
+               FROM ivals GROUP BY doc_id),
+    outt AS (SELECT t.doc_id, t.lang,
+                    CAST(len(t.tko) AS BIGINT) AS nb,
+                    COALESCE(array_to_string(list_transform(list_filter(
+                      list_transform(t.tko,
+                        (x, i) -> struct_pack(x := x, i := i)),
+                      p -> a.iv IS NULL OR len(list_filter(a.iv,
+                             v -> p.i >= v.s AND p.i < v.e)) = 0),
+                      p -> p.x), ' '), '') AS out_text
+             FROM toks t LEFT JOIN iv_arr a USING (doc_id)),
+    final AS (SELECT doc_id, lang, nb,
+                     CAST(CASE WHEN out_text = '' THEN 0
+                          ELSE len(string_split(out_text, ' ')) END
+                          AS BIGINT) AS na,
+                     out_text
+              FROM outt)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_spliced,
+           CAST(SUM(nb) AS BIGINT) AS tokens_before,
+           CAST(SUM(na) AS BIGINT) AS tokens_after,
+           CAST(SUM(CAST('0x' || substr(md5(out_text), 1, 8) AS BIGINT))
+             AS BIGINT) AS checksum
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+    "ExactSubstr REMOVAL (Lee et al. 2022) — the splice the coverage "
+    "query only measures: every token covered by a corpus-repeated "
+    "20-token window is cut from every document (aggressive variant); "
+    "per language: docs touched, tokens before/after, and a checksum "
+    "over every OUTPUT byte (Σ 32-bit md5 prefixes of the transformed "
+    "texts) so any single-byte divergence in any document fails the "
+    "gate",
+)
+def q_dedup_substr_removal(spark, sf_dir):
+    """operators/dedup.py remove_duplicated_spans + lang rollup.
+    Windows hash lowercased, output keeps original case; output text is
+    kept tokens joined by single spaces in both engines — byte-pinned
+    like the FIM transform's oracle. Scale: digests shuffle, text never
+    moves; the splice is one scan-side HOF pass over per-doc interval
+    arrays."""
+    docs = t(spark, sf_dir, "documents")
+    out = D.remove_duplicated_spans(docs)
+    cks = F.expr(
+        "CAST(conv(substring(md5(out_text), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("spliced"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_spliced"),
+            F.sum("n_tokens_before").cast("long").alias("tokens_before"),
+            F.sum("n_tokens_after").cast("long").alias("tokens_after"),
+            F.sum(cks).cast("long").alias("checksum"),
+        )
+        .orderBy("lang")
+    )

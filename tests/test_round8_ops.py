@@ -324,3 +324,38 @@ def test_pr_sweep_rejects_duplicate_thresholds(spark):
         quality_pr_sweep(
             df, weak_label=F.lit(True), thresholds_milli=(0, 100, 0)
         )
+
+
+def test_remove_duplicated_spans_planted(spark):
+    """A planted 25-token span shared by two docs is spliced from BOTH
+    (aggressive variant); the unique doc is untouched and keeps case."""
+    from pg_logical_replication_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    span = " ".join(f"s{j}" for j in range(25))
+    rows = [
+        (1, "alpha " + span + " omega"),
+        (2, "Beta " + span + " gamma extra words here"),
+        (3, "totally unique text " + " ".join(f"u{j}" for j in range(25))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, gram=20).collect()}
+    assert out[1].out_text == "alpha omega" and out[1].spliced
+    assert out[2].out_text == "Beta gamma extra words here"
+    assert not out[3].spliced
+    assert out[3].n_tokens_after == out[3].n_tokens_before
+
+
+def test_remove_duplicated_spans_case_insensitive_match(spark):
+    """Windows hash lowercased: a case-variant copy still matches, and
+    each doc's OWN casing survives in the kept tokens."""
+    from pg_logical_replication_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    span = " ".join(f"w{j}" for j in range(20))
+    rows = [(1, "x " + span), (2, "y " + span.upper())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, gram=20).collect()}
+    assert out[1].out_text == "x" and out[2].out_text == "y"
