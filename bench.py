@@ -128,6 +128,7 @@ HEADLINE = [
     "q_dedup_source_overlap",
     "q_text_burstiness",
     "q_dedup_substr_removal",
+    "q_pipeline_dedup_funnel",
 ]
 
 

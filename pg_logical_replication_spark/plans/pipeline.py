@@ -5849,3 +5849,145 @@ def q_dedup_substr_removal(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _dedup_funnel_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(minhash_{b * band_size} || minhash_{b * band_size + 1}) "
+        "AS band_key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH RECURSIVE toks0 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM toks0),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+             GROUP BY md5(text)),
+    t1 AS (SELECT d.doc_id, {_TOKS} AS tk FROM documents d
+           JOIN reps r ON r.doc_id = d.doc_id),
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM t1),
+    shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM t1),
+    sig AS (SELECT doc_id, {mh} FROM shingled),
+    bands AS ({bands}),
+    pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    nodes AS (SELECT DISTINCT a_id AS doc_id FROM pairs
+              UNION SELECT DISTINCT b_id FROM pairs),
+    uedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+               UNION SELECT b_id, a_id FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN uedges e ON e.u = r.dst),
+    labels AS (SELECT src AS doc_id, MIN(dst) AS label
+               FROM reach GROUP BY src),
+    t2 AS (SELECT t.doc_id, t.tk FROM t1 t
+           LEFT JOIN labels l ON l.doc_id = t.doc_id
+           WHERE l.label IS NULL OR l.label = t.doc_id),
+    near AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM t2),
+    lowtk AS (SELECT doc_id, len(tk) AS nb,
+                     list_transform(tk, x -> lower(x)) AS tk FROM t2),
+    inst AS (SELECT doc_id, i AS pos,
+                    md5(array_to_string(tk[i : i + 19], ' ')) AS h
+             FROM lowtk, UNNEST(range(1, len(tk) - 18)) AS u(i)
+             WHERE len(tk) >= 20),
+    hot AS (SELECT h FROM inst GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT i.doc_id, i.pos FROM inst i JOIN hot USING (h)),
+    win AS (SELECT doc_id, pos,
+                   GREATEST(0, pos + 20 - GREATEST(pos,
+                     COALESCE(MAX(pos + 20) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       pos))) AS d
+            FROM dup),
+    cut AS (SELECT CAST(COALESCE(SUM(d), 0) AS BIGINT) AS cut_tokens
+            FROM win),
+    substr_stage AS (SELECT n.n_docs,
+                            CAST(n.n_tokens - c.cut_tokens AS BIGINT)
+                              AS n_tokens
+                     FROM near n, cut c)
+    SELECT 0 AS stage, 'raw' AS label, n_docs, n_tokens FROM raw
+    UNION ALL SELECT 1, 'exact_dedup', n_docs, n_tokens FROM exact
+    UNION ALL SELECT 2, 'near_dedup', n_docs, n_tokens FROM near
+    UNION ALL SELECT 3, 'substr_removal', n_docs, n_tokens
+              FROM substr_stage
+    ORDER BY stage
+    """
+
+
+@register(
+    "q_pipeline_dedup_funnel",
+    _dedup_funnel_oracle(),
+    "the end-to-end dedup recipe as ONE query with a stage funnel "
+    "(RefinedWeb's dashboard): raw -> exact dedup (md5 representatives) "
+    "-> near-dup cluster minima (LSH + converged star contraction over "
+    "the SURVIVORS) -> ExactSubstr span removal (repeated 20-gram "
+    "windows within the surviving corpus) - docs and tokens remaining "
+    "after every stage, value-gated against a recursive-closure + "
+    "interval-union oracle",
+)
+def q_pipeline_dedup_funnel(spark, sf_dir):
+    """Stage composition matters: near-dup runs on exact survivors,
+    substr removal on near survivors — each stage's hot-window/cluster
+    structure is computed WITHIN its input, exactly like a production
+    pipeline (running them independently over the raw corpus
+    double-counts). Scale: each stage reuses the family's scale shape
+    (digest shuffles, banded pairs, star contraction, interval union);
+    only (id, count) tables flow between stages."""
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(D.tokens_expr("text")).cast("long")
+    base = docs.select("doc_id", "text", ntok.alias("nt"))
+    raw = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    reps = (
+        base.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    t1 = base.join(reps, "doc_id").localCheckpoint()
+    exact = t1.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    labels = D.connected_components_star(D.minhash_candidate_pairs(t1))
+    t2 = (
+        t1.join(labels, "doc_id", "left")
+        .where(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
+        .select("doc_id", "text", "nt")
+        .localCheckpoint()
+    )
+    near = t2.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    spliced = D.remove_duplicated_spans(t2)
+    substr = spliced.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens_after").cast("long").alias("n_tokens"),
+    )
+    out = None
+    for stage, label, frame in (
+        (0, "raw", raw),
+        (1, "exact_dedup", exact),
+        (2, "near_dedup", near),
+        (3, "substr_removal", substr),
+    ):
+        row = frame.select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(label).alias("label"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
