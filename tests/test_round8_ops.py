@@ -359,3 +359,58 @@ def test_remove_duplicated_spans_case_insensitive_match(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in remove_duplicated_spans(df, gram=20).collect()}
     assert out[1].out_text == "x" and out[2].out_text == "y"
+
+
+def test_pr_sweep_matches_pure_python_reference(spark):
+    """Third-implementation pin (the r7 char_entropy/fim pattern): the
+    whole sweep — hashed-linear scorer, integer cross-multiply
+    decision, div-based ppm metrics — recomputed in pure Python
+    (hashlib + ints) on a deterministic corpus; a formula bug mirrored
+    into both the Spark plan and its SQL oracle cannot hide from this."""
+    import hashlib
+
+    def weight(tok):
+        h = int(hashlib.md5(tok.lower().encode()).hexdigest()[:15], 16) % 1024
+        return (h * 31 + 7) % 1001 - 500
+
+    rows = []
+    for i in range(80):
+        toks = [f"w{(i * 7 + j * 13) % 40}" for j in range(5 + i % 9)]
+        rows.append((i, " ".join(toks)))
+    labels = {i for i, _ in rows if i % 4 != 0}
+    taus = (-60000, -15000, 0, 15000, 60000)
+
+    expected = {}
+    for tau in taus:
+        tp = fp = fn = tn = 0
+        for i, text in rows:
+            toks = text.split()
+            score = sum(weight(t) for t in toks)
+            pred = score * 1000 >= tau * len(toks)
+            pos = i in labels
+            if pred and pos:
+                tp += 1
+            elif pred:
+                fp += 1
+            elif pos:
+                fn += 1
+            else:
+                tn += 1
+        prec = tp * 1000000 // (tp + fp) if tp + fp else 0
+        rec = tp * 1000000 // (tp + fn) if tp + fn else 0
+        f1 = (
+            2 * prec * rec // (prec + rec) if prec + rec else 0
+        )
+        expected[tau] = (tp, fp, fn, tn, prec, rec, f1)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = quality_pr_sweep(
+        df,
+        weak_label=F.col("doc_id").isin(labels),
+        thresholds_milli=taus,
+    ).collect()
+    for r in got:
+        assert (
+            r.tp, r.fp, r.fn, r.tn,
+            r.precision_ppm, r.recall_ppm, r.f1_ppm,
+        ) == expected[r.tau_milli], f"tau={r.tau_milli}"
