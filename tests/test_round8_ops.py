@@ -414,3 +414,75 @@ def test_pr_sweep_matches_pure_python_reference(spark):
             r.tp, r.fp, r.fn, r.tn,
             r.precision_ppm, r.recall_ppm, r.f1_ppm,
         ) == expected[r.tau_milli], f"tau={r.tau_milli}"
+
+
+def test_burstiness_matches_pure_python_reference(spark):
+    """Closed-form VMR over ALL docs (zeros folded) recomputed naively
+    in Python WITH explicit zero counts — pins the algebra
+    (N·Σx² − total²)·1000 div (total·(N−1)) against the definition."""
+    from pg_logical_replication_spark.plans import QUERIES  # noqa: F401
+
+    rows = [
+        (1, "a a a b"),
+        (2, "b c"),
+        (3, "a d d d d"),
+        (4, "e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # naive reference: explicit per-doc counts including zeros
+    import collections
+
+    percnt = collections.defaultdict(dict)
+    for did, text in rows:
+        for tok in text.split():
+            percnt[tok][did] = percnt[tok].get(did, 0) + 1
+    n_docs = len(rows)
+    expected = {}
+    for term, bydoc in percnt.items():
+        xs = [bydoc.get(d, 0) for d, _ in rows]  # zeros included
+        total = sum(xs)
+        mean = total / n_docs
+        var = sum((x - mean) ** 2 for x in xs) / (n_docs - 1)
+        expected[term] = (
+            total,
+            len(bydoc),
+            int(var / mean * 1000),  # floor, matches integer div
+        )
+
+    # same pipeline as q_text_burstiness, applied to this tiny frame
+    toks = df.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda x: F.lower(x)
+        ).alias("tk"),
+    )
+    n = toks.agg(F.count("*").cast("long").alias("n_docs"))
+    percnt_df = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    got = {
+        r.term: (r.total_count, r.doc_freq, r.vmr_milli)
+        for r in percnt_df.groupBy("term")
+        .agg(
+            F.sum("c").cast("long").alias("total_count"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+            F.count("*").cast("long").alias("doc_freq"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "total_count",
+            "doc_freq",
+            F.expr(
+                "(n_docs * sum_sq - total_count * total_count) * 1000 "
+                "div (total_count * (n_docs - 1))"
+            ).cast("long").alias("vmr_milli"),
+        )
+        .collect()
+    }
+    assert got == expected
+    # sanity: 'd' (4 hits in one doc) is bursty, far above VMR 1.0
+    assert got["d"][2] > 2000
