@@ -129,6 +129,7 @@ HEADLINE = [
     "q_text_burstiness",
     "q_dedup_substr_removal",
     "q_pipeline_dedup_funnel",
+    "q_diag_join_advisor",
 ]
 
 

@@ -1915,3 +1915,88 @@ def q_events_watermark_lateness(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _join_advisor_oracle() -> str:
+    blocks, rows = [], []
+    for sfx, (fact, fkey, dim, dkey) in {
+        "c": ("orders", "o_custkey", "customer", "c_custkey"),
+        "s": ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        "o": ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    }.items():
+        blocks.append(f"""
+    f_{sfx} AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(c) AS BIGINT) AS max_group
+                FROM (SELECT {fkey}, COUNT(*) AS c FROM {fact}
+                      GROUP BY 1)),
+    d_{sfx} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM {dim}),
+    row_{sfx} AS (SELECT '{fact}⋈{dim}' AS join_name,
+        f.n_rows AS fact_rows, d.n_rows AS dim_rows,
+        CAST(f.max_group * f.n_keys * 1000 // f.n_rows AS BIGINT)
+          AS fact_key_skew_milli,
+        CASE WHEN d.n_rows <= 100000 THEN 'broadcast'
+             WHEN f.max_group * f.n_keys * 1000 // f.n_rows > 4000
+             THEN 'salted_smj'
+             ELSE 'smj' END AS strategy
+        FROM f_{sfx} f, d_{sfx} d)""")
+        rows.append(f"SELECT * FROM row_{sfx}")
+    return (
+        "WITH " + ",".join(blocks) + "\n    "
+        + "\n    UNION ALL ".join(rows) + "\n    ORDER BY join_name"
+    )
+
+
+@register(
+    "q_diag_join_advisor",
+    _join_advisor_oracle(),
+    "join-strategy advisor — key_skew_census turned into a decision: "
+    "per candidate join, fact/dim row counts, fact-side key skew "
+    "(max/mean milli) and the integer-threshold recommendation "
+    "(dim <= 100k rows -> broadcast; skew > 4x mean -> salted SMJ; "
+    "else plain SMJ) — the pre-flight the layout operators "
+    "(broadcast/salted_equi_join/bucketing) act on",
+)
+def q_diag_join_advisor(spark, sf_dir):
+    """Pure integer arithmetic over per-join censuses, so the
+    recommendation itself is oracle-gated — at 100 TB this query reads
+    only groupBy aggregates (the join keys' distributions), never the
+    fact payloads. Thresholds are deliberately simple integers: the
+    point is a DETERMINISTIC, testable pre-flight, not a cost model."""
+    out = None
+    for fact, fkey, dim, dkey in (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ):
+        f = (
+            t(spark, sf_dir, fact)
+            .groupBy(fkey)
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.max("c").cast("long").alias("max_group"),
+            )
+        )
+        d = t(spark, sf_dir, dim).agg(
+            F.count("*").cast("long").alias("dim_rows")
+        )
+        row = (
+            f.crossJoin(F.broadcast(d))
+            .select(
+                F.lit(f"{fact}⋈{dim}").alias("join_name"),
+                F.col("n_rows").alias("fact_rows"),
+                "dim_rows",
+                F.expr("max_group * n_keys * 1000 div n_rows")
+                .cast("long")
+                .alias("fact_key_skew_milli"),
+                F.expr(
+                    "CASE WHEN dim_rows <= 100000 THEN 'broadcast' "
+                    "WHEN max_group * n_keys * 1000 div n_rows > 4000 "
+                    "THEN 'salted_smj' ELSE 'smj' END"
+                ).alias("strategy"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_name")

@@ -486,3 +486,27 @@ def test_burstiness_matches_pure_python_reference(spark):
     assert got == expected
     # sanity: 'd' (4 hits in one doc) is bursty, far above VMR 1.0
     assert got["d"][2] > 2000
+
+
+def test_join_advisor_decision_branches(spark):
+    """All three strategy branches of q_diag_join_advisor's rule on
+    planted censuses (the fixture tables are all broadcast-sized, so
+    the salted/smj branches need synthetic inputs)."""
+    rows = [
+        # (dim_rows, n_rows, n_keys, max_group) -> expected
+        (1000, 10_000_000, 1000, 20_000),      # small dim -> broadcast
+        (500_000, 10_000_000, 1000, 100_000),  # skew 10x mean -> salted
+        (500_000, 10_000_000, 1000, 11_000),   # mild skew -> smj
+    ]
+    df = spark.createDataFrame(
+        rows, "dim_rows long, n_rows long, n_keys long, max_group long"
+    )
+    got = [
+        r.s
+        for r in df.selectExpr(
+            "CASE WHEN dim_rows <= 100000 THEN 'broadcast' "
+            "WHEN max_group * n_keys * 1000 div n_rows > 4000 "
+            "THEN 'salted_smj' ELSE 'smj' END AS s"
+        ).collect()
+    ]
+    assert got == ["broadcast", "salted_smj", "smj"]
