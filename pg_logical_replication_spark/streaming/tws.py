@@ -913,3 +913,89 @@ def conflict_monitor_tws(
         outputMode="append",
         timeMode="None",
     )
+
+
+# ----------------------------------- watermark lateness monitor (tws)
+def _lateness_monitor_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LatenessMonitor(StatefulProcessor):
+        """Per event_type: the running max event-time IS the watermark
+        (q_events_watermark_lateness's prefix max, streaming-native);
+        each batch emits that type's cumulative lateness census so an
+        operator watches the watermark horizon the stream actually
+        needs. Rows inside one batch fold in arrival order (the stream
+        source's order column), matching the batch replay exactly."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "wm", "wm long, n_events long, n_late long, max_late long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            (event_type,) = key
+            wm, n_events, n_late, max_late = (
+                self._st.get() if self._st.exists() else (None, 0, 0, 0)
+            )
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            pdf = pdf.sort_values("arr")
+            for ts_us in pdf["ts_us"]:
+                ts_us = int(ts_us)
+                n_events += 1
+                if wm is not None and ts_us < wm:
+                    n_late += 1
+                    max_late = max(max_late, wm - ts_us)
+                wm = ts_us if wm is None else max(wm, ts_us)
+            self._st.update((int(wm), int(n_events), int(n_late), int(max_late)))
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_events": [int(n_events)],
+                    "n_late": [int(n_late)],
+                    "max_late_us": [int(max_late)],
+                    "watermark_us": [int(wm)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return LatenessMonitor
+
+
+def lateness_monitor_tws(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``q_events_watermark_lateness``: per
+    event_type, the running max event-time (≙ the watermark) folds in a
+    four-long ValueState; each batch that touches a type emits its
+    cumulative lateness census. The LAST emission per type equals the
+    batch replay (agreement-tested). State is O(|types|) — independent
+    of stream length; keying by type (not a global singleton) keeps the
+    stateful op partitioned."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(type_col).alias("event_type"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(arrival_col).cast("long").alias("arr"),
+    )
+    return keyed.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_lateness_monitor_class()(),
+        outputStructType=(
+            "event_type string, n_events long, n_late long, "
+            "max_late_us long, watermark_us long"
+        ),
+        outputMode="append",
+        timeMode="None",
+    )

@@ -804,3 +804,96 @@ def test_conflict_monitor_tws_agrees_with_batch(rocksdb, tmp_path):
     )
     # key 2 (single origin) never emits
     assert all(r.user_id != 2 for _bid, r in emissions)
+
+
+def test_lateness_monitor_tws_agrees_with_batch_replay(rocksdb, tmp_path):
+    """Per-type running watermark + lateness census across micro-
+    batches: last emission per type equals a batch prefix-max replay in
+    arrival order; the cross-batch case (late event arrives in batch 1
+    against batch 0's watermark) is the interesting leg."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg_logical_replication_spark.streaming.tws import (
+        lateness_monitor_tws,
+    )
+
+    spark = rocksdb
+    # arrival order = event_id; ts in us-scale ints rendered as ts
+    # strings. type 'a': event 2 arrives LATE (older ts) in batch 1.
+    b0 = [(1, "a", "2024-01-01 00:10:00"), (2, "b", "2024-01-01 00:05:00")]
+    b1 = [(3, "a", "2024-01-01 00:01:00"),  # late vs a's watermark
+          (4, "a", "2024-01-01 00:20:00"),
+          (5, "b", "2024-01-01 00:06:00")]  # on time
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    for i, batch in enumerate([b0, b1]):
+        with open(os.path.join(d, f"b{i}.jsonl"), "w") as f:
+            for eid, et, ts in batch:
+                f.write(json.dumps(
+                    {"event_id": eid, "event_type": et, "ts": ts}) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    emissions = []
+    q = (
+        lateness_monitor_tws(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: emissions.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = {r.event_type: r for r in emissions}  # later emissions overwrite
+
+    # batch replay: prefix max over arrival order per type
+    rows = b0 + b1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string"
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    rep = (
+        df.select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("prev_wm", F.max("ts_us").over(w))
+        .withColumn(
+            "late_us",
+            F.when(
+                F.col("ts_us") < F.col("prev_wm"),
+                F.col("prev_wm") - F.col("ts_us"),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias(
+                "n_late"
+            ),
+            F.max("late_us").alias("max_late_us"),
+            F.max("ts_us").alias("watermark_us"),
+        )
+        .collect()
+    )
+    want = {r.event_type: r for r in rep}
+    for et in want:
+        g, e = last[et], want[et]
+        assert (g.n_events, g.n_late, g.max_late_us, g.watermark_us) == (
+            e.n_events, e.n_late, e.max_late_us, e.watermark_us
+        ), et
+    # the late event was only visible cross-batch
+    assert last["a"].n_late == 1 and last["b"].n_late == 0
