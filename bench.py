@@ -130,6 +130,7 @@ HEADLINE = [
     "q_dedup_substr_removal",
     "q_pipeline_dedup_funnel",
     "q_diag_join_advisor",
+    "q_embed_drift",
 ]
 
 

@@ -5991,3 +5991,87 @@ def q_pipeline_dedup_funnel(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("stage")
+
+
+@register(
+    "q_embed_drift",
+    """
+    WITH snap AS (SELECT vec_id,
+                         CASE WHEN vec_id % 2 = 0 THEN 'old' ELSE 'new'
+                         END AS snap,
+                         embedding
+                  FROM embeddings),
+    dims AS (SELECT snap, i AS dim,
+                    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS v_micro
+             FROM snap, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+    means AS (SELECT snap, dim,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM dims GROUP BY 1, 2),
+    wide AS (SELECT o.dim,
+                    o.sum_micro * n2.n - nn.sum_micro * o.n AS cross_diff,
+                    o.n * n2.n AS denom
+             FROM (SELECT * FROM means WHERE snap = 'old') o
+             JOIN (SELECT * FROM means WHERE snap = 'new') nn
+               ON nn.dim = o.dim
+             JOIN (SELECT n FROM means WHERE snap = 'new' LIMIT 1) n2
+               ON TRUE),
+    delta AS (SELECT dim,
+                     CAST(ABS(cross_diff) // denom AS BIGINT)
+                       AS abs_shift_micro
+              FROM wide)
+    SELECT CAST(dim AS INTEGER) AS dim, abs_shift_micro
+    FROM delta ORDER BY abs_shift_micro DESC, dim LIMIT 10
+    """,
+    "embedding-distribution drift — the retrain trigger: per dimension, "
+    "|mean(old snapshot) − mean(new snapshot)| with values floored to "
+    "micro units so the cross-multiplied integer delta is exact in any "
+    "engine; top-10 shifted dimensions (snapshots = vec_id parity over "
+    "the fixture)",
+)
+def q_embed_drift(spark, sf_dir):
+    """|μ_old − μ_new| per dim via integer cross-multiplication
+    (sum_old·n_new − sum_new·n_old over n_old·n_new) of micro-floored
+    components — no float mean ever compared. Scale: posexplode carries
+    (dim, micro) longs only; the per-(snap,dim) partial sums combine
+    map-side, so the shuffle is 2·dims rows regardless of corpus size;
+    top-10 is TakeOrdered."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.when(F.col("vec_id") % 2 == 0, "old").otherwise("new").alias(
+            "snap"
+        ),
+        F.posexplode("embedding").alias("dim0", "e"),
+    ).select(
+        "snap",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("e").cast("double") * 1000000)
+        .cast("long")
+        .alias("v_micro"),
+    )
+    means = dims.groupBy("snap", "dim").agg(
+        F.sum("v_micro").cast("long").alias("sum_micro"),
+        F.count("*").cast("long").alias("n"),
+    )
+    old = means.filter(F.col("snap") == "old").select(
+        "dim",
+        F.col("sum_micro").alias("sum_o"),
+        F.col("n").alias("n_o"),
+    )
+    new = means.filter(F.col("snap") == "new").select(
+        "dim",
+        F.col("sum_micro").alias("sum_n"),
+        F.col("n").alias("n_n"),
+    )
+    return (
+        old.join(new, "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.expr(
+                "abs(sum_o * n_n - sum_n * n_o) div (n_o * n_n)"
+            ).cast("long").alias("abs_shift_micro"),
+        )
+        .orderBy(F.col("abs_shift_micro").desc(), "dim")
+        .limit(10)
+    )
