@@ -135,6 +135,16 @@ def _interleaved() -> list[str]:
     phase sorted by check age alone. The seen phase now sorts by
     (latest-check-FAILED first, then oldest check round), so any future
     driver fail self-schedules into the very next round's prefix.
+
+    Strict-tier rationale (VERDICT r8 #5): per-family round-robin over
+    the WHOLE seen phase capped each family at ~1/6 of the prefix, so a
+    stale cohort concentrated in one family (the 22+9 relational
+    queries last checked r1/r3) could never fully drain — family caps
+    kept re-sampling fresher queries from other families instead. The
+    seen phase now drains strictly by (failed?, check-round) tier —
+    every r1-checked query before any r3-checked one — and round-robins
+    across families only WITHIN a tier, so prefix diversity survives
+    where it matters (ties) without starving the stalest cohort.
     """
     from collections import defaultdict
 
@@ -148,20 +158,23 @@ def _interleaved() -> list[str]:
     shift = (_round_number() - 1) * 6
     latest = _checked_history()
     never: dict[str, list[str]] = {}
-    seen: dict[str, list[str]] = {}
+    # seen phase: tier key = (latest check did NOT fail, check round);
+    # tiers drain in sorted order, families round-robin within a tier
+    tiers: dict[tuple[bool, int], dict[str, list[str]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
     for cat, names in buckets.items():
         k = shift % len(names)
         rotated = names[k:] + names[:k]
         never[cat] = [n for n in rotated if n not in latest]
-        # checked: latest-check-FAILED queries first, then oldest driver
-        # check first (stable on rotation order)
-        seen[cat] = sorted(
-            (n for n in rotated if n in latest),
-            key=lambda n: (not latest[n][1], latest[n][0]),
-        )
+        for n in rotated:
+            if n in latest:
+                rnd, failed = latest[n]
+                tiers[(not failed, rnd)][cat].append(n)
     order = ["q_cdc", "relational", "q_dedup", "q_text", "q_ann", "q_mm"]
+    phases = [never] + [tiers[key] for key in sorted(tiers)]
     out: list[str] = []
-    for phase in (never, seen):
+    for phase in phases:
         idx = 0
         while any(phase.get(c) for c in order):
             cat = order[idx % len(order)]
