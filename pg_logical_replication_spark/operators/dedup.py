@@ -1188,12 +1188,19 @@ def remove_duplicated_spans(
         " t -> iv IS NULL OR NOT exists(iv,"
         " v -> t.i >= v.s AND t.i < v.e))"
     )
+    out_text = F.array_join(F.transform(kept, lambda t: t.getField("x")), " ")
+    # Degenerate-doc normalization (ADVICE r8): split('') yields [''],
+    # so a whitespace-only doc would count 1 "kept token" whose joined
+    # text is '' — an empty OUTPUT counts 0 tokens, and spliced derives
+    # from the token counts, matching the oracle's
+    # CASE WHEN out_text = '' THEN 0 semantics on both engines.
+    n_after = F.when(out_text == "", F.lit(0)).otherwise(
+        F.size(kept)
+    ).cast("long")
     return joined.select(
         F.col(id_col),
         F.size("tko").cast("long").alias("n_tokens_before"),
-        F.size(kept).cast("long").alias("n_tokens_after"),
-        F.array_join(
-            F.transform(kept, lambda t: t.getField("x")), " "
-        ).alias("out_text"),
-        (F.size(kept) < F.size("tko")).alias("spliced"),
+        n_after.alias("n_tokens_after"),
+        out_text.alias("out_text"),
+        (n_after < F.size("tko")).alias("spliced"),
     )

@@ -5271,13 +5271,15 @@ def _ivf_recall_curve_oracle(k: int = 5, n_centroids: int = 16) -> str:
         JOIN probe_rank p ON p.rn <= g.n_probe
         JOIN asgn a ON a.cent_id = p.cent_id
         WHERE a.n_id <> p.q_id)
-        WHERE rnk <= {k})
-    SELECT CAST(n_probe AS INTEGER) AS n_probe,
-           CAST(COUNT(b.q_id) AS BIGINT) AS n_matched,
-           CAST(COUNT(b.q_id) * 1000000 //
+        WHERE rnk <= {k}),
+    counts AS (SELECT n_probe, CAST(COUNT(b.q_id) AS BIGINT) AS n_matched
+               FROM ivf i LEFT JOIN brute b USING (q_id, n_id)
+               GROUP BY 1)
+    SELECT CAST(g.n_probe AS INTEGER) AS n_probe,
+           CAST(COALESCE(c.n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(c.n_matched, 0) * 1000000 //
                 (SELECT COUNT(*) FROM brute) AS BIGINT) AS recall_ppm
-    FROM ivf i LEFT JOIN brute b USING (q_id, n_id)
-    GROUP BY 1 ORDER BY 1
+    FROM grid g LEFT JOIN counts c USING (n_probe) ORDER BY 1
     """)
 
 
@@ -5299,7 +5301,13 @@ def q_ann_recall_curve(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     brute = S.cosine_topk(emb, queries, k=5).select("q_id", "n_id")
-    n_brute = 10 * 5
+    # recall denominator = the ACTUAL brute-force pair count (ADVICE
+    # r8: a query returning < k neighbors — tiny corpus, null-norm
+    # vectors — breaks the 10*k literal), mirrored as the oracle's
+    # (SELECT COUNT(*) FROM brute); a 1-row broadcast scalar
+    n_brute = F.broadcast(
+        brute.agg(F.count("*").cast("long").alias("n_brute"))
+    )
     outs = []
     for np_ in _IVF_CURVE_PROBES:
         ivf = S.ivf_cosine_topk(emb, queries, k=5, n_probe=np_).select(
@@ -5309,10 +5317,12 @@ def q_ann_recall_curve(spark, sf_dir):
             ivf.join(brute, ["q_id", "n_id"], "left_semi")
             .agg(F.count("*").cast("long").alias("n_matched"))
             .select(F.lit(np_).cast("int").alias("n_probe"), "n_matched")
+            .crossJoin(n_brute)
             .withColumn(
                 "recall_ppm",
-                F.expr(f"n_matched * 1000000 div {n_brute}").cast("long"),
+                F.expr("n_matched * 1000000 div n_brute").cast("long"),
             )
+            .drop("n_brute")
         )
     out = outs[0]
     for o in outs[1:]:
@@ -5362,26 +5372,34 @@ def _lsh_band_curve_oracle(num_hashes: int = 8) -> str:
                      CASE WHEN inter * 1000 >=
                                {_LSH_GOOD_MILLI} * (za + zb - inter)
                           THEN 1 ELSE 0 END AS good
-              FROM jac),
+              FROM jac)""")
+    grid_vals = ", ".join(f"({bs})" for bs in _LSH_CURVE_BAND_SIZES)
+    parts.append(f"""
     counts AS (SELECT band_size,
                       CAST(COUNT(*) AS BIGINT) AS n_candidates,
                       CAST(SUM(good) AS BIGINT) AS n_good
                FROM tagged JOIN flags USING (a_id, b_id)
                GROUP BY 1),
-    base AS (SELECT n_good AS good1 FROM counts WHERE band_size = 1)""")
+    grid AS (SELECT * FROM (VALUES {grid_vals}) AS g(band_size)),
+    anchored AS (SELECT g.band_size,
+                        COALESCE(c.n_candidates, 0) AS n_candidates,
+                        COALESCE(c.n_good, 0) AS n_good
+                 FROM grid g LEFT JOIN counts c USING (band_size)),
+    base AS (SELECT n_good AS good1 FROM anchored WHERE band_size = 1)""")
     return _mat(
         "WITH " + ",".join(parts)
         + f"""
     SELECT CAST(band_size AS INTEGER) AS band_size,
            CAST({num_hashes} // band_size AS BIGINT) AS n_bands,
-           n_candidates, n_good,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_good AS BIGINT) AS n_good,
            CAST(CASE WHEN n_candidates > 0
                      THEN n_good * 1000000 // n_candidates
                      ELSE 0 END AS BIGINT) AS precision_ppm,
            CAST(CASE WHEN good1 > 0
                      THEN n_good * 1000000 // good1
                      ELSE 0 END AS BIGINT) AS recall_vs_b1_ppm
-    FROM counts, base ORDER BY band_size"""
+    FROM anchored, base ORDER BY band_size"""
     )
 
 
@@ -5507,9 +5525,12 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
     )
     counts = None
     for bs in _LSH_CURVE_BAND_SIZES:
+        # coalesce: a banding with ZERO candidates still emits its row
+        # (sum over no rows is NULL) — the oracle anchors on the same
+        # band-size grid with COALESCE(0) (ADVICE r8)
         c = flagged.filter(F.col(f"in_{bs}")).agg(
             F.count("*").cast("long").alias("n_candidates"),
-            F.sum("good").cast("long").alias("n_good"),
+            F.coalesce(F.sum("good"), F.lit(0)).cast("long").alias("n_good"),
         ).select(F.lit(bs).cast("int").alias("band_size"), "n_candidates",
                  "n_good")
         counts = c if counts is None else counts.unionByName(c)

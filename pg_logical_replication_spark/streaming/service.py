@@ -70,6 +70,7 @@ class LogicalReplicationService:
         self._queries: dict[str, StreamingQuery] = {}
         self._last_lsn: dict[str, str] = {}
         self._acked_lsn: dict[str, str] = {}
+        self._slot_source: dict[str, str] = {}
         self._handlers: dict[str, list[Callable[..., Any]]] = {}
         self._slots_by_query: dict[str, str] = {}
         self._listener = None
@@ -308,6 +309,11 @@ class LogicalReplicationService:
                     lsn=bootstrap_lsn,
                 )
 
+        # remembered per slot: acknowledge(ping=True) may only append a
+        # binary standby-status frame when THIS slot reads the frame
+        # log — for text-format logs the Spark file source would ingest
+        # status.log as event data on the next (re)subscribe (ADVICE r8)
+        self._slot_source[slot_name] = source
         ev = self.changes(fmt, source=source, **(decode_options or {}))
         if upto_lsn is not None:
             # ≙ the reference's subscribe(..., uptoLsn) third argument
@@ -426,14 +432,17 @@ class LogicalReplicationService:
         to respond"): the status frame appended to the frame log
         carries the reply-requested flag, and the relay forwards it
         upstream so the server answers with a keepalive. Only
-        meaningful for ``source='frames'`` subscriptions — for
-        text-format event logs there is no upstream to ping and the
-        frame is skipped."""
+        meaningful for slots subscribed with ``source='frames'`` — for
+        text-format event logs there is no upstream to ping AND the
+        Spark text source reads every non-hidden file in the log dir,
+        so a binary status.log would be ingested as event data on the
+        next (re)subscribe; the frame is skipped (gated on the source
+        recorded at :meth:`subscribe`, not on the directory existing)."""
         from pg_logical_replication_spark.model import ack_lsn
 
         pos = ack_lsn(lsn)
         self._acked_lsn[slot_name] = pos
-        if ping:
+        if ping and self._slot_source.get(slot_name) == "frames":
             from pg_logical_replication_spark.sources.transport import (
                 FrameLogTailTransport,
             )

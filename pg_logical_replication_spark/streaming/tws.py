@@ -976,13 +976,24 @@ def lateness_monitor_tws(
     type_col: str = "event_type",
     arrival_col: str = "event_id",
 ) -> DataFrame:
-    """Streaming twin of ``q_events_watermark_lateness``: per
-    event_type, the running max event-time (≙ the watermark) folds in a
-    four-long ValueState; each batch that touches a type emits its
-    cumulative lateness census. The LAST emission per type equals the
-    batch replay (agreement-tested). State is O(|types|) — independent
-    of stream length; keying by type (not a global singleton) keeps the
-    stateful op partitioned."""
+    """Streaming lateness census with a PER-TYPE watermark: for each
+    event_type, the running max event-time over that type's arrivals
+    folds in a four-long ValueState; each batch that touches a type
+    emits its cumulative census. The LAST emission per type equals a
+    per-type prefix-max batch replay (agreement-tested in
+    tests/test_tws.py::test_lateness_monitor_tws_agrees_with_batch_replay,
+    which replays the same per-type fold).
+
+    This is deliberately NOT the twin of ``q_events_watermark_lateness``
+    (ADVICE r8): that batch query folds ONE GLOBAL prefix-max across all
+    types in arrival order — the horizon-sizing replay — so its
+    ``n_late``/``max_late_us`` differ from this monitor's on the same
+    data whenever types interleave. A faithful global twin would key the
+    stateful op on a constant, serializing every event through one
+    task; keying by type keeps the monitor partitioned (the per-key
+    watermark view, analogous to Kafka/Flink per-partition watermarks
+    before the min-combine). State is O(|types|) — independent of
+    stream length."""
     from pyspark.sql import functions as F
 
     keyed = stream.select(

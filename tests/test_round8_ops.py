@@ -347,6 +347,30 @@ def test_remove_duplicated_spans_planted(spark):
     assert out[3].n_tokens_after == out[3].n_tokens_before
 
 
+def test_remove_duplicated_spans_degenerate_docs(spark):
+    """ADVICE r8: empty/whitespace-only docs — split('') yields [''],
+    which must NOT count as a kept token. Oracle semantics: empty
+    out_text → n_tokens_after 0, spliced ⇔ na < nb; a doc whose whole
+    text is a duplicated span splices down to na=0 the same way."""
+    from pg_logical_replication_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    span = " ".join(f"e{j}" for j in range(20))
+    rows = [(1, ""), (2, "   "), (3, span), (4, span), (5, "plain text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, gram=20).collect()}
+    for d in (1, 2):
+        assert out[d].out_text == ""
+        assert out[d].n_tokens_after == 0
+        assert out[d].n_tokens_before == 1  # ['' ] — the oracle's nb too
+        assert out[d].spliced  # na < nb, the oracle's docs_spliced rule
+    for d in (3, 4):  # whole doc = hot span → everything cut
+        assert out[d].out_text == "" and out[d].n_tokens_after == 0
+        assert out[d].spliced and out[d].n_tokens_before == 20
+    assert out[5].n_tokens_after == 2 and not out[5].spliced
+
+
 def test_remove_duplicated_spans_case_insensitive_match(spark):
     """Windows hash lowercased: a case-variant copy still matches, and
     each doc's OWN casing survives in the kept tokens."""

@@ -1263,21 +1263,37 @@ def test_subscribe_bootstrap_recovers_from_crashed_partial(spark, tmp_path):
     )
 
 
-def test_manual_acknowledge_ping_requests_reply(spark, log_dirs):
+def test_manual_acknowledge_ping_requests_reply(spark, tmp_path):
     """acknowledge(slot, lsn, ping=True) ≙ the reference's second
     parameter (service :250-254 'Request server to respond'): a
     reply-requested standby-status frame lands in the frame log's
-    status.log for the relay to forward upstream."""
+    status.log for the relay to forward upstream — for a slot
+    subscribed with source='frames' (the only source with an
+    upstream)."""
+    import json
+    import struct
+
     from pg_logical_replication_spark.sources.transport import (
         FrameLogTailTransport,
+        write_frame,
     )
 
-    log, ckpt, _ = log_dirs
-    _append(log, "000.jsonl", [_changeset(1, "0/100", 1, [_ins("t", {"id": 1})])])
-    svc = LogicalReplicationService(spark, log, ckpt)
+    log = str(tmp_path / "wal")
+    os.makedirs(log)
+    payload = json.dumps({
+        "change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": ["id"], "columntypes": ["bigint"],
+            "columnvalues": [1],
+        }],
+        "nextlsn": "0/100",
+    }).encode()
+    with open(os.path.join(log, "000001.seg"), "ab") as f:
+        write_frame(f, b"w" + struct.pack(">QQQ", 0x100, 0x108, 0) + payload)
+    svc = LogicalReplicationService(spark, log, str(tmp_path / "cp"))
     svc.subscribe_and_wait(
         "wal2json", "ping_slot", lambda df, bid: df.count(),
-        auto_acknowledge=False,
+        auto_acknowledge=False, source="frames",
     )
     # plain ack: no status frame written
     svc.acknowledge("ping_slot", "0/100")
@@ -1289,3 +1305,39 @@ def test_manual_acknowledge_ping_requests_reply(spark, log_dirs):
     assert len(statuses) == 1
     assert statuses[0]["ping"] is True
     assert statuses[0]["flushed"] == 0x101
+
+
+def test_ping_ack_skipped_for_files_source(spark, log_dirs):
+    """ADVICE r8 (medium): for a source='files' slot the Spark text
+    reader loads every non-hidden file in event_log_dir, so a binary
+    status.log appended by acknowledge(ping=True) would be ingested as
+    event data on the next (re)subscribe. The ping frame must be
+    skipped — gated on the slot's subscribed source — and a
+    re-subscribe after the ping ack must decode exactly the real
+    events, no garbage rows."""
+    from pg_logical_replication_spark.sources.transport import (
+        FrameLogTailTransport,
+    )
+
+    log, ckpt, _ = log_dirs
+    _append(log, "000.jsonl", [_changeset(1, "0/100", 1, [_ins("t", {"id": 1})])])
+    svc = LogicalReplicationService(spark, log, ckpt)
+    svc.subscribe_and_wait(
+        "wal2json", "files_slot", lambda df, bid: df.count(),
+        auto_acknowledge=False,
+    )
+    svc.acknowledge("files_slot", "0/100", ping=True)
+    # position surface still advances; the upstream frame does not exist
+    assert svc.acked_lsn("files_slot") == "00000000/00000101"
+    assert FrameLogTailTransport(log).sent_statuses() == []
+    assert "status.log" not in os.listdir(log)
+
+    # fresh checkpoint re-subscribe re-reads the whole dir: only the
+    # one real event may appear
+    seen = []
+    svc2 = LogicalReplicationService(spark, log, ckpt + "_resub")
+    svc2.subscribe_and_wait(
+        "wal2json", "files_slot2",
+        lambda df, bid: seen.extend(df.collect()),
+    )
+    assert len(seen) == 1 and seen[0]["table"] == "t"
