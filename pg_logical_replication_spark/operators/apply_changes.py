@@ -129,7 +129,7 @@ def apply_changes(
     events: DataFrame,
     key_columns: list[str],
     table: str | None = None,
-    columns: dict[str, str] | None = None,
+    columns: dict[str, str] | str | None = None,
     order: Column | None = None,
 ) -> DataFrame:
     """CDC events → current table snapshot.
@@ -137,7 +137,20 @@ def apply_changes(
     ``columns`` optionally maps column name → PG type name to produce a
     typed snapshot (otherwise string columns from the ``after`` map,
     limited to keys present in the newest images).
+
+    ``columns="evolve"`` derives the contract from the stream itself
+    (VERDICT r8 #2 — schema evolution through materialization): relation
+    messages / per-row column types fold into an additive union schema —
+    a column added by a mid-stream ALTER appears NULL-backfilled on
+    pre-ALTER rows, dropped columns are retained as NULL, incompatible
+    type changes raise (operators/schema_evolution.py).
     """
+    if columns == "evolve":
+        from pg_logical_replication_spark.operators.schema_evolution import (
+            stream_column_contract,
+        )
+
+        columns = stream_column_contract(events, table=table)
     latest = latest_image(events, key_columns, table=table, order=order)
     live = latest.filter(F.col("op") != "delete")
 

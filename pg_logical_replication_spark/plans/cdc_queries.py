@@ -1408,6 +1408,127 @@ def q_cdc_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "q_cdc_apply_schema_evolution",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events)
+    SELECT CAST(event_id % 10 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id >= (SELECT c // 4 FROM n)
+                          AND event_id < (SELECT c // 2 FROM n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+           CAST(SUM(CASE WHEN event_id < (SELECT c // 4 FROM n)
+                          OR event_id >= (SELECT c // 2 FROM n)
+                         THEN user_id END) AS BIGINT) AS sum_uid
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "schema evolution through MATERIALIZATION, oracle-gated (VERDICT "
+    "r8 #2): the relation re-announces itself mid-stream with an added "
+    "user_id column; the decoded stream flows through apply_changes "
+    "with columns='evolve' and the SNAPSHOT schema widens — v1-era rows "
+    "surface the new column NULL-backfilled, a later v2 UPDATE of a "
+    "v1-inserted key fills it, and the per-group census over the "
+    "widened typed snapshot (rows, backfilled-NULL count, sum of the "
+    "evolved column) must match the relational replay exactly",
+)
+def q_cdc_apply_schema_evolution(spark, sf_dir):
+    """Consumer-side completion of q_cdc_schema_evolution (which stops
+    at decode): operators/schema_evolution.stream_column_contract folds
+    the in-band relation versions (≙ the reference's _relationCache
+    under ALTER, pgoutput-parser.ts:86-110; consumer-side this is what
+    Debezium's schema-change topic feeds) into an additive output
+    contract, and apply_changes materializes the snapshot under it.
+    Wire: v1 inserts the first half (event_id only), an 'R' v2 adds
+    user_id, the second half inserts both, and the first QUARTER is
+    re-updated under v2 — proving pre-ALTER keys acquire the widened
+    column through later changes while untouched v1 rows backfill NULL.
+    Scale: the contract fold reads only the 'R' rows (registry-sized);
+    the snapshot is latest_image's one key shuffle; the census is one
+    hash aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51239
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.count()  # event_id is dense 0..N-1 (TESTDATA.md)
+    half, quarter = n // 2, n // 4
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for e, u in zip(pdf["event_id"], pdf["user_id"]):
+                eid, uid = int(e), int(u)
+                seqs.append(eid * 10 + 10)
+                if eid < half:
+                    data.append(pgf.encode_insert(OID, [("t", str(eid))]))
+                else:
+                    data.append(pgf.encode_insert(
+                        OID, [("t", str(eid)), ("t", str(uid))]
+                    ))
+                if eid < quarter:
+                    # post-ALTER update of a v1-inserted key: the
+                    # widened column reaches the old row
+                    seqs.append(n * 10 + 10 + eid * 10)
+                    data.append(pgf.encode_update(
+                        OID, [("t", str(eid)), ("t", str(uid))]
+                    ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+    v2_seq = half * 10 + 5
+    rels = spark.createDataFrame(
+        [
+            ("0/10", 0, bytearray(pgf.encode_relation(
+                OID, "public", "events", [("event_id", 20)],
+                key_columns=["event_id"],
+            ))),
+            (f"0/{v2_seq * 8 + 16:X}", v2_seq, bytearray(pgf.encode_relation(
+                OID, "public", "events",
+                [("event_id", 20), ("user_id", 20)],
+                key_columns=["event_id"],
+            ))),
+        ],
+        "lsn string, seq long, data binary",
+    )
+    # persist the DECODED stream: the contract fold (a collect over the
+    # 'R' rows) and the snapshot aggregate would otherwise each re-run
+    # the Python encode+decode lineage (the q_cdc_schema_evolution
+    # lesson, review r2)
+    # src persisted for the in-band 'R' pre-scan, decoded for the two
+    # downstream actions (contract fold + snapshot aggregate)
+    src = wire.unionByName(rels).persist()
+    decoded = decode_pgoutput(src).persist()
+    snap = apply_changes(
+        decoded,
+        key_columns=["event_id"],
+        table="events",
+        columns="evolve",
+    )
+    return (
+        snap.groupBy((F.col("event_id") % 10).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_backfilled"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
     "q_cdc_truncate_apply",
     """
     WITH n AS (SELECT COUNT(*) AS c FROM events)

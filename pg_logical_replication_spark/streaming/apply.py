@@ -70,16 +70,68 @@ class MergeOnReadTable:
         stores, where task commits are also non-atomic.
         """
         latest = latest_image(events, self.key_columns, table=self.table)
+        has_schema = "schema" in latest.columns
+        has_meta = "meta" in latest.columns
+        # per-image column types (wal2json/test_decoding carry them on
+        # every DML row, aligned with the after map's key order) — kept
+        # in the log so the output contract can evolve with the stream
+        # (schema_evolution.stream_column_contract); NULL when the
+        # format doesn't carry them (pgoutput uses relation rows below)
+        if has_meta:
+            ct = F.split(F.col("meta").getItem("coltypes"), ",")
+            types_col = F.when(
+                F.col("after").isNotNull()
+                & F.col("meta").getItem("coltypes").isNotNull()
+                & (F.size(F.map_keys("after")) == F.size(ct)),
+                F.map_from_arrays(F.map_keys("after"), ct),
+            )
+        else:
+            types_col = F.lit(None).cast("map<string,string>")
         out = latest.select(
             "op",
             "lsn_long",
             # schema is part of row identity (public.users ≠ audit.users)
-            *(["schema"] if "schema" in latest.columns else []),
+            *(["schema"] if has_schema else []),
             "table",
             "key",
             "after",
+            types_col.alias("types"),
             F.col("_ord").getField("col1").alias("_ord1"),
         )
+        if has_meta:
+            # relation announcements ride the same log as schema-version
+            # rows (op='relation', key NULL, declaration in `after`) —
+            # excluded from key resolution, consumed by
+            # evolved_columns()/snapshot_evolved(). Same partition
+            # write, no extra Spark job per batch.
+            rel_src = events
+            if self.table is not None:
+                rel_src = rel_src.filter(F.col("table") == self.table)
+            rels = rel_src.filter(
+                (F.col("op") == "relation")
+                & F.col("meta").getItem("columns").isNotNull()
+            ).select(
+                F.lit("relation").alias("op"),
+                "lsn_long",
+                *(["schema"] if has_schema else []),
+                "table",
+                F.lit(None).cast("map<string,string>").alias("key"),
+                F.create_map(
+                    F.lit("columns"), F.col("meta").getItem("columns"),
+                    F.lit("type_oids"), F.col("meta").getItem("type_oids"),
+                    F.lit("key_columns"),
+                    F.coalesce(F.col("meta").getItem("key_columns"), F.lit("")),
+                    F.lit("seq"),
+                    F.coalesce(
+                        (F.col("seq") if "seq" in events.columns else F.lit(0))
+                        .cast("long").cast("string"),
+                        F.lit("0"),
+                    ),
+                ).alias("after"),
+                F.lit(None).cast("map<string,string>").alias("types"),
+                F.coalesce(F.col("lsn_long"), F.lit(0)).alias("_ord1"),
+            )
+            out = out.unionByName(rels)
         # Small micro-batches (the steady-state CDC case) otherwise pay
         # a full-width shuffle fan-out + N near-empty parquet files +
         # an N-file commit per batch — measured ~0.4 s/batch of the
@@ -175,6 +227,9 @@ class MergeOnReadTable:
         log = self._log()
         if log is None:
             return None
+        # schema-version rows have no key identity — they are read by
+        # evolved_columns(), never by per-key resolution
+        log = log.filter(F.col("op") != "relation")
         if as_of_lsn is not None:
             from pg_logical_replication_spark.model import lsn_to_long
 
@@ -215,6 +270,80 @@ class MergeOnReadTable:
             ]
         )
 
+    def evolved_columns(self) -> dict[str, str] | None:
+        """The table's evolved output contract (column → PG type),
+        folded from the schema information the log retains: relation
+        rows (pgoutput 'R' announcements, authoritative) or per-image
+        ``types`` maps (wal2json/test_decoding). Additive-union
+        semantics — added columns join the contract, dropped columns
+        are retained, widenings take the newest type, incompatible
+        changes raise (operators/schema_evolution.py). None when the
+        table is unmaterialized; ValueError when the log carries no
+        schema information at all (pre-evolution logs — use
+        snapshot_columns with an explicit contract)."""
+        log = self._log()
+        if log is None:
+            return None
+        from pg_logical_replication_spark.operators.schema_evolution import (
+            _versions_from_relation_rows,
+            _versions_from_signatures,
+            merge_column_contract,
+        )
+
+        rel = (
+            log.filter(F.col("op") == "relation")
+            .select(
+                "_ord1",
+                F.col("after").getItem("seq").cast("long").alias("s"),
+                F.col("after").getItem("columns").alias("cols"),
+                F.col("after").getItem("type_oids").alias("oids"),
+            )
+            .collect()
+        )
+        if rel:
+            return merge_column_contract(
+                _versions_from_relation_rows(
+                    [((r["_ord1"], r["s"] or 0), r["cols"], r["oids"]) for r in rel]
+                ),
+                table=self.table or "?",
+            )
+        if "types" in log.columns:
+            sigs = (
+                log.filter(F.col("types").isNotNull())
+                .select(
+                    F.col("_ord1").alias("o"),
+                    F.concat_ws(",", F.map_keys("types")).alias("cols"),
+                    F.concat_ws(",", F.map_values("types")).alias("typs"),
+                )
+                .groupBy("cols", "typs")
+                .agg(F.min("o").alias("o"))
+                .collect()
+            )
+            if sigs:
+                return merge_column_contract(
+                    _versions_from_signatures(
+                        [((r["o"], 0), r["cols"], r["typs"]) for r in sigs]
+                    ),
+                    table=self.table or "?",
+                )
+        raise ValueError(
+            f"MOR log at {self.path} carries no schema information "
+            "(no relation rows, no per-image types — written by an "
+            "engine version before schema evolution?): read it with "
+            "snapshot_columns({name: pg_type}) instead."
+        )
+
+    def snapshot_evolved(self) -> DataFrame | None:
+        """Current table under the EVOLVED contract: ``snapshot()``
+        projected through :meth:`evolved_columns` — a mid-stream
+        ``ALTER TABLE ADD COLUMN`` widens this schema automatically,
+        with pre-ALTER rows NULL-backfilled and dropped columns
+        retained as NULL (VERDICT r8 #2)."""
+        cols = self.evolved_columns()
+        if cols is None:
+            return None
+        return self.snapshot_columns(cols)
+
     # --------------------------------------------------------- maintenance
     def compact(self, drop_tombstones: bool = False) -> None:
         """Fold the MOR log into a single base batch (batch=-1 convention:
@@ -239,6 +368,20 @@ class MergeOnReadTable:
             return
         if drop_tombstones:
             snap = snap.filter(F.col("op") != "delete")
+        # schema-version history survives compaction (the contract must
+        # outlive the images that introduced it); replay duplicates of
+        # the same announcement fold away
+        log = self._log()
+        rels = (
+            log.filter(F.col("op") == "relation")
+            .drop("batch")
+            # maps can't feed set ops — dedupe replayed announcements on
+            # the scalar declaration fields instead
+            .withColumn("_decl", F.to_json("after"))
+            .dropDuplicates(["table", "_ord1", "_decl"])
+            .drop("_decl")
+        )
+        snap = snap.unionByName(rels, allowMissingColumns=True)
         staging = self.path + "__compact"
         (
             snap.withColumn("batch", F.lit(-1))

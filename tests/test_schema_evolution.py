@@ -1,0 +1,258 @@
+"""Schema evolution through materialization (VERDICT r8 #2).
+
+Decode-side ALTER handling existed since round 4
+(``q_cdc_schema_evolution`` — versioned relation decode ≙
+``pgoutput-parser.ts:86-110``); these tests pin the CONSUMER side: the
+additive contract fold (operators/schema_evolution.py), apply_changes
+``columns='evolve'``, and MergeOnReadTable's evolved snapshot across
+real micro-batches — Debezium's schema-change-topic story, Delta's
+mergeSchema rule, built on the engine's own relation rows.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_logical_replication_spark.operators.schema_evolution import (
+    merge_column_contract,
+    merge_type,
+    stream_column_contract,
+)
+from pg_logical_replication_spark.sources import pgoutput_format as pgf
+from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+OID = 61001
+
+
+def _wire_df(spark, rows):
+    return spark.createDataFrame(
+        [(f"0/{seq * 8 + 16:X}", seq, bytearray(data)) for seq, data in rows],
+        "lsn string, seq long, data binary",
+    )
+
+
+def _evolving_rows():
+    """v1 (id) inserts 0..2, ALTER adds v, v2 inserts 3..5 with v=100*id,
+    then a v2 UPDATE backfills id=0."""
+    rows = [(0, pgf.encode_relation(
+        OID, "public", "t", [("id", 20)], key_columns=["id"]))]
+    for i in range(3):
+        rows.append((1 + i, pgf.encode_insert(OID, [("t", str(i))])))
+    rows.append((10, pgf.encode_relation(
+        OID, "public", "t", [("id", 20), ("v", 23)], key_columns=["id"])))
+    for i in range(3, 6):
+        rows.append((11 + i, pgf.encode_insert(
+            OID, [("t", str(i)), ("t", str(i * 100))])))
+    rows.append((30, pgf.encode_update(OID, [("t", "0"), ("t", "999")])))
+    return rows
+
+
+EXPECT = {0: 999, 1: None, 2: None, 3: 300, 4: 400, 5: 500}
+
+
+# ---------------------------------------------------------- type rules
+def test_merge_type_widenings():
+    assert merge_type("t", "x", "smallint", "integer") == "integer"
+    assert merge_type("t", "x", "integer", "bigint") == "bigint"
+    assert merge_type("t", "x", "real", "double precision") == "double precision"
+    assert merge_type("t", "x", "integer", "numeric") == "numeric"
+    assert merge_type("t", "x", "double precision", "numeric") == "numeric"
+    assert merge_type("t", "x", "bigint", "text") == "text"
+    assert merge_type("t", "x", "date", "text") == "text"
+    assert merge_type("t", "x", "bigint", "bigint") == "bigint"
+    # same family, no rank: typmod growth
+    assert (
+        merge_type("t", "x", "character varying(20)", "character varying(40)")
+        == "character varying(40)"
+    )
+
+
+@pytest.mark.parametrize(
+    "old,new",
+    [("bigint", "integer"), ("double precision", "real"),
+     ("text", "bigint"), ("date", "integer"), ("numeric", "bigint")],
+)
+def test_merge_type_incompatible_raises(old, new):
+    with pytest.raises(ValueError, match="incompatible type change"):
+        merge_type("public.t", "c", old, new)
+
+
+def test_merge_contract_drop_retained_and_order():
+    out = merge_column_contract(
+        [
+            [("id", "bigint"), ("a", "text")],
+            [("id", "bigint"), ("a", "text"), ("b", "integer")],
+            [("id", "bigint"), ("b", "bigint")],  # drops a, widens b
+        ]
+    )
+    assert list(out.items()) == [
+        ("id", "bigint"), ("a", "text"), ("b", "bigint")
+    ]
+
+
+# ------------------------------------------------------ batch contract
+def test_stream_contract_from_relation_rows(spark):
+    decoded = decode_pgoutput(_wire_df(spark, _evolving_rows()))
+    assert stream_column_contract(decoded, table="t") == {
+        "id": "bigint", "v": "integer"
+    }
+
+
+def test_stream_contract_wal2json_fallback(spark):
+    """No relation rows: the per-row coltypes metadata (wal2json shape)
+    drives the fold — v1 rows carry (id), later rows (id, v)."""
+    import json
+
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    lines = []
+    for i in range(2):
+        lines.append(json.dumps({"nextlsn": f"0/{16 + i:X}", "change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": ["id"], "columntypes": ["bigint"],
+            "columnvalues": [i]}]}))
+    lines.append(json.dumps({"nextlsn": "0/100", "change": [{
+        "kind": "insert", "schema": "public", "table": "t",
+        "columnnames": ["id", "v"], "columntypes": ["bigint", "integer"],
+        "columnvalues": [2, 200]}]}))
+    raw = spark.createDataFrame([(s,) for s in lines], "value string")
+    decoded = decode_wal2json(raw)
+    assert stream_column_contract(decoded, table="t") == {
+        "id": "bigint", "v": "integer"
+    }
+    snap = __import__(
+        "pg_logical_replication_spark.operators.apply_changes",
+        fromlist=["apply_changes"],
+    ).apply_changes(decoded, key_columns=["id"], table="t", columns="evolve")
+    got = {r["id"]: r["v"] for r in snap.collect()}
+    assert got == {0: None, 1: None, 2: 200}
+
+
+def test_stream_contract_no_schema_info_raises(spark):
+    rows = [(1 + i, pgf.encode_insert(OID, [("t", str(i))])) for i in range(2)]
+    rel = pgf.RelationInfo(
+        OID, "public", "t",
+        "d", [{"flags": 1, "name": "id", "type_oid": 20, "type_mod": -1}],
+        ["id"],
+    )
+    decoded = decode_pgoutput(_wire_df(spark, rows), relations={OID: rel})
+    with pytest.raises(ValueError, match="no schema information"):
+        stream_column_contract(decoded, table="t")
+
+
+def test_apply_changes_evolve_batch(spark):
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+
+    decoded = decode_pgoutput(_wire_df(spark, _evolving_rows())).persist()
+    snap = apply_changes(decoded, key_columns=["id"], table="t",
+                         columns="evolve")
+    assert [f.dataType.simpleString() for f in snap.schema.fields] == [
+        "bigint", "int"
+    ]
+    assert {r["id"]: r["v"] for r in snap.collect()} == EXPECT
+
+
+# -------------------------------------------------------- MOR streaming
+def test_mor_schema_evolution_across_micro_batches(spark, tmp_path):
+    """The VERDICT r8 #2 streaming leg: micro-batch 0 materializes the
+    v1 contract; micro-batch 1 carries the in-band ALTER ('R' v2) and
+    the snapshot schema WIDENS — v1 rows NULL-backfilled, the post-ALTER
+    update reaching a v1 key, all through a real Structured Streaming
+    query with a checkpoint."""
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    rows = _evolving_rows()
+    d = str(tmp_path / "wire")
+    os.makedirs(d)
+    b0 = [r for r in rows if r[0] < 10]   # R v1 + v1 inserts
+    b1 = [r for r in rows if r[0] >= 10]  # R v2 + v2 inserts + update
+    for i, batch in enumerate([b0, b1]):
+        _wire_df(spark, batch).coalesce(1).write.parquet(f"{d}/f{i}")
+    # two files -> two micro-batches (each R precedes its rows in-file,
+    # the streaming decode contract)
+    stream = (
+        spark.readStream.schema("lsn string, seq long, data binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f*")
+    )
+    tbl = MergeOnReadTable(spark, str(tmp_path / "tbl"),
+                           key_columns=["id"], table="t")
+    contracts = []
+
+    def sink(df, bid):
+        tbl.apply_batch(df, bid)
+        contracts.append(tbl.evolved_columns())
+
+    q = (
+        decode_pgoutput(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert contracts[0] == {"id": "bigint"}
+    assert contracts[-1] == {"id": "bigint", "v": "integer"}
+    snap = tbl.snapshot_evolved()
+    assert [f.name for f in snap.schema.fields] == ["id", "v"]
+    assert {r["id"]: r["v"] for r in snap.collect()} == EXPECT
+
+
+def test_mor_dropped_column_retained_and_compact(spark, tmp_path):
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    tbl = MergeOnReadTable(spark, str(tmp_path / "tbl"),
+                           key_columns=["id"], table="t")
+    decoded = decode_pgoutput(_wire_df(spark, _evolving_rows())).persist()
+    tbl.apply_batch(decoded, 0)
+    # v3 drops v — contract RETAINS it; the new row reads NULL
+    rel_v1 = pgf.RelationInfo(
+        OID, "public", "t",
+        "d", [{"flags": 1, "name": "id", "type_oid": 20, "type_mod": -1}],
+        ["id"],
+    )
+    v3 = [(40, pgf.encode_relation(OID, "public", "t", [("id", 20)],
+                                   key_columns=["id"])),
+          (41, pgf.encode_insert(OID, [("t", "7")]))]
+    tbl.apply_batch(
+        decode_pgoutput(_wire_df(spark, v3), relations={OID: rel_v1}), 1
+    )
+    assert tbl.evolved_columns() == {"id": "bigint", "v": "integer"}
+    got = {r["id"]: r["v"] for r in tbl.snapshot_evolved().collect()}
+    assert got == {**EXPECT, 7: None}
+    # compaction folds images but the schema history survives
+    tbl.compact()
+    assert tbl.evolved_columns() == {"id": "bigint", "v": "integer"}
+    assert {r["id"]: r["v"]
+            for r in tbl.snapshot_evolved().collect()} == {**EXPECT, 7: None}
+
+
+def test_mor_evolved_from_types_maps_wal2json(spark, tmp_path):
+    """wal2json logs have no relation rows — the per-image `types` maps
+    stored by apply_batch drive the same evolution."""
+    import json
+
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    def line(lsn, names, types, vals):
+        return json.dumps({"nextlsn": lsn, "change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": names, "columntypes": types,
+            "columnvalues": vals}]})
+
+    raw0 = spark.createDataFrame(
+        [(line("0/10", ["id"], ["bigint"], [1]),)], "value string")
+    raw1 = spark.createDataFrame(
+        [(line("0/20", ["id", "v"], ["bigint", "integer"], [2, 42]),)],
+        "value string")
+    tbl = MergeOnReadTable(spark, str(tmp_path / "tbl"),
+                           key_columns=["id"], table="t")
+    tbl.apply_batch(decode_wal2json(raw0), 0)
+    tbl.apply_batch(decode_wal2json(raw1), 1)
+    assert tbl.evolved_columns() == {"id": "bigint", "v": "integer"}
+    got = {r["id"]: r["v"] for r in tbl.snapshot_evolved().collect()}
+    assert got == {1: None, 2: 42}
