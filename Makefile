@@ -5,7 +5,10 @@ LIVEPG_LABEL ?= $(shell date -u +%Y%m%dT%H%M%S)
 
 .PHONY: test livepg bench ledger
 
-test:
+# ledger first (VERDICT r8 #3): the freshness tripwire regenerates
+# whenever the suite runs, so a driver artifact landing beside a stale
+# docs/COVERAGE_LEDGER.md is caught the next time anyone runs make test
+test: ledger
 	python -m pytest tests/ -q -m "not slow and not livepg"
 
 # scripted PostgreSQL 15 up -> 18-leg live conformance suite ->
