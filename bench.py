@@ -184,9 +184,7 @@ def main() -> None:
         # don't accumulate across the run
         spark.catalog.clearCache()
 
-    decode_tp = _pgoutput_decode_throughput(spark, cpus)
-    latency = _e2e_visibility_latency(spark)
-    calibration = _calibration()
+    decode_tp, latency, calibration, envelope = _envelope_legs(spark, cpus)
     # decode throughput inflated back to quiet-host terms: the signal
     # whose 337k→124k tenancy swing motivated the calibration
     decode_tp["msgs_per_sec_normalized"] = round(
@@ -210,6 +208,7 @@ def main() -> None:
         "pgoutput_decode_500k": decode_tp,
         "e2e_visibility_ms": latency,
         "calibration": calibration,
+        "envelope": envelope,
         # headline total deflated by the host-speed scale: comparable
         # across rounds even when container tenancy shifts (VERDICT r7
         # #2 — decode throughput swung 337k→124k msg/s on one commit)
@@ -310,6 +309,45 @@ def _calibration() -> dict:
         "ref_np_sort_sec": _CAL_REF_NP_SORT_SEC,
         "cpu_scale": round(scale, 4),
     }
+
+
+# a window whose single-thread kernels run within 5% of the pinned
+# quiet-host reference counts as quiet; round-8's committed freeze
+# record shipped a 1087 ms visibility from a cpu_scale-1.14 window
+_ENVELOPE_QUIET_SCALE = 1.05
+
+
+def _envelope_legs(spark, cpus: int) -> tuple[dict, dict, dict, dict]:
+    """The two reference-comparable envelope metrics (decode throughput,
+    e2e visibility) measured inside a VERIFIED-QUIET window (VERDICT r8
+    #4): the calibration kernel runs before AND after the legs, and the
+    worse of the two scales is the window's tenancy bound. A noisy
+    window retries the whole block (bounded); if no quiet window
+    appears, the record is annotated machine-readably
+    (``tenancy_voided: true``) so a driver comparing against
+    BASELINE.md's 500-1000 ms envelope never reads a noisy number as a
+    regression. Returns (decode_tp, latency, calibration, envelope);
+    ``calibration`` is the accepted attempt's post-leg measurement (the
+    one closest in time to the headline normalization's consumers)."""
+    max_tries = int(os.environ.get("SPARK_GRAFT_ENVELOPE_RETRIES", "3"))
+    windows: list[float] = []
+    for attempt in range(1, max_tries + 1):
+        pre = _calibration()
+        decode_tp = _pgoutput_decode_throughput(spark, cpus)
+        latency = _e2e_visibility_latency(spark)
+        post = _calibration()
+        window = max(pre["cpu_scale"], post["cpu_scale"])
+        windows.append(round(window, 4))
+        if window <= _ENVELOPE_QUIET_SCALE:
+            break
+    envelope = {
+        "quiet_scale_threshold": _ENVELOPE_QUIET_SCALE,
+        "attempts": len(windows),
+        "cpu_scale_windows": windows,
+        "cpu_scale_window": windows[-1],
+        "tenancy_voided": windows[-1] > _ENVELOPE_QUIET_SCALE,
+    }
+    return decode_tp, latency, post, envelope
 
 
 def _pgoutput_decode_throughput(spark, cpus: int) -> dict:
