@@ -1128,6 +1128,7 @@ def mmr_select(
     lam_milli: int = 700,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates: int = 1_000_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein,
     SIGIR'98): greedily pick k items maximizing ``λ·rel(d) −
@@ -1151,7 +1152,25 @@ def mmr_select(
 
     Returns (rnk, vec_id, rel, max_sim) — max_sim NULL for the first
     pick (no selected set yet to be redundant with).
+
+    ``max_candidates`` (VERDICT r8 #6): MMR is a RE-RANKER — its input
+    is a retrieved shortlist, not a raw corpus — and this implementation
+    localCheckpoints the whole (id, vec, rel) projection so the k greedy
+    passes don't recompute it. Pointing it at a 100 TB corpus would
+    materialize that projection; the same bounded ``limit(max+1).count()``
+    probe ``cosine_near_dup_pairs`` uses (O(max), never a full count)
+    refuses with a pointer at the ANN-shortlist-then-MMR composition.
     """
+    probe = corpus.select(id_col).limit(max_candidates + 1).count()
+    if probe > max_candidates:
+        raise ValueError(
+            f"mmr_select: candidate set exceeds max_candidates="
+            f"{max_candidates:,}. MMR re-ranks a retrieved shortlist — "
+            "narrow the corpus first (e.g. ivf_cosine_topk / "
+            "cosine_topk with a generous k), then MMR-select from those "
+            "candidates; or raise max_candidates deliberately if the "
+            "projection genuinely fits your cluster's storage."
+        )
     q = query.select(F.col(vec_col).alias("q_vec")).limit(1)
     cand = (
         corpus.crossJoin(F.broadcast(q))

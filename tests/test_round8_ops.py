@@ -254,6 +254,34 @@ def test_mmr_skips_duplicate_of_first_pick(spark):
     assert out3[2].vec_id == 2 and out3[2].max_sim > 0.99
 
 
+def test_mmr_shortlist_guard(spark):
+    """VERDICT r8 #6: mmr_select localCheckpoints its whole candidate
+    projection — correct for re-ranking a retrieved shortlist, O(corpus)
+    materialization if misused. The bounded limit(max+1).count() probe
+    (the cosine_near_dup_pairs pattern) must refuse oversized inputs
+    with a pointer at ANN-shortlist-then-MMR."""
+    import math
+
+    import pytest as _pytest
+
+    from pg_logical_replication_spark.operators.similarity import mmr_select
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(0.1 * i)) for i in range(1, 9)],
+        "vec_id long, embedding array<float>",
+    )
+    query = spark.createDataFrame(
+        [(0, vec(0.0))], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="shortlist"):
+        mmr_select(corpus, query, k=2, max_candidates=5)
+    # at exactly the cap it runs
+    assert len(mmr_select(corpus, query, k=2, max_candidates=8).collect()) == 2
+
+
 def test_mmr_k_exceeds_corpus(spark):
     from pg_logical_replication_spark.operators.similarity import mmr_select
 
