@@ -131,6 +131,10 @@ HEADLINE = [
     "q_pipeline_dedup_funnel",
     "q_diag_join_advisor",
     "q_embed_drift",
+    # round 9: schema evolution through materialization + the
+    # schema-change log (Debezium schema-topic shape)
+    "q_cdc_apply_schema_evolution",
+    "q_cdc_schema_change_log",
 ]
 
 

@@ -220,3 +220,107 @@ def stream_column_contract(
         "per-row column types (wal2json/test_decoding meta['coltypes']). "
         "Pass an explicit columns={name: pg_type} contract."
     )
+
+
+def _oid_name_map_expr():
+    """OID → PG type name as a literal map expression (JVM-side lookup,
+    the declarative form of functions.pg_values.OID_TO_PG_TYPE)."""
+    from pg_logical_replication_spark.functions.pg_values import (
+        OID_TO_PG_TYPE,
+    )
+
+    entries = []
+    for oid, name in OID_TO_PG_TYPE.items():
+        entries.extend([F.lit(str(oid)), F.lit(name)])
+    return F.create_map(*entries)
+
+
+def schema_change_log(events: DataFrame, table: str | None = None) -> DataFrame:
+    """The schema-change LOG of a decoded stream — one row per relation
+    version with the diff against its predecessor: the batch form of
+    what Debezium publishes on its schema-change topic, derived from the
+    pgoutput 'R' announcements the reference's relation cache consumes
+    (``pgoutput-parser.ts:86-110``).
+
+    Returns (schema?, table, version, lsn_long, n_columns, added,
+    dropped, widened) — added/dropped are comma-joined column names,
+    widened is ``col:old_type->new_type`` entries (any type change,
+    named whether or not :func:`merge_type` would accept it — the log
+    REPORTS; enforcement is apply-time).
+
+    Scale: relation rows are schema-registry-sized (versions × tables,
+    never data-sized) — the per-table window sort is over that tiny set;
+    everything is array expressions, zero UDF, zero collect.
+    """
+    from pyspark.sql import Window
+
+    ev = events.filter(
+        (F.col("op") == "relation") & F.col("meta").getItem("columns").isNotNull()
+    )
+    if table is not None:
+        ev = ev.filter(F.col("table") == table)
+    has_schema = "schema" in ev.columns
+    seq = (
+        F.col("seq").cast("long") if "seq" in ev.columns else F.lit(0)
+    )
+    oid_map = _oid_name_map_expr()
+    base = ev.select(
+        *(["schema"] if has_schema else []),
+        "table",
+        F.coalesce(F.col("lsn_long"), F.lit(0)).alias("lsn_long"),
+        F.coalesce(seq, F.lit(0)).alias("_seq"),
+        F.split(F.col("meta").getItem("columns"), ",").alias("cols"),
+        F.transform(
+            F.split(F.col("meta").getItem("type_oids"), ","),
+            lambda o: F.coalesce(oid_map[o], F.lit("text")),
+        ).alias("typs"),
+    )
+    part = ["schema", "table"] if has_schema else ["table"]
+    w = Window.partitionBy(*part).orderBy("lsn_long", "_seq")
+    # fold cache refreshes first: pgoutput re-sends 'R' after reconnect
+    # with an unchanged declaration — the log records CHANGES (the
+    # Debezium schema-change-topic rule), so identical consecutive
+    # announcements drop and versions number the survivors
+    decl = F.concat_ws("|", F.array_join("cols", ","), F.array_join("typs", ","))
+    changed = base.withColumn("_decl", decl).withColumn(
+        "_pdecl", F.lag("_decl").over(w)
+    ).filter(
+        F.col("_pdecl").isNull() | (F.col("_decl") != F.col("_pdecl"))
+    ).drop("_decl", "_pdecl")
+    cur = changed.select(
+        *part,
+        "lsn_long",
+        "cols",
+        F.map_from_arrays("cols", "typs").alias("m"),
+        F.row_number().over(w).alias("version"),
+        F.coalesce(
+            F.lag("cols").over(w), F.array().cast("array<string>")
+        ).alias("pcols"),
+        F.lag(F.map_from_arrays("cols", "typs")).over(w).alias("pm"),
+    )
+    widened = F.array_join(
+        F.transform(
+            F.filter(
+                F.col("cols"),
+                lambda c: F.element_at(F.col("pm"), c).isNotNull()
+                & (F.element_at(F.col("pm"), c) != F.element_at(F.col("m"), c)),
+            ),
+            lambda c: F.concat(
+                c,
+                F.lit(":"),
+                F.element_at(F.col("pm"), c),
+                F.lit("->"),
+                F.element_at(F.col("m"), c),
+            ),
+        ),
+        ",",
+    )
+    return cur.select(
+        *part,
+        F.col("version").cast("long").alias("version"),
+        "lsn_long",
+        F.size("cols").cast("long").alias("n_columns"),
+        F.array_join(F.array_except("cols", "pcols"), ",").alias("added"),
+        F.array_join(F.array_except("pcols", "cols"), ",").alias("dropped"),
+        widened.alias("widened"),
+    )

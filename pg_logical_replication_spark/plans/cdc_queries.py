@@ -1529,6 +1529,147 @@ def q_cdc_apply_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "q_cdc_schema_change_log",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events),
+    eras AS (SELECT event_id,
+               CASE WHEN event_id < (SELECT c // 3 FROM n) THEN 1
+                    WHEN event_id < 2 * (SELECT c // 3 FROM n) THEN 2
+                    ELSE 3 END AS version
+             FROM events),
+    stats AS (SELECT version, CAST(COUNT(*) AS BIGINT) AS n_dml,
+                     CAST(SUM(event_id) AS BIGINT) AS sum_eid
+              FROM eras GROUP BY 1),
+    vers AS (
+      SELECT 1 AS version, 1 AS n_columns, 'event_id' AS added,
+             '' AS dropped, '' AS widened, CAST(16 AS BIGINT) AS at_lsn_long
+      UNION ALL SELECT 2, 2, 'user_id', '', '',
+             CAST(((SELECT c // 3 FROM n) * 10 + 5) * 8 + 16 AS BIGINT)
+      UNION ALL SELECT 3, 2, '', '', 'user_id:integer->bigint',
+             CAST((2 * (SELECT c // 3 FROM n) * 10 + 5) * 8 + 16 AS BIGINT)
+      UNION ALL SELECT 4, 1, '', 'user_id', '',
+             CAST(((SELECT c FROM n) * 10 + 5) * 8 + 16 AS BIGINT))
+    SELECT CAST(v.version AS BIGINT) AS version,
+           CAST(v.n_columns AS BIGINT) AS n_columns,
+           v.added, v.dropped, v.widened, v.at_lsn_long,
+           CAST(COALESCE(s.n_dml, 0) AS BIGINT) AS n_dml_in_era,
+           CAST(COALESCE(s.sum_eid, 0) AS BIGINT) AS sum_eid_era
+    FROM vers v LEFT JOIN stats s USING (version) ORDER BY version
+    """,
+    "schema-change LOG, oracle-gated: four in-band relation versions "
+    "(add user_id, widen integer->bigint, drop user_id) become one "
+    "change-log row each — version, column diff vs predecessor, wire "
+    "position — plus per-era DML attribution (row count and event_id "
+    "mass decoded under each version); the batch form of Debezium's "
+    "schema-change topic, derived from the 'R' announcements the "
+    "reference's relation cache consumes (pgoutput-parser.ts:86-110)",
+)
+def q_cdc_schema_change_log(spark, sf_dir):
+    """operators/schema_evolution.schema_change_log + era attribution.
+    Scale: relation rows are registry-sized (the per-table window sort
+    never sees data rows); era attribution broadcasts the 4-row version
+    interval table against the decoded stream — one scan, no shuffle of
+    the DML side beyond the final 4-group aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        schema_change_log,
+    )
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51240
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.count()
+    third = n // 3
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for e, u in zip(pdf["event_id"], pdf["user_id"]):
+                eid, uid = int(e), int(u)
+                seqs.append(eid * 10 + 10)
+                if eid < third:
+                    data.append(pgf.encode_insert(OID, [("t", str(eid))]))
+                else:
+                    data.append(pgf.encode_insert(
+                        OID, [("t", str(eid)), ("t", str(uid))]
+                    ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+
+    def rel(seq, cols):
+        return (f"0/{seq * 8 + 16:X}", seq, bytearray(pgf.encode_relation(
+            OID, "public", "events", cols, key_columns=["event_id"]
+        )))
+
+    rels = spark.createDataFrame(
+        [
+            rel(0, [("event_id", 20)]),
+            rel(third * 10 + 5, [("event_id", 20), ("user_id", 23)]),
+            rel(2 * third * 10 + 5, [("event_id", 20), ("user_id", 20)]),
+            rel(n * 10 + 5, [("event_id", 20)]),
+        ],
+        "lsn string, seq long, data binary",
+    )
+    src = wire.unionByName(rels).persist()
+    decoded = decode_pgoutput(src).persist()
+    log = schema_change_log(decoded, table="events")
+
+    from pyspark.sql import Window as W
+
+    # the log is 4 rows — the unpartitioned window is over THAT, never
+    # the stream; intervals broadcast back against the DML scan
+    wv = W.orderBy("version")
+    intervals = log.select(
+        "version",
+        F.col("lsn_long").alias("lo"),
+        F.coalesce(
+            F.lead("lsn_long").over(wv), F.lit(1 << 62)
+        ).alias("hi"),
+    )
+    dml = decoded.filter(F.col("op") == "insert").select(
+        F.col("lsn_long").alias("dlsn"),
+        F.col("after").getItem("event_id").cast("long").alias("eid"),
+    )
+    stats = (
+        dml.join(
+            F.broadcast(intervals),
+            (F.col("dlsn") >= F.col("lo")) & (F.col("dlsn") < F.col("hi")),
+        )
+        .groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n_dml_in_era"),
+            F.sum("eid").cast("long").alias("sum_eid_era"),
+        )
+    )
+    return (
+        log.join(stats, "version", "left")
+        .select(
+            F.col("version").cast("long").alias("version"),
+            "n_columns",
+            "added",
+            "dropped",
+            "widened",
+            F.col("lsn_long").alias("at_lsn_long"),
+            F.coalesce("n_dml_in_era", F.lit(0)).cast("long")
+            .alias("n_dml_in_era"),
+            F.coalesce("sum_eid_era", F.lit(0)).cast("long")
+            .alias("sum_eid_era"),
+        )
+        .orderBy("version")
+    )
+
+
+@register(
     "q_cdc_truncate_apply",
     """
     WITH n AS (SELECT COUNT(*) AS c FROM events)

@@ -1010,3 +1010,127 @@ def lateness_monitor_tws(
         outputMode="append",
         timeMode="None",
     )
+
+
+# ------------------------------------- schema-change monitor (tws)
+def _schema_monitor_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SchemaChangeMonitor(StatefulProcessor):
+        """Per table: the last-seen relation declaration (column names
+        + type oids, comma-joined) and a version counter live in a
+        three-field ValueState; each relation row that CHANGES the
+        declaration emits one change record with the diff against the
+        predecessor — including the very first announcement (version 1,
+        everything 'added'), matching the batch schema_change_log fold.
+        Re-announcements of the SAME declaration (pgoutput re-sends 'R'
+        after reconnect) are folded away silently, exactly like the
+        reference's relation cache treating them as cache refreshes."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "rel", "cols string, oids string, version long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            from pg_logical_replication_spark.functions.pg_values import (
+                OID_TO_PG_TYPE,
+            )
+
+            (table,) = key
+            pcols, poids, version = (
+                self._st.get() if self._st.exists() else (None, None, 0)
+            )
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            pdf = pdf.sort_values(["lsn_long", "seq"])
+            out: dict[str, list] = {
+                c: []
+                for c in ("table", "version", "lsn_long", "n_columns",
+                          "added", "dropped", "widened")
+            }
+            for cols_csv, oids_csv, lsn in zip(
+                pdf["cols"], pdf["oids"], pdf["lsn_long"]
+            ):
+                if cols_csv == pcols and oids_csv == poids:
+                    continue  # cache refresh, not a change
+                cur = [c for c in (cols_csv or "").split(",") if c]
+                oids = [o for o in (oids_csv or "").split(",") if o]
+                cm = dict(zip(cur, oids))
+                prev = [c for c in (pcols or "").split(",") if c]
+                pm = dict(zip(
+                    prev, [o for o in (poids or "").split(",") if o]
+                ))
+                version += 1
+
+                def tname(oid):
+                    return OID_TO_PG_TYPE.get(int(oid), "text")
+
+                out["table"].append(table)
+                out["version"].append(int(version))
+                out["lsn_long"].append(int(lsn))
+                out["n_columns"].append(len(cur))
+                out["added"].append(
+                    ",".join(c for c in cur if c not in pm)
+                )
+                out["dropped"].append(
+                    ",".join(c for c in prev if c not in cm)
+                )
+                out["widened"].append(",".join(
+                    f"{c}:{tname(pm[c])}->{tname(cm[c])}"
+                    for c in cur
+                    if c in pm and pm[c] != cm[c]
+                ))
+                pcols, poids = cols_csv, oids_csv
+            self._st.update((pcols, poids, int(version)))
+            if out["table"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return SchemaChangeMonitor
+
+
+def schema_change_monitor_tws(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/schema_evolution.schema_change_log``
+    — the live schema-change topic: relation announcements stream in,
+    version-change records stream out, Debezium's schema-change topic
+    shape over pgoutput 'R' rows (reference relation-cache anchor:
+    ``pgoutput-parser.ts:86-110``). Cross-batch: a re-announcement in a
+    later micro-batch diffs against state, so ALTERs spanning batches
+    emit exactly one record each (agreement-tested against the batch
+    fold in tests/test_tws.py).
+
+    State is O(|tables| × declaration width) — registry-sized, never
+    data-sized; the stateful op keys on table so it stays partitioned.
+    The input is pre-filtered to relation rows: the DML firehose never
+    reaches the stateful operator."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.filter(
+        (F.col("op") == "relation")
+        & F.col("meta").getItem("columns").isNotNull()
+    ).select(
+        F.col("table"),
+        F.coalesce(F.col("lsn_long"), F.lit(0)).alias("lsn_long"),
+        (F.col("seq").cast("long") if "seq" in stream.columns
+         else F.lit(0).cast("long")).alias("seq"),
+        F.col("meta").getItem("columns").alias("cols"),
+        F.col("meta").getItem("type_oids").alias("oids"),
+    )
+    return keyed.groupBy("table").transformWithStateInPandas(
+        statefulProcessor=_schema_monitor_class()(),
+        outputStructType=(
+            "table string, version long, lsn_long long, n_columns long, "
+            "added string, dropped string, widened string"
+        ),
+        outputMode="append",
+        timeMode="None",
+    )

@@ -897,3 +897,88 @@ def test_lateness_monitor_tws_agrees_with_batch_replay(rocksdb, tmp_path):
         ), et
     # the late event was only visible cross-batch
     assert last["a"].n_late == 1 and last["b"].n_late == 0
+
+
+def test_schema_change_monitor_tws_agrees_with_batch_log(rocksdb, tmp_path):
+    """NINTH tws twin (round 9): relation announcements spanning
+    micro-batches emit one change record per VERSION — cross-batch diffs
+    against state, cache-refresh re-announcements folded away — and the
+    full emission set equals the batch schema_change_log fold on the
+    same wire. DML rows never reach the stateful op (pre-filtered)."""
+    import os
+
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        schema_change_log,
+    )
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+    from pg_logical_replication_spark.streaming.tws import (
+        schema_change_monitor_tws,
+    )
+
+    spark = rocksdb
+    OID = 61002
+
+    def rel(seq, cols):
+        return (seq, pgf.encode_relation(
+            OID, "public", "t", cols, key_columns=["id"]))
+
+    v1 = [("id", 20)]
+    v2 = [("id", 20), ("v", 23)]
+    v3 = [("id", 20), ("v", 20)]   # widen integer -> bigint
+    v4 = [("id", 20)]              # drop v
+    b0 = [rel(0, v1),
+          (1, pgf.encode_insert(OID, [("t", "1")])),
+          rel(2, v1)]              # re-announce: cache refresh, no emit
+    b1 = [rel(10, v2),
+          (11, pgf.encode_insert(OID, [("t", "2"), ("t", "42")])),
+          rel(12, v3),
+          rel(13, v3),             # refresh again, cross-checked in-batch
+          rel(14, v4)]
+
+    def wire_df(rows):
+        return spark.createDataFrame(
+            [(f"0/{s * 8 + 16:X}", s, bytearray(d)) for s, d in rows],
+            "lsn string, seq long, data binary",
+        )
+
+    d = str(tmp_path / "wire")
+    os.makedirs(d)
+    for i, batch in enumerate([b0, b1]):
+        wire_df(batch).coalesce(1).write.parquet(f"{d}/f{i}")
+    stream = (
+        spark.readStream.schema("lsn string, seq long, data binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f*")
+    )
+    emissions = []
+    q = (
+        schema_change_monitor_tws(decode_pgoutput(stream))
+        .writeStream.foreachBatch(
+            lambda df, bid: emissions.extend((bid, r) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    key = lambda r: (  # noqa: E731
+        r.version, r.lsn_long, r.n_columns, r.added, r.dropped, r.widened
+    )
+    got = sorted(key(r) for _bid, r in emissions)
+    # exactly one record per version; refreshes emitted nothing
+    assert [g[0] for g in got] == [1, 2, 3, 4]
+    # the cross-batch property: v1 emitted from batch 0, the rest later
+    assert {bid for bid, r in emissions if r.version == 1} == {0}
+    assert {bid for bid, r in emissions if r.version > 1} == {1}
+    # agreement with the batch fold on the identical wire
+    batch_log = schema_change_log(
+        decode_pgoutput(wire_df(b0 + b1)), table="t"
+    ).collect()
+    want = sorted(key(r) for r in batch_log)
+    assert got == want
+    v3_row = next(r for _b, r in emissions if r.version == 3)
+    assert v3_row.widened == "v:integer->bigint"
+    v4_row = next(r for _b, r in emissions if r.version == 4)
+    assert v4_row.dropped == "v" and v4_row.n_columns == 1
