@@ -135,6 +135,9 @@ HEADLINE = [
     # schema-change log (Debezium schema-topic shape)
     "q_cdc_apply_schema_evolution",
     "q_cdc_schema_change_log",
+    "q_cdc_apply_type_widening",
+    "q_pipeline_forget",
+    "q_corpus_curriculum",
 ]
 
 

@@ -1529,6 +1529,97 @@ def q_cdc_apply_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "q_cdc_apply_type_widening",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events)
+    SELECT CAST(event_id % 10 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id < (SELECT c // 2 FROM n)
+                         THEN event_id
+                         ELSE event_id + 3000000000 END) AS BIGINT)
+             AS sum_amount
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "type WIDENING through materialization, oracle-gated: the relation "
+    "re-announces amount as bigint mid-stream (integer -> bigint, the "
+    "classic int4 overflow migration) and post-ALTER values exceed the "
+    "int32 range — apply_changes columns='evolve' must take the newest "
+    "(wider) type so the snapshot sums are exact; a contract stuck on "
+    "the v1 type would overflow or NULL every post-ALTER value",
+)
+def q_cdc_apply_type_widening(spark, sf_dir):
+    """The merge_type widening path (operators/schema_evolution.py)
+    end-to-end: v1 (event_id, amount integer) inserts the first half
+    with int4-sized amounts; an in-band 'R' widens amount to bigint and
+    the second half inserts amounts > 2^31. The evolved snapshot types
+    amount as bigint — every value exact, gated per decade group.
+    Scale: identical shape to q_cdc_apply_schema_evolution (registry-
+    sized contract fold + one key shuffle + one hash aggregate)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID = 51241
+    ev = t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    half = n // 2
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for e in pdf["event_id"]:
+                eid = int(e)
+                amount = eid if eid < half else eid + 3_000_000_000
+                seqs.append(eid * 10 + 10)
+                data.append(pgf.encode_insert(
+                    OID, [("t", str(eid)), ("t", str(amount))]
+                ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+    v2_seq = half * 10 + 5
+    rels = spark.createDataFrame(
+        [
+            ("0/10", 0, bytearray(pgf.encode_relation(
+                OID, "public", "events",
+                [("event_id", 20), ("amount", 23)],
+                key_columns=["event_id"],
+            ))),
+            (f"0/{v2_seq * 8 + 16:X}", v2_seq, bytearray(pgf.encode_relation(
+                OID, "public", "events",
+                [("event_id", 20), ("amount", 20)],
+                key_columns=["event_id"],
+            ))),
+        ],
+        "lsn string, seq long, data binary",
+    )
+    src = wire.unionByName(rels).persist()
+    decoded = decode_pgoutput(src).persist()
+    snap = apply_changes(
+        decoded, key_columns=["event_id"], table="events", columns="evolve"
+    )
+    return (
+        snap.groupBy((F.col("event_id") % 10).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("amount").cast("long").alias("sum_amount"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
     "q_cdc_schema_change_log",
     """
     WITH n AS (SELECT COUNT(*) AS c FROM events),

@@ -1295,6 +1295,165 @@ def q_layout_zorder(spark, sf_dir):
 
 
 @register(
+    "q_corpus_curriculum",
+    rf"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS nt,
+                      CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                           AS BIGINT) AS chars
+               FROM documents),
+    m AS (SELECT doc_id, nt, chars * 1000 // nt AS diff FROM d),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY diff, doc_id) AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM m)
+    SELECT CAST((rnk - 1) * 5 // n AS BIGINT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(diff) AS BIGINT) AS min_diff_milli,
+           CAST(MAX(diff) AS BIGINT) AS max_diff_milli,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    "curriculum schedule, oracle-gated: documents ordered easy->hard by "
+    "an integer difficulty proxy (mean token length, milli) and cut "
+    "into 5 equal-rank training stages — per stage: docs, the "
+    "difficulty band, token mass, and an id checksum pinning EVERY "
+    "stage assignment; the deterministic ordered-schedule primitive "
+    "(Bengio et al. 2009 curriculum learning) the sampling/mixing "
+    "operators don't cover",
+)
+def q_corpus_curriculum(spark, sf_dir):
+    """Exact global ranks via operators/layout.global_row_number — one
+    range exchange + per-partition sort + folded offsets, never the
+    single-partition window sort ROW_NUMBER() OVER (ORDER BY ...) would
+    force at 100 TB. Stage = (rank-1)*K div n in closed form; the
+    difficulty proxy is a scan-stage expression (no shuffle before the
+    range exchange the ranking needs anyway)."""
+    from pg_logical_replication_spark.operators.layout import (
+        global_row_number,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nt"),
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
+        .cast("long")
+        .alias("chars"),
+    )
+    m = d.select(
+        "doc_id", "nt", F.expr("chars * 1000 div nt").alias("diff")
+    )
+    ranked, n = global_row_number(m, ["diff", "doc_id"], out_col="rnk")
+    return (
+        ranked.groupBy(
+            F.expr(f"(rnk - 1) * 5 div {n}").cast("long").alias("stage")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("diff").cast("long").alias("min_diff_milli"),
+            F.max("diff").cast("long").alias("max_diff_milli"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "q_pipeline_forget",
+    rf"""
+    WITH del AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_id % 97 = 0),
+    docs AS (SELECT doc_id, lang, doc_id % 50 AS owner,
+                    len({_TOKS}) AS nt
+             FROM documents),
+    f AS (SELECT d.*, CASE WHEN owner IN (SELECT user_id FROM del)
+                           THEN 1 ELSE 0 END AS purged
+          FROM docs d)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(purged) AS BIGINT) AS n_purged,
+           CAST(SUM(purged * nt) AS BIGINT) AS tokens_purged,
+           CAST(SUM(CASE WHEN purged = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_kept_ids
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+    "right-to-be-forgotten propagation, oracle-gated: a CDC DELETE "
+    "stream (wal2json tombstones keyed on user_id) drives a purge of "
+    "every document the deleted users own — per language: docs/tokens "
+    "purged and a checksum over the surviving ids; the compliance "
+    "pipeline that connects the CDC half of the engine to the corpus "
+    "half (GDPR Art. 17 against the training set, not just the OLTP "
+    "replica)",
+)
+def q_pipeline_forget(spark, sf_dir):
+    """Deletes decode from real wal2json tombstone changesets (oldkeys
+    → key map, sources/wal2json.py); the deleted-key set is
+    tombstone-sized and joins the corpus on a synthetic owner key.
+    Scale: the corpus projects (id, lang, owner, token_count) BEFORE the
+    join — text never shuffles; the key set is the small side (AQE
+    broadcasts it; at tombstone-heavy scales the join co-partitions on
+    owner, the same shape as dedup's digest joins)."""
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "user_id")
+    )
+    changeset = F.to_json(
+        F.struct(
+            F.concat(
+                F.lit("0/"), F.upper(F.hex(F.col("event_id") * 8 + 16))
+            ).alias("nextlsn"),
+            F.array(
+                F.struct(
+                    F.lit("delete").alias("kind"),
+                    F.lit("public").alias("schema"),
+                    F.lit("users").alias("table"),
+                    F.struct(
+                        F.array(F.lit("user_id")).alias("keynames"),
+                        F.array(F.lit("bigint")).alias("keytypes"),
+                        F.array(F.col("user_id").cast("string")).alias(
+                            "keyvalues"
+                        ),
+                    ).alias("oldkeys"),
+                )
+            ).alias("change"),
+        )
+    )
+    deleted = (
+        decode_wal2json(ev.select(changeset.alias("value")))
+        .filter(F.col("op") == "delete")
+        .select(F.col("key").getItem("user_id").cast("long").alias("owner"))
+        .distinct()
+        .withColumn("_del", F.lit(1))
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 50).alias("owner"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nt"),
+    )
+    flagged = docs.join(deleted, "owner", "left").withColumn(
+        "purged", F.coalesce("_del", F.lit(0))
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("purged").cast("long").alias("n_purged"),
+            F.sum(F.col("purged") * F.col("nt")).cast("long")
+            .alias("tokens_purged"),
+            F.sum(
+                F.when(F.col("purged") == 0, F.col("doc_id")).otherwise(0)
+            ).cast("long").alias("sum_kept_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "q_pipeline_cdc_to_corpus",
     rf"""
     WITH final AS (
