@@ -5459,11 +5459,20 @@ def q_ann_recall_curve(spark, sf_dir):
     the data, and the matched-pair join is |queries|·k rows per point."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    brute = S.cosine_topk(emb, queries, k=5).select("q_id", "n_id")
+    # localCheckpoint: brute is |queries|·k rows but its SUBTREE is a
+    # full corpus ranking — it feeds one semi-join per sweep point plus
+    # the denominator, and without materialization each reference
+    # re-evaluates the ranking (the r9 bench caught the re-evaluation)
+    brute = (
+        S.cosine_topk(emb, queries, k=5)
+        .select("q_id", "n_id")
+        .localCheckpoint()
+    )
     # recall denominator = the ACTUAL brute-force pair count (ADVICE
     # r8: a query returning < k neighbors — tiny corpus, null-norm
     # vectors — breaks the 10*k literal), mirrored as the oracle's
-    # (SELECT COUNT(*) FROM brute); a 1-row broadcast scalar
+    # (SELECT COUNT(*) FROM brute); a 1-row broadcast scalar over the
+    # checkpointed pairs
     n_brute = F.broadcast(
         brute.agg(F.count("*").cast("long").alias("n_brute"))
     )
