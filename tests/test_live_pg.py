@@ -1189,3 +1189,59 @@ def test_live_pgoutput_truncate(spark, live, tmp_path):
         assert meta.get("cascade") == "false"
     finally:
         s.close()
+
+
+def test_live_schema_evolution_through_apply(spark, live, tmp_path):
+    """ALTER TABLE ADD COLUMN mid-stream on a REAL server → pgoutput
+    re-announces the relation ('R' v2, server bytes) → apply_changes
+    columns='evolve' widens the snapshot: pre-ALTER rows NULL-backfill
+    the new column, a post-ALTER UPDATE fills it on a v1-inserted key,
+    and a post-ALTER value beyond int32 survives under the bigint
+    contract. The round-9 materialization layer pinned against real
+    relation versioning, not synthesized wire."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        stream_column_contract,
+    )
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    _reset_table(live)
+    s = _connect()
+    slot = live.slot(f"{live.table}_evo")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput")
+        _exec_sql(t, f"INSERT INTO {live.table} VALUES (1,'one'),(2,'two')")
+        _exec_sql(t, f"ALTER TABLE {live.table} ADD COLUMN score bigint")
+        _exec_sql(
+            t, f"INSERT INTO {live.table} VALUES (3,'three',3000000000)"
+        )
+        _exec_sql(t, f"UPDATE {live.table} SET score = 11 WHERE id = 1")
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={
+                "proto_version": "1",
+                "publication_names": live.pub,
+            },
+        )
+        log = str(tmp_path / "evo")
+        # B/R/I/I/C + B/R(v2)/I/C + B/U/C
+        assert _relay_until(s, log, want_frames=12, timeout=30) >= 12
+        ev = decode(_frames_df(spark, log), "pgoutput")
+        contract = stream_column_contract(ev, table=live.table)
+        assert list(contract.items()) == [
+            ("id", "integer"), ("v", "text"), ("score", "bigint")
+        ]
+        snap = apply_changes(
+            ev, key_columns=["id"], table=live.table, columns="evolve"
+        )
+        got = {(r["id"], r["v"], r["score"]) for r in snap.collect()}
+        assert got == {
+            (1, "one", 11),            # v1 key filled by post-ALTER update
+            (2, "two", None),          # pre-ALTER row: NULL-backfilled
+            (3, "three", 3_000_000_000),  # beyond int32: bigint contract
+        }
+    finally:
+        s.close()
