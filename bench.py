@@ -138,6 +138,7 @@ HEADLINE = [
     "q_cdc_apply_type_widening",
     "q_pipeline_forget",
     "q_corpus_curriculum",
+    "q_embed_shortlist_mmr",
 ]
 
 

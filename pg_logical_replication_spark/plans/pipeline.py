@@ -5318,23 +5318,31 @@ def q_text_mojibake(spark, sf_dir):
     )
 
 
-def _mmr_oracle(k: int = 5, lam: int = 700) -> str:
+def _mmr_oracle(k: int = 5, lam: int = 700, shortlist: int | None = None) -> str:
     """Unrolled k-step greedy MMR chain (the BPE-style unrolled-chain
     oracle pattern): each step excludes prior picks, folds max
     similarity against the selected set, and takes the objective argmax
-    with the same round-6 / id tie-break contract as the operator."""
+    with the same round-6 / id tie-break contract as the operator.
+    ``shortlist`` limits the candidate set to the exact top-N by
+    (rel desc, id) first — the retrieve-then-rerank composition."""
     cos = (
         "ROUND(list_dot_product({a}, {b}) / "
         "(SQRT(list_dot_product({a}, {a})) * "
         "SQRT(list_dot_product({b}, {b}))), 6)"
     )
+    cand_body = f"""SELECT vec_id, v, {cos.format(a="v", b="qv")} AS rel
+             FROM e, q WHERE vec_id <> 0"""
+    if shortlist is not None:
+        cand_body = (
+            f"SELECT * FROM ({cand_body}) "
+            f"ORDER BY rel DESC, vec_id LIMIT {shortlist}"
+        )
     parts = [f"""
     e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
                    AS v
           FROM embeddings),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    cand AS (SELECT vec_id, v, {cos.format(a="v", b="qv")} AS rel
-             FROM e, q WHERE vec_id <> 0),
+    cand AS ({cand_body}),
     p1 AS (SELECT vec_id, v, rel FROM cand
            ORDER BY rel DESC, vec_id LIMIT 1),
     sel1 AS (SELECT vec_id, v, rel, CAST(NULL AS DOUBLE) AS max_sim,
@@ -5382,6 +5390,35 @@ def q_embed_mmr_select(spark, sf_dir):
         emb.filter(F.col("vec_id") == 0),
         k=5,
         lam_milli=700,
+    )
+
+
+@register(
+    "q_embed_shortlist_mmr",
+    _mmr_oracle(shortlist=20),
+    "retrieve-then-rerank, oracle-gated: exact cosine top-20 shortlist "
+    "-> MMR diverse top-5 over it — the composition the mmr_select "
+    "shortlist guard points at (the re-ranker never sees the corpus, "
+    "only the retrieval output); every greedy pick replayed by the "
+    "unrolled SQL chain over the same top-20 candidate set",
+)
+def q_embed_shortlist_mmr(spark, sf_dir):
+    """The production MMR shape: retrieval (here exact cosine_topk —
+    swap in ivf_cosine_topk at scale, the shortlist contract is
+    identical) narrows the corpus to N candidates, MMR re-ranks only
+    those. Scale: one broadcast-query corpus pass for the shortlist,
+    then k greedy passes over 20 cached rows — mmr_select's
+    localCheckpoint is N rows here, which is the whole point of the
+    guard; max_candidates pins the contract."""
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    top = S.cosine_topk(emb, query, k=20).select("n_id")
+    shortlist = corpus.join(
+        top, corpus["vec_id"] == top["n_id"], "left_semi"
+    )
+    return S.mmr_select(
+        shortlist, query, k=5, lam_milli=700, max_candidates=20
     )
 
 
