@@ -256,3 +256,26 @@ def test_mor_evolved_from_types_maps_wal2json(spark, tmp_path):
     assert tbl.evolved_columns() == {"id": "bigint", "v": "integer"}
     got = {r["id"]: r["v"] for r in tbl.snapshot_evolved().collect()}
     assert got == {1: None, 2: 42}
+
+
+def test_mor_pre_evolution_log_raises_clearly(spark, tmp_path):
+    """A log written before schema evolution existed (no relation rows,
+    no per-image types) must fail LOUDLY with the snapshot_columns
+    pointer — never return a wrong contract."""
+    p = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [("insert", 16, "t", None, {"id": "1"}, 16, 0)],
+        "op string, lsn_long long, table string, "
+        "key map<string,string>, after map<string,string>, "
+        "_ord1 long, batch int",
+    )
+    old.write.partitionBy("batch").parquet(p)
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    tbl = MergeOnReadTable(spark, p, key_columns=["id"], table="t")
+    with pytest.raises(ValueError, match="snapshot_columns"):
+        tbl.evolved_columns()
+    # the untyped surfaces still work on the old log
+    assert tbl.snapshot().count() == 1
+    assert {r["id"] for r in
+            tbl.snapshot_columns({"id": "bigint"}).collect()} == {1}
