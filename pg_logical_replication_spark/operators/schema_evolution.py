@@ -42,6 +42,8 @@ driver.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,8 @@ from pyspark.sql import functions as F
 _INT_RANK = {"smallint": 1, "int2": 1, "integer": 2, "int": 2, "int4": 2,
              "bigint": 3, "int8": 3}
 _FLOAT_RANK = {"real": 1, "float4": 1, "double precision": 2, "float8": 2}
+# decimal digits needed to hold each int rank (for int→numeric(p,s))
+_INT_DIGITS = {1: 5, 2: 10, 3: 19}
 
 
 def _family(pg_type: str) -> str:
@@ -64,34 +68,102 @@ def _family(pg_type: str) -> str:
         ("character varying", "character", "varchar")
     ):
         return "text"
-    return t  # exact-match families (date, uuid, bytea, ...)
+    # exact-match families (date, uuid, bytea, timestamp[tz], ...) —
+    # typmod-blind, so timestamp(3) and timestamp(6) share a family
+    # while timestamp and timestamptz do NOT
+    return _re.sub(r"\([\d\s,]+\)", "", t).strip()
+
+
+def _typmod(pg_type: str) -> tuple[int, ...] | None:
+    """The parenthesized typmod of a PG type name, or None when absent:
+    ``numeric(10,2)`` → (10, 2); ``character varying(30)`` → (30,)."""
+    m = _re.search(r"\(([\d\s,]+)\)", pg_type)
+    if not m:
+        return None
+    return tuple(int(p) for p in m.group(1).split(","))
+
+
+def _merge_numeric(old: str, new: str) -> str:
+    """Widest-typmod merge within the numeric family (ADVICE r9): a
+    typmod'd numeric may only WIDEN (both precision and scale); any
+    mixed or narrowing change falls back to bare ``numeric`` — the
+    unconstrained type that holds every value either version produced.
+    """
+    mo, mn = _typmod(old), _typmod(new)
+    if mn is None:
+        return new.strip()  # bare numeric/decimal: unconstrained
+    if mo is None:
+        return old.strip()  # old already unconstrained — never narrow
+    po, so = (mo + (0,))[:2]
+    pn, sn = (mn + (0,))[:2]
+    # integer-digit capacity (p-s) AND fractional capacity (s) must both
+    # be >= in one direction for a typmod to dominate the other
+    if pn - sn >= po - so and sn >= so:
+        return new
+    if po - so >= pn - sn and so >= sn:
+        return old
+    return "numeric"
+
+
+def _merge_widest(old: str, new: str) -> str:
+    """Widest merge for single-value typmods (text family — ADVICE r9:
+    text→varchar must not narrow the contract — and generic same-family
+    changes like timestamp(3)→timestamp(6)): unbounded beats bounded;
+    between two bounds the larger wins (ties take the newer name)."""
+    mo, mn = _typmod(old), _typmod(new)
+    if mn is None:
+        return new  # no typmod: unbounded, widest
+    if mo is None:
+        return old
+    return new if mn[0] >= mo[0] else old
 
 
 def merge_type(table: str, column: str, old: str, new: str) -> str:
     """The evolved type of one column: ``old`` observed earlier in the
     stream, ``new`` later. Returns the surviving contract type or raises
-    ``ValueError`` on an incompatible change."""
+    ``ValueError`` on an incompatible change. Same-family typmod changes
+    never raise — the WIDER typmod survives (bare/unbounded counts as
+    widest), so a narrowing ALTER keeps the old wider contract rather
+    than corrupting or rejecting (the projection layer types numeric as
+    decimal(38,18) and every text type as string, so the typmod is
+    contract documentation, not a cast bound)."""
     if old.strip().lower() == new.strip().lower():
         return new
     fo, fn = _family(old), _family(new)
+    if fo == fn == "text":
+        return _merge_widest(old, new)
     if fn == "text":
-        return new  # anything → text: the values are already text
+        # anything → text family: the wire values are already text;
+        # keep an UNBOUNDED name so the contract never claims a length
+        # bound the pre-ALTER values may not satisfy
+        return new if _typmod(new) is None else "text"
     if fo == fn == "int":
         if _INT_RANK[new.strip().lower()] >= _INT_RANK[old.strip().lower()]:
             return new
     elif fo == fn == "float":
         if _FLOAT_RANK[new.strip().lower()] >= _FLOAT_RANK[old.strip().lower()]:
             return new
-    elif fn == "numeric" and fo in ("int", "float", "numeric"):
-        return new
+    elif fo == fn == "numeric":
+        return _merge_numeric(old, new)
+    elif fn == "numeric" and fo in ("int", "float"):
+        mn = _typmod(new)
+        if mn is None:
+            return new
+        pn, sn = (mn + (0,))[:2]
+        if fo == "int" and pn - sn >= _INT_DIGITS[_INT_RANK[old.strip().lower()]]:
+            return new  # typmod provably holds every old int value
+        return "numeric"  # can't prove containment — unconstrained
     elif fo == fn:
-        return new  # same family, no rank (e.g. varchar(20)→varchar(40))
+        # same exact-match family: only a typmod can differ (the family
+        # key is typmod-stripped) — keep the wider declaration
+        return _merge_widest(old, new)
     raise ValueError(
         f"incompatible type change on {table}.{column}: {old!r} -> {new!r} "
         "(only widenings are supported: smallint->integer->bigint, "
-        "real->double precision, int/float->numeric, anything->text). "
-        "Materialize the table under a new name or fix the contract "
-        "explicitly with columns={...}."
+        "real->double precision, int/float->numeric, anything->text; "
+        "timestamp->timestamptz is NOT merged — the wire representation "
+        "changes meaning). Materialize the table under a new name or fix "
+        "the contract explicitly with columns={...}."
     )
 
 
@@ -127,18 +199,45 @@ def _versions_from_relation_rows(rows) -> list[list[tuple[str, str]]]:
     return versions
 
 
-def _versions_from_signatures(rows) -> list[list[tuple[str, str]]]:
+def _split_types(types_csv: str) -> list[str]:
+    """Split a comma-joined PG type list WITHOUT breaking typmods:
+    ``bigint,numeric(10,2),text`` → 3 tokens. wal2json emits typmod'd
+    names by default (include_typmod=True), so a naive split would
+    shear ``numeric(10,2)`` in two (ADVICE r9)."""
+    out, depth, cur = [], 0, []
+    for ch in types_csv:
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _versions_from_signatures(rows, table: str = "?") -> list[list[tuple[str, str]]]:
     """rows: (first_ord, colnames_csv, coltypes_csv) — one per DISTINCT
-    per-row schema signature, ordered by first appearance. Types may
-    contain commas only for typmods like numeric(10,2) — the decoder
-    emits them comma-free or typmod-stripped in ``coltypes``; a length
-    mismatch drops the signature (defensive, never wrong contract)."""
+    per-row schema signature, ordered by first appearance. The type
+    split is typmod-aware (``numeric(10,2)`` stays one token); a
+    residual name/type arity mismatch raises LOUDLY — silently dropping
+    a signature could omit an evolved column from the contract (ADVICE
+    r9)."""
     versions = []
     for _ord, names_csv, types_csv in sorted(rows, key=lambda r: r[0]):
         names = [n for n in (names_csv or "").split(",") if n]
-        types = (types_csv or "").split(",")
+        types = [t for t in _split_types(types_csv or "") if t]
         if len(names) != len(types):
-            continue
+            raise ValueError(
+                f"malformed schema signature for {table}: {len(names)} "
+                f"column names vs {len(types)} types ({names_csv!r} / "
+                f"{types_csv!r}) — the stream's coltypes metadata is "
+                "corrupt; pass an explicit columns={name: pg_type} "
+                "contract."
+            )
         versions.append(list(zip(names, types)))
     return versions
 
@@ -171,6 +270,11 @@ def stream_column_contract(
             F.coalesce(F.col("lsn_long"), F.lit(0)).alias("l"),
             F.coalesce(seq, F.lit(0)).alias("s"),
         )
+        # pre-reduce to DISTINCT declarations before collect (VERDICT r9
+        # #3): pgoutput re-announces relations per decoder session, so a
+        # long frame-log backfill carries O(sessions × tables) 'R' rows —
+        # the fold only needs each distinct (columns, type_oids) with its
+        # first stream position, a signature-sized hash aggregate
         rel = (
             ev.filter(
                 (F.col("op") == "relation")
@@ -181,6 +285,8 @@ def stream_column_contract(
                 F.col("meta").getItem("columns").alias("cols"),
                 F.col("meta").getItem("type_oids").alias("oids"),
             )
+            .groupBy("cols", "oids")
+            .agg(F.min("o").alias("o"))
             .collect()
         )
         if rel:
@@ -208,12 +314,21 @@ def stream_column_contract(
             .collect()
         )
         if sigs:
-            return merge_column_contract(
+            contract = merge_column_contract(
                 _versions_from_signatures(
-                    [((r["o"]["l"], r["o"]["s"]), r["cols"], r["typs"]) for r in sigs]
+                    [((r["o"]["l"], r["o"]["s"]), r["cols"], r["typs"]) for r in sigs],
+                    table=tbl,
                 ),
                 table=tbl,
             )
+            if not contract:
+                raise ValueError(
+                    f"columns='evolve' derived an EMPTY contract for {tbl} "
+                    "from per-row coltypes signatures — the stream's "
+                    "schema metadata is degenerate; pass an explicit "
+                    "columns={name: pg_type} contract."
+                )
+            return contract
     raise ValueError(
         f"columns='evolve' found no schema information for {tbl}: the "
         "stream carries neither relation messages (pgoutput 'R') nor "

@@ -78,7 +78,13 @@ class MergeOnReadTable:
         # (schema_evolution.stream_column_contract); NULL when the
         # format doesn't carry them (pgoutput uses relation rows below)
         if has_meta:
-            ct = F.split(F.col("meta").getItem("coltypes"), ",")
+            # typmod-aware split (ADVICE r9): wal2json emits typmod'd
+            # names by default (numeric(10,2)) — a naive comma split
+            # would shear them, fail the size guard below, and silently
+            # drop the typing the evolution layer depends on. The
+            # lookahead skips commas that sit inside a parenthesized
+            # typmod (closing ')' reachable without an opening '(').
+            ct = F.split(F.col("meta").getItem("coltypes"), r",(?![^(]*\))")
             types_col = F.when(
                 F.col("after").isNotNull()
                 & F.col("meta").getItem("coltypes").isNotNull()
@@ -290,6 +296,9 @@ class MergeOnReadTable:
             merge_column_contract,
         )
 
+        # DISTINCT declarations with first position before collect
+        # (VERDICT r9 #3): replayed/re-announced relation rows fold to a
+        # signature-sized set JVM-side, not O(sessions × tables) driver rows
         rel = (
             log.filter(F.col("op") == "relation")
             .select(
@@ -298,12 +307,17 @@ class MergeOnReadTable:
                 F.col("after").getItem("columns").alias("cols"),
                 F.col("after").getItem("type_oids").alias("oids"),
             )
+            .groupBy("cols", "oids")
+            .agg(F.min(F.struct("_ord1", "s")).alias("o"))
             .collect()
         )
         if rel:
             return merge_column_contract(
                 _versions_from_relation_rows(
-                    [((r["_ord1"], r["s"] or 0), r["cols"], r["oids"]) for r in rel]
+                    [
+                        ((r["o"]["_ord1"], r["o"]["s"] or 0), r["cols"], r["oids"])
+                        for r in rel
+                    ]
                 ),
                 table=self.table or "?",
             )
@@ -322,7 +336,8 @@ class MergeOnReadTable:
             if sigs:
                 return merge_column_contract(
                     _versions_from_signatures(
-                        [((r["o"], 0), r["cols"], r["typs"]) for r in sigs]
+                        [((r["o"], 0), r["cols"], r["typs"]) for r in sigs],
+                        table=self.table or "?",
                     ),
                     table=self.table or "?",
                 )
@@ -376,9 +391,14 @@ class MergeOnReadTable:
             log.filter(F.col("op") == "relation")
             .drop("batch")
             # maps can't feed set ops — dedupe replayed announcements on
-            # the scalar declaration fields instead
+            # the scalar declaration fields instead; 'schema' stays in
+            # the key so public.users / audit.users never collapse
+            # (ADVICE r9)
             .withColumn("_decl", F.to_json("after"))
-            .dropDuplicates(["table", "_ord1", "_decl"])
+            .dropDuplicates(
+                (["schema"] if "schema" in log.columns else [])
+                + ["table", "_ord1", "_decl"]
+            )
             .drop("_decl")
         )
         snap = snap.unionByName(rels, allowMissingColumns=True)

