@@ -139,6 +139,8 @@ HEADLINE = [
     "q_pipeline_forget",
     "q_corpus_curriculum",
     "q_embed_shortlist_mmr",
+    # round 10: per-table isolation of the evolution fold
+    "q_cdc_apply_multi_evolution",
 ]
 
 

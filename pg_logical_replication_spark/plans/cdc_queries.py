@@ -3109,3 +3109,147 @@ def q_cdc_slot_retention(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "q_cdc_apply_multi_evolution",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events),
+    o AS (SELECT 'orders' AS tbl, CAST(event_id % 5 AS BIGINT) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN event_id < (SELECT c // 2 FROM n)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+                 CAST(SUM(CASE WHEN event_id >= (SELECT c // 2 FROM n)
+                               THEN user_id END) AS BIGINT) AS sum_val
+          FROM events GROUP BY 2),
+    u AS (SELECT 'users' AS tbl, CAST(event_id % 5 AS BIGINT) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN event_id < (SELECT c // 3 FROM n)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+                 CAST(SUM(CASE WHEN event_id >= (SELECT c // 3 FROM n)
+                               THEN 2 * event_id END) AS BIGINT) AS sum_val
+          FROM events GROUP BY 2),
+    i AS (SELECT 'items' AS tbl, CAST(event_id % 5 AS BIGINT) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(0 AS BIGINT) AS n_backfilled,
+                 CAST(SUM(event_id % 7 + 1) AS BIGINT) AS sum_val
+          FROM events GROUP BY 2)
+    SELECT * FROM (SELECT * FROM o UNION ALL SELECT * FROM u
+                   UNION ALL SELECT * FROM i)
+    ORDER BY tbl, g
+    """,
+    "MULTI-TABLE schema evolution under ONE stream, oracle-gated "
+    "(VERDICT r9 #4): three relations interleave in a single pgoutput "
+    "stream — orders gains a column at the halfway point, users gains "
+    "one at the third (independent ALTER positions), items never "
+    "evolves — and three columns='evolve' materializations must each "
+    "fold ONLY their own relation's versions (the OID-keyed relation "
+    "cache semantics, pgoutput-parser.ts:22,107): orders' pre-ALTER "
+    "rows NULL-backfill its column, users' its own, and items' "
+    "contract never widens",
+)
+def q_cdc_apply_multi_evolution(spark, sf_dir):
+    """Per-table isolation of the evolution fold: one decoded stream,
+    three apply_changes(columns='evolve') snapshots, one census union.
+    Scale: ONE decode pass (persisted — it feeds three snapshots), one
+    registry-sized contract fold per table, one key shuffle per table
+    (exactly what apply_changes costs without evolution), three hash
+    aggregates over a 5-group census; the union is 15 rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources import pgoutput_format as pgf
+    from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
+
+    OID_O, OID_U, OID_I = 51301, 51302, 51303
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.count()  # event_id is dense 0..N-1 (TESTDATA.md)
+    half, third = n // 2, n // 3
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs, data = [], []
+            for e, uval in zip(pdf["event_id"], pdf["user_id"]):
+                eid, uid = int(e), int(uval)
+                base = eid * 30 + 10
+                # orders: v2 (adds amount=user_id) from the halfway point
+                seqs.append(base)
+                if eid < half:
+                    data.append(pgf.encode_insert(OID_O, [("t", str(eid))]))
+                else:
+                    data.append(pgf.encode_insert(
+                        OID_O, [("t", str(eid)), ("t", str(uid))]
+                    ))
+                # users: v2 (adds score=2*event_id) from the third
+                seqs.append(base + 1)
+                if eid < third:
+                    data.append(pgf.encode_insert(OID_U, [("t", str(eid))]))
+                else:
+                    data.append(pgf.encode_insert(
+                        OID_U, [("t", str(eid)), ("t", str(2 * eid))]
+                    ))
+                # items: never evolves
+                seqs.append(base + 2)
+                data.append(pgf.encode_insert(
+                    OID_I, [("t", str(eid)), ("t", str(eid % 7 + 1))]
+                ))
+            yield pd.DataFrame(
+                {"lsn": [f"0/{q * 8 + 16:X}" for q in seqs], "seq": seqs,
+                 "data": data}
+            )
+
+    wire = ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        encode, schema="lsn string, seq long, data binary"
+    )
+
+    def rel(seq, oid, name, cols, key):
+        return (f"0/{seq * 8 + 16:X}", seq, bytearray(pgf.encode_relation(
+            oid, "public", name, cols, key_columns=[key]
+        )))
+
+    rels = spark.createDataFrame(
+        [
+            rel(0, OID_O, "orders", [("order_id", 20)], "order_id"),
+            rel(1, OID_U, "users", [("uid", 20)], "uid"),
+            rel(2, OID_I, "items",
+                [("item_id", 20), ("qty", 20)], "item_id"),
+            # independent ALTER positions: orders at n/2, users at n/3
+            rel(half * 30 + 5, OID_O, "orders",
+                [("order_id", 20), ("amount", 20)], "order_id"),
+            rel(third * 30 + 6, OID_U, "users",
+                [("uid", 20), ("score", 20)], "uid"),
+        ],
+        "lsn string, seq long, data binary",
+    )
+    # one decode feeds three materializations — persist it, not the
+    # Python encode lineage (the q_cdc_schema_evolution lesson)
+    src = wire.unionByName(rels).persist()
+    decoded = decode_pgoutput(src).persist()
+
+    def census(table, key, val_col):
+        snap = apply_changes(
+            decoded, key_columns=[key], table=table, columns="evolve"
+        )
+        val = F.col(val_col) if val_col in snap.columns else F.lit(None)
+        return (
+            snap.groupBy((F.col(key) % 5).alias("g"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(val.isNull(), 1).otherwise(0))
+                .cast("long").alias("n_backfilled"),
+                F.sum(val).cast("long").alias("sum_val"),
+            )
+            .select(F.lit(table).alias("tbl"), "g", "n_rows",
+                    "n_backfilled", "sum_val")
+        )
+
+    return (
+        census("orders", "order_id", "amount")
+        .unionByName(census("users", "uid", "score"))
+        .unionByName(census("items", "item_id", "qty"))
+        .orderBy("tbl", "g")
+    )

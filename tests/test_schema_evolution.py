@@ -427,6 +427,98 @@ def test_mor_compact_keeps_schemas_distinct(spark, tmp_path):
     assert got == {("public", "1"), ("audit", "2")}
 
 
+def test_mor_multi_table_evolution_isolation(spark, tmp_path):
+    """VERDICT r9 #4 streaming leg: one stream interleaves two relations
+    that evolve INDEPENDENTLY (different micro-batches) and a third that
+    never evolves; three MOR tables fed from the same foreachBatch must
+    materialize three correct snapshots — per-table contract isolation
+    through the OID-keyed relation cache semantics
+    (pgoutput-parser.ts:22,107)."""
+    from pg_logical_replication_spark.streaming.apply import MergeOnReadTable
+
+    O, U, I = 61010, 61011, 61012
+
+    def r(oid, name, cols, key):
+        return pgf.encode_relation(oid, "public", name, cols,
+                                   key_columns=[key])
+
+    b0 = [
+        (0, r(O, "orders", [("order_id", 20)], "order_id")),
+        (1, r(U, "users", [("uid", 20)], "uid")),
+        (2, r(I, "items", [("item_id", 20), ("qty", 20)], "item_id")),
+        (10, pgf.encode_insert(O, [("t", "1")])),
+        (11, pgf.encode_insert(U, [("t", "1")])),
+        (12, pgf.encode_insert(I, [("t", "1"), ("t", "5")])),
+    ]
+    # each micro-batch re-announces its tables' CURRENT versions (the
+    # walsender re-announces per decoder session — the engine's
+    # streaming contract needs each relation's R within the batch; the
+    # identical re-announcements also exercise the distinct-declaration
+    # pre-reduction, VERDICT r9 #3)
+    b1 = [  # orders evolves; users/items keep v1
+        (20, r(O, "orders", [("order_id", 20), ("amount", 20)], "order_id")),
+        (21, r(U, "users", [("uid", 20)], "uid")),
+        (23, pgf.encode_insert(O, [("t", "2"), ("t", "200")])),
+        (24, pgf.encode_insert(U, [("t", "2")])),
+    ]
+    b2 = [  # users evolves; orders stays v2, items still v1
+        (30, r(U, "users", [("uid", 20), ("score", 20)], "uid")),
+        (31, r(I, "items", [("item_id", 20), ("qty", 20)], "item_id")),
+        (33, pgf.encode_insert(U, [("t", "3"), ("t", "30")])),
+        (34, pgf.encode_insert(I, [("t", "2"), ("t", "7")])),
+    ]
+    d = str(tmp_path / "wire")
+    os.makedirs(d)
+    for i, batch in enumerate([b0, b1, b2]):
+        _wire_df(spark, batch).coalesce(1).write.parquet(f"{d}/f{i}")
+    stream = (
+        spark.readStream.schema("lsn string, seq long, data binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f*")
+    )
+    tbls = {
+        "orders": MergeOnReadTable(spark, str(tmp_path / "orders"),
+                                   key_columns=["order_id"], table="orders"),
+        "users": MergeOnReadTable(spark, str(tmp_path / "users"),
+                                  key_columns=["uid"], table="users"),
+        "items": MergeOnReadTable(spark, str(tmp_path / "items"),
+                                  key_columns=["item_id"], table="items"),
+    }
+
+    def sink(df, bid):
+        df = df.persist()
+        for tb in tbls.values():
+            tb.apply_batch(df, bid)
+        df.unpersist()
+
+    q = (
+        decode_pgoutput(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert tbls["orders"].evolved_columns() == {
+        "order_id": "bigint", "amount": "bigint"
+    }
+    assert tbls["users"].evolved_columns() == {
+        "uid": "bigint", "score": "bigint"
+    }
+    # the untouched table's contract never widens
+    assert tbls["items"].evolved_columns() == {
+        "item_id": "bigint", "qty": "bigint"
+    }
+    assert {r["order_id"]: r["amount"] for r in
+            tbls["orders"].snapshot_evolved().collect()} == {1: None, 2: 200}
+    assert {r["uid"]: r["score"] for r in
+            tbls["users"].snapshot_evolved().collect()} == {
+        1: None, 2: None, 3: 30
+    }
+    assert {r["item_id"]: r["qty"] for r in
+            tbls["items"].snapshot_evolved().collect()} == {1: 5, 2: 7}
+
+
 def test_acknowledge_ping_survives_restart(spark, tmp_path):
     """ADVICE r9: the slot's source is persisted beside the checkpoint —
     a NEW service instance (process restart, no re-subscribe) still
