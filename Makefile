@@ -3,7 +3,7 @@
 
 LIVEPG_LABEL ?= $(shell date -u +%Y%m%dT%H%M%S)
 
-.PHONY: test livepg bench ledger
+.PHONY: test livepg bench ledger parity freeze
 
 # ledger first (VERDICT r8 #3): the freshness tripwire regenerates
 # whenever the suite runs, so a driver artifact landing beside a stale
@@ -21,3 +21,14 @@ bench:
 
 ledger:
 	python scripts/coverage_ledger.py --write
+
+# full-registry sf0.1 oracle parity sweep -> committed artifact
+PARITY_OUT ?= docs/PARITY_sf01_$(shell date -u +%Y%m%dT%H%M%S).txt
+parity:
+	python scripts/parity_sweep.py --out $(PARITY_OUT)
+
+# end-of-round freeze gate (VERDICT r9 #1): the newest PARITY artifact
+# must cover the live registry's full oracle-gated count — a query
+# registered after the sweep fails here instead of shipping unchecked
+freeze: ledger
+	python scripts/freeze_check.py

@@ -176,7 +176,22 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # Sweep window provenance (VERDICT r9 #2): the envelope gate below
+    # brackets only the decode/visibility legs, so a tenancy burst
+    # DURING the query sweep could still print a phantom 2x regression
+    # on unchanged code (r9: q_mm_jpeg_decode 0.97->2.01 in the driver
+    # window, 1.58 quiet). The single-thread calibration kernel runs at
+    # sweep start, every SWEEP_CAL_EVERY queries, and at sweep end;
+    # each query's window scale = max of its two bracketing
+    # checkpoints. Checkpoints ride stdout (small); per-query window
+    # stamps go to the committed local artifact. A cross-record reader
+    # adjudicates a swing by that query's window scale — no second
+    # record needed.
+    cal_every = int(os.environ.get("SPARK_GRAFT_SWEEP_CAL_EVERY", "20"))
+    sweep_checkpoints: list[dict] = [
+        {"after_query_idx": -1, "cpu_scale": _calibration()["cpu_scale"]}
+    ]
+    for qi, name in enumerate(HEADLINE):
         run = lambda: QUERIES[name].builder(spark, sf_dir).write.format(  # noqa: E731
             "noop"
         ).mode("overwrite").save()
@@ -193,6 +208,35 @@ def main() -> None:
         # 3-4 extractions); drop those blocks between queries so caches
         # don't accumulate across the run
         spark.catalog.clearCache()
+        if (qi + 1) % cal_every == 0 and qi + 1 < len(HEADLINE):
+            sweep_checkpoints.append(
+                {"after_query_idx": qi,
+                 "cpu_scale": _calibration()["cpu_scale"]}
+            )
+    sweep_checkpoints.append(
+        {"after_query_idx": len(HEADLINE) - 1,
+         "cpu_scale": _calibration()["cpu_scale"]}
+    )
+    # per-query window: the worse of the two checkpoints bracketing it
+    query_window: dict[str, float] = {}
+    bounds = [c["after_query_idx"] for c in sweep_checkpoints]
+    import bisect as _bisect
+
+    for qi, name in enumerate(HEADLINE):
+        j = _bisect.bisect_left(bounds, qi)
+        query_window[name] = round(
+            max(sweep_checkpoints[j - 1]["cpu_scale"],
+                sweep_checkpoints[j]["cpu_scale"]), 4
+        )
+    scales = [c["cpu_scale"] for c in sweep_checkpoints]
+    sweep_envelope = {
+        "cal_every": cal_every,
+        "checkpoints": sweep_checkpoints,
+        "max_cpu_scale": round(max(scales), 4),
+        "min_cpu_scale": round(min(scales), 4),
+        # True when EVERY query ran inside a verified-quiet window
+        "all_quiet": max(scales) <= _ENVELOPE_QUIET_SCALE,
+    }
 
     decode_tp, latency, calibration, envelope = _envelope_legs(spark, cpus)
     # decode throughput inflated back to quiet-host terms: the signal
@@ -219,6 +263,7 @@ def main() -> None:
         "e2e_visibility_ms": latency,
         "calibration": calibration,
         "envelope": envelope,
+        "sweep_envelope": sweep_envelope,
         # headline total deflated by the host-speed scale: comparable
         # across rounds even when container tenancy shifts (VERDICT r7
         # #2 — decode throughput swung 337k→124k msg/s on one commit)
@@ -241,7 +286,10 @@ def main() -> None:
             f"BENCH_local_{label}.json",
         )
         with open(out, "w") as f:
-            json.dump({**result, "spread": spread}, f, indent=1, sort_keys=True)
+            json.dump(
+                {**result, "spread": spread, "query_window": query_window},
+                f, indent=1, sort_keys=True,
+            )
         print(f"# full record written to {out}", file=sys.stderr)
     except Exception as e:  # the stdout contract must never break
         print(f"# local artifact write failed: {e}", file=sys.stderr)
