@@ -139,8 +139,10 @@ HEADLINE = [
     "q_pipeline_forget",
     "q_corpus_curriculum",
     "q_embed_shortlist_mmr",
-    # round 10: per-table isolation of the evolution fold
+    # round 10: per-table isolation of the evolution fold; evolution
+    # from wal2json's typmod'd per-row signatures
     "q_cdc_apply_multi_evolution",
+    "q_cdc_evolve_wal2json",
 ]
 
 

@@ -3253,3 +3253,113 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
         .unionByName(census("items", "item_id", "qty"))
         .orderBy("tbl", "g")
     )
+
+
+@register(
+    "q_cdc_evolve_wal2json",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events)
+    SELECT CAST(event_id % 10 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id < (SELECT c // 3 FROM n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+           CAST(SUM(CASE WHEN event_id >= (SELECT c // 3 FROM n)
+                         THEN CAST(user_id AS DECIMAL(38,18)) + 0.25 END)
+                AS DECIMAL(38,18)) AS sum_bal,
+           CAST(SUM(CASE WHEN event_id >= (SELECT c // 3 FROM n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "schema evolution through wal2json's PER-ROW typmod'd coltypes, "
+    "oracle-gated (ADVICE r9 medium): wal2json carries no relation "
+    "messages — the contract folds from DISTINCT per-row column "
+    "signatures whose type names keep their typmods by default "
+    "(numeric(10,2), character varying(20)); the embedded commas must "
+    "survive the signature split, two added columns NULL-backfill the "
+    "first era, and the second ALTER widens both typmods "
+    "(numeric(10,2)->numeric(12,2), varchar(20)->varchar(40)) so the "
+    "fold keeps the wider declarations; sums over the evolved decimal "
+    "column must be exact",
+)
+def q_cdc_evolve_wal2json(spark, sf_dir):
+    """The wal2json leg of the evolution story, end-to-end and fully
+    JVM-declarative: events serialize to wal2json v1 changesets in-query
+    (to_json — zero UDF), decode_wal2json keeps typmod'd coltypes
+    (include_typmod default), apply_changes columns='evolve' folds the
+    three per-row signatures, and the census gates the widened snapshot.
+    Scale: the signature fold is one DISTINCT (names, types) hash
+    aggregate over the stream (tiny output); the snapshot is
+    latest_image's one key shuffle; the census one hash aggregate."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.count()  # event_id is dense 0..N-1 (TESTDATA.md)
+    third = n // 3
+    lsn = lsn_str_expr(F.col("event_id") * 8 + 16)
+    era = (
+        F.when(F.col("event_id") < third, 1)
+        .when(F.col("event_id") < 2 * third, 2)
+        .otherwise(3)
+    )
+    bal = F.concat(F.col("user_id").cast("string"), F.lit(".25"))
+    tag2 = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    tag3 = F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+    change = F.when(
+        era == 1,
+        F.struct(
+            F.lit("insert").alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("events").alias("table"),
+            F.array(F.lit("event_id")).alias("columnnames"),
+            F.array(F.lit("bigint")).alias("columntypes"),
+            F.array(F.col("event_id").cast("string")).alias("columnvalues"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit("insert").alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("events").alias("table"),
+            F.array(
+                F.lit("event_id"), F.lit("balance"), F.lit("tag")
+            ).alias("columnnames"),
+            F.when(
+                era == 2,
+                F.array(F.lit("bigint"), F.lit("numeric(10,2)"),
+                        F.lit("character varying(20)")),
+            ).otherwise(
+                F.array(F.lit("bigint"), F.lit("numeric(12,2)"),
+                        F.lit("character varying(40)")),
+            ).alias("columntypes"),
+            F.array(
+                F.col("event_id").cast("string"),
+                bal,
+                F.when(era == 2, tag2).otherwise(tag3),
+            ).alias("columnvalues"),
+        ),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(F.array(change).alias("change"), lsn.alias("nextlsn"))
+        ).alias("value")
+    )
+    decoded = decode_wal2json(
+        raw.repartition(spark.sparkContext.defaultParallelism)
+    ).persist()
+    snap = apply_changes(
+        decoded, key_columns=["event_id"], table="events", columns="evolve"
+    )
+    return (
+        snap.groupBy((F.col("event_id") % 10).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("balance").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_backfilled"),
+            F.sum("balance").cast("decimal(38,18)").alias("sum_bal"),
+            F.sum(F.when(F.col("tag").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_tagged"),
+        )
+        .orderBy("g")
+    )
