@@ -290,12 +290,20 @@ def stream_column_contract(
             .collect()
         )
         if rel:
-            return merge_column_contract(
+            contract = merge_column_contract(
                 _versions_from_relation_rows(
                     [((r["o"]["l"], r["o"]["s"]), r["cols"], r["oids"]) for r in rel]
                 ),
                 table=tbl,
             )
+            if not contract:
+                raise ValueError(
+                    f"columns='evolve' derived an EMPTY contract for {tbl} "
+                    "from relation messages — the stream's schema metadata "
+                    "is degenerate; pass an explicit columns={name: "
+                    "pg_type} contract."
+                )
+            return contract
         # DML signature fallback: DISTINCT (names, types) pairs with
         # their first stream position — one small hash aggregate
         sigs = (
