@@ -21,9 +21,18 @@ schema-change topic; Delta/Iceberg call it schema evolution /
 * **type changes** — widenings within a family are accepted and the
   contract takes the newest type (smallint→integer→bigint,
   real→double precision, int/float→numeric, anything→text — PG's own
-  implicit-cast directions over text-format values); anything else
-  (narrowing, cross-family) is a LOUD ``ValueError`` naming the table,
-  column and both types — silently coercing would corrupt the replica.
+  implicit-cast directions over text-format values); same-family
+  TYPMOD changes never raise — the WIDEST declaration survives
+  (varchar(20)→varchar(40) takes 40, text→varchar keeps text,
+  numeric(10,2)→numeric(5,1) keeps (10,2), mixed numeric changes fall
+  back to bare ``numeric``, timestamp(3)→timestamp(6) keeps (6));
+  anything else (rank narrowing, cross-family — including
+  timestamp↔timestamptz, whose wire representation changes meaning)
+  is a LOUD ``ValueError`` naming the table, column and both types —
+  silently coercing would corrupt the replica. The typmod survives as
+  contract DOCUMENTATION: the projection layer types every numeric as
+  decimal(38,18) and every text type as string, so keep-widest is
+  always representable.
 
 Contract sources, in priority order:
 
