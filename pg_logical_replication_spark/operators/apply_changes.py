@@ -437,6 +437,136 @@ def snapshot_diff(
     )
 
 
+def net_changes(
+    events: DataFrame,
+    key_columns: list[str],
+    table: str | None = None,
+    order: Column | None = None,
+    keep_cancelled: bool = True,
+) -> DataFrame:
+    """Squash a change batch to its per-key NET effect.
+
+    The standard pre-apply compaction for warehouse sinks (Debezium's
+    event-flattening + Kafka changelog compaction semantics): within the
+    batch, a key's first and last DML decide one net operation —
+
+    * first ``insert`` … last ``delete``  → ``none`` (the key appeared
+      and vanished inside the batch; the sink never needs to see it);
+    * first ``insert`` … anything else    → net ``insert`` of the last
+      image (intermediate updates fold away);
+    * last ``delete`` on a pre-existing key → net ``delete``;
+    * otherwise                            → net ``update`` of the last
+      image.
+
+    The reference emits every event in order
+    (``logical-replication-service.ts:151-163``); squashing an
+    acknowledged batch to net effects before an expensive downstream
+    apply is the consumer-side idiom this operator packages.
+
+    Output: ``schema``/``table`` (when present), ``net_op``, the key
+    image (``key`` of the last event), the last ``after`` image,
+    ``n_changes``, ``first_lsn_long``/``last_lsn_long``.
+    ``keep_cancelled=False`` drops the ``none`` rows.
+
+    Scale: ONE hash aggregation on the key — ``min_by``/``max_by`` with
+    map-side partial aggregation, no window sort; key-change updates are
+    split into tombstone + upsert first (same rule as ``latest_image``).
+    Truncates are interspersed-batch control flow, not per-key DML —
+    route batches containing them through ``apply_changes``; this
+    operator raises loudly rather than emit a wrong net effect.
+    """
+    ev = events
+    if table is not None:
+        ev = ev.filter(F.col("table") == table)
+    dml = ev.filter(F.col("op").isin("insert", "update", "delete"))
+    n_other = ev.filter(F.col("op") == "truncate").limit(1).count()
+    if n_other:
+        raise ValueError(
+            "net_changes: batch contains truncate events — a truncate is "
+            "a table-level barrier, not a per-key change; apply it with "
+            "apply_changes/latest_image instead"
+        )
+    dml = dml.withColumn(
+        "_ord", order if order is not None else _order_col(dml)
+    )
+
+    # key-change updates split exactly as latest_image splits them: the
+    # old identity nets a delete, the new identity an upsert
+    old_identity = F.array(*[F.col("key").getItem(k) for k in key_columns])
+    new_identity = F.array(*[F.col("after").getItem(k) for k in key_columns])
+    key_changed = (
+        (F.col("op") == "update")
+        & F.col("key").isNotNull()
+        & ~old_identity.eqNullSafe(new_identity)
+    )
+    tombstones = (
+        dml.filter(key_changed)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("after", F.lit(None).cast("map<string,string>"))
+    )
+    # the upsert half of a key-change split CREATES the new identity
+    # (PK uniqueness: the new key cannot have pre-existed), so for net
+    # purposes it is an insert; its key image refers to the OLD
+    # identity and is dropped. Flag first — both rewrites must see the
+    # ORIGINAL op/key columns, not each other's output.
+    dml = dml.withColumn("_kc", key_changed)
+    dml = dml.select(
+        *[c for c in dml.columns if c not in ("op", "key", "_kc")],
+        F.when(F.col("_kc"), F.lit("insert")).otherwise(F.col("op")).alias("op"),
+        F.when(
+            F.col("_kc"), F.lit(None).cast("map<string,string>")
+        ).otherwise(F.col("key")).alias("key"),
+    )
+    dml = dml.unionByName(tombstones)
+
+    identity = F.when(
+        F.col("op").isin("insert", "update") & F.col("after").isNotNull(),
+        F.array(*[F.col("after").getItem(k) for k in key_columns]),
+    ).otherwise(F.array(*[F.col("key").getItem(k) for k in key_columns]))
+    dml = dml.withColumn("_identity", identity)
+
+    has_schema = "schema" in dml.columns
+    part = (["schema"] if has_schema else []) + ["table", "_identity"]
+    last_payload = F.struct(
+        F.col("op").alias("op"),
+        F.col("after").alias("after"),
+        F.col("key").alias("key"),
+        F.col("lsn_long").alias("lsn_long"),
+    )
+    agg = dml.groupBy(*part).agg(
+        F.min_by("op", "_ord").alias("_first_op"),
+        F.max_by(last_payload, "_ord").alias("_last"),
+        F.min("lsn_long").alias("first_lsn_long"),
+        F.count("*").alias("n_changes"),
+    )
+    net_op = (
+        F.when(
+            (F.col("_first_op") == "insert")
+            & (F.col("_last.op") == "delete"),
+            F.lit("none"),
+        )
+        .when(F.col("_first_op") == "insert", F.lit("insert"))
+        .when(F.col("_last.op") == "delete", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    out = agg.select(
+        *(["schema"] if has_schema else []),
+        "table",
+        net_op.alias("net_op"),
+        F.col("_last.key").alias("key"),
+        F.when(F.col("_last.op") != "delete", F.col("_last.after")).alias(
+            "after"
+        ),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.col("first_lsn_long").alias("first_lsn_long"),
+        F.col("_last.lsn_long").alias("last_lsn_long"),
+        F.col("_identity").alias("_identity"),
+    )
+    if not keep_cancelled:
+        out = out.filter(F.col("net_op") != "none")
+    return out
+
+
 def bootstrap_events(
     snapshot: DataFrame,
     key_columns: list[str],

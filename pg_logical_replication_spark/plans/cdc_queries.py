@@ -3369,3 +3369,141 @@ def q_cdc_evolve_wal2json(spark, sf_dir):
         )
         .orderBy("g")
     )
+
+
+@register(
+    "q_cdc_net_changes",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, {_OP_CASE} AS op, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ch
+      FROM events),
+    f AS (SELECT user_id, op AS first_op FROM ranked WHERE rn_a = 1),
+    l AS (SELECT user_id, op AS last_op, event_id AS last_eid, n_ch
+          FROM ranked WHERE rn_d = 1),
+    net AS (
+      SELECT f.user_id,
+             CASE WHEN f.first_op = 'insert' AND l.last_op = 'delete'
+                    THEN 'none'
+                  WHEN f.first_op = 'insert' THEN 'insert'
+                  WHEN l.last_op = 'delete' THEN 'delete'
+                  ELSE 'update' END AS net_op,
+             l.last_eid, l.n_ch
+      FROM f JOIN l ON f.user_id = l.user_id)
+    SELECT net_op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(last_eid) AS BIGINT) AS sum_last_lsn,
+           CAST(SUM(n_ch) AS BIGINT) AS n_changes
+    FROM net GROUP BY 1 ORDER BY 1
+    """,
+    "per-key NET-effect compaction of a change batch (Debezium event-"
+    "flattening + changelog-compaction semantics): first insert + last "
+    "delete cancel to 'none', first insert folds to one net insert of "
+    "the last image, a delete on a pre-existing key nets 'delete', "
+    "everything else nets 'update' — the squash a warehouse sink "
+    "applies before an expensive MERGE; gated per net_op on key count, "
+    "last-position mass, and folded change count",
+)
+def q_cdc_net_changes(spark, sf_dir):
+    """operators/apply_changes.net_changes end-to-end: events lift to
+    ChangeEvent rows JVM-side (no wire encode — the squash is the thing
+    under test), one min_by/max_by hash aggregation per key, census by
+    net_op. Scale: the squash is ONE key shuffle with map-side partial
+    aggregation (no window sort); the census a 4-row hash aggregate."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        net_changes,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    changes = ev.select(
+        F.expr(_OP_CASE).alias("op"),
+        F.col("event_id").alias("lsn_long"),
+        F.lit("events").alias("table"),
+        F.create_map(
+            F.lit("user_id"), F.col("user_id").cast("string")
+        ).alias("key"),
+        F.when(
+            F.expr(_OP_CASE) != "delete",
+            F.create_map(
+                F.lit("user_id"), F.col("user_id").cast("string"),
+                F.lit("event_id"), F.col("event_id").cast("string"),
+            ),
+        ).alias("after"),
+    )
+    net = net_changes(changes, key_columns=["user_id"])
+    return (
+        net.groupBy("net_op")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("last_lsn_long").cast("long").alias("sum_last_lsn"),
+            F.sum("n_changes").cast("long").alias("n_changes"),
+        )
+        .orderBy("net_op")
+    )
+
+
+@register(
+    "q_cdc_bitemporal_snapshot",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events),
+    b AS (
+      SELECT user_id, event_type, value, event_id,
+             ts - (event_id % 7) * INTERVAL 1 DAY AS valid_ts
+      FROM events
+      WHERE event_id < 3 * (SELECT c FROM n) // 5)
+    SELECT user_id, event_type AS last_op, value AS last_value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY valid_ts DESC, event_id DESC) AS rn
+      FROM b WHERE valid_ts <= TIMESTAMP '2024-01-16 00:00:00')
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "BITEMPORAL as-of: two independent time axes — transaction time "
+    "(wire position: only changes replicated by T exist) and valid time "
+    "(each change backdates its business-effective timestamp by a "
+    "per-row lag, the late-arriving-correction pattern) — snapshot at "
+    "(valid V, transaction T): among versions known by T and valid by "
+    "V, the newest VALID one wins per key, tombstones drop; extends "
+    "q_cdc_asof_snapshot's single transaction-time axis",
+)
+def q_cdc_bitemporal_snapshot(spark, sf_dir):
+    """Bitemporal table-as-of over the CDC stream: the transaction-time
+    cut is the pushed-down wire-position filter (identical to as-of),
+    valid time is a derived business timestamp ordered per key. Scale:
+    the transaction cut AND a coarse valid bound (valid_ts <= V implies
+    ts <= V + max-lag, a plain column predicate) both reach the parquet
+    scan, so a 100 TB history prices by partition pruning; what remains
+    is the one per-key window apply_changes already pays."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    n = ev.count()
+    tcut = 3 * n // 5
+    v = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    b = (
+        ev.filter(F.col("event_id") < tcut)
+        # redundant coarse bound in the PUSHABLE column: lag is 0-6
+        # days, so valid_ts <= V implies ts <= V + 7d — this one hits
+        # the reader while the exact predicate below runs post-derive
+        .filter(F.col("ts") <= F.lit("2024-01-23 00:00:00").cast("timestamp"))
+        .withColumn(
+            "valid_ts",
+            F.col("ts")
+            - F.expr("make_dt_interval(CAST(event_id % 7 AS INT), 0, 0, 0)"),
+        )
+        .filter(F.col("valid_ts") <= v)
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("valid_ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )

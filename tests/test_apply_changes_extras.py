@@ -246,3 +246,86 @@ def test_compact_keeps_tombstones_against_replay(spark, tmp_path):
     tbl.compact(drop_tombstones=True)
     snap2 = tbl.snapshot()
     assert snap2 is None or snap2.count() == 0
+
+
+# ------------------------------------------------------- net_changes
+
+
+def test_net_changes_squashes_per_key(spark):
+    from pg_logical_replication_spark.operators.apply_changes import (
+        net_changes,
+    )
+
+    rows = [
+        # key 1: insert -> update -> update => net insert of last image
+        ("insert", 10, "t", None, None, {"id": "1", "v": "a"}),
+        ("update", 20, "t", None, None, {"id": "1", "v": "b"}),
+        ("update", 30, "t", None, None, {"id": "1", "v": "c"}),
+        # key 2: insert -> delete => cancels to none
+        ("insert", 40, "t", None, None, {"id": "2", "v": "x"}),
+        ("delete", 50, "t", {"id": "2"}, None, None),
+        # key 3: update on pre-existing -> delete => net delete
+        ("update", 60, "t", None, None, {"id": "3", "v": "y"}),
+        ("delete", 70, "t", {"id": "3"}, None, None),
+        # key 4: update -> update on pre-existing => net update
+        ("update", 80, "t", None, None, {"id": "4", "v": "p"}),
+        ("update", 90, "t", None, None, {"id": "4", "v": "q"}),
+        # key 5: bare delete on pre-existing => net delete
+        ("delete", 95, "t", {"id": "5"}, None, None),
+    ]
+    net = net_changes(_changes(spark, rows), key_columns=["id"])
+    got = {
+        tuple(r["_identity"]): (
+            r["net_op"],
+            (r["after"] or {}).get("v"),
+            r["n_changes"],
+            r["first_lsn_long"],
+            r["last_lsn_long"],
+        )
+        for r in net.collect()
+    }
+    assert got == {
+        ("1",): ("insert", "c", 3, 10, 30),
+        ("2",): ("none", None, 2, 40, 50),
+        ("3",): ("delete", None, 2, 60, 70),
+        ("4",): ("update", "q", 2, 80, 90),
+        ("5",): ("delete", None, 1, 95, 95),
+    }
+    kept = net_changes(
+        _changes(spark, rows), key_columns=["id"], keep_cancelled=False
+    )
+    assert kept.filter(F.col("net_op") == "none").count() == 0
+    assert kept.count() == 4
+
+
+def test_net_changes_splits_key_change_update(spark):
+    from pg_logical_replication_spark.operators.apply_changes import (
+        net_changes,
+    )
+
+    rows = [
+        ("insert", 10, "t", None, None, {"id": "1", "v": "a"}),
+        # key migrates 1 -> 9: old identity nets none (insert..delete
+        # inside the batch), new identity nets an insert
+        ("update", 20, "t", {"id": "1"}, None, {"id": "9", "v": "a"}),
+    ]
+    net = net_changes(_changes(spark, rows), key_columns=["id"])
+    got = {
+        tuple(r["_identity"]): r["net_op"] for r in net.collect()
+    }
+    assert got == {("1",): "none", ("9",): "insert"}
+
+
+def test_net_changes_refuses_truncate(spark):
+    import pytest
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        net_changes,
+    )
+
+    rows = [
+        ("insert", 10, "t", None, None, {"id": "1", "v": "a"}),
+        ("truncate", 20, "t", None, None, None),
+    ]
+    with pytest.raises(ValueError, match="truncate"):
+        net_changes(_changes(spark, rows), key_columns=["id"])
