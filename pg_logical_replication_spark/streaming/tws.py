@@ -1134,3 +1134,110 @@ def schema_change_monitor_tws(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+# --------------------------------------------- net-change monitor (tws)
+def _net_monitor_class():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class NetChangeMonitor(StatefulProcessor):
+        """Per key: fold (first-op-by-position, last-op-by-position,
+        change count) across micro-batches — the arg-min/arg-max fold is
+        ORDER-INDEPENDENT, exactly the batch operator's min_by/max_by —
+        and emit the key's CURRENT net record whenever a batch touches
+        it. The last emission per key equals
+        ``operators/apply_changes.net_changes`` on the drained stream."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "net",
+                "first_op string, first_lsn long, "
+                "last_op string, last_lsn long, n long",
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            (k,) = key
+            st = (
+                self._st.get()
+                if self._st.exists()
+                else (None, None, None, None, 0)
+            )
+            first_op, first_lsn, last_op, last_lsn, n = st
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            for op, lsn in zip(pdf["op"], pdf["lsn_long"]):
+                op, lsn = str(op), int(lsn)
+                if first_lsn is None or lsn < first_lsn:
+                    first_op, first_lsn = op, lsn
+                if last_lsn is None or lsn > last_lsn:
+                    last_op, last_lsn = op, lsn
+                n += 1
+            self._st.update(
+                (first_op, int(first_lsn), last_op, int(last_lsn), int(n))
+            )
+            if first_op == "insert" and last_op == "delete":
+                net = "none"
+            elif first_op == "insert":
+                net = "insert"
+            elif last_op == "delete":
+                net = "delete"
+            else:
+                net = "update"
+            yield pd.DataFrame(
+                {
+                    "k": [k],
+                    "net_op": [net],
+                    "n_changes": [int(n)],
+                    "first_lsn_long": [int(first_lsn)],
+                    "last_lsn_long": [int(last_lsn)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return NetChangeMonitor
+
+
+def net_changes_tws(
+    stream: DataFrame,
+    key_col: str = "k",
+    op_col: str = "op",
+    ord_col: str = "lsn_long",
+) -> DataFrame:
+    """Streaming twin of ``operators/apply_changes.net_changes`` — the
+    live net-effect ledger: as the change stream drains, each touched
+    key re-emits its current net operation (first insert … last delete
+    cancel to ``none``, first insert folds to net ``insert`` of the
+    newest position, trailing delete nets ``delete``, else ``update``).
+    A sink that applies only each key's LAST emission applies the same
+    net effect the batch squash would.
+
+    State per key is five scalars — O(live keys), independent of stream
+    length; the per-key fold is arg-min/arg-max by stream position, so
+    batch boundaries and intra-batch arrival order cannot change the
+    result. Key-change updates must be split upstream (the batch
+    operator's tombstone + insert split is a stateless projection);
+    input should be pre-filtered to DML rows."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(op_col).alias("op"),
+        F.col(ord_col).cast("long").alias("lsn_long"),
+    )
+    return keyed.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=_net_monitor_class()(),
+        outputStructType=(
+            "k string, net_op string, n_changes long, "
+            "first_lsn_long long, last_lsn_long long"
+        ),
+        outputMode="append",
+        timeMode="None",
+    )

@@ -982,3 +982,74 @@ def test_schema_change_monitor_tws_agrees_with_batch_log(rocksdb, tmp_path):
     assert v3_row.widened == "v:integer->bigint"
     v4_row = next(r for _b, r in emissions if r.version == 4)
     assert v4_row.dropped == "v" and v4_row.n_columns == 1
+
+
+def test_net_changes_tws_agrees_with_batch_squash(rocksdb, tmp_path):
+    """TENTH tws twin: per-key net-effect records across micro-batches.
+    The last emission per key must equal the batch net_changes squash
+    over the drained stream — including a cross-batch insert..delete
+    cancellation — and the fold must be batch-boundary-independent."""
+    import os
+
+    from pg_logical_replication_spark.operators.apply_changes import (
+        net_changes,
+    )
+    from pg_logical_replication_spark.streaming.tws import net_changes_tws
+
+    spark = rocksdb
+    # (key, op, lsn) — key 1 nets insert, key 2 cancels ACROSS batches,
+    # key 3 nets delete, key 4 nets update, key 5 single insert
+    b0 = [(1, "insert", 10), (2, "insert", 20), (3, "update", 30)]
+    b1 = [(1, "update", 40), (4, "update", 50), (3, "delete", 60)]
+    b2 = [(2, "delete", 70), (4, "update", 80), (5, "insert", 90)]
+    schema = "user_id long, op string, lsn_long long"
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for i, batch in enumerate([b0, b1, b2]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            f"{d}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f*")
+    )
+    emissions = []
+    q = (
+        net_changes_tws(stream, key_col="user_id")
+        .writeStream.foreachBatch(
+            lambda df, bid: emissions.extend((bid, r) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    last = {}
+    for bid, r in sorted(emissions, key=lambda e: e[0]):
+        last[r.k] = (r.net_op, r.n_changes, r.first_lsn_long, r.last_lsn_long)
+
+    # batch squash over the identical drained stream
+    rows = [
+        ("public", "t", op, lsn, {"user_id": str(k)},
+         None if op == "delete" else {"user_id": str(k)})
+        for batch in (b0, b1, b2) for (k, op, lsn) in batch
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "schema string, `table` string, op string, lsn_long long, "
+        "key map<string,string>, after map<string,string>",
+    )
+    want = {
+        r["_identity"][0]: (
+            r.net_op, r.n_changes, r.first_lsn_long, r.last_lsn_long
+        )
+        for r in net_changes(ch, key_columns=["user_id"]).collect()
+    }
+    assert last == want
+    # the cross-batch cancellation specifically: key 2 net 'none'
+    assert last["2"][0] == "none"
+    # and every key re-emitted monotone refinements, never regressions
+    assert {r.k for _b, r in emissions} == set("12345")
