@@ -143,6 +143,9 @@ HEADLINE = [
     # from wal2json's typmod'd per-row signatures
     "q_cdc_apply_multi_evolution",
     "q_cdc_evolve_wal2json",
+    # round 10 (cont.): per-key net-effect batch squash (one
+    # min_by/max_by key aggregation, the pre-MERGE compaction)
+    "q_cdc_net_changes",
 ]
 
 

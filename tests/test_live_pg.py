@@ -1245,3 +1245,59 @@ def test_live_schema_evolution_through_apply(spark, live, tmp_path):
         }
     finally:
         s.close()
+
+
+def test_live_net_changes_squash(spark, live, tmp_path):
+    """Net-effect batch compaction against REAL server bytes: keys
+    inserted before the slot exists net 'update'/'delete' (their first
+    captured op is not an insert), a key inserted then deleted inside
+    the captured window cancels to 'none', and an insert..update chain
+    nets one insert of the last image — the squash a warehouse sink
+    applies before MERGE, pinned on genuine pgoutput ordering."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        net_changes,
+    )
+    from pg_logical_replication_spark.sources.registry import decode
+
+    t = live.admin
+    _reset_table(live)
+    # pre-existing keys: changes BEFORE the slot are never captured
+    _exec_sql(t, f"INSERT INTO {live.table} VALUES (3,'pre3'),(4,'pre4')")
+    s = _connect()
+    slot = live.slot(f"{live.table}_net")
+    try:
+        s.create_replication_slot(slot, plugin="pgoutput")
+        _exec_sql(t, f"INSERT INTO {live.table} VALUES (1,'a')")
+        _exec_sql(t, f"UPDATE {live.table} SET v = 'b' WHERE id = 1")
+        _exec_sql(t, f"INSERT INTO {live.table} VALUES (2,'x')")
+        _exec_sql(t, f"DELETE FROM {live.table} WHERE id = 2")
+        _exec_sql(t, f"UPDATE {live.table} SET v = 'post3' WHERE id = 3")
+        _exec_sql(t, f"DELETE FROM {live.table} WHERE id = 4")
+        s.start_replication(
+            slot, "0/0", plugin="pgoutput",
+            options={
+                "proto_version": "1",
+                "publication_names": live.pub,
+            },
+        )
+        log = str(tmp_path / "net")
+        # 6 autocommit txns: B/R/I/C + 5x B/op/C (R cached per session)
+        assert _relay_until(s, log, want_frames=19, timeout=30) >= 19
+        ev = decode(_frames_df(spark, log), "pgoutput")
+        net = net_changes(ev, key_columns=["id"], table=live.table)
+        got = {
+            r["_identity"][0]: (
+                r["net_op"],
+                (r["after"] or {}).get("v"),
+                r["n_changes"],
+            )
+            for r in net.collect()
+        }
+        assert got == {
+            "1": ("insert", "b", 2),     # insert..update folds to one insert
+            "2": ("none", None, 2),      # appeared and vanished in-batch
+            "3": ("update", "post3", 1),  # pre-existing: first op is update
+            "4": ("delete", None, 1),    # pre-existing: nets a delete
+        }
+    finally:
+        s.close()
