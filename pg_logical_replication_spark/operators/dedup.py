@@ -260,6 +260,7 @@ def connected_components_star(
     b_col: str = "b_id",
     max_rounds: int = 32,
     stats: dict | None = None,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -280,8 +281,27 @@ def connected_components_star(
     ``stats``, if given, receives ``rounds`` (contraction rounds
     executed to convergence) and ``edges_per_round`` — observability
     for the O(log n)-round claim (SCALE.md records measured counts).
+
+    ``local_max_edges`` (optimization r10, guide §2.4 "remove shuffles
+    outright"): when the DISTINCT edge count is at or below this bound,
+    the component labels are computed with a driver-side union-find
+    over the collected (long, long) edges instead of the iterative
+    contraction — the labels are identical (label = component minimum,
+    pure integer semantics; agreement-tested), but ~rounds × 4 shuffle
+    jobs collapse into one bounded collect. The edge count is already
+    computed in both paths, so the probe is free. Spark itself makes
+    the same size-adaptive call when it broadcasts a small join side;
+    a million 16-byte edges is a few tens of MB on the driver. At
+    corpus scale the candidate-pair set exceeds the bound and the
+    published contraction runs unchanged. Default from
+    ``$PLRS_CC_LOCAL_MAX_EDGES`` (1,000,000); 0 disables the fast path.
     """
+    import os
+
     from pyspark.sql import functions as F
+
+    if local_max_edges is None:
+        local_max_edges = int(os.environ.get("PLRS_CC_LOCAL_MAX_EDGES", "1000000"))
 
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -289,6 +309,42 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    n_edges_initial = edges.count()
+    if n_edges_initial <= local_max_edges:
+        edge_rows = [(r[0], r[1]) for r in edges.collect()]
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in edge_rows:
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["edges_per_round"] = [n_edges_initial]
+            stats["local"] = True
+        return pairs.sparkSession.createDataFrame(
+            [(node, comp_min[find(node)]) for node in parent],
+            "doc_id long, label long",
+        )
+
     nodes = (
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
@@ -328,7 +384,7 @@ def connected_components_star(
         ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
         return rewired.filter(F.col("u") != F.col("v")).distinct()
 
-    n_edges = edges.count()
+    n_edges = n_edges_initial
     rounds = 0
     edges_per_round: list[int] = [n_edges]
     for _ in range(max_rounds):
@@ -357,6 +413,7 @@ def connected_components_star(
     if stats is not None:
         stats["rounds"] = rounds
         stats["edges_per_round"] = edges_per_round
+        stats["local"] = False
     # converged star graph: every non-root points directly at its
     # component minimum; roots map to themselves
     labels = edges.groupBy("u").agg(F.min("v").alias("label")).select(

@@ -107,6 +107,32 @@ def test_star_cc_agrees_with_label_propagation(spark):
     assert star == conv
 
 
+def test_star_cc_local_fastpath_agrees_with_distributed(spark):
+    """The bounded driver-side union-find fast path (optimization r10)
+    must produce byte-identical (doc_id, label) sets to the distributed
+    contraction — same component minima, across random graphs with
+    chains, singleton-free edges, and multiple components."""
+    import random
+
+    from pg_logical_replication_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(70)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pairs += [(100 + i, 101 + i) for i in range(10)]  # a chain component
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    stats_local, stats_dist = {}, {}
+    local = {(r["doc_id"], r["label"]) for r in connected_components_star(
+        df, stats=stats_local).collect()}
+    dist = {(r["doc_id"], r["label"]) for r in connected_components_star(
+        df, stats=stats_dist, local_max_edges=0).collect()}
+    assert stats_local["local"] is True
+    assert stats_dist["local"] is False and stats_dist["rounds"] >= 1
+    assert local == dist
+
+
 def test_star_cc_long_chain(spark):
     from pg_logical_replication_spark.operators.dedup import (
         connected_components_star,
@@ -115,9 +141,12 @@ def test_star_cc_long_chain(spark):
     chain = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(chain, "a_id long, b_id long")
     # log2(65) ≈ 6.02 — a cap of 12 is generous for the log bound and
-    # impossibly small for per-hop propagation (which needs 64)
+    # impossibly small for per-hop propagation (which needs 64);
+    # local_max_edges=0 pins the DISTRIBUTED contraction (the round
+    # bound is what this test is about, not the fast path)
     out = {r["doc_id"]: r["label"]
-           for r in connected_components_star(df, max_rounds=12).collect()}
+           for r in connected_components_star(
+               df, max_rounds=12, local_max_edges=0).collect()}
     assert set(out.values()) == {0} and len(out) == 65
 
 
