@@ -1161,6 +1161,8 @@ def mmr_select(
     probe ``cosine_near_dup_pairs`` uses (O(max), never a full count)
     refuses with a pointer at the ANN-shortlist-then-MMR composition.
     """
+    import os
+
     probe = corpus.select(id_col).limit(max_candidates + 1).count()
     if probe > max_candidates:
         raise ValueError(
@@ -1171,6 +1173,25 @@ def mmr_select(
             "candidates; or raise max_candidates deliberately if the "
             "projection genuinely fits your cluster's storage."
         )
+    # Bounded driver-side greedy (optimization r10, guide §2.4/§5): a
+    # shortlist at or below PLRS_MMR_LOCAL_MAX_CANDIDATES (default
+    # 4096) is collected once and the k greedy steps run on the driver
+    # — 3 narrow jobs total instead of a checkpointed corpus pass plus
+    # one shuffle + TakeOrdered job PER STEP. Float semantics reproduce
+    # the distributed plan exactly: dots/norms are sequential left
+    # folds over float32→float64 upcasts (the zip_with/aggregate order)
+    # and rounding is shortest-repr decimal HALF_UP (what Spark's
+    # round() does via BigDecimal.valueOf). Any None/NaN/Inf or
+    # dimension mismatch falls through to the distributed path, which
+    # is unchanged and remains the scale path. Agreement-tested
+    # row-for-row against the distributed path.
+    local_max = int(os.environ.get("PLRS_MMR_LOCAL_MAX_CANDIDATES", "4096"))
+    if probe <= local_max:
+        result = _mmr_select_local(
+            corpus, query, k, lam_milli, id_col, vec_col
+        )
+        if result is not None:
+            return result
     q = query.select(F.col(vec_col).alias("q_vec")).limit(1)
     cand = (
         corpus.crossJoin(F.broadcast(q))
@@ -1237,4 +1258,97 @@ def mmr_select(
     return spark.createDataFrame(
         [(rnk, rid, rel, ms) for rnk, rid, _v, rel, ms in selected],
         "rnk long, vec_id long, rel double, max_sim double",
+    )
+
+
+def _mmr_round6(x: float) -> float:
+    """Spark round(col, 6) for DoubleType: BigDecimal.valueOf(x)
+    (shortest round-trip decimal) .setScale(6, HALF_UP), NaN/Inf passed
+    through. Python's repr is the same shortest round-trip decimal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _mmr_select_local(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    lam_milli: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Driver-side MMR over a collected shortlist. Returns None when
+    the data trips a guard (missing/ragged/NaN vectors or degenerate
+    norms) — the caller then uses the distributed path, whose SQL
+    semantics (null cosines, NaN ordering) this fast path does not
+    reproduce."""
+    spark = corpus.sparkSession
+    qrows = query.select(vec_col).limit(1).collect()
+    rows = corpus.select(id_col, vec_col).collect()
+
+    def _fold_dot(a, b):  # sequential left fold, the zip_with order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cands = []  # (vec_id, vec, norm, rel)
+    if qrows and qrows[0][0] is not None:
+        qv = [float(x) for x in qrows[0][0]]
+        qn = _fold_dot(qv, qv) ** 0.5
+        dim = len(qv)
+        for r in rows:
+            vid, vec = r[0], r[1]
+            if vid is None or vec is None or len(vec) != dim:
+                return None
+            v = [float(x) for x in vec]
+            vn = _fold_dot(v, v) ** 0.5
+            denom = vn * qn
+            if denom == 0.0:
+                return None
+            rel = _mmr_round6(_fold_dot(v, qv) / denom)
+            if rel != rel or rel in (float("inf"), float("-inf")):
+                return None
+            cands.append((int(vid), v, vn, rel))
+
+    selected = []  # (rnk, vec_id, rel, max_sim)
+    chosen: set = set()
+    max_sims: dict = {}  # vec_id -> running max over selected picks
+    for rnk in range(1, k + 1):
+        best = None
+        for vid, v, vn, rel in cands:
+            if vid in chosen:
+                continue
+            if not selected:
+                key = (-rel, vid)
+            else:
+                ms = max_sims[vid]
+                if ms != ms:
+                    return None
+                key = (-(lam_milli * rel - (1000 - lam_milli) * ms), vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel)
+        if best is None:
+            break
+        _, bid, brel = best
+        chosen.add(bid)
+        selected.append(
+            (rnk, bid, brel, None if rnk == 1 else max_sims[bid])
+        )
+        bvec = next(v for vid, v, _, _ in cands if vid == bid)
+        bnorm = next(vn for vid, _, vn, _ in cands if vid == bid)
+        for vid, v, vn, _rel in cands:
+            if vid in chosen:
+                continue
+            denom = vn * bnorm
+            if denom == 0.0:
+                return None
+            s = _mmr_round6(_fold_dot(v, bvec) / denom)
+            prev = max_sims.get(vid)
+            max_sims[vid] = s if prev is None or s > prev else prev
+    return spark.createDataFrame(
+        selected, "rnk long, vec_id long, rel double, max_sim double"
     )

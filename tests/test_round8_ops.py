@@ -282,6 +282,49 @@ def test_mmr_shortlist_guard(spark):
     assert len(mmr_select(corpus, query, k=2, max_candidates=8).collect()) == 2
 
 
+def test_mmr_local_fastpath_agrees_with_distributed(spark):
+    """The bounded driver-side greedy (optimization r10) must return
+    row-identical (rnk, vec_id, rel, max_sim) to the distributed
+    per-step path — including the exact rounded doubles — on the real
+    fixture embeddings AND on adversarial random float32 vectors."""
+    import os
+    import random
+
+    from pg_logical_replication_spark.operators.similarity import mmr_select
+
+    def both(corpus, query, **kw):
+        local = mmr_select(corpus, query, **kw).collect()
+        os.environ["PLRS_MMR_LOCAL_MAX_CANDIDATES"] = "0"
+        try:
+            dist = mmr_select(corpus, query, **kw).collect()
+        finally:
+            del os.environ["PLRS_MMR_LOCAL_MAX_CANDIDATES"]
+        return [tuple(r) for r in local], [tuple(r) for r in dist]
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    local, dist = both(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        lam_milli=700,
+    )
+    assert local == dist and len(local) == 5
+
+    rng = random.Random(1234)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(1, 40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = spark.createDataFrame(
+        [(0, [rng.uniform(-1, 1) for _ in range(16)])],
+        "vec_id long, embedding array<float>",
+    )
+    local, dist = both(corpus, query, k=6, lam_milli=450)
+    assert local == dist and len(local) == 6
+
+
 def test_mmr_k_exceeds_corpus(spark):
     from pg_logical_replication_spark.operators.similarity import mmr_select
 
