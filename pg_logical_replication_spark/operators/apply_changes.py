@@ -117,11 +117,24 @@ def latest_image(
     # tolerate schema-less event frames from callers that pre-filtered
     part = ["schema", "table", "_identity"] if "schema" in ev.columns else [
         "table", "_identity"]
-    w = Window.partitionBy(*part).orderBy(F.col("_ord").desc())
-    return (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # newest-per-key as max_by, not a row_number window (optimization
+    # r10, guide §2.3 "aggregate before you shuffle"): the hash
+    # aggregate does map-side partial aggregation — each map task ships
+    # at most one candidate row per key instead of every event — and
+    # skips the window's per-partition sort. _ord is unique within a
+    # key (it carries the wire seq / intra-txn pos), so max_by and the
+    # former row_number-over-desc pick the same row.
+    cols = ev.columns
+    agg = ev.groupBy(*part).agg(
+        F.max_by(
+            F.struct(*[c for c in cols if c not in part]), F.col("_ord")
+        ).alias("_st")
+    )
+    return agg.select(
+        *[
+            F.col("_st").getField(c).alias(c) if c not in part else F.col(c)
+            for c in cols
+        ]
     )
 
 

@@ -3235,10 +3235,21 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
     # Python encode lineage (the q_cdc_schema_evolution lesson)
     src = wire.unionByName(rels).persist()
     decoded = decode_pgoutput(src).persist()
+    # one-pass multi-table fold (optimization r10): one grouped
+    # aggregation + collect derives all three contracts — identical
+    # per-table folds, two fewer jobs than three single-table calls
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        stream_column_contracts,
+    )
+
+    contracts = stream_column_contracts(
+        decoded, ["orders", "users", "items"]
+    )
 
     def census(table, key, val_col):
         snap = apply_changes(
-            decoded, key_columns=[key], table=table, columns="evolve"
+            decoded, key_columns=[key], table=table,
+            columns=contracts[table],
         )
         val = F.col(val_col) if val_col in snap.columns else F.lit(None)
         return (

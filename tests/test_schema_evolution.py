@@ -129,6 +129,68 @@ def test_stream_contract_wal2json_fallback(spark):
     assert got == {0: None, 1: None, 2: 200}
 
 
+def test_stream_contracts_plural_agrees_with_singular(spark):
+    """The one-pass multi-table fold (optimization r10) must return the
+    same per-table contracts as table-by-table stream_column_contract —
+    on both the relation-rows path and the per-row-signatures path."""
+    import json
+
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        stream_column_contracts,
+    )
+    from pg_logical_replication_spark.sources.wal2json import decode_wal2json
+
+    # relation-rows path: two pgoutput tables, one evolves
+    oid_a, oid_b = 71001, 71002
+    rows = [
+        (1, pgf.encode_relation(oid_a, "public", "ta", [("id", 20)],
+                                key_columns=["id"])),
+        (2, pgf.encode_relation(oid_b, "public", "tb",
+                                [("id", 20), ("x", 23)],
+                                key_columns=["id"])),
+        (3, pgf.encode_insert(oid_a, [("t", "1")])),
+        (4, pgf.encode_insert(oid_b, [("t", "1"), ("t", "2")])),
+        (5, pgf.encode_relation(oid_a, "public", "ta",
+                                [("id", 20), ("v", 20)],
+                                key_columns=["id"])),
+        (6, pgf.encode_insert(oid_a, [("t", "2"), ("t", "9")])),
+    ]
+    decoded = decode_pgoutput(_wire_df(spark, rows))
+    plural = stream_column_contracts(decoded, ["ta", "tb"])
+    assert plural == {
+        "ta": stream_column_contract(decoded, table="ta"),
+        "tb": stream_column_contract(decoded, table="tb"),
+    }
+
+    # signatures path: wal2json, two tables, one evolves
+    lines = [
+        json.dumps({"nextlsn": "0/10", "change": [{
+            "kind": "insert", "schema": "public", "table": "wa",
+            "columnnames": ["id"], "columntypes": ["bigint"],
+            "columnvalues": [1]}]}),
+        json.dumps({"nextlsn": "0/11", "change": [{
+            "kind": "insert", "schema": "public", "table": "wb",
+            "columnnames": ["id", "w"],
+            "columntypes": ["bigint", "numeric(10,2)"],
+            "columnvalues": [1, "1.25"]}]}),
+        json.dumps({"nextlsn": "0/12", "change": [{
+            "kind": "insert", "schema": "public", "table": "wa",
+            "columnnames": ["id", "v"], "columntypes": ["bigint", "text"],
+            "columnvalues": [2, "x"]}]}),
+    ]
+    raw = spark.createDataFrame([(s,) for s in lines], "value string")
+    wdec = decode_wal2json(raw)
+    plural = stream_column_contracts(wdec, ["wa", "wb"])
+    assert plural == {
+        "wa": stream_column_contract(wdec, table="wa"),
+        "wb": stream_column_contract(wdec, table="wb"),
+    }
+
+    # missing table raises the same loud error
+    with pytest.raises(ValueError, match="no schema information"):
+        stream_column_contracts(wdec, ["wa", "nosuch"])
+
+
 def test_stream_contract_no_schema_info_raises(spark):
     rows = [(1 + i, pgf.encode_insert(OID, [("t", str(i))])) for i in range(2)]
     rel = pgf.RelationInfo(
