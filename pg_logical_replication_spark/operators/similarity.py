@@ -195,6 +195,34 @@ def lsh_cosine_topk(
     )
 
 
+def _ivf_cells_sql(cent_rows: list, round_to: int) -> str:
+    """Per-centroid cosine cells as ONE SQL string over the pre-projected
+    (_v, _nv) — array<struct<cos, neg_id>>, struct order = the tie-break
+    (highest cosine, then lowest cent_id). Assembled as a string and
+    parsed by a single F.expr: composing 16 centroids × (zip_with +
+    aggregate + round + struct) through the py4j DSL costs ~2 s of
+    driver round trips PER PLAN BUILD (measured; lambdas are the
+    chattiest constructs), while string assembly is microseconds.
+    repr(float) is shortest-roundtrip, so the SQL literals parse to
+    bit-identical doubles. The vector's own norm (_nv) is computed once
+    in the projection and referenced once per centroid."""
+
+    def _cos_sql(cv: list, cid: int) -> str:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+        dot = (
+            f"aggregate(zip_with(_v, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        norm_c = repr(sum(float(x) * float(x) for x in cv) ** 0.5) + "D"
+        return (
+            f"named_struct('cos', round({dot} / (_nv * {norm_c}), {round_to}), "
+            f"'neg_id', {-cid})"
+        )
+
+    return "array(" + ",".join(_cos_sql(cv, cid) for cid, cv in cent_rows) + ")"
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,32 +268,7 @@ def ivf_cosine_topk(
     if not cent_rows:
         raise ValueError("ivf_cosine_topk: empty centroid set")
 
-    # The scoring expression — array<struct<cos, neg_id>> over the
-    # pre-projected (_v, _nv), struct order = the tie-break (highest
-    # cosine, then lowest cent_id) — is assembled as ONE SQL string and
-    # parsed by a single F.expr: composing 16 centroids × (zip_with +
-    # aggregate + round + struct) through the py4j DSL costs ~2 s of
-    # driver round trips PER PLAN BUILD (measured; lambdas are the
-    # chattiest constructs), while string assembly is microseconds.
-    # repr(float) is shortest-roundtrip, so the SQL literals parse to
-    # bit-identical doubles. The vector's own norm (_nv) is computed
-    # once in the projection and referenced 16×.
-    def _cos_sql(cv: list, cid: int) -> str:
-        arr = "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
-        dot = (
-            f"aggregate(zip_with(_v, {arr}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        norm_c = repr(sum(float(x) * float(x) for x in cv) ** 0.5) + "D"
-        return (
-            f"named_struct('cos', round({dot} / (_nv * {norm_c}), {round_to}), "
-            f"'neg_id', {-cid})"
-        )
-
-    cells_sql = (
-        "array(" + ",".join(_cos_sql(cv, cid) for cid, cv in cent_rows) + ")"
-    )
+    cells_sql = _ivf_cells_sql(cent_rows, round_to)
 
     def with_norm(df: DataFrame, vid: str) -> DataFrame:
         return df.select(
@@ -313,6 +316,127 @@ def ivf_cosine_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def ivf_recall_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Every grid point of an IVF n_probe sweep in ONE shared pass
+    (optimization r10, guide §2.4 "two operations keyed the same way
+    share one exchange"): the cell assignment and the query's full
+    probe ranking do not depend on n_probe, so instead of one
+    ``ivf_cosine_topk`` plan per grid point (each with its own centroid
+    collect, scored join and top-k window), score each (query,
+    candidate) pair ONCE tagged with the rank of the candidate's cell
+    in the query's probe order, and derive every grid point's top-k
+    membership from one window: a running count of pairs whose
+    cell-rank ≤ p (ordered cosine DESC, n_id — the ivf_cosine_topk
+    order) equals the row_number ivf_cosine_topk computes over the
+    rank ≤ p subset, so membership is ``rank ≤ p AND running_count_p
+    ≤ k``. Agreement-tested row-for-row against per-point
+    ivf_cosine_topk. Returns (n_probe, q_id, n_id, cosine, rnk)."""
+    cent = (
+        centroids if centroids is not None else corpus.filter(F.col(id_col) < n_centroids)
+    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec"))
+    cent_rows = sorted(
+        ((r["cent_id"], list(r["c_vec"])) for r in cent.collect()),
+        key=lambda x: x[0],
+    )
+    if not cent_rows:
+        raise ValueError("ivf_recall_grid: empty centroid set")
+    if not n_probes:
+        raise ValueError("ivf_recall_grid: empty n_probes grid")
+    cells_sql = _ivf_cells_sql(cent_rows, round_to)
+    max_probe = max(n_probes)
+
+    def with_norm(df: DataFrame, vid: str) -> DataFrame:
+        return df.select(
+            F.col(vid), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
+        )
+
+    # same non-null coalesce trick as ivf_cosine_topk (see there)
+    argmax_cell = F.expr(
+        f"coalesce(-array_max({cells_sql}).neg_id, {cent_rows[0][0]})"
+    )
+    assign = with_norm(corpus.withColumnRenamed(id_col, "n_id"), "n_id").select(
+        F.col("n_id"),
+        F.col("_v").alias("n_vec"),
+        argmax_cell.alias("cent_id"),
+    )
+    ranked_cells = F.expr(
+        f"transform(slice(reverse(array_sort({cells_sql})), 1, {max_probe}), "
+        "s -> -s.neg_id)"
+    )
+    probes = with_norm(queries.withColumnRenamed(id_col, "q_id"), "q_id").select(
+        F.col("q_id"),
+        F.col("_v").alias("q_vec"),
+        F.posexplode(ranked_cells).alias("_pos", "cent_id"),
+    ).select("q_id", "q_vec", "cent_id", (F.col("_pos") + 1).alias("cell_rank"))
+    scored = (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            "cell_rank",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy(F.col("cosine").desc(), F.col("n_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = scored.select(
+        "q_id",
+        "n_id",
+        "cosine",
+        "cell_rank",
+        *[
+            F.sum(
+                F.when(F.col("cell_rank") <= p, 1).otherwise(0)
+            ).over(w).alias(f"_cnt_{p}")
+            for p in n_probes
+        ],
+    )
+    tagged = counted.select(
+        "q_id",
+        "n_id",
+        "cosine",
+        F.explode(
+            F.array(
+                *[
+                    F.when(
+                        (F.col("cell_rank") <= p) & (F.col(f"_cnt_{p}") <= k),
+                        F.struct(
+                            F.lit(p).cast("int").alias("n_probe"),
+                            F.col(f"_cnt_{p}").cast("int").alias("rnk"),
+                        ),
+                    )
+                    for p in n_probes
+                ]
+            )
+        ).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    return tagged.select(
+        F.col("_g").getField("n_probe").alias("n_probe"),
+        "q_id",
+        "n_id",
+        "cosine",
+        F.col("_g").getField("rnk").alias("rnk"),
     )
 
 

@@ -5513,26 +5513,38 @@ def q_ann_recall_curve(spark, sf_dir):
     n_brute = F.broadcast(
         brute.agg(F.count("*").cast("long").alias("n_brute"))
     )
-    outs = []
-    for np_ in _IVF_CURVE_PROBES:
-        ivf = S.ivf_cosine_topk(emb, queries, k=5, n_probe=np_).select(
-            "q_id", "n_id"
+    # one shared assignment/probe-rank pass tags every candidate with
+    # its grid memberships (optimization r10 — ivf_recall_grid derives
+    # all five points' top-k from ONE scored join + ONE window instead
+    # of five independent ivf plans, each with its own centroid collect
+    # and exchange); grid points with zero matches survive via the
+    # literal-grid LEFT JOIN, mirroring the oracle's grid CTE
+    grid_hits = (
+        S.ivf_recall_grid(
+            emb, queries, k=5, n_probes=_IVF_CURVE_PROBES
         )
-        outs.append(
-            ivf.join(brute, ["q_id", "n_id"], "left_semi")
-            .agg(F.count("*").cast("long").alias("n_matched"))
-            .select(F.lit(np_).cast("int").alias("n_probe"), "n_matched")
-            .crossJoin(n_brute)
-            .withColumn(
-                "recall_ppm",
-                F.expr("n_matched * 1000000 div n_brute").cast("long"),
-            )
-            .drop("n_brute")
+        .select("n_probe", "q_id", "n_id")
+        .join(brute, ["q_id", "n_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    grid = emb.sparkSession.createDataFrame(
+        [(p,) for p in _IVF_CURVE_PROBES], "n_probe int"
+    )
+    return (
+        grid.join(grid_hits, "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("n_probe")
+        .crossJoin(n_brute)
+        .withColumn(
+            "recall_ppm",
+            F.expr("n_matched * 1000000 div n_brute").cast("long"),
+        )
+        .drop("n_brute")
+        .orderBy("n_probe")
+    )
 
 
 _LSH_CURVE_BAND_SIZES = (1, 2, 4)

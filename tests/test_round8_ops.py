@@ -339,6 +339,33 @@ def test_mmr_k_exceeds_corpus(spark):
     assert [r.rnk for r in out] == [1, 2]  # stops when exhausted
 
 
+def test_ivf_recall_grid_agrees_with_per_point_ivf(spark):
+    """ivf_recall_grid's shared-pass top-k (optimization r10) must be
+    row-identical — (q_id, n_id, cosine, rnk) — to an independent
+    ivf_cosine_topk call at every grid point."""
+    from pg_logical_replication_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_recall_grid,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    grid = ivf_recall_grid(
+        emb, queries, k=5, n_probes=(1, 2, 4, 8, 16)
+    ).collect()
+    by_p = {}
+    for r in grid:
+        by_p.setdefault(r["n_probe"], set()).add(
+            (r["q_id"], r["n_id"], r["cosine"], r["rnk"])
+        )
+    for p in (1, 2, 4, 8, 16):
+        single = {
+            (r["q_id"], r["n_id"], r["cosine"], r["rnk"])
+            for r in ivf_cosine_topk(emb, queries, k=5, n_probe=p).collect()
+        }
+        assert by_p.get(p, set()) == single, f"n_probe={p} diverges"
+
+
 def test_ann_recall_curve_invariants(spark):
     """Recall is monotone non-decreasing in n_probe and EXACTLY 1.0 at
     n_probe = n_centroids (probing every cell is brute force)."""
