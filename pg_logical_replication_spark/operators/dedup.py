@@ -6,10 +6,16 @@ JVM-side expressions (split / transform / md5 / aggregate) — no Python
 UDFs — so whole-stage codegen applies and the only shuffles are the
 candidate-pair joins.
 
-Cross-engine determinism (DuckDB oracle): hashes are md5 hex strings
-compared lexicographically — fixed-width lowercase hex means string order
-== numeric order, and md5 is identical everywhere. No engine-specific
-hash (xxhash/murmur) is used in any oracle-checked path.
+Cross-engine determinism (DuckDB oracle): hashes whose VALUES the oracle
+replays (minhash signatures, winnowing fingerprints, band keys) are md5
+hex strings compared lexicographically — fixed-width lowercase hex means
+string order == numeric order, and md5 is identical everywhere. No
+engine-specific hash (xxhash/murmur) reaches any oracle-compared value.
+Digests that only GROUP rows engine-internally and never leave the
+operator (the ExactSubstr window digests) use structural xxhash64 —
+which window contents are repeated is a function of the content itself,
+identical in both engines regardless of which collision-free digest
+groups them.
 
 Scale design:
 * exact dedup — one hash shuffle on the digest, not the full text;
@@ -935,7 +941,17 @@ def duplicated_span_coverage(
     wins = F.expr(
         f"transform(sequence(1, size(tk) - {gram - 1}),"
         f" i -> struct(i AS pos,"
-        f" md5(concat_ws(' ', slice(tk, i, {gram}))) AS h))"
+        # window digest: structural xxhash64 over the token slice
+        # (optimization r10, guide §2.3 "shuffle fewer bytes" /
+        # §4 built-ins) — no 20-token string is materialized and the
+        # shuffled key is 8 bytes, not a 32-char hex string. The digest
+        # never reaches the output (it only groups repeated windows), so
+        # only collision behavior matters: 64-bit space on honest inputs,
+        # the CCNet-class width every hash-based dedup heuristic uses —
+        # at 10^12 windows a handful of false-hot windows splice a
+        # vanishing token mass, the same order as md5's non-adversarial
+        # guarantees effectively bought.
+        f" xxhash64(slice(tk, i, {gram})) AS h))"
     )
     inst = base.select(
         id_col, F.size("tk").alias("n_tokens"), F.explode(wins).alias("w")
@@ -1195,7 +1211,17 @@ def remove_duplicated_spans(
     wins = F.expr(
         f"transform(sequence(1, size(tk) - {gram - 1}),"
         f" i -> struct(i AS pos,"
-        f" md5(concat_ws(' ', slice(tk, i, {gram}))) AS h))"
+        # window digest: structural xxhash64 over the token slice
+        # (optimization r10, guide §2.3 "shuffle fewer bytes" /
+        # §4 built-ins) — no 20-token string is materialized and the
+        # shuffled key is 8 bytes, not a 32-char hex string. The digest
+        # never reaches the output (it only groups repeated windows), so
+        # only collision behavior matters: 64-bit space on honest inputs,
+        # the CCNet-class width every hash-based dedup heuristic uses —
+        # at 10^12 windows a handful of false-hot windows splice a
+        # vanishing token mass, the same order as md5's non-adversarial
+        # guarantees effectively bought.
+        f" xxhash64(slice(tk, i, {gram})) AS h))"
     )
     inst = (
         base.where(F.size("tk") >= gram)
