@@ -60,19 +60,28 @@ def _newest_per_user(spark, sf_dir, bound: str | None = None):
     delete tombstones dropped. One definition serves apply/as-of/diff/
     checksum (review r2 folded four hand-synchronized copies). Returns
     the surviving full rows."""
-    from pyspark.sql import Window as W
-
     ev = t(spark, sf_dir, "events")
     if bound:
         ev = ev.filter(F.col("ts") <= bound)
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    # newest-per-key as max_by, not a row_number window (optimization
+    # r10, guide §2.3): map-side partial aggregation ships one candidate
+    # per user per task and skips the per-partition sort. The order key
+    # (ts, event_id) is unique per user (event_id is unique), so max_by
+    # picks exactly the row the desc-ordered rn=1 did; the tombstone
+    # filter applies AFTER the pick, as before.
+    cols = ev.columns
+    picked = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(*[c for c in cols if c != "user_id"]),
+            F.struct("ts", "event_id"),
+        ).alias("_st")
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .drop("rn")
-    )
+    return picked.select(
+        *[
+            F.col("_st").getField(c).alias(c) if c != "user_id" else F.col(c)
+            for c in cols
+        ]
+    ).filter(F.col("event_type") != "error")
 
 
 @register(
