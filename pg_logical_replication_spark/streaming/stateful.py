@@ -178,7 +178,7 @@ def _make_reassemble():
         frags.sort()  # wire order within the micro-batch
         out: list[tuple[int, str]] = []
         for seq, val in frags:
-            stripped = _re.sub(r'"(?:\\.|[^"\\])*"', "", val)
+            stripped = _re.sub(r'"[^"\\]*(?:\\.[^"\\]*)*"', "", val)
             delta = stripped.count("{") - stripped.count("}")
             if not carry:
                 start_seq = seq

@@ -311,7 +311,7 @@ def _reassembler_class():
             frags.sort()
             out: list[tuple[int, str]] = []
             for seq, val in frags:
-                stripped = _re.sub(r'"(?:\\.|[^"\\])*"', "", val)
+                stripped = _re.sub(r'"[^"\\]*(?:\\.[^"\\]*)*"', "", val)
                 delta = stripped.count("{") - stripped.count("}")
                 if not pending:
                     start_seq = seq
