@@ -68,8 +68,14 @@ def _newest_per_user(spark, sf_dir, bound: str | None = None):
     # per user per task and skips the per-partition sort. The order key
     # (ts, event_id) is unique per user (event_id is unique), so max_by
     # picks exactly the row the desc-ordered rn=1 did; the tombstone
-    # filter applies AFTER the pick, as before.
-    cols = ev.columns
+    # filter applies AFTER the pick, as before. Explicit projection
+    # BEFORE the aggregate (guide §2.3 "project before the exchange"):
+    # Catalyst does not prune columns INTO a max_by struct argument, so
+    # packing every column would read props into the scan — the four
+    # consumers use only (user_id, event_type, value), and ts/event_id
+    # are the order key.
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = ev.select(*cols)
     picked = ev.groupBy("user_id").agg(
         F.max_by(
             F.struct(*[c for c in cols if c != "user_id"]),
