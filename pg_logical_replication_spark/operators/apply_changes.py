@@ -164,6 +164,23 @@ def apply_changes(
         )
 
         columns = stream_column_contract(events, table=table)
+    # Project to the columns the snapshot pipeline actually touches
+    # BEFORE latest_image (optimization r10, guide §2.3 "project before
+    # the exchange"): Catalyst does not prune columns INTO the max_by
+    # struct, so without this the key shuffle ships before/xid/
+    # commit_ts/lsn it never reads — on an update-heavy stream `before`
+    # alone is a second copy of every row image. op/table/schema drive
+    # the filters, key+after the identity and output, lsn_long/seq/meta
+    # the stream order. Skipped when the caller passes an explicit
+    # `order` (it may reference the dropped columns).
+    if order is None:
+        keep = [
+            c
+            for c in ("op", "schema", "table", "key", "after",
+                      "lsn_long", "seq", "meta")
+            if c in events.columns
+        ]
+        events = events.select(*keep)
     latest = latest_image(events, key_columns, table=table, order=order)
     live = latest.filter(F.col("op") != "delete")
 

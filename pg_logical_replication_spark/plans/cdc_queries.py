@@ -3166,18 +3166,15 @@ def q_cdc_slot_retention(spark, sf_dir):
 )
 def q_cdc_apply_multi_evolution(spark, sf_dir):
     """Per-table isolation of the evolution fold: one decoded stream,
-    three apply_changes(columns='evolve') snapshots, one census union.
-    Scale: ONE decode pass (persisted — it feeds three snapshots), one
-    registry-sized contract fold per table, one key shuffle per table
-    (exactly what apply_changes costs without evolution), three hash
-    aggregates over a 5-group census; the union is 15 rows."""
+    three per-table evolved snapshots, one census.
+    Scale: ONE decode pass (persisted — it feeds the snapshots), one
+    registry-sized contract fold for all tables, ONE key shuffle shared
+    by the three tables (latest_image keys on (schema, table,
+    identity)), one grouped census over it."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from pg_logical_replication_spark.operators.apply_changes import (
-        apply_changes,
-    )
     from pg_logical_replication_spark.sources import pgoutput_format as pgf
     from pg_logical_replication_spark.sources.pgoutput import decode_pgoutput
 
@@ -3261,28 +3258,57 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
         decoded, ["orders", "users", "items"]
     )
 
-    def census(table, key, val_col):
-        snap = apply_changes(
-            decoded, key_columns=[key], table=table,
-            columns=contracts[table],
-        )
-        val = F.col(val_col) if val_col in snap.columns else F.lit(None)
-        return (
-            snap.groupBy((F.col(key) % 5).alias("g"))
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(F.when(val.isNull(), 1).otherwise(0))
-                .cast("long").alias("n_backfilled"),
-                F.sum(val).cast("long").alias("sum_val"),
-            )
-            .select(F.lit(table).alias("tbl"), "g", "n_rows",
-                    "n_backfilled", "sum_val")
+    # ONE combined newest-per-key pass for all three tables
+    # (optimization r10, guide §2.1 "remove shuffles outright"):
+    # latest_image already keys its aggregate on (schema, table,
+    # _identity), so the three per-table apply_changes shuffles
+    # collapse into a single exchange over the same decoded rows — the
+    # union key list builds an identity array whose foreign-table
+    # slots are NULL inside each table's group, grouping exactly as
+    # that table's single-key identity does (table is in the grouping
+    # key; grouping treats NULL = NULL). The snapshot semantics are
+    # apply_changes' own — op filter, typed pg_value casts under each
+    # table's contract — applied per row after the shared pass, and
+    # the three censuses fold into ONE grouped aggregate instead of a
+    # union whose branches each re-ran the pass.
+    from pg_logical_replication_spark.functions import pg_value
+    from pg_logical_replication_spark.operators.apply_changes import (
+        latest_image,
+    )
+
+    ev = decoded.select(
+        "op", "schema", "table", "key", "after", "lsn_long", "seq", "meta"
+    )
+    live = latest_image(
+        ev, key_columns=["order_id", "uid", "item_id"]
+    ).filter(F.col("op") != "delete")
+
+    def typed(tname, cname):
+        if cname not in contracts[tname]:
+            return F.lit(None)
+        return pg_value(
+            F.col("after").getItem(cname), contracts[tname][cname]
         )
 
+    tbl = F.col("table")
+    key_val = (
+        F.when(tbl == "orders", typed("orders", "order_id"))
+        .when(tbl == "users", typed("users", "uid"))
+        .otherwise(typed("items", "item_id"))
+    )
+    val = (
+        F.when(tbl == "orders", typed("orders", "amount"))
+        .when(tbl == "users", typed("users", "score"))
+        .otherwise(typed("items", "qty"))
+    )
     return (
-        census("orders", "order_id", "amount")
-        .unionByName(census("users", "uid", "score"))
-        .unionByName(census("items", "item_id", "qty"))
+        live.groupBy(tbl.alias("tbl"), (key_val % 5).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(val.isNull(), 1).otherwise(0))
+            .cast("long").alias("n_backfilled"),
+            F.sum(val).cast("long").alias("sum_val"),
+        )
         .orderBy("tbl", "g")
     )
 

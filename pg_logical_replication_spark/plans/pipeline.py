@@ -5740,22 +5740,53 @@ def q_dedup_lsh_band_curve(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    counts = None
-    for bs in _LSH_CURVE_BAND_SIZES:
-        # coalesce: a banding with ZERO candidates still emits its row
-        # (sum over no rows is NULL) — the oracle anchors on the same
-        # band-size grid with COALESCE(0) (ADVICE r8)
-        c = flagged.filter(F.col(f"in_{bs}")).agg(
-            F.count("*").cast("long").alias("n_candidates"),
-            F.coalesce(F.sum("good"), F.lit(0)).cast("long").alias("n_good"),
-        ).select(F.lit(bs).cast("int").alias("band_size"), "n_candidates",
-                 "n_good")
-        counts = c if counts is None else counts.unionByName(c)
-    base = counts.filter(F.col("band_size") == 1).select(
-        F.col("n_good").alias("good1")
+    # ONE conditional aggregation over the flagged pairs (optimization
+    # r10, guide §2.4 "share one pass"): the former per-band-size
+    # filter+agg union re-evaluated the signature-join/exact-Jaccard
+    # subplan once per branch PLUS once more for the recall base —
+    # union branches share no work. All six counts (candidates + good
+    # per band size) now come out of a single pass as conditional sums
+    # (count over a filter ≡ sum of the indicator; the coalesce keeps
+    # the ZERO-candidate banding at 0 exactly as the filtered count()
+    # did — the oracle anchors on the same band-size grid with
+    # COALESCE(0), ADVICE r8), and the bs=1 recall base rides along in
+    # the same row instead of a broadcast self-join.
+    one = flagged.agg(
+        *[
+            a
+            for bs in _LSH_CURVE_BAND_SIZES
+            for a in (
+                F.coalesce(F.sum(F.when(F.col(f"in_{bs}"), 1)), F.lit(0))
+                .cast("long")
+                .alias(f"_nc_{bs}"),
+                F.coalesce(
+                    F.sum(F.when(F.col(f"in_{bs}"), F.col("good"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"_ng_{bs}"),
+            )
+        ]
     )
+    counts = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bs).cast("int").alias("band_size"),
+                        F.col(f"_nc_{bs}").alias("n_candidates"),
+                        F.col(f"_ng_{bs}").alias("n_good"),
+                        F.col(f"_ng_{_LSH_CURVE_BAND_SIZES[0]}").alias(
+                            "good1"
+                        ),
+                    )
+                    for bs in _LSH_CURVE_BAND_SIZES
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     return (
-        counts.crossJoin(F.broadcast(base))
+        counts
         .select(
             "band_size",
             F.expr("8 div band_size").cast("long").alias("n_bands"),

@@ -329,3 +329,79 @@ def test_net_changes_refuses_truncate(spark):
     ]
     with pytest.raises(ValueError, match="truncate"):
         net_changes(_changes(spark, rows), key_columns=["id"])
+
+
+def test_apply_changes_projection_preserves_semantics_and_prunes(spark):
+    """The r10 pre-projection in apply_changes (shuffle ships only the
+    columns the snapshot pipeline reads) must not change results on a
+    stream exercising every branch — tombstones, key-change updates,
+    truncate barrier, out-of-order arrival — and the executed aggregate
+    must NOT pack the unread columns (before/xid/commit_ts) into its
+    max_by struct."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+        latest_image,
+    )
+
+    schema = (
+        "op string, lsn_long long, xid long, commit_ts timestamp, "
+        "`schema` string, `table` string, key map<string,string>, "
+        "before map<string,string>, after map<string,string>, "
+        "meta map<string,string>"
+    )
+    rows = [
+        # key 1: insert then update (newest wins)
+        ("insert", 10, 7, None, "public", "t", None,
+         None, {"id": "1", "v": "a"}, {"pos": "0"}),
+        ("update", 30, 7, None, "public", "t", None,
+         {"id": "1", "v": "a"}, {"id": "1", "v": "b"}, {"pos": "0"}),
+        # key 2: delete tombstone wins
+        ("insert", 15, 7, None, "public", "t", None,
+         None, {"id": "2", "v": "x"}, {"pos": "0"}),
+        ("delete", 40, 8, None, "public", "t", {"id": "2"},
+         None, None, {"pos": "0"}),
+        # key 3 -> 4: key-change update splits
+        ("insert", 20, 7, None, "public", "t", None,
+         None, {"id": "3", "v": "y"}, {"pos": "0"}),
+        ("update", 50, 9, None, "public", "t", {"id": "3"},
+         None, {"id": "4", "v": "y2"}, {"pos": "0"}),
+        # second table truncated mid-stream: only the later row lives
+        ("insert", 5, 6, None, "public", "u", None,
+         None, {"id": "9", "v": "old"}, {"pos": "0"}),
+        ("truncate", 25, 6, None, "public", "u", None,
+         None, None, {"pos": "0"}),
+        ("insert", 35, 6, None, "public", "u", None,
+         None, {"id": "9", "v": "new"}, {"pos": "0"}),
+    ]
+    ev = spark.createDataFrame(rows, schema)
+
+    def rows_of(df):
+        return sorted(
+            tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+        )
+
+    for table, expected in (
+        ("t", [("1", "b"), ("4", "y2")]),
+        ("u", [("9", "new")]),
+    ):
+        snap = apply_changes(
+            ev, key_columns=["id"], table=table,
+            columns={"id": "text", "v": "text"},
+        )
+        # reference: the unprojected pipeline apply_changes wraps
+        ref = (
+            latest_image(ev, ["id"], table=table)
+            .filter(F.col("op") != "delete")
+            .select(
+                F.col("after").getItem("id").alias("id"),
+                F.col("after").getItem("v").alias("v"),
+            )
+        )
+        assert rows_of(snap) == rows_of(ref) == sorted(expected)
+
+    plan = apply_changes(
+        ev, key_columns=["id"], table="t", columns={"id": "text"}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    for dropped in ("before", "xid", "commit_ts"):
+        assert f"{dropped}, {dropped}#" not in plan, plan
