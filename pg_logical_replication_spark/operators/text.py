@@ -1377,6 +1377,264 @@ def _unigram_with_costs(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _validate_unigram_widths(max_word_len: int, max_piece_len: int) -> None:
+    """Shared entry guard for both unigram execution paths: the lattice
+    is tribonacci in ``max_word_len`` and the distributed Viterbi's
+    position-key stride caps piece lengths at 63 (see
+    :func:`_unigram_chain`)."""
+    if max_word_len > 24:
+        raise ValueError(
+            f"max_word_len={max_word_len} > 24: the composition "
+            "lattice grows ~1.84^len (tribonacci) — 24 is already "
+            "~1.4M lattice rows"
+        )
+    if max_piece_len >= 64:
+        raise ValueError(
+            f"max_piece_len={max_piece_len} >= 64: the Viterbi "
+            "position-key stride supports piece lengths up to 63"
+        )
+
+
+def _unigram_words(
+    df: DataFrame, text_col: str, top_words: int, max_word_len: int
+) -> DataFrame:
+    """The ONLY corpus-sized stage of unigram training: word-frequency
+    top-K (lowercase ``[a-z]+`` runs of length ≤ ``max_word_len``), one
+    map-side-combined groupBy + distributed top-K — shared by the
+    distributed chain and the driver-side EM fast path so both train on
+    the byte-identical word table."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .where(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_words)
+    )
+
+
+# Fast-path bound: estimated (word × composition) rows the driver-side
+# EM may materialize as its numpy lattice. The word table is capped by
+# the ``top_words`` PARAMETER (not data size) so this is a
+# configuration bound, not a data bound — same discipline as
+# mmr_select's max_candidates and the star-contraction fast path.
+# 20M rows × 8 parts × 4 B ≈ 640 MB worst case; defaults are ~1M rows.
+_UNIGRAM_DRIVER_MAX_COMP_ROWS = 20_000_000
+
+
+def _unigram_em_driver(
+    word_rows: list,
+    max_word_len: int,
+    max_piece_len: int,
+    top_pieces: int,
+    budgets: tuple[int, ...],
+) -> tuple[list, list]:
+    """Driver-side hard-EM over the parameter-capped word table — the
+    exact computation of :func:`_unigram_chain`'s EM rounds (same seed
+    construction, same integer costs, same (cost, n_parts, comp_id)
+    Viterbi tie-break, same (used DESC, piece) prune and Laplace +1),
+    vectorized with numpy instead of round-per-round Spark jobs.
+
+    Rationale (optimization r10, guide §1.2 step 1 + §5): after the
+    corpus-sized word count, NOTHING in unigram training is data-sized
+    — every EM round operates on ≤ top_words words × a tribonacci
+    lattice, all bounded by operator parameters. The declarative chain
+    paid ~5 eager-checkpoint Spark jobs (each with broadcast builds and
+    20k-row exchanges) for tables that fit in driver memory by
+    construction; this path computes them in-process. Agreement with
+    the distributed chain is pinned by
+    ``test_unigram_driver_em_agrees_with_chain``.
+
+    Returns ``(vocab_rows, lut_rows)``: the final vocabulary as
+    ``(piece, cnt, cost)`` and the final-vocab Viterbi segment counts
+    as ``(word, n_parts)``.
+    """
+    import numpy as np
+
+    words = [w for (w, _) in word_rows]
+    n = len(words)
+    if n == 0:
+        return [], []
+    freq = np.fromiter((f for (_, f) in word_rows), dtype=np.int64, count=n)
+
+    # ---- substring interning + seed counts, one pass (the Python
+    # twin of the chain's `subs` explode: every (start, len) substring
+    # occurrence, weighted by word freq). slot = start*max_piece_len +
+    # (len-1) indexes the per-word substring-id table the lattice
+    # assembly below gathers from.
+    pid: dict = {}
+    pieces: list = [None]  # id 0 = padding (cost 0)
+    seed_cnt: list = [0]
+    nslots = max_word_len * max_piece_len
+    sub = np.zeros((n, nslots), dtype=np.int32)
+    for wi, w in enumerate(words):
+        ln = len(w)
+        f = int(freq[wi])
+        base = 0
+        for i in range(ln):
+            top = min(max_piece_len, ln - i)
+            for k in range(1, top + 1):
+                p = w[i : i + k]
+                j = pid.get(p)
+                if j is None:
+                    j = len(pieces)
+                    pid[p] = j
+                    pieces.append(p)
+                    seed_cnt.append(0)
+                seed_cnt[j] += f
+                sub[wi, base + k - 1] = j
+            base += max_piece_len
+
+    def with_costs(cnt_by_piece: dict) -> dict:
+        total = sum(cnt_by_piece.values())
+        return {
+            p: {"cnt": c, "cost": (total // c).bit_length()}
+            for p, c in cnt_by_piece.items()
+        }
+
+    items = [(pieces[j], seed_cnt[j]) for j in range(1, len(pieces))]
+    multi = sorted(
+        (pc for pc in items if len(pc[0]) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:top_pieces]
+    chars = [pc for pc in items if len(pc[0]) == 1]
+    vocab = with_costs(dict(multi) | dict(chars))
+
+    # ---- lattice assembly: word-major, comp_id-ordered rows so a
+    # single minimum.reduceat per word realizes the struct-min
+    # (comp rows within a word ascend by comp_id; the packed key's low
+    # 32 bits are the global row index, monotone in comp_id per word)
+    by_len: dict = {}
+    for (L, cid, starts, lens, np_) in unigram_compositions(
+        max_word_len, max_piece_len
+    ):
+        by_len.setdefault(L, []).append((cid, starts, lens, np_))
+    wlen = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    blocks, wid_blocks, nparts_blocks = [], [], []
+    for L, comps_L in sorted(by_len.items()):
+        wids_L = np.flatnonzero(wlen == L)
+        if wids_L.size == 0:
+            continue
+        nc = len(comps_L)
+        # (nw, nc, max_parts) slab: per comp, gather its parts' slot
+        # columns from the substring-id table
+        slab = np.zeros((wids_L.size, nc, max_word_len), dtype=np.int32)
+        for ci, (cid, starts, lens, np_) in enumerate(comps_L):
+            slots = [
+                (s - 1) * max_piece_len + (k - 1)
+                for s, k in zip(starts, lens)
+            ]
+            slab[:, ci, : len(slots)] = sub[np.ix_(wids_L, slots)]
+        blocks.append(slab.reshape(-1, max_word_len))
+        wid_blocks.append(np.repeat(wids_L, nc))
+        nparts_blocks.append(
+            np.tile(
+                np.fromiter((c[3] for c in comps_L), dtype=np.int64, count=nc),
+                wids_L.size,
+            )
+        )
+    P = np.concatenate(blocks)
+    wid = np.concatenate(wid_blocks)
+    nparts = np.concatenate(nparts_blocks)
+    order = np.argsort(wid, kind="stable")
+    P, wid, nparts = P[order], wid[order], nparts[order]
+    bounds = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+    word_of_group = wid[bounds]  # == all words, each once
+
+    _OOV = 1 << 20  # a valid piece cost is ≤ 64 bits — no collision
+    stride = max_word_len + 1
+
+    def viterbi(vocab_now: dict) -> np.ndarray:
+        cost_arr = np.full(len(pieces), _OOV, dtype=np.int64)
+        cost_arr[0] = 0
+        for p, e in vocab_now.items():
+            j = pid.get(p)
+            if j is not None:
+                cost_arr[j] = e["cost"]
+        comp_cost = cost_arr[P].sum(axis=1)
+        key = ((comp_cost * stride + nparts) << 32) | np.arange(
+            len(P), dtype=np.int64
+        )
+        best = np.minimum.reduceat(key, bounds)
+        if int((best >> 32).max()) // stride >= _OOV:
+            raise AssertionError(
+                "unigram driver EM: unsegmentable word (char coverage "
+                "broken) — the chain invariant guarantees this cannot "
+                "happen"
+            )
+        return (best & 0xFFFFFFFF).astype(np.int64)
+
+    for budget in budgets:
+        win = viterbi(vocab)
+        usage = np.zeros(len(pieces), dtype=np.int64)
+        np.add.at(
+            usage,
+            P[win].ravel(),
+            np.repeat(freq[word_of_group], max_word_len),
+        )
+        used_ids = np.flatnonzero(usage)
+        usage_items = [
+            (pieces[j], int(usage[j])) for j in used_ids if j != 0
+        ]
+        multi_kept = sorted(
+            (pc for pc in usage_items if len(pc[0]) >= 2),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:budget]
+        chars_kept = [
+            (p, int(usage[pid[p]]))
+            for p in vocab
+            if len(p) == 1
+        ]
+        vocab = with_costs(
+            {p: u + 1 for p, u in multi_kept + chars_kept}
+        )
+
+    win = viterbi(vocab)
+    lut_rows = [
+        (words[int(word_of_group[g])], int(nparts[win[g]]))
+        for g in range(len(word_of_group))
+    ]
+    vocab_rows = [(p, e["cnt"], e["cost"]) for p, e in vocab.items()]
+    return vocab_rows, lut_rows
+
+
+def _unigram_driver_fast_path(
+    df: DataFrame,
+    text_col: str,
+    top_words: int,
+    max_word_len: int,
+    max_piece_len: int,
+    top_pieces: int,
+    budgets: tuple[int, ...],
+) -> tuple[list, list] | None:
+    """Run the word top-K in Spark, then the EM driver-side — or return
+    None when the parameter-derived lattice bound exceeds
+    ``_UNIGRAM_DRIVER_MAX_COMP_ROWS`` (the caller falls back to the
+    distributed chain). The collect is ``top_words``-bounded — a
+    parameter, never data size."""
+    trib: dict[int, int] = {}
+    for L in range(1, max_word_len + 1):
+        trib[L] = sum(
+            trib.get(L - k, 1 if L == k else 0)
+            for k in range(1, min(max_piece_len, L) + 1)
+        )
+    if top_words * max(trib.values()) > _UNIGRAM_DRIVER_MAX_COMP_ROWS:
+        return None
+    word_rows = [
+        (r["word"], r["freq"])
+        for r in _unigram_words(
+            df, text_col, top_words, max_word_len
+        ).collect()
+    ]
+    return _unigram_em_driver(
+        word_rows, max_word_len, max_piece_len, top_pieces, budgets
+    )
+
+
 def _unigram_chain(
     df: DataFrame,
     text_col: str,
@@ -1428,29 +1686,8 @@ def _unigram_chain(
     # in max_word_len (2^79 entries at 80 — a driver hang, round-7
     # review found the Viterbi-side guard fired too late), and the
     # Viterbi position-key stride caps piece lengths at 63
-    if max_word_len > 24:
-        raise ValueError(
-            f"max_word_len={max_word_len} > 24: the composition "
-            "lattice grows ~1.84^len (tribonacci) — 24 is already "
-            "~1.4M lattice rows"
-        )
-    if max_piece_len >= 64:
-        raise ValueError(
-            f"max_piece_len={max_piece_len} >= 64: the Viterbi "
-            "position-key stride supports piece lengths up to 63"
-        )
-    words = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-            ).alias("word")
-        )
-        .where(F.length("word") <= max_word_len)
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), "word")
-        .limit(top_words)
-    )
+    _validate_unigram_widths(max_word_len, max_piece_len)
+    words = _unigram_words(df, text_col, top_words, max_word_len)
     if checkpoint_rounds:
         words = words.localCheckpoint(eager=True)
 
@@ -1665,7 +1902,25 @@ def unigram_train(
     """Train a SentencePiece-style unigram-LM tokenizer vocabulary on
     the corpus (see :func:`_unigram_chain`) and return the ``top_out``
     pieces of the final vocabulary as
-    (piece, piece_len, cnt, cost) by (cnt DESC, piece)."""
+    (piece, piece_len, cnt, cost) by (cnt DESC, piece).
+
+    Execution: the corpus-sized word count runs in Spark; the EM over
+    the parameter-capped word table runs driver-side
+    (:func:`_unigram_em_driver`) when the lattice bound allows,
+    falling back to the distributed chain otherwise — identical
+    results either way (agreement-tested)."""
+    _validate_unigram_widths(max_word_len, max_piece_len)
+    fast = _unigram_driver_fast_path(
+        df, text_col, top_words, max_word_len, max_piece_len,
+        top_pieces, budgets,
+    )
+    if fast is not None:
+        vocab_rows, _ = fast
+        out = sorted(vocab_rows, key=lambda r: (-r[1], r[0]))[:top_out]
+        return df.sparkSession.createDataFrame(
+            [(p, len(p), c, k) for (p, c, k) in out],
+            "piece string, piece_len int, cnt long, cost long",
+        ).orderBy(F.desc("cnt"), "piece")
     _, vocab, _ = _unigram_chain(
         df, text_col, top_words, max_word_len, max_piece_len,
         top_pieces, budgets, checkpoint_rounds,
@@ -1699,17 +1954,32 @@ def unigram_encode_stats(
     count is its final-vocab Viterbi segment count and out-of-table
     words (rare, or longer than ``max_word_len``) take the per-char
     fallback. One corpus scan + ONE broadcast join against the capped
-    (word → n_parts) table + a map-side-combined groupBy(doc_id)."""
-    words, vocab, comps = _unigram_chain(
+    (word → n_parts) table + a map-side-combined groupBy(doc_id).
+
+    Training/LUT execution follows :func:`unigram_train`: driver-side
+    EM over the parameter-capped word table when the lattice bound
+    allows, distributed chain otherwise — identical results."""
+    _validate_unigram_widths(max_word_len, max_piece_len)
+    fast = _unigram_driver_fast_path(
         df, text_col, top_words, max_word_len, max_piece_len,
-        top_pieces, budgets, checkpoint_rounds,
+        top_pieces, budgets,
     )
-    comps_by_len = _comps_by_len(
-        df.sparkSession, max_word_len, max_piece_len
-    )
-    lut = _unigram_viterbi(
-        words, vocab, comps, max_piece_len, comps_by_len
-    ).select("word", "n_parts")
+    if fast is not None:
+        _, lut_rows = fast
+        lut = df.sparkSession.createDataFrame(
+            lut_rows, "word string, n_parts int"
+        )
+    else:
+        words, vocab, comps = _unigram_chain(
+            df, text_col, top_words, max_word_len, max_piece_len,
+            top_pieces, budgets, checkpoint_rounds,
+        )
+        comps_by_len = _comps_by_len(
+            df.sparkSession, max_word_len, max_piece_len
+        )
+        lut = _unigram_viterbi(
+            words, vocab, comps, max_piece_len, comps_by_len
+        ).select("word", "n_parts")
     doc_words = df.select(
         F.col(id_col),
         F.explode(

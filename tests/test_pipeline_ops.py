@@ -263,6 +263,43 @@ def test_unigram_viterbi_is_min_cost_segmentation(spark):
         assert best[w] == dp(w), w
 
 
+def test_unigram_driver_em_agrees_with_chain(spark):
+    """The r10 driver-side EM fast path (numpy over the parameter-
+    capped word table) must reproduce the distributed lattice chain
+    bit-for-bit: same trained vocabulary (pieces, counts, costs, tie
+    order) and same per-document encode stats — on a corpus that
+    exercises EM pruning (budgets force multi-piece drops), Laplace
+    re-counting, Viterbi tie-breaks, and per-char fallback for long /
+    out-of-table words."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    rows = []
+    # repeated short words (seed + survive pruning), rare words
+    # (pruned at budget), and a >8-char word (per-char fallback)
+    for i in range(30):
+        rows.append((i, "abab abba baba bab ab ba extraordinarily "
+                        f"zq{chr(97 + i % 7)} abcabc"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(top_words=50, max_word_len=8, max_piece_len=3,
+              top_pieces=20, budgets=(10, 6))
+
+    orig = TX._UNIGRAM_DRIVER_MAX_COMP_ROWS
+    try:
+        TX._UNIGRAM_DRIVER_MAX_COMP_ROWS = 0  # force distributed chain
+        slow_train = [tuple(r) for r in TX.unigram_train(
+            docs, checkpoint_rounds=False, **kw).collect()]
+        slow_enc = sorted(tuple(r) for r in TX.unigram_encode_stats(
+            docs, checkpoint_rounds=False, **kw).collect())
+    finally:
+        TX._UNIGRAM_DRIVER_MAX_COMP_ROWS = orig
+    fast_train = [tuple(r) for r in TX.unigram_train(docs, **kw).collect()]
+    fast_enc = sorted(tuple(r) for r in TX.unigram_encode_stats(
+        docs, **kw).collect())
+    assert slow_train == fast_train
+    assert slow_enc == fast_enc
+    assert len(slow_train) > 0 and len(slow_enc) == 30
+
+
 def test_doremi_weights_semantics(spark):
     """Hard domains (above-mean proxy loss) get weight proportional to
     positive excess; easy domains get 0; Σ weight_bp ≤ 10000 (floor
