@@ -767,9 +767,149 @@ def bpe_train_merges(
     one (O(2^N) subplans, 63 exchanges at N=6); with it the corpus is
     scanned exactly once and each round is one 20k-row shuffle plus a
     1-row broadcast. Results are identical either way.
+
+    Execution follows :func:`unigram_train`'s split: the corpus-sized
+    word count runs in Spark; the merge rounds over the
+    parameter-capped word table run driver-side
+    (:func:`_merge_loop_driver`) when ``top_words`` is within the
+    fast-path bound, falling back to the distributed chain otherwise —
+    identical results either way (agreement-tested).
     """
+    fast = _merge_driver_fast_path(
+        df, text_col, num_merges, top_words, wordpiece=False
+    )
+    if fast is not None:
+        _, merges_rows = fast
+        return df.sparkSession.createDataFrame(
+            merges_rows,
+            "merge_rank int, lhs string, rhs string, pair_count long",
+        ).orderBy("merge_rank")
     _, merges = _bpe_chain(df, text_col, num_merges, top_words, checkpoint_rounds)
     return merges.orderBy("merge_rank")
+
+
+# Fast-path bound for the merge-loop trainers (BPE / WordPiece): the
+# collected word table is capped by the ``top_words`` PARAMETER — a
+# configuration bound, same discipline as the unigram fast path.
+_MERGE_DRIVER_MAX_WORDS = 1_000_000
+
+
+def _merge_words(df: DataFrame, text_col: str, top_words: int) -> DataFrame:
+    """The corpus-sized stage shared by the BPE/WordPiece chains and
+    their driver-side fast paths: lowercase ``[a-z]+`` word-frequency
+    top-K (no length filter — unlike the unigram table)."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_words)
+    )
+
+
+def _merge_loop_driver(
+    word_rows: list, num_merges: int, wordpiece: bool
+) -> tuple[list, list]:
+    """Driver-side twin of :func:`_bpe_chain` / :func:`_wordpiece_chain`
+    round loops — exact same double-pipe symbol encoding, the same
+    left-to-right non-overlapping ``replace`` application (Python
+    ``str.replace`` scans identically to Spark's ``replace``), the
+    same (count DESC, lhs, rhs) / (score_q DESC, lhs, rhs) argmax, and
+    the same empty-best quirk (a round with no adjacent pairs empties
+    the vocabulary, exactly as the chain's crossJoin against an empty
+    1-row best does). Returns ``(vocab_rows, merges_rows)`` with
+    vocab rows as (word, s, freq).
+
+    Rationale (optimization r10, guide §1.2 step 1, §5 — the unigram
+    precedent, ledger change 11): after the corpus-sized word count,
+    every merge round operates on the parameter-capped word table; the
+    chain paid one eager-checkpoint Spark job per merge rank for
+    in-memory-sized work."""
+    words = [w for (w, _) in word_rows]
+    freqs = [int(f) for (_, f) in word_rows]
+    ss = ["||" + "".join(c + "||" for c in w) for w in words]
+    merges: list = []
+    for rank in range(1, num_merges + 1):
+        if not words:
+            break  # vocab emptied by an empty best — no further rows
+        syms_list = [
+            [x for x in s.split("||") if x] for s in ss
+        ]
+        pair_counts: dict = {}
+        for syms, f in zip(syms_list, freqs):
+            if len(syms) >= 2:
+                for a, b in zip(syms, syms[1:]):
+                    pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+        if not pair_counts:
+            # the chain's crossJoin(broadcast(empty best)) drops every
+            # vocab row; later rounds then contribute nothing
+            words, freqs, ss = [], [], []
+            continue
+        if wordpiece:
+            sym_counts: dict = {}
+            for syms, f in zip(syms_list, freqs):
+                for x in syms:
+                    sym_counts[x] = sym_counts.get(x, 0) + f
+            best = min(
+                (
+                    (
+                        -((pc * 1048576) // (sym_counts[a] * sym_counts[b])),
+                        a,
+                        b,
+                    )
+                    for (a, b), pc in pair_counts.items()
+                ),
+            )
+            w1, w2 = best[1], best[2]
+            merges.append(
+                (rank, w1, w2, pair_counts[(w1, w2)], -best[0])
+            )
+        else:
+            best = min(
+                ((-pc, a, b) for (a, b), pc in pair_counts.items()),
+            )
+            w1, w2 = best[1], best[2]
+            merges.append((rank, w1, w2, -best[0]))
+        pat = "|" + w1 + "||" + w2 + "|"
+        rep = "|" + w1 + w2 + "|"
+        ss = [s.replace(pat, rep) for s in ss]
+    return list(zip(words, ss, freqs)), merges
+
+
+def _merge_driver_fast_path(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    top_words: int,
+    wordpiece: bool,
+) -> tuple[list, list] | None:
+    """Collect the capped word table and run the merge loop driver-side
+    — or None when ``top_words`` exceeds the fast-path bound (caller
+    falls back to the distributed chain).
+
+    WordPiece additionally falls back when total symbol instances could
+    push the chain's int64 score arithmetic (``c_pair·2^20`` and
+    ``c_lhs·c_rhs``) past 2^63: Python ints don't wrap, so agreement
+    with the JVM plan is only guaranteed inside its documented
+    int64-safe domain — outside it the chain itself runs, keeping
+    results identical by construction."""
+    if top_words > _MERGE_DRIVER_MAX_WORDS:
+        return None
+    word_rows = [
+        (r["word"], r["freq"])
+        for r in _merge_words(df, text_col, top_words).collect()
+    ]
+    if wordpiece:
+        # symbol instances only shrink as merges apply, so round-1
+        # totals bound every round's c_sym and pair_count
+        s0 = sum(len(w) * int(f) for (w, f) in word_rows)
+        if s0 * s0 >= 2**63:
+            return None
+    return _merge_loop_driver(word_rows, num_merges, wordpiece)
 
 
 def _bpe_chain(
@@ -786,17 +926,7 @@ def _bpe_chain(
     side broadcasts. It is left LAZY (no checkpoint after the last
     apply) so merge-only callers never pay for it.
     """
-    words = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), "word")
-        .limit(top_words)
-    )
+    words = _merge_words(df, text_col, top_words)
     if checkpoint_rounds:
         words = words.localCheckpoint(eager=True)
     vocab = words.select(
@@ -865,14 +995,33 @@ def bpe_encode_stats(
     trained (word → symbol-count) table is top_words-capped, so
     encoding is one corpus scan + ONE BROADCAST JOIN + a map-side-
     combined groupBy(doc_id) — the text itself never shuffles.
+
+    Training execution follows :func:`bpe_train_merges`: driver-side
+    merge loop over the capped word table when the bound allows, the
+    distributed chain otherwise — identical LUT either way.
     """
-    vocab, _ = _bpe_chain(df, text_col, num_merges, top_words, checkpoint_rounds)
-    lut = vocab.select(
-        "word",
-        F.size(F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")).alias(
-            "n_syms"
-        ),
+    fast = _merge_driver_fast_path(
+        df, text_col, num_merges, top_words, wordpiece=False
     )
+    if fast is not None:
+        vocab_rows, _ = fast
+        lut = df.sparkSession.createDataFrame(
+            [
+                (w, len([x for x in s.split("||") if x]))
+                for (w, s, _freq) in vocab_rows
+            ],
+            "word string, n_syms int",
+        )
+    else:
+        vocab, _ = _bpe_chain(
+            df, text_col, num_merges, top_words, checkpoint_rounds
+        )
+        lut = vocab.select(
+            "word",
+            F.size(
+                F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
+            ).alias("n_syms"),
+        )
     doc_words = df.select(
         F.col(id_col),
         F.explode(
@@ -2148,17 +2297,7 @@ def _wordpiece_chain(
     word-count top-K; each round is two vocab-sized aggregations (pair
     counts + symbol counts), two broadcast joins, and a 1-row best.
     """
-    words = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), "word")
-        .limit(top_words)
-    )
+    words = _merge_words(df, text_col, top_words)
     if checkpoint_rounds:
         words = words.localCheckpoint(eager=True)
     vocab = words.select(
@@ -2239,11 +2378,60 @@ def wordpiece_train_merges(
 ) -> DataFrame:
     """Train WordPiece merges (likelihood objective — see
     :func:`_wordpiece_chain`); returns the learned merge table
-    (merge_rank, lhs, rhs, pair_count, score_q) in order."""
+    (merge_rank, lhs, rhs, pair_count, score_q) in order.
+
+    Execution follows :func:`bpe_train_merges`: driver-side merge loop
+    over the parameter-capped word table when the fast-path bounds
+    allow, the distributed chain otherwise — identical results either
+    way (agreement-tested)."""
+    fast = _merge_driver_fast_path(
+        df, text_col, num_merges, top_words, wordpiece=True
+    )
+    if fast is not None:
+        _, merges_rows = fast
+        return df.sparkSession.createDataFrame(
+            merges_rows,
+            "merge_rank int, lhs string, rhs string, pair_count long,"
+            " score_q long",
+        ).orderBy("merge_rank")
     _, merges = _wordpiece_chain(
         df, text_col, num_merges, top_words, checkpoint_rounds
     )
     return merges.orderBy("merge_rank")
+
+
+def _wordpiece_maxmatch_n_parts(word: str, pieces: set) -> int | None:
+    """Driver-side MaxMatch (greedy longest-match-first with
+    backtracking): part count of the segmentation whose part-length
+    sequence is lexicographically largest among vocab-valid
+    segmentations, or None when no valid segmentation exists — exactly
+    the lattice path's ``max(struct(lens_key, n_parts))`` winner, for
+    single-digit part lengths (``max_word_len`` ≤ 9, which the caller
+    gates on: at ≥10 the lattice's DIGIT-STRING key order diverges
+    from longest-first and the distributed path decides).
+
+    Greedy-with-backtracking returns the lex-largest length sequence:
+    at each position it takes the longest in-vocab piece whose
+    remainder is segmentable; any other valid segmentation starts with
+    a shorter (lex-smaller) piece there. Equal-sum sequences are never
+    prefixes of each other, so elementwise comparison decides."""
+    n = len(word)
+    dead: set = set()
+
+    def rec(pos: int) -> int | None:
+        if pos == n:
+            return 0
+        if pos in dead:
+            return None
+        for ln in range(n - pos, 0, -1):
+            if word[pos : pos + ln] in pieces:
+                sub = rec(pos + ln)
+                if sub is not None:
+                    return 1 + sub
+        dead.add(pos)
+        return None
+
+    return rec(0)
 
 
 def wordpiece_encode_stats(
@@ -2271,63 +2459,93 @@ def wordpiece_encode_stats(
     chars_per_token — same contract as the BPE/unigram encode twins.
     Scale: training is the BPE shape; encoding is one corpus scan +
     ONE broadcast join against the capped (word → n_parts) table.
-    """
-    vocab, _ = _wordpiece_chain(
-        df, text_col, num_merges, top_words, checkpoint_rounds
-    )
-    syms = F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
-    pv = (
-        vocab.select(F.explode(syms).alias("piece")).distinct()
-    )
-    words = vocab.select("word").where(F.length("word") <= max_word_len)
 
-    spark = df.sparkSession
-    comp_rows = [
-        (L, cid, starts, lens, n, "".join(str(k) for k in lens))
-        for (L, cid, starts, lens, n) in unigram_compositions(
-            max_word_len, max_word_len
+    Training/LUT execution follows :func:`wordpiece_train_merges`:
+    driver-side merge loop + MaxMatch
+    (:func:`_wordpiece_maxmatch_n_parts`) over the parameter-capped
+    word table when the fast-path bounds allow, the distributed
+    chain + composition lattice otherwise — identical results.
+    """
+    fast = (
+        _merge_driver_fast_path(
+            df, text_col, num_merges, top_words, wordpiece=True
         )
-    ]
-    comps = spark.createDataFrame(
-        comp_rows,
-        "word_len int, comp_id int, starts array<int>, lens array<int>, "
-        "n_parts int, lens_key string",
+        if max_word_len <= 9
+        else None
     )
-    cand = (
-        words.join(F.broadcast(comps), F.length("word") == F.col("word_len"))
-        .select(
-            "word",
-            "comp_id",
-            "n_parts",
-            "lens_key",
-            F.explode(F.arrays_zip("starts", "lens")).alias("z"),
+    if fast is not None:
+        vocab_rows, _ = fast
+        piece_set: set = set()
+        for (_w, s, _freq) in vocab_rows:
+            piece_set.update(x for x in s.split("||") if x)
+        lut_rows = []
+        for (w, _s, _freq) in vocab_rows:
+            if len(w) <= max_word_len:
+                np_ = _wordpiece_maxmatch_n_parts(w, piece_set)
+                if np_ is not None:
+                    lut_rows.append((w, np_))
+        lut = df.sparkSession.createDataFrame(
+            lut_rows, "word string, n_parts int"
         )
-        .select(
-            "word",
-            "comp_id",
-            "n_parts",
-            "lens_key",
-            F.expr("substring(word, z.starts, z.lens)").alias("piece"),
+    else:
+        vocab, _ = _wordpiece_chain(
+            df, text_col, num_merges, top_words, checkpoint_rounds
         )
-    )
-    valid = (
-        cand.join(F.broadcast(pv), "piece")
-        .groupBy("word", "comp_id")
-        .agg(
-            F.count("*").alias("got"),
-            F.min("n_parts").alias("n_parts"),
-            F.min("lens_key").alias("lens_key"),
+        syms = F.expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')")
+        pv = (
+            vocab.select(F.explode(syms).alias("piece")).distinct()
         )
-        .where(F.col("got") == F.col("n_parts"))
-    )
-    # MaxMatch: lexicographically-largest part-length key. Distinct
-    # compositions have distinct keys (equal sums forbid prefixes), so
-    # no further tie-break is needed.
-    lut = (
-        valid.groupBy("word")
-        .agg(F.max(F.struct("lens_key", "n_parts")).alias("b"))
-        .select("word", F.col("b.n_parts").alias("n_parts"))
-    )
+        words = vocab.select("word").where(F.length("word") <= max_word_len)
+
+        spark = df.sparkSession
+        comp_rows = [
+            (L, cid, starts, lens, n, "".join(str(k) for k in lens))
+            for (L, cid, starts, lens, n) in unigram_compositions(
+                max_word_len, max_word_len
+            )
+        ]
+        comps = spark.createDataFrame(
+            comp_rows,
+            "word_len int, comp_id int, starts array<int>, "
+            "lens array<int>, n_parts int, lens_key string",
+        )
+        cand = (
+            words.join(
+                F.broadcast(comps), F.length("word") == F.col("word_len")
+            )
+            .select(
+                "word",
+                "comp_id",
+                "n_parts",
+                "lens_key",
+                F.explode(F.arrays_zip("starts", "lens")).alias("z"),
+            )
+            .select(
+                "word",
+                "comp_id",
+                "n_parts",
+                "lens_key",
+                F.expr("substring(word, z.starts, z.lens)").alias("piece"),
+            )
+        )
+        valid = (
+            cand.join(F.broadcast(pv), "piece")
+            .groupBy("word", "comp_id")
+            .agg(
+                F.count("*").alias("got"),
+                F.min("n_parts").alias("n_parts"),
+                F.min("lens_key").alias("lens_key"),
+            )
+            .where(F.col("got") == F.col("n_parts"))
+        )
+        # MaxMatch: lexicographically-largest part-length key. Distinct
+        # compositions have distinct keys (equal sums forbid prefixes),
+        # so no further tie-break is needed.
+        lut = (
+            valid.groupBy("word")
+            .agg(F.max(F.struct("lens_key", "n_parts")).alias("b"))
+            .select("word", F.col("b.n_parts").alias("n_parts"))
+        )
     doc_words = df.select(
         F.col(id_col),
         F.explode(

@@ -418,6 +418,97 @@ def test_wordpiece_score_prefers_cohesive_pairs(spark):
     assert (wp[0]["lhs"], wp[0]["rhs"]) == ("q", "u")
 
 
+def test_merge_driver_fast_path_agrees_with_chain(spark):
+    """The r10 BPE/WordPiece driver-side merge loop must reproduce the
+    distributed chains bit-for-bit — merge tables (ranks, pairs,
+    counts, scores), encode stats, and schemas — on a corpus that
+    exercises self-runs ('aaaa' → greedy non-overlap), merge chains
+    built on earlier merges, likelihood-vs-frequency argmax ties, and
+    per-char fallback for out-of-table words."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "aaaa abab banana bandana extraordinarily "
+                        f"qu{chr(97 + i % 5)} the theo theory band"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_merges=6, top_words=60)
+    fns = dict(
+        bpe_m=TX.bpe_train_merges,
+        bpe_e=TX.bpe_encode_stats,
+        wp_m=TX.wordpiece_train_merges,
+        wp_e=TX.wordpiece_encode_stats,
+    )
+
+    def run():
+        # checkpoint_rounds stays True: results are identical either
+        # way, and False makes the forced-distributed arm pay the
+        # O(2^num_merges) re-inlined lineage the chains checkpoint
+        # away in production
+        out = {}
+        for key, fn in fns.items():
+            d = fn(docs, **kw)
+            rows_ = [tuple(r) for r in d.collect()]
+            out[key] = (d.dtypes, sorted(rows_) if key.endswith("_e")
+                        else rows_)
+        return out
+
+    orig = TX._MERGE_DRIVER_MAX_WORDS
+    try:
+        TX._MERGE_DRIVER_MAX_WORDS = 0   # force the distributed chains
+        slow = run()
+    finally:
+        TX._MERGE_DRIVER_MAX_WORDS = orig
+    fast = run()
+    for key in fns:
+        assert slow[key] == fast[key], key
+    assert len(fast["bpe_m"][1]) == 6 and len(fast["wp_m"][1]) == 6
+    assert len(fast["bpe_e"][1]) == 30
+
+
+def test_wordpiece_maxmatch_driver_helper_is_lattice_max_lex():
+    """_wordpiece_maxmatch_n_parts (greedy longest-first with
+    backtracking) must equal the lattice rule — part count of the
+    lexicographically-largest valid part-length sequence — on hand
+    cases (backtracking dead-end, n_parts differing from greedy depth,
+    unsegmentable) and on randomized word/vocab draws up to the
+    single-digit length bound."""
+    import itertools
+    import random
+
+    from pg_logical_replication_spark.operators.text import (
+        _wordpiece_maxmatch_n_parts,
+    )
+
+    def lattice_best(word, pieces):
+        best = None
+        for n in range(1, len(word) + 1):
+            for cut in itertools.combinations(range(1, len(word)), n - 1):
+                bounds = (0,) + cut + (len(word),)
+                parts = [word[bounds[i]:bounds[i + 1]]
+                         for i in range(len(bounds) - 1)]
+                if all(p in pieces for p in parts):
+                    key = "".join(str(len(p)) for p in parts)
+                    if best is None or key > best[0]:
+                        best = (key, len(parts))
+        return None if best is None else best[1]
+
+    # plain greedy dead-ends ('abc' leaves 'd'), backtracking finds 2
+    assert _wordpiece_maxmatch_n_parts("abcd", {"abc", "ab", "cd"}) == 2
+    # [3,1] beats [2,1,1] lexicographically
+    assert _wordpiece_maxmatch_n_parts("abcd", {"abc", "d", "ab", "c"}) == 2
+    assert _wordpiece_maxmatch_n_parts("aba", {"ab"}) is None
+    rng = random.Random(7)
+    for trial in range(400):
+        n = rng.randint(1, 9)
+        word = "".join(rng.choice("ab") for _ in range(n))
+        pool = {word[i:j] for i in range(n) for j in range(i + 1, n + 1)}
+        pieces = {p for p in pool if rng.random() < 0.4}
+        assert _wordpiece_maxmatch_n_parts(word, pieces) == lattice_best(
+            word, pieces
+        ), (word, sorted(pieces))
+
+
 # ------------------------------------------- Gopher A1.2 / CCNet
 def test_gopher_repetition_line_and_ngram_rules(spark):
     """Crafted docs pin each rule family: duplicate lines/paragraphs,
