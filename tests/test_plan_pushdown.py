@@ -242,14 +242,29 @@ def test_bpe_train_rounds_are_vocab_sized(spark):
     top-K onto a localCheckpoint); each of the 6 merge rounds is then
     one vocab-sized pair aggregation — no join at all, no Python,
     and no O(2^N) lineage re-inlining (63 exchanges without the
-    checkpoint; 6 with it)."""
-    df = QUERIES["q_text_bpe_train"].builder(spark, SF)
+    checkpoint; 6 with it). The distributed chain stays the at-scale
+    fallback above the r10 driver fast-path bound, so its shape is
+    pinned with the fast path forced off; the production (fast-path)
+    plan is then just the driver-built merge table."""
+    from pg_logical_replication_spark.operators import text as TX
+
+    orig = TX._MERGE_DRIVER_MAX_WORDS
+    try:
+        TX._MERGE_DRIVER_MAX_WORDS = 0
+        df = QUERIES["q_text_bpe_train"].builder(spark, SF)
+    finally:
+        TX._MERGE_DRIVER_MAX_WORDS = orig
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 6, plan
     assert plan.count("TakeOrderedAndProject") == 6, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed vocab
+
+    fast = QUERIES["q_text_bpe_train"].builder(spark, SF)
+    fplan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in fplan, fplan
+    assert "Scan ExistingRDD" in fplan  # the driver-built merge table
 
 
 def test_bpe_encode_is_one_broadcast_join(spark):
