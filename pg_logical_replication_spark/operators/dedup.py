@@ -315,8 +315,23 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # Fast-path type guard (ADVICE r10 medium): the driver union-find
+    # must (a) return the INPUT id type, not a hardcoded long — the
+    # distributed contraction preserves it — and (b) only run where
+    # Python's `<` agrees with Spark's ordering: integral types and
+    # strings (UTF-8 byte order == code-point order == Python str
+    # order). Anything else falls through to the contraction, so the
+    # same call never changes output type or crashes depending on edge
+    # count.
+    from pyspark.sql import types as T
+
+    _u_t, _v_t = edges.schema["u"].dataType, edges.schema["v"].dataType
+    _local_ok = _u_t == _v_t and isinstance(
+        _u_t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.StringType)
+    )
     n_edges_initial = edges.count()
-    if n_edges_initial <= local_max_edges:
+    if _local_ok and n_edges_initial <= local_max_edges:
         edge_rows = [(r[0], r[1]) for r in edges.collect()]
         parent: dict = {}
 
@@ -348,7 +363,10 @@ def connected_components_star(
             stats["local"] = True
         return pairs.sparkSession.createDataFrame(
             [(node, comp_min[find(node)]) for node in parent],
-            "doc_id long, label long",
+            T.StructType([
+                T.StructField("doc_id", _u_t, True),
+                T.StructField("label", _u_t, True),
+            ]),
         )
 
     nodes = (

@@ -1419,6 +1419,11 @@ def _mmr_select_local(
             acc += x * y
         return acc
 
+    if qrows and qrows[0][0] is None:
+        # NULL query vector (ADVICE r10): the distributed path still
+        # selects k rows with NULL rel (nulls-last ordering) — an
+        # ungoverned case this fold does not reproduce, so fall through
+        return None
     cands = []  # (vec_id, vec, norm, rel)
     if qrows and qrows[0][0] is not None:
         qv = [float(x) for x in qrows[0][0]]

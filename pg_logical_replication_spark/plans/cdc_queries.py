@@ -54,6 +54,16 @@ def _seg_base(t: int, s: int) -> int:
     return t * _TXN_BLOCK + s * _SEG_WIDTH
 
 
+def _rel_info(pgf, rel_buf: bytes, oid: int):
+    """RelationInfo parsed back from an encode_relation buffer — the
+    evolution fixtures hand decode_pgoutput a versioned registry built
+    from the very 'R' buffers they just encoded (optimization r11),
+    skipping the pre-scan collect that would only rediscover them."""
+    tmp: dict = {}
+    pgf.parse_message(bytes(rel_buf), tmp)
+    return tmp[oid]
+
+
 def _newest_per_user(spark, sf_dir, bound: str | None = None):
     """The latest_image twin over the raw events table: newest row per
     user (ts desc, event_id desc tie-break), 'error' rows acting as
@@ -1502,28 +1512,37 @@ def q_cdc_apply_schema_evolution(spark, sf_dir):
         encode, schema="lsn string, seq long, data binary"
     )
     v2_seq = half * 10 + 5
+    rel_v1 = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20)],
+        key_columns=["event_id"],
+    )
+    rel_v2 = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20), ("user_id", 20)],
+        key_columns=["event_id"],
+    )
     rels = spark.createDataFrame(
         [
-            ("0/10", 0, bytearray(pgf.encode_relation(
-                OID, "public", "events", [("event_id", 20)],
-                key_columns=["event_id"],
-            ))),
-            (f"0/{v2_seq * 8 + 16:X}", v2_seq, bytearray(pgf.encode_relation(
-                OID, "public", "events",
-                [("event_id", 20), ("user_id", 20)],
-                key_columns=["event_id"],
-            ))),
+            ("0/10", 0, bytearray(rel_v1)),
+            (f"0/{v2_seq * 8 + 16:X}", v2_seq, bytearray(rel_v2)),
         ],
         "lsn string, seq long, data binary",
     )
     # persist the DECODED stream: the contract fold (a collect over the
     # 'R' rows) and the snapshot aggregate would otherwise each re-run
     # the Python encode+decode lineage (the q_cdc_schema_evolution
-    # lesson, review r2)
-    # src persisted for the in-band 'R' pre-scan, decoded for the two
-    # downstream actions (contract fold + snapshot aggregate)
-    src = wire.unionByName(rels).persist()
-    decoded = decode_pgoutput(src).persist()
+    # lesson, review r2). The versioned registry is parsed from the
+    # very buffers this fixture just encoded (optimization r11, guide
+    # §2.4): the pre-scan collect existed only to rediscover relation
+    # versions the query itself constructed — supplying them drops that
+    # action AND the wire-side persist, so encode and decode pipeline
+    # in ONE materialization. The in-band 'R' rows still ride the
+    # stream and still feed the contract fold; decodes without a
+    # registry still pre-scan, unchanged.
+    decoded = decode_pgoutput(
+        wire.unionByName(rels),
+        relations={OID: [(0, _rel_info(pgf, rel_v1, OID)),
+                         (v2_seq, _rel_info(pgf, rel_v2, OID))]},
+    ).persist()
     snap = apply_changes(
         decoded,
         key_columns=["event_id"],
@@ -1604,23 +1623,29 @@ def q_cdc_apply_type_widening(spark, sf_dir):
         encode, schema="lsn string, seq long, data binary"
     )
     v2_seq = half * 10 + 5
+    rel_v1 = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20), ("amount", 23)],
+        key_columns=["event_id"],
+    )
+    rel_v2 = pgf.encode_relation(
+        OID, "public", "events", [("event_id", 20), ("amount", 20)],
+        key_columns=["event_id"],
+    )
     rels = spark.createDataFrame(
         [
-            ("0/10", 0, bytearray(pgf.encode_relation(
-                OID, "public", "events",
-                [("event_id", 20), ("amount", 23)],
-                key_columns=["event_id"],
-            ))),
-            (f"0/{v2_seq * 8 + 16:X}", v2_seq, bytearray(pgf.encode_relation(
-                OID, "public", "events",
-                [("event_id", 20), ("amount", 20)],
-                key_columns=["event_id"],
-            ))),
+            ("0/10", 0, bytearray(rel_v1)),
+            (f"0/{v2_seq * 8 + 16:X}", v2_seq, bytearray(rel_v2)),
         ],
         "lsn string, seq long, data binary",
     )
-    src = wire.unionByName(rels).persist()
-    decoded = decode_pgoutput(src).persist()
+    # versioned registry from the fixture's own buffers (optimization
+    # r11): drops the pre-scan collect + wire persist — see
+    # q_cdc_apply_schema_evolution for the full argument
+    decoded = decode_pgoutput(
+        wire.unionByName(rels),
+        relations={OID: [(0, _rel_info(pgf, rel_v1, OID)),
+                         (v2_seq, _rel_info(pgf, rel_v2, OID))]},
+    ).persist()
     snap = apply_changes(
         decoded, key_columns=["event_id"], table="events", columns="evolve"
     )
@@ -1712,22 +1737,30 @@ def q_cdc_schema_change_log(spark, sf_dir):
         encode, schema="lsn string, seq long, data binary"
     )
 
-    def rel(seq, cols):
-        return (f"0/{seq * 8 + 16:X}", seq, bytearray(pgf.encode_relation(
+    rel_bufs = [
+        (seq, pgf.encode_relation(
             OID, "public", "events", cols, key_columns=["event_id"]
-        )))
-
+        ))
+        for seq, cols in (
+            (0, [("event_id", 20)]),
+            (third * 10 + 5, [("event_id", 20), ("user_id", 23)]),
+            (2 * third * 10 + 5, [("event_id", 20), ("user_id", 20)]),
+            (n * 10 + 5, [("event_id", 20)]),
+        )
+    ]
     rels = spark.createDataFrame(
-        [
-            rel(0, [("event_id", 20)]),
-            rel(third * 10 + 5, [("event_id", 20), ("user_id", 23)]),
-            rel(2 * third * 10 + 5, [("event_id", 20), ("user_id", 20)]),
-            rel(n * 10 + 5, [("event_id", 20)]),
-        ],
+        [(f"0/{seq * 8 + 16:X}", seq, bytearray(buf))
+         for seq, buf in rel_bufs],
         "lsn string, seq long, data binary",
     )
-    src = wire.unionByName(rels).persist()
-    decoded = decode_pgoutput(src).persist()
+    # versioned registry from the fixture's own buffers (optimization
+    # r11): drops the pre-scan collect + wire persist — see
+    # q_cdc_apply_schema_evolution for the full argument
+    decoded = decode_pgoutput(
+        wire.unionByName(rels),
+        relations={OID: [(seq, _rel_info(pgf, buf, OID))
+                         for seq, buf in rel_bufs]},
+    ).persist()
     log = schema_change_log(decoded, table="events")
 
     from pyspark.sql import Window as W
@@ -3224,29 +3257,37 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
         encode, schema="lsn string, seq long, data binary"
     )
 
-    def rel(seq, oid, name, cols, key):
-        return (f"0/{seq * 8 + 16:X}", seq, bytearray(pgf.encode_relation(
+    rel_bufs = [
+        (seq, oid, pgf.encode_relation(
             oid, "public", name, cols, key_columns=[key]
-        )))
-
-    rels = spark.createDataFrame(
-        [
-            rel(0, OID_O, "orders", [("order_id", 20)], "order_id"),
-            rel(1, OID_U, "users", [("uid", 20)], "uid"),
-            rel(2, OID_I, "items",
-                [("item_id", 20), ("qty", 20)], "item_id"),
+        ))
+        for seq, oid, name, cols, key in (
+            (0, OID_O, "orders", [("order_id", 20)], "order_id"),
+            (1, OID_U, "users", [("uid", 20)], "uid"),
+            (2, OID_I, "items", [("item_id", 20), ("qty", 20)], "item_id"),
             # independent ALTER positions: orders at n/2, users at n/3
-            rel(half * 30 + 5, OID_O, "orders",
-                [("order_id", 20), ("amount", 20)], "order_id"),
-            rel(third * 30 + 6, OID_U, "users",
-                [("uid", 20), ("score", 20)], "uid"),
-        ],
+            (half * 30 + 5, OID_O, "orders",
+             [("order_id", 20), ("amount", 20)], "order_id"),
+            (third * 30 + 6, OID_U, "users",
+             [("uid", 20), ("score", 20)], "uid"),
+        )
+    ]
+    rels = spark.createDataFrame(
+        [(f"0/{seq * 8 + 16:X}", seq, bytearray(buf))
+         for seq, _, buf in rel_bufs],
         "lsn string, seq long, data binary",
     )
     # one decode feeds three materializations — persist it, not the
-    # Python encode lineage (the q_cdc_schema_evolution lesson)
-    src = wire.unionByName(rels).persist()
-    decoded = decode_pgoutput(src).persist()
+    # Python encode lineage (the q_cdc_schema_evolution lesson). The
+    # versioned registry comes from the fixture's own buffers
+    # (optimization r11): drops the pre-scan collect + wire persist —
+    # see q_cdc_apply_schema_evolution for the full argument.
+    _registry: dict = {}
+    for seq, oid, buf in rel_bufs:
+        _registry.setdefault(oid, []).append((seq, _rel_info(pgf, buf, oid)))
+    decoded = decode_pgoutput(
+        wire.unionByName(rels), relations=_registry
+    ).persist()
     # one-pass multi-table fold (optimization r10): one grouped
     # aggregation + collect derives all three contracts — identical
     # per-table folds, two fewer jobs than three single-table calls
@@ -3257,6 +3298,22 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
     contracts = stream_column_contracts(
         decoded, ["orders", "users", "items"]
     )
+    # Shared-pass precondition (ADVICE r10 low): the union identity
+    # list is only equivalent to three per-table applies while no table
+    # carries another table's key NAME as a non-key column — an
+    # evolution adding e.g. a 'uid' column to orders would make that
+    # identity slot non-NULL inside orders groups and split one order's
+    # events into multiple groups. Assert it against the contracts the
+    # stream itself declared, so a future fixture edit fails loudly
+    # here instead of shipping a wrong snapshot.
+    _own_key = {"orders": "order_id", "users": "uid", "items": "item_id"}
+    for _t, _cols in contracts.items():
+        _foreign = (set(_own_key.values()) - {_own_key[_t]}) & set(_cols)
+        assert not _foreign, (
+            f"shared latest_image precondition violated: table {_t!r} "
+            f"carries foreign key name(s) {sorted(_foreign)} — split "
+            "into per-table apply_changes calls"
+        )
 
     # ONE combined newest-per-key pass for all three tables
     # (optimization r10, guide §2.1 "remove shuffles outright"):
@@ -3321,9 +3378,9 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN event_id < (SELECT c // 3 FROM n)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
-           CAST(SUM(CASE WHEN event_id >= (SELECT c // 3 FROM n)
-                         THEN CAST(user_id AS DECIMAL(38,18)) + 0.25 END)
-                AS DECIMAL(38,18)) AS sum_bal,
+           CAST(CAST(SUM(CASE WHEN event_id >= (SELECT c // 3 FROM n)
+                              THEN CAST(user_id AS DECIMAL(38,18)) + 0.25 END)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal,
            CAST(SUM(CASE WHEN event_id >= (SELECT c // 3 FROM n)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged
     FROM events GROUP BY 1 ORDER BY 1
@@ -3337,7 +3394,9 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
     "first era, and the second ALTER widens both typmods "
     "(numeric(10,2)->numeric(12,2), varchar(20)->varchar(40)) so the "
     "fold keeps the wider declarations; sums over the evolved decimal "
-    "column must be exact",
+    "column stay exact in decimal and surface as DOUBLE (the sibling "
+    "aggregate idiom — a raw DECIMAL(38,18) output column was the one "
+    "representation the driver's sf0.01 hash compare rejected, r10)",
 )
 def q_cdc_evolve_wal2json(spark, sf_dir):
     """The wal2json leg of the evolution story, end-to-end and fully
@@ -3415,7 +3474,7 @@ def q_cdc_evolve_wal2json(spark, sf_dir):
             F.count("*").cast("long").alias("n_rows"),
             F.sum(F.when(F.col("balance").isNull(), 1).otherwise(0))
             .cast("long").alias("n_backfilled"),
-            F.sum("balance").cast("decimal(38,18)").alias("sum_bal"),
+            F.sum("balance").cast("double").alias("sum_bal"),
             F.sum(F.when(F.col("tag").isNotNull(), 1).otherwise(0))
             .cast("long").alias("n_tagged"),
         )

@@ -160,12 +160,23 @@ def decode_pgoutput(
 
     ``relations`` optionally supplies the relation cache up front
     (oid → RelationInfo, e.g. from a schema registry / separate control
-    stream). Without it, a pre-scan pass extracts in-band 'R' messages —
-    which recomputes ``raw``'s lineage once; callers whose ``raw`` is an
-    expensive derived plan should either persist it or pass the cache.
+    stream). A VERSIONED registry — oid → [(valid_from_seq,
+    RelationInfo), ...], seq-ascending, exactly the pre-scan's own
+    shape — is also accepted, for callers that know the stream's
+    mid-stream ALTER positions (a schema registry with history, or a
+    fixture that synthesized the wire itself): rows then decode under
+    the newest supplied schema at or below their seq, identical to
+    what the pre-scan would derive, without the extra pass. Without
+    ``relations``, a pre-scan pass extracts in-band 'R' messages —
+    which recomputes ``raw``'s lineage once; callers whose ``raw`` is
+    an expensive derived plan should either persist it or pass the
+    cache.
     """
     if relations is not None:
-        versions = {oid: [(-1, info)] for oid, info in relations.items()}
+        versions = {
+            oid: (list(v) if isinstance(v, list) else [(-1, v)])
+            for oid, v in relations.items()
+        }
     elif raw.isStreaming:
         # a streaming plan cannot run the pre-scan (it is a batch
         # action); in-band 'R' messages still register as the decode

@@ -202,3 +202,50 @@ def test_minhash_bands_rejects_non_divisible_band_size(spark):
     sig = minhash_signature(df, num_hashes=9)
     with pytest.raises(ValueError, match="do not fold"):
         minhash_bands(sig, band_size=2)
+
+
+def test_star_cc_local_fastpath_preserves_input_id_type(spark):
+    """ADVICE r10 medium: the driver union-find fast path must return
+    the INPUT id type (the distributed contraction preserves it), and
+    must fall through to the contraction for id types outside its
+    Python-ordering guarantee — never crash or silently widen."""
+    from pyspark.sql import types as T
+
+    from pg_logical_replication_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    # integer ids: fast path fires AND keeps IntegerType
+    df_int = spark.createDataFrame(pairs, "a_id int, b_id int")
+    stats: dict = {}
+    out = connected_components_star(df_int, stats=stats)
+    assert stats["local"] is True
+    assert isinstance(out.schema["doc_id"].dataType, T.IntegerType)
+    assert isinstance(out.schema["label"].dataType, T.IntegerType)
+    got = {(r["doc_id"], r["label"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    # string ids: fast path fires (UTF-8 order == Python str order)
+    df_str = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "a_id string, b_id string"
+    )
+    stats = {}
+    out = connected_components_star(df_str, stats=stats)
+    assert stats["local"] is True
+    assert isinstance(out.schema["doc_id"].dataType, T.StringType)
+    got = {(r["doc_id"], r["label"]) for r in out.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"),
+                   ("y", "x")}
+
+    # an id type outside the guard (double) falls through to the
+    # distributed contraction instead of crashing the fast path
+    df_dbl = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0)], "a_id double, b_id double"
+    )
+    stats = {}
+    out = connected_components_star(df_dbl, stats=stats)
+    assert stats["local"] is False
+    assert isinstance(out.schema["doc_id"].dataType, T.DoubleType)
+    got = {(r["doc_id"], r["label"]) for r in out.collect()}
+    assert got == {(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)}

@@ -632,3 +632,29 @@ def test_join_advisor_decision_branches(spark):
         ).collect()
     ]
     assert got == ["broadcast", "salted_smj", "smj"]
+
+
+def test_mmr_null_query_vector_falls_through_to_distributed(spark):
+    """ADVICE r10 low: a NULL query vector is an ungoverned case — the
+    local fast path must return None and fall through, so the public
+    API's result (k picks with NULL rel, the distributed nulls-last
+    semantics) never depends on the candidate-count gate."""
+    from pg_logical_replication_spark.operators.similarity import (
+        _mmr_select_local,
+        mmr_select,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    query = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>"
+    )
+    assert _mmr_select_local(
+        corpus, query, k=2, lam_milli=700,
+        id_col="vec_id", vec_col="embedding",
+    ) is None
+    # the public API goes distributed and still selects rows (NULL rel)
+    out = mmr_select(corpus, query, k=2).collect()
+    assert len(out) == 2 and all(r["rel"] is None for r in out)
