@@ -17,8 +17,11 @@ follow PostgreSQL logical replication apply:
   events survive (``pgoutput-parser.ts:271-290`` truncate semantics).
 
 Scale notes (100 TB): one hash shuffle on the key; skewed hot keys are
-handled by AQE skew-join/partition splitting; the per-key window is a
-partial aggregation-friendly ``max_by`` pattern — no global sort.
+handled by AQE skew-join/partition splitting; the per-key rank-1 window
+plans with a map-side partial ``WindowGroupLimit``, so each map task
+ships at most one candidate row per key across the exchange (measured
+equal-or-better than a ``max_by(struct)`` aggregation in every regime —
+see latest_image's body comment, r11).
 """
 
 from __future__ import annotations
@@ -117,24 +120,22 @@ def latest_image(
     # tolerate schema-less event frames from callers that pre-filtered
     part = ["schema", "table", "_identity"] if "schema" in ev.columns else [
         "table", "_identity"]
-    # newest-per-key as max_by, not a row_number window (optimization
-    # r10, guide §2.3 "aggregate before you shuffle"): the hash
-    # aggregate does map-side partial aggregation — each map task ships
-    # at most one candidate row per key instead of every event — and
-    # skips the window's per-partition sort. _ord is unique within a
-    # key (it carries the wire seq / intra-txn pos), so max_by and the
-    # former row_number-over-desc pick the same row.
-    cols = ev.columns
-    agg = ev.groupBy(*part).agg(
-        F.max_by(
-            F.struct(*[c for c in cols if c not in part]), F.col("_ord")
-        ).alias("_st")
-    )
-    return agg.select(
-        *[
-            F.col("_st").getField(c).alias(c) if c not in part else F.col(c)
-            for c in cols
-        ]
+    # Newest-per-key as a rank-1 window, adjudicated in r11 (VERDICT
+    # r10 #2): Spark plans the rn=1 filter as Sort+WindowGroupLimit
+    # (Partial) BELOW the exchange, so each map task already ships at
+    # most one candidate row per key — the same shuffle reduction the
+    # r10 max_by(struct, _ord) rewrite bought — while the reduce side
+    # (WindowGroupLimit Final + Window) beats the struct-buffer
+    # SortAggregate pair on every measured regime (controlled
+    # update-heavy fixture, scripts/r11_maxby_ab.py: window 13-19%
+    # faster at update factors 1/7/399; driver r10 cold runs agreed).
+    # _ord is unique within a key (wire seq / intra-txn pos), so both
+    # forms pick the same row.
+    w = Window.partitionBy(*part).orderBy(F.col("_ord").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -166,11 +167,11 @@ def apply_changes(
         columns = stream_column_contract(events, table=table)
     # Project to the columns the snapshot pipeline actually touches
     # BEFORE latest_image (optimization r10, guide §2.3 "project before
-    # the exchange"): Catalyst does not prune columns INTO the max_by
-    # struct, so without this the key shuffle ships before/xid/
-    # commit_ts/lsn it never reads — on an update-heavy stream `before`
-    # alone is a second copy of every row image. op/table/schema drive
-    # the filters, key+after the identity and output, lsn_long/seq/meta
+    # the exchange"): the window ships whole rows through the key
+    # shuffle, so without this it carries before/xid/commit_ts/lsn the
+    # snapshot never reads — on an update-heavy stream `before` alone
+    # is a second copy of every row image. op/table/schema drive the
+    # filters, key+after the identity and output, lsn_long/seq/meta
     # the stream order. Skipped when the caller passes an explicit
     # `order` (it may reference the dropped columns).
     if order is None:

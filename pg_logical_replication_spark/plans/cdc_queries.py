@@ -70,34 +70,31 @@ def _newest_per_user(spark, sf_dir, bound: str | None = None):
     delete tombstones dropped. One definition serves apply/as-of/diff/
     checksum (review r2 folded four hand-synchronized copies). Returns
     the surviving full rows."""
+    from pyspark.sql import Window as W
+
     ev = t(spark, sf_dir, "events")
     if bound:
         ev = ev.filter(F.col("ts") <= bound)
-    # newest-per-key as max_by, not a row_number window (optimization
-    # r10, guide §2.3): map-side partial aggregation ships one candidate
-    # per user per task and skips the per-partition sort. The order key
-    # (ts, event_id) is unique per user (event_id is unique), so max_by
-    # picks exactly the row the desc-ordered rn=1 did; the tombstone
-    # filter applies AFTER the pick, as before. Explicit projection
-    # BEFORE the aggregate (guide §2.3 "project before the exchange"):
-    # Catalyst does not prune columns INTO a max_by struct argument, so
-    # packing every column would read props into the scan — the four
-    # consumers use only (user_id, event_type, value), and ts/event_id
-    # are the order key.
+    # Rank-1 window, adjudicated in r11 (VERDICT r10 #2, same result as
+    # operators/apply_changes.latest_image): the rn=1 filter plans as a
+    # map-side partial WindowGroupLimit, so each task ships at most one
+    # candidate per user — the r10 max_by(struct) form's shuffle
+    # reduction without its slower struct-buffer SortAggregate pair
+    # (scripts/r11_maxby_ab.py: window 13-19% faster in every regime).
+    # The r10 projection stays (guide §2.3 "project before the
+    # exchange"): the four consumers read only (user_id, event_type,
+    # value) + the order key (ts, event_id) — keeping `props` out of
+    # the scan and the shuffle.
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     ev = ev.select(*cols)
-    picked = ev.groupBy("user_id").agg(
-        F.max_by(
-            F.struct(*[c for c in cols if c != "user_id"]),
-            F.struct("ts", "event_id"),
-        ).alias("_st")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
     )
-    return picked.select(
-        *[
-            F.col("_st").getField(c).alias(c) if c != "user_id" else F.col(c)
-            for c in cols
-        ]
-    ).filter(F.col("event_type") != "error")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .drop("rn")
+    )
 
 
 @register(

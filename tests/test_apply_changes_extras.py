@@ -335,9 +335,10 @@ def test_apply_changes_projection_preserves_semantics_and_prunes(spark):
     """The r10 pre-projection in apply_changes (shuffle ships only the
     columns the snapshot pipeline reads) must not change results on a
     stream exercising every branch — tombstones, key-change updates,
-    truncate barrier, out-of-order arrival — and the executed aggregate
-    must NOT pack the unread columns (before/xid/commit_ts) into its
-    max_by struct."""
+    truncate barrier, out-of-order arrival — and the executed windowed
+    pipeline must NOT carry the unread columns (before/xid/commit_ts)
+    through the key shuffle (r11: rank-1 window with a map-side partial
+    WindowGroupLimit)."""
     from pg_logical_replication_spark.operators.apply_changes import (
         apply_changes,
         latest_image,
@@ -402,6 +403,15 @@ def test_apply_changes_projection_preserves_semantics_and_prunes(spark):
     plan = apply_changes(
         ev, key_columns=["id"], table="t", columns={"id": "text"}
     )._jdf.queryExecution().executedPlan().toString()
-    assert "max_by" in plan
-    for dropped in ("before", "xid", "commit_ts"):
-        assert f"{dropped}, {dropped}#" not in plan, plan
+    # r11: newest-per-key is a rank-1 window whose rn=1 filter must
+    # plan as a map-side partial WindowGroupLimit (the shuffle
+    # reduction the r10 max_by form bought, without its SortAggregate)
+    assert "WindowGroupLimit" in plan
+    # ...and the r10 pre-projection must keep the unread columns out of
+    # the windowed pipeline entirely
+    for node in ("Window", "Sort", "Exchange"):
+        for line in plan.splitlines():
+            if line.strip().startswith(("+- " + node, ":- " + node,
+                                        node)):
+                for dropped in ("before#", "xid#", "commit_ts#"):
+                    assert dropped not in line, line
