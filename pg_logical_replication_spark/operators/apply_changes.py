@@ -51,14 +51,44 @@ def _order_col(events: DataFrame) -> Column:
     return F.struct(*parts, meta_pos)
 
 
+def key_change_predicate(key_columns: list[str]) -> Column:
+    """True for an update whose key image differs from its new row's
+    key projection (pgoutput 'K' submessage semantics) — the rows
+    ``latest_image`` splits into tombstone + upsert. Exported so batch
+    profilers (MergeOnReadTable.apply_batch) can count them with the
+    EXACT predicate the split uses."""
+    old_identity = F.array(*[F.col("key").getItem(k) for k in key_columns])
+    new_identity = F.array(*[F.col("after").getItem(k) for k in key_columns])
+    return (
+        (F.col("op") == "update")
+        & F.col("key").isNotNull()
+        & ~old_identity.eqNullSafe(new_identity)
+    )
+
+
 def latest_image(
     events: DataFrame,
     key_columns: list[str],
     table: str | None = None,
     order: Column | None = None,
+    *,
+    no_truncates: bool = False,
+    no_key_splits: bool = False,
 ) -> DataFrame:
     """Newest ChangeEvent per key (tombstones included) — the CDC-native
-    'as of end of stream' view. Returns the input schema + ``_ord``."""
+    'as of end of stream' view. Returns the input schema + ``_ord``.
+
+    ``no_truncates`` / ``no_key_splits`` are CALLER-VERIFIED facts about
+    the batch (optimization r11, guide §1.2 "don't compute things you
+    throw away"): a caller that has already aggregated the batch and
+    counted zero ``truncate`` rows / zero key-change updates may skip
+    the truncate-barrier broadcast join and the tombstone-split union —
+    both are exact no-ops on such a batch, but each costs a fixed
+    per-job stage (the broadcast build alone is ~0.1-0.2 s on the
+    streaming visibility path). Results are identical BY CONSTRUCTION
+    when the facts hold; passing ``True`` against a batch that violates
+    them silently corrupts the snapshot — only assert what an exact
+    aggregate told you (see MergeOnReadTable.apply_batch)."""
     ev = events
     if table is not None:
         ev = ev.filter(F.col("table") == table)
@@ -72,41 +102,36 @@ def latest_image(
     # explode so each named table gets its own barrier. Truncates are
     # rare: the per-table aggregate is tiny and broadcasts.
     has_schema = "schema" in ev.columns
-    tr = ev.filter(F.col("op") == "truncate").select(
-        *([F.col("schema").alias("_tsch")] if has_schema else []),
-        F.explode(F.split(F.col("table"), ",")).alias("_ttab"),
-        "_ord",
-    )
-    trunc = tr.groupBy(
-        *(["_tsch"] if has_schema else []), "_ttab"
-    ).agg(F.max("_ord").alias("_trunc_ord"))
-    cond = F.col("table") == F.col("_ttab")
-    if has_schema:
-        cond = cond & F.col("schema").eqNullSafe(F.col("_tsch"))
-    ev = ev.join(F.broadcast(trunc), cond, "left").filter(
-        F.col("_trunc_ord").isNull() | (F.col("_ord") > F.col("_trunc_ord"))
-    )
-    ev = ev.filter(F.col("op") != "truncate").drop(
-        "_trunc_ord", "_ttab", *(["_tsch"] if has_schema else [])
-    )
+    if not no_truncates:
+        tr = ev.filter(F.col("op") == "truncate").select(
+            *([F.col("schema").alias("_tsch")] if has_schema else []),
+            F.explode(F.split(F.col("table"), ",")).alias("_ttab"),
+            "_ord",
+        )
+        trunc = tr.groupBy(
+            *(["_tsch"] if has_schema else []), "_ttab"
+        ).agg(F.max("_ord").alias("_trunc_ord"))
+        cond = F.col("table") == F.col("_ttab")
+        if has_schema:
+            cond = cond & F.col("schema").eqNullSafe(F.col("_tsch"))
+        ev = ev.join(F.broadcast(trunc), cond, "left").filter(
+            F.col("_trunc_ord").isNull() | (F.col("_ord") > F.col("_trunc_ord"))
+        )
+        ev = ev.filter(F.col("op") != "truncate").drop(
+            "_trunc_ord", "_ttab", *(["_tsch"] if has_schema else [])
+        )
 
     # Key-change updates (key image ≠ new row's key projection) split into
     # a tombstone for the old identity + an upsert for the new identity.
     # Arrays are orderable/comparable; maps are not.
-    old_identity = F.array(*[F.col("key").getItem(k) for k in key_columns])
-    new_identity = F.array(*[F.col("after").getItem(k) for k in key_columns])
     is_dml_upsert = F.col("op").isin("insert", "update")
-    key_changed = (
-        (F.col("op") == "update")
-        & F.col("key").isNotNull()
-        & ~old_identity.eqNullSafe(new_identity)
-    )
-    tombstones = (
-        ev.filter(key_changed)
-        .withColumn("op", F.lit("delete"))
-        .withColumn("after", F.lit(None).cast("map<string,string>"))
-    )
-    ev = ev.unionByName(tombstones)
+    if not no_key_splits:
+        tombstones = (
+            ev.filter(key_change_predicate(key_columns))
+            .withColumn("op", F.lit("delete"))
+            .withColumn("after", F.lit(None).cast("map<string,string>"))
+        )
+        ev = ev.unionByName(tombstones)
 
     # Row identity: key columns from the new image for upserts, from the
     # key image for deletes. Array groups fine (maps don't).

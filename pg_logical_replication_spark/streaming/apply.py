@@ -68,8 +68,46 @@ class MergeOnReadTable:
         the overwrite of a replayed partition can glimpse a partial
         directory — the same exposure dynamic overwrite has on object
         stores, where task commits are also non-atomic.
+
+        Batch profile (optimization r11, guide §1.2): ONE aggregate job
+        counts rows, the max LSN, and — with the exact predicates the
+        branches use — truncates, key-change updates and relation rows.
+        The steady-state CDC batch has none of the last three, and each
+        empty branch still costs a fixed stage in the write job (the
+        truncate barrier's broadcast build alone ~0.1-0.2 s): profiled
+        zero ⇒ the branch is provably a no-op and is skipped
+        (latest_image's caller-verified flags; the rels union below).
+        The delivery stats ride back to the service on the batch handle
+        (``_plrs_delivery``) so tracked_sink does not re-aggregate —
+        formerly the service aggregated and hinted the count down; the
+        inversion lets one job serve both and halves the fixed job count
+        on the visibility-latency path.
         """
-        latest = latest_image(events, self.key_columns, table=self.table)
+        from pg_logical_replication_spark.operators.apply_changes import (
+            key_change_predicate,
+        )
+
+        has_lsn = "lsn" in events.columns
+        prof = events.agg(
+            F.count("*").alias("n"),
+            F.max("lsn_long").alias("m"),
+            (F.max_by("lsn", "lsn_long") if has_lsn else F.lit(None))
+            .alias("s"),
+            F.count_if(F.col("op") == "truncate").alias("n_trunc"),
+            F.count_if(
+                key_change_predicate(self.key_columns)
+            ).alias("n_keychange"),
+            F.count_if(F.col("op") == "relation").alias("n_rel"),
+        ).first()
+        try:
+            events._plrs_delivery = prof  # service reads this for ack
+        except Exception:  # noqa: BLE001 — foreign DataFrame subclasses
+            pass
+        latest = latest_image(
+            events, self.key_columns, table=self.table,
+            no_truncates=prof["n_trunc"] == 0,
+            no_key_splits=prof["n_keychange"] == 0,
+        )
         has_schema = "schema" in latest.columns
         has_meta = "meta" in latest.columns
         # per-image column types (wal2json/test_decoding carry them on
@@ -104,12 +142,13 @@ class MergeOnReadTable:
             types_col.alias("types"),
             F.col("_ord").getField("col1").alias("_ord1"),
         )
-        if has_meta:
+        if has_meta and prof["n_rel"] > 0:
             # relation announcements ride the same log as schema-version
             # rows (op='relation', key NULL, declaration in `after`) —
             # excluded from key resolution, consumed by
             # evolved_columns()/snapshot_evolved(). Same partition
-            # write, no extra Spark job per batch.
+            # write, no extra Spark job per batch; the profiled-zero
+            # steady state skips the union branch entirely (r11).
             rel_src = events
             if self.table is not None:
                 rel_src = rel_src.filter(F.col("table") == self.table)
@@ -142,12 +181,9 @@ class MergeOnReadTable:
         # a full-width shuffle fan-out + N near-empty parquet files +
         # an N-file commit per batch — measured ~0.4 s/batch of the
         # visibility latency at 32 shuffle partitions for 100 rows.
-        # The count is one cheap job (the service path hands this sink
-        # a persisted batch); large batches keep full parallelism.
-        n_rows = getattr(events, "_plrs_rowcount", None)
-        if n_rows is None:  # direct callers without the service's hint
-            n_rows = events.count()
-        if n_rows <= self.small_batch_rows:
+        # The count rides the profile aggregate above; large batches
+        # keep full parallelism.
+        if prof["n"] <= self.small_batch_rows:
             out = out.coalesce(1)
         out.write.mode("overwrite").parquet(
             os.path.join(self.path, f"batch={batch_id}")

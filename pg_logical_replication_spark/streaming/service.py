@@ -361,17 +361,6 @@ class LogicalReplicationService:
             # decode job on the visibility-latency path)
             batch_df.persist()
             try:
-                # ONE aggregate job computes the row count and the max
-                # LSN together (each was its own job — two scheduler
-                # round-trips per micro-batch on the visibility-latency
-                # path); the count rides to size-aware sinks as a hint
-                # (MergeOnReadTable.apply_batch skips its own count)
-                stats = batch_df.agg(
-                    F.count("*").alias("n"),
-                    F.max("lsn_long").alias("m"),
-                    F.max_by("lsn", "lsn_long").alias("s"),
-                ).first()
-                batch_df._plrs_rowcount = stats["n"]  # hint protocol
                 try:
                     sink(batch_df, batch_id)
                 except Exception as e:  # noqa: BLE001 — handler decides
@@ -379,6 +368,21 @@ class LogicalReplicationService:
                     if not isolate_errors:
                         raise
                     return
+                # Delivery stats: a profiling sink (MergeOnReadTable.
+                # apply_batch) already aggregated the batch — count and
+                # max LSN ride back on the batch handle, so the service
+                # runs ZERO extra jobs (optimization r11; formerly the
+                # service aggregated pre-sink and hinted the count
+                # down). Plain sinks still get the one combined
+                # aggregate, now post-sink over the warm cache — and a
+                # failed batch skips it entirely.
+                stats = getattr(batch_df, "_plrs_delivery", None)
+                if stats is None:
+                    stats = batch_df.agg(
+                        F.count("*").alias("n"),
+                        F.max("lsn_long").alias("m"),
+                        F.max_by("lsn", "lsn_long").alias("s"),
+                    ).first()
                 # ≙ `_lastLsn = lsn` after each delivered message
                 # (reference :173): recorded only after the sink succeeds,
                 # i.e. at the moment the reference would auto-ack

@@ -415,3 +415,65 @@ def test_apply_changes_projection_preserves_semantics_and_prunes(spark):
                                         node)):
                 for dropped in ("before#", "xid#", "commit_ts#"):
                     assert dropped not in line, line
+
+
+def test_latest_image_skip_flags_are_exact_noops_on_clean_batches(spark):
+    """r11: the caller-verified no_truncates/no_key_splits flags must
+    be row-identical to the full path on a batch that has no truncates
+    and no key-change updates (the profiled steady state), and the
+    profile predicates must match the branches' own (a batch WITH
+    those ops keeps the full path through apply_batch's gating)."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        key_change_predicate,
+        latest_image,
+    )
+
+    schema = (
+        "op string, lsn_long long, `schema` string, `table` string, "
+        "key map<string,string>, after map<string,string>, "
+        "meta map<string,string>"
+    )
+    clean = spark.createDataFrame(
+        [
+            ("insert", 10, "public", "t", None, {"id": "1", "v": "a"},
+             {"pos": "0"}),
+            ("update", 20, "public", "t", {"id": "1"},
+             {"id": "1", "v": "b"}, {"pos": "0"}),
+            ("delete", 30, "public", "t", {"id": "2"}, None, {"pos": "0"}),
+        ],
+        schema,
+    )
+
+    def rows_of(df):
+        return sorted(
+            (r["op"], r["lsn_long"], r["table"], r["after"])
+            for r in df.collect()
+        )
+
+    full = latest_image(clean, ["id"])
+    lean = latest_image(clean, ["id"], no_truncates=True,
+                        no_key_splits=True)
+    assert rows_of(full) == rows_of(lean)
+    # the lean plan must have dropped the broadcast barrier join
+    lean_plan = lean._jdf.queryExecution().executedPlan().toString()
+    full_plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in lean_plan
+    assert "BroadcastHashJoin" in full_plan
+
+    # the exported predicate counts exactly the rows the split takes:
+    # an in-place update (key image == new key) is NOT a key change
+    from pyspark.sql import functions as F
+
+    dirty = spark.createDataFrame(
+        [
+            ("update", 40, "public", "t", {"id": "1"},
+             {"id": "9", "v": "moved"}, {"pos": "0"}),
+            ("update", 50, "public", "t", {"id": "3"},
+             {"id": "3", "v": "same"}, {"pos": "0"}),
+        ],
+        schema,
+    )
+    n = dirty.agg(
+        F.count_if(key_change_predicate(["id"])).alias("k")
+    ).first()["k"]
+    assert n == 1
