@@ -165,9 +165,9 @@ def synthesize_wav_assets(documents: DataFrame) -> DataFrame:
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
-        import struct as _struct
         import wave
 
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -176,15 +176,19 @@ def synthesize_wav_assets(documents: DataFrame) -> DataFrame:
                 did = int(did)
                 n = 64 + did % 256
                 rate = 16000 if did % 2 == 0 else 8000
-                samples = [((did * 37 + i * 101) % 2001) - 1000 for i in range(n)]
+                # vectorized sample synthesis (optimization r11, guide
+                # §4.2): byte-identical to the per-sample loop — int64
+                # modular arithmetic, little-endian int16 pack
+                samples = (
+                    (did * 37 + np.arange(n, dtype=np.int64) * 101)
+                    % 2001
+                ) - 1000
                 buf = io.BytesIO()
                 w = wave.open(buf, "wb")
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(rate)
-                w.writeframes(
-                    b"".join(_struct.pack("<h", s) for s in samples)
-                )
+                w.writeframes(samples.astype("<i2").tobytes())
                 w.close()
                 ids.append(did)
                 kinds.append("audio")
@@ -307,9 +311,9 @@ def decode_wav_features(assets: DataFrame) -> DataFrame:
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
-        import struct as _struct
         import wave
 
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -321,8 +325,13 @@ def decode_wav_features(assets: DataFrame) -> DataFrame:
                     rate = r.getframerate()
                     if r.getsampwidth() != 2 or r.getnchannels() != 1:
                         raise ValueError("profile: 16-bit mono only")
-                    samples = _struct.unpack(
-                        f"<{n}h", r.readframes(n)
+                    # vectorized amplitude stats (optimization r11,
+                    # guide §4.2): |int16| ≤ 32768 and n ≤ Arrow batch
+                    # rows, so the int64 sum is exact — identical to
+                    # the per-sample loop
+                    s = np.abs(
+                        np.frombuffer(r.readframes(n), dtype="<i2")
+                        .astype(np.int64)
                     )
                     rows.append(
                         (
@@ -330,8 +339,8 @@ def decode_wav_features(assets: DataFrame) -> DataFrame:
                             rate,
                             n,
                             (n * 1000) // rate,
-                            sum(abs(s) for s in samples),
-                            max((abs(s) for s in samples), default=0),
+                            int(s.sum()) if n else 0,
+                            int(s.max()) if n else 0,
                         )
                     )
                 except Exception:
@@ -1770,30 +1779,37 @@ def wav_frame_energies(assets: DataFrame, frame: int = 32) -> DataFrame:
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
-        import struct as _struct
         import wave
 
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            rows = []
+            aids, fidxs, ens = [], [], []
             for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
                 r = wave.open(io.BytesIO(bytes(buf)), "rb")
                 n = r.getnframes()
-                samples = _struct.unpack(f"<{n}h", r.readframes(n))
-                for f in range((n + frame - 1) // frame):
-                    rows.append(
-                        (
-                            aid,
-                            f,
-                            sum(
-                                s * s
-                                for s in samples[f * frame : (f + 1) * frame]
-                            ),
-                        )
-                    )
+                if n == 0:
+                    continue
+                # vectorized window energies (optimization r11, guide
+                # §4.2): int16 → int64 squares, per-window sums via
+                # reduceat — exact (Σ of ≤256 squares ≤ 2.8e11 ≪ 2^63),
+                # value-identical to the per-sample Python loop
+                s = np.frombuffer(
+                    r.readframes(n), dtype="<i2"
+                ).astype(np.int64)
+                en = np.add.reduceat(s * s, np.arange(0, n, frame))
+                aids.append(np.full(len(en), int(aid), dtype=np.int64))
+                fidxs.append(np.arange(len(en), dtype=np.int32))
+                ens.append(en)
+            if not aids:
+                continue
             yield pd.DataFrame(
-                rows, columns=["asset_id", "frame_idx", "energy"]
+                {
+                    "asset_id": np.concatenate(aids),
+                    "frame_idx": np.concatenate(fidxs),
+                    "energy": np.concatenate(ens),
+                }
             )
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -1820,46 +1836,58 @@ def wav_vad_segments(
     thresholding, islands, and rollup are whole-stage-codegen SQL —
     the shape that scales to a million-hour corpus (everything keys on
     asset_id; segments never leave the executors).
+
+    Single-pass shape (optimization r11, guide §2.4): the former
+    groupBy-max + join-back + row_number-over-voiced + left-join rollup
+    referenced the decode subtree THREE times — Catalyst does not share
+    common subplans across joins, so the Python synthesize+decode
+    lineage executed once per branch. The max threshold is now a window
+    over asset_id, the islands rank a running count of voiced frames
+    (identical to row_number over the voiced-only rows), unvoiced rows
+    fold into one NULL island per asset, and the two-level aggregate
+    derives every output — one evaluation of the decode, one exchange,
+    rows and values identical (the NULL-island bookkeeping reproduces
+    the left-join's zero/NULL fields for assets with no voiced frame).
     """
     from pyspark.sql import Window
 
     en = wav_frame_energies(assets, frame)
-    mx = en.groupBy("asset_id").agg(
-        F.max("energy").alias("_mx"),
-        F.count("*").cast("int").alias("n_frames"),
+    wa = Window.partitionBy("asset_id")
+    run = (
+        Window.partitionBy("asset_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    voiced = (
-        en.join(mx, "asset_id")
-        .where(
-            F.col("energy") * threshold_den >= F.col("_mx") * threshold_num
+    is_voiced = (
+        F.col("energy") * threshold_den
+        >= F.max("energy").over(wa) * threshold_num
+    )
+    marked = (
+        en.withColumn("_v", is_voiced)
+        .withColumn(
+            "_grp",
+            F.when(
+                F.col("_v"),
+                F.col("frame_idx")
+                - F.sum(F.col("_v").cast("int")).over(run),
+            ),
         )
-        .select("asset_id", "frame_idx")
     )
-    w = Window.partitionBy("asset_id").orderBy("frame_idx")
-    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("_grp")
-    segs = (
-        voiced.select("asset_id", "frame_idx", grp)
-        .groupBy("asset_id", "_grp")
-        .agg(
-            F.count("*").cast("int").alias("seg_len"),
-            F.min("frame_idx").alias("seg_start"),
-        )
+    islands = marked.groupBy("asset_id", "_grp").agg(
+        F.count("*").alias("_n"),
+        F.min("frame_idx").alias("_start"),
     )
-    roll = segs.groupBy("asset_id").agg(
-        F.sum("seg_len").cast("int").alias("n_voiced"),
-        F.count("*").cast("int").alias("n_segments"),
-        F.max("seg_len").cast("int").alias("longest_segment"),
-        F.min("seg_start").cast("int").alias("first_voiced_frame"),
-    )
-    return mx.select("asset_id", "n_frames").join(
-        roll, "asset_id", "left"
-    ).select(
-        "asset_id",
-        "n_frames",
-        F.coalesce("n_voiced", F.lit(0)).alias("n_voiced"),
-        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
-        F.coalesce("longest_segment", F.lit(0)).alias("longest_segment"),
-        F.col("first_voiced_frame"),
+    seg_n = F.when(F.col("_grp").isNotNull(), F.col("_n"))
+    return islands.groupBy("asset_id").agg(
+        F.sum("_n").cast("int").alias("n_frames"),
+        F.coalesce(F.sum(seg_n), F.lit(0)).cast("int").alias("n_voiced"),
+        F.count(F.col("_grp")).cast("int").alias("n_segments"),
+        F.coalesce(F.max(seg_n), F.lit(0)).cast("int").alias(
+            "longest_segment"
+        ),
+        F.min(F.when(F.col("_grp").isNotNull(), F.col("_start")))
+        .cast("int")
+        .alias("first_voiced_frame"),
     )
 
 
@@ -2270,7 +2298,19 @@ def wav_robust_fingerprint(
         raise ValueError(f"band_samples must be >= 1, got {band_samples}")
     from pyspark.sql import Window
 
-    sub = wav_frame_energies(assets, band_samples)
+    # Single-pass shape (optimization r11, guide §2.4): the former
+    # n_complete branch + left join re-evaluated the whole
+    # synthesize+decode+pivot subtree a second time (Catalyst shares no
+    # common subplans across joins). Frame 0 now stays in the stream
+    # with a NULL predecessor instead of being filtered, every hash
+    # contribution is conditioned on having one, and a single grouped
+    # aggregate emits both the complete-frame count and the fingerprint
+    # fields — one evaluation of the decode. The up-front repartition
+    # on asset_id satisfies the (asset_id, frame) pivot, the lag window
+    # AND the final rollup (hash partitioning on a subset of the
+    # grouping keys), so the whole chain runs on ONE exchange where the
+    # join shape paid four.
+    sub = wav_frame_energies(assets, band_samples).repartition("asset_id")
     piv = (
         sub.groupBy(
             "asset_id",
@@ -2293,7 +2333,7 @@ def wav_robust_fingerprint(
         "frame",
         *[F.col(f"e{m}") for m in range(bands)],
         *[F.lag(f"e{m}").over(w).alias(f"p{m}") for m in range(bands)],
-    ).where(F.col("p0").isNotNull())
+    )
     h = None
     for m in range(bands - 1):
         bit = (
@@ -2302,25 +2342,26 @@ def wav_robust_fingerprint(
             > 0
         ).cast("long") * (1 << (bands - 2 - m))
         h = bit if h is None else h + bit
-    hashed = lagged.select("asset_id", "frame", h.alias("h"))
+    hashed = lagged.select(
+        "asset_id",
+        "frame",
+        F.col("p0").isNotNull().alias("_hp"),
+        h.alias("h"),
+    )
     ones = sum(
         (F.expr(f"(h div {1 << b}) % 2") for b in range(bands - 1)),
         F.lit(0),
     )
-    fp = hashed.groupBy("asset_id").agg(
-        F.count("*").cast("int").alias("n_fp_frames"),
-        F.sum(ones).cast("long").alias("fp_ones"),
-        F.sum(F.col("h") * (F.col("frame") + 1)).cast("long").alias(
-            "fp_checksum"
-        ),
-    )
-    n_complete = piv.groupBy("asset_id").agg(
-        F.count("*").cast("int").alias("n_frames")
-    )
-    return n_complete.join(fp, "asset_id", "left").select(
-        "asset_id",
-        "n_frames",
-        F.coalesce("n_fp_frames", F.lit(0)).alias("n_fp_frames"),
-        F.coalesce("fp_ones", F.lit(0)).alias("fp_ones"),
-        F.coalesce("fp_checksum", F.lit(0)).alias("fp_checksum"),
+    return hashed.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.count_if(F.col("_hp")).cast("int").alias("n_fp_frames"),
+        F.coalesce(F.sum(F.when(F.col("_hp"), ones)), F.lit(0))
+        .cast("long")
+        .alias("fp_ones"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hp"), F.col("h") * (F.col("frame") + 1))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fp_checksum"),
     )

@@ -12,8 +12,11 @@ from __future__ import annotations
 import os
 import sys
 
-_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, _HERE)
+# import the package from the CURRENT WORKING DIRECTORY's checkout —
+# the script may be invoked from a before-worktree whose code must be
+# the one planned (inserting the script's own repo would silently plan
+# the optimized code twice)
+sys.path.insert(0, os.getcwd())
 _OUT = "/root/repo/plans/r11"
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
