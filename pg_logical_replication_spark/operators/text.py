@@ -2914,6 +2914,16 @@ def nb_langid(
     (doc, lang) -> doc argmin -> (actual, predicted) counts: nothing
     corpus-sized shuffles except the token explode's doc-keyed
     aggregates, all map-side combined.
+
+    Training-side shape (optimization r11, guide §2.4): the language
+    list, per-language totals, vocabulary size, token top-K and model
+    all derive from ONE vocab-bounded (token, lang, count) aggregate of
+    the reference slice — formerly each was its own broadcast subtree
+    re-tokenizing the slice (5 evaluations of the reference explode; at
+    corpus scale that is 5 scans of the 1/ref_mod slice). The bounded
+    table persists across the derivations, exactly the capped-table
+    discipline of the tokenizer trainers; every derived value is
+    identical (Σ per-(token,lang) counts ≡ the direct counts).
     """
     toks = df.select(
         F.col(id_col),
@@ -2922,18 +2932,20 @@ def nb_langid(
     ).select(id_col, "actual", F.lower(F.col("token")).alias("token"))
 
     ref = toks.where(F.col(id_col) % ref_mod == 0)
-    langs = ref.select(F.col("actual").alias("lang")).distinct()
-    totals = ref.groupBy(F.col("actual").alias("lang")).agg(
-        F.count("*").cast("long").alias("t_lang")
-    )
-    vocab = ref.agg(F.countDistinct("token").alias("v"))
-
-    by_tok = ref.groupBy("token").agg(F.count("*").alias("_tot"))
-    kept = by_tok.orderBy(F.desc("_tot"), "token").limit(top_tokens)
-    model = (
-        ref.join(F.broadcast(kept.select("token")), "token")
-        .groupBy("token", F.col("actual").alias("lang"))
+    tok_lang = (
+        ref.groupBy("token", F.col("actual").alias("lang"))
         .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    langs = tok_lang.select("lang").distinct()
+    totals = tok_lang.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("t_lang")
+    )
+    by_tok = tok_lang.groupBy("token").agg(F.sum("c").alias("_tot"))
+    vocab = by_tok.agg(F.count("*").alias("v"))
+    kept = by_tok.orderBy(F.desc("_tot"), "token").limit(top_tokens)
+    model = tok_lang.join(F.broadcast(kept.select("token")), "token").select(
+        "token", "lang", "c"
     )
 
     scored = (
