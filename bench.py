@@ -269,29 +269,19 @@ def main() -> None:
     )
 
     # stdout line: headline numbers + per-query MEDIANS only. The
-    # driver's BENCH_r{N}.json has head-truncated this line twice (r4
-    # lost 19 core-query medians; r5's tail survived only in the local
-    # artifact) — keeping spread/min-max out of stdout halves the line
-    # so the medians always fit; the full record (with spread) goes to
-    # the committed local artifact below (VERDICT r5 #9).
+    # driver's BENCH_r{N}.json has truncated captures of this line
+    # three times (r4 lost 19 core-query medians; r5 and r9's tails
+    # survived only in the local artifact) — so the line is kept LEAN
+    # (VERDICT r10 #8): medians to 2 dp, no spread/min-max, no
+    # per-checkpoint sweep detail (all of those go to the committed
+    # local artifact below at full precision). `stdout_result` builds
+    # the payload so the freeze gate can measure a worst-case line
+    # against the live HEADLINE.
     total = round(sum(per_query.values()), 3)
-    result = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": per_query,
-        "reps": reps,
-        "sf": sf,
-        "pgoutput_decode_500k": decode_tp,
-        "e2e_visibility_ms": latency,
-        "calibration": calibration,
-        "envelope": envelope,
-        "sweep_envelope": sweep_envelope,
-        # headline total deflated by the host-speed scale: comparable
-        # across rounds even when container tenancy shifts (VERDICT r7
-        # #2 — decode throughput swung 337k→124k msg/s on one commit)
-        "value_normalized": round(total / calibration["cpu_scale"], 3),
-    }
+    result = stdout_result(
+        total, per_query, reps, sf, decode_tp, latency, calibration,
+        envelope, sweep_envelope,
+    )
     print(json.dumps(result))
 
     # Persist the full record (incl. spread) as a committable artifact.
@@ -310,12 +300,92 @@ def main() -> None:
         )
         with open(out, "w") as f:
             json.dump(
-                {**result, "spread": spread, "query_window": query_window},
+                {
+                    **result,
+                    # full precision + full sweep detail live here, not
+                    # on the lean stdout line
+                    "queries": per_query,
+                    "sweep_envelope": sweep_envelope,
+                    "spread": spread,
+                    "query_window": query_window,
+                },
                 f, indent=1, sort_keys=True,
             )
         print(f"# full record written to {out}", file=sys.stderr)
     except Exception as e:  # the stdout contract must never break
         print(f"# local artifact write failed: {e}", file=sys.stderr)
+
+
+def stdout_result(
+    total, per_query, reps, sf, decode_tp, latency, calibration,
+    envelope, sweep_envelope,
+) -> dict:
+    """The one-line stdout payload (the driver's capture). Lean by
+    contract — 2 dp medians, sweep checkpoints elided — because the
+    driver's capture has truncated long lines in three prior rounds;
+    the committed local artifact carries everything at full precision.
+    The freeze gate (scripts/freeze_check.py) measures a worst-case
+    line built from the live HEADLINE through this same function."""
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
+        "reps": reps,
+        "sf": sf,
+        "pgoutput_decode_500k": decode_tp,
+        "e2e_visibility_ms": latency,
+        "calibration": calibration,
+        "envelope": envelope,
+        "sweep_envelope": {
+            k: v for k, v in sweep_envelope.items() if k != "checkpoints"
+        },
+        # headline total deflated by the host-speed scale: comparable
+        # across rounds even when container tenancy shifts (VERDICT r7
+        # #2 — decode throughput swung 337k→124k msg/s on one commit)
+        "value_normalized": round(total / calibration["cpu_scale"], 3),
+    }
+
+
+def stdout_line_budget() -> tuple[int, int]:
+    """(worst-case stdout line length for the live HEADLINE, budget).
+    Representative worst-case widths: three-digit medians at 2 dp,
+    full-width envelope numbers. The budget keeps the line well under
+    the driver capture sizes that truncated r4/r5/r9 records even at
+    120+ headline entries."""
+    import json as _json
+
+    line = _json.dumps(stdout_result(
+        total=999.999,
+        per_query={n: 999.99 for n in HEADLINE},
+        reps=3,
+        sf=0.1,
+        decode_tp={
+            "messages": 500000, "sec": 999.999, "msgs_per_sec": 9999999,
+            "baseline_msgs_per_sec": 5000,
+            "msgs_per_sec_normalized": 9999999,
+        },
+        latency={"changes": 100, "ms": 99999,
+                 "reference_envelope_ms": [500, 1000]},
+        calibration={
+            "py_decode_sec": 99.9999, "np_sort_sec": 99.9999,
+            "ref_py_decode_sec": _CAL_REF_PY_DECODE_SEC,
+            "ref_np_sort_sec": _CAL_REF_NP_SORT_SEC,
+            "cpu_scale": 9.9999,
+        },
+        envelope={
+            "quiet_scale_threshold": _ENVELOPE_QUIET_SCALE,
+            "attempts": 3,
+            "cpu_scale_windows": [9.9999, 9.9999, 9.9999],
+            "cpu_scale_window": 9.9999, "tenancy_voided": False,
+        },
+        sweep_envelope={
+            "cal_every": 20, "checkpoints": [],
+            "max_cpu_scale": 9.9999, "min_cpu_scale": 9.9999,
+            "all_quiet": False,
+        },
+    ))
+    return len(line), 4800
 
 
 # Quiet-host reference times for the calibration kernels, pinned from

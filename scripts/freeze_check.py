@@ -73,9 +73,24 @@ def main() -> int:
                       f"HEAD {head} (count gate still decides)")
         except Exception:
             pass
+    # stdout-line budget (VERDICT r10 #8): the driver's capture has
+    # truncated bench.py's one-line JSON in three prior rounds; gate a
+    # worst-case line built from the LIVE headline list so growth past
+    # the budget fails the freeze instead of silently losing a record.
+    import bench
+
+    line_len, budget = bench.stdout_line_budget()
+    if line_len > budget:
+        print(
+            f"FREEZE GATE: worst-case bench stdout line is {line_len} "
+            f"chars > {budget} budget — slim bench.stdout_result (the "
+            "driver capture truncates long lines)"
+        )
+        ok = False
     if ok:
         print(f"freeze-clean: {os.path.basename(art)} — {n_pass}/{n_swept} "
-              f"pass == {n_oracle} oracle-gated registry queries")
+              f"pass == {n_oracle} oracle-gated registry queries; "
+              f"stdout line {line_len}/{budget} chars")
     return 0 if ok else 1
 
 
