@@ -641,6 +641,35 @@ def html_to_text(
     )
 
 
+def _bigram_lm_tables(ref, top_bigrams: int, top_unigrams: int):
+    """The three capped LM tables (c2k, c1k, vocab) from ONE aggregate
+    over the reference-slice bigram instances (optimization r11, guide
+    §2.4 "remove passes" — the nb_langid pattern): c2(w1,w2) is the
+    grouped count itself, c1(w1) its per-context sum (every pair
+    instance with context w1 contributes exactly 1), and V its
+    distinct-context count. Previously each table re-tokenized and
+    re-exploded the reference slice as its own subtree — and consumers
+    that evaluate the score table twice (ccnet) paid all three twice.
+    The grouped table is |distinct ref bigrams|-sized (already the
+    c2k top-K's input, a distributed aggregate, never collected); the
+    localCheckpoint materializes it once per run and truncates the
+    shared lineage."""
+    g = (
+        ref.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint()
+    )
+    c2k = g.orderBy(F.desc("c2"), "w1", "w2").limit(top_bigrams)
+    c1k = (
+        g.groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+        .orderBy(F.desc("c1"), "w1")
+        .limit(top_unigrams)
+    )
+    vocab = g.agg(F.countDistinct("w1").alias("v"))
+    return c2k, c1k, vocab
+
+
 def bigram_lm_score(
     df: DataFrame,
     text_col: str = "text",
@@ -691,19 +720,7 @@ def bigram_lm_score(
     )
 
     ref = pairs.where(F.col(id_col) % ref_mod == 0)
-    c2k = (
-        ref.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c2"))
-        .orderBy(F.desc("c2"), "w1", "w2")
-        .limit(top_bigrams)
-    )
-    c1k = (
-        ref.groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-        .orderBy(F.desc("c1"), "w1")
-        .limit(top_unigrams)
-    )
-    vocab = ref.agg(F.countDistinct("w1").alias("v"))
+    c2k, c1k, vocab = _bigram_lm_tables(ref, top_bigrams, top_unigrams)
 
     scored = (
         pairs.join(F.broadcast(c2k), ["w1", "w2"], "left")
@@ -2205,19 +2222,7 @@ def doremi_weights(
     ).select(id_col, "__d", "bg.w1", "bg.w2")
 
     ref = pairs.where(F.col(id_col) % ref_mod == 0)
-    c2k = (
-        ref.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c2"))
-        .orderBy(F.desc("c2"), "w1", "w2")
-        .limit(top_bigrams)
-    )
-    c1k = (
-        ref.groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-        .orderBy(F.desc("c1"), "w1")
-        .limit(top_unigrams)
-    )
-    vocab = ref.agg(F.countDistinct("w1").alias("v"))
+    c2k, c1k, vocab = _bigram_lm_tables(ref, top_bigrams, top_unigrams)
 
     scored = (
         pairs.join(F.broadcast(c2k), ["w1", "w2"], "left")
@@ -2787,13 +2792,20 @@ def ccnet_perplexity_buckets(
 
     scored = bigram_lm_score(df, text_col, id_col, **lm_kwargs)
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    # The scored table feeds BOTH the cutoff histogram and the final
+    # bucket assignment; without materialization the whole LM
+    # score pipeline (corpus bigram explode + broadcast probes +
+    # per-doc rollup) is evaluated twice — Catalyst shares no common
+    # subplans across the self-join (optimization r11, guide §2.4).
+    # Five narrow columns per document: doc-count-sized, never
+    # text-sized, so the checkpoint is scale-safe.
     j = scored.join(langs, id_col).select(
         id_col,
         "lang",
         "n_bigrams",
         "surprisal",
         F.expr("surprisal * 1000000 DIV n_bigrams").alias("ppl_q"),
-    )
+    ).localCheckpoint()
     hist = j.groupBy("lang", "ppl_q").agg(F.count("*").alias("h"))
     w = Window.partitionBy("lang").orderBy("ppl_q")
     cum = hist.select(
