@@ -170,6 +170,9 @@ def apply_changes(
     table: str | None = None,
     columns: dict[str, str] | str | None = None,
     order: Column | None = None,
+    *,
+    no_truncates: bool = False,
+    no_key_splits: bool = False,
 ) -> DataFrame:
     """CDC events → current table snapshot.
 
@@ -183,6 +186,14 @@ def apply_changes(
     a column added by a mid-stream ALTER appears NULL-backfilled on
     pre-ALTER rows, dropped columns are retained as NULL, incompatible
     type changes raise (operators/schema_evolution.py).
+
+    ``no_truncates`` / ``no_key_splits`` pass through to
+    :func:`latest_image` (see its contract): CALLER-VERIFIED facts that
+    let the snapshot skip the truncate barrier / tombstone split — each
+    references the input a second time, so on an expensive unpersisted
+    lineage skipping them also halves/thirds the upstream evaluation.
+    Only assert what an exact aggregate (or the construction of the
+    stream itself) guarantees.
     """
     if columns == "evolve":
         from pg_logical_replication_spark.operators.schema_evolution import (
@@ -207,7 +218,10 @@ def apply_changes(
             if c in events.columns
         ]
         events = events.select(*keep)
-    latest = latest_image(events, key_columns, table=table, order=order)
+    latest = latest_image(
+        events, key_columns, table=table, order=order,
+        no_truncates=no_truncates, no_key_splits=no_key_splits,
+    )
     live = latest.filter(F.col("op") != "delete")
 
     if columns:

@@ -1524,27 +1524,45 @@ def q_cdc_apply_schema_evolution(spark, sf_dir):
         ],
         "lsn string, seq long, data binary",
     )
-    # persist the DECODED stream: the contract fold (a collect over the
-    # 'R' rows) and the snapshot aggregate would otherwise each re-run
-    # the Python encode+decode lineage (the q_cdc_schema_evolution
-    # lesson, review r2). The versioned registry is parsed from the
-    # very buffers this fixture just encoded (optimization r11, guide
-    # §2.4): the pre-scan collect existed only to rediscover relation
-    # versions the query itself constructed — supplying them drops that
-    # action AND the wire-side persist, so encode and decode pipeline
-    # in ONE materialization. The in-band 'R' rows still ride the
-    # stream and still feed the contract fold; decodes without a
-    # registry still pre-scan, unchanged.
-    decoded = decode_pgoutput(
-        wire.unionByName(rels),
-        relations={OID: [(0, _rel_info(pgf, rel_v1, OID)),
-                         (v2_seq, _rel_info(pgf, rel_v2, OID))]},
-    ).persist()
+    # The versioned registry is parsed from the very buffers this
+    # fixture just encoded (optimization r11, guide §2.4): the pre-scan
+    # collect existed only to rediscover relation versions the query
+    # itself constructed. The contract fold likewise reads ONLY the
+    # 'R' rows — and every 'R' row in the union comes from `rels` —
+    # but the fold's filter cannot push below the opaque mapInPandas
+    # decode, so folding over the full stream forced a persist of the
+    # whole decoded stream just to avoid running encode+decode twice
+    # (the q_cdc_schema_evolution lesson, review r2). Feeding the SAME
+    # fold the decoded relation sub-stream keeps the contract derived
+    # from in-band relation messages by the standard operator (byte-
+    # identical: the fold ignores DML rows whenever any 'R' row exists)
+    # while making the full decode single-consumer — encode, decode,
+    # key shuffle and census pipeline in ONE unpersisted action.
+    # Production decodes without a registry still pre-scan and full-
+    # stream-fold exactly as before.
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        stream_column_contract,
+    )
+
+    registry = {OID: [(0, _rel_info(pgf, rel_v1, OID)),
+                      (v2_seq, _rel_info(pgf, rel_v2, OID))]}
+    contract = stream_column_contract(
+        decode_pgoutput(rels, relations=registry), table="events"
+    )
+    decoded = decode_pgoutput(wire.unionByName(rels), relations=registry)
+    # no_truncates/no_key_splits hold BY CONSTRUCTION of this wire (only
+    # inserts + updates without a 'K' old-key submessage are encoded, so
+    # key_change_predicate is provably false on every row; no truncate
+    # message exists): latest_image's barrier join and tombstone union
+    # would each evaluate the unpersisted encode+decode lineage again —
+    # with the flags the snapshot consumes the stream exactly once.
     snap = apply_changes(
         decoded,
         key_columns=["event_id"],
         table="events",
-        columns="evolve",
+        columns=contract,
+        no_truncates=True,
+        no_key_splits=True,
     )
     return (
         snap.groupBy((F.col("event_id") % 10).alias("g"))
@@ -1635,16 +1653,25 @@ def q_cdc_apply_type_widening(spark, sf_dir):
         ],
         "lsn string, seq long, data binary",
     )
-    # versioned registry from the fixture's own buffers (optimization
-    # r11): drops the pre-scan collect + wire persist — see
-    # q_cdc_apply_schema_evolution for the full argument
-    decoded = decode_pgoutput(
-        wire.unionByName(rels),
-        relations={OID: [(0, _rel_info(pgf, rel_v1, OID)),
-                         (v2_seq, _rel_info(pgf, rel_v2, OID))]},
-    ).persist()
+    # versioned registry + rel-substream contract fold (optimization
+    # r11): drops the pre-scan collect, the wire persist AND the full-
+    # stream decode persist — see q_cdc_apply_schema_evolution for the
+    # full argument
+    from pg_logical_replication_spark.operators.schema_evolution import (
+        stream_column_contract,
+    )
+
+    registry = {OID: [(0, _rel_info(pgf, rel_v1, OID)),
+                      (v2_seq, _rel_info(pgf, rel_v2, OID))]}
+    contract = stream_column_contract(
+        decode_pgoutput(rels, relations=registry), table="events"
+    )
+    decoded = decode_pgoutput(wire.unionByName(rels), relations=registry)
+    # flags hold by construction: insert-only wire, no truncates — the
+    # stream is consumed exactly once (see q_cdc_apply_schema_evolution)
     snap = apply_changes(
-        decoded, key_columns=["event_id"], table="events", columns="evolve"
+        decoded, key_columns=["event_id"], table="events", columns=contract,
+        no_truncates=True, no_key_splits=True,
     )
     return (
         snap.groupBy((F.col("event_id") % 10).alias("g"))
@@ -1752,11 +1779,20 @@ def q_cdc_schema_change_log(spark, sf_dir):
     )
     # versioned registry from the fixture's own buffers (optimization
     # r11): drops the pre-scan collect + wire persist — see
-    # q_cdc_apply_schema_evolution for the full argument
+    # q_cdc_apply_schema_evolution for the full argument. The stream
+    # persist STAYS here (measured, r11 session 2): the log is
+    # referenced twice (interval broadcast + final join) and the DML
+    # attribution once — three cheap cache reads. The rel-substream
+    # variant (log from a tiny decode of `rels` alone, stream
+    # unpersisted) measured 0.2-0.7 s SLOWER in every form (min-of-4
+    # A/B: persist 2.47/2.59 s vs substream 3.26, substream+checkpoint
+    # 2.67-2.74 s) — each extra reference to the tiny mapInPandas
+    # subtree pays a fixed Python-stage cost that the single cache
+    # population does not.
+    registry = {OID: [(seq, _rel_info(pgf, buf, OID))
+                      for seq, buf in rel_bufs]}
     decoded = decode_pgoutput(
-        wire.unionByName(rels),
-        relations={OID: [(seq, _rel_info(pgf, buf, OID))
-                         for seq, buf in rel_bufs]},
+        wire.unionByName(rels), relations=registry
     ).persist()
     log = schema_change_log(decoded, table="events")
 
@@ -3197,10 +3233,11 @@ def q_cdc_slot_retention(spark, sf_dir):
 def q_cdc_apply_multi_evolution(spark, sf_dir):
     """Per-table isolation of the evolution fold: one decoded stream,
     three per-table evolved snapshots, one census.
-    Scale: ONE decode pass (persisted — it feeds the snapshots), one
-    registry-sized contract fold for all tables, ONE key shuffle shared
-    by the three tables (latest_image keys on (schema, table,
-    identity)), one grouped census over it."""
+    Scale: ONE decode pass (single-consumer — no persist), one
+    registry-sized contract fold for all tables over the relation
+    sub-stream, ONE key shuffle shared by the three tables
+    (latest_image keys on (schema, table, identity)), one grouped
+    census over it."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3274,26 +3311,25 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
          for seq, _, buf in rel_bufs],
         "lsn string, seq long, data binary",
     )
-    # one decode feeds three materializations — persist it, not the
-    # Python encode lineage (the q_cdc_schema_evolution lesson). The
-    # versioned registry comes from the fixture's own buffers
-    # (optimization r11): drops the pre-scan collect + wire persist —
-    # see q_cdc_apply_schema_evolution for the full argument.
+    # versioned registry + rel-substream contract fold (optimization
+    # r11): the one-pass multi-table fold (optimization r10) reads ONLY
+    # the 'R' rows, and every 'R' row in the union comes from `rels` —
+    # folding over the decoded relation sub-stream (byte-identical per
+    # table) makes the full decode single-consumer (the shared
+    # latest_image pass below), so the stream persist goes away and
+    # encode, decode, key shuffle and census pipeline in ONE action.
+    # See q_cdc_apply_schema_evolution for the full argument.
     _registry: dict = {}
     for seq, oid, buf in rel_bufs:
         _registry.setdefault(oid, []).append((seq, _rel_info(pgf, buf, oid)))
-    decoded = decode_pgoutput(
-        wire.unionByName(rels), relations=_registry
-    ).persist()
-    # one-pass multi-table fold (optimization r10): one grouped
-    # aggregation + collect derives all three contracts — identical
-    # per-table folds, two fewer jobs than three single-table calls
+    decoded = decode_pgoutput(wire.unionByName(rels), relations=_registry)
     from pg_logical_replication_spark.operators.schema_evolution import (
         stream_column_contracts,
     )
 
     contracts = stream_column_contracts(
-        decoded, ["orders", "users", "items"]
+        decode_pgoutput(rels, relations=_registry),
+        ["orders", "users", "items"],
     )
     # Shared-pass precondition (ADVICE r10 low): the union identity
     # list is only equivalent to three per-table applies while no table
@@ -3333,8 +3369,12 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
     ev = decoded.select(
         "op", "schema", "table", "key", "after", "lsn_long", "seq", "meta"
     )
+    # flags hold by construction: insert-only wire, no truncates — the
+    # unpersisted stream is consumed exactly once (see
+    # q_cdc_apply_schema_evolution)
     live = latest_image(
-        ev, key_columns=["order_id", "uid", "item_id"]
+        ev, key_columns=["order_id", "uid", "item_id"],
+        no_truncates=True, no_key_splits=True,
     ).filter(F.col("op") != "delete")
 
     def typed(tname, cname):

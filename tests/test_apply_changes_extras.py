@@ -477,3 +477,47 @@ def test_latest_image_skip_flags_are_exact_noops_on_clean_batches(spark):
         F.count_if(key_change_predicate(["id"])).alias("k")
     ).first()["k"]
     assert n == 1
+
+
+def test_apply_changes_passes_skip_flags_through(spark):
+    """r11: apply_changes forwards no_truncates/no_key_splits to
+    latest_image — snapshot identical on a clean batch, and the lean
+    plan consumes the input exactly once (no barrier join, no
+    tombstone union re-reading the source)."""
+    from pg_logical_replication_spark.operators.apply_changes import (
+        apply_changes,
+    )
+
+    schema = (
+        "op string, lsn_long long, `schema` string, `table` string, "
+        "key map<string,string>, after map<string,string>, "
+        "meta map<string,string>"
+    )
+    clean = spark.createDataFrame(
+        [
+            ("insert", 10, "public", "t", None, {"id": "1", "v": "a"},
+             {"pos": "0"}),
+            ("update", 20, "public", "t", {"id": "1"},
+             {"id": "1", "v": "b"}, {"pos": "0"}),
+            ("insert", 30, "public", "t", None, {"id": "2", "v": "c"},
+             {"pos": "0"}),
+        ],
+        schema,
+    )
+    cols = {"id": "text", "v": "text"}
+    full = apply_changes(clean, ["id"], table="t", columns=cols)
+    lean = apply_changes(
+        clean, ["id"], table="t", columns=cols,
+        no_truncates=True, no_key_splits=True,
+    )
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(full) == rows_of(lean) == [("1", "b"), ("2", "c")]
+    lean_plan = lean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in lean_plan
+    assert "Union" not in lean_plan
+    # the full path keeps both (the flags are opt-in facts, not defaults)
+    full_plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in full_plan and "Union" in full_plan
