@@ -3033,11 +3033,18 @@ def q_cdc_bootstrap_apply(spark, sf_dir):
     )
     stream_ev = decode_wal2json(updates.unionByName(inserts))
     events = snap_ev.unionByName(stream_ev, allowMissingColumns=True)
+    # flags hold by construction (insert/update-only changesets whose
+    # updates carry no oldkeys -> key NULL -> key_change_predicate is
+    # provably false; no truncates): the unpersisted copy-text parse +
+    # JVM decode lineage is consumed once instead of three times
+    # (optimization r11 — see apply_changes' contract)
     table = apply_changes(
         events,
         key_columns=["doc_id"],
         table="docs",
         columns={"doc_id": "bigint", "text": "text"},
+        no_truncates=True,
+        no_key_splits=True,
     )
     return table.agg(
         F.count("*").cast("long").alias("n_rows"),
@@ -3499,11 +3506,18 @@ def q_cdc_evolve_wal2json(spark, sf_dir):
             F.struct(F.array(change).alias("change"), lsn.alias("nextlsn"))
         ).alias("value")
     )
+    # persist stays (measured, r11: the JVM to_json+from_json lineage
+    # evaluated twice is SLOWER than one persist — unpersisted variant
+    # 2.47-2.70 s vs 1.90 s min-of-4); the per-row signature fold and
+    # the snapshot both read the cache. Skip flags hold by construction
+    # (insert-only changesets, no truncates), cutting latest_image's
+    # extra cache reads: 2.14-2.53 -> 1.90 s.
     decoded = decode_wal2json(
         raw.repartition(spark.sparkContext.defaultParallelism)
     ).persist()
     snap = apply_changes(
-        decoded, key_columns=["event_id"], table="events", columns="evolve"
+        decoded, key_columns=["event_id"], table="events", columns="evolve",
+        no_truncates=True, no_key_splits=True,
     )
     return (
         snap.groupBy((F.col("event_id") % 10).alias("g"))
