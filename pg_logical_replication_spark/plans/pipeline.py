@@ -5496,15 +5496,30 @@ def q_ann_recall_curve(spark, sf_dir):
     the data, and the matched-pair join is |queries|·k rows per point."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # localCheckpoint: brute is |queries|·k rows but its SUBTREE is a
-    # full corpus ranking — it feeds one semi-join per sweep point plus
-    # the denominator, and without materialization each reference
-    # re-evaluates the ranking (the r9 bench caught the re-evaluation)
-    brute = (
-        S.cosine_topk(emb, queries, k=5)
-        .select("q_id", "n_id")
+    # ONE corpus pass for brute AND the sweep (optimization r11, guide
+    # §2.4): with max(n_probes) == n_centroids the most permissive grid
+    # point probes EVERY cell, so its top-k IS the exact brute ranking
+    # — the query's own declared sanity anchor ("probing every cell IS
+    # brute force"): every candidate is assigned to exactly one cell
+    # (argmax with non-null coalesce, no drops), the scored pass uses
+    # the identical round-6 cosine and (cosine DESC, n_id) order as
+    # cosine_topk, and at p == n_centroids the cell-rank filter is
+    # vacuous. The separate cosine_topk corpus ranking (its own scan +
+    # window) is therefore redundant; the checkpoint materializes the
+    # |grid|·|queries|·k result rows (tiny) that feed the semi-join,
+    # the denominator and the census. Agreement pinned by
+    # test_recall_grid_full_probe_point_is_brute.
+    assert max(_IVF_CURVE_PROBES) == 16  # == ivf_recall_grid n_centroids
+    grid_rows = (
+        S.ivf_recall_grid(
+            emb, queries, k=5, n_probes=_IVF_CURVE_PROBES
+        )
+        .select("n_probe", "q_id", "n_id")
         .localCheckpoint()
     )
+    brute = grid_rows.filter(
+        F.col("n_probe") == max(_IVF_CURVE_PROBES)
+    ).select("q_id", "n_id")
     # recall denominator = the ACTUAL brute-force pair count (ADVICE
     # r8: a query returning < k neighbors — tiny corpus, null-norm
     # vectors — breaks the 10*k literal), mirrored as the oracle's
@@ -5513,17 +5528,10 @@ def q_ann_recall_curve(spark, sf_dir):
     n_brute = F.broadcast(
         brute.agg(F.count("*").cast("long").alias("n_brute"))
     )
-    # one shared assignment/probe-rank pass tags every candidate with
-    # its grid memberships (optimization r10 — ivf_recall_grid derives
-    # all five points' top-k from ONE scored join + ONE window instead
-    # of five independent ivf plans, each with its own centroid collect
-    # and exchange); grid points with zero matches survive via the
-    # literal-grid LEFT JOIN, mirroring the oracle's grid CTE
+    # grid points with zero matches survive via the literal-grid LEFT
+    # JOIN, mirroring the oracle's grid CTE
     grid_hits = (
-        S.ivf_recall_grid(
-            emb, queries, k=5, n_probes=_IVF_CURVE_PROBES
-        )
-        .select("n_probe", "q_id", "n_id")
+        grid_rows
         .join(brute, ["q_id", "n_id"], "left_semi")
         .groupBy("n_probe")
         .agg(F.count("*").cast("long").alias("n_matched"))

@@ -366,6 +366,55 @@ def test_ivf_recall_grid_agrees_with_per_point_ivf(spark):
         assert by_p.get(p, set()) == single, f"n_probe={p} diverges"
 
 
+def test_recall_grid_full_probe_point_is_brute(spark):
+    """r11: with max(n_probes) == n_centroids the most permissive grid
+    point probes every cell, so its (q_id, n_id) set must equal the
+    exact cosine_topk brute ranking — the equivalence q_ann_recall_curve
+    now derives its brute set from instead of a second corpus pass.
+    Includes a null-vector corpus row and an exact cosine tie (both
+    order on (cosine DESC, n_id) with nulls last)."""
+    from pg_logical_replication_spark.operators.similarity import (
+        cosine_topk,
+        ivf_recall_grid,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    grid = ivf_recall_grid(emb, queries, k=5, n_probes=(1, 2, 4, 8, 16))
+    full_point = {
+        (r["q_id"], r["n_id"])
+        for r in grid.collect()
+        if r["n_probe"] == 16
+    }
+    brute = {
+        (r["q_id"], r["n_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    assert full_point == brute
+
+    # synthetic edge: an exact duplicate vector (cosine tie broken on
+    # n_id) and a null-vector corpus row (NULL cosine, ranked last)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, None),
+        (5, [0.6, 0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    g = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_recall_grid(
+            df, q, k=3, n_centroids=2, n_probes=(1, 2)
+        ).collect()
+        if r["n_probe"] == 2
+    }
+    b = {(r["q_id"], r["n_id"]) for r in cosine_topk(df, q, k=3).collect()}
+    assert g == b
+
+
 def test_ann_recall_curve_invariants(spark):
     """Recall is monotone non-decreasing in n_probe and EXACTLY 1.0 at
     n_probe = n_centroids (probing every cell is brute force)."""
