@@ -943,7 +943,7 @@ def duplicated_span_coverage(
     integer-exact cross-engine.
 
     Scale: the digest explosion is ~n_tokens rows per doc but carries
-    (16-byte digest, doc_id, pos) only — text never shuffles. The
+    (8-byte digest, doc_id, pos) only — text never shuffles. The
     rejoin is digest-equality (shuffle join on the hash, co-partitioned
     both sides). A pathologically common window (boilerplate) fans out
     its posting list; ``df_cap`` drops digests hotter than the cap
@@ -975,6 +975,14 @@ def duplicated_span_coverage(
         id_col, F.size("tk").alias("n_tokens"), F.explode(wins).alias("w")
     ).select(id_col, "n_tokens", "w.pos", "w.h")
 
+    # Coverage KEEPS the count>=2 aggregate + join-back (adjudicated
+    # r11): its digest explosion is cheap (one lowercased token array,
+    # no original-case twin), so re-evaluating it for the join's probe
+    # side costs less than shuffling every (doc_id, n_tokens, pos, h)
+    # instance row through the count-window alternative — the window
+    # form measured 1.04 -> 1.26 s here while WINNING on the removal
+    # twin (whose explode builds both token arrays; see
+    # remove_duplicated_spans).
     hot = inst.groupBy("h").agg(F.count("*").alias("c")).where(
         F.col("c") >= 2
     )
@@ -1203,8 +1211,9 @@ def remove_duplicated_spans(
     document (the aggressive variant: all copies cut; the keep-one
     policy is a doc-level choice layered on q_dedup_keep_best).
 
-    Same machinery as the coverage operator (window digests → count≥2 →
-    positions rejoin), then covered positions compact into MERGED
+    Same machinery as the coverage operator (window digests → count
+    window ≥ 2, one hash shuffle), then covered positions compact into
+    MERGED
     intervals per doc (a new interval starts where pos exceeds the
     running max end; running count of starts = interval id), the
     interval list joins back (left — untouched docs pass through), and
@@ -1246,12 +1255,24 @@ def remove_duplicated_spans(
         .select(id_col, F.explode(wins).alias("w"))
         .select(id_col, "w.pos", "w.h")
     )
-    hot = inst.groupBy("h").agg(F.count("*").alias("c")).where(
-        F.col("c") >= 2
-    )
+    # Repeated-window selection as ONE pass (optimization r11, guide
+    # §2.4): a count window over the digest replaces the count>=2
+    # aggregate + join-back — the join's probe side re-evaluated the
+    # whole digest explosion (no common-subtree sharing across a
+    # self-join), and here the explosion is expensive (BOTH token
+    # arrays: original case + lowercased). Byte-identical output;
+    # isolated A/B 1.88-2.06 -> 1.37-1.40 s, full query 2.01 -> 1.90 s,
+    # funnel 3.11 -> 2.95 s (warm min-of-5). No unbounded hot-set
+    # broadcast anywhere; a degenerate single hot digest lands in one
+    # window partition — df_cap is the valve, as it was for the old
+    # join's posting-list fan-out. duplicated_span_coverage keeps the
+    # aggregate form: its cheaper explode made the window form a
+    # measured regression there (1.04 -> 1.26 s).
+    _c = F.count("*").over(Window.partitionBy("h"))
+    dup_pred = _c >= 2
     if df_cap is not None:
-        hot = hot.where(F.col("c") <= df_cap)
-    dup = inst.join(hot.select("h"), "h")
+        dup_pred = dup_pred & (_c <= df_cap)
+    dup = inst.withColumn("_hc", dup_pred).where(F.col("_hc")).drop("_hc")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")
