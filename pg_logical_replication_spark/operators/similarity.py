@@ -809,11 +809,36 @@ def cosine_near_dup_pairs_bucketed(
     return pairs.dropDuplicates(["a_id", "b_id"])
 
 
+def sq8_codebook_stats(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 64
+) -> DataFrame:
+    """The SQ8 codebook as a 1-row (mn, mx) aggregate over ``df`` —
+    factored out (optimization r11) so a caller that needs the codebook
+    AND the coded table references ONE subtree: identical aggregate
+    subplans dedupe under ReuseExchange, where the former
+    ``coded.limit(1)`` derivation re-ran the full min/max corpus scan
+    per reference."""
+    # ONE SQL-string parse instead of 2×dims py4j Column round trips —
+    # the plan-build cost finding from SCALE.md round 3 (measured ~1 s
+    # of driver time per build at dims=64)
+    mn_expr = "array(" + ",".join(
+        f"min(element_at({vec_col}, {i + 1}))" for i in range(dims)
+    ) + ")"
+    mx_expr = "array(" + ",".join(
+        f"max(element_at({vec_col}, {i + 1}))" for i in range(dims)
+    ) + ")"
+    return df.agg(
+        F.expr(mn_expr).cast("array<double>").alias("mn"),
+        F.expr(mx_expr).cast("array<double>").alias("mx"),
+    )
+
+
 def sq8_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Scalar 8-bit quantization (SQ8): per-dimension min/max codebook.
 
@@ -843,19 +868,8 @@ def sq8_quantize(
         # fixed-dims contract: every vector must carry exactly this many
         # dimensions (element_at beyond a short vector yields null codes)
         dims = len(head[0][0])
-    # ONE SQL-string parse instead of 2×dims py4j Column round trips —
-    # the plan-build cost finding from SCALE.md round 3 (measured ~1 s
-    # of driver time per build at dims=64)
-    mn_expr = "array(" + ",".join(
-        f"min(element_at({vec_col}, {i + 1}))" for i in range(dims)
-    ) + ")"
-    mx_expr = "array(" + ",".join(
-        f"max(element_at({vec_col}, {i + 1}))" for i in range(dims)
-    ) + ")"
-    stats = df.agg(
-        F.expr(mn_expr).cast("array<double>").alias("mn"),
-        F.expr(mx_expr).cast("array<double>").alias("mx"),
-    )
+    if stats is None:
+        stats = sq8_codebook_stats(df, vec_col=vec_col, dims=dims)
     coded = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
         F.broadcast(stats)
     )
@@ -912,7 +926,20 @@ def sq8_cosine_topk(
     Scale: same shape as cosine_topk — broadcast(queries+codebook) ⋈
     one corpus scan (reading int8 codes, 1/4 the bytes), window top-k.
     """
-    coded = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col, dims=dims)
+    if dims is None:
+        head = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).take(1)
+        if not head or not head[0][0]:
+            raise ValueError("sq8_cosine_topk: corpus has no non-null embeddings")
+        dims = len(head[0][0])
+    # ONE codebook subtree shared by the coded corpus and the query
+    # coder (optimization r11): the former codebook = coded.limit(1)
+    # was a DIFFERENT subplan, so the corpus-wide min/max aggregate
+    # scan re-ran for it; the shared aggregate dedupes under
+    # ReuseExchange
+    stats = sq8_codebook_stats(corpus, vec_col=vec_col, dims=dims)
+    coded = sq8_quantize(
+        corpus, id_col=id_col, vec_col=vec_col, dims=dims, stats=stats
+    )
     c = coded.select(
         F.col(id_col).alias("n_id"),
         sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("n_vec"),
@@ -922,7 +949,7 @@ def sq8_cosine_topk(
     # queries and scored stale vectors for clashing ids); for
     # queries ⊆ corpus the codes — and therefore the ranks — are
     # identical to the lookup form
-    codebook = coded.select("mn", "mx").limit(1)
+    codebook = stats
     q = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col))
         .crossJoin(F.broadcast(codebook))
