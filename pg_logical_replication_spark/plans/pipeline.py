@@ -5955,20 +5955,23 @@ def q_dedup_source_overlap(spark, sf_dir):
             "b_id",
         )
     )
-    n_pairs = tagged.groupBy("source_a", "source_b").agg(
-        F.count("*").cast("long").alias("n_pairs")
-    )
-    n_docs = (
+    # ONE aggregation over the exploded pair table (optimization r11,
+    # guide §2.4): the former n_pairs/n_docs branches each re-ran the
+    # two source joins and met again in a final join; every pair
+    # contributes exactly 2 exploded rows, so n_pairs = count DIV 2
+    # exactly and both census columns fold into one grouped pass.
+    return (
         tagged.select(
             "source_a",
             "source_b",
             F.explode(F.array("a_id", "b_id")).alias("d"),
         )
         .groupBy("source_a", "source_b")
-        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
-    )
-    return n_pairs.join(n_docs, ["source_a", "source_b"]).orderBy(
-        "source_a", "source_b"
+        .agg(
+            F.expr("count(*) div 2").cast("long").alias("n_pairs"),
+            F.countDistinct("d").cast("long").alias("n_docs"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 
