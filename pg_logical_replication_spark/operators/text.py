@@ -3225,11 +3225,19 @@ def cdc_chunk_dedup_stats(
     the chunk count and the character fraction covered by chunks whose
     hash occurs >= ``min_count`` times corpus-wide — the storage-dedup
     ratio readout. Only 32-byte chunk hashes shuffle."""
+    from pyspark.sql import Window
+
     ex = content_defined_chunks(df, text_col, id_col)
-    counts = ex.groupBy("chunk_md5").agg(
-        F.count("*").cast("long").alias("gc")
+    # corpus-wide chunk counts as a count window over the hash instead
+    # of an aggregate + join-back (optimization r11, guide §2.4, the
+    # remove_duplicated_spans adjudication): the join's probe side
+    # re-evaluated the whole chunker — a per-character posexplode +
+    # lead window, by far the operator's dominant cost — while the
+    # window form runs it once and shuffles only the chunk rows
+    # (hash + len + ids) it was shuffling anyway.
+    j = ex.withColumn(
+        "gc", F.count("*").over(Window.partitionBy("chunk_md5"))
     )
-    j = ex.join(counts, "chunk_md5")
     shared = (F.col("gc") >= min_count).cast("long")
     return j.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_chunks"),
