@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pg_logical_replication_spark.model import lsn_long_expr, lsn_str_expr
-from pg_logical_replication_spark.plans.registry import register, t
+from pg_logical_replication_spark.plans.registry import register, t, table_rows
 
 _OP_CASE = (
     "CASE WHEN event_type = 'signup' THEN 'insert' "
@@ -1371,7 +1371,7 @@ def q_cdc_schema_evolution(spark, sf_dir):
 
     OID = 51238
     ev = t(spark, sf_dir, "events").select("event_id", "user_id")
-    half = ev.count() // 2  # event_id is dense 0..N-1 (TESTDATA.md)
+    half = table_rows(sf_dir, "events") // 2  # dense 0..N-1; footer count
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1478,7 +1478,7 @@ def q_cdc_apply_schema_evolution(spark, sf_dir):
 
     OID = 51239
     ev = t(spark, sf_dir, "events").select("event_id", "user_id")
-    n = ev.count()  # event_id is dense 0..N-1 (TESTDATA.md)
+    n = table_rows(sf_dir, "events")  # dense 0..N-1; footer count
     half, quarter = n // 2, n // 4
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1616,7 +1616,7 @@ def q_cdc_apply_type_widening(spark, sf_dir):
 
     OID = 51241
     ev = t(spark, sf_dir, "events").select("event_id")
-    n = ev.count()
+    n = table_rows(sf_dir, "events")  # footer count, no Spark job
     half = n // 2
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1737,7 +1737,7 @@ def q_cdc_schema_change_log(spark, sf_dir):
 
     OID = 51240
     ev = t(spark, sf_dir, "events").select("event_id", "user_id")
-    n = ev.count()
+    n = table_rows(sf_dir, "events")  # footer count, no Spark job
     third = n // 3
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1858,7 +1858,7 @@ def q_cdc_truncate_apply(spark, sf_dir):
     from pg_logical_replication_spark.operators.apply_changes import apply_changes
 
     ev = t(spark, sf_dir, "events")
-    half = ev.count() // 2  # event_id is dense 0..N-1 (TESTDATA.md)
+    half = table_rows(sf_dir, "events") // 2  # dense 0..N-1; footer count
     ins = ev.select(
         F.lit("insert").alias("op"),
         (F.col("event_id") * 2).alias("lsn_long"),
@@ -3254,7 +3254,7 @@ def q_cdc_apply_multi_evolution(spark, sf_dir):
 
     OID_O, OID_U, OID_I = 51301, 51302, 51303
     ev_all = t(spark, sf_dir, "events").select("event_id", "user_id")
-    n = ev_all.count()  # event_id is dense 0..N-1 (TESTDATA.md)
+    n = table_rows(sf_dir, "events")  # dense 0..N-1; footer count
     half, third = n // 2, n // 3
     # three messages per event would make the SYNTHETIC encode (test-
     # harness side — at scale the wire is the input) 3x the single-
@@ -3457,7 +3457,7 @@ def q_cdc_evolve_wal2json(spark, sf_dir):
     from pg_logical_replication_spark.sources.wal2json import decode_wal2json
 
     ev = t(spark, sf_dir, "events").select("event_id", "user_id")
-    n = ev.count()  # event_id is dense 0..N-1 (TESTDATA.md)
+    n = table_rows(sf_dir, "events")  # dense 0..N-1; footer count
     third = n // 3
     lsn = lsn_str_expr(F.col("event_id") * 8 + 16)
     era = (
@@ -3641,7 +3641,7 @@ def q_cdc_bitemporal_snapshot(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")
-    n = ev.count()
+    n = table_rows(sf_dir, "events")  # footer count, no Spark job
     tcut = 3 * n // 5
     v = F.lit("2024-01-16 00:00:00").cast("timestamp")
     b = (

@@ -70,6 +70,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one driver-provided table from parquet FOOTER
+    metadata — no Spark job (optimization r11, guide §1.2 "don't
+    compute things you throw away"): the synthetic-wire fixture
+    builders need exactly one scalar (the table size) to shape their
+    eras/ALTER positions, and Spark's ``count()`` on the same files
+    reads only the same footers but pays two scheduled stages (~0.15 s
+    per query warm). Read per invocation — nothing cached across runs;
+    the number is identical to ``t(...).count()`` by the parquet spec
+    (num_rows is part of the committed footer)."""
+    import os
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return ds.dataset(path, format="parquet").count_rows()
+    return pq.read_metadata(path).num_rows
+
+
 def spread_if_narrow(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition ONLY when the scan yields fewer splits than cores.
 
